@@ -1,13 +1,333 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.feeds.CdcFeed
+import graft.functions.Timestamps
+import graft.model.{Cdc, CdcConfig}
+import graft.operators.{CdcNormalize, CdcOps}
+
+/**
+ * Driver contract (SURVEY.md §7.1): one `queries` entry per implemented
+ * operator from SURVEY.md §2, each with a DuckDB oracle in `oracleSql`.
+ *
+ * Column names are aligned 1:1 between the Spark result and the oracle
+ * SQL (the driver sorts columns by name before hashing). Every query
+ * ends in an ORDER BY on a deterministic key so row order can never be
+ * a source of mismatch.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the batch CDC apply (merge a change feed into a snapshot). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_cdc_apply")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------
+  // Shared Spark-side building blocks
+  // ------------------------------------------------------------------
+
+  private val normCfg =
+    CdcConfig(tableNameFormat = "sync_${TableName}", identifierCase = "lower")
+
+  /** Wire records → normalized events via the real operator chain. */
+  private def normalized(spark: SparkSession, dir: String): DataFrame =
+    CdcNormalize(CdcFeed.wire(spark, dir), normCfg)
+
+  private val keySchema = StructType.fromDDL("ID BIGINT")
+  private val valueSchema = StructType.fromDDL("ID BIGINT, AMOUNT DOUBLE")
+
+  /**
+   * Valid events with the routing key extracted from the JSON key
+   * (DELETEs, C3) or value (UPSERTs, C1/C2) — SURVEY.md §2.5.
+   */
+  private def keyedValid(spark: SparkSession, dir: String): DataFrame = {
+    val valid = normalized(spark, dir).filter(col(Cdc.Cols.CorruptReason).isNull)
+    valid
+      .withColumn("k",
+        when(col(Cdc.Cols.Op) === Cdc.Op.Delete,
+          from_json(col(Cdc.Cols.KeyJson), keySchema).getField("ID"))
+          .otherwise(from_json(col(Cdc.Cols.ValueJson), valueSchema).getField("ID")))
+      .withColumn("amount",
+        from_json(col(Cdc.Cols.ValueJson), valueSchema).getField("AMOUNT"))
+  }
+
+  // ------------------------------------------------------------------
+  // Shared oracle-side building blocks (DuckDB SQL mirrors)
+  // ------------------------------------------------------------------
+
+  private def withNorm(body: String): String =
+    s"WITH norm AS (${CdcFeed.normalizedSql}) $body"
+
+  private val keyedValidSql: String = s"""
+    WITH norm AS (${CdcFeed.normalizedSql}),
+    valid AS (SELECT * FROM norm WHERE corrupt_reason IS NULL),
+    keyed AS (
+      SELECT valid.*,
+        CASE WHEN op = 'DELETE'
+             THEN CAST(json_extract_string(key_json, '$$.ID') AS BIGINT)
+             ELSE CAST(json_extract_string(value_json, '$$.ID') AS BIGINT)
+        END AS k,
+        CAST(json_extract_string(value_json, '$$.AMOUNT') AS DOUBLE) AS amount
+      FROM valid)"""
+
+  // ------------------------------------------------------------------
+  // Queries
+  // ------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // H1/H2/P1/P2/P3/T3: full normalize chain over wire records.
+    "q_cdc_normalize" -> ((s, dir) =>
+      normalized(s, dir).select(
+        col("offset").as("offs"), col("topic"),
+        col(Cdc.Cols.TableName), col(Cdc.Cols.EntryType), col(Cdc.Cols.Op),
+        col(Cdc.Cols.TargetTable), col(Cdc.Cols.CorruptReason),
+        col(Cdc.Cols.KeyJson), col(Cdc.Cols.ValueJson))
+        .orderBy("offs")),
+
+    // P4/P5/P6: literal table filter + regex topic filter.
+    "q_cdc_route_filter" -> ((s, dir) => {
+      val df0 = CdcNormalize(CdcFeed.wire(s, dir), CdcConfig(tableNameFormat = "TEST_CLICK"))
+      val df1 = CdcOps.tableFilterLiteral(df0, col(Cdc.Cols.TableName), "TEST_CLICK")
+      CdcOps.topicFilterRegex(df1, col("topic"), Seq(".*SRC[01]$"))
+        .select(col("offset").as("offs"), col(Cdc.Cols.TableName),
+          col("topic"), col(Cdc.Cols.TargetTable))
+        .orderBy("offs")
+    }),
+
+    // P8/W13: DELETE → tombstone rewrite.
+    "q_cdc_tombstone" -> ((s, dir) =>
+      normalized(s, dir).filter(col(Cdc.Cols.CorruptReason).isNull)
+        .select(col("offset").as("offs"), col(Cdc.Cols.Op),
+          CdcOps.tombstoneValue(col(Cdc.Cols.Op), col(Cdc.Cols.ValueJson))
+            .as(Cdc.Cols.ValueJson))
+        .orderBy("offs")),
+
+    // G1/G2 + ordering: last-write-wins collapse per (table, key).
+    "q_cdc_lww" -> ((s, dir) =>
+      CdcOps.lastWriteWins(keyedValid(s, dir), Cdc.Cols.TableName, Seq("k"), "offset")
+        .select(col(Cdc.Cols.TableName), col("k"),
+          col("offset").as("offs"), col(Cdc.Cols.Op), col("amount"))
+        .orderBy(Cdc.Cols.TableName, "k")),
+
+    // Flagship M1: fold the collapsed change-set into the orders snapshot.
+    "q_cdc_apply" -> ((s, dir) => {
+      val snapshot = Tables(s, dir, "orders")
+      val changes0 = keyedValid(s, dir)
+        .filter(col(Cdc.Cols.TableName) === "TEST_PURCHASE")
+      val lww = CdcOps.lastWriteWins(changes0, Cdc.Cols.TableName, Seq("k"), "offset")
+      val changes = lww.select(
+        col("k").as("o_orderkey"),
+        (col("k") % 100).as("o_custkey"),
+        lit("U").as("o_orderstatus"),
+        col("amount").as("o_totalprice"),
+        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("o_orderdate"),
+        lit("CDC-UPSERT").as("o_orderpriority"),
+        col(Cdc.Cols.Op))
+      CdcOps.applyChanges(snapshot, changes, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
+    // W11/T6: corrupt-event dead-letter channel.
+    "q_cdc_dlq" -> ((s, dir) => {
+      val n = normalized(s, dir)
+      def jstr(c: Column) = coalesce(concat(lit("\""), c, lit("\"")), lit("null"))
+      val headersJson = concat(
+        lit("{\"TableName\":"), jstr(col(Cdc.Cols.TableName)),
+        lit(",\"A_ENTTYP\":"), jstr(col(Cdc.Cols.EntryType)),
+        lit(",\"A_TIMSTAMP\":\""), col(Cdc.Cols.SourceTs), lit("\"}"))
+      CdcOps.toCorruptEvents(n, col("topic"), col("partition"), col("offset"),
+        col(Cdc.Cols.KeyJson), col(Cdc.Cols.ValueJson), headersJson,
+        col(Cdc.Cols.CorruptReason), col(Cdc.Cols.TableName), col(Cdc.Cols.EntryType))
+        .orderBy("kafka_offset")
+    }),
+
+    // T1: A_TIMSTAMP (12-digit fraction) → ISO-8601 with zone offset.
+    "q_cdc_ts_iso" -> ((s, dir) =>
+      CdcFeed.base(s, dir).select(
+        col("offs"), col("ats"),
+        Timestamps.iidrTimestampToIso(col("ats"), "+08:00").as("iso"))
+        .orderBy("offs")),
+
+    // T2: multi-pattern temporal coercion.
+    "q_cdc_temporal_coerce" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val sec = date_format(col("ts"), "yyyy-MM-dd HH:mm:ss")
+      val ms = lpad((col("event_id") % 1000).cast("string"), 3, "0")
+      val raw = when(col("event_id") % 5 === 0, sec)
+        .when(col("event_id") % 5 === 1, date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+        .when(col("event_id") % 5 === 2, concat(sec, lit("."), ms))
+        .when(col("event_id") % 5 === 3, date_format(col("ts"), "yyyy-MM-dd"))
+        .otherwise(lit(""))
+      ev.select(
+        col("event_id").as("offs"),
+        raw.as("raw"),
+        Timestamps.coerceTimestamp(raw).as("coerced"),
+        Timestamps.coerceDate(sec).as("d"),
+        Timestamps.coerceTime(date_format(col("ts"), "HH:mm:ss")).as("t"))
+        .orderBy("offs")
+    }),
+
+    // C1/C2/C3: JSON → typed struct materialization.
+    "q_cdc_schema_infer" -> ((s, dir) =>
+      CdcFeed.base(s, dir).select(
+        col("offs"),
+        from_json(col("key_json"), keySchema).getField("ID").as("key_id"),
+        from_json(col("value_json"), StructType.fromDDL("ID BIGINT, AMOUNT DECIMAL(12,2)"))
+          .getField("ID").as("val_id"),
+        from_json(col("value_json"), StructType.fromDDL("ID BIGINT, AMOUNT DECIMAL(12,2)"))
+          .getField("AMOUNT").as("amount"))
+        .orderBy("offs")),
+
+    // T4: legacy charset (Big5) halfwidth recovery — custom Catalyst expression.
+    "q_cdc_charset_decode" -> ((s, dir) => {
+      import s.implicits._
+      CharsetFixture.mangled.toDF("id", "mangled")
+        .select(col("id"),
+          GraftFunctions.legacyCharsetDecode(col("mangled"), "Big5").as("decoded"))
+        .orderBy("id")
+    }),
+
+    // Classic scan→filter→agg (engine sanity + bench headline).
+    "q1_agg" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(14,2)")).as("sum_base_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")))
+
+  // ------------------------------------------------------------------
+  // Oracle SQL (DuckDB dialect mirrors; same column names + ORDER BY)
+  // ------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_cdc_normalize" -> withNorm(
+      """SELECT offs, topic, table_name, entry_type, op, target_table,
+           corrupt_reason, key_json, value_json
+         FROM norm ORDER BY offs"""),
+
+    "q_cdc_route_filter" -> withNorm(
+      """SELECT offs, table_name, topic, 'TEST_CLICK' AS target_table
+         FROM norm
+         WHERE table_name = 'TEST_CLICK' AND regexp_matches(topic, '.*SRC[01]$')
+         ORDER BY offs"""),
+
+    "q_cdc_tombstone" -> withNorm(
+      """SELECT offs, op,
+           CASE WHEN op = 'DELETE' THEN NULL ELSE value_json END AS value_json
+         FROM norm WHERE corrupt_reason IS NULL ORDER BY offs"""),
+
+    "q_cdc_lww" -> (keyedValidSql + """
+      SELECT table_name, k, offs, op, amount FROM keyed
+      QUALIFY row_number() OVER (PARTITION BY table_name, k ORDER BY offs DESC) = 1
+      ORDER BY table_name, k"""),
+
+    "q_cdc_apply" -> (keyedValidSql + """,
+      lw AS (
+        SELECT * FROM keyed WHERE table_name = 'TEST_PURCHASE'
+        QUALIFY row_number() OVER (PARTITION BY table_name, k ORDER BY offs DESC) = 1),
+      up AS (
+        SELECT k AS o_orderkey, k % 100 AS o_custkey, 'U' AS o_orderstatus,
+               amount AS o_totalprice,
+               TIMESTAMP '2026-01-01 00:00:00' AS o_orderdate,
+               'CDC-UPSERT' AS o_orderpriority
+        FROM lw WHERE op = 'UPSERT'),
+      touched AS (SELECT DISTINCT k FROM lw)
+      SELECT * FROM (
+        SELECT o.* FROM orders o LEFT JOIN touched ON o.o_orderkey = touched.k
+        WHERE touched.k IS NULL
+        UNION ALL SELECT * FROM up)
+      ORDER BY o_orderkey"""),
+
+    "q_cdc_dlq" -> withNorm(
+      """SELECT topic, kpart AS kafka_partition, offs AS kafka_offset,
+           key_json AS record_key, value_json AS record_value,
+           '{"TableName":' || COALESCE('"' || table_name || '"', 'null') ||
+           ',"A_ENTTYP":' || COALESCE('"' || entry_type || '"', 'null') ||
+           ',"A_TIMSTAMP":"' || ats || '"}' AS headers,
+           SUBSTR(corrupt_reason, 1, 1000) AS error_reason,
+           table_name, entry_type
+         FROM norm WHERE corrupt_reason IS NOT NULL ORDER BY kafka_offset"""),
+
+    "q_cdc_ts_iso" -> s"""
+      WITH feed AS (${CdcFeed.feedSql})
+      SELECT offs, ats,
+        SUBSTR(ats, 1, 10) || 'T' || SUBSTR(ats, 12, 8) || '.' ||
+          SUBSTR(ats, 21, 6) || '+08:00' AS iso
+      FROM feed ORDER BY offs""",
+
+    "q_cdc_temporal_coerce" -> """
+      WITH r AS (
+        SELECT event_id AS offs,
+          CASE CAST(event_id % 5 AS INT)
+            WHEN 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+            WHEN 1 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+            WHEN 2 THEN strftime(ts, '%Y-%m-%d %H:%M:%S') || '.' ||
+                        lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0')
+            WHEN 3 THEN strftime(ts, '%Y-%m-%d')
+            ELSE '' END AS raw,
+          strftime(ts, '%Y-%m-%d') AS dstr,
+          strftime(ts, '%H:%M:%S') AS tstr
+        FROM events)
+      SELECT offs, raw,
+        CASE WHEN raw = '' THEN NULL
+             ELSE CAST(replace(raw, 'T', ' ') AS TIMESTAMP) END AS coerced,
+        CAST(dstr AS DATE) AS d,
+        tstr AS t
+      FROM r ORDER BY offs""",
+
+    "q_cdc_schema_infer" -> s"""
+      WITH feed AS (${CdcFeed.feedSql})
+      SELECT offs,
+        CAST(json_extract_string(key_json, '$$.ID') AS BIGINT) AS key_id,
+        CAST(json_extract_string(value_json, '$$.ID') AS BIGINT) AS val_id,
+        CAST(json_extract_string(value_json, '$$.AMOUNT') AS DECIMAL(12,2)) AS amount
+      FROM feed ORDER BY offs""",
+
+    "q_cdc_charset_decode" -> CharsetFixture.oracleSql,
+
+    "q1_agg" -> """
+      SELECT l_returnflag, l_linestatus,
+        SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+        SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS sum_base_price,
+        SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS sum_disc_price,
+        COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")
+}
+
+/**
+ * Big5 halfwidth-mangling fixture (SURVEY.md §5.4; byte table from the
+ * reference's docker/README.md:336-348, e.g. 測=B4FA→U+FFB4 U+FFFA).
+ * `mangled` is what Oracle-JDBC-over-US7ASCII delivers; the oracle SQL
+ * carries the expected recovered text.
+ */
+object CharsetFixture {
+  val mangled: Seq[(Int, String)] = Seq(
+    1 -> "ﾴ￺ﾸￕ",
+    2 -> "ﾥxﾥ_ﾥﾫ",
+    3 -> "ﾧAﾦn",
+    4 -> "ﾣtﾣuﾣvﾣw",
+    5 -> "ﾢￏﾢ￐ﾢ￑ﾢￒ",
+    6 -> "ABCﾴ￺ﾸￕ123",
+    7 -> "hello world")
+
+  val expected: Seq[(Int, String)] = Seq(
+    1 -> "測試", 2 -> "台北市", 3 -> "你好", 4 -> "ㄅㄆㄇㄈ",
+    5 -> "ＡＢＣＤ", 6 -> "ABC測試123", 7 -> "hello world")
+
+  val oracleSql: String =
+    "SELECT * FROM (VALUES " +
+      expected.map { case (i, s) => s"($i, '$s')" }.mkString(", ") +
+      ") AS t(id, decoded) ORDER BY id"
 }

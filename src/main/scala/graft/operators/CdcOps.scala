@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Cdc
+
+/**
+ * Pure, declarative CDC operators (SURVEY.md §2.2–2.6). Every operator
+ * is a `Column` expression or a `DataFrame => DataFrame` transform built
+ * from codegen'd builtins, so Catalyst can push filters / prune columns
+ * / fold constants across the whole chain — the reference's hand-wired
+ * Java per-record loop (IidrCdcSinkTask.processRecord,
+ * IidrCdcSinkTask.java:161-217) becomes a single whole-stage-codegen
+ * span at 100 TB scale.
+ */
+object CdcOps {
+
+  // ----------------------------------------------------------------- H1
+  /**
+   * Header extraction: LAST header wins (headers().lastWithName, see
+   * HeaderExtractor.java:26-48). `headers` is the Kafka-source
+   * array<struct<key:string,value:binary>>; bytes are decoded UTF-8.
+   */
+  def headerString(headers: Column, name: String): Column =
+    decode(
+      try_element_at(filter(headers, h => h.getField("key") === lit(name)), lit(-1))
+        .getField("value"),
+      "UTF-8")
+
+  // ----------------------------------------------------------------- H2
+  /**
+   * Required-header validation (HeaderExtractor.java:76-88): missing
+   * TableName or A_ENTTYP ⇒ corrupt; A_TIMSTAMP is optional. Returns a
+   * nullable reason column (null = valid).
+   */
+  def missingHeaderReason(tableName: Column, entryType: Column): Column =
+    when(tableName.isNull, lit(s"Missing required header: ${Cdc.Headers.TableName}"))
+      .when(entryType.isNull, lit(s"Missing required header: ${Cdc.Headers.EntryType}"))
+
+  // ----------------------------------------------------------------- P1
+  /**
+   * Entry-type → operation map (EntryTypeMapper.java:20-50): trims and
+   * upper-cases, {PT,RR,PX,UP,FI,FP,UR}→UPSERT, {DL,DR}→DELETE, unknown
+   * → null (caller records a corrupt reason).
+   */
+  def mapEntryType(entryType: Column): Column = {
+    val e = upper(trim(entryType))
+    when(e.isin(Cdc.UpsertEntryTypes: _*), lit(Cdc.Op.Upsert))
+      .when(e.isin(Cdc.DeleteEntryTypes: _*), lit(Cdc.Op.Delete))
+  }
+
+  /** Corrupt reason for an unmapped entry type (IidrCdcSinkTask.java:180-183). */
+  def unknownEntryTypeReason(entryType: Column, op: Column): Column =
+    when(entryType.isNotNull && op.isNull,
+      concat(lit("Unknown entry type: "), upper(trim(entryType))))
+
+  // ----------------------------------------------------------------- P2
+  /**
+   * Operation-shape validation (IidrCdcSinkTask.java:185-195): DELETE
+   * requires a non-null key; UPSERT/INSERT/UPDATE require a non-null
+   * value.
+   */
+  def shapeReason(op: Column, key: Column, value: Column): Column =
+    when(op === Cdc.Op.Delete && key.isNull,
+      lit("DELETE record has no key"))
+      .when(op =!= Cdc.Op.Delete && op.isNotNull && value.isNull,
+        lit("Record has no value"))
+
+  // ----------------------------------------------------------------- P3
+  /**
+   * Table-name template routing (IidrCdcSinkTask.java:222-227):
+   * `table.name.format` with `${TableName}` / `${topic}` substitution.
+   * Template is a config constant, so this folds to cheap concat.
+   */
+  def resolveTargetTable(format: String, tableName: Column, topic: Column): Column = {
+    val parts = format.split("(?=\\$\\{)|(?<=\\})").toSeq
+    val cols = parts.map {
+      case "${TableName}" => tableName
+      case "${topic}"     => topic
+      case litPart        => lit(litPart)
+    }
+    if (cols.isEmpty) lit(format) else concat(cols: _*)
+  }
+
+  // ----------------------------------------------------------------- T3
+  /** Identifier case conversion (IidrToJdbcSinkTransform.java:212-220). */
+  def applyIdentifierCase(ident: Column, mode: String): Column = mode match {
+    case "lower" => lower(ident)
+    case "upper" => upper(ident)
+    case _       => ident
+  }
+
+  // ----------------------------------------------------------------- P4/P5
+  /**
+   * Literal table filter (IidrCdcSinkTask.java:292-309): when
+   * `table.name.format` has no placeholder, silently SKIP (not corrupt)
+   * records whose TableName header differs.
+   */
+  def tableFilterLiteral(df: DataFrame, tableName: Column, format: String): DataFrame =
+    if (format.contains("${")) df
+    else df.filter(tableName === lit(format))
+
+  // ----------------------------------------------------------------- P6
+  /** Regex topic filter (LegacyCharsetTransform.java:106-116); empty = match all. */
+  def topicFilterRegex(df: DataFrame, topic: Column, patterns: Seq[String]): DataFrame =
+    if (patterns.isEmpty) df
+    else df.filter(patterns.map(p => topic.rlike(p)).reduce(_ || _))
+
+  // ----------------------------------------------------------------- P8/W13
+  /**
+   * Tombstone rewrite (IidrToJdbcSinkTransform.java:177-186): DELETE ⇒
+   * null value so a downstream delete-enabled sink removes by PK.
+   */
+  def tombstoneValue(op: Column, value: Column): Column =
+    when(op =!= Cdc.Op.Delete || op.isNull, value)
+
+  // ----------------------------------------------------------------- G1/G2 + ordering
+  /**
+   * Last-write-wins collapse (SURVEY.md §2.6 ordering note): the
+   * reference applies events in Kafka offset order within a partition;
+   * a distributed apply must instead keep only the LATEST event per
+   * (table, key) within a micro-batch — same terminal state,
+   * order-insensitive. One shuffle on (table, key); with AQE this is
+   * also where skewed hot keys get split.
+   */
+  def lastWriteWins(df: DataFrame, tableCol: String, keyCols: Seq[String],
+      offsetCol: String): DataFrame = {
+    val w = Window
+      .partitionBy((tableCol +: keyCols).map(col): _*)
+      .orderBy(col(offsetCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  // ----------------------------------------------------------------- apply-merge
+  /**
+   * Batch CDC apply (SURVEY.md §7.2 M1): fold a collapsed change-set
+   * into a snapshot. `changes` must already be last-write-wins per key
+   * and carry an `op` column (UPSERT/DELETE) plus the snapshot's
+   * columns for upsert rows.
+   *
+   * Plan shape: one shuffle (the LWW window upstream) + one join. The
+   * anti-join side reuses the snapshot scan; at scale the change-set is
+   * typically ≪ snapshot, so we broadcast it when small — at 100 TB
+   * the snapshot never moves, only changed keys shuffle.
+   */
+  def applyChanges(snapshot: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], broadcastChanges: Boolean = true): DataFrame = {
+    val cols = snapshot.columns.toSeq
+    val touchedKeys0 = changes.select(keyCols.map(col): _*).distinct()
+    val touchedKeys = if (broadcastChanges) broadcast(touchedKeys0) else touchedKeys0
+    val survivors = snapshot.join(touchedKeys, keyCols, "left_anti")
+    val upserted = changes
+      .filter(col(Cdc.Cols.Op) === Cdc.Op.Upsert)
+      .select(cols.map(col): _*)
+    survivors.unionByName(upserted)
+  }
+
+  // ----------------------------------------------------------------- W11
+  /**
+   * Corrupt-event DLQ projection (CorruptEventWriter.java:37-114):
+   * shape the corrupt branch as `streaming_corrupt_events` rows; reason
+   * truncated to 1000 chars (CorruptEventWriter.java:98).
+   */
+  def toCorruptEvents(df: DataFrame, topic: Column, partition: Column,
+      offset: Column, recordKey: Column, recordValue: Column,
+      headersJson: Column, reason: Column, tableName: Column,
+      entryType: Column): DataFrame =
+    df.filter(reason.isNotNull).select(
+      topic.as("topic"),
+      partition.as("kafka_partition"),
+      offset.as("kafka_offset"),
+      recordKey.as("record_key"),
+      recordValue.as("record_value"),
+      headersJson.as("headers"),
+      substring(reason, 1, 1000).as("error_reason"),
+      tableName.as("table_name"),
+      entryType.as("entry_type"))
+}

@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB oracle compare.
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+
+For each query in <verifyOutDir>/oracle_sql.json: run the SQL in DuckDB
+(views over <sfDir>/*.parquet), load the Spark result parquet, sort
+columns by name and rows by all columns, and diff values.
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize everything to strings for a hash-like compare
+    out = pd.DataFrame()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            out[c] = s.map(lambda v: "null" if pd.isna(v) else f"{v:.6f}")
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            out[c] = s.map(lambda v: "null" if pd.isna(v) else v.isoformat())
+        else:
+            out[c] = s.map(lambda v: "null" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v))
+    out = out.sort_values(by=list(out.columns)).reset_index(drop=True)
+    return out
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        name = os.path.basename(p)[:-8]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = 0
+    for name, sql in sorted(oracles.items()):
+        spark_files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not spark_files:
+            print(f"FAIL {name}: no spark output")
+            continue
+        try:
+            oracle = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            continue
+        spark = con.execute(
+            f"SELECT * FROM read_parquet({spark_files!r})").df()
+        o, s = canon(oracle), canon(spark)
+        if list(o.columns) != list(s.columns):
+            print(f"FAIL {name}: columns oracle={list(o.columns)} spark={list(s.columns)}")
+            continue
+        if len(o) != len(s):
+            print(f"FAIL {name}: rows oracle={len(o)} spark={len(s)}")
+            continue
+        neq = (o != s)
+        if neq.any().any():
+            bad_cols = [c for c in o.columns if neq[c].any()]
+            print(f"FAIL {name}: value diff in {bad_cols}")
+            for c in bad_cols[:3]:
+                i = neq[c].idxmax()
+                print(f"   row {i} col {c}: oracle={o[c][i]!r} spark={s[c][i]!r}")
+            continue
+        print(f"OK   {name} ({len(o)} rows)")
+        n_ok += 1
+    print(f"{n_ok}/{len(oracles)} ok")
+
+if __name__ == "__main__":
+    main()
