@@ -76,7 +76,11 @@ object SparkEntry {
   // Queries
   // ------------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = cdcQueries ++
+    graft.text.TextQueries.queries ++
+    graft.dedup.DedupQueries.queries
+
+  private def cdcQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // H1/H2/P1/P2/P3/T3: full normalize chain over wire records.
     "q_cdc_normalize" -> ((s, dir) =>
@@ -207,7 +211,11 @@ object SparkEntry {
   // Oracle SQL (DuckDB dialect mirrors; same column names + ORDER BY)
   // ------------------------------------------------------------------
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = cdcOracleSql ++
+    graft.text.TextQueries.oracleSql ++
+    graft.dedup.DedupQueries.oracleSql
+
+  private def cdcOracleSql: Map[String, String] = Map(
 
     "q_cdc_normalize" -> withNorm(
       """SELECT offs, topic, table_name, entry_type, op, target_table,

@@ -1,0 +1,127 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/**
+ * Deduplication operators for training-data pipelines: exact
+ * (hash-groupBy), MinHash signatures, LSH banding with exact n-gram
+ * Jaccard verification, and SimHash.
+ *
+ * Scale design (100 TB corpus):
+ *  - Signature computation is a narrow per-document pass — no shuffle.
+ *  - LSH banding shuffles only (band_key, doc_id) pairs (bytes per
+ *    doc, not the documents themselves); candidate generation is a
+ *    self-join on band_key whose fan-out is bounded by bucket sizes.
+ *  - Exact-Jaccard verification joins shingle sets back only for
+ *    CANDIDATE pairs — the quadratic step never touches the full
+ *    corpus. This is the standard MinHash→LSH→verify funnel.
+ *
+ * Portability: hashes are md5 hex strings (identical in DuckDB);
+ * MinHash = lexicographic MIN over md5 strings, so signatures are
+ * engine-independent without any integer-conversion tricks.
+ */
+object Dedup {
+
+  /** Number of MinHash functions and LSH band layout (4 bands × 2 rows
+    * ⇒ catches J ≥ ~0.5 candidates with high probability). */
+  val NumHashes = 8
+  val BandRows = 2
+  def numBands: Int = NumHashes / BandRows
+
+  // ---------------------------------------------------------------- exact
+  /** Canonical text form for exact dedup: lower, non-alnum → space, trim. */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** md5 of the canonical form — the exact-dedup grouping key. */
+  def exactHash(text: Column): Column = md5(normalizedText(text))
+
+  // ---------------------------------------------------------------- shingles
+  /** Distinct 3-token shingles (space-joined). Docs with < 3 tokens
+    * get an empty set. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val n = size(toks)
+    array_distinct(
+      when(n >= k,
+        transform(sequence(lit(1), n - (k - 1)), i =>
+          concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  // ---------------------------------------------------------------- minhash
+  /**
+   * MinHash signature: for hash function j, min over shingles of
+   * md5("j:" + shingle) — lexicographic min over hex strings stands in
+   * for the classic (a·x+b mod p) family and is portable to any engine
+   * with md5. Returns array<string> of length [[NumHashes]]; empty
+   * shingle set → nulls.
+   */
+  def minhashSignature(shingleCol: Column): Column =
+    transform(sequence(lit(0), lit(NumHashes - 1)), j =>
+      array_min(transform(shingleCol, s =>
+        md5(concat(j.cast("string"), lit(":"), s)))))
+
+  /** LSH band keys: md5 over the concatenated signature rows of each
+    * band (band index prefixed so bands never collide across index). */
+  def bandKeys(sig: Column): Column =
+    transform(sequence(lit(0), lit(numBands - 1)), b =>
+      md5(concat_ws("|", (b.cast("string") +:
+        (0 until BandRows).map(r => element_at(sig, b * lit(BandRows) + r + 1))): _*)))
+
+  /** Exact Jaccard between two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val uni = size(array_union(a, b))
+    round(inter.cast("double") / greatest(uni, lit(1)), 6)
+  }
+
+  /**
+   * Full near-dup pipeline: docs(idCol, textCol) → candidate pairs via
+   * LSH banding → exact shingle-Jaccard ≥ threshold.
+   * Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+   */
+  def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val withSig = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("sh", shingles(col("text")))
+      .withColumn("sig", minhashSignature(col("sh")))
+    val bands = withSig
+      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("band_key"))
+    val cand = bands.as("x").join(bands.as("y"), Seq("band_key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sh = withSig.select(col("doc_id"), col("sh"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- simhash
+  /**
+   * 16-bit SimHash over token hashes: bit j of the fingerprint is the
+   * sign of Σ_tokens (2·bit_j(h(token)) − 1), h = charPolyHash mod 2^16.
+   * Near-identical docs differ in few bits (Hamming). All-int64 exact
+   * arithmetic — portable.
+   */
+  def simhash16(text: Column): Column = {
+    val hs = transform(TextAnalysis.tokens(text), t =>
+      TextAnalysis.charPolyHash(t) % 65536)
+    // Unrolled over the 16 bit positions (compile-time constants), so
+    // bit tests are pure modular arithmetic — no shifts on columns.
+    (0 until 16).map { j =>
+      val pow = 1L << j
+      val vote = aggregate(hs, lit(0L), (v, h) =>
+        v + when(h % (2 * pow) >= pow, lit(1L)).otherwise(lit(-1L)))
+      when(vote > 0, lit(pow)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+}

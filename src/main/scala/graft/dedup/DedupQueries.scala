@@ -1,0 +1,127 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.{TextAnalysis, TextSql}
+
+/**
+ * Driver-contract queries for the dedup suite, with DuckDB oracles.
+ * The SQL mirrors are built from the same constants as the Spark side
+ * ([[Dedup]]) so they cannot drift.
+ */
+object DedupQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: hash-groupBy on canonicalized text; keeper = min id.
+    "q_dedup_exact" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val w = Window.partitionBy(col("norm_hash"))
+      docs.select(col("doc_id"), Dedup.exactHash(col("text")).as("norm_hash"))
+        .withColumn("keeper", (col("doc_id") === min("doc_id").over(w)).cast("int"))
+        .orderBy("doc_id")
+    }),
+
+    // MinHash signatures (8 md5-min hashes over 3-token shingles).
+    "q_dedup_minhash" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val sig = Dedup.minhashSignature(Dedup.shingles(col("text")))
+      docs.select(
+        col("doc_id") +:
+          (0 until Dedup.NumHashes).map(j =>
+            element_at(sig, j + 1).as(s"mh$j")): _*)
+        .orderBy("doc_id")
+    }),
+
+    // Full near-dup funnel: LSH banding → exact Jaccard ≥ 0.5.
+    "q_dedup_lsh_pairs" -> ((s, dir) =>
+      Dedup.nearDupPairs(Tables(s, dir, "documents"), "doc_id", "text", 0.5)
+        .orderBy("doc_a", "doc_b")),
+
+    // 16-bit SimHash fingerprints.
+    "q_dedup_simhash" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      docs.select(col("doc_id"),
+        Dedup.simhash16(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }))
+
+  // ------------------------------------------------------------------
+  // DuckDB mirrors
+  // ------------------------------------------------------------------
+
+  /** DuckDB shingle-set expression over `toks`. */
+  private def shinglesSql(toks: String): String =
+    s"(CASE WHEN len($toks) >= 3 THEN list_distinct(list_transform(" +
+      s"range(1, len($toks) - 1), i -> " +
+      s"($toks)[CAST(i AS INT)] || ' ' || ($toks)[CAST(i AS INT) + 1] || ' ' || ($toks)[CAST(i AS INT) + 2]))" +
+      s" ELSE [] END)"
+
+  private def minhashSql(sh: String, j: Int): String =
+    s"list_aggregate(list_transform($sh, s -> md5('$j:' || s)), 'min')"
+
+  /** Shared CTE: doc_id + shingle set + signature columns mh0..mh7. */
+  private val sigCte: String = {
+    val mhs = (0 until Dedup.NumHashes)
+      .map(j => s"${minhashSql("sh", j)} AS mh$j").mkString(", ")
+    s"""docs AS (
+         SELECT doc_id, ${shinglesSql(TextSql.tokens("text"))} AS sh
+         FROM documents),
+       sig AS (SELECT doc_id, sh, $mhs FROM docs)"""
+  }
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_dedup_exact" -> """
+      WITH h AS (
+        SELECT doc_id,
+          md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash
+        FROM documents)
+      SELECT doc_id, norm_hash,
+        CAST(doc_id = MIN(doc_id) OVER (PARTITION BY norm_hash) AS INT) AS keeper
+      FROM h ORDER BY doc_id""",
+
+    "q_dedup_minhash" -> {
+      val cols = (0 until Dedup.NumHashes).map(j => s"mh$j").mkString(", ")
+      s"WITH $sigCte SELECT doc_id, $cols FROM sig ORDER BY doc_id"
+    },
+
+    "q_dedup_lsh_pairs" -> {
+      val bandSelects = (0 until Dedup.numBands).map { b =>
+        val parts = (0 until Dedup.BandRows).map(r => s"mh${b * Dedup.BandRows + r}")
+        s"SELECT doc_id, md5('$b' || '|' || ${parts.mkString(" || '|' || ")}) AS band_key FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH $sigCte,
+        bands AS ($bandSelects),
+        cand AS (
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bands x JOIN bands y ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+        j AS (
+          SELECT doc_a, doc_b,
+            round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / greatest(len(list_distinct(list_concat(sa.sh, sb.sh))), 1), 6) AS jaccard
+          FROM cand
+          JOIN sig sa ON sa.doc_id = cand.doc_a
+          JOIN sig sb ON sb.doc_id = cand.doc_b)
+      SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+      ORDER BY doc_a, doc_b"""
+    },
+
+    "q_dedup_simhash" -> {
+      val bits = (0 until 16).map { j =>
+        val pow = 1L << j
+        s"(CASE WHEN list_reduce(list_concat([CAST(0 AS BIGINT)], " +
+          s"list_transform(hs, h -> CAST(CASE WHEN h % ${2 * pow} >= $pow THEN 1 ELSE -1 END AS BIGINT))), " +
+          s"(a, b) -> a + b) > 0 THEN $pow ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH t AS (
+           SELECT doc_id,
+             list_transform(${TextSql.tokens("text")}, __t -> ${TextSql.charPolyHash("__t")} % 65536) AS hs
+           FROM documents)
+         SELECT doc_id, $bits AS simhash FROM t ORDER BY doc_id"""
+    })
+}

@@ -1,0 +1,131 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * tokenization, token counting, quality scoring, language ID, and
+ * rolling-hash document fingerprinting.
+ *
+ * Everything here is a composition of codegen'd builtins (split /
+ * transform / aggregate / filter HOFs), so the whole column chain stays
+ * inside whole-stage codegen and scales as a single narrow pass over
+ * the corpus — no UDFs, no shuffles, no driver-side work. At 100 TB
+ * these run once per document at scan speed.
+ *
+ * Every function has an exact DuckDB SQL mirror (same fold order, same
+ * modular arithmetic, RE2-compatible patterns) in [[TextSql]], built
+ * from the same constants, so the driver's oracle can hash-compare.
+ */
+object TextAnalysis {
+
+  /** Stopword list used by the quality metrics (shared with TextSql). */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  /** Modulus for all polynomial hashes — keeps every intermediate in
+    * exact int64 range in both Spark and DuckDB. */
+  val HashPrime: Long = 1000000007L
+
+  // ---------------------------------------------------------------- tokenize
+  /** Whitespace tokenization (lower-cased, empty tokens dropped). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /**
+   * BPE-ish subword pre-tokenization: runs of alphanumerics, or single
+   * non-space punctuation marks. Uses regexp_extract_all (not split),
+   * so the pattern needs no lookarounds and mirrors into RE2/DuckDB.
+   */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  // ---------------------------------------------------------------- quality
+  /** Ratio of punctuation characters to total characters. */
+  def punctRatio(text: Column): Column = {
+    val punct = length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))
+    round(punct.cast("double") / greatest(length(text), lit(1)), 6)
+  }
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    val stops = size(filter(toks, t => t.isin(Stopwords: _*)))
+    round(stops.cast("double") / greatest(size(toks), lit(1)), 6)
+  }
+
+  /** Mean token length in characters. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    round(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        greatest(size(toks), lit(1)), 6)
+  }
+
+  /**
+   * Composite quality score in [0,1] — the usual pretraining-filter
+   * shape (length band + stopword presence + low punctuation noise):
+   *   0.4·[50 ≤ n_chars ≤ 10000] + 0.3·[0.05 ≤ stopword ratio ≤ 0.5]
+   * + 0.3·[punct ratio ≤ 0.2]
+   */
+  def qualityScore(text: Column): Column = {
+    val lenOk = length(text).between(50, 10000).cast("double") * 0.4
+    val stopOk = stopwordRatio(text).between(0.05, 0.5).cast("double") * 0.3
+    val punctOk = (punctRatio(text) <= 0.2).cast("double") * 0.3
+    round(lenOk + stopOk + punctOk, 6)
+  }
+
+  // ---------------------------------------------------------------- lang id
+  /** Per-language marker words for the language-ID heuristic (shared
+    * with TextSql — sequence order defines the argmax tie-break). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "is", "of", "to"),
+    "de" -> Seq("der", "und", "die", "das", "nicht"),
+    "es" -> Seq("el", "la", "los", "que", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq.empty) // CJK detected by codepoint range, not markers
+
+  /** Count of CJK-range characters (U+4E00..U+9FFF). */
+  def cjkCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[\\x{4e00}-\\x{9fff}]", ""))
+
+  /**
+   * Marker-based language ID: score each language by marker-token hits
+   * (zh by CJK character count); argmax, first language wins ties; all
+   * zero → "und".
+   */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored: Seq[(String, Column)] = LangMarkers.map {
+      case ("zh", _)     => "zh" -> cjkCount(text)
+      case (lang, marks) => lang -> size(filter(toks, t => t.isin(marks: _*)))
+    }
+    val best = scored.map(_._2).reduce(greatest(_, _))
+    val first = when(scored.head._2 === best && best > 0, lit(scored.head._1))
+    scored.tail.foldLeft(first) { case (acc, (lang, s)) =>
+      acc.when(s === best && best > 0, lit(lang))
+    }.otherwise(lit("und"))
+  }
+
+  // ---------------------------------------------------------------- hashing
+  /**
+   * Polynomial hash of a string column's characters, via an explicit
+   * position fold — `sequence(1, length)` + `substring` — rather than
+   * split-on-empty, whose trailing-element semantics differ across
+   * engines: fold(acc = (acc·31 + ascii(char_i)) mod P). Exact int64.
+   */
+  def charPolyHash(s: Column): Column =
+    when(length(s) > 0,
+      aggregate(sequence(lit(1), length(s)), lit(0L),
+        (acc, i) => (acc * 31 + ascii(s.substr(i, lit(1)))) % HashPrime))
+      .otherwise(lit(0L))
+
+  /** Rolling-hash document fingerprint (charPolyHash of the raw text). */
+  def charFingerprint(text: Column): Column = charPolyHash(text)
+
+  /** Per-token polynomial hashes (same fold, inside transform). */
+  def tokenHashes(toks: Column): Column = transform(toks, charPolyHash(_))
+}

@@ -1,0 +1,79 @@
+package graft.text
+
+/**
+ * DuckDB SQL mirrors of [[TextAnalysis]], generated from the same
+ * constants so the two sides cannot drift. Each helper takes a SQL
+ * expression string and returns a SQL expression string.
+ *
+ * Portability rules (Spark ↔ DuckDB bit-identical):
+ *  - folds: Spark `aggregate(xs, 0, f)` ≡ DuckDB
+ *    `list_reduce(list_concat([0], xs), f)` (same left-fold order);
+ *  - all hash arithmetic stays in exact int64 (mod [[TextAnalysis.HashPrime]]);
+ *  - regexes avoid lookarounds (RE2) and `\p{...}` (POSIX classes
+ *    instead); DuckDB regexp_replace needs the explicit 'g' flag;
+ *  - char access via 1-based subscript, not split-on-empty.
+ */
+object TextSql {
+
+  import TextAnalysis.{HashPrime, LangMarkers, Stopwords}
+
+  private def inList(xs: Seq[String]): String =
+    xs.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  def tokens(text: String): String =
+    s"list_filter(regexp_split_to_array(lower($text), '\\s+'), t -> t <> '')"
+
+  def bpeTokens(text: String): String =
+    s"regexp_extract_all(lower($text), '[a-z0-9]+|[^a-z0-9\\s]')"
+
+  def tokenCount(text: String): String = s"len(${tokens(text)})"
+
+  def punctRatio(text: String): String =
+    s"round(CAST(length($text) - length(regexp_replace($text, '[[:punct:]]', '', 'g')) AS DOUBLE)" +
+      s" / greatest(length($text), 1), 6)"
+
+  def stopwordRatio(text: String): String = {
+    val toks = tokens(text)
+    s"round(CAST(len(list_filter($toks, t -> t IN ${inList(Stopwords)})) AS DOUBLE)" +
+      s" / greatest(len($toks), 1), 6)"
+  }
+
+  def meanTokenLen(text: String): String = {
+    val toks = tokens(text)
+    s"round(CAST(list_reduce(list_concat([CAST(0 AS BIGINT)], " +
+      s"list_transform($toks, t -> CAST(length(t) AS BIGINT))), (a, b) -> a + b) AS DOUBLE)" +
+      s" / greatest(len($toks), 1), 6)"
+  }
+
+  def qualityScore(text: String): String =
+    s"round((CASE WHEN length($text) BETWEEN 50 AND 10000 THEN 0.4 ELSE 0.0 END)" +
+      s" + (CASE WHEN ${stopwordRatio(text)} BETWEEN 0.05 AND 0.5 THEN 0.3 ELSE 0.0 END)" +
+      s" + (CASE WHEN ${punctRatio(text)} <= 0.2 THEN 0.3 ELSE 0.0 END), 6)"
+
+  def cjkCount(text: String): String =
+    s"(length($text) - length(regexp_replace($text, '[\\x{4e00}-\\x{9fff}]', '', 'g')))"
+
+  def langId(text: String): String = {
+    val toks = tokens(text)
+    val scores = LangMarkers.map {
+      case ("zh", _) => "zh" -> cjkCount(text)
+      case (lang, marks) =>
+        lang -> s"len(list_filter($toks, t -> t IN ${inList(marks)}))"
+    }
+    val best = scores.map(_._2).reduceRight((a, b) => s"greatest($a, $b)")
+    val whens = scores.map { case (lang, s) =>
+      s"WHEN ($s) = ($best) AND ($best) > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"(CASE $whens ELSE 'und' END)"
+  }
+
+  /** Mirror of TextAnalysis.charPolyHash: left fold over codepoints. */
+  def charPolyHash(s: String): String =
+    s"(CASE WHEN length($s) > 0 THEN list_reduce(" +
+      s"list_concat([CAST(0 AS BIGINT)], " +
+      s"list_transform(range(1, length($s) + 1), i -> CAST(unicode(($s)[CAST(i AS INT)]) AS BIGINT))), " +
+      s"(acc, c) -> (acc * 31 + c) % $HashPrime) ELSE 0 END)"
+
+  def tokenHashes(toksSql: String): String =
+    s"list_transform($toksSql, __t -> ${charPolyHash("__t")})"
+}
