@@ -78,7 +78,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = cdcQueries ++
     graft.text.TextQueries.queries ++
-    graft.dedup.DedupQueries.queries
+    graft.dedup.DedupQueries.queries ++
+    graft.ann.AnnQueries.queries
 
   private def cdcQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -213,7 +214,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = cdcOracleSql ++
     graft.text.TextQueries.oracleSql ++
-    graft.dedup.DedupQueries.oracleSql
+    graft.dedup.DedupQueries.oracleSql ++
+    graft.ann.AnnQueries.oracleSql
 
   private def cdcOracleSql: Map[String, String] = Map(
 

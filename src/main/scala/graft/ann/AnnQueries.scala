@@ -1,0 +1,107 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/**
+ * Driver-contract queries for similarity search over the `embeddings`
+ * table (64-dim float vectors), with DuckDB oracles that replicate the
+ * exact fold order so doubles are bit-identical.
+ */
+object AnnQueries {
+
+  val Dims = 64
+  val NumQueryVecs = 8
+  val TopK = 5
+  val NearDupPlanes = 6
+  val NearDupThreshold = 0.2
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact brute-force cosine top-k: broadcast query set, one corpus pass.
+    "q_ann_bruteforce" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < NumQueryVecs),
+        "vec_id", "embedding", TopK)
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH bucket assignment (8 hyperplanes → 256 buckets): the scale path.
+    "q_ann_lsh_buckets" -> ((s, dir) =>
+      Tables(s, dir, "embeddings").select(
+        col("vec_id"),
+        Similarity.lshBucket(col("embedding"), 8, Dims).as("bucket"))
+        .orderBy("vec_id")),
+
+    // Embedding-cosine near-dup pairs, LSH-bucket blocked.
+    "q_dedup_embed_cos" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", NearDupPlanes, Dims, NearDupThreshold)
+        .orderBy("id_a", "id_b")))
+
+  // ------------------------------------------------------------------
+  // DuckDB mirrors (explicit left folds, same LCG hyperplanes)
+  // ------------------------------------------------------------------
+
+  /** Σ over i of `term(i)` (1-based), as an explicit left fold. */
+  private def foldSum(n: Int, term: String => String): String =
+    s"list_reduce(list_concat([CAST(0 AS DOUBLE)], " +
+      s"list_transform(range(1, ${n + 1}), i -> ${term("CAST(i AS INT)")})), " +
+      s"(a, b) -> a + b)"
+
+  private def dotSql(a: String, b: String): String =
+    foldSum(Dims, i => s"CAST(($a)[$i] AS DOUBLE) * CAST(($b)[$i] AS DOUBLE)")
+
+  private def cosineSql(a: String, b: String): String = {
+    val nn = s"(sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+    s"(CASE WHEN $nn > 0 THEN ${dotSql(a, b)} / $nn ELSE 0.0 END)"
+  }
+
+  /** LCG hyperplane weight for plane p (literal) and 1-based dim index i. */
+  private def weightSql(p: Int, i: String): String =
+    s"(CAST(((CAST($p * $Dims + ($i - 1) AS BIGINT) * 1103515245 + 12345) % 2147483648) AS DOUBLE) / 1073741824.0 - 1.0)"
+
+  private def bucketSql(v: String, numPlanes: Int): String =
+    (0 until numPlanes).map { p =>
+      val proj = foldSum(Dims, i => s"CAST(($v)[$i] AS DOUBLE) * ${weightSql(p, i)}")
+      s"(CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_ann_bruteforce" -> s"""
+      WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                 FROM embeddings WHERE vec_id < $NumQueryVecs),
+      scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ${cosineSql("q.qv", "c.embedding")} AS cos
+        FROM q CROSS JOIN embeddings c
+        WHERE q.query_id <> c.vec_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored)
+      SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+      FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""",
+
+    "q_ann_lsh_buckets" -> s"""
+      SELECT vec_id, ${bucketSql("embedding", 8)} AS bucket
+      FROM embeddings ORDER BY vec_id""",
+
+    "q_dedup_embed_cos" -> s"""
+      WITH b AS (
+        SELECT vec_id AS id, embedding AS v,
+               ${bucketSql("embedding", NearDupPlanes)} AS bucket
+        FROM embeddings),
+      pairs AS (
+        SELECT x.id AS id_a, y.id AS id_b, x.bucket,
+               ${cosineSql("x.v", "y.v")} AS cos
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id)
+      SELECT id_a, id_b, bucket, round(cos, 6) AS cos
+      FROM pairs WHERE cos >= $NearDupThreshold
+      ORDER BY id_a, id_b""")
+}

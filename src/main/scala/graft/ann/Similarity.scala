@@ -1,0 +1,103 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`):
+ * brute-force cosine top-k as the exact baseline, and random-hyperplane
+ * LSH bucketing as the scale path.
+ *
+ * Scale design (100 TB / billions of vectors):
+ *  - Brute force broadcasts the QUERY set (small side) against the
+ *    corpus — one narrow pass, no corpus shuffle; the only shuffle is
+ *    the final per-query top-k (k rows per partition pre-aggregated by
+ *    the Window's partial sort... see topK note below).
+ *  - LSH assigns each vector a bucket id in a narrow pass; candidate
+ *    retrieval becomes an equi-join on bucket — the classic IVF/LSH
+ *    trade of recall for a bounded candidate set.
+ *
+ * Portability: all arithmetic is double-precision with explicit
+ * left-fold order, and hyperplanes come from an integer LCG on
+ * (plane, dim) — bit-identical in any engine that follows the same
+ * fold (DuckDB mirrors in [[AnnQueries]]).
+ */
+object Similarity {
+
+  /** Dot product with explicit left-fold order: Σ a_i·b_i as doubles. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm (same fold). */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, 0 when either vector is all-zero. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn > 0, d / nn).otherwise(lit(0.0))
+  }
+
+  /**
+   * Exact top-k neighbors of each query vector (brute force).
+   * `corpus` and `queries` both carry (idCol, vecCol); queries are
+   * broadcast. Ties broken by neighbor id for determinism.
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  /** LCG pseudo-random hyperplane weight for (plane, dim) in [-1, 1).
+    * Shared spec with the DuckDB mirror: w = ((1103515245·i + 12345)
+    * mod 2^31) / 2^30 − 1, i = plane·dims + dim. */
+  def planeWeight(plane: Column, dim: Column, dims: Int): Column = {
+    val i = plane * dims + dim
+    (((i * 1103515245L + lit(12345L)) % 2147483648L).cast("double")
+      / 1073741824.0) - 1.0
+  }
+
+  /**
+   * Random-hyperplane LSH bucket id: bit p = [dot(w_p, v) ≥ 0],
+   * bucket = Σ bit_p·2^p. Narrow per-row pass; planes are unrolled
+   * compile-time constants so everything stays exact arithmetic.
+   */
+  def lshBucket(vec: Column, numPlanes: Int, dims: Int): Column =
+    (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dims - 1)),
+          (x, d) => x.cast("double") * planeWeight(lit(p), d, dims)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /**
+   * Bucketed near-duplicate pairs: vectors sharing an LSH bucket,
+   * cosine ≥ threshold. The quadratic step is bounded per bucket.
+   */
+  def lshNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      numPlanes: Int, dims: Int, threshold: Double): DataFrame = {
+    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), numPlanes, dims).as("bucket"))
+    b.as("x").join(b.as("y"), Seq("bucket"))
+      .filter(col("x.id") < col("y.id"))
+      .withColumn("cos", cosine(col("x.v"), col("y.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        col("bucket"), round(col("cos"), 6).as("cos"))
+  }
+}
