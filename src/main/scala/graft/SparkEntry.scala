@@ -79,7 +79,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = cdcQueries ++
     graft.text.TextQueries.queries ++
     graft.dedup.DedupQueries.queries ++
-    graft.ann.AnnQueries.queries
+    graft.ann.AnnQueries.queries ++
+    graft.multimodal.MultimodalQueries.queries
 
   private def cdcQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -215,7 +216,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = cdcOracleSql ++
     graft.text.TextQueries.oracleSql ++
     graft.dedup.DedupQueries.oracleSql ++
-    graft.ann.AnnQueries.oracleSql
+    graft.ann.AnnQueries.oracleSql ++
+    graft.multimodal.MultimodalQueries.oracleSql
 
   private def cdcOracleSql: Map[String, String] = Map(
 
