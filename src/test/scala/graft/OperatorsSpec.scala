@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.CdcOps
+import graft.functions.Timestamps
+import graft.{GraftFunctions, CharsetFixture}
+
+/** Unit coverage for the scalar operators (the layer the reference
+  * never unit-tested — SURVEY.md §5 implication (a)). */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("entry-type mapping: trim, case, unknown codes (EntryTypeMapper semantics)") {
+    val df = Seq("PT", "rr ", " Px", "UP", "fi", "FP", "ur", "DL", "dr ", "ZZ", "")
+      .toDF("e")
+      .select(col("e"), CdcOps.mapEntryType(col("e")).as("op"))
+    val got = df.collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("PT").contains("UPSERT")); assert(got("rr ").contains("UPSERT"))
+    assert(got(" Px").contains("UPSERT")); assert(got("ur").contains("UPSERT"))
+    assert(got("DL").contains("DELETE")); assert(got("dr ").contains("DELETE"))
+    assert(got("ZZ").isEmpty); assert(got("").isEmpty)
+  }
+
+  test("header extraction: LAST header with the name wins (lastWithName)") {
+    val df = spark.sql(
+      """SELECT array(
+           named_struct('key', 'TableName', 'value', encode('first', 'UTF-8')),
+           named_struct('key', 'TableName', 'value', encode('second', 'UTF-8'))
+         ) AS headers""")
+    val v = df.select(CdcOps.headerString(col("headers"), "TableName")).head().getString(0)
+    assert(v == "second")
+  }
+
+  test("table routing template substitutes TableName and topic") {
+    val df = Seq(("T1", "top.a")).toDF("tn", "topic")
+    def route(fmt: String): String =
+      df.select(CdcOps.resolveTargetTable(fmt, col("tn"), col("topic"))).head().getString(0)
+    assert(route("sync_${TableName}") == "sync_T1")
+    assert(route("${topic}_x") == "top.a_x")
+    assert(route("plain") == "plain")
+    assert(route("${TableName}_${topic}") == "T1_top.a")
+  }
+
+  test("legacy charset decode recovers the Big5 fixture (and is identity on ASCII)") {
+    val df = CharsetFixture.mangled.toDF("id", "m")
+      .select(col("id"), GraftFunctions.legacyCharsetDecode(col("m"), "Big5").as("d"))
+    val got = df.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    CharsetFixture.expected.foreach { case (i, exp) => assert(got(i) == exp, s"case $i") }
+  }
+
+  test("legacy charset decode handles null input") {
+    val df = Seq[(Int, Option[String])]((1, None)).toDF("id", "m")
+      .select(GraftFunctions.legacyCharsetDecode(col("m"), "Big5").as("d"))
+    assert(df.head().isNullAt(0))
+  }
+
+  test("multi-pattern temporal coercion (SMT pattern order)") {
+    val df = Seq(
+      "2026-01-15 10:00:00.123", "2026-01-15T10:00:00.123",
+      "2026-01-15 10:00:00", "2026-01-15T10:00:00", "2026-01-15", "", "garbage")
+      .toDF("s").select(col("s"), Timestamps.coerceTimestamp(col("s")).as("ts"))
+    val got = df.collect().map(r => r.getString(0) -> Option(r.getTimestamp(1))).toMap
+    assert(got("2026-01-15 10:00:00.123").get.toString == "2026-01-15 10:00:00.123")
+    assert(got("2026-01-15T10:00:00.123").get.toString == "2026-01-15 10:00:00.123")
+    assert(got("2026-01-15 10:00:00").get.toString == "2026-01-15 10:00:00.0")
+    assert(got("2026-01-15").get.toString == "2026-01-15 00:00:00.0")
+    assert(got("").isEmpty); assert(got("garbage").isEmpty)
+  }
+
+  test("A_TIMSTAMP 12-digit fraction converts to ISO with zone offset") {
+    val df = Seq("2026-01-15 10:00:00.123456789012").toDF("s")
+      .select(Timestamps.iidrTimestampToIso(col("s"), "+08:00").as("iso"))
+    assert(df.head().getString(0) == "2026-01-15T10:00:00.123456+08:00")
+  }
+}

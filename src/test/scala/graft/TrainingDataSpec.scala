@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.Similarity
+import graft.dedup.Dedup
+import graft.multimodal.{Multimodal, MultimodalQueries}
+import graft.text.TextAnalysis
+
+/** Unit coverage for the training-data pipeline operators. */
+class TrainingDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenization, counts, and ratios") {
+    val df = Seq("The  cat, sat. On THE mat!").toDF("text").select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      size(TextAnalysis.bpeTokens(col("text"))).as("nb"),
+      TextAnalysis.stopwordRatio(col("text")).as("sr"),
+      TextAnalysis.punctRatio(col("text")).as("pr"))
+    val r = df.head()
+    assert(r.getAs[Int]("n") == 6)          // the cat, sat. on the mat!
+    assert(r.getAs[Int]("nb") == 9)         // the cat , sat . on the mat !
+    assert(r.getAs[Double]("sr") == 0.333333) // 'the' ×2 of 6 tokens
+    assert(r.getAs[Double]("pr") > 0)
+  }
+
+  test("language ID picks marker language; und when no evidence") {
+    val df = Seq(
+      ("the cat and the dog is here", "en"),
+      ("der hund und die katze", "de"),
+      ("le chat et la maison est grande", "fr"),
+      ("你好世界", "zh"),
+      ("xyzzy plugh", "und")).toDF("text", "want")
+      .select(col("want"), TextAnalysis.langId(col("text")).as("got"))
+    df.collect().foreach(r => assert(r.getString(1) == r.getString(0),
+      s"want ${r.getString(0)}"))
+  }
+
+  test("char fingerprint is deterministic and order-sensitive") {
+    val df = Seq("abc", "acb", "abc").toDF("t")
+      .select(TextAnalysis.charFingerprint(col("t")).as("fp"))
+    val fps = df.collect().map(_.getLong(0))
+    assert(fps(0) == fps(2) && fps(0) != fps(1))
+    assert(fps(0) == ((97L * 31 + 98) * 31 + 99) % 1000000007L)
+  }
+
+  test("exact-dup hash collapses case/punctuation variants") {
+    val df = Seq("Hello,  World!", "hello world", "different doc").toDF("t")
+      .select(Dedup.exactHash(col("t")).as("h"))
+    val hs = df.collect().map(_.getString(0))
+    assert(hs(0) == hs(1) && hs(0) != hs(2))
+  }
+
+  test("identical docs get identical minhash signatures; disjoint docs differ") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.minhashSignature(Dedup.shingles(col("text"))).as("sig"))
+    val sigs = docs.orderBy("doc_id").collect().map(_.getSeq[String](1))
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("near-dup funnel finds the planted pair and skips unrelated docs") {
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "CHANGED" else s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, words), (2L, nearDup), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(pairs.head.getDouble(2) > 0.8)
+  }
+
+  test("simhash: identical → equal, near-dup → close, unrelated → far (Hamming)") {
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val words = (1 to 60).map(i => s"w$i").mkString(" ")
+    val near = words + " extra"
+    val other = (1 to 60).map(i => s"q$i").mkString(" ")
+    val hs = Seq(words, words, near, other).toDF("t")
+      .select(Dedup.simhash16(col("t"))).collect().map(_.getLong(0))
+    assert(hs(0) == hs(1))
+    assert(ham(hs(0), hs(2)) < ham(hs(0), hs(3)))
+  }
+
+  test("cosine: identity 1, orthogonal 0, opposite -1") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f)),
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 0f), Array(-1f, 0f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    val cs = df.collect().map(_.getDouble(0))
+    assert(cs.toSeq == Seq(1.0, 0.0, -1.0))
+  }
+
+  test("brute-force top-k returns k ranked neighbors with deterministic ties") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(0.9f, 0.1f, 0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+      "vec_id", "embedding", 2).orderBy("rank").collect()
+    // 1 and 3 tie on cosine; deterministic tie-break by neighbor id
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 3L))
+  }
+
+  test("LSH bucket is stable and in range") {
+    val vecs = Tables(spark, "/root/testdata/sf0.001", "embeddings").limit(20)
+    val b1 = vecs.select(Similarity.lshBucket(col("embedding"), 8, 64).as("b"))
+      .collect().map(_.getLong(0))
+    val b2 = vecs.select(Similarity.lshBucket(col("embedding"), 8, 64).as("b"))
+      .collect().map(_.getLong(0))
+    assert(b1.toSeq == b2.toSeq)
+    assert(b1.forall(b => b >= 0 && b < 256))
+  }
+
+  test("multimodal decode preserves batch shape and schema; frames bounded") {
+    val raw = MultimodalQueries.rawAssets(spark, "/root/testdata/sf0.001")
+    val nParts = raw.rdd.getNumPartitions
+    val dec = Multimodal.decode(raw)
+    assert(dec.rdd.getNumPartitions == nParts) // narrow: no shuffle
+    assert(dec.toDF().columns.toSeq ==
+      Seq("asset_id", "kind", "width", "height", "n_frames", "sample_rate", "avg_byte"))
+    val d = dec.toDF().cache()
+    assert(d.count() == raw.count())
+    assert(d.filter(col("kind") === "image" &&
+      (col("width") < 16 || col("width") > 255)).count() == 0)
+    val frames = Multimodal.sampleFrames(
+      d.join(raw.toDF().select(col("asset_id"), col("content")), "asset_id"), 4)
+    val bad = frames.join(d.select(col("asset_id"), col("n_frames")), "asset_id")
+      .filter(col("frame_no") >= col("n_frames")).count()
+    assert(bad == 0)
+    assert(frames.groupBy("asset_id").count().agg(max("count")).head().getLong(0) <= 4)
+    d.unpersist()
+  }
+}
