@@ -1,0 +1,248 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager}
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Cdc
+import graft.operators.CdcOps
+
+/**
+ * Batch CDC → JDBC apply: the Spark rebuild of the reference's
+ * JdbcWriter + IidrCdcSinkTask write path (JdbcWriter.java:38-174,
+ * IidrCdcSinkTask.java:94-155), designed to be called from
+ * `foreachBatch` (streaming) or directly (batch backfill).
+ *
+ * Scale shape per micro-batch:
+ *  1. corrupt branch first, then optional fail (tolerance=none), like
+ *     IidrCdcSinkTask.java:236-264;
+ *  2. per target table: last-write-wins collapse on the PK (the
+ *     order-insensitive equivalent of offset-order apply, SURVEY.md
+ *     §2.6) — ONE shuffle on (key);
+ *  3. `repartition(pk)` so no two connections ever race on one key;
+ *  4. per partition: one JDBC transaction, PreparedStatement reuse,
+ *     `addBatch`/`executeBatch` every `batchSize` rows
+ *     (JdbcWriter.java:102-108), rollback + rethrow on failure
+ *     (IidrCdcSinkTask.java:143-154). Exactly-once EFFECT comes from
+ *     idempotent upsert replay, not 2PC (sink README.md:8).
+ *
+ * DDL (auto-create / auto-evolve, JdbcWriter.java:326-372) runs on the
+ * DRIVER before any executor work — the reference is single-task and
+ * can DDL inline; we must serialize DDL against parallel writers
+ * (SURVEY.md §7.4).
+ */
+object JdbcApply {
+
+  final case class Config(
+      url: String,
+      /** Value schema per target table (drives typed parse + DDL). */
+      tableSchemas: Map[String, StructType],
+      /** Key schema per target table (DELETE routing). */
+      keySchemas: Map[String, StructType],
+      primaryKeys: Map[String, Seq[String]],
+      batchSize: Int = 3000,
+      autoCreate: Boolean = true,
+      autoEvolve: Boolean = true,
+      /** none = throw after writing DLQ; log/all = continue (IidrCdcSinkConfig.java:41-44). */
+      errorsTolerance: String = "none",
+      corruptTable: String = "streaming_corrupt_events")
+
+  /** Apply one normalized micro-batch (CdcNormalize output shape). */
+  def applyBatch(normalized: DataFrame, cfg: Config): Unit = {
+    val batch = normalized.persist()
+    try {
+      val corrupt = CdcOps.toCorruptEvents(batch,
+        col("topic"), col("partition"), col("offset"),
+        col(Cdc.Cols.KeyJson), col(Cdc.Cols.ValueJson),
+        to_json(struct(col(Cdc.Cols.TableName), col(Cdc.Cols.EntryType),
+          col(Cdc.Cols.SourceTs))),
+        col(Cdc.Cols.CorruptReason), col(Cdc.Cols.TableName), col(Cdc.Cols.EntryType))
+      val nCorrupt = writeCorrupt(corrupt, cfg)
+      if (nCorrupt > 0 && cfg.errorsTolerance == "none")
+        throw new IllegalStateException(
+          s"$nCorrupt corrupt record(s) in batch and errors.tolerance=none")
+
+      cfg.tableSchemas.keys.toSeq.sorted.foreach(t => applyTable(batch, t, cfg))
+    } finally batch.unpersist()
+  }
+
+  private def applyTable(batch: DataFrame, table: String, cfg: Config): Unit = {
+    val schema = cfg.tableSchemas(table)
+    val keySchema = cfg.keySchemas.getOrElse(table,
+      StructType(Seq.empty[StructField]))
+    val pks = cfg.primaryKeys.getOrElse(table, Seq.empty)
+    require(pks.nonEmpty, s"no primary key configured for $table")
+
+    val rows = batch
+      .filter(col(Cdc.Cols.TargetTable) === table &&
+        col(Cdc.Cols.CorruptReason).isNull)
+      .withColumn("__v", from_json(col(Cdc.Cols.ValueJson), schema))
+      .withColumn("__k", from_json(col(Cdc.Cols.KeyJson), keySchema))
+
+    // PK columns: key struct for deletes, value struct otherwise
+    // (IidrCdcSinkTask.java:186-195 / JdbcWriter.java:208-221).
+    val keyed = pks.foldLeft(rows) { (df, pk) =>
+      df.withColumn(s"__pk_$pk",
+        when(col(Cdc.Cols.Op) === Cdc.Op.Delete,
+          keyField(keySchema, pk).getOrElse(col(s"__v.$pk")))
+          .otherwise(coalesce(col(s"__v.$pk"),
+            keyField(keySchema, pk).getOrElse(lit(null)))))
+    }
+
+    val lww = CdcOps.lastWriteWins(keyed, Cdc.Cols.TargetTable,
+      pks.map(p => s"__pk_$p"), "offset")
+
+    val out = lww.select(
+      (col(Cdc.Cols.Op).as("__op") +:
+        pks.map(p => col(s"__pk_$p")) :+
+        col("__v").as("__v")): _*)
+
+    // DDL on the driver, before executors touch the table.
+    withConnection(cfg.url) { conn =>
+      val dialect = Dialects.forConnection(conn)
+      ensureTable(conn, dialect, table, schema, pks, cfg)
+    }
+
+    val (url, batchSize) = (cfg.url, cfg.batchSize)
+    val valueCols = schema.fieldNames.toSeq
+    out.repartition(pks.map(p => col(s"__pk_$p")): _*)
+      .foreachPartition { (it: Iterator[Row]) =>
+        if (it.hasNext) writePartition(it, url, table, valueCols, pks, batchSize)
+      }
+  }
+
+  private def keyField(keySchema: StructType, name: String) =
+    if (keySchema.fieldNames.contains(name)) Some(col(s"__k.$name")) else None
+
+  /** Executor-side partition writer: one txn, PS reuse, batched ops. */
+  private def writePartition(it: Iterator[Row], url: String, table: String,
+      valueCols: Seq[String], pks: Seq[String], batchSize: Int): Unit = {
+    val conn = DriverManager.getConnection(url)
+    val dialect = Dialects.forConnection(conn)
+    conn.setAutoCommit(false)
+    try {
+      val t = dialect.normalizeIdent(table)
+      val cols = valueCols
+      val delete = conn.prepareStatement(dialect.deleteSql(t, pks))
+      var nDel = 0
+      val plan = dialect.upsertSql(t, cols, pks)
+      val (upsertPs, insertPs) = plan match {
+        case NativeUpsert(sql, _) => (conn.prepareStatement(sql), null)
+        case UpdateInsert(up, ins, _) =>
+          (if (up.nonEmpty) conn.prepareStatement(up) else null,
+            conn.prepareStatement(ins))
+      }
+      var nUp = 0
+      it.foreach { row =>
+        val op = row.getString(0)
+        val pkVals = pks.indices.map(i => row.get(1 + i))
+        if (op == Cdc.Op.Delete) {
+          pkVals.zipWithIndex.foreach { case (v, i) => delete.setObject(i + 1, v) }
+          delete.addBatch(); nDel += 1
+          if (nDel % batchSize == 0) delete.executeBatch()
+        } else {
+          val v = row.getStruct(1 + pks.length)
+          val colVals = valueCols.indices.map(i => if (v == null) null else v.get(i))
+          plan match {
+            case NativeUpsert(_, bind) =>
+              bind(upsertPs, colVals)
+              upsertPs.addBatch(); nUp += 1
+              if (nUp % batchSize == 0) upsertPs.executeBatch()
+            case UpdateInsert(up, _, bind) =>
+              val nonPkVals = valueCols.zip(colVals)
+                .filterNot { case (c, _) => pks.contains(c) }.map(_._2)
+              val updated = if (up.isEmpty) 0 else {
+                bind(upsertPs, nonPkVals, pkVals)
+                upsertPs.executeUpdate()
+              }
+              if (updated == 0) {
+                colVals.zipWithIndex.foreach { case (cv, i) =>
+                  insertPs.setObject(i + 1, cv)
+                }
+                insertPs.executeUpdate()
+              }
+          }
+        }
+      }
+      if (nDel % batchSize != 0) delete.executeBatch()
+      if (upsertPs != null && (plan match {
+        case _: NativeUpsert => nUp % batchSize != 0
+        case _ => false
+      })) upsertPs.executeBatch()
+      conn.commit()
+    } catch {
+      case e: Throwable => conn.rollback(); throw e
+    } finally conn.close()
+  }
+
+  /** Auto-create / auto-evolve (JdbcWriter.java:326-372). */
+  private def ensureTable(conn: Connection, dialect: Dialect, table: String,
+      schema: StructType, pks: Seq[String], cfg: Config): Unit = {
+    val t = dialect.normalizeIdent(table)
+    if (!tableExists(conn, t)) {
+      if (!cfg.autoCreate)
+        throw new IllegalStateException(s"table $t missing and autoCreate=false")
+      exec(conn, dialect.createTableSql(t, schema, pks))
+    } else if (cfg.autoEvolve) {
+      val existing = columnsOf(conn, t).map(_.toLowerCase)
+      schema.fields.filterNot(f => existing.contains(f.name.toLowerCase))
+        .foreach(f => exec(conn, dialect.addColumnSql(t, f)))
+    }
+  }
+
+  private def writeCorrupt(corrupt: DataFrame, cfg: Config): Long = {
+    val n = corrupt.count()
+    if (n == 0) return 0
+    withConnection(cfg.url) { conn =>
+      val dialect = Dialects.forConnection(conn)
+      val t = dialect.normalizeIdent(cfg.corruptTable)
+      if (!tableExists(conn, t))
+        exec(conn, dialect.createTableSql(t, Cdc.corruptEventSchema, Seq.empty))
+    }
+    val (url, table) = (cfg.url, cfg.corruptTable)
+    val fields = Cdc.corruptEventSchema.fieldNames.toSeq
+    corrupt.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val conn = DriverManager.getConnection(url)
+        try {
+          val dialect = Dialects.forConnection(conn)
+          val t = dialect.normalizeIdent(table)
+          val sql = s"INSERT INTO ${dialect.quote(t)} " +
+            s"(${fields.map(dialect.quote).mkString(", ")}) " +
+            s"VALUES (${fields.map(_ => "?").mkString(", ")})"
+          val ps = conn.prepareStatement(sql)
+          it.foreach { row =>
+            fields.indices.foreach(i => ps.setObject(i + 1, row.get(i)))
+            ps.executeUpdate()
+          }
+        } finally conn.close()
+      }
+    }
+    n
+  }
+
+  // ------------------------------------------------------------- helpers
+  private def withConnection[A](url: String)(f: Connection => A): A = {
+    val conn = DriverManager.getConnection(url)
+    try f(conn) finally conn.close()
+  }
+
+  private def tableExists(conn: Connection, table: String): Boolean = {
+    val rs = conn.getMetaData.getTables(null, null, table, Array("TABLE"))
+    try rs.next() finally rs.close()
+  }
+
+  private def columnsOf(conn: Connection, table: String): Seq[String] = {
+    val rs = conn.getMetaData.getColumns(null, null, table, null)
+    val b = Seq.newBuilder[String]
+    try { while (rs.next()) b += rs.getString("COLUMN_NAME") } finally rs.close()
+    b.result()
+  }
+
+  private def exec(conn: Connection, sql: String): Unit = {
+    val st = conn.createStatement()
+    try st.executeUpdate(sql) finally st.close()
+  }
+}

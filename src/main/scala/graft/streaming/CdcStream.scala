@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.model.CdcConfig
+import graft.operators.CdcNormalize
+import graft.sinks.JdbcApply
+
+/**
+ * Structured-Streaming shell (SURVEY.md §7.2 M3): Kafka-wire records →
+ * normalize chain → foreachBatch JDBC apply (+ DLQ side-branch inside
+ * the same batch).
+ *
+ *   Kafka topic {prefix}.{schema}.{table}
+ *     → spark.readStream.format("kafka").option("includeHeaders", true)
+ *     → CdcNormalize (narrow, codegen'd)
+ *     → foreachBatch { JdbcApply.applyBatch }   // upsert/delete + DLQ
+ *
+ * Effectively-once: offsets are checkpointed per micro-batch and the
+ * apply is an idempotent upsert/delete by PK, so replay after failure
+ * converges to the same terminal state (reference's exactly-once story,
+ * sink README.md:8). Parallelism = Kafka partitions for the narrow
+ * stages, then one shuffle per table on the PK inside the apply.
+ */
+object CdcStream {
+
+  /** Kafka-wire source for a live broker. */
+  def kafkaSource(spark: SparkSession, bootstrap: String, topics: String,
+      maxOffsetsPerTrigger: Long = 500000): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topics)
+      .option("includeHeaders", "true")
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", maxOffsetsPerTrigger)
+      .load()
+
+  /**
+   * Wire any kafka-shaped streaming DataFrame (live broker or
+   * MemoryStream in tests) into the normalize → JDBC-apply pipeline.
+   */
+  def writer(wire: DataFrame, cdcCfg: CdcConfig, sinkCfg: JdbcApply.Config):
+      DataStreamWriter[Row] = {
+    val normalized = CdcNormalize(wire, cdcCfg)
+    normalized.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        JdbcApply.applyBatch(batch, sinkCfg)
+      }
+  }
+
+  /** Start the full pipeline against a live Kafka broker. */
+  def start(spark: SparkSession, bootstrap: String, topics: String,
+      cdcCfg: CdcConfig, sinkCfg: JdbcApply.Config,
+      checkpoint: String, triggerMs: Long = 1000): StreamingQuery =
+    writer(kafkaSource(spark, bootstrap, topics), cdcCfg, sinkCfg)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .start()
+}

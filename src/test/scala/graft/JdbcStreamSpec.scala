@@ -1,0 +1,137 @@
+package graft
+
+import java.sql.DriverManager
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types._
+
+import graft.model.{Cdc, CdcConfig}
+import graft.operators.CdcNormalize
+import graft.sinks.JdbcApply
+import graft.streaming.CdcStream
+
+/**
+ * End-to-end integration: the canonical 5-event fixture (+1 corrupt)
+ * through the streaming shell into embedded Derby, asserting the
+ * reference e2e suite's terminal DB state (Makefile.iidr:354-372) and
+ * the DLQ row — both for batch apply and for MemoryStream streaming.
+ */
+class JdbcStreamSpec extends SparkSpec {
+
+  private def utf8(s: String): Array[Byte] =
+    if (s == null) null else s.getBytes("UTF-8")
+
+  private def wireRow(off: Long, ent: String, key: String, value: String,
+      table: String = "TEST_ORDERS"): Row = {
+    val headers = Seq(
+      Option(table).map(t => Row("TableName", utf8(t))),
+      Option(ent).map(e => Row("A_ENTTYP", utf8(e))),
+      Some(Row("A_TIMSTAMP", utf8("2026-01-15 10:00:00.000000000000")))).flatten
+    Row(utf8(key), utf8(value), headers, "iidr.CDC.TEST_ORDERS", 0, off,
+      java.sql.Timestamp.valueOf("2026-01-15 10:00:00"))
+  }
+
+  private val fixture = Seq(
+    wireRow(0, "PT", """{"ID":1}""",
+      """{"ID":1,"ORDER_NAME":"Order-001","AMOUNT":100.50,"STATUS":"NEW"}"""),
+    wireRow(1, "PT", """{"ID":2}""",
+      """{"ID":2,"ORDER_NAME":"Order-002","AMOUNT":200.75,"STATUS":"NEW"}"""),
+    wireRow(2, "PT", """{"ID":3}""",
+      """{"ID":3,"ORDER_NAME":"Order-003","AMOUNT":350.00,"STATUS":"PENDING"}"""),
+    wireRow(3, "UP", """{"ID":2}""",
+      """{"ID":2,"ORDER_NAME":"Order-002-Updated","AMOUNT":250.00,"STATUS":"PROCESSING"}"""),
+    wireRow(4, "DL", """{"ID":3}""", null),
+    wireRow(5, null, """{"ID":9}""", """{"ID":9}""")) // corrupt
+
+  private val orderSchema = StructType.fromDDL(
+    "ID BIGINT, ORDER_NAME STRING, AMOUNT DOUBLE, STATUS STRING")
+
+  private def sinkCfg(db: String) = JdbcApply.Config(
+    url = s"jdbc:derby:memory:$db;create=true",
+    tableSchemas = Map("TEST_ORDERS" -> orderSchema),
+    keySchemas = Map("TEST_ORDERS" -> StructType.fromDDL("ID BIGINT")),
+    primaryKeys = Map("TEST_ORDERS" -> Seq("ID")),
+    batchSize = 2, // force multiple executeBatch flushes
+    errorsTolerance = "log")
+
+  private def queryAll(url: String): Seq[(Long, String, Double, String)] = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        """SELECT "ID", "ORDER_NAME", "AMOUNT", "STATUS" FROM "TEST_ORDERS" ORDER BY "ID"""")
+      val b = Seq.newBuilder[(Long, String, Double, String)]
+      while (rs.next())
+        b += ((rs.getLong(1), rs.getString(2), rs.getDouble(3), rs.getString(4)))
+      b.result()
+    } finally conn.close()
+  }
+
+  private def assertTerminal(url: String): Unit = {
+    val rows = queryAll(url)
+    assert(rows == Seq(
+      (1L, "Order-001", 100.50, "NEW"),
+      (2L, "Order-002-Updated", 250.00, "PROCESSING")))
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(
+        """SELECT COUNT(*) FROM "STREAMING_CORRUPT_EVENTS"""")
+      rs.next(); assert(rs.getInt(1) == 1)
+    } finally conn.close()
+  }
+
+  test("batch apply reaches reference terminal state in Derby (upsert/delete/DLQ)") {
+    val db = "batchdb"
+    val wire = spark.createDataFrame(
+      spark.sparkContext.parallelize(fixture), Cdc.kafkaWireSchema)
+    JdbcApply.applyBatch(CdcNormalize(wire, CdcConfig()), sinkCfg(db))
+    assertTerminal(s"jdbc:derby:memory:$db")
+  }
+
+  test("batch apply is idempotent under replay (effectively-once)") {
+    val db = "replaydb"
+    val wire = spark.createDataFrame(
+      spark.sparkContext.parallelize(fixture), Cdc.kafkaWireSchema)
+    JdbcApply.applyBatch(CdcNormalize(wire, CdcConfig()), sinkCfg(db))
+    JdbcApply.applyBatch(CdcNormalize(wire, CdcConfig()), sinkCfg(db)) // replay
+    val rows = queryAll(s"jdbc:derby:memory:$db")
+    assert(rows.map(_._1) == Seq(1L, 2L))
+  }
+
+  test("errors.tolerance=none throws after writing the DLQ") {
+    val db = "strictdb"
+    val wire = spark.createDataFrame(
+      spark.sparkContext.parallelize(fixture), Cdc.kafkaWireSchema)
+    val e = intercept[IllegalStateException] {
+      JdbcApply.applyBatch(CdcNormalize(wire, CdcConfig()),
+        sinkCfg(db).copy(errorsTolerance = "none"))
+    }
+    assert(e.getMessage.contains("corrupt"))
+    val conn = DriverManager.getConnection(s"jdbc:derby:memory:$db")
+    try {
+      val rs = conn.createStatement().executeQuery(
+        """SELECT COUNT(*) FROM "STREAMING_CORRUPT_EVENTS"""")
+      rs.next(); assert(rs.getInt(1) == 1) // DLQ written before the throw
+    } finally conn.close()
+  }
+
+  test("streaming shell: MemoryStream micro-batches reach the same terminal state") {
+    val db = "streamdb"
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(Cdc.kafkaWireSchema)
+    import spark.implicits._
+    val mem = MemoryStream[Row](enc, spark)
+    val query = CdcStream.writer(mem.toDF(), CdcConfig(), sinkCfg(db))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      .start()
+    try {
+      mem.addData(fixture.take(3): _*) // first micro-batch: 3 inserts
+      query.processAllAvailable()
+      mem.addData(fixture.drop(3): _*) // second: update, delete, corrupt
+      query.processAllAvailable()
+    } finally query.stop()
+    assertTerminal(s"jdbc:derby:memory:$db")
+  }
+}
