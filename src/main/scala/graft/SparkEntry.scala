@@ -31,9 +31,21 @@ object SparkEntry {
   private val normCfg =
     CdcConfig(tableNameFormat = "sync_${TableName}", identifierCase = "lower")
 
-  /** Wire records → normalized events via the real operator chain. */
+  /**
+   * Wire records → normalized events via the real operator chain,
+   * materialized ONCE per (session, dir) and shared by every CDC
+   * query. Without the barrier, Catalyst pushes each query's
+   * `corrupt_reason`/`op` predicates below the normalize projections
+   * and re-inlines the whole header-extraction chain ~20× into a
+   * single Filter (observed via explain) — the same reason
+   * JdbcApply.applyBatch persists its micro-batch before splitting
+   * valid/corrupt branches.
+   */
+  private val normCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def normalized(spark: SparkSession, dir: String): DataFrame =
-    CdcNormalize(CdcFeed.wire(spark, dir), normCfg)
+    normCache.getOrElseUpdate((spark, dir),
+      CdcNormalize(CdcFeed.wire(spark, dir), normCfg).persist())
 
   private val keySchema = StructType.fromDDL("ID BIGINT")
   private val valueSchema = StructType.fromDDL("ID BIGINT, AMOUNT DOUBLE")

@@ -25,10 +25,17 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Dot product with explicit left-fold order: Σ a_i·b_i as doubles. */
+  import org.apache.spark.sql.graftshim.GraftShims.{column => toCol, expression => toExpr}
+  import graft.functions.VectorDot
+
+  /**
+   * Dot product with explicit left-fold order: Σ a_i·b_i as doubles.
+   * Native codegen'd expression (graft.functions.VectorDot) — the HOF
+   * formulation `aggregate(zip_with(...))` is bit-identical but runs
+   * interpreted and allocates per row; this is the ANN hot loop.
+   */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    toCol(VectorDot(toExpr(a), toExpr(b)))
 
   /** L2 norm (same fold). */
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -64,24 +71,23 @@ object Similarity {
 
   /** LCG pseudo-random hyperplane weight for (plane, dim) in [-1, 1).
     * Shared spec with the DuckDB mirror: w = ((1103515245·i + 12345)
-    * mod 2^31) / 2^30 − 1, i = plane·dims + dim. */
-  def planeWeight(plane: Column, dim: Column, dims: Int): Column = {
-    val i = plane * dims + dim
-    (((i * 1103515245L + lit(12345L)) % 2147483648L).cast("double")
-      / 1073741824.0) - 1.0
-  }
+    * mod 2^31) / 2^30 − 1, i = plane·dims + dim. Computed driver-side
+    * into a literal array — the plane matrix is a constant, so it
+    * ships with the plan instead of being rebuilt per row. */
+  def planeWeights(plane: Int, dims: Int): Array[Double] =
+    Array.tabulate(dims) { d =>
+      val i = plane.toLong * dims + d
+      ((i * 1103515245L + 12345L) % 2147483648L).toDouble / 1073741824.0 - 1.0
+    }
 
   /**
    * Random-hyperplane LSH bucket id: bit p = [dot(w_p, v) ≥ 0],
-   * bucket = Σ bit_p·2^p. Narrow per-row pass; planes are unrolled
-   * compile-time constants so everything stays exact arithmetic.
+   * bucket = Σ bit_p·2^p. Narrow per-row pass; planes are literal
+   * constant arrays, projections use the native VectorDot.
    */
   def lshBucket(vec: Column, numPlanes: Int, dims: Int): Column =
     (0 until numPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dims - 1)),
-          (x, d) => x.cast("double") * planeWeight(lit(p), d, dims)),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = dot(vec, typedLit(planeWeights(p, dims)))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 

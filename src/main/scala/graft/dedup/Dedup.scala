@@ -40,30 +40,33 @@ object Dedup {
   def exactHash(text: Column): Column = md5(normalizedText(text))
 
   // ---------------------------------------------------------------- shingles
-  /** Distinct 3-token shingles (space-joined). Docs with < 3 tokens
-    * get an empty set. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val n = size(toks)
-    array_distinct(
-      when(n >= k,
-        transform(sequence(lit(1), n - (k - 1)), i =>
-          concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)))
-        .otherwise(array().cast("array<string>")))
-  }
+  import org.apache.spark.sql.graftshim.GraftShims.{column => toCol, expression => toExpr}
+  import graft.functions.{MinHashSig, TokenShingles}
+
+  /**
+   * Distinct 3-token shingles (space-joined), first-occurrence order;
+   * docs with < 3 tokens get an empty set. Native expression
+   * (graft.functions.TokenShingles) — the HOF formulation is
+   * re-inlined ~40×/row by CollapseProject (see TextExprs scaladoc).
+   */
+  def shingles(text: Column, k: Int = 3): Column =
+    toCol(TokenShingles(toExpr(text), k))
 
   // ---------------------------------------------------------------- minhash
   /**
-   * MinHash signature: for hash function j, min over shingles of
-   * md5("j:" + shingle) — lexicographic min over hex strings stands in
-   * for the classic (a·x+b mod p) family and is portable to any engine
-   * with md5. Returns array<string> of length [[NumHashes]]; empty
-   * shingle set → nulls.
+   * MinHash signature: ONE md5 per shingle, sliced into
+   * [[NumHashes]] disjoint 4-hex-char (16-bit) chunks — chunk j is
+   * hash function j, and the signature component is the lexicographic
+   * min of chunk j over the shingle set. Disjoint slices of a single
+   * md5 are independent enough for minhashing, and one digest per
+   * shingle instead of [[NumHashes]] keeps the signature pass cheap;
+   * 16-bit components make band collisions slightly more likely, which
+   * only costs extra work in the exact-Jaccard verify step — never
+   * correctness. Portable to any engine with md5 (lexicographic min
+   * over hex strings). Empty shingle set → nulls.
    */
-  def minhashSignature(shingleCol: Column): Column =
-    transform(sequence(lit(0), lit(NumHashes - 1)), j =>
-      array_min(transform(shingleCol, s =>
-        md5(concat(j.cast("string"), lit(":"), s)))))
+  def minhashSignature(text: Column, k: Int = 3): Column =
+    toCol(MinHashSig(toExpr(text), k, NumHashes))
 
   /** LSH band keys: md5 over the concatenated signature rows of each
     * band (band index prefixed so bands never collide across index). */
@@ -86,10 +89,16 @@ object Dedup {
    */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
+    // Shingle + signature in one narrow pass, PERSISTED: the plan
+    // below uses this subtree three times (two band sides, two
+    // shingle join-backs) and Spark would otherwise recompute the
+    // digest pass for each use. At cluster scale this would be a
+    // checkpoint / exchange-reuse point for the same reason.
     val withSig = docs
-      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .withColumn("sh", shingles(col("text")))
-      .withColumn("sig", minhashSignature(col("sh")))
+      .select(col(idCol).as("doc_id"),
+        shingles(col(textCol)).as("sh"),
+        minhashSignature(col(textCol)).as("sig"))
+      .persist()
     val bands = withSig
       .select(col("doc_id"), explode(bandKeys(col("sig"))).as("band_key"))
     val cand = bands.as("x").join(bands.as("y"), Seq("band_key"))

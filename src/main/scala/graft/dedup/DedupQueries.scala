@@ -28,7 +28,7 @@ object DedupQueries {
     // MinHash signatures (8 md5-min hashes over 3-token shingles).
     "q_dedup_minhash" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val sig = Dedup.minhashSignature(Dedup.shingles(col("text")))
+      val sig = Dedup.minhashSignature(col("text"))
       docs.select(
         col("doc_id") +:
           (0 until Dedup.NumHashes).map(j =>
@@ -60,17 +60,20 @@ object DedupQueries {
       s"($toks)[CAST(i AS INT)] || ' ' || ($toks)[CAST(i AS INT) + 1] || ' ' || ($toks)[CAST(i AS INT) + 2]))" +
       s" ELSE [] END)"
 
-  private def minhashSql(sh: String, j: Int): String =
-    s"list_aggregate(list_transform($sh, s -> md5('$j:' || s)), 'min')"
+  private def minhashSql(dg: String, j: Int): String =
+    s"list_aggregate(list_transform($dg, d -> substr(d, ${j * 4 + 1}, 4)), 'min')"
 
-  /** Shared CTE: doc_id + shingle set + signature columns mh0..mh7. */
+  /** Shared CTE: doc_id + shingle set + signature columns mh0..mh7
+    * (one md5 per shingle, sliced — mirrors Dedup.signatureFromDigests). */
   private val sigCte: String = {
     val mhs = (0 until Dedup.NumHashes)
-      .map(j => s"${minhashSql("sh", j)} AS mh$j").mkString(", ")
+      .map(j => s"${minhashSql("dg", j)} AS mh$j").mkString(", ")
     s"""docs AS (
          SELECT doc_id, ${shinglesSql(TextSql.tokens("text"))} AS sh
          FROM documents),
-       sig AS (SELECT doc_id, sh, $mhs FROM docs)"""
+       digests AS (
+         SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS dg FROM docs),
+       sig AS (SELECT doc_id, sh, $mhs FROM digests)"""
   }
 
   def oracleSql: Map[String, String] = Map(

@@ -1,0 +1,119 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native shingle / MinHash expressions.
+ *
+ * The declarative formulation (split → filter → transform(sequence) →
+ * array_distinct → transform(md5) → 8 × array_min slices) is
+ * semantically exact but catastrophic in practice: higher-order
+ * functions run interpreted, and CollapseProject inlines the alias
+ * chain so the tokenizer is re-evaluated ~40× per row (observed via
+ * explain at sf0.1 — 17 s for 5 000 docs). One imperative pass per
+ * row does the whole pipeline in O(len): these expressions ARE that
+ * pass, with codegen via static calls so they sit inside
+ * whole-stage-codegen'd projections.
+ *
+ * Semantics are kept bit-compatible with the declarative version and
+ * the DuckDB oracle (graft.dedup.DedupQueries): UTF8String.toLowerCase
+ * (locale-independent, same as Spark's `lower`), Java-regex `\s+`
+ * split with empties dropped, first-occurrence-order distinct (same as
+ * `array_distinct`), lowercase-hex md5 (same as Spark's/DuckDB's
+ * `md5`), and lexicographic min over ASCII hex slices.
+ */
+object TextNative {
+
+  /** Distinct k-token shingles of the lower-cased text, first-occurrence order. */
+  def shingleStrings(text: UTF8String, k: Int): Array[String] = {
+    val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < k) return Array.empty
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= toks.length - k) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  def shingles(text: UTF8String, k: Int): ArrayData = {
+    val arr = shingleStrings(text, k)
+    new GenericArrayData(arr.map(UTF8String.fromString(_): Any))
+  }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def md5Hex(s: String): String = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xF)
+      out(2 * i + 1) = hexChars(d(i) & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /**
+   * MinHash signature: md5 per shingle, component j = lexicographic
+   * min over the j-th 4-hex-char slice. Null components when the
+   * shingle set is empty (matches array_min of an empty array).
+   */
+  def minHashSig(text: UTF8String, k: Int, numHashes: Int): ArrayData = {
+    val sh = shingleStrings(text, k)
+    if (sh.isEmpty)
+      return new GenericArrayData(Array.fill[Any](numHashes)(null))
+    val digests = sh.map(md5Hex)
+    val out = new Array[Any](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      var min: String = null
+      var i = 0
+      while (i < digests.length) {
+        val slice = digests(i).substring(j * 4, j * 4 + 4)
+        if (min == null || slice.compareTo(min) < 0) min = slice
+        i += 1
+      }
+      out(j) = UTF8String.fromString(min)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `token_shingles(text)` → array<string> of distinct k-token shingles. */
+case class TokenShingles(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_shingles"
+  override def nullSafeEval(input: Any): Any =
+    TextNative.shingles(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNative.shingles($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): TokenShingles =
+    copy(child = newChild)
+}
+
+/** `minhash_sig(text)` → array<string> MinHash signature (see TextNative). */
+case class MinHashSig(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "minhash_sig"
+  override def nullSafeEval(input: Any): Any =
+    TextNative.minHashSig(input.asInstanceOf[UTF8String], k, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextNative.minHashSig($c, $k, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}

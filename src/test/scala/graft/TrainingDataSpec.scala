@@ -56,7 +56,7 @@ class TrainingDataSpec extends SparkSpec {
       (1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon zeta"),
       (3L, "one two three four five six seven")).toDF("doc_id", "text")
-      .select(col("doc_id"), Dedup.minhashSignature(Dedup.shingles(col("text"))).as("sig"))
+      .select(col("doc_id"), Dedup.minhashSignature(col("text")).as("sig"))
     val sigs = docs.orderBy("doc_id").collect().map(_.getSeq[String](1))
     assert(sigs(0) == sigs(1))
     assert(sigs(0) != sigs(2))
