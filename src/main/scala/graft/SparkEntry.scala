@@ -92,7 +92,8 @@ object SparkEntry {
     graft.text.TextQueries.queries ++
     graft.dedup.DedupQueries.queries ++
     graft.ann.AnnQueries.queries ++
-    graft.multimodal.MultimodalQueries.queries
+    graft.multimodal.MultimodalQueries.queries ++
+    graft.analytics.AnalyticsQueries.queries
 
   private def cdcQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -208,6 +209,29 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // S6/T5: Debezium envelope parse → op map → unwrap (before for
+    // deletes, after otherwise).
+    "q_cdc_envelope" -> ((s, dir) => {
+      import graft.operators.Envelope
+      val rowSchema = StructType.fromDDL("ID BIGINT, AMOUNT DOUBLE")
+      val base = CdcFeed.base(s, dir)
+      val isDel = (col("offs") % 10).isin(7, 8)
+      val dop = when(isDel, "d").when(col("offs") % 2 === 0, "c").otherwise("u")
+      val envJson = concat(
+        lit("{\"before\":"), coalesce(when(isDel, col("key_json")), lit("null")),
+        lit(",\"after\":"), coalesce(when(!isDel, col("value_json")), lit("null")),
+        lit(",\"op\":\""), dop, lit("\",\"ts_ms\":"), col("offs"), lit("}"))
+      val env = Envelope.parse(envJson, rowSchema)
+      base.select(
+        col("offs"),
+        env.getField("op").as("dop"),
+        Envelope.mapDebeziumOp(env.getField("op")).as("op"),
+        Envelope.unwrap(env).getField("ID").as("id"),
+        Envelope.unwrap(env).getField("AMOUNT").as("amount"),
+        env.getField("ts_ms").as("ts_ms"))
+        .orderBy("offs")
+    }),
+
     // Classic scan→filter→agg (engine sanity + bench headline).
     "q1_agg" -> ((s, dir) =>
       Tables(s, dir, "lineitem")
@@ -229,7 +253,8 @@ object SparkEntry {
     graft.text.TextQueries.oracleSql ++
     graft.dedup.DedupQueries.oracleSql ++
     graft.ann.AnnQueries.oracleSql ++
-    graft.multimodal.MultimodalQueries.oracleSql
+    graft.multimodal.MultimodalQueries.oracleSql ++
+    graft.analytics.AnalyticsQueries.oracleSql
 
   private def cdcOracleSql: Map[String, String] = Map(
 
@@ -317,6 +342,29 @@ object SparkEntry {
       FROM feed ORDER BY offs""",
 
     "q_cdc_charset_decode" -> CharsetFixture.oracleSql,
+
+    "q_cdc_envelope" -> s"""
+      WITH feed AS (${CdcFeed.feedSql}),
+      env AS (
+        SELECT offs,
+          CASE WHEN CAST(offs % 10 AS INT) IN (7, 8) THEN 'd'
+               WHEN offs % 2 = 0 THEN 'c' ELSE 'u' END AS dop,
+          CASE WHEN CAST(offs % 10 AS INT) IN (7, 8) THEN key_json
+               ELSE NULL END AS before_json,
+          CASE WHEN CAST(offs % 10 AS INT) IN (7, 8) THEN NULL
+               ELSE value_json END AS after_json
+        FROM feed)
+      SELECT offs, dop,
+        CASE WHEN dop IN ('c', 'u', 'r') THEN 'UPSERT'
+             WHEN dop = 'd' THEN 'DELETE' END AS op,
+        CAST(json_extract_string(
+          CASE WHEN dop = 'd' THEN before_json ELSE after_json END, '$$.ID')
+          AS BIGINT) AS id,
+        CAST(json_extract_string(
+          CASE WHEN dop = 'd' THEN before_json ELSE after_json END, '$$.AMOUNT')
+          AS DOUBLE) AS amount,
+        offs AS ts_ms
+      FROM env ORDER BY offs""",
 
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,122 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.text.{TextAnalysis, TextSql}
+
+/**
+ * Scale-idiom analytics queries: vocabulary build (explode + partial
+ * agg), star-schema join enrichment (broadcast dims), and event
+ * sessionization (window functions). These demonstrate the shuffle /
+ * broadcast patterns the 100 TB deployment depends on:
+ *
+ *  - q_text_vocab: explode fans out ~50× before the groupBy, but
+ *    map-side partial aggregation collapses each partition to its
+ *    distinct tokens before the exchange — the shuffle carries the
+ *    vocabulary, not the corpus.
+ *  - q_join_enrich: fact table joins through orders/customer/nation/
+ *    region; every dimension is broadcast (explicitly) so the only
+ *    shuffle is the fact-side aggregation.
+ *  - q_events_sessionize: one shuffle on user_id; both window passes
+ *    (lag + running sum) and the final per-session aggregate reuse
+ *    that single partitioning — no second exchange.
+ */
+object AnalyticsQueries {
+
+  val SessionGapMinutes = 30
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_text_vocab" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 5)
+        .orderBy(col("cnt").desc, col("token"))),
+
+    "q_join_enrich" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val orders = Tables(s, dir, "orders")
+      val customer = broadcast(Tables(s, dir, "customer"))
+      val nation = broadcast(Tables(s, dir, "nation"))
+      val region = broadcast(Tables(s, dir, "region"))
+      li.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(nation, col("c_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    "q_events_sessionize" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapped = ev
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          (col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+              SessionGapMinutes * 60L * 1000000L).cast("int"))
+        .withColumn("session_seq",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      gapped.groupBy(col("user_id"), col("session_seq"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            .as("duration_us"),
+          sum(col("value").cast("decimal(18,6)")).as("total_value"))
+        .orderBy("user_id", "session_seq")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_text_vocab" -> s"""
+      WITH toks AS (
+        SELECT unnest(${TextSql.tokens("text")}) AS token FROM documents)
+      SELECT token, count(*) AS cnt FROM toks
+      GROUP BY token HAVING count(*) >= 5
+      ORDER BY cnt DESC, token""",
+
+    "q_join_enrich" -> """
+      SELECT r_name, n_name,
+        SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue,
+        COUNT(*) AS n_items
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name
+      ORDER BY r_name, n_name""",
+
+    "q_events_sessionize" -> s"""
+      WITH g AS (
+        SELECT user_id, event_id, ts, value,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+      m AS (
+        SELECT user_id, event_id, ts, value,
+          CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) > ${SessionGapMinutes * 60L * 1000000L}
+               THEN 1 ELSE 0 END AS new_session
+        FROM g),
+      sess AS (
+        SELECT user_id, ts, value,
+          SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM m)
+      SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        COUNT(*) AS n_events,
+        CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS duration_us,
+        SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+      FROM sess GROUP BY user_id, session_seq
+      ORDER BY user_id, session_seq""")
+}

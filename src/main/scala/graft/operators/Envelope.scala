@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+import graft.GraftFunctions
+
+/**
+ * Debezium-envelope operators (SURVEY.md §1.1, §2.1 S6, §2.4 T5):
+ * the `{before, after, op: c|u|d|r, ts_ms}` event shape consumed
+ * either unwrapped (ExtractNewRecordState) or walked directly by the
+ * charset SMT (LegacyCharsetTransform.java:145-172).
+ */
+object Envelope {
+
+  /** Envelope schema for a given row schema (docs/ARCHITECTURE.md:54-61). */
+  def schemaFor(row: StructType): StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("before", row),
+    org.apache.spark.sql.types.StructField("after", row),
+    org.apache.spark.sql.types.StructField("op", StringType),
+    org.apache.spark.sql.types.StructField("ts_ms",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Parse a JSON envelope column (S6: schema'd converter path). */
+  def parse(value: Column, rowSchema: StructType): Column =
+    from_json(value, schemaFor(rowSchema))
+
+  /**
+   * Debezium op → engine operation: c/u/r (create/update/snapshot
+   * read) → UPSERT, d → DELETE (mariadb-source.json:24-28 rewrite
+   * semantics + EntryTypeMapper upsert-everywhere strategy).
+   */
+  def mapDebeziumOp(op: Column): Column =
+    when(op.isin("c", "u", "r"), graft.model.Cdc.Op.Upsert)
+      .when(op === "d", graft.model.Cdc.Op.Delete)
+
+  /**
+   * Unwrap (ExtractNewRecordState, oracle-free-demo.json:20-22): row
+   * image = after for upserts, before for deletes (key source).
+   */
+  def unwrap(env: Column): Column =
+    when(env.getField("op") === "d", env.getField("before"))
+      .otherwise(env.getField("after"))
+
+  /**
+   * T5 + P7: envelope-aware charset rewrite — decode the listed string
+   * columns (empty list ⇒ ALL string columns, LegacyCharsetTransform
+   * .java:196-207) inside both `before` and `after` sub-structs,
+   * preserving every other field. Pure struct rebuild: stays narrow
+   * and codegen'd.
+   */
+  def charsetRewrite(env: Column, rowSchema: StructType,
+      columns: Seq[String], charset: String): Column = {
+    val targets =
+      if (columns.nonEmpty) columns.toSet
+      else rowSchema.fields.filter(_.dataType == StringType).map(_.name).toSet
+    def rebuilt(side: Column): Column = {
+      val fields = rowSchema.fields.map { f =>
+        val c = side.getField(f.name)
+        val v = if (f.dataType == StringType && targets.contains(f.name))
+          GraftFunctions.legacyCharsetDecode(c, charset)
+        else c
+        v.as(f.name)
+      }
+      when(side.isNotNull, struct(fields.toSeq: _*))
+    }
+    struct(
+      rebuilt(env.getField("before")).as("before"),
+      rebuilt(env.getField("after")).as("after"),
+      env.getField("op").as("op"),
+      env.getField("ts_ms").as("ts_ms"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.Envelope
+
+/** T5 envelope-aware charset rewrite + S6 envelope parse/unwrap. */
+class EnvelopeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rowSchema = StructType.fromDDL("ID BIGINT, NAME STRING, NOTE STRING")
+
+  test("envelope parse + unwrap: after for upserts, before for deletes") {
+    val df = Seq(
+      """{"before":null,"after":{"ID":1,"NAME":"a","NOTE":"x"},"op":"c","ts_ms":10}""",
+      """{"before":{"ID":2,"NAME":"b","NOTE":"y"},"after":null,"op":"d","ts_ms":20}""")
+      .toDF("v")
+      .select(Envelope.parse(col("v"), rowSchema).as("env"))
+      .select(
+        Envelope.mapDebeziumOp(col("env.op")).as("op"),
+        Envelope.unwrap(col("env")).getField("ID").as("id"))
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("UPSERT", 1L), ("DELETE", 2L)))
+  }
+
+  test("charset rewrite decodes only listed columns in both sub-structs (T5+P7)") {
+    val mangled = CharsetFixture.mangled.head._2 // Big5-mangled 測試
+    val expected = CharsetFixture.expected.head._2
+    val df = Seq(
+      s"""{"before":{"ID":1,"NAME":"$mangled","NOTE":"$mangled"},"after":{"ID":1,"NAME":"$mangled","NOTE":"keep"},"op":"u","ts_ms":1}""")
+      .toDF("v")
+      .select(Envelope.parse(col("v"), rowSchema).as("env"))
+      .select(Envelope.charsetRewrite(col("env"), rowSchema, Seq("NAME"), "Big5").as("env"))
+    val r = df.select(
+      col("env.before.NAME"), col("env.before.NOTE"),
+      col("env.after.NAME"), col("env.after.NOTE"), col("env.op")).head()
+    assert(r.getString(0) == expected) // before.NAME decoded
+    assert(r.getString(1) == mangled)  // before.NOTE untouched (column filter)
+    assert(r.getString(2) == expected) // after.NAME decoded
+    assert(r.getString(3) == "keep")
+    assert(r.getString(4) == "u")      // op preserved
+  }
+
+  test("charset rewrite with empty column list decodes all string columns") {
+    val mangled = CharsetFixture.mangled.head._2
+    val expected = CharsetFixture.expected.head._2
+    val df = Seq(
+      s"""{"before":null,"after":{"ID":7,"NAME":"$mangled","NOTE":"$mangled"},"op":"c","ts_ms":1}""")
+      .toDF("v")
+      .select(Envelope.parse(col("v"), rowSchema).as("env"))
+      .select(Envelope.charsetRewrite(col("env"), rowSchema, Seq.empty, "Big5").as("env"))
+    val r = df.select(col("env.before"), col("env.after.NAME"), col("env.after.NOTE")).head()
+    assert(r.isNullAt(0))              // null side stays null
+    assert(r.getString(1) == expected)
+    assert(r.getString(2) == expected)
+  }
+}
