@@ -99,7 +99,13 @@ object Dedup {
         shingles(col(textCol)).as("sh"),
         minhashSignature(col(textCol)).as("sig"))
       .persist()
+    // Docs with < k tokens have all-null signatures; concat_ws would
+    // silently skip the nulls and give EVERY degenerate doc the same
+    // band key — one quadratic mega-bucket at corpus scale. They can't
+    // be near-dups by shingle Jaccard anyway (empty sets), so drop
+    // them before banding.
     val bands = withSig
+      .filter(element_at(col("sig"), 1).isNotNull)
       .select(col("doc_id"), explode(bandKeys(col("sig"))).as("band_key"))
     val cand = bands.as("x").join(bands.as("y"), Seq("band_key"))
       .filter(col("x.doc_id") < col("y.doc_id"))

@@ -95,7 +95,7 @@ object DedupQueries {
     "q_dedup_lsh_pairs" -> {
       val bandSelects = (0 until Dedup.numBands).map { b =>
         val parts = (0 until Dedup.BandRows).map(r => s"mh${b * Dedup.BandRows + r}")
-        s"SELECT doc_id, md5('$b' || '|' || ${parts.mkString(" || '|' || ")}) AS band_key FROM sig"
+        s"SELECT doc_id, md5('$b' || '|' || ${parts.mkString(" || '|' || ")}) AS band_key FROM sig WHERE mh0 IS NOT NULL"
       }.mkString(" UNION ALL ")
       s"""WITH $sigCte,
         bands AS ($bandSelects),

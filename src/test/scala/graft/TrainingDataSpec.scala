@@ -72,6 +72,16 @@ class TrainingDataSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) > 0.8)
   }
 
+  test("degenerate docs (< 3 tokens) never band together") {
+    val docs = Seq((1L, "only two"), (2L, "tiny doc"), (3L, "x y"),
+      (4L, (1 to 30).map(i => s"w$i").mkString(" ")),
+      (5L, (1 to 30).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", 0.1).collect()
+    // 4-5 are identical; 1/2/3 have empty shingle sets and must not pair
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((4L, 5L)))
+  }
+
   test("simhash: identical → equal, near-dup → close, unrelated → far (Hamming)") {
     def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val words = (1 to 60).map(i => s"w$i").mkString(" ")
