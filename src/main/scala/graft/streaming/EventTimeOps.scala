@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Event-time streaming operators for the analytics side of the engine:
+ * watermarked tumbling/sliding window aggregation and stateful
+ * sessionization via `flatMapGroupsWithState`.
+ *
+ * Scale notes: the windowed aggregate is a streaming hash aggregation
+ * whose state is bounded by (watermark horizon × key cardinality);
+ * late events beyond the watermark are dropped, matching the engine's
+ * CDC story where late data is irrelevant because UPSERT replay is
+ * idempotent (SURVEY.md §2.9). Sessionization keeps one state entry
+ * per open (user) session and emits on gap timeout — the
+ * `KeyValueGroupedDataset` path the reference has no analogue for.
+ */
+object EventTimeOps {
+
+  /**
+   * Watermarked tumbling-window counts/sums per event type.
+   * Input needs (ts: timestamp, event_type: string, value: double).
+   */
+  def windowedAgg(events: DataFrame, watermarkDelay: String = "10 minutes",
+      windowLen: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  final case class SessionInput(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, lastTs: Long, n: Int, total: Double)
+  final case class SessionOut(user_id: Long, start_ts: Long, end_ts: Long,
+      n_events: Int, total_value: Double)
+
+  /**
+   * Gap-based sessionization with explicit state
+   * (flatMapGroupsWithState + event-time timeout): a session closes
+   * when no event arrives within `gapMs` of its last event (by
+   * watermark), then emits one summary row.
+   */
+  def sessionize(events: Dataset[SessionInput], gapMs: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.start, s.lastTs, s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = math.max(s.lastTs, t),
+                    n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(user, s.start, s.lastTs, s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+
+import graft.streaming.EventTimeOps
+import graft.streaming.EventTimeOps.{SessionInput, SessionOut}
+
+/** Event-time streaming: watermarked window agg drops late data;
+  * stateful sessionization emits on gap timeout. */
+class EventTimeSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-15 10:$minute%02d:00")
+
+  test("watermarked windowed aggregation drops events later than the watermark") {
+    import spark.implicits._
+    val schema = StructType.fromDDL("ts TIMESTAMP, event_type STRING, value DOUBLE")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+    val mem = MemoryStream[Row](enc, spark)
+    val q = EventTimeOps.windowedAgg(mem.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Row(ts(0), "click", 1.0), Row(ts(1), "click", 2.0),
+        Row(ts(7), "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far past the first windows so they close
+      mem.addData(Row(ts(40), "click", 9.0))
+      q.processAllAvailable()
+      // this event is way behind the watermark (40-10=30) → dropped
+      mem.addData(Row(ts(2), "click", 100.0))
+      q.processAllAvailable()
+      mem.addData(Row(ts(55), "flush", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg")
+        .select("win_start", "event_type", "n_events", "total_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(rows.contains((ts(0), "click", 2L, 3.0)))   // late 100.0 NOT included
+      assert(rows.contains((ts(5), "view", 1L, 5.0)))
+      assert(!rows.exists(r => r._4 == 100.0 || r._4 == 103.0))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization emits sessions after gap timeout") {
+    import spark.implicits._
+    val mem = MemoryStream[SessionInput](spark)
+    val q = EventTimeOps.sessionize(mem.toDS(), gapMs = 5 * 60 * 1000L, "1 minute")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 2 min apart (one session), user 2: one event
+      mem.addData(SessionInput(1L, ts(0), 1.0), SessionInput(1L, ts(2), 2.0),
+        SessionInput(2L, ts(1), 7.0))
+      q.processAllAvailable()
+      // jump event time far ahead → both sessions time out and emit
+      mem.addData(SessionInput(3L, ts(50), 0.5))
+      q.processAllAvailable()
+      mem.addData(SessionInput(3L, ts(59), 0.5))
+      q.processAllAvailable()
+      val got = spark.table("sessions").as[SessionOut].collect()
+        .map(s => (s.user_id, s.n_events, s.total_value)).toSet
+      assert(got.contains((1L, 2, 3.0)))
+      assert(got.contains((2L, 1, 7.0)))
+    } finally q.stop()
+  }
+}
