@@ -111,13 +111,16 @@ object SparkEntry {
         col(Cdc.Cols.KeyJson), col(Cdc.Cols.ValueJson))
         .orderBy("offs")),
 
-    // P4/P5/P6: literal table filter + regex topic filter.
+    // P4/P5/P6: literal table filter + regex topic filter. Runs over
+    // the cached normalized feed — a literal `table.name.format`
+    // changes only the (constant) target table, so the filters apply
+    // directly to the already-extracted header columns.
     "q_cdc_route_filter" -> ((s, dir) => {
-      val df0 = CdcNormalize(CdcFeed.wire(s, dir), CdcConfig(tableNameFormat = "TEST_CLICK"))
-      val df1 = CdcOps.tableFilterLiteral(df0, col(Cdc.Cols.TableName), "TEST_CLICK")
+      val df1 = CdcOps.tableFilterLiteral(
+        normalized(s, dir), col(Cdc.Cols.TableName), "TEST_CLICK")
       CdcOps.topicFilterRegex(df1, col("topic"), Seq(".*SRC[01]$"))
         .select(col("offset").as("offs"), col(Cdc.Cols.TableName),
-          col("topic"), col(Cdc.Cols.TargetTable))
+          col("topic"), lit("TEST_CLICK").as(Cdc.Cols.TargetTable))
         .orderBy("offs")
     }),
 

@@ -75,12 +75,10 @@ object Dedup {
       md5(concat_ws("|", (b.cast("string") +:
         (0 until BandRows).map(r => element_at(sig, b * lit(BandRows) + r + 1))): _*)))
 
-  /** Exact Jaccard between two distinct-element arrays. */
-  def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b))
-    val uni = size(array_union(a, b))
-    round(inter.cast("double") / greatest(uni, lit(1)), 6)
-  }
+  /** Exact Jaccard between two distinct-element arrays (native
+    * expression — one hash-set pass, see JaccardSim scaladoc). */
+  def jaccard(a: Column, b: Column): Column =
+    round(toCol(graft.functions.JaccardSim(toExpr(a), toExpr(b))), 6)
 
   /**
    * Full near-dup pipeline: docs(idCol, textCol) → candidate pairs via

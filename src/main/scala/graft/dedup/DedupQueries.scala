@@ -41,6 +41,24 @@ object DedupQueries {
       Dedup.nearDupPairs(Tables(s, dir, "documents"), "doc_id", "text", 0.5)
         .orderBy("doc_a", "doc_b")),
 
+    // Metadata-blocked pairwise n-gram Jaccard: the non-LSH blocking
+    // strategy (block on cheap equality keys, exact bigram Jaccard
+    // within blocks). Complements q_dedup_lsh_pairs — blocking by
+    // (lang, source) bounds the quadratic step by block size.
+    "q_dedup_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          Dedup.shingles(col("text"), 2).as("sh"))
+      docs.as("x").join(docs.as("y"), Seq("lang", "source"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .withColumn("jaccard", Dedup.jaccard(col("x.sh"), col("y.sh")))
+        .filter(col("jaccard") >= 0.3)
+        .select(col("lang"), col("source"),
+          col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // 16-bit SimHash fingerprints.
     "q_dedup_simhash" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
@@ -112,6 +130,26 @@ object DedupQueries {
           JOIN sig sb ON sb.doc_id = cand.doc_b)
       SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
       ORDER BY doc_a, doc_b"""
+    },
+
+    "q_dedup_ngram_jaccard" -> {
+      val sh2 = {
+        val toks = TextSql.tokens("text")
+        s"(CASE WHEN len($toks) >= 2 THEN list_distinct(list_transform(" +
+          s"range(1, len($toks)), i -> " +
+          s"($toks)[CAST(i AS INT)] || ' ' || ($toks)[CAST(i AS INT) + 1]))" +
+          s" ELSE [] END)"
+      }
+      s"""WITH d AS (
+           SELECT doc_id, lang, source, $sh2 AS sh FROM documents),
+         p AS (
+           SELECT x.lang, x.source, x.doc_id AS doc_a, y.doc_id AS doc_b,
+             round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+               / greatest(len(list_distinct(list_concat(x.sh, y.sh))), 1), 6) AS jaccard
+           FROM d x JOIN d y
+             ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id)
+       SELECT lang, source, doc_a, doc_b, jaccard FROM p
+       WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b"""
     },
 
     "q_dedup_simhash" -> {

@@ -65,6 +65,19 @@ object TextNative {
     new String(out)
   }
 
+  /** Exact Jaccard of two string-array sets (see [[JaccardSim]]). */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    val set = new java.util.HashSet[UTF8String](na * 2)
+    var i = 0
+    while (i < na) { set.add(a.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < nb) { if (set.contains(b.getUTF8String(i))) inter += 1; i += 1 }
+    inter.toDouble / (na + nb - inter)
+  }
+
   /**
    * MinHash signature: md5 per shingle, component j = lexicographic
    * min over the j-th 4-hex-char slice. Null components when the
@@ -90,6 +103,27 @@ object TextNative {
     }
     new GenericArrayData(out)
   }
+}
+
+/**
+ * `jaccard_sim(a, b)` — exact Jaccard similarity of two STRING-ARRAY
+ * SETS (callers pass distinct arrays, e.g. TokenShingles output):
+ * |a∩b| / |a∪b|, 0.0 when both are empty. One hash-set pass instead
+ * of the interpreted array_intersect + array_union + size chain —
+ * the verification hot loop of the blocked pairwise dedup.
+ */
+case class JaccardSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "jaccard_sim"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextNative.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.TextNative.jaccard($a, $b);")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSim =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `token_shingles(text)` → array<string> of distinct k-token shingles. */
