@@ -116,6 +116,53 @@ class JdbcStreamSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("auto-evolve adds new columns to an existing table (W9)") {
+    val db = "evolvedb"
+    val wire1 = spark.createDataFrame(
+      spark.sparkContext.parallelize(fixture.take(1)), Cdc.kafkaWireSchema)
+    JdbcApply.applyBatch(CdcNormalize(wire1, CdcConfig()), sinkCfg(db))
+    // same table, wider schema: NOTES column appears
+    val wider = StructType.fromDDL(
+      "ID BIGINT, ORDER_NAME STRING, AMOUNT DOUBLE, STATUS STRING, NOTES STRING")
+    val ev2 = Seq(wireRow(10, "UP", """{"ID":1}""",
+      """{"ID":1,"ORDER_NAME":"Order-001","AMOUNT":100.50,"STATUS":"NEW","NOTES":"evolved"}"""))
+    val wire2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(ev2), Cdc.kafkaWireSchema)
+    JdbcApply.applyBatch(CdcNormalize(wire2, CdcConfig()),
+      sinkCfg(db).copy(tableSchemas = Map("TEST_ORDERS" -> wider)))
+    val conn = DriverManager.getConnection(s"jdbc:derby:memory:$db")
+    try {
+      val rs = conn.createStatement().executeQuery(
+        """SELECT "NOTES" FROM "TEST_ORDERS" WHERE "ID" = 1""")
+      rs.next(); assert(rs.getString(1) == "evolved")
+    } finally conn.close()
+  }
+
+  test("one batch fans out to multiple target tables") {
+    val db = "multidb"
+    val ev = Seq(
+      wireRow(0, "PT", """{"ID":1}""",
+        """{"ID":1,"ORDER_NAME":"A","AMOUNT":1.0,"STATUS":"NEW"}""", "TEST_ORDERS"),
+      wireRow(1, "PT", """{"ID":2}""",
+        """{"ID":2,"ORDER_NAME":"B","AMOUNT":2.0,"STATUS":"NEW"}""", "TEST_SHIPMENTS"))
+    val wire = spark.createDataFrame(
+      spark.sparkContext.parallelize(ev), Cdc.kafkaWireSchema)
+    val cfg = sinkCfg(db).copy(
+      tableSchemas = Map("TEST_ORDERS" -> orderSchema, "TEST_SHIPMENTS" -> orderSchema),
+      keySchemas = Map("TEST_ORDERS" -> StructType.fromDDL("ID BIGINT"),
+        "TEST_SHIPMENTS" -> StructType.fromDDL("ID BIGINT")),
+      primaryKeys = Map("TEST_ORDERS" -> Seq("ID"), "TEST_SHIPMENTS" -> Seq("ID")))
+    JdbcApply.applyBatch(CdcNormalize(wire, CdcConfig()), cfg)
+    val conn = DriverManager.getConnection(s"jdbc:derby:memory:$db")
+    try {
+      Seq("TEST_ORDERS" -> "A", "TEST_SHIPMENTS" -> "B").foreach { case (t, want) =>
+        val rs = conn.createStatement().executeQuery(
+          s"""SELECT "ORDER_NAME" FROM "$t"""")
+        rs.next(); assert(rs.getString(1) == want, t)
+      }
+    } finally conn.close()
+  }
+
   test("streaming shell: MemoryStream micro-batches reach the same terminal state") {
     val db = "streamdb"
     implicit val enc: ExpressionEncoder[Row] =
