@@ -3,46 +3,101 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.graftshim.{GraftRegistration, GraftShims}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.LegacyCharsetDecode
+import graft.functions._
 
 /**
- * Session extensions registering graft's native Catalyst functions
- * (public `SparkSessionExtensions.injectFunction` API, SURVEY.md §4).
+ * Graft's native Catalyst functions, exposed two ways:
  *
- * Usage: `SparkSession.builder().withExtensions(new GraftExtensions)` or
- * `--conf spark.sql.extensions=graft.GraftExtensions`.
+ *  - [[GraftExtensions]] — `spark.sql.extensions=graft.GraftExtensions`
+ *    or `.withExtensions(new GraftExtensions)` at session build;
+ *  - [[GraftFunctions.registerAll]] — imperative registration onto an
+ *    EXISTING session (the driver's sessions are built plain).
+ *
+ * The Column API in [[GraftFunctions]] needs no registration at all —
+ * it builds Columns directly from the expressions.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("legacy_charset_decode"),
-      new ExpressionInfo(classOf[LegacyCharsetDecode].getName, "legacy_charset_decode"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 2,
-          "legacy_charset_decode(col, 'charset') takes exactly 2 arguments")
-        val cs = exprs(1) match {
-          case Literal(v: UTF8String, _) => v.toString
-          case other => throw new IllegalArgumentException(
-            s"charset must be a string literal, got $other")
-        }
-        LegacyCharsetDecode(exprs.head, cs)
-      }))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, usage, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name, usage),
+        builder))
+    }
 }
 
 object GraftFunctions {
-  /**
-   * Column-API wrapper for the T4 charset recovery. Builds the Column
-   * directly from the Catalyst expression so it works on ANY session —
-   * no extension registration required (SQL users can still register
-   * `legacy_charset_decode` via [[GraftExtensions]]).
-   */
+
+  private def strLit(e: Expression, what: String): String = e match {
+    case Literal(v: UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** (name, usage, builder) for every SQL-exposed native function. */
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("legacy_charset_decode",
+      "legacy_charset_decode(col, 'Big5') - recover halfwidth-mangled legacy-charset text",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "legacy_charset_decode(col, 'charset')")
+        LegacyCharsetDecode(exprs.head, strLit(exprs(1), "charset"))
+      }),
+    ("vector_dot",
+      "vector_dot(a, b) - strict left-fold dot product of float/double arrays",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "vector_dot(a, b)")
+        VectorDot(exprs.head, exprs(1))
+      }),
+    ("jaccard_sim",
+      "jaccard_sim(a, b) - exact Jaccard similarity of two string-array sets",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "jaccard_sim(a, b)")
+        JaccardSim(exprs.head, exprs(1))
+      }),
+    ("token_shingles",
+      "token_shingles(text, k) - distinct k-token shingles of lower-cased text",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "token_shingles(text, k)")
+        TokenShingles(exprs.head, intLit(exprs(1), "k"))
+      }),
+    ("minhash_sig",
+      "minhash_sig(text, k, n) - n-component MinHash signature over k-token shingles",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "minhash_sig(text, k, n)")
+        MinHashSig(exprs.head, intLit(exprs(1), "k"), intLit(exprs(2), "n"))
+      }))
+
+  /** Register every graft function as a temp function on `spark` (SQL
+    * access on sessions built without extensions). */
+  def registerAll(spark: SparkSession): Unit =
+    builders.foreach { case (name, usage, builder) =>
+      GraftRegistration.register(spark, name, usage, builder)
+    }
+
+  // ---------------------------------------------------------------- Column API
+  /** T4 charset recovery (works on any session, no registration). */
   def legacyCharsetDecode(c: Column, charset: String): Column =
-    org.apache.spark.sql.graftshim.GraftShims.column(
-      LegacyCharsetDecode(
-        org.apache.spark.sql.graftshim.GraftShims.expression(c), charset))
+    GraftShims.column(LegacyCharsetDecode(GraftShims.expression(c), charset))
+
+  def vectorDot(a: Column, b: Column): Column =
+    GraftShims.column(VectorDot(GraftShims.expression(a), GraftShims.expression(b)))
+
+  def jaccardSim(a: Column, b: Column): Column =
+    GraftShims.column(JaccardSim(GraftShims.expression(a), GraftShims.expression(b)))
+
+  def tokenShingles(text: Column, k: Int = 3): Column =
+    GraftShims.column(TokenShingles(GraftShims.expression(text), k))
+
+  def minhashSig(text: Column, k: Int = 3, numHashes: Int = 8): Column =
+    GraftShims.column(MinHashSig(GraftShims.expression(text), k, numHashes))
 }
