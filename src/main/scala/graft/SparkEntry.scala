@@ -240,6 +240,27 @@ object SparkEntry {
         .orderBy("offs")
     }),
 
+    // S6 wrapper + decimal.handling.mode: parse the schemas.enable=true
+    // wire form, extract AMOUNT under precise/double/string modes.
+    "q_cdc_decimal_modes" -> ((s, dir) => {
+      import graft.operators.Envelope
+      val base = StructType.fromDDL("ID BIGINT, AMOUNT DECIMAL(12,2)")
+      val feed = CdcFeed.base(s, dir).filter(col("value_json").isNotNull)
+      val wrapped = concat(
+        lit("{\"schema\":{},\"payload\":{\"before\":null,\"after\":"),
+        col("value_json"), lit(",\"op\":\"u\",\"ts_ms\":"),
+        col("offs"), lit("}}"))
+      def amt(mode: String) =
+        Envelope.parseWrapped(wrapped, Envelope.rowSchemaForDecimalMode(base, mode))
+          .getField("after").getField("AMOUNT")
+      feed.select(
+        col("offs"),
+        amt("precise").as("amt_precise"),
+        amt("double").as("amt_double"),
+        amt("string").as("amt_string"))
+        .orderBy("offs")
+    }),
+
     // Classic scan→filter→agg (engine sanity + bench headline).
     "q1_agg" -> ((s, dir) =>
       Tables(s, dir, "lineitem")
@@ -373,6 +394,14 @@ object SparkEntry {
           AS DOUBLE) AS amount,
         offs AS ts_ms
       FROM env ORDER BY offs""",
+
+    "q_cdc_decimal_modes" -> s"""
+      WITH feed AS (${CdcFeed.feedSql})
+      SELECT offs,
+        CAST(json_extract_string(value_json, '$$.AMOUNT') AS DECIMAL(12,2)) AS amt_precise,
+        CAST(json_extract_string(value_json, '$$.AMOUNT') AS DOUBLE) AS amt_double,
+        json_extract_string(value_json, '$$.AMOUNT') AS amt_string
+      FROM feed WHERE value_json IS NOT NULL ORDER BY offs""",
 
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,

@@ -27,6 +27,40 @@ object Envelope {
     from_json(value, schemaFor(rowSchema))
 
   /**
+   * Parse the full Debezium-JSON wire form `{"schema": {...},
+   * "payload": {before, after, op, ts_ms}}` produced by JsonConverter
+   * with schemas.enable=true (docker/README.md:184 payload access) —
+   * the inline schema is ignored (we pin per-table StructTypes,
+   * SURVEY.md §7.4), only payload is extracted.
+   */
+  def parseWrapped(value: Column, rowSchema: StructType): Column =
+    from_json(value, StructType(Seq(
+      org.apache.spark.sql.types.StructField("payload", schemaFor(rowSchema)))))
+      .getField("payload")
+
+  /**
+   * Decimal handling mode (`decimal.handling.mode`, README.md:191-195;
+   * docs/debezium-datatype-comparison-results.md:89-96): rewrite the
+   * declared row schema so DECIMAL fields parse as exact decimals
+   * ("precise"), doubles ("double"), or strings ("string").
+   */
+  def rowSchemaForDecimalMode(base: StructType, mode: String): StructType = {
+    val target: org.apache.spark.sql.types.DataType => org.apache.spark.sql.types.DataType =
+      mode match {
+        case "precise" => identity
+        case "double"  => { case _: org.apache.spark.sql.types.DecimalType =>
+            org.apache.spark.sql.types.DoubleType
+          case dt => dt }
+        case "string"  => { case _: org.apache.spark.sql.types.DecimalType =>
+            StringType
+          case dt => dt }
+        case other => throw new IllegalArgumentException(
+          s"decimal.handling.mode must be precise|double|string, got $other")
+      }
+    StructType(base.fields.map(f => f.copy(dataType = target(f.dataType))))
+  }
+
+  /**
    * Debezium op → engine operation: c/u/r (create/update/snapshot
    * read) → UPSERT, d → DELETE (mariadb-source.json:24-28 rewrite
    * semantics + EntryTypeMapper upsert-everywhere strategy).

@@ -42,6 +42,34 @@ class EnvelopeSpec extends SparkSpec {
     assert(r.getString(4) == "u")      // op preserved
   }
 
+  test("payload wrapper parse ignores the inline schema (schemas.enable=true form)") {
+    val df = Seq(
+      """{"schema":{"type":"struct","fields":[{"field":"ID","type":"int64"}]},
+         |"payload":{"before":null,"after":{"ID":5,"NAME":"n","NOTE":null},"op":"c","ts_ms":99}}"""
+        .stripMargin.replaceAll("\n", "")).toDF("v")
+      .select(Envelope.parseWrapped(col("v"), rowSchema).as("env"))
+    val r = df.select(col("env.after.ID"), col("env.op"), col("env.ts_ms")).head()
+    assert(r.getLong(0) == 5L && r.getString(1) == "c" && r.getLong(2) == 99L)
+  }
+
+  test("decimal handling modes: precise | double | string") {
+    import org.apache.spark.sql.types._
+    val base = StructType.fromDDL("ID BIGINT, AMT DECIMAL(12,2)")
+    val json = Seq("""{"before":null,"after":{"ID":1,"AMT":123.45},"op":"c","ts_ms":1}""").toDF("v")
+    def parsedType(mode: String): (DataType, Any) = {
+      val schema = Envelope.rowSchemaForDecimalMode(base, mode)
+      val r = json.select(Envelope.parse(col("v"), schema).getField("after")
+        .getField("AMT").as("amt")).head()
+      (json.select(Envelope.parse(col("v"), schema).getField("after")
+        .getField("AMT")).schema.head.dataType, r.get(0))
+    }
+    assert(parsedType("precise") ==
+      (DecimalType(12, 2), new java.math.BigDecimal("123.45")))
+    assert(parsedType("double") == (DoubleType, 123.45))
+    assert(parsedType("string") == (StringType, "123.45"))
+    intercept[IllegalArgumentException](Envelope.rowSchemaForDecimalMode(base, "bogus"))
+  }
+
   test("charset rewrite with empty column list decodes all string columns") {
     val mangled = CharsetFixture.mangled.head._2
     val expected = CharsetFixture.expected.head._2
