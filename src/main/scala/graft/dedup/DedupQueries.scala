@@ -59,6 +59,26 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // Connected-component cluster resolution over the LSH near-dup
+    // pairs: every doc labeled with its component's min id.
+    "q_dedup_clusters" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", 0.5)
+      Clusters.resolve(docs, "doc_id", pairs, "doc_a", "doc_b")
+        .orderBy("doc_id")
+    }),
+
+    // Deterministic hash-based train/val/test split (80/10/10).
+    "q_sample_split" -> ((s, dir) => {
+      import graft.text.TextAnalysis
+      val bucket = TextAnalysis.charFingerprint(col("text")) % 100
+      Tables(s, dir, "documents").select(
+        col("doc_id"), bucket.as("bucket"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
     // 16-bit SimHash fingerprints.
     "q_dedup_simhash" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
@@ -151,6 +171,44 @@ object DedupQueries {
        SELECT lang, source, doc_a, doc_b, jaccard FROM p
        WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b"""
     },
+
+    "q_dedup_clusters" -> {
+      val bandSelects = (0 until Dedup.numBands).map { b =>
+        val parts = (0 until Dedup.BandRows).map(r => s"mh${b * Dedup.BandRows + r}")
+        s"SELECT doc_id, md5('$b' || '|' || ${parts.mkString(" || '|' || ")}) AS band_key FROM sig WHERE mh0 IS NOT NULL"
+      }.mkString(" UNION ALL ")
+      s"""WITH RECURSIVE $sigCte,
+        bands AS ($bandSelects),
+        cand AS (
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bands x JOIN bands y ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT doc_a, doc_b FROM cand
+          JOIN sig sa ON sa.doc_id = cand.doc_a
+          JOIN sig sb ON sb.doc_id = cand.doc_b
+          WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / greatest(len(list_distinct(list_concat(sa.sh, sb.sh))), 1), 6) >= 0.5),
+        edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        reach(id, r) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+      SELECT id AS doc_id, MIN(r) AS cluster,
+        CAST(id = MIN(r) AS INT) AS keeper
+      FROM reach GROUP BY id ORDER BY doc_id"""
+    },
+
+    "q_sample_split" -> s"""
+      WITH b AS (
+        SELECT doc_id, ${graft.text.TextSql.charPolyHash("text")} % 100 AS bucket
+        FROM documents)
+      SELECT doc_id, bucket,
+        CASE WHEN bucket < 80 THEN 'train'
+             WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      FROM b ORDER BY doc_id""",
 
     "q_dedup_simhash" -> {
       val bits = (0 until 16).map { j =>

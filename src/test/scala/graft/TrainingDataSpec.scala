@@ -82,6 +82,27 @@ class TrainingDataSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((4L, 5L)))
   }
 
+  test("cluster resolution: chains collapse to the min id, singletons keep their own") {
+    import graft.dedup.Clusters
+    val docs = (1L to 8L).toDF("doc_id")
+    // chain 5-4-3-2-1 (diameter 4, forces multiple propagation rounds)
+    // plus pair (6,7); 8 is a singleton
+    val pairs = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (6L, 7L))
+      .toDF("doc_a", "doc_b")
+    val want = Seq(
+      (1L, 1L, 1), (2L, 1L, 0), (3L, 1L, 0), (4L, 1L, 0), (5L, 1L, 0),
+      (6L, 6L, 1), (7L, 6L, 0), (8L, 8L, 1))
+    // local union-find path (default threshold) and the distributed
+    // min-propagation path (threshold 0) must agree exactly
+    Seq(Clusters.LocalEdgeThreshold, 0L).foreach { thresh =>
+      val got = Clusters.resolve(docs, "doc_id", pairs, "doc_a", "doc_b",
+        localThreshold = thresh)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(got.toSeq == want, s"threshold=$thresh")
+    }
+  }
+
   test("simhash: identical → equal, near-dup → close, unrelated → far (Hamming)") {
     def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val words = (1 to 60).map(i => s"w$i").mkString(" ")
