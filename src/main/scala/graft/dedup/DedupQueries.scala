@@ -14,6 +14,15 @@ import graft.text.{TextAnalysis, TextSql}
  */
 object DedupQueries {
 
+  /** The LSH funnel output, shared by the pairs and clusters queries
+    * (same persist-once pattern as SparkEntry's normalized feed). */
+  private val pairsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def cachedPairs(s: SparkSession, dir: String): DataFrame =
+    pairsCache.getOrElseUpdate((s, dir),
+      Dedup.nearDupPairs(Tables(s, dir, "documents"), "doc_id", "text", 0.5)
+        .persist())
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy on canonicalized text; keeper = min id.
@@ -38,8 +47,7 @@ object DedupQueries {
 
     // Full near-dup funnel: LSH banding → exact Jaccard ≥ 0.5.
     "q_dedup_lsh_pairs" -> ((s, dir) =>
-      Dedup.nearDupPairs(Tables(s, dir, "documents"), "doc_id", "text", 0.5)
-        .orderBy("doc_a", "doc_b")),
+      cachedPairs(s, dir).orderBy("doc_a", "doc_b")),
 
     // Metadata-blocked pairwise n-gram Jaccard: the non-LSH blocking
     // strategy (block on cheap equality keys, exact bigram Jaccard
@@ -61,12 +69,10 @@ object DedupQueries {
 
     // Connected-component cluster resolution over the LSH near-dup
     // pairs: every doc labeled with its component's min id.
-    "q_dedup_clusters" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", 0.5)
-      Clusters.resolve(docs, "doc_id", pairs, "doc_a", "doc_b")
-        .orderBy("doc_id")
-    }),
+    "q_dedup_clusters" -> ((s, dir) =>
+      Clusters.resolve(Tables(s, dir, "documents"), "doc_id",
+        cachedPairs(s, dir), "doc_a", "doc_b")
+        .orderBy("doc_id")),
 
     // Deterministic hash-based train/val/test split (80/10/10).
     "q_sample_split" -> ((s, dir) => {

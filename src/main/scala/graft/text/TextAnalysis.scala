@@ -110,6 +110,26 @@ object TextAnalysis {
     }.otherwise(lit("und"))
   }
 
+  // ---------------------------------------------------------------- PII
+  /** RE2-safe PII patterns (no lookarounds — portable to the oracle).
+    * Replacement order matters: URLs first (may embed emails), then
+    * emails, then phone-number runs. */
+  val UrlRe = "https?://[^\\s]+"
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]"
+
+  /** Redact URLs/emails/phones with typed placeholder tokens. */
+  def redactPii(text: Column): Column = {
+    val noUrl = regexp_replace(text, UrlRe, "<URL>")
+    val noEmail = regexp_replace(noUrl, EmailRe, "<EMAIL>")
+    regexp_replace(noEmail, PhoneRe, "<PHONE>")
+  }
+
+  /** Count of matches for a PII pattern (post-upstream-redaction
+    * counts should use the same replacement order as redactPii). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
   // ---------------------------------------------------------------- hashing
   /**
    * Polynomial hash of a string column's characters, via an explicit

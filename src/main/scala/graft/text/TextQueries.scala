@@ -36,6 +36,23 @@ object TextQueries {
         TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // PII redaction over text with synthesized contact info (the
+    // corpus itself is clean, so the query plants one of each type).
+    "q_text_redact" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or "),
+        lit("https://site"), col("doc_id"), lit(".test or "),
+        lit("+1 (555) 010-00"), (col("doc_id") % 90 + 10), lit(" end"))
+      val redacted = TextAnalysis.redactPii(planted)
+      docs.select(
+        col("doc_id"),
+        TextAnalysis.piiCount(planted, TextAnalysis.UrlRe).as("n_url"),
+        TextAnalysis.piiCount(planted, TextAnalysis.EmailRe).as("n_email"),
+        substring(redacted, -60, 60).as("tail"))
+        .orderBy("doc_id")
+    }),
+
     // Rolling-hash document fingerprint + first-token hash.
     "q_text_fingerprint" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
@@ -59,6 +76,26 @@ object TextQueries {
           ${TextSql.meanTokenLen(t)} AS mean_token_len,
           ${TextSql.qualityScore(t)} AS quality
         FROM documents ORDER BY doc_id""",
+
+      "q_text_redact" -> s"""
+        WITH p AS (
+          SELECT doc_id,
+            text || ' contact user' || doc_id || '@example.com or ' ||
+            'https://site' || doc_id || '.test or ' ||
+            '+1 (555) 010-00' || (doc_id % 90 + 10) || ' end' AS planted
+          FROM documents),
+        r AS (
+          SELECT doc_id, planted,
+            regexp_replace(regexp_replace(regexp_replace(planted,
+              '${TextAnalysis.UrlRe}', '<URL>', 'g'),
+              '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+              '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS redacted
+          FROM p)
+        SELECT doc_id,
+          len(regexp_extract_all(planted, '${TextAnalysis.UrlRe}')) AS n_url,
+          len(regexp_extract_all(planted, '${TextAnalysis.EmailRe}')) AS n_email,
+          right(redacted, 60) AS tail
+        FROM r ORDER BY doc_id""",
 
       "q_text_langid" -> s"""
         SELECT doc_id, lang, ${TextSql.langId(t)} AS lang_pred
