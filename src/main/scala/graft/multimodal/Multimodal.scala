@@ -58,6 +58,20 @@ object Multimodal {
     }
   }
 
+  /** Per-asset feature vector (stub): payload bytes scaled to [0,1]
+    * doubles. Real pipelines put the model-encoder call here, with the
+    * same batch shape as decode. */
+  final case class AssetFeatures(asset_id: Long, features: Array[Double])
+
+  def extractFeatures(raw: Dataset[RawAsset], dims: Int): Dataset[AssetFeatures] = {
+    import raw.sparkSession.implicits._
+    raw.mapPartitions(_.map { a =>
+      AssetFeatures(a.asset_id,
+        Array.tabulate(math.min(dims, a.content.length))(i =>
+          (a.content(i) & 0xFF).toDouble / 255))
+    })
+  }
+
   /** Decode a raw-asset Dataset via the batch codec (narrow pass). */
   def decode(raw: Dataset[RawAsset]): Dataset[DecodedAsset] = {
     import raw.sparkSession.implicits._

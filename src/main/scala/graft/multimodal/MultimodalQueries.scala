@@ -49,6 +49,16 @@ object MultimodalQueries {
           col("out_width"), col("out_height"), col("scaled"))
         .orderBy("asset_id")),
 
+    // Feature extraction stub: first 8 payload bytes → [0,1] doubles.
+    "q_mm_features" -> ((s, dir) => {
+      val f = Multimodal.extractFeatures(rawAssets(s, dir), 8).toDF()
+      f.select(
+        col("asset_id") +:
+          (0 until 8).map(i =>
+            round(element_at(col("features"), i + 1), 6).as(s"f$i")): _*)
+        .orderBy("asset_id")
+    }),
+
     // Even frame sampling for video assets (generator, pre-shuffle).
     "q_mm_frames" -> ((s, dir) => {
       val dec = decoded(s, dir)
@@ -105,6 +115,13 @@ object MultimodalQueries {
              ELSE greatest(1, (height * $ResizeTarget) // greatest(width, height)) END AS out_height,
         CAST(greatest(width, height) > $ResizeTarget AND kind <> 'audio' AS INT) AS scaled
       FROM dec ORDER BY asset_id""",
+
+    "q_mm_features" -> {
+      val cols = (0 until 8)
+        .map(i => s"round(CAST(${byteAt(i)} AS DOUBLE) / 255, 6) AS f$i")
+        .mkString(", ")
+      s"SELECT doc_id AS asset_id, $cols FROM documents ORDER BY asset_id"
+    },
 
     "q_mm_frames" -> s"""
       WITH $decodedCte,

@@ -52,6 +52,20 @@ object CdcStream {
       }
   }
 
+  /**
+   * File sink (W16, reference file-sink.json / Confluent S3 JSON
+   * sink): append normalized events as json/parquet partitioned by
+   * target table — the archive/lake branch of the pipeline.
+   */
+  def fileSink(normalized: DataFrame, path: String, format: String,
+      checkpoint: String): DataStreamWriter[Row] =
+    normalized.writeStream
+      .format(format)
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("target_table")
+      .outputMode("append")
+
   /** Start the full pipeline against a live Kafka broker. */
   def start(spark: SparkSession, bootstrap: String, topics: String,
       cdcCfg: CdcConfig, sinkCfg: JdbcApply.Config,

@@ -163,6 +163,30 @@ class JdbcStreamSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("file sink archives normalized events partitioned by target table (W16)") {
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(Cdc.kafkaWireSchema)
+    val mem = MemoryStream[Row](enc, spark)
+    val out = java.nio.file.Files.createTempDirectory("graft-archive").toString
+    val q = CdcStream.fileSink(
+      CdcNormalize(mem.toDF(), CdcConfig()).drop("key", "value", "headers"),
+      out, "parquet",
+      java.nio.file.Files.createTempDirectory("graft-archive-ckpt").toString)
+      .start()
+    try {
+      mem.addData(fixture: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val archived = spark.read.parquet(out)
+    assert(archived.count() == 6)
+    // all six route to TEST_ORDERS (the corrupt row lacks A_ENTTYP,
+    // not TableName, so it still carries the partition value)
+    assert(archived.select("target_table").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("TEST_ORDERS"))
+    assert(archived.filter(org.apache.spark.sql.functions.col("corrupt_reason").isNotNull)
+      .count() == 1)
+  }
+
   test("streaming shell: MemoryStream micro-batches reach the same terminal state") {
     val db = "streamdb"
     implicit val enc: ExpressionEncoder[Row] =
