@@ -122,8 +122,19 @@ object CdcOps {
    * reference applies events in Kafka offset order within a partition;
    * a distributed apply must instead keep only the LATEST event per
    * (table, key) within a micro-batch — same terminal state,
-   * order-insensitive. One shuffle on (table, key); with AQE this is
-   * also where skewed hot keys get split.
+   * order-insensitive. One shuffle on (table, key).
+   *
+   * Skew note (verified via explain): Spark plans the rank<=1 filter
+   * as WindowGroupLimit with a PARTIAL pass before the exchange, so a
+   * hot key collapses to one row per map partition BEFORE it
+   * shuffles — the classic "millions of updates to one key in a
+   * batch" skew case never concentrates on a single reducer. No
+   * manual salting needed.
+   *
+   * Tie caveat: offsets must be unique per (table, key) within the
+   * batch (true for a single Kafka partition per key, which the
+   * source guarantees); equal offsets would make the kept row
+   * sort-order dependent.
    */
   def lastWriteWins(df: DataFrame, tableCol: String, keyCols: Seq[String],
       offsetCol: String): DataFrame = {

@@ -201,7 +201,7 @@ object JdbcApply {
       if (!tableExists(conn, t))
         exec(conn, dialect.createTableSql(t, Cdc.corruptEventSchema, Seq.empty))
     }
-    val (url, table) = (cfg.url, cfg.corruptTable)
+    val (url, table, batchSize) = (cfg.url, cfg.corruptTable, cfg.batchSize)
     val fields = Cdc.corruptEventSchema.fieldNames.toSeq
     corrupt.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
@@ -213,10 +213,13 @@ object JdbcApply {
             s"(${fields.map(dialect.quote).mkString(", ")}) " +
             s"VALUES (${fields.map(_ => "?").mkString(", ")})"
           val ps = conn.prepareStatement(sql)
+          var pending = 0
           it.foreach { row =>
             fields.indices.foreach(i => ps.setObject(i + 1, row.get(i)))
-            ps.executeUpdate()
+            ps.addBatch(); pending += 1
+            if (pending % batchSize == 0) ps.executeBatch()
           }
+          if (pending % batchSize != 0) { ps.executeBatch(); () }
         } finally conn.close()
       }
     }
