@@ -55,6 +55,19 @@ object AnalyticsQueries {
         .orderBy("r_name", "n_name")
     }),
 
+    // Distinct aggregation: audience stats per event type.
+    // count(DISTINCT) plans as a four-phase HashAggregate chain with
+    // two exchanges (verified via explain) — the one agg shape whose
+    // shuffle doubles, worth owning a query for.
+    "q_events_user_stats" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).as("total_value"))
+        .orderBy("event_type")),
+
     "q_events_sessionize" -> ((s, dir) => {
       val ev = Tables(s, dir, "events")
       val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -96,6 +109,13 @@ object AnalyticsQueries {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name, n_name
       ORDER BY r_name, n_name""",
+
+    "q_events_user_stats" -> """
+      SELECT event_type,
+        COUNT(DISTINCT user_id) AS n_users,
+        COUNT(*) AS n_events,
+        SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+      FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_events_sessionize" -> s"""
       WITH g AS (
