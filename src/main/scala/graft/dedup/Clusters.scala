@@ -103,6 +103,12 @@ object Clusters {
       iter += 1
     }
     edges.unpersist()
+    // Silent non-convergence would split real components into several
+    // clusters with no signal — fail loudly; callers with genuinely
+    // deep graphs raise maxIters (rounds needed = graph diameter).
+    if (!converged) throw new IllegalStateException(
+      s"cluster propagation did not converge within $maxIters rounds; " +
+        "raise maxIters (needs >= component diameter)")
     val singletons = docs.select(col(idCol).as("doc_id"))
       .join(nodes, Seq("doc_id"), "left_anti")
       .withColumn("cluster", col("doc_id"))

@@ -141,8 +141,12 @@ object CdcFeed {
           THEN 'Unknown entry type: ' || UPPER(TRIM(entry_type))
         WHEN UPPER(TRIM(entry_type)) IN ('DL','DR') AND key_json IS NULL
           THEN 'DELETE record has no key'
+        WHEN UPPER(TRIM(entry_type)) IN ('DL','DR') AND NOT json_valid(key_json)
+          THEN 'DELETE record key is not valid JSON'
         WHEN UPPER(TRIM(entry_type)) NOT IN ('DL','DR') AND value_json IS NULL
           THEN 'Record has no value'
+        WHEN UPPER(TRIM(entry_type)) NOT IN ('DL','DR') AND NOT json_valid(value_json)
+          THEN 'Record value is not valid JSON'
       END AS corrupt_reason
     FROM feed"""
 }

@@ -141,6 +141,10 @@ case class TokenShingles(child: Expression, k: Int) extends UnaryExpression {
 /** `minhash_sig(text)` → array<string> MinHash signature (see TextNative). */
 case class MinHashSig(child: Expression, k: Int, numHashes: Int)
     extends UnaryExpression {
+  // 32 hex chars / 4 per slice: at most 8 hash components per digest.
+  require(k >= 1, s"minhash_sig: shingle size k must be >= 1, got $k")
+  require(numHashes >= 1 && numHashes <= 8,
+    s"minhash_sig: numHashes must be in [1, 8], got $numHashes")
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "minhash_sig"
   override def nullSafeEval(input: Any): Any =

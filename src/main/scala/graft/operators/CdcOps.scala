@@ -62,11 +62,21 @@ object CdcOps {
    * requires a non-null key; UPSERT/INSERT/UPDATE require a non-null
    * value.
    */
-  def shapeReason(op: Column, key: Column, value: Column): Column =
+  def shapeReason(op: Column, key: Column, value: Column): Column = {
+    // get_json_object(c, '$') is null iff c is not parseable JSON —
+    // converter failures route to the DLQ instead of crashing the
+    // apply with a null primary key (reference: corrupt-events path
+    // for deserialization errors).
+    def malformed(c: Column) = c.isNotNull && get_json_object(c, "$").isNull
     when(op === Cdc.Op.Delete && key.isNull,
       lit("DELETE record has no key"))
+      .when(op === Cdc.Op.Delete && malformed(key),
+        lit("DELETE record key is not valid JSON"))
       .when(op =!= Cdc.Op.Delete && op.isNotNull && value.isNull,
         lit("Record has no value"))
+      .when(op =!= Cdc.Op.Delete && op.isNotNull && malformed(value),
+        lit("Record value is not valid JSON"))
+  }
 
   // ----------------------------------------------------------------- P3
   /**

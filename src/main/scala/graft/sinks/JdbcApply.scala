@@ -91,7 +91,12 @@ object JdbcApply {
             keyField(keySchema, pk).getOrElse(lit(null)))))
     }
 
-    val lww = CdcOps.lastWriteWins(keyed, Cdc.Cols.TargetTable,
+    // Valid JSON that lacks the PK fields cannot be routed: skip, like
+    // the reference's "no PK fields => warn + skip" (JdbcWriter.java:208-221).
+    val routable = keyed.filter(
+      pks.map(p => col(s"__pk_$p").isNotNull).reduce(_ && _))
+
+    val lww = CdcOps.lastWriteWins(routable, Cdc.Cols.TargetTable,
       pks.map(p => s"__pk_$p"), "offset")
 
     val out = lww.select(
@@ -135,6 +140,55 @@ object JdbcApply {
             conn.prepareStatement(ins))
       }
       var nUp = 0
+      // UpdateInsert (generic dialect): buffer up to batchSize rows,
+      // batch all UPDATEs, read executeBatch's update counts, then
+      // batch-INSERT only the zero-count rows — ~2 round trips per
+      // batch instead of up to 2 per ROW (JdbcWriter.java:102-108).
+      val pending = scala.collection.mutable.ArrayBuffer
+        .empty[(IndexedSeq[Any], IndexedSeq[Any])] // (colVals, pkVals)
+      def flushUpdateInsert(bind: (java.sql.PreparedStatement, Seq[Any], Seq[Any]) => Unit,
+          hasUpdate: Boolean): Unit = {
+        if (pending.isEmpty) return
+        val needInsert =
+          if (!hasUpdate) pending.toIndexedSeq
+          else {
+            pending.foreach { case (colVals, pkVals) =>
+              val nonPkVals = valueCols.zip(colVals)
+                .filterNot { case (c, _) => pks.contains(c) }.map(_._2)
+              bind(upsertPs, nonPkVals, pkVals)
+              upsertPs.addBatch()
+            }
+            val counts = upsertPs.executeBatch()
+            // SUCCESS_NO_INFO (-2) drivers don't report row counts:
+            // re-check those rows individually so new keys are never
+            // silently dropped.
+            val noInfo = pending.indices
+              .filter(counts(_) == java.sql.Statement.SUCCESS_NO_INFO)
+            val recheck = noInfo.filter { i =>
+              val (colVals, pkVals) = pending(i)
+              val nonPkVals = valueCols.zip(colVals)
+                .filterNot { case (c, _) => pks.contains(c) }.map(_._2)
+              bind(upsertPs, nonPkVals, pkVals)
+              upsertPs.executeUpdate() == 0
+            }
+            (pending.indices.filter(counts(_) == 0) ++ recheck).map(pending(_))
+          }
+        needInsert.foreach { case (colVals, _) =>
+          colVals.zipWithIndex.foreach { case (cv, i) =>
+            insertPs.setObject(i + 1, cv)
+          }
+          if (hasUpdate) insertPs.addBatch()
+          else {
+            // All-PK tables have no UPDATE statement, so "insert if
+            // absent" must tolerate duplicate keys for the idempotent-
+            // replay contract (mirrors INSERT IGNORE / DO NOTHING).
+            try insertPs.executeUpdate()
+            catch { case _: java.sql.SQLIntegrityConstraintViolationException => }
+          }
+        }
+        if (hasUpdate && needInsert.nonEmpty) insertPs.executeBatch()
+        pending.clear()
+      }
       it.foreach { row =>
         val op = row.getString(0)
         val pkVals = pks.indices.map(i => row.get(1 + i))
@@ -150,27 +204,20 @@ object JdbcApply {
               bind(upsertPs, colVals)
               upsertPs.addBatch(); nUp += 1
               if (nUp % batchSize == 0) upsertPs.executeBatch()
-            case UpdateInsert(up, _, bind) =>
-              val nonPkVals = valueCols.zip(colVals)
-                .filterNot { case (c, _) => pks.contains(c) }.map(_._2)
-              val updated = if (up.isEmpty) 0 else {
-                bind(upsertPs, nonPkVals, pkVals)
-                upsertPs.executeUpdate()
-              }
-              if (updated == 0) {
-                colVals.zipWithIndex.foreach { case (cv, i) =>
-                  insertPs.setObject(i + 1, cv)
-                }
-                insertPs.executeUpdate()
-              }
+            case UpdateInsert(_, _, bind) =>
+              pending += ((colVals, pkVals))
+              if (pending.length >= batchSize)
+                flushUpdateInsert(bind, upsertPs != null)
           }
         }
       }
       if (nDel % batchSize != 0) delete.executeBatch()
-      if (upsertPs != null && (plan match {
-        case _: NativeUpsert => nUp % batchSize != 0
-        case _ => false
-      })) upsertPs.executeBatch()
+      plan match {
+        case _: NativeUpsert =>
+          if (nUp % batchSize != 0) upsertPs.executeBatch()
+        case UpdateInsert(_, _, bind) =>
+          flushUpdateInsert(bind, upsertPs != null)
+      }
       conn.commit()
     } catch {
       case e: Throwable => conn.rollback(); throw e
@@ -232,13 +279,22 @@ object JdbcApply {
     try f(conn) finally conn.close()
   }
 
+  /** Escape JDBC metadata search-pattern wildcards ('_' and '%') so
+    * table names like streaming_corrupt_events match literally. */
+  private def escapePattern(conn: Connection, name: String): String = {
+    val esc = conn.getMetaData.getSearchStringEscape
+    name.replace(esc, esc + esc).replace("_", esc + "_").replace("%", esc + "%")
+  }
+
   private def tableExists(conn: Connection, table: String): Boolean = {
-    val rs = conn.getMetaData.getTables(null, null, table, Array("TABLE"))
+    val rs = conn.getMetaData.getTables(
+      null, null, escapePattern(conn, table), Array("TABLE"))
     try rs.next() finally rs.close()
   }
 
   private def columnsOf(conn: Connection, table: String): Seq[String] = {
-    val rs = conn.getMetaData.getColumns(null, null, table, null)
+    val rs = conn.getMetaData.getColumns(
+      null, null, escapePattern(conn, table), null)
     val b = Seq.newBuilder[String]
     try { while (rs.next()) b += rs.getString("COLUMN_NAME") } finally rs.close()
     b.result()

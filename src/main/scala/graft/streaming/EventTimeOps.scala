@@ -67,7 +67,10 @@ object EventTimeOps {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastTs <= gapMs =>
-                  cur = Some(s.copy(lastTs = math.max(s.lastTs, t),
+                  // Late-but-within-watermark events can predate the
+                  // current session start — extend both bounds.
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    lastTs = math.max(s.lastTs, t),
                     n = s.n + 1, total = s.total + e.value))
                 case Some(s) =>
                   closed ::= SessionOut(user, s.start, s.lastTs, s.n, s.total)

@@ -60,7 +60,7 @@ object TextQueries {
       docs.select(
         col("doc_id"),
         TextAnalysis.charFingerprint(col("text")).as("fp"),
-        TextAnalysis.charPolyHash(element_at(toks, 1)).as("first_tok_hash"))
+        TextAnalysis.charPolyHash(try_element_at(toks, lit(1))).as("first_tok_hash"))
         .orderBy("doc_id")
     }))
 
