@@ -15,7 +15,6 @@ object AnnQueries {
   val Dims = 64
   val NumQueryVecs = 8
   val TopK = 5
-  val NearDupPlanes = 6
   val NearDupThreshold = 0.2
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -36,11 +35,19 @@ object AnnQueries {
         Similarity.lshBucket(col("embedding"), 8, Dims).as("bucket"))
         .orderBy("vec_id")),
 
-    // Embedding-cosine near-dup pairs, LSH-bucket blocked.
-    "q_dedup_embed_cos" -> ((s, dir) =>
-      Similarity.lshNearDupPairs(Tables(s, dir, "embeddings"),
-        "vec_id", "embedding", NearDupPlanes, Dims, NearDupThreshold)
-        .orderBy("id_a", "id_b")))
+    // Embedding-cosine near-dup pairs, LSH-bucket blocked. The plane
+    // count ADAPTS to the corpus (one cheap count() job): expected
+    // bucket size stays ≤ Similarity.TargetBucketSize, so the in-bucket
+    // quadratic step is O(n · bucket) — linear — at any scale factor,
+    // instead of O(n²/2^const). The oracle derives the identical plane
+    // count from COUNT(*) with the same integer arithmetic ([[npSql]]).
+    "q_dedup_embed_cos" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val np = Similarity.adaptivePlanes(emb.count())
+      Similarity.lshNearDupPairs(emb,
+        "vec_id", "embedding", np, Dims, NearDupThreshold)
+        .orderBy("id_a", "id_b")
+    }))
 
   // ------------------------------------------------------------------
   // DuckDB mirrors (explicit left folds, same LCG hyperplanes)
@@ -70,6 +77,23 @@ object AnnQueries {
       s"(CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** DuckDB mirror of [[Similarity.adaptivePlanes]] over a column
+    * `cnt` (exact integer thresholds — first matching WHEN ≡ Scala's
+    * `find`, so both engines derive the same plane count). */
+  private def npSql: String =
+    "(CASE " + (Similarity.MinPlanes until Similarity.MaxPlanes)
+      .map(p => s"WHEN cnt <= ${(1L << p) * Similarity.TargetBucketSize} THEN $p")
+      .mkString(" ") + s" ELSE ${Similarity.MaxPlanes} END)"
+
+  /** Bucket id under the adaptive plane count: unrolled to MaxPlanes
+    * terms, each guarded by `p < np` so planes beyond the derived count
+    * contribute 0 — static SQL, dynamic plane count. */
+  private def bucketAdaptiveSql(v: String): String =
+    (0 until Similarity.MaxPlanes).map { p =>
+      val proj = foldSum(Dims, i => s"CAST(($v)[$i] AS DOUBLE) * ${weightSql(p, i)}")
+      s"(CASE WHEN $p < $npSql AND $proj >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   def oracleSql: Map[String, String] = Map(
 
     "q_ann_bruteforce" -> s"""
@@ -93,10 +117,11 @@ object AnnQueries {
       FROM embeddings ORDER BY vec_id""",
 
     "q_dedup_embed_cos" -> s"""
-      WITH b AS (
+      WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+      b AS (
         SELECT vec_id AS id, embedding AS v,
-               ${bucketSql("embedding", NearDupPlanes)} AS bucket
-        FROM embeddings),
+               ${bucketAdaptiveSql("embedding")} AS bucket
+        FROM embeddings, n),
       pairs AS (
         SELECT x.id AS id_a, y.id AS id_b, x.bucket,
                ${cosineSql("x.v", "y.v")} AS cos

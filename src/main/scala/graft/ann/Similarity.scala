@@ -91,6 +91,30 @@ object Similarity {
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Defaults for [[adaptivePlanes]]: expected bucket size ≈
+    * n / 2^planes ≤ [[TargetBucketSize]] (for balanced buckets), so the
+    * in-bucket pairwise join is O(n · targetBucket) — linear in the
+    * corpus — instead of O(n²/2^constant). The bound holds up to
+    * n = target·2^maxPlanes (~1M at the defaults); past that the count
+    * clamps, because single-band recall ≈ (1−θ/π)^planes decays with
+    * every added plane — beyond the clamp the right tool is the
+    * multi-band variant (several independent plane sets OR-ed
+    * together, the MinHash-banding trade), not more planes. */
+  val TargetBucketSize = 16L
+  val MinPlanes = 4
+  val MaxPlanes = 16
+
+  /**
+   * Corpus-size-derived hyperplane count: the smallest p in
+   * [minPlanes, maxPlanes] with targetBucket · 2^p ≥ n (exact integer
+   * arithmetic — no float log2, so any engine derives the identical p
+   * from the same count; DuckDB mirror in [[AnnQueries.npSql]]).
+   */
+  def adaptivePlanes(n: Long, targetBucket: Long = TargetBucketSize,
+      minPlanes: Int = MinPlanes, maxPlanes: Int = MaxPlanes): Int =
+    (minPlanes to maxPlanes)
+      .find(p => (1L << p) * targetBucket >= n).getOrElse(maxPlanes)
+
   /**
    * Bucketed near-duplicate pairs: vectors sharing an LSH bucket,
    * cosine ≥ threshold. The quadratic step is bounded per bucket.

@@ -171,10 +171,14 @@ object Dedup {
       .select(block ++ Seq(col("x.doc_id").as("doc_a"),
         col("y.doc_id").as("doc_b")): _*)
       .distinct()
-    val sh = d.select(col("doc_id"), col("sh"))
+    // Join-back keyed on (blockCols, doc): idCol only needs to be
+    // unique WITHIN a block — a doc id reused across blocks (or a doc
+    // listed under several blocks) resolves to its own block's shingle
+    // set instead of fanning out.
+    val sh = d.select(block :+ col("doc_id") :+ col("sh"): _*)
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(sh.toDF(blockCols :+ "doc_a" :+ "sh_a": _*), blockCols :+ "doc_a")
+      .join(sh.toDF(blockCols :+ "doc_b" :+ "sh_b": _*), blockCols :+ "doc_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(block ++ Seq(col("doc_a"), col("doc_b"), col("jaccard")): _*)

@@ -49,23 +49,17 @@ object DedupQueries {
     "q_dedup_lsh_pairs" -> ((s, dir) =>
       cachedPairs(s, dir).orderBy("doc_a", "doc_b")),
 
-    // Metadata-blocked pairwise n-gram Jaccard: the non-LSH blocking
-    // strategy (block on cheap equality keys, exact bigram Jaccard
-    // within blocks). Complements q_dedup_lsh_pairs — blocking by
-    // (lang, source) bounds the quadratic step by block size.
-    "q_dedup_ngram_jaccard" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("source"),
-          Dedup.shingles(col("text"), 2).as("sh"))
-      docs.as("x").join(docs.as("y"), Seq("lang", "source"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
-        .withColumn("jaccard", Dedup.jaccard(col("x.sh"), col("y.sh")))
-        .filter(col("jaccard") >= 0.3)
-        .select(col("lang"), col("source"),
-          col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("jaccard"))
-        .orderBy("doc_a", "doc_b")
-    }),
+    // Metadata-blocked exact bigram Jaccard: the non-LSH blocking
+    // strategy (block on cheap equality keys, exact Jaccard within
+    // blocks) — via the prefix-filtering join (Dedup.blockedJaccardPairs),
+    // whose candidate buckets are rarest-token groups rather than whole
+    // blocks, so it survives blocks that grow linearly with the corpus.
+    // The filter is exact, so the quadratic in-block pairwise join
+    // remains the oracle spec (and the ScalaTest equivalence case).
+    "q_dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.blockedJaccardPairs(Tables(s, dir, "documents"),
+        Seq("lang", "source"), "doc_id", "text", 2, 0.3)
+        .orderBy("doc_a", "doc_b")),
 
     // Connected-component cluster resolution over the LSH near-dup
     // pairs: every doc labeled with its component's min id.

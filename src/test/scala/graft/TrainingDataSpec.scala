@@ -82,6 +82,56 @@ class TrainingDataSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((4L, 5L)))
   }
 
+  test("adaptive LSH plane count keeps expected bucket size bounded") {
+    import Similarity._
+    assert(adaptivePlanes(1) == MinPlanes)
+    assert(adaptivePlanes(TargetBucketSize << 4) == 4)     // exact fit
+    assert(adaptivePlanes((TargetBucketSize << 4) + 1) == 5)
+    assert(adaptivePlanes(500) == 5)
+    assert(adaptivePlanes(5000) == 9)
+    assert(adaptivePlanes(Long.MaxValue / 4) == MaxPlanes) // clamped
+    // bucket-size bound n ≤ target·2^p holds up to the clamp point
+    for (n <- Seq(100L, 1000L, 100000L, TargetBucketSize << MaxPlanes)) {
+      val p = adaptivePlanes(n)
+      assert(n <= (1L << p) * TargetBucketSize, s"n=$n p=$p")
+    }
+  }
+
+  test("blocked prefix-filter Jaccard ≡ naive in-block pairwise join") {
+    // Blocks of varying size; doc ids REUSED across blocks (unique only
+    // within a block); a <2-token doc; pairs straddling the threshold.
+    val mk = (n: Int, seed: String) => (1 to n).map(i => s"$seed$i").mkString(" ")
+    val docs = Seq(
+      ("en", "web", 1L, mk(20, "w")),
+      ("en", "web", 2L, mk(20, "w") + " tail"),        // ~0.9 vs doc 1
+      ("en", "web", 3L, mk(10, "w") + " " + mk(10, "q")), // mid-sim vs 1
+      ("en", "web", 4L, mk(20, "z")),                  // unrelated
+      ("en", "web", 5L, "solo"),                       // empty shingles
+      ("de", "web", 1L, mk(15, "d")),                  // id 1 reused
+      ("de", "web", 2L, mk(15, "d") + " mehr"),
+      ("en", "book", 9L, mk(12, "b")),                 // singleton block
+    ).toDF("lang", "source", "doc_id", "text")
+    val naive = {
+      val d = docs.select(col("doc_id"), col("lang"), col("source"),
+        Dedup.shingles(col("text"), 2).as("sh"))
+      d.as("x").join(d.as("y"), Seq("lang", "source"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .withColumn("jaccard", Dedup.jaccard(col("x.sh"), col("y.sh")))
+        .filter(col("jaccard") >= 0.3)
+        .select(col("lang"), col("source"),
+          col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("jaccard"))
+    }
+    val blocked = Dedup.blockedJaccardPairs(
+      docs, Seq("lang", "source"), "doc_id", "text", 2, 0.3)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val (n, b) = (naive.collect().map(key).sortBy(_.toString).toSeq,
+      blocked.collect().map(key).sortBy(_.toString).toSeq)
+    assert(n.nonEmpty, "fixture must produce pairs")
+    assert(b == n)
+  }
+
   test("cluster resolution: chains collapse to the min id, singletons keep their own") {
     import graft.dedup.Clusters
     val docs = (1L to 8L).toDF("doc_id")
