@@ -178,6 +178,17 @@ object SparkEntry {
         Timestamps.iidrTimestampToIso(col("ats"), "+08:00").as("iso"))
         .orderBy("offs")),
 
+    // T1 named-zone path: offset resolved from the zone DATABASE per
+    // instant (Asia/Taipei here — a no-DST zone, because DuckDB's ICU
+    // resolves DST-overlap wall times to the post-transition offset
+    // while java.time keeps the pre-transition one; DST correctness is
+    // pinned against java.time in OperatorsSpec instead).
+    "q_cdc_ts_iso_zone" -> ((s, dir) =>
+      CdcFeed.base(s, dir).select(
+        col("offs"), col("ats"),
+        Timestamps.iidrTimestampToIsoZoned(col("ats"), "Asia/Taipei").as("iso"))
+        .orderBy("offs")),
+
     // T2: multi-pattern temporal coercion.
     "q_cdc_temporal_coerce" -> ((s, dir) => {
       val ev = Tables(s, dir, "events")
@@ -355,6 +366,23 @@ object SparkEntry {
         SUBSTR(ats, 1, 10) || 'T' || SUBSTR(ats, 12, 8) || '.' ||
           SUBSTR(ats, 21, 6) || '+08:00' AS iso
       FROM feed ORDER BY offs""",
+
+    "q_cdc_ts_iso_zone" -> s"""
+      WITH feed AS (${CdcFeed.feedSql}),
+      o AS (
+        SELECT offs, ats,
+          CAST(epoch(CAST(substr(ats, 1, 19) AS TIMESTAMP))
+             - epoch(timezone('Asia/Taipei',
+                              CAST(substr(ats, 1, 19) AS TIMESTAMP)))
+             AS BIGINT) AS offsec
+        FROM feed)
+      SELECT offs, ats,
+        substr(ats, 1, 10) || 'T' || substr(ats, 12, 8) || '.' ||
+        substr(ats, 21, 6) ||
+        (CASE WHEN offsec < 0 THEN '-' ELSE '+' END) ||
+        lpad(CAST(abs(offsec) // 3600 AS VARCHAR), 2, '0') || ':' ||
+        lpad(CAST((abs(offsec) // 60) % 60 AS VARCHAR), 2, '0') AS iso
+      FROM o ORDER BY offs""",
 
     "q_cdc_temporal_coerce" -> """
       WITH r AS (

@@ -37,6 +37,56 @@ object Timestamps {
       concat(date_format(parsed, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), lit(zoneOffset)))
   }
 
+  /**
+   * A_TIMSTAMP → ISO-8601 under a NAMED zone (TimestampConverter
+   * .java:32-62,70-89): the wall time is interpreted in `timezone` and
+   * emitted with that zone's offset AT THAT INSTANT, so DST zones get
+   * the per-date offset the reference's `LocalDateTime.atZone` yields.
+   * Zone resolution mirrors the reference's `parseTimezone`: blank →
+   * UTC, `±HH:MM` → fixed offset, unknown name → UTC (resolved on the
+   * driver, so a bad zone can never fail at runtime).
+   *
+   * Documented divergences (SURVEY.md §7.4): the fraction is always 6
+   * digits and the offset always `±HH:MM` (never `Z` / bare seconds);
+   * for a wall time inside a DST overlap java.time keeps the
+   * pre-transition offset, and inside a DST gap the emitted wall time
+   * stays as written (same instant as the reference, which shifts the
+   * wall forward instead). Assumes the session time zone is UTC (as
+   * every entry point here sets).
+   */
+  def iidrTimestampToIsoZoned(raw: Column, timezone: String): Column = {
+    val zone = resolveZone(timezone)
+    val s = trim(raw)
+    val datePart = substring(s, 1, 19)
+    val frac6 = rpad(
+      when(length(s) >= 21, substring(s, 21, 6)).otherwise(lit("")), 6, "0")
+    val parsed = try_to_timestamp(
+      concat(datePart, lit("."), frac6),
+      lit("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    // With a UTC session, `parsed` holds the wall clock as a UTC
+    // instant; to_utc_timestamp re-reads that wall clock in `zone`, so
+    // the difference is exactly the zone's UTC offset at that instant
+    // (whole minutes — the fractional part cancels before the floor).
+    val offSec = unix_timestamp(parsed) -
+      unix_timestamp(to_utc_timestamp(parsed, zone))
+    val mins = floor(abs(offSec) / 60).cast("long")
+    val off = concat(
+      when(offSec < 0, lit("-")).otherwise(lit("+")),
+      lpad(floor(mins / 60).cast("long").cast("string"), 2, "0"), lit(":"),
+      lpad((mins % 60).cast("string"), 2, "0"))
+    when(parsed.isNotNull,
+      concat(date_format(parsed, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), off))
+  }
+
+  /** `parseTimezone` mirror (TimestampConverter.java:37-62): blank or
+    * unresolvable zones fall back to UTC instead of failing the job. */
+  private[graft] def resolveZone(tz0: String): String = {
+    val tz = Option(tz0).map(_.trim).getOrElse("")
+    if (tz.isEmpty) "UTC"
+    else try { java.time.ZoneId.of(tz); tz }
+    catch { case _: java.time.DateTimeException => "UTC" }
+  }
+
   /** Patterns tried in order by the reference SMT (IidrToJdbcSinkTransform.java:68-75). */
   private val timestampPatterns = Seq(
     "yyyy-MM-dd HH:mm:ss.SSS",

@@ -73,4 +73,39 @@ class OperatorsSpec extends SparkSpec {
       .select(Timestamps.iidrTimestampToIso(col("s"), "+08:00").as("iso"))
     assert(df.head().getString(0) == "2026-01-15T10:00:00.123456+08:00")
   }
+
+  test("named-zone ISO conversion is DST-correct per instant (java.time truth)") {
+    val inputs = Seq(
+      "2025-06-15 12:30:45.123456789012", // NY summer (EDT, -04:00)
+      "2025-01-15 12:30:45.000000000000", // NY winter (EST, -05:00)
+      "2025-03-09 01:59:59.999999999999", // last instant before spring-forward
+      "2025-11-02 01:30:00.000000000000") // fall-back overlap (earlier offset)
+    def expected(s: String, zn: String): String = {
+      import java.time._
+      val wall = LocalDateTime.parse(s.substring(0, 26),
+        format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      // java.time resolution, exactly the reference's atZone call
+      val off = wall.atZone(ZoneId.of(zn)).getOffset
+      val tot = off.getTotalSeconds
+      f"${s.substring(0, 10)}T${s.substring(11, 26)}" +
+        f"${if (tot < 0) "-" else "+"}${math.abs(tot) / 3600}%02d:${math.abs(tot) / 60 % 60}%02d"
+    }
+    for (zone <- Seq("America/New_York", "Asia/Taipei", "UTC")) {
+      val got = inputs.toDF("s")
+        .select(Timestamps.iidrTimestampToIsoZoned(col("s"), zone).as("iso"))
+        .collect().map(_.getString(0))
+      assert(got.toSeq == inputs.map(expected(_, zone)), s"zone=$zone")
+    }
+  }
+
+  test("zone resolution mirrors the reference: blank/unknown → UTC, offsets accepted") {
+    assert(Timestamps.resolveZone("") == "UTC")
+    assert(Timestamps.resolveZone(null) == "UTC")
+    assert(Timestamps.resolveZone(" Asia/Taipei ") == "Asia/Taipei")
+    assert(Timestamps.resolveZone("Not/AZone") == "UTC")
+    assert(Timestamps.resolveZone("+08:00") == "+08:00")
+    val df = Seq("2025-06-15 12:30:45.000000000000").toDF("s")
+      .select(Timestamps.iidrTimestampToIsoZoned(col("s"), "Not/AZone").as("iso"))
+    assert(df.head().getString(0) == "2025-06-15T12:30:45.000000+00:00")
+  }
 }
