@@ -208,6 +208,36 @@ object SparkEntry {
         .orderBy("offs")
     }),
 
+    // field.type.overrides (T2 config path): STRING fields forced to
+    // timestamp/date/time via the reference's pattern lists; a
+    // non-blank unparseable value produces the corrupt-channel reason
+    // instead of a silent null.
+    "q_cdc_type_overrides" -> ((s, dir) => {
+      import graft.operators.TypeOverrides
+      val f = CdcFeed.base(s, dir)
+      val d19 = substring(col("ats"), 1, 19)
+      val ms = lpad((col("offs") % 1000).cast("string"), 3, "0")
+      val createdRaw = when(col("offs") % 37 === 0, lit("not a timestamp"))
+        .when(col("offs") % 4 === 0, concat(d19, lit("."), ms))
+        .when(col("offs") % 4 === 1, regexp_replace(d19, " ", "T"))
+        .when(col("offs") % 4 === 2, d19)
+        .otherwise(concat(regexp_replace(d19, " ", "T"), lit("."), ms))
+      val dateRaw = when(col("offs") % 41 === 0, lit("2026-13-99"))
+        .otherwise(substring(col("ats"), 1, 10))
+      val timeRaw = when(col("offs") % 43 === 0, lit("25:99:00"))
+        .otherwise(substring(col("ats"), 12, 8))
+      f.select(
+        col("offs"),
+        TypeOverrides.coerce(createdRaw, "timestamp").as("created_at"),
+        TypeOverrides.coerce(dateRaw, "date").as("order_date"),
+        TypeOverrides.coerce(timeRaw, "time").as("event_time"),
+        coalesce(
+          TypeOverrides.failureReason(createdRaw, "timestamp"),
+          TypeOverrides.failureReason(dateRaw, "date"),
+          TypeOverrides.failureReason(timeRaw, "time")).as("reason"))
+        .orderBy("offs")
+    }),
+
     // C1/C2/C3: JSON → typed struct materialization. Parsing goes
     // through DECIMAL(12,2) (the operator's contract), but the emitted
     // column is the decimal cast to DOUBLE: the decimal value is exact
@@ -403,6 +433,40 @@ object SparkEntry {
         CAST(dstr AS DATE) AS d,
         tstr AS t
       FROM r ORDER BY offs""",
+
+    "q_cdc_type_overrides" -> s"""
+      WITH feed AS (${CdcFeed.feedSql}),
+      r AS (
+        SELECT offs,
+          CASE WHEN offs % 37 = 0 THEN 'not a timestamp'
+               WHEN offs % 4 = 0 THEN substr(ats, 1, 19) || '.' ||
+                    lpad(CAST(offs % 1000 AS VARCHAR), 3, '0')
+               WHEN offs % 4 = 1 THEN replace(substr(ats, 1, 19), ' ', 'T')
+               WHEN offs % 4 = 2 THEN substr(ats, 1, 19)
+               ELSE replace(substr(ats, 1, 19), ' ', 'T') || '.' ||
+                    lpad(CAST(offs % 1000 AS VARCHAR), 3, '0') END AS created_raw,
+          CASE WHEN offs % 41 = 0 THEN '2026-13-99'
+               ELSE substr(ats, 1, 10) END AS date_raw,
+          CASE WHEN offs % 43 = 0 THEN '25:99:00'
+               ELSE substr(ats, 12, 8) END AS time_raw
+        FROM feed),
+      c AS (
+        SELECT offs, created_raw, date_raw, time_raw,
+          TRY_CAST(replace(created_raw, 'T', ' ') AS TIMESTAMP) AS created_at,
+          TRY_CAST(date_raw AS DATE) AS order_date,
+          TRY_CAST('1970-01-01 ' || time_raw AS TIMESTAMP) AS t0
+        FROM r)
+      SELECT offs, created_at, order_date,
+        CASE WHEN t0 IS NULL THEN NULL
+             ELSE strftime(t0, '%H:%M:%S') || '.000' END AS event_time,
+        COALESCE(
+          CASE WHEN created_at IS NULL
+               THEN 'Cannot parse ''' || created_raw || ''' as timestamp' END,
+          CASE WHEN order_date IS NULL
+               THEN 'Cannot parse ''' || date_raw || ''' as date' END,
+          CASE WHEN t0 IS NULL
+               THEN 'Cannot parse ''' || time_raw || ''' as time' END) AS reason
+      FROM c ORDER BY offs""",
 
     "q_cdc_schema_infer" -> s"""
       WITH feed AS (${CdcFeed.feedSql})

@@ -47,11 +47,29 @@ object JdbcApply {
       autoEvolve: Boolean = true,
       /** none = throw after writing DLQ; log/all = continue (IidrCdcSinkConfig.java:41-44). */
       errorsTolerance: String = "none",
-      corruptTable: String = "streaming_corrupt_events")
+      corruptTable: String = "streaming_corrupt_events",
+      /** field → timestamp|date|time forcing for STRING payload fields
+        * (IidrToJdbcSinkTransform.java:61-62; parse a config string
+        * with [[graft.operators.TypeOverrides.parseConfig]]). */
+      fieldTypeOverrides: Map[String, String] = Map.empty)
 
   /** Apply one normalized micro-batch (CdcNormalize output shape). */
   def applyBatch(normalized: DataFrame, cfg: Config): Unit = {
-    val batch = normalized.persist()
+    // field.type.overrides failures are DATA errors: mark them as
+    // corrupt BEFORE the split, so they ride the same DLQ + tolerance
+    // path as malformed envelopes (the reference throws DataException
+    // from the SMT for exactly these, IidrToJdbcSinkTransform.java:292).
+    val marked =
+      if (cfg.fieldTypeOverrides.isEmpty) normalized
+      else {
+        val reasons = cfg.fieldTypeOverrides.toSeq.sortBy(_._1).map {
+          case (f, t) => graft.operators.TypeOverrides.failureReason(
+            get_json_object(col(Cdc.Cols.ValueJson), s"$$.$f"), t)
+        }
+        normalized.withColumn(Cdc.Cols.CorruptReason,
+          coalesce(col(Cdc.Cols.CorruptReason) +: reasons: _*))
+      }
+    val batch = marked.persist()
     try {
       val corrupt = CdcOps.toCorruptEvents(batch,
         col("topic"), col("partition"), col("offset"),
@@ -70,16 +88,30 @@ object JdbcApply {
 
   private def applyTable(batch: DataFrame, table: String, cfg: Config): Unit = {
     val schema = cfg.tableSchemas(table)
+    // Overrides hit STRING-declared fields only (the reference coerces
+    // only string values, IidrToJdbcSinkTransform.java:246-252); the
+    // EFFECTIVE schema — with overridden fields re-typed — drives DDL
+    // and binding, so an order_date:date override creates a DATE column.
+    val overrides = cfg.fieldTypeOverrides.filter { case (f, _) =>
+      schema.fields.exists(sf => sf.name == f && sf.dataType == StringType) }
+    val effSchema = StructType(schema.fields.map(f =>
+      overrides.get(f.name)
+        .map(t => f.copy(dataType = graft.operators.TypeOverrides.sparkType(t)))
+        .getOrElse(f)))
     val keySchema = cfg.keySchemas.getOrElse(table,
       StructType(Seq.empty[StructField]))
     val pks = cfg.primaryKeys.getOrElse(table, Seq.empty)
     require(pks.nonEmpty, s"no primary key configured for $table")
 
-    val rows = batch
+    val parsed = batch
       .filter(col(Cdc.Cols.TargetTable) === table &&
         col(Cdc.Cols.CorruptReason).isNull)
       .withColumn("__v", from_json(col(Cdc.Cols.ValueJson), schema))
       .withColumn("__k", from_json(col(Cdc.Cols.KeyJson), keySchema))
+    val rows = overrides.foldLeft(parsed) { case (df, (f, t)) =>
+      df.withColumn("__v", col("__v").withField(f,
+        graft.operators.TypeOverrides.coerce(col("__v").getField(f), t)))
+    }
 
     // PK columns: key struct for deletes, value struct otherwise
     // (IidrCdcSinkTask.java:186-195 / JdbcWriter.java:208-221).
@@ -107,11 +139,11 @@ object JdbcApply {
     // DDL on the driver, before executors touch the table.
     withConnection(cfg.url) { conn =>
       val dialect = Dialects.forConnection(conn)
-      ensureTable(conn, dialect, table, schema, pks, cfg)
+      ensureTable(conn, dialect, table, effSchema, pks, cfg)
     }
 
     val (url, batchSize) = (cfg.url, cfg.batchSize)
-    val valueCols = schema.fieldNames.toSeq
+    val valueCols = effSchema.fieldNames.toSeq
     out.repartition(pks.map(p => col(s"__pk_$p")): _*)
       .foreachPartition { (it: Iterator[Row]) =>
         if (it.hasNext) writePartition(it, url, table, valueCols, pks, batchSize)

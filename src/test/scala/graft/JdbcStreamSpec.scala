@@ -200,6 +200,46 @@ class JdbcStreamSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("field.type.overrides: date column materializes; unparseable routes to DLQ") {
+    val db = "overridedb"
+    val ev = Seq(
+      wireRow(0, "PT", """{"ID":1}""",
+        """{"ID":1,"ORDER_NAME":"A","AMOUNT":1.0,"STATUS":"NEW","ORDER_DATE":"2026-01-15"}"""),
+      wireRow(1, "PT", """{"ID":2}""",
+        """{"ID":2,"ORDER_NAME":"B","AMOUNT":2.0,"STATUS":"NEW","ORDER_DATE":"junk"}"""))
+    val schema = StructType.fromDDL(
+      "ID BIGINT, ORDER_NAME STRING, AMOUNT DOUBLE, STATUS STRING, ORDER_DATE STRING")
+    val cfg = sinkCfg(db).copy(
+      tableSchemas = Map("TEST_ORDERS" -> schema),
+      fieldTypeOverrides = graft.operators.TypeOverrides.parseConfig("ORDER_DATE:date"))
+    val wire = spark.createDataFrame(
+      spark.sparkContext.parallelize(ev), Cdc.kafkaWireSchema)
+    JdbcApply.applyBatch(CdcNormalize(wire, CdcConfig()), cfg)
+    val conn = DriverManager.getConnection(s"jdbc:derby:memory:$db")
+    try {
+      val rs = conn.createStatement().executeQuery(
+        """SELECT "ID", "ORDER_DATE" FROM "TEST_ORDERS" ORDER BY "ID"""")
+      rs.next()
+      assert(rs.getLong(1) == 1L)
+      assert(rs.getDate(2).toString == "2026-01-15") // a real DATE column
+      assert(!rs.next()) // the unparseable row was never applied
+      val rs2 = conn.createStatement().executeQuery(
+        """SELECT "error_reason" FROM "STREAMING_CORRUPT_EVENTS"""")
+      rs2.next(); assert(rs2.getString(1).contains("Cannot parse 'junk' as date"))
+      assert(!rs2.next())
+    } finally conn.close()
+  }
+
+  test("field.type.overrides config validation mirrors the reference") {
+    import graft.operators.TypeOverrides
+    assert(TypeOverrides.parseConfig("") == Map.empty)
+    assert(TypeOverrides.parseConfig(null) == Map.empty)
+    assert(TypeOverrides.parseConfig(" created_at:timestamp , d:DATE ") ==
+      Map("created_at" -> "timestamp", "d" -> "date"))
+    intercept[IllegalArgumentException](TypeOverrides.parseConfig("noseparator"))
+    intercept[IllegalArgumentException](TypeOverrides.parseConfig("f:int"))
+  }
+
   test("file sink archives normalized events partitioned by target table (W16)") {
     implicit val enc: ExpressionEncoder[Row] =
       ExpressionEncoder(Cdc.kafkaWireSchema)
