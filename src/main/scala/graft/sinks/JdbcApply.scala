@@ -35,6 +35,17 @@ import graft.operators.CdcOps
  */
 object JdbcApply {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Cap on per-record corrupt WARN lines per batch (tolerance=log): a
+    * poison batch must not flood the driver with log I/O. */
+  val MaxLoggedCorrupt = 100
+
+  /** What a batch apply skipped: corrupt rows written to the DLQ, and
+    * how many of them were WARN-logged (>0 only under tolerance=log —
+    * the observable difference from `all`, IidrCdcSinkTask.java:236-264). */
+  final case class ApplyStats(corruptSkipped: Long, warningsLogged: Long)
+
   final case class Config(
       url: String,
       /** Value schema per target table (drives typed parse + DDL). */
@@ -53,8 +64,13 @@ object JdbcApply {
         * with [[graft.operators.TypeOverrides.parseConfig]]). */
       fieldTypeOverrides: Map[String, String] = Map.empty)
 
-  /** Apply one normalized micro-batch (CdcNormalize output shape). */
-  def applyBatch(normalized: DataFrame, cfg: Config): Unit = {
+  /** Apply one normalized micro-batch (CdcNormalize output shape).
+    * Returns the batch's skip statistics (corrupt rows never silently
+    * vanish: they are DLQ'd, counted, and — under tolerance=log —
+    * WARN-logged like the reference task). */
+  def applyBatch(normalized: DataFrame, cfg: Config): ApplyStats = {
+    require(Set("none", "log", "all").contains(cfg.errorsTolerance),
+      s"errors.tolerance must be none|log|all, got '${cfg.errorsTolerance}'")
     // field.type.overrides failures are DATA errors: mark them as
     // corrupt BEFORE the split, so they ride the same DLQ + tolerance
     // path as malformed envelopes (the reference throws DataException
@@ -78,11 +94,32 @@ object JdbcApply {
           col(Cdc.Cols.SourceTs))),
         col(Cdc.Cols.CorruptReason), col(Cdc.Cols.TableName), col(Cdc.Cols.EntryType))
       val nCorrupt = writeCorrupt(corrupt, cfg)
-      if (nCorrupt > 0 && cfg.errorsTolerance == "none")
-        throw new IllegalStateException(
-          s"$nCorrupt corrupt record(s) in batch and errors.tolerance=none")
+      val warned: Long =
+        if (nCorrupt == 0) 0L
+        else cfg.errorsTolerance match {
+          case "none" =>
+            throw new IllegalStateException(
+              s"$nCorrupt corrupt record(s) in batch and errors.tolerance=none")
+          case "log" =>
+            // Per-record WARN + skip (IidrCdcSinkTask.java:254-259),
+            // capped at MaxLoggedCorrupt with a rollup line so the
+            // count is always visible.
+            val sample = corrupt
+              .select(col("error_reason"), col("topic"),
+                col("kafka_partition"), col("kafka_offset"))
+              .limit(MaxLoggedCorrupt).collect()
+            sample.foreach(r => log.warn(
+              s"Corrupt record skipped: ${r.get(0)} (topic=${r.get(1)}, " +
+                s"partition=${r.get(2)}, offset=${r.get(3)})"))
+            if (nCorrupt > sample.length)
+              log.warn(s"... and ${nCorrupt - sample.length} more corrupt " +
+                "record(s) skipped (see DLQ table)")
+            sample.length.toLong
+          case _ => 0L // "all": silently skip
+        }
 
       cfg.tableSchemas.keys.toSeq.sorted.foreach(t => applyTable(batch, t, cfg))
+      ApplyStats(nCorrupt, warned)
     } finally batch.unpersist()
   }
 
@@ -215,7 +252,7 @@ object JdbcApply {
             // absent" must tolerate duplicate keys for the idempotent-
             // replay contract (mirrors INSERT IGNORE / DO NOTHING).
             try insertPs.executeUpdate()
-            catch { case _: java.sql.SQLIntegrityConstraintViolationException => }
+            catch { case e: java.sql.SQLException if isDuplicateKey(e) => }
           }
         }
         if (hasUpdate && needInsert.nonEmpty) insertPs.executeBatch()
@@ -306,6 +343,14 @@ object JdbcApply {
   }
 
   // ------------------------------------------------------------- helpers
+  /** Duplicate-key detection that survives non-JDBC4 drivers: either
+    * the typed subclass OR SQLState class 23 (integrity violation —
+    * e.g. 23505 unique violation), since several drivers raise plain
+    * SQLException with only the state set. Anything else rethrows. */
+  private[graft] def isDuplicateKey(e: java.sql.SQLException): Boolean =
+    e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
+      Option(e.getSQLState).exists(_.startsWith("23"))
+
   private def withConnection[A](url: String)(f: Connection => A): A = {
     val conn = DriverManager.getConnection(url)
     try f(conn) finally conn.close()

@@ -48,7 +48,7 @@ object CdcStream {
     normalized.writeStream
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        JdbcApply.applyBatch(batch, sinkCfg)
+        JdbcApply.applyBatch(batch, sinkCfg); ()
       }
   }
 

@@ -116,6 +116,33 @@ class JdbcStreamSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("errors.tolerance: log warns and continues, all skips silently, same DB state") {
+    val wire = spark.createDataFrame(
+      spark.sparkContext.parallelize(fixture), Cdc.kafkaWireSchema)
+    val statsLog = JdbcApply.applyBatch(
+      CdcNormalize(wire, CdcConfig()), sinkCfg("tollogdb")) // log (sinkCfg default)
+    assert(statsLog == JdbcApply.ApplyStats(corruptSkipped = 1, warningsLogged = 1))
+    val statsAll = JdbcApply.applyBatch(
+      CdcNormalize(wire, CdcConfig()), sinkCfg("tolalldb").copy(errorsTolerance = "all"))
+    assert(statsAll == JdbcApply.ApplyStats(corruptSkipped = 1, warningsLogged = 0))
+    // both tolerant modes reach the identical terminal state
+    assertTerminal(s"jdbc:derby:memory:tollogdb")
+    assertTerminal(s"jdbc:derby:memory:tolalldb")
+    intercept[IllegalArgumentException] {
+      JdbcApply.applyBatch(CdcNormalize(wire, CdcConfig()),
+        sinkCfg("tolbaddb").copy(errorsTolerance = "warn"))
+    }
+  }
+
+  test("duplicate-key detection accepts SQLState 23xxx from non-JDBC4 drivers") {
+    import java.sql.{SQLException, SQLIntegrityConstraintViolationException}
+    assert(JdbcApply.isDuplicateKey(new SQLException("dup", "23505")))
+    assert(JdbcApply.isDuplicateKey(new SQLException("dup", "23000")))
+    assert(JdbcApply.isDuplicateKey(new SQLIntegrityConstraintViolationException("dup")))
+    assert(!JdbcApply.isDuplicateKey(new SQLException("syntax", "42000")))
+    assert(!JdbcApply.isDuplicateKey(new SQLException("no state")))
+  }
+
   test("malformed JSON routes to the DLQ instead of crashing the apply") {
     val db = "garbagedb"
     val ev = fixture.take(2) ++ Seq(
