@@ -254,6 +254,19 @@ object SparkEntry {
           .getField("AMOUNT").cast("double").as("amount"))
         .orderBy("offs")),
 
+    // C1 runtime fallback: the value schema INFERRED from the feed's
+    // own payloads (SMT value-type ladder: int→BIGINT, float→DOUBLE,
+    // bool, else STRING) must parse identically to the pinned schema.
+    "q_cdc_infer_fallback" -> ((s, dir) => {
+      val base = CdcFeed.base(s, dir)
+      val inferred = graft.operators.SchemaInfer.infer(s, base, "value_json")
+      base.select(
+        col("offs"),
+        from_json(col("value_json"), inferred).getField("ID").as("val_id"),
+        from_json(col("value_json"), inferred).getField("AMOUNT").as("amount"))
+        .orderBy("offs")
+    }),
+
     // T4: legacy charset (Big5) halfwidth recovery — custom Catalyst expression.
     "q_cdc_charset_decode" -> ((s, dir) => {
       import s.implicits._
@@ -475,6 +488,16 @@ object SparkEntry {
         CAST(json_extract_string(value_json, '$$.ID') AS BIGINT) AS val_id,
         CAST(CAST(json_extract_string(value_json, '$$.AMOUNT') AS DECIMAL(12,2))
              AS DOUBLE) AS amount
+      FROM feed ORDER BY offs""",
+
+    // Inferred AMOUNT is a JSON double: text → nearest float64 is
+    // correctly rounded on both engines (same convention as
+    // q_cdc_decimal_modes amt_double).
+    "q_cdc_infer_fallback" -> s"""
+      WITH feed AS (${CdcFeed.feedSql})
+      SELECT offs,
+        CAST(json_extract_string(value_json, '$$.ID') AS BIGINT) AS val_id,
+        CAST(json_extract_string(value_json, '$$.AMOUNT') AS DOUBLE) AS amount
       FROM feed ORDER BY offs""",
 
     "q_cdc_charset_decode" -> CharsetFixture.oracleSql,

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Runtime schema inference for undeclared tables (SURVEY.md §2.5 C1;
+ * IidrToJdbcSinkTransform.java:299-320): when no pinned StructType is
+ * configured, derive one from the JSON payloads themselves, then clamp
+ * every field to the reference SMT's value-type ladder — integer →
+ * INT64, floating → FLOAT64, boolean → BOOLEAN, anything else
+ * (strings, nulls, nested objects/arrays) → STRING.
+ *
+ * Shape: ONE bounded driver job — `limit(sampleSize)` non-null payloads
+ * feed Spark's own JSON inference (`spark.read.json` over an in-memory
+ * dataset), so the cost is independent of batch size. The reference
+ * infers per record because Connect hands it one record at a time; a
+ * batch engine amortizes to a sample, trading per-record adaptivity
+ * (which the reference only uses on the FIRST record of a table anyway)
+ * for a plan-time constant schema that codegen can specialize.
+ *
+ * Divergence (documented): a field whose sampled values are nested
+ * JSON clamps to STRING like the reference's fallback, but `from_json`
+ * then yields null for it rather than a stringified object.
+ */
+object SchemaInfer {
+
+  val DefaultSampleSize = 1000
+
+  /** The SMT's inferSchema ladder over Spark inferred types. */
+  private def ladder(dt: DataType): DataType = dt match {
+    case ByteType | ShortType | IntegerType | LongType => LongType
+    case FloatType | DoubleType => DoubleType
+    case _: DecimalType => DoubleType // prefersDecimal off ⇒ unreachable; clamp anyway
+    case BooleanType => BooleanType
+    case _ => StringType // String, null-only, nested, array → fallback
+  }
+
+  /** Infer the value schema for `jsonCol` from a bounded sample of
+    * non-null payloads; empty/all-null input → empty struct. */
+  def infer(spark: SparkSession, df: DataFrame, jsonCol: String,
+      sampleSize: Int = DefaultSampleSize): StructType = {
+    val sample = df.select(col(jsonCol))
+      .filter(col(jsonCol).isNotNull)
+      .limit(sampleSize)
+      .as(Encoders.STRING)
+    if (sample.isEmpty) StructType(Seq.empty[StructField])
+    else StructType(spark.read.json(sample).schema.fields
+      .filterNot(_.name == "_corrupt_record")
+      .map(f => StructField(f.name, ladder(f.dataType), nullable = true)))
+  }
+}

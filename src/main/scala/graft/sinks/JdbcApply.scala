@@ -118,13 +118,25 @@ object JdbcApply {
           case _ => 0L // "all": silently skip
         }
 
-      cfg.tableSchemas.keys.toSeq.sorted.foreach(t => applyTable(batch, t, cfg))
+      // A table with a PK but no pinned schema is still applied — its
+      // value schema is INFERRED from the batch's own payloads (C1
+      // fallback, IidrToJdbcSinkTransform.java:299-320).
+      (cfg.tableSchemas.keySet ++ cfg.primaryKeys.keySet).toSeq.sorted
+        .foreach(t => applyTable(batch, t, cfg))
       ApplyStats(nCorrupt, warned)
     } finally batch.unpersist()
   }
 
   private def applyTable(batch: DataFrame, table: String, cfg: Config): Unit = {
-    val schema = cfg.tableSchemas(table)
+    val schema = cfg.tableSchemas.getOrElse(table,
+      graft.operators.SchemaInfer.infer(
+        batch.sparkSession,
+        batch.filter(col(Cdc.Cols.TargetTable) === table &&
+          col(Cdc.Cols.CorruptReason).isNull),
+        Cdc.Cols.ValueJson))
+    // Nothing inferable (no payloads for the table in this batch — e.g.
+    // deletes only against a table that was never created): no-op.
+    if (schema.isEmpty) return
     // Overrides hit STRING-declared fields only (the reference coerces
     // only string values, IidrToJdbcSinkTransform.java:246-252); the
     // EFFECTIVE schema — with overridden fields re-typed — drives DDL

@@ -227,6 +227,21 @@ class JdbcStreamSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("undeclared table applies via runtime-inferred schema (C1 fallback)") {
+    val db = "inferdb"
+    val wire = spark.createDataFrame(
+      spark.sparkContext.parallelize(fixture.take(5)), Cdc.kafkaWireSchema)
+    val cfg = sinkCfg(db).copy(
+      tableSchemas = Map.empty, // NO pinned schema — PK config only
+      errorsTolerance = "all")
+    JdbcApply.applyBatch(CdcNormalize(wire, CdcConfig()), cfg)
+    // inferred {AMOUNT double, ID long, ORDER_NAME string, STATUS string}
+    // reaches the same terminal rows as the pinned-schema runs
+    assert(queryAll(s"jdbc:derby:memory:$db") == Seq(
+      (1L, "Order-001", 100.50, "NEW"),
+      (2L, "Order-002-Updated", 250.00, "PROCESSING")))
+  }
+
   test("field.type.overrides: date column materializes; unparseable routes to DLQ") {
     val db = "overridedb"
     val ev = Seq(

@@ -98,6 +98,25 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("schema inference clamps to the SMT value-type ladder") {
+    import graft.operators.SchemaInfer
+    import org.apache.spark.sql.types._
+    val df = Seq(
+      """{"i":1,"f":1.5,"b":true,"s":"x","n":null,"o":{"a":1},"arr":[1,2]}""",
+      """{"i":2,"f":2.5,"b":false,"s":"y","n":null,"o":{"a":2},"arr":[3]}""")
+      .toDF("j")
+    val m = SchemaInfer.infer(spark, df, "j")
+      .fields.map(f => f.name -> f.dataType).toMap
+    assert(m("i") == LongType)
+    assert(m("f") == DoubleType)
+    assert(m("b") == BooleanType)
+    assert(m("s") == StringType)
+    assert(m("n") == StringType)   // null-only → string fallback
+    assert(m("o") == StringType)   // nested → string fallback
+    assert(m("arr") == StringType) // array → string fallback
+    assert(SchemaInfer.infer(spark, Seq.empty[String].toDF("j"), "j").isEmpty)
+  }
+
   test("zone resolution mirrors the reference: blank/unknown → UTC, offsets accepted") {
     assert(Timestamps.resolveZone("") == "UTC")
     assert(Timestamps.resolveZone(null) == "UTC")
