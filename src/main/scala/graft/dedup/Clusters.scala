@@ -73,47 +73,88 @@ object Clusters {
       .withColumn("keeper", (col("doc_id") === col("cluster")).cast("int"))
   }
 
-  /** Distributed min-propagation (the >threshold scale path). */
+  /**
+   * Distributed path: alternating large-star / small-star rounds
+   * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+   * SoCC'14) — converges in O(log diameter) rounds, not diameter
+   * rounds, so chain-shaped dup graphs (crawl near-dup chains) of any
+   * realistic depth finish well inside `maxIters` (20 rounds covers
+   * diameters past 2^20; the loud throw below is a correctness
+   * backstop, not an expected exit).
+   *
+   * Both operators are groupBy-min + equi-join rather than a window:
+   * the partial (map-side) aggregation absorbs hub-node skew on the
+   * min computation, and the remaining skewed join is exactly the
+   * shape AQE's skew-join splitting handles.
+   *
+   * Invariant: edges are kept canonical (src > dst, distinct); at the
+   * fixpoint every component is a star rooted at its minimum node, so
+   * the edge set IS the label map.
+   */
   private def resolveDistributed(docs: DataFrame, idCol: String,
       pairs: DataFrame, maxIters: Int): DataFrame = {
-    val edges = pairs
-      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
-    // The loop only touches nodes that appear in some edge — at corpus
-    // scale the near-dup subgraph is a sliver of the corpus, and the
-    // untouched majority joins back as singletons at the end.
-    val nodes = edges.select(col("src").as("doc_id")).distinct().persist()
-    var labels = nodes.withColumn("cluster", col("doc_id")).persist()
+    // Each round is CHECKPOINTED, not just persisted: one round's plan
+    // references the previous round's ~12 times (bidir unions + joins),
+    // so without lineage truncation the logical plan grows as
+    // 12^rounds and the optimizer OOMs long before the data does.
+    // localCheckpoint truncates to the materialized blocks; a
+    // multi-executor deployment would set a reliable checkpoint dir
+    // and use checkpoint() instead (localCheckpoint dies with a lost
+    // executor).
+    var edges = pairs
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint(true)
+    // Only nodes on some edge loop; the untouched corpus majority
+    // joins back as singletons at the end.
+    val nodes = edges.select(col("src").as("doc_id"))
+      .union(edges.select(col("dst").as("doc_id"))).distinct().persist()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .groupBy(col("src").as("doc_id"))
-        .agg(min("cluster").as("nbr_min"))
-      val next = labels.withColumnRenamed("cluster", "old")
-        .join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("old"),
-          least(col("old"), coalesce(col("nbr_min"), col("old"))).as("cluster"))
-        .persist()
-      val changed = next.filter(col("cluster") =!= col("old")).count()
-      labels.unpersist()
-      labels = next.drop("old")
-      converged = changed == 0
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // Fixpoint test on canonical sets: same size and no new edges.
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges.unpersist()
+      edges = next
       iter += 1
     }
-    edges.unpersist()
-    // Silent non-convergence would split real components into several
-    // clusters with no signal — fail loudly; callers with genuinely
-    // deep graphs raise maxIters (rounds needed = graph diameter).
     if (!converged) throw new IllegalStateException(
-      s"cluster propagation did not converge within $maxIters rounds; " +
-        "raise maxIters (needs >= component diameter)")
+      s"large-star/small-star did not converge within $maxIters rounds " +
+        "(log-diameter expected; this indicates a bug or maxIters ~ 0)")
+    val labels = edges.select(col("src").as("doc_id"), col("dst").as("cluster"))
+    val roots = nodes.join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("cluster", col("doc_id"))
     val singletons = docs.select(col(idCol).as("doc_id"))
       .join(nodes, Seq("doc_id"), "left_anti")
       .withColumn("cluster", col("doc_id"))
     nodes.unpersist()
-    labels.unionByName(singletons)
+    labels.unionByName(roots).unionByName(singletons)
       .withColumn("keeper", (col("doc_id") === col("cluster")).cast("int"))
+  }
+
+  /** Large-star: every neighbor v > u re-links to m = min(N(u) ∪ {u}).
+    * Output stays canonical (v > m). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val bidir = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = bidir.groupBy("src").agg(min("dst").as("mn"))
+    bidir.join(mins, "src")
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), least(col("mn"), col("src")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Small-star: all smaller neighbors (and u itself) re-link to
+    * m = min(N_≤(u) ∪ {u}); on canonical edges m = min(dst) per src. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("src").agg(min("dst").as("m"))
+    val nbr = e.join(mins, "src")
+      .filter(col("dst") =!= col("m"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+    val self = mins.select(col("src"), col("m").as("dst"))
+    nbr.union(self).filter(col("src") =!= col("dst")).distinct()
   }
 }

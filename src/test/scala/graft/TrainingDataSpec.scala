@@ -153,6 +153,20 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("distributed clusters converge in log rounds on a diameter-30 chain") {
+    import graft.dedup.Clusters
+    val docs = (0L to 30L).toDF("doc_id")
+    val pairs = (0L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // localThreshold=0 forces the distributed path; the old
+    // diameter-round min-label loop threw here (30 > maxIters=20)
+    val got = Clusters.resolve(docs, "doc_id", pairs, "doc_a", "doc_b",
+      localThreshold = 0L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.forall(_._2 == 0L), "all 31 chain nodes label to min id 0")
+    assert(got.count(_._3 == 1) == 1 && got.head == ((0L, 0L, 1)))
+  }
+
   test("simhash: identical → equal, near-dup → close, unrelated → far (Hamming)") {
     def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     val words = (1 to 60).map(i => s"w$i").mkString(" ")
