@@ -329,6 +329,12 @@ object SparkEntry {
     // the same nearest float64 on Spark and DuckDB, so the driver's
     // value hash matches — summing doubles directly would not be
     // order-deterministic, and emitting decimals fails on text scale.
+    // BOUND: "same nearest float64" holds while the UNSCALED decimal
+    // fits in 2^53 — DuckDB computes decimal→double as unscaled/10^s
+    // (two roundings) where Spark's BigDecimal.doubleValue rounds
+    // once, so e.g. a DECIMAL(18,6) sum past ~9e9 in value can drift
+    // one ulp. sf0.01/0.1 sums sit orders of magnitude below that; at
+    // larger SFs reduce the scale before the cast (sum to (18,2)).
     "q1_agg" -> ((s, dir) =>
       Tables(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))

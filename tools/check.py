@@ -22,6 +22,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             # NOT a %.6f normalization. A decimal-vs-float or last-ulp
             # divergence must FAIL here exactly as it fails the driver
             # (round-1 lesson: %.6f hid 6 decimal-canonicalization fails).
+            # Non-finite/signed-zero caveat: str() renders 'inf'/'-inf'/
+            # '-0.0'; the driver's renderer is unobservable from here, but
+            # canon() is applied to BOTH sides, so a divergence could only
+            # matter if the two ENGINES disagree on producing such a value
+            # — no current query emits inf/nan, and -0.0 would have to
+            # differ between engines to flip a verdict.
             out[c] = s.map(lambda v: "null" if pd.isna(v) else str(float(v)))
         elif pd.api.types.is_datetime64_any_dtype(s):
             out[c] = s.map(lambda v: "null" if pd.isna(v) else v.isoformat())
