@@ -299,6 +299,30 @@ object SparkEntry {
         .orderBy("offs")
     }),
 
+    // S4: Debezium MongoDB source path — envelope with the full new
+    // document as a JSON-encoded STRING in `after` (extended JSON
+    // _id), unwrapped via ExtractNewDocumentState semantics (deletes
+    // dropped), id routed from the $oid wrapper.
+    "q_cdc_mongo_extract" -> ((s, dir) => {
+      import graft.operators.Envelope
+      val base = CdcFeed.base(s, dir)
+      val isDel = (col("offs") % 10).isin(7, 8)
+      val dop = when(isDel, "d").when(col("offs") % 2 === 0, "c").otherwise("u")
+      val oid = substring(md5(col("k").cast("string")), 1, 24)
+      val doc = concat(
+        lit("{\"_id\":{\"$oid\":\""), oid, lit("\"},\"AMOUNT\":"),
+        coalesce(col("value").cast("decimal(12,2)").cast("string"), lit("null")),
+        lit("}"))
+      val env = concat(
+        lit("{\"after\":\""), regexp_replace(doc, "\"", "\\\\\""),
+        lit("\",\"op\":\""), dop, lit("\",\"ts_ms\":"), col("offs"), lit("}"))
+      val newDoc = Envelope.extractNewDocumentState(env)
+      base.select(
+        col("offs"), dop.as("dop"), newDoc.as("doc"),
+        regexp_extract(newDoc, "\"\\$oid\":\"([0-9a-f]+)\"", 1).as("oid"))
+        .orderBy("offs")
+    }),
+
     // S6 wrapper + decimal.handling.mode: parse the schemas.enable=true
     // wire form, extract AMOUNT under precise/double/string modes.
     "q_cdc_decimal_modes" -> ((s, dir) => {
@@ -530,6 +554,26 @@ object SparkEntry {
           AS DOUBLE) AS amount,
         offs AS ts_ms
       FROM env ORDER BY offs""",
+
+    // Oracle = the SMT's spec, not its mechanics: for c/u/r the output
+    // IS the embedded document (the escape/unescape roundtrip on the
+    // Spark side must be lossless), for d it is NULL (dropped).
+    "q_cdc_mongo_extract" -> s"""
+      WITH feed AS (${CdcFeed.feedSql}),
+      e AS (
+        SELECT offs,
+          CASE WHEN CAST(offs % 10 AS INT) IN (7, 8) THEN 'd'
+               WHEN offs % 2 = 0 THEN 'c' ELSE 'u' END AS dop,
+          '{"_id":{"$$oid":"' || substr(md5(CAST(k AS VARCHAR)), 1, 24) ||
+            '"},"AMOUNT":' ||
+            COALESCE(CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR), 'null') ||
+            '}' AS d0
+        FROM feed)
+      SELECT offs, dop,
+        CASE WHEN dop IN ('c', 'u', 'r') THEN d0 END AS doc,
+        CASE WHEN dop IN ('c', 'u', 'r')
+             THEN regexp_extract(d0, '"\\$$oid":"([0-9a-f]+)"', 1) END AS oid
+      FROM e ORDER BY offs""",
 
     "q_cdc_decimal_modes" -> s"""
       WITH feed AS (${CdcFeed.feedSql})

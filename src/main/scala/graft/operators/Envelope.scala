@@ -78,6 +78,29 @@ object Envelope {
       .otherwise(env.getField("after"))
 
   /**
+   * MongoDB source unwrap (S4; mongodb-source.json:10,17-19 —
+   * `capture.mode=change_streams_update_full` + the
+   * ExtractNewDocumentState SMT with `delete.handling.mode=drop`,
+   * `drop.tombstones=true`): the Mongo envelope carries the FULL new
+   * document as a JSON-encoded STRING in `after` (BSON → extended
+   * JSON), so the unwrap is a two-level decode — parse the envelope,
+   * emit the decoded `after` document for c/u/r, and DROP deletes
+   * (null), exactly what the configured SMT forwards to the sink
+   * topic. Extended-JSON wrappers (`{"$oid": …}`, `{"$numberLong":
+   * …}`) stay verbatim in the document text; [[graft.sinks.MongoApply]]
+   * routes by the `_id` subtree as an opaque key, so a full BSON type
+   * mapper is not needed for the sink path.
+   */
+  def extractNewDocumentState(env: Column): Column = {
+    val parsed = from_json(env, StructType(Seq(
+      org.apache.spark.sql.types.StructField("after", StringType),
+      org.apache.spark.sql.types.StructField("op", StringType),
+      org.apache.spark.sql.types.StructField("ts_ms",
+        org.apache.spark.sql.types.LongType))))
+    when(parsed.getField("op").isin("c", "u", "r"), parsed.getField("after"))
+  }
+
+  /**
    * T5 + P7: envelope-aware charset rewrite — decode the listed string
    * columns (empty list ⇒ ALL string columns, LegacyCharsetTransform
    * .java:196-207) inside both `before` and `after` sub-structs,

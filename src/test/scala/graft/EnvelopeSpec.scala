@@ -70,6 +70,22 @@ class EnvelopeSpec extends SparkSpec {
     intercept[IllegalArgumentException](Envelope.rowSchemaForDecimalMode(base, "bogus"))
   }
 
+  test("ExtractNewDocumentState decodes the after-string doc and drops deletes") {
+    val envs = Seq(
+      // two-level decode: the embedded doc itself contains an escaped quote
+      """{"after":"{\"_id\":{\"$oid\":\"abc\"},\"v\":\"q\\\"uote\"}","op":"c","ts_ms":1}""",
+      """{"after":"{\"_id\":{\"$oid\":\"def\"},\"v\":1}","op":"u","ts_ms":2}""",
+      """{"after":null,"op":"d","ts_ms":3}""", // delete.handling.mode=drop
+      """{"after":"{\"_id\":1}","op":"x","ts_ms":4}""") // unknown op → dropped
+    val got = envs.toDF("env")
+      .select(Envelope.extractNewDocumentState(col("env")).as("doc"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got(0).contains("""{"_id":{"$oid":"abc"},"v":"q\"uote"}"""))
+    assert(got(1).contains("""{"_id":{"$oid":"def"},"v":1}"""))
+    assert(got(2).isEmpty)
+    assert(got(3).isEmpty)
+  }
+
   test("charset rewrite with empty column list decodes all string columns") {
     val mangled = CharsetFixture.mangled.head._2
     val expected = CharsetFixture.expected.head._2
