@@ -16,6 +16,8 @@ object AnnQueries {
   val NumQueryVecs = 8
   val TopK = 5
   val NearDupThreshold = 0.2
+  val NearDupBands = 3
+  val NearDupBandPlanes = 6
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -47,7 +49,16 @@ object AnnQueries {
       Similarity.lshNearDupPairs(emb,
         "vec_id", "embedding", np, Dims, NearDupThreshold)
         .orderBy("id_a", "id_b")
-    }))
+    }),
+
+    // Multi-band variant (OR-amplified recall — the billion-vector
+    // dial): 3 independent 6-plane bands, any-band collision, exact
+    // cosine verify.
+    "q_dedup_embed_cos_banded" -> ((s, dir) =>
+      Similarity.bandedNearDupPairs(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", NearDupBands, NearDupBandPlanes, Dims,
+        NearDupThreshold)
+        .orderBy("id_a", "id_b")))
 
   // ------------------------------------------------------------------
   // DuckDB mirrors (explicit left folds, same LCG hyperplanes)
@@ -94,6 +105,15 @@ object AnnQueries {
       s"(CASE WHEN $p < $npSql AND $proj >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** Bucket id for band `band` (planes globally indexed from
+    * band·planesPerBand — mirrors Similarity.lshBucket's planeOffset). */
+  private def bucketBandSql(v: String, band: Int, planesPerBand: Int): String =
+    (0 until planesPerBand).map { p =>
+      val proj = foldSum(Dims,
+        i => s"CAST(($v)[$i] AS DOUBLE) * ${weightSql(band * planesPerBand + p, i)}")
+      s"(CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   def oracleSql: Map[String, String] = Map(
 
     "q_ann_bruteforce" -> s"""
@@ -115,6 +135,28 @@ object AnnQueries {
     "q_ann_lsh_buckets" -> s"""
       SELECT vec_id, ${bucketSql("embedding", 8)} AS bucket
       FROM embeddings ORDER BY vec_id""",
+
+    "q_dedup_embed_cos_banded" -> {
+      val bandJoins = (0 until NearDupBands).map(b =>
+        s"""SELECT x.id AS id_a, y.id AS id_b
+            FROM b x JOIN b y ON x.bk$b = y.bk$b AND x.id < y.id""")
+        .mkString(" UNION ")
+      val bkCols = (0 until NearDupBands)
+        .map(b => s"${bucketBandSql("embedding", b, NearDupBandPlanes)} AS bk$b")
+        .mkString(", ")
+      s"""
+      WITH b AS (
+        SELECT vec_id AS id, embedding AS v, $bkCols FROM embeddings),
+      cand AS ($bandJoins),
+      j AS (
+        SELECT id_a, id_b, ${cosineSql("xa.v", "yb.v")} AS cos
+        FROM cand
+        JOIN b xa ON xa.id = cand.id_a
+        JOIN b yb ON yb.id = cand.id_b)
+      SELECT id_a, id_b, round(cos, 6) AS cos
+      FROM j WHERE cos >= $NearDupThreshold
+      ORDER BY id_a, id_b"""
+    },
 
     "q_dedup_embed_cos" -> s"""
       WITH n AS (SELECT count(*) AS cnt FROM embeddings),

@@ -85,9 +85,10 @@ object Similarity {
    * bucket = Σ bit_p·2^p. Narrow per-row pass; planes are literal
    * constant arrays, projections use the native VectorDot.
    */
-  def lshBucket(vec: Column, numPlanes: Int, dims: Int): Column =
+  def lshBucket(vec: Column, numPlanes: Int, dims: Int,
+      planeOffset: Int = 0): Column =
     (0 until numPlanes).map { p =>
-      val proj = dot(vec, typedLit(planeWeights(p, dims)))
+      val proj = dot(vec, typedLit(planeWeights(planeOffset + p, dims)))
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -129,5 +130,44 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         col("bucket"), round(col("cos"), 6).as("cos"))
+  }
+
+  /**
+   * Multi-band near-dup pairs — the billion-vector path. A single
+   * plane set faces a hard trade: more planes shrink buckets (cost)
+   * but multiply away recall (P[collide] = (1−θ/π)^planes). Banding
+   * OR-amplifies instead (the MinHash-band trade): `bands` INDEPENDENT
+   * plane sets of `planesPerBand` each; a pair is a candidate if it
+   * collides in ANY band (P = 1−(1−p^r)^B), then exact cosine
+   * verifies. planesPerBand bounds per-band bucket size; bands buys
+   * recall back at linear cost — both dials scale independently of
+   * corpus size.
+   *
+   * Shape: bucket assignment is one narrow pass (bands×planes literal
+   * hyperplanes, native VectorDot); candidates are per-band equi-joins
+   * on (band, bucket) — bounded fan-out — deduped before the verify
+   * join-back, so each surviving pair pays ONE cosine.
+   *
+   * Band b's planes are globally indexed [b·r, (b+1)·r) in the shared
+   * LCG, so band 0 with r planes IS the single-band bucketing — banded
+   * candidates strictly contain the single-band candidates (spec'd).
+   */
+  def bandedNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      bands: Int, planesPerBand: Int, dims: Int, threshold: Double): DataFrame = {
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val buckets = base.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        lshBucket(col("v"), planesPerBand, dims, b * planesPerBand)): _*))
+        .as(Seq("band", "bucket")))
+    val cand = buckets.as("x").join(buckets.as("y"), Seq("band", "bucket"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(base.toDF("id_a", "va"), "id_a")
+      .join(base.toDF("id_b", "vb"), "id_b")
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 }

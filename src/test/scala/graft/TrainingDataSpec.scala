@@ -208,6 +208,31 @@ class TrainingDataSpec extends SparkSpec {
     assert(b1.forall(b => b >= 0 && b < 256))
   }
 
+  test("banded near-dup ⊇ single-band pairs, ⊆ exact threshold pairs") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings").limit(120)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = pairSet(Similarity.bandedNearDupPairs(
+      emb, "vec_id", "embedding", 3, 6, 64, 0.2))
+    val single = pairSet(Similarity.lshNearDupPairs(
+      emb, "vec_id", "embedding", 6, 64, 0.2))
+    // band 0 uses planes [0,6) — exactly the single-band plane set —
+    // so banded candidates contain every single-band pair
+    assert(single.subsetOf(banded), "OR-amplification only adds pairs")
+    // every emitted pair passed the exact cosine verify
+    val exact = {
+      val b = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      pairSet(b.as("x").crossJoin(b.as("y"))
+        .filter(col("x.id") < col("y.id"))
+        .withColumn("cos", Similarity.cosine(col("x.v"), col("y.v")))
+        .filter(col("cos") >= 0.2)
+        .select(col("x.id").as("id_a"), col("y.id").as("id_b")))
+    }
+    assert(banded.subsetOf(exact), "no false positives after verify")
+    assert(banded.nonEmpty)
+  }
+
   test("multimodal decode preserves batch shape and schema; frames bounded") {
     val raw = MultimodalQueries.rawAssets(spark, "/root/testdata/sf0.001")
     val nParts = raw.rdd.getNumPartitions
