@@ -39,6 +39,43 @@ object Profile {
       .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= 0.5)
     t("verify join")(println("n_pairs=" + full.count()))
+
+    // Blocked prefix-filter join stages (q_dedup_ngram_jaccard path).
+    if (args.contains("blocked")) {
+      import org.apache.spark.sql.expressions.Window
+      val block = Seq(col("lang"), col("source"))
+      val d = docs.select(col("lang"), col("source"), col("doc_id"),
+        Dedup.shingles(col("text"), 2).as("sh"))
+        .withColumn("n", size(col("sh"))).filter(col("n") >= 1).persist()
+      t("blocked: shingle pass")(d.count())
+      val toks = d.select(col("lang"), col("source"), col("doc_id"), col("n"),
+        explode(col("sh")).as("tok"))
+      t("blocked: toks")(println("n_toks=" + toks.count()))
+      val freq = toks.groupBy(col("lang"), col("source"), col("tok"))
+        .agg(count(lit(1)).as("df"))
+      t("blocked: freq")(println("n_freq=" + freq.count()))
+      val byDoc = Window.partitionBy(block :+ col("doc_id"): _*)
+        .orderBy(col("df"), col("tok"))
+      val prefLen = (col("n") + lit(1) -
+        ceil(lit(0.3) * col("n") - lit(1e-9))).cast("int")
+      val prefix = toks.join(freq, Seq("lang", "source", "tok"))
+        .withColumn("r", org.apache.spark.sql.functions.row_number().over(byDoc))
+        .filter(col("r") <= prefLen)
+        .select(col("lang"), col("source"), col("doc_id"), col("tok")).persist()
+      t("blocked: prefix")(println("n_prefix=" + prefix.count()))
+      val cand2 = prefix.as("x").join(prefix.as("y"), Seq("lang", "source", "tok"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("lang"), col("source"),
+          col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+      t("blocked: cand")(println("n_cand=" + cand2.count()))
+      val sh2 = d.select(col("lang"), col("source"), col("doc_id"), col("sh"))
+      val out = cand2
+        .join(sh2.toDF("lang", "source", "doc_a", "sh_a"), Seq("lang", "source", "doc_a"))
+        .join(sh2.toDF("lang", "source", "doc_b", "sh_b"), Seq("lang", "source", "doc_b"))
+        .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= 0.3)
+      t("blocked: verify")(println("n_out=" + out.count()))
+    }
     spark.stop()
   }
 }

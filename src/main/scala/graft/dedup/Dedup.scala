@@ -162,12 +162,23 @@ object Dedup {
     // the next integer.
     val prefLen = (col("n") + lit(1) -
       ceil(lit(threshold) * col("n") - lit(1e-9))).cast("int")
+    // PERSISTED: both sides of the candidate self-join read the prefix
+    // set — without the barrier the freq join + per-doc window sort
+    // runs twice (observed via explain: the Window subtree appeared on
+    // each join side).
     val prefix = toks.join(freq, blockCols :+ "tok")
       .withColumn("r", row_number().over(byDoc))
       .filter(col("r") <= prefLen)
-      .select(block :+ col("doc_id") :+ col("tok"): _*)
+      .select(block :+ col("doc_id") :+ col("n") :+ col("tok"): _*)
+      .persist()
+    // Length filter (PPJoin): J ≥ t ⟹ t·max(|x|,|y|) ≤ min(|x|,|y|),
+    // so size-incompatible pairs drop before the distinct/verify.
+    // Exact like the prefix bound (same 1e-9 guard against an up-
+    // rounded t·n excluding a borderline size).
     val cand = prefix.as("x").join(prefix.as("y"), blockCols :+ "tok")
-      .filter(col("x.doc_id") < col("y.doc_id"))
+      .filter(col("x.doc_id") < col("y.doc_id") &&
+        col("y.n") >= lit(threshold) * col("x.n") - lit(1e-9) &&
+        col("x.n") >= lit(threshold) * col("y.n") - lit(1e-9))
       .select(block ++ Seq(col("x.doc_id").as("doc_a"),
         col("y.doc_id").as("doc_b")): _*)
       .distinct()
