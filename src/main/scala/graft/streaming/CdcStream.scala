@@ -53,6 +53,28 @@ object CdcStream {
   }
 
   /**
+   * The reference's MongoDB topology as ONE streaming plan (S4 → W15:
+   * mongodb-source.json unwrap + mongodb-sink.json ReplaceOne):
+   * Debezium Mongo envelopes → ExtractNewDocumentState (deletes →
+   * null, i.e. tombstones) → per-micro-batch ReplaceOne-by-_id apply.
+   * MongoApply's tombstone drop is exactly the sink config's
+   * RecordIsTombstone filter, so the chained semantics match the two
+   * connector configs end to end.
+   */
+  def mongoWriter(envelopes: DataFrame, envelopeCol: String,
+      offsetCol: String, cfg: graft.sinks.MongoApply.Config):
+      DataStreamWriter[Row] =
+    envelopes.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sinks.MongoApply.applyBatch(
+          batch.withColumn("__doc",
+            graft.operators.Envelope.extractNewDocumentState(
+              org.apache.spark.sql.functions.col(envelopeCol))),
+          "__doc", offsetCol, cfg); ()
+      }
+
+  /**
    * File sink (W16, reference file-sink.json / Confluent S3 JSON
    * sink): append normalized events as json/parquet partitioned by
    * target table — the archive/lake branch of the pipeline.

@@ -52,6 +52,32 @@ class MongoApplySpec extends SparkSpec {
       "b" -> """{"_id":"b","v":1}"""))
   }
 
+  test("streaming: Debezium Mongo envelopes reach the store across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.CdcStream.mongoWriter(
+      mem.toDF().toDF("offset", "env"), "env", "offset",
+      MongoApply.Config(() => InMemoryMongo.open("ms1")))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-mongo-ckpt").toString)
+      .start()
+    try {
+      mem.addData(
+        (0L, """{"after":"{\"_id\":{\"$oid\":\"a1\"},\"v\":1}","op":"c","ts_ms":0}"""),
+        (1L, """{"after":"{\"_id\":{\"$oid\":\"b2\"},\"v\":1}","op":"c","ts_ms":1}"""))
+      q.processAllAvailable()
+      mem.addData(
+        (2L, """{"after":"{\"_id\":{\"$oid\":\"a1\"},\"v\":2}","op":"u","ts_ms":2}"""),
+        (3L, """{"after":null,"op":"d","ts_ms":3}""")) // delete → dropped
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(InMemoryMongo.contents("ms1") == Map(
+      """{"$oid":"a1"}""" -> """{"_id":{"$oid":"a1"},"v":2}""",
+      """{"$oid":"b2"}""" -> """{"_id":{"$oid":"b2"},"v":1}"""))
+  }
+
   test("custom id field routes documents by that field") {
     val cfg = MongoApply.Config(() => InMemoryMongo.open("m3"), idField = "ID")
     MongoApply.applyBatch(
