@@ -89,7 +89,10 @@ object Envelope {
    * topic. Extended-JSON wrappers (`{"$oid": …}`, `{"$numberLong":
    * …}`) stay verbatim in the document text; [[graft.sinks.MongoApply]]
    * routes by the `_id` subtree as an opaque key, so a full BSON type
-   * mapper is not needed for the sink path.
+   * mapper is not needed for the sink path. A MALFORMED envelope also
+   * yields null (from_json fails → op null) — downstream it is
+   * indistinguishable from a dropped delete, mirroring the configured
+   * pipeline where converter failures never reach the sink either.
    */
   def extractNewDocumentState(env: Column): Column = {
     val parsed = from_json(env, StructType(Seq(

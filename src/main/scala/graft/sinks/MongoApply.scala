@@ -59,7 +59,10 @@ object MongoApply {
       idField: String = "_id")
 
   /** What a batch skipped: tombstones (dropped by design) and
-    * documents lacking the id field (the id strategy's error path). */
+    * documents lacking the id field (the id strategy's error path).
+    * `replaced` is accumulator-backed — Spark re-adds accumulators for
+    * re-executed tasks, so under task retries it is an upper bound;
+    * the STORE state stays exact (ReplaceOne replay is idempotent). */
   final case class MongoStats(replaced: Long, tombstonesDropped: Long,
       missingId: Long)
 
