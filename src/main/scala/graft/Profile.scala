@@ -61,10 +61,15 @@ object Profile {
       val prefix = toks.join(freq, Seq("lang", "source", "tok"))
         .withColumn("r", org.apache.spark.sql.functions.row_number().over(byDoc))
         .filter(col("r") <= prefLen)
-        .select(col("lang"), col("source"), col("doc_id"), col("tok")).persist()
+        .select(col("lang"), col("source"), col("doc_id"), col("n"), col("tok")).persist()
       t("blocked: prefix")(println("n_prefix=" + prefix.count()))
+      // Keep in lockstep with Dedup.blockedJaccardPairs (incl. the
+      // PPJoin length filter) or the profiled stages diverge from the
+      // shipped operator.
       val cand2 = prefix.as("x").join(prefix.as("y"), Seq("lang", "source", "tok"))
-        .filter(col("x.doc_id") < col("y.doc_id"))
+        .filter(col("x.doc_id") < col("y.doc_id") &&
+          col("y.n") >= lit(0.3) * col("x.n") - lit(1e-9) &&
+          col("x.n") >= lit(0.3) * col("y.n") - lit(1e-9))
         .select(col("lang"), col("source"),
           col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
       t("blocked: cand")(println("n_cand=" + cand2.count()))

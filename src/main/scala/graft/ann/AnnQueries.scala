@@ -97,12 +97,13 @@ object AnnQueries {
       .mkString(" ") + s" ELSE ${Similarity.MaxPlanes} END)"
 
   /** Bucket id under the adaptive plane count: unrolled to MaxPlanes
-    * terms, each guarded by `p < np` so planes beyond the derived count
-    * contribute 0 — static SQL, dynamic plane count. */
+    * terms, each guarded by `p < np` (the CTE-computed plane count) so
+    * planes beyond the derived count contribute 0 — static SQL,
+    * dynamic plane count, np derived once instead of per guard. */
   private def bucketAdaptiveSql(v: String): String =
     (0 until Similarity.MaxPlanes).map { p =>
       val proj = foldSum(Dims, i => s"CAST(($v)[$i] AS DOUBLE) * ${weightSql(p, i)}")
-      s"(CASE WHEN $p < $npSql AND $proj >= 0 THEN ${1L << p} ELSE 0 END)"
+      s"(CASE WHEN $p < np AND $proj >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
   /** Bucket id for band `band` (planes globally indexed from
@@ -160,10 +161,11 @@ object AnnQueries {
 
     "q_dedup_embed_cos" -> s"""
       WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+      np_t AS (SELECT $npSql AS np FROM n),
       b AS (
         SELECT vec_id AS id, embedding AS v,
                ${bucketAdaptiveSql("embedding")} AS bucket
-        FROM embeddings, n),
+        FROM embeddings, np_t),
       pairs AS (
         SELECT x.id AS id_a, y.id AS id_b, x.bucket,
                ${cosineSql("x.v", "y.v")} AS cos

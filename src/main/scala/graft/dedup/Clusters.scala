@@ -107,9 +107,12 @@ object Clusters {
       .filter(col("src") =!= col("dst"))
       .distinct().localCheckpoint(true)
     // Only nodes on some edge loop; the untouched corpus majority
-    // joins back as singletons at the end.
+    // joins back as singletons at the end. (Derived lazily from the
+    // round-0 checkpoint — the two anti-joins below each recompute one
+    // cheap distinct over its blocks; a persist here would never
+    // materialize before the caller's action anyway.)
     val nodes = edges.select(col("src").as("doc_id"))
-      .union(edges.select(col("dst").as("doc_id"))).distinct().persist()
+      .union(edges.select(col("dst").as("doc_id"))).distinct()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -117,7 +120,9 @@ object Clusters {
       // Fixpoint test on canonical sets: same size and no new edges.
       converged = next.count() == edges.count() &&
         next.except(edges).isEmpty
-      edges.unpersist()
+      // NOTE: no unpersist — localCheckpoint blocks are not tracked by
+      // the CacheManager; dropping the reference lets the
+      // ContextCleaner reclaim each superseded round's blocks.
       edges = next
       iter += 1
     }
@@ -130,7 +135,6 @@ object Clusters {
     val singletons = docs.select(col(idCol).as("doc_id"))
       .join(nodes, Seq("doc_id"), "left_anti")
       .withColumn("cluster", col("doc_id"))
-    nodes.unpersist()
     labels.unionByName(roots).unionByName(singletons)
       .withColumn("keeper", (col("doc_id") === col("cluster")).cast("int"))
   }

@@ -134,6 +134,14 @@ object Dedup {
    * identical to the naive pairwise join — the DuckDB oracle keeps
    * the quadratic formulation as the spec.
    *
+   * Caching: two intermediates (shingle sets, prefix tokens) persist
+   * for the session — each is read by 2-3 downstream joins of the
+   * SAME returned plan, and the return is lazy so this function
+   * cannot unpersist them itself. Spark's LRU storage eviction bounds
+   * the cost; callers invoking repeatedly on the same inputs should
+   * cache the RESULT (DedupQueries.pairsCache pattern) instead of
+   * re-deriving.
+   *
    * Output: (blockCols…, doc_a, doc_b, jaccard), doc_a < doc_b.
    */
   def blockedJaccardPairs(docs: DataFrame, blockCols: Seq[String],

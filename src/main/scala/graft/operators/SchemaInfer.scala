@@ -38,15 +38,15 @@ object SchemaInfer {
   }
 
   /** Infer the value schema for `jsonCol` from a bounded sample of
-    * non-null payloads; empty/all-null input → empty struct. */
+    * non-null payloads; empty/all-null input → empty struct (inference
+    * over an empty sample yields zero fields — no pre-check job). */
   def infer(spark: SparkSession, df: DataFrame, jsonCol: String,
       sampleSize: Int = DefaultSampleSize): StructType = {
     val sample = df.select(col(jsonCol))
       .filter(col(jsonCol).isNotNull)
       .limit(sampleSize)
       .as(Encoders.STRING)
-    if (sample.isEmpty) StructType(Seq.empty[StructField])
-    else StructType(spark.read.json(sample).schema.fields
+    StructType(spark.read.json(sample).schema.fields
       .filterNot(_.name == "_corrupt_record")
       .map(f => StructField(f.name, ladder(f.dataType), nullable = true)))
   }

@@ -75,14 +75,24 @@ object JdbcApply {
     // corrupt BEFORE the split, so they ride the same DLQ + tolerance
     // path as malformed envelopes (the reference throws DataException
     // from the SMT for exactly these, IidrToJdbcSinkTransform.java:292).
+    // Marking is scoped exactly like the coercion in applyTable: only
+    // rows routed to a table whose PINNED schema declares the field as
+    // STRING — a same-named numeric field on another table must parse
+    // under ITS type, not the override (the reference SMT coerces only
+    // string values). Inferred-schema tables are never marked: their
+    // string fields coerce best-effort without the corrupt route.
     val marked =
       if (cfg.fieldTypeOverrides.isEmpty) normalized
       else {
-        val reasons = cfg.fieldTypeOverrides.toSeq.sortBy(_._1).map {
-          case (f, t) => graft.operators.TypeOverrides.failureReason(
-            get_json_object(col(Cdc.Cols.ValueJson), s"$$.$f"), t)
-        }
-        normalized.withColumn(Cdc.Cols.CorruptReason,
+        val reasons = for {
+          (table, schema) <- cfg.tableSchemas.toSeq.sortBy(_._1)
+          (f, t) <- cfg.fieldTypeOverrides.toSeq.sortBy(_._1)
+          if schema.fields.exists(sf => sf.name == f && sf.dataType == StringType)
+        } yield when(col(Cdc.Cols.TargetTable) === table,
+          graft.operators.TypeOverrides.failureReason(
+            get_json_object(col(Cdc.Cols.ValueJson), s"$$.$f"), t))
+        if (reasons.isEmpty) normalized
+        else normalized.withColumn(Cdc.Cols.CorruptReason,
           coalesce(col(Cdc.Cols.CorruptReason) +: reasons: _*))
       }
     val batch = marked.persist()

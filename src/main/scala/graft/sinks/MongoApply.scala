@@ -74,10 +74,12 @@ object MongoApply {
       cfg: Config): MongoStats = {
     val total = batch.persist()
     try {
-      val live = total.filter(col(valueCol).isNotNull)
-      val withId = live.withColumn("__id",
+      // A null value json-extracts to a null __id, so one aggregate
+      // pass yields all three stat counts (count(col) skips nulls).
+      val withId = total.withColumn("__id",
         get_json_object(col(valueCol), s"$$.${cfg.idField}"))
-      val routable = withId.filter(col("__id").isNotNull)
+      val routable = withId.filter(
+        col(valueCol).isNotNull && col("__id").isNotNull)
       val lww = CdcOps.lastWriteWins(
         routable.withColumn("__t", lit("t")), "__t", Seq("__id"), offsetCol)
       val opener = cfg.opener
@@ -93,10 +95,12 @@ object MongoApply {
             } finally store.close()
           }
         }
-      val nTotal = total.count()
-      val nLive = live.count()
-      val nRoutable = routable.count()
-      MongoStats(replaced.value, nTotal - nLive, nLive - nRoutable)
+      val counts = withId.select(
+        count(lit(1)).as("n"), count(col(valueCol)).as("live"),
+        count(col("__id")).as("routable")).head()
+      MongoStats(replaced.value,
+        counts.getLong(0) - counts.getLong(1),
+        counts.getLong(1) - counts.getLong(2))
     } finally total.unpersist()
   }
 }

@@ -272,6 +272,42 @@ class JdbcStreamSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("field.type.overrides scoping: same-named non-string field on another table untouched") {
+    val db = "scopedb"
+    val ev = Seq(
+      wireRow(0, "PT", """{"ID":1}""",
+        """{"ID":1,"ORDER_NAME":"A","AMOUNT":1.0,"STATUS":"NEW","ORDER_DATE":"2026-01-15"}""",
+        "TEST_ORDERS"),
+      // same field NAME on another table, but numeric epoch millis,
+      // declared BIGINT — must parse under ITS type, never the override
+      wireRow(1, "PT", """{"ID":2}""",
+        """{"ID":2,"ORDER_NAME":"B","AMOUNT":2.0,"STATUS":"NEW","ORDER_DATE":1705276800000}""",
+        "TEST_SHIPMENTS"))
+    val ordersSchema = StructType.fromDDL(
+      "ID BIGINT, ORDER_NAME STRING, AMOUNT DOUBLE, STATUS STRING, ORDER_DATE STRING")
+    val shipSchema = StructType.fromDDL(
+      "ID BIGINT, ORDER_NAME STRING, AMOUNT DOUBLE, STATUS STRING, ORDER_DATE BIGINT")
+    val cfg = sinkCfg(db).copy(
+      tableSchemas = Map("TEST_ORDERS" -> ordersSchema, "TEST_SHIPMENTS" -> shipSchema),
+      keySchemas = Map("TEST_ORDERS" -> StructType.fromDDL("ID BIGINT"),
+        "TEST_SHIPMENTS" -> StructType.fromDDL("ID BIGINT")),
+      primaryKeys = Map("TEST_ORDERS" -> Seq("ID"), "TEST_SHIPMENTS" -> Seq("ID")),
+      errorsTolerance = "none", // a mis-scoped corrupt mark would THROW here
+      fieldTypeOverrides = graft.operators.TypeOverrides.parseConfig("ORDER_DATE:date"))
+    val wire = spark.createDataFrame(
+      spark.sparkContext.parallelize(ev), Cdc.kafkaWireSchema)
+    JdbcApply.applyBatch(CdcNormalize(wire, CdcConfig()), cfg)
+    val conn = DriverManager.getConnection(s"jdbc:derby:memory:$db")
+    try {
+      val rs = conn.createStatement().executeQuery(
+        """SELECT "ORDER_DATE" FROM "TEST_ORDERS"""")
+      rs.next(); assert(rs.getDate(1).toString == "2026-01-15")
+      val rs2 = conn.createStatement().executeQuery(
+        """SELECT "ORDER_DATE" FROM "TEST_SHIPMENTS"""")
+      rs2.next(); assert(rs2.getLong(1) == 1705276800000L)
+    } finally conn.close()
+  }
+
   test("field.type.overrides config validation mirrors the reference") {
     import graft.operators.TypeOverrides
     assert(TypeOverrides.parseConfig("") == Map.empty)
