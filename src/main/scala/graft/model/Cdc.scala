@@ -80,6 +80,11 @@ object Cdc {
  * IidrCdcSinkConfig.java:85-120 (ConfigDef → case class).
  */
 final case class CdcConfig(
+    /** `table.header` / `entry.type.header`: which record headers carry
+      * the table name and entry-type code (IidrToJdbcSinkTransform
+      * .java:52-55, defaults TableName / A_ENTTYP). */
+    tableHeader: String = Cdc.Headers.TableName,
+    entryTypeHeader: String = Cdc.Headers.EntryType,
     /** `table.name.format`, `${TableName}`/`${topic}` substituted (IidrCdcSinkTask.java:222-227). */
     tableNameFormat: String = "${TableName}",
     /** Optional literal/regex table filters (IidrCdcSinkTask.java:292-309; IidrToJdbcSinkTransform.java:156-159). */

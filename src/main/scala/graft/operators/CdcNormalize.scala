@@ -21,9 +21,9 @@ object CdcNormalize {
     import Cdc.Cols
     val withHeaders = wire
       .withColumn(Cols.TableName,
-        CdcOps.headerString(col("headers"), Cdc.Headers.TableName))
+        CdcOps.headerString(col("headers"), cfg.tableHeader))
       .withColumn(Cols.EntryType,
-        CdcOps.headerString(col("headers"), Cdc.Headers.EntryType))
+        CdcOps.headerString(col("headers"), cfg.entryTypeHeader))
       .withColumn(Cols.SourceTs,
         CdcOps.headerString(col("headers"), Cdc.Headers.Timestamp))
       .withColumn(Cols.KeyJson, decode(col("key"), "UTF-8"))

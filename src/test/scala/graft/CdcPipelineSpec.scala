@@ -111,4 +111,23 @@ class CdcPipelineSpec extends SparkSpec {
     val k3 = lww.filter(col("k") === 3).collect()
     assert(k3.length == 1 && k3.head.getAs[String](Cdc.Cols.Op) == Cdc.Op.Upsert)
   }
+
+  test("custom table.header / entry.type.header names route like the defaults") {
+    val rows = Seq(Row(
+      utf8("""{"ID":1}"""), utf8("""{"ID":1,"AMOUNT":5.0}"""),
+      Seq(Row("TBL", utf8("TEST_ORDERS")), Row("OP_CODE", utf8("PT")),
+        Row("A_TIMSTAMP", utf8("2026-01-15 10:00:00.000000000000"))),
+      "iidr.CDC.TEST_ORDERS", 0, 0L,
+      java.sql.Timestamp.valueOf("2026-01-15 10:00:00")))
+    val wire = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Cdc.kafkaWireSchema)
+    val custom = CdcNormalize(wire,
+      CdcConfig(tableHeader = "TBL", entryTypeHeader = "OP_CODE")).head()
+    assert(custom.getAs[String](Cdc.Cols.TableName) == "TEST_ORDERS")
+    assert(custom.getAs[String](Cdc.Cols.Op) == Cdc.Op.Upsert)
+    assert(custom.getAs[String](Cdc.Cols.CorruptReason) == null)
+    // same record under DEFAULT header names is corrupt (headers missing)
+    val default = CdcNormalize(wire, CdcConfig()).head()
+    assert(default.getAs[String](Cdc.Cols.CorruptReason) != null)
+  }
 }

@@ -153,6 +153,25 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("large-star/small-star ≡ union-find on a 500-node random graph") {
+    import graft.dedup.Clusters
+    val rnd = new scala.util.Random(42)
+    val n = 500
+    val edges = Seq.fill(400)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter(e => e._1 != e._2)
+    val docs = (0L until n.toLong).toDF("doc_id")
+    val pairs = edges.toDF("doc_a", "doc_b")
+    def run(thresh: Long) =
+      Clusters.resolve(docs, "doc_id", pairs, "doc_a", "doc_b",
+        localThreshold = thresh)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val local = run(Long.MaxValue) // driver union-find
+    val dist = run(0L)             // large-star/small-star
+    assert(dist == local)
+    assert(local.map(_._2).distinct.length > 1, "fixture has multiple components")
+  }
+
   test("distributed clusters converge in log rounds on a diameter-30 chain") {
     import graft.dedup.Clusters
     val docs = (0L to 30L).toDF("doc_id")
