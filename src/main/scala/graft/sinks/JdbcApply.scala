@@ -62,7 +62,12 @@ object JdbcApply {
       /** field → timestamp|date|time forcing for STRING payload fields
         * (IidrToJdbcSinkTransform.java:61-62; parse a config string
         * with [[graft.operators.TypeOverrides.parseConfig]]). */
-      fieldTypeOverrides: Map[String, String] = Map.empty)
+      fieldTypeOverrides: Map[String, String] = Map.empty,
+      /** `field.name.case`: lower | upper | none — COLUMN-name casing
+        * at the JDBC edge (DDL + statements), while payload parsing
+        * keeps the wire field names (IidrToJdbcSinkTransform
+        * .java:57-59,221-229; PostgreSQL folds unquoted identifiers). */
+      fieldNameCase: String = "none")
 
   /** Apply one normalized micro-batch (CdcNormalize output shape).
     * Returns the batch's skip statistics (corrupt rows never silently
@@ -195,17 +200,28 @@ object JdbcApply {
         pks.map(p => col(s"__pk_$p")) :+
         col("__v").as("__v")): _*)
 
+    // field.name.case applies at the JDBC EDGE only: parsing above
+    // used the wire field names; DDL and statements use the cased
+    // names (binding is positional, so only the names change).
+    val cased: String => String = cfg.fieldNameCase match {
+      case "lower" => _.toLowerCase
+      case "upper" => _.toUpperCase
+      case _ => identity
+    }
+    val jdbcSchema = StructType(effSchema.fields.map(f => f.copy(name = cased(f.name))))
+    val jdbcPks = pks.map(cased)
+
     // DDL on the driver, before executors touch the table.
     withConnection(cfg.url) { conn =>
       val dialect = Dialects.forConnection(conn)
-      ensureTable(conn, dialect, table, effSchema, pks, cfg)
+      ensureTable(conn, dialect, table, jdbcSchema, jdbcPks, cfg)
     }
 
     val (url, batchSize) = (cfg.url, cfg.batchSize)
-    val valueCols = effSchema.fieldNames.toSeq
+    val valueCols = jdbcSchema.fieldNames.toSeq
     out.repartition(pks.map(p => col(s"__pk_$p")): _*)
       .foreachPartition { (it: Iterator[Row]) =>
-        if (it.hasNext) writePartition(it, url, table, valueCols, pks, batchSize)
+        if (it.hasNext) writePartition(it, url, table, valueCols, jdbcPks, batchSize)
       }
   }
 

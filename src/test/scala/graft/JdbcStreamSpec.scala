@@ -308,6 +308,21 @@ class JdbcStreamSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("field.name.case=lower creates lowercase columns; binding stays positional") {
+    val db = "fieldcasedb"
+    val wire = spark.createDataFrame(
+      spark.sparkContext.parallelize(fixture.take(2)), Cdc.kafkaWireSchema)
+    JdbcApply.applyBatch(CdcNormalize(wire, CdcConfig()),
+      sinkCfg(db).copy(fieldNameCase = "lower"))
+    val conn = DriverManager.getConnection(s"jdbc:derby:memory:$db")
+    try {
+      val rs = conn.createStatement().executeQuery(
+        """SELECT "id", "order_name" FROM "TEST_ORDERS" ORDER BY "id"""")
+      rs.next()
+      assert(rs.getLong(1) == 1L && rs.getString(2) == "Order-001")
+    } finally conn.close()
+  }
+
   test("field.type.overrides config validation mirrors the reference") {
     import graft.operators.TypeOverrides
     assert(TypeOverrides.parseConfig("") == Map.empty)
