@@ -55,6 +55,9 @@ object Cdc {
     val TableName = "table_name"
     val EntryType = "entry_type"
     val SourceTs = "source_ts"
+    /** A_TIMSTAMP localized to `CdcConfig.timestampZone` (reference
+      * normalize step 5, IidrCdcSinkTask.java:197-201). */
+    val SourceTsIso = "source_ts_iso"
     val Op = "op"
     val TargetTable = "target_table"
     val CorruptReason = "corrupt_reason"

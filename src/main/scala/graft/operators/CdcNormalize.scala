@@ -26,6 +26,12 @@ object CdcNormalize {
         CdcOps.headerString(col("headers"), cfg.entryTypeHeader))
       .withColumn(Cols.SourceTs,
         CdcOps.headerString(col("headers"), Cdc.Headers.Timestamp))
+      // Step 5 of the reference task (IidrCdcSinkTask.java:197-201):
+      // localize A_TIMSTAMP with the configured zone; null stays null.
+      .withColumn(Cols.SourceTsIso,
+        graft.functions.Timestamps.iidrTimestampToIsoZoned(
+          CdcOps.headerString(col("headers"), Cdc.Headers.Timestamp),
+          cfg.timestampZone))
       .withColumn(Cols.KeyJson, decode(col("key"), "UTF-8"))
       .withColumn(Cols.ValueJson, decode(col("value"), "UTF-8"))
 

@@ -112,6 +112,16 @@ class CdcPipelineSpec extends SparkSpec {
     assert(k3.length == 1 && k3.head.getAs[String](Cdc.Cols.Op) == Cdc.Op.Upsert)
   }
 
+  test("default.timezone localizes A_TIMSTAMP during normalize (step 5)") {
+    val norm = CdcNormalize(wireDf(fixture.take(1)),
+      CdcConfig(timestampZone = "Asia/Taipei")).head()
+    assert(norm.getAs[String](Cdc.Cols.SourceTsIso) ==
+      "2026-01-15T10:00:00.000000+08:00")
+    // UTC default emits +00:00; unparseable/absent header → null
+    val utc = CdcNormalize(wireDf(fixture.take(1)), CdcConfig()).head()
+    assert(utc.getAs[String](Cdc.Cols.SourceTsIso).endsWith("+00:00"))
+  }
+
   test("custom table.header / entry.type.header names route like the defaults") {
     val rows = Seq(Row(
       utf8("""{"ID":1}"""), utf8("""{"ID":1,"AMOUNT":5.0}"""),
