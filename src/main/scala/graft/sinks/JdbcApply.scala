@@ -67,7 +67,11 @@ object JdbcApply {
         * at the JDBC edge (DDL + statements), while payload parsing
         * keeps the wire field names (IidrToJdbcSinkTransform
         * .java:57-59,221-229; PostgreSQL folds unquoted identifiers). */
-      fieldNameCase: String = "none")
+      fieldNameCase: String = "none",
+      /** `connection.user` / `connection.password` (IidrCdcSinkConfig
+        * .java:22-27); None ⇒ credentials ride the URL. */
+      user: Option[String] = None,
+      password: Option[String] = None)
 
   /** Apply one normalized micro-batch (CdcNormalize output shape).
     * Returns the batch's skip statistics (corrupt rows never silently
@@ -212,16 +216,18 @@ object JdbcApply {
     val jdbcPks = pks.map(cased)
 
     // DDL on the driver, before executors touch the table.
-    withConnection(cfg.url) { conn =>
+    withConnection(cfg) { conn =>
       val dialect = Dialects.forConnection(conn)
       ensureTable(conn, dialect, table, jdbcSchema, jdbcPks, cfg)
     }
 
-    val (url, batchSize) = (cfg.url, cfg.batchSize)
+    val (url, batchSize, user, password) =
+      (cfg.url, cfg.batchSize, cfg.user, cfg.password)
     val valueCols = jdbcSchema.fieldNames.toSeq
     out.repartition(pks.map(p => col(s"__pk_$p")): _*)
       .foreachPartition { (it: Iterator[Row]) =>
-        if (it.hasNext) writePartition(it, url, table, valueCols, jdbcPks, batchSize)
+        if (it.hasNext)
+          writePartition(it, url, user, password, table, valueCols, jdbcPks, batchSize)
       }
   }
 
@@ -229,9 +235,10 @@ object JdbcApply {
     if (keySchema.fieldNames.contains(name)) Some(col(s"__k.$name")) else None
 
   /** Executor-side partition writer: one txn, PS reuse, batched ops. */
-  private def writePartition(it: Iterator[Row], url: String, table: String,
+  private def writePartition(it: Iterator[Row], url: String,
+      user: Option[String], password: Option[String], table: String,
       valueCols: Seq[String], pks: Seq[String], batchSize: Int): Unit = {
-    val conn = DriverManager.getConnection(url)
+    val conn = connect(url, user, password)
     val dialect = Dialects.forConnection(conn)
     conn.setAutoCommit(false)
     try {
@@ -349,17 +356,18 @@ object JdbcApply {
   private def writeCorrupt(corrupt: DataFrame, cfg: Config): Long = {
     val n = corrupt.count()
     if (n == 0) return 0
-    withConnection(cfg.url) { conn =>
+    withConnection(cfg) { conn =>
       val dialect = Dialects.forConnection(conn)
       val t = dialect.normalizeIdent(cfg.corruptTable)
       if (!tableExists(conn, t))
         exec(conn, dialect.createTableSql(t, Cdc.corruptEventSchema, Seq.empty))
     }
-    val (url, table, batchSize) = (cfg.url, cfg.corruptTable, cfg.batchSize)
+    val (url, table, batchSize, user, password) =
+      (cfg.url, cfg.corruptTable, cfg.batchSize, cfg.user, cfg.password)
     val fields = Cdc.corruptEventSchema.fieldNames.toSeq
     corrupt.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
-        val conn = DriverManager.getConnection(url)
+        val conn = connect(url, user, password)
         try {
           val dialect = Dialects.forConnection(conn)
           val t = dialect.normalizeIdent(table)
@@ -389,8 +397,16 @@ object JdbcApply {
     e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
       Option(e.getSQLState).exists(_.startsWith("23"))
 
-  private def withConnection[A](url: String)(f: Connection => A): A = {
-    val conn = DriverManager.getConnection(url)
+  /** Credentialed connect (serializable inputs only — executors call
+    * this with plain strings captured in the task closure). */
+  private def connect(url: String, user: Option[String],
+      password: Option[String]): Connection = user match {
+    case Some(u) => DriverManager.getConnection(url, u, password.orNull)
+    case None => DriverManager.getConnection(url)
+  }
+
+  private def withConnection[A](cfg: Config)(f: Connection => A): A = {
+    val conn = connect(cfg.url, cfg.user, cfg.password)
     try f(conn) finally conn.close()
   }
 

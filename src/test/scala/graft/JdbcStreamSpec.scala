@@ -308,6 +308,18 @@ class JdbcStreamSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("connection.user/password path reaches the same terminal state") {
+    val db = "authdb"
+    val wire = spark.createDataFrame(
+      spark.sparkContext.parallelize(fixture), Cdc.kafkaWireSchema)
+    // embedded Derby accepts any credentials (no auth provider
+    // configured) — this exercises the credentialed connect path on
+    // driver DDL, executor writers, and the DLQ writer alike
+    JdbcApply.applyBatch(CdcNormalize(wire, CdcConfig()),
+      sinkCfg(db).copy(user = Some("app"), password = Some("secret")))
+    assertTerminal(s"jdbc:derby:memory:$db")
+  }
+
   test("field.name.case=lower creates lowercase columns; binding stays positional") {
     val db = "fieldcasedb"
     val wire = spark.createDataFrame(
