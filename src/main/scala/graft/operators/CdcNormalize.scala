@@ -28,10 +28,11 @@ object CdcNormalize {
         CdcOps.headerString(col("headers"), Cdc.Headers.Timestamp))
       // Step 5 of the reference task (IidrCdcSinkTask.java:197-201):
       // localize A_TIMSTAMP with the configured zone; null stays null.
+      // (Reads the source_ts column built above — one header
+      // extraction, definitionally in sync.)
       .withColumn(Cols.SourceTsIso,
         graft.functions.Timestamps.iidrTimestampToIsoZoned(
-          CdcOps.headerString(col("headers"), Cdc.Headers.Timestamp),
-          cfg.timestampZone))
+          col(Cols.SourceTs), cfg.timestampZone))
       .withColumn(Cols.KeyJson, decode(col("key"), "UTF-8"))
       .withColumn(Cols.ValueJson, decode(col("value"), "UTF-8"))
 
@@ -46,7 +47,8 @@ object CdcNormalize {
     // Corrupt checks in the reference's order (IidrCdcSinkTask.java:161-217):
     // required headers → entry-type mapping → operation shape.
     routed.withColumn(Cols.CorruptReason, coalesce(
-      CdcOps.missingHeaderReason(col(Cols.TableName), col(Cols.EntryType)),
+      CdcOps.missingHeaderReason(col(Cols.TableName), col(Cols.EntryType),
+        cfg.tableHeader, cfg.entryTypeHeader),
       CdcOps.unknownEntryTypeReason(col(Cols.EntryType), col(Cols.Op)),
       CdcOps.shapeReason(col(Cols.Op), col(Cols.KeyJson), col(Cols.ValueJson))))
   }

@@ -35,9 +35,11 @@ object CdcOps {
    * TableName or A_ENTTYP ⇒ corrupt; A_TIMSTAMP is optional. Returns a
    * nullable reason column (null = valid).
    */
-  def missingHeaderReason(tableName: Column, entryType: Column): Column =
-    when(tableName.isNull, lit(s"Missing required header: ${Cdc.Headers.TableName}"))
-      .when(entryType.isNull, lit(s"Missing required header: ${Cdc.Headers.EntryType}"))
+  def missingHeaderReason(tableName: Column, entryType: Column,
+      tableHeader: String = Cdc.Headers.TableName,
+      entryTypeHeader: String = Cdc.Headers.EntryType): Column =
+    when(tableName.isNull, lit(s"Missing required header: $tableHeader"))
+      .when(entryType.isNull, lit(s"Missing required header: $entryTypeHeader"))
 
   // ----------------------------------------------------------------- P1
   /**

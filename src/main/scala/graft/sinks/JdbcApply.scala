@@ -80,6 +80,8 @@ object JdbcApply {
   def applyBatch(normalized: DataFrame, cfg: Config): ApplyStats = {
     require(Set("none", "log", "all").contains(cfg.errorsTolerance),
       s"errors.tolerance must be none|log|all, got '${cfg.errorsTolerance}'")
+    require(Set("none", "lower", "upper").contains(cfg.fieldNameCase),
+      s"field.name.case must be none|lower|upper, got '${cfg.fieldNameCase}'")
     // field.type.overrides failures are DATA errors: mark them as
     // corrupt BEFORE the split, so they ride the same DLQ + tolerance
     // path as malformed envelopes (the reference throws DataException
@@ -207,9 +209,11 @@ object JdbcApply {
     // field.name.case applies at the JDBC EDGE only: parsing above
     // used the wire field names; DDL and statements use the cased
     // names (binding is positional, so only the names change).
+    // Locale.ROOT: identifier casing must not vary with the JVM's
+    // default locale (Turkish-I would otherwise corrupt "ID").
     val cased: String => String = cfg.fieldNameCase match {
-      case "lower" => _.toLowerCase
-      case "upper" => _.toUpperCase
+      case "lower" => _.toLowerCase(java.util.Locale.ROOT)
+      case "upper" => _.toUpperCase(java.util.Locale.ROOT)
       case _ => identity
     }
     val jdbcSchema = StructType(effSchema.fields.map(f => f.copy(name = cased(f.name))))
@@ -398,12 +402,18 @@ object JdbcApply {
       Option(e.getSQLState).exists(_.startsWith("23"))
 
   /** Credentialed connect (serializable inputs only — executors call
-    * this with plain strings captured in the task closure). */
+    * this with plain strings captured in the task closure). Properties
+    * form so a password WITHOUT a user (username riding the URL) is
+    * still forwarded instead of silently dropped. */
   private def connect(url: String, user: Option[String],
-      password: Option[String]): Connection = user match {
-    case Some(u) => DriverManager.getConnection(url, u, password.orNull)
-    case None => DriverManager.getConnection(url)
-  }
+      password: Option[String]): Connection =
+    if (user.isEmpty && password.isEmpty) DriverManager.getConnection(url)
+    else {
+      val p = new java.util.Properties()
+      user.foreach(p.setProperty("user", _))
+      password.foreach(p.setProperty("password", _))
+      DriverManager.getConnection(url, p)
+    }
 
   private def withConnection[A](cfg: Config)(f: Connection => A): A = {
     val conn = connect(cfg.url, cfg.user, cfg.password)

@@ -136,8 +136,15 @@ class CdcPipelineSpec extends SparkSpec {
     assert(custom.getAs[String](Cdc.Cols.TableName) == "TEST_ORDERS")
     assert(custom.getAs[String](Cdc.Cols.Op) == Cdc.Op.Upsert)
     assert(custom.getAs[String](Cdc.Cols.CorruptReason) == null)
-    // same record under DEFAULT header names is corrupt (headers missing)
+    // same record under DEFAULT header names is corrupt (headers
+    // missing), and the reason names the CONFIGURED header, not the
+    // default constant
     val default = CdcNormalize(wire, CdcConfig()).head()
-    assert(default.getAs[String](Cdc.Cols.CorruptReason) != null)
+    assert(default.getAs[String](Cdc.Cols.CorruptReason)
+      .contains("Missing required header: TableName"))
+    val missing = CdcNormalize(wire,
+      CdcConfig(tableHeader = "NOPE", entryTypeHeader = "OP_CODE")).head()
+    assert(missing.getAs[String](Cdc.Cols.CorruptReason)
+      .contains("Missing required header: NOPE"))
   }
 }

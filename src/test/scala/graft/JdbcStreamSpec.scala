@@ -308,16 +308,35 @@ class JdbcStreamSpec extends SparkSpec {
     } finally conn.close()
   }
 
-  test("connection.user/password path reaches the same terminal state") {
+  test("connection.user/password forwarded to an auth-requiring database") {
     val db = "authdb"
+    val url = s"jdbc:derby:memory:$db"
+    // bootstrap: create the db, define a BUILTIN user, require auth
+    val c0 = DriverManager.getConnection(url + ";create=true")
+    val st = c0.createStatement()
+    st.execute("CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY('derby.user.app', 'secret')")
+    st.execute("CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY('derby.authentication.provider', 'BUILTIN')")
+    st.execute("CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY('derby.connection.requireAuthentication', 'true')")
+    c0.close()
+    // static auth properties take effect after reboot
+    intercept[java.sql.SQLException](
+      DriverManager.getConnection(url + ";shutdown=true"))
+    // unauthenticated connects are now rejected — a regression that
+    // drops the configured credentials cannot pass this test
+    intercept[java.sql.SQLException](DriverManager.getConnection(url))
     val wire = spark.createDataFrame(
       spark.sparkContext.parallelize(fixture), Cdc.kafkaWireSchema)
-    // embedded Derby accepts any credentials (no auth provider
-    // configured) — this exercises the credentialed connect path on
-    // driver DDL, executor writers, and the DLQ writer alike
     JdbcApply.applyBatch(CdcNormalize(wire, CdcConfig()),
       sinkCfg(db).copy(user = Some("app"), password = Some("secret")))
-    assertTerminal(s"jdbc:derby:memory:$db")
+    val conn = DriverManager.getConnection(url, "app", "secret")
+    try {
+      val rs = conn.createStatement().executeQuery(
+        """SELECT COUNT(*) FROM "TEST_ORDERS"""")
+      rs.next(); assert(rs.getInt(1) == 2)
+      val rs2 = conn.createStatement().executeQuery(
+        """SELECT COUNT(*) FROM "STREAMING_CORRUPT_EVENTS"""")
+      rs2.next(); assert(rs2.getInt(1) == 1)
+    } finally conn.close()
   }
 
   test("field.name.case=lower creates lowercase columns; binding stays positional") {
