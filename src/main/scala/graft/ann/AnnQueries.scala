@@ -18,6 +18,16 @@ object AnnQueries {
   val NearDupThreshold = 0.2
   val NearDupBands = 3
   val NearDupBandPlanes = 6
+  val CentroidK = 8
+  val NProbe = 2
+
+  /** First-n vectors by id, as driver-side double arrays (the same
+    * float→double cast the Spark-side VectorDot applies). */
+  private def collectVecs(df: DataFrame, n: Int): Seq[(Long, Array[Double])] =
+    df.filter(col("vec_id") < n).orderBy("vec_id")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .toSeq
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -27,6 +37,17 @@ object AnnQueries {
       Similarity.bruteForceTopK(
         emb, emb.filter(col("vec_id") < NumQueryVecs),
         "vec_id", "embedding", TopK)
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF-flat top-k: sampled centroids, narrow cell assignment,
+    // nprobe=2 probing, exact cosine rerank — the clustered scale
+    // path next to LSH bucketing.
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfTopK(emb,
+        collectVecs(emb, NumQueryVecs), "vec_id", "embedding",
+        collectVecs(emb, CentroidK).map(_._2), NProbe, TopK)
         .orderBy("query_id", "rank")
     }),
 
@@ -136,6 +157,40 @@ object AnnQueries {
     "q_ann_lsh_buckets" -> s"""
       SELECT vec_id, ${bucketSql("embedding", 8)} AS bucket
       FROM embeddings ORDER BY vec_id""",
+
+    // Oracle = the IVF spec in relational form: assignment is the
+    // rank-1 centroid per vector (cos DESC, cid ASC — identical
+    // tie-break to the Spark when-chain / driver sort), probes are the
+    // rank ≤ NProbe centroids of each query, rerank is exact cosine.
+    "q_ann_ivf" -> s"""
+      WITH cent AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id < $CentroidK),
+      asg AS (
+        SELECT e.vec_id, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c),
+      cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, cid AS probe FROM asg
+        WHERE vec_id < $NumQueryVecs AND rn <= $NProbe),
+      q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id < $NumQueryVecs),
+      cand AS (
+        SELECT p.query_id, cl.vec_id AS neighbor_id,
+          ${cosineSql("q.qv", "a.embedding")} AS cos
+        FROM probes p
+        JOIN cells cl ON cl.cell = p.probe AND cl.vec_id <> p.query_id
+        JOIN embeddings a ON a.vec_id = cl.vec_id
+        JOIN q ON q.query_id = p.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rank
+        FROM cand)
+      SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+      FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""",
 
     "q_dedup_embed_cos_banded" -> {
       val bandJoins = (0 until NearDupBands).map(b =>

@@ -132,6 +132,72 @@ object Similarity {
         col("bucket"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Driver-side dot product replicating VectorDot's left fold
+    * EXACTLY (same IEEE ops, same order) so probe cells computed on
+    * the driver match cells the cluster computes. */
+  def dotLocal(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Driver-side cosine (same guard as [[cosine]]). */
+  def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
+    val nn = math.sqrt(dotLocal(a, a)) * math.sqrt(dotLocal(b, b))
+    if (nn > 0) dotLocal(a, b) / nn else 0.0
+  }
+
+  /**
+   * IVF-flat top-k — the clustered alternative to LSH bucketing:
+   * every corpus vector is ASSIGNED to its nearest centroid (one
+   * narrow pass over literal centroids — no shuffle, the centroid
+   * matrix ships with the plan like the LSH planes), and a query only
+   * scans the candidate lists of its `nprobe` best cells before the
+   * exact cosine rerank. Candidate cost ≈ nprobe/K of the corpus per
+   * query — the IVF recall/cost dial.
+   *
+   * Centroids here are caller-provided (the oracle query samples the
+   * first K corpus vectors — deterministic and honest about being a
+   * baseline; a production index would k-means|| them, which changes
+   * only the Seq passed in). Query probes are computed DRIVER-side
+   * with [[cosineLocal]] (bit-identical fold), since the query set is
+   * small by contract while the corpus-side assignment must stay
+   * narrow.
+   *
+   * Ties everywhere break toward the smaller index/id, so results are
+   * deterministic and engine-portable.
+   */
+  def ivfTopK(corpus: DataFrame, queries: Seq[(Long, Array[Double])],
+      idCol: String, vecCol: String, centroids: Seq[Array[Double]],
+      nprobe: Int, k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cos = centroids.map(c => cosine(col(vecCol), typedLit(c.toSeq)))
+    val m = greatest(cos: _*)
+    // first index attaining the max (when-chain = smallest on ties)
+    val cell = cos.zipWithIndex.tail
+      .foldLeft(when(cos.head === m, 0)) { case (acc, (c, i)) => acc.when(c === m, i) }
+    val assigned = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("nv"), cell.as("cell"))
+    val probeRows = queries.flatMap { case (qid, qv) =>
+      val cs = centroids.map(c => cosineLocal(qv, c))
+      val order = cs.indices.sortBy(i => (-cs(i), i))
+      order.take(nprobe).map(cid => (qid, qv.toSeq, cid))
+    }
+    val probes = broadcast(probeRows.toDF("query_id", "qv", "probe"))
+    val scored = probes
+      .join(assigned, col("probe") === col("cell") &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   /**
    * Multi-band near-dup pairs — the billion-vector path. A single
    * plane set faces a hard trade: more planes shrink buckets (cost)

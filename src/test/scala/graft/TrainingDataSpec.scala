@@ -227,6 +227,30 @@ class TrainingDataSpec extends SparkSpec {
     assert(b1.forall(b => b >= 0 && b < 256))
   }
 
+  test("IVF-flat finds an exact twin through its probed cell") {
+    val dims = 8
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dims)(j =>
+        (((seed * 31 + j) * 2654435761L % 997).toFloat / 499f) - 1f)
+    // vec 30 is an exact twin of vec 2
+    val rows = (0L until 40L).map(i =>
+      (i, (if (i == 30L) vec(2) else vec(i.toInt)).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = (0 until 4).map(i => vec(i).map(_.toDouble)).toSeq
+    val queries = Seq((2L, vec(2).map(_.toDouble)))
+    val top = Similarity.ivfTopK(df, queries, "vec_id", "embedding",
+      cents, 2, 3).orderBy("rank").collect()
+    // the twin shares the query's own cell → guaranteed candidate,
+    // exact rerank puts it first with cosine 1
+    assert(top.head.getAs[Long]("neighbor_id") == 30L)
+    assert(top.head.getAs[Double]("cos") == 1.0)
+    assert(top.map(_.getAs[Int]("rank")).toSeq == (1 to top.length))
+    // deterministic across plans
+    val again = Similarity.ivfTopK(df, queries, "vec_id", "embedding",
+      cents, 2, 3).orderBy("rank").collect()
+    assert(top.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("banded near-dup ⊇ single-band pairs, ⊆ exact threshold pairs") {
     val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings").limit(120)
     def pairSet(df: org.apache.spark.sql.DataFrame) =
