@@ -35,6 +35,23 @@ object EventTimeOps {
       .select(col("window.start").as("win_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /**
+   * Streaming exact dedup for a document/event feed: keep the FIRST
+   * record per content key inside the watermark horizon, drop
+   * replays/duplicates after it. `dropDuplicatesWithinWatermark`
+   * bounds the dedup state by the horizon (plain dropDuplicates would
+   * grow state forever on an unbounded corpus) — the streaming twin of
+   * the batch `q_dedup_exact` hash-groupBy.
+   *
+   * @param keyCols content-identity columns (e.g. the md5 of the
+   *                canonicalized text, Dedup.exactHash)
+   */
+  def dedupStream(events: DataFrame, tsCol: String,
+      keyCols: Seq[String], watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   final case class SessionInput(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, lastTs: Long, n: Int, total: Double)
   final case class SessionOut(user_id: Long, start_ts: Long, end_ts: Long,

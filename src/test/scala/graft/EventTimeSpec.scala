@@ -19,6 +19,25 @@ class EventTimeSpec extends SparkSpec {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2026-01-15 10:$minute%02d:00")
 
+  test("streaming dedup keeps the first record per content key within the watermark") {
+    val schema = StructType.fromDDL("ts TIMESTAMP, doc_hash STRING, doc_id BIGINT")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+    val mem = MemoryStream[Row](enc, spark)
+    val q = EventTimeOps.dedupStream(mem.toDF(), "ts", Seq("doc_hash"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Row(ts(0), "h1", 1L), Row(ts(1), "h2", 2L),
+        Row(ts(1), "h1", 3L)) // same-batch duplicate of h1
+      q.processAllAvailable()
+      mem.addData(Row(ts(2), "h1", 4L), Row(ts(3), "h3", 5L)) // replayed h1
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 5L), "first h1 kept, duplicates dropped")
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation drops events later than the watermark") {
     import spark.implicits._
     val schema = StructType.fromDDL("ts TIMESTAMP, event_type STRING, value DOUBLE")
