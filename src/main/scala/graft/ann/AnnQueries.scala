@@ -45,9 +45,11 @@ object AnnQueries {
     // path next to LSH bucketing.
     "q_ann_ivf" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
+      // one collect serves queries AND centroids (superset of both)
+      val head = collectVecs(emb, math.max(NumQueryVecs, CentroidK))
       Similarity.ivfTopK(emb,
-        collectVecs(emb, NumQueryVecs), "vec_id", "embedding",
-        collectVecs(emb, CentroidK).map(_._2), NProbe, TopK)
+        head.filter(_._1 < NumQueryVecs), "vec_id", "embedding",
+        head.filter(_._1 < CentroidK).map(_._2), NProbe, TopK)
         .orderBy("query_id", "rank")
     }),
 

@@ -60,6 +60,13 @@ object Similarity {
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("nv")))
+    rankTopK(scored, k)
+  }
+
+  /** Shared top-k epilogue (brute force + IVF): per-query rank by
+    * (cos desc, neighbor asc), keep k, round — ONE place defines the
+    * ANN output contract. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored
@@ -189,13 +196,7 @@ object Similarity {
       .join(assigned, col("probe") === col("cell") &&
         col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("nv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos"))
+    rankTopK(scored, k)
   }
 
   /**

@@ -47,10 +47,12 @@ object EventTimeOps {
    *                canonicalized text, Dedup.exactHash)
    */
   def dedupStream(events: DataFrame, tsCol: String,
-      keyCols: Seq[String], watermarkDelay: String = "10 minutes"): DataFrame =
+      keyCols: Seq[String], watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(keyCols.nonEmpty, "dedupStream needs at least one content-key column")
     events
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+  }
 
   final case class SessionInput(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, lastTs: Long, n: Int, total: Double)
