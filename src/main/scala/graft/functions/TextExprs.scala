@@ -79,6 +79,55 @@ object TextNative {
   }
 
   /**
+   * Polynomial hash of a string's code points, replicating the
+   * declarative fold in graft.text.TextAnalysis.charPolyHash exactly:
+   * acc = (acc·31 + codePoint) mod 1000000007, empty string → 0.
+   * Spark's `ascii` is codePointAt(0) of the first character
+   * (Ascii.nullSafeEval, stringExpressions.scala) and `substr(i, 1)` /
+   * `length` count code points, so the fold unit is the code point.
+   */
+  def charPolyHash(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /**
+   * 16-bit SimHash in ONE pass (see graft.dedup.Dedup.simhash16 for
+   * the spec): tokens = lower-cased whitespace split (empties
+   * dropped), h = charPolyHash(token) mod 2^16, bit j's vote over
+   * tokens is +1 if bit j of h is set else −1, fingerprint bit j set
+   * iff vote > 0. Bit-identical to the declarative 16×aggregate HOF
+   * formulation (h ≥ 0, so `h mod 2^(j+1) ≥ 2^j` IS the bit test),
+   * which runs interpreted and re-folds the hash array 16× per row.
+   */
+  def simHash16(text: UTF8String): Long = {
+    val toks = text.toLowerCase.toString.split("\\s+")
+    val votes = new Array[Int](16)
+    var t = 0
+    while (t < toks.length) {
+      if (toks(t).nonEmpty) {
+        val h = charPolyHash(toks(t)) % 65536L
+        var j = 0
+        while (j < 16) {
+          if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      t += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 16) { if (votes(j) > 0) fp |= 1L << j; j += 1 }
+    fp
+  }
+
+  /**
    * MinHash signature: md5 per shingle, component j = lexicographic
    * min over the j-th 4-hex-char slice. Null components when the
    * shingle set is empty (matches array_min of an empty array).
@@ -135,6 +184,19 @@ case class TokenShingles(child: Expression, k: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextNative.shingles($c, $k)")
   override protected def withNewChildInternal(newChild: Expression): TokenShingles =
+    copy(child = newChild)
+}
+
+/** `simhash16(text)` → int64 16-bit SimHash fingerprint (see
+  * TextNative.simHash16) — single codegen'd pass over the document. */
+case class SimHash16(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash16"
+  override def nullSafeEval(input: Any): Any =
+    TextNative.simHash16(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNative.simHash16($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash16 =
     copy(child = newChild)
 }
 
