@@ -75,6 +75,12 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 3, "minhash_sig(text, k, n)")
         MinHashSig(exprs.head, intLit(exprs(1), "k"), intLit(exprs(2), "n"))
+      }),
+    ("simhash16",
+      "simhash16(text) - 16-bit SimHash fingerprint of whitespace tokens (int64)",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "simhash16(text)")
+        SimHash16(exprs.head)
       }))
 
   /** Register every graft function as a temp function on `spark` (SQL
@@ -100,4 +106,7 @@ object GraftFunctions {
 
   def minhashSig(text: Column, k: Int = 3, numHashes: Int = 8): Column =
     GraftShims.column(MinHashSig(GraftShims.expression(text), k, numHashes))
+
+  def simhash16(text: Column): Column =
+    GraftShims.column(SimHash16(GraftShims.expression(text)))
 }

@@ -101,6 +101,14 @@ object AnnQueries {
     s"(CASE WHEN $nn > 0 THEN ${dotSql(a, b)} / $nn ELSE 0.0 END)"
   }
 
+  /** IVF assignment score dot(v,c)/|c| — mirrors Similarity.ivfTopK's
+    * norm-free argmax form exactly (sqrt is correctly rounded in IEEE
+    * 754, so the SQL norm is bit-identical to the driver-side one). */
+  private def ivfScoreSql(v: String, c: String): String = {
+    val n = s"sqrt(${dotSql(c, c)})"
+    s"(CASE WHEN $n > 0 THEN ${dotSql(v, c)} / $n ELSE 0.0 END)"
+  }
+
   /** LCG hyperplane weight for plane p (literal) and 1-based dim index i. */
   private def weightSql(p: Int, i: String): String =
     s"(CAST(((CAST($p * $Dims + ($i - 1) AS BIGINT) * 1103515245 + 12345) % 2147483648) AS DOUBLE) / 1073741824.0 - 1.0)"
@@ -171,7 +179,7 @@ object AnnQueries {
       asg AS (
         SELECT e.vec_id, c.cid,
           row_number() OVER (PARTITION BY e.vec_id
-            ORDER BY ${cosineSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+            ORDER BY ${ivfScoreSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
         FROM embeddings e CROSS JOIN cent c),
       cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
       probes AS (

@@ -165,11 +165,20 @@ object Similarity {
    *
    * Centroids here are caller-provided (the oracle query samples the
    * first K corpus vectors — deterministic and honest about being a
-   * baseline; a production index would k-means|| them, which changes
-   * only the Seq passed in). Query probes are computed DRIVER-side
-   * with [[cosineLocal]] (bit-identical fold), since the query set is
-   * small by contract while the corpus-side assignment must stay
+   * baseline; [[trainCentroids]] is the k-means seam). Query probes
+   * are computed DRIVER-side (bit-identical fold), since the query set
+   * is small by contract while the corpus-side assignment must stay
    * narrow.
+   *
+   * Assignment score is `dot(v, cᵢ) / |cᵢ|` — argmax-equivalent to
+   * cosine (|v| is a positive per-row constant that cannot flip the
+   * ordering; an all-zero v scores 0 everywhere either way) but ONE
+   * VectorDot per centroid: centroid norms are driver-side plan
+   * constants, and the K scores are built into a single
+   * array<struct<s,ni>> whose array_max picks (max score, smallest
+   * index) — no `greatest`/when-chain re-evaluating each cosine, and
+   * K = 1 works. The oracle mirrors the same score formula, so
+   * float-rounding ties break identically.
    *
    * Ties everywhere break toward the smaller index/id, so results are
    * deterministic and engine-portable.
@@ -177,17 +186,22 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: Seq[(Long, Array[Double])],
       idCol: String, vecCol: String, centroids: Seq[Array[Double]],
       nprobe: Int, k: Int): DataFrame = {
+    require(centroids.nonEmpty, "ivfTopK needs at least one centroid")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cos = centroids.map(c => cosine(col(vecCol), typedLit(c.toSeq)))
-    val m = greatest(cos: _*)
-    // first index attaining the max (when-chain = smallest on ties)
-    val cell = cos.zipWithIndex.tail
-      .foldLeft(when(cos.head === m, 0)) { case (acc, (c, i)) => acc.when(c === m, i) }
+    val norms = centroids.map(c => math.sqrt(dotLocal(c, c)))
+    val scores = centroids.zip(norms).map { case (c, n) =>
+      if (n > 0) dot(col(vecCol), typedLit(c.toSeq)) / lit(n) else lit(0.0)
+    }
+    // struct ordering: max score first, then max(-i) = smallest index
+    val best = array_max(array(scores.zipWithIndex.map { case (s, i) =>
+      struct(s.as("s"), lit(-i).as("ni")) }: _*))
+    val cell = -best.getField("ni")
     val assigned = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("nv"), cell.as("cell"))
     val probeRows = queries.flatMap { case (qid, qv) =>
-      val cs = centroids.map(c => cosineLocal(qv, c))
+      val cs = centroids.zip(norms).map { case (c, n) =>
+        if (n > 0) dotLocal(qv, c) / n else 0.0 }
       val order = cs.indices.sortBy(i => (-cs(i), i))
       order.take(nprobe).map(cid => (qid, qv.toSeq, cid))
     }

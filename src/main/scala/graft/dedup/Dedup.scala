@@ -208,9 +208,20 @@ object Dedup {
    * 16-bit SimHash over token hashes: bit j of the fingerprint is the
    * sign of Σ_tokens (2·bit_j(h(token)) − 1), h = charPolyHash mod 2^16.
    * Near-identical docs differ in few bits (Hamming). All-int64 exact
-   * arithmetic — portable.
+   * arithmetic — portable. Native single-pass codegen expression
+   * (graft.functions.SimHash16) — the HOF formulation below runs 16
+   * interpreted re-folds of the token-hash array per row.
    */
-  def simhash16(text: Column): Column = {
+  def simhash16(text: Column): Column =
+    toCol(graft.functions.SimHash16(toExpr(text)))
+
+  /**
+   * Declarative HOF formulation of [[simhash16]] — 16 interpreted
+   * `aggregate` passes, one per bit. Kept ONLY as the equivalence
+   * reference for the native expression (TrainingDataSpec asserts
+   * bit-identity) and as the portable statement of the spec.
+   */
+  def simhash16Hof(text: Column): Column = {
     val hs = transform(TextAnalysis.tokens(text), t =>
       TextAnalysis.charPolyHash(t) % 65536)
     // Unrolled over the 16 bit positions (compile-time constants), so

@@ -197,6 +197,21 @@ class TrainingDataSpec extends SparkSpec {
     assert(ham(hs(0), hs(2)) < ham(hs(0), hs(3)))
   }
 
+  test("native simhash16 ≡ 16×aggregate HOF formulation, bit-identical") {
+    // Edge shapes: empty, whitespace-only, single token, mixed case,
+    // multi-space runs, CJK (code points > 1 UTF-16 unit stay 1 "char"
+    // in both folds), long docs, and punctuation-glued tokens.
+    val docs = Seq(
+      "", "   ", "one", "ONE", "Hello  World", "a b c d e f g",
+      "中文 測試 文本", "naïve café über", "tok1 tok2,tok3 tok4.",
+      (1 to 200).map(i => s"word$i").mkString(" "),
+      "\tlead trail \n", "ONE one One oNe").toDF("t")
+    val both = docs.select(
+      Dedup.simhash16(col("t")).as("native"),
+      Dedup.simhash16Hof(col("t")).as("hof")).collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
   test("cosine: identity 1, orthogonal 0, opposite -1") {
     val df = Seq(
       (Array(1f, 0f), Array(1f, 0f)),
