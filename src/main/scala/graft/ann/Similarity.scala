@@ -155,6 +155,68 @@ object Similarity {
   }
 
   /**
+   * Deterministic sampled k-means (spherical Lloyd on a bounded
+   * hash-sample) producing [[ivfTopK]] centroids that track the
+   * corpus's cluster structure — first-K centroids degrade IVF recall
+   * on clustered data because several may land in one cluster.
+   *
+   * Scale shape: the ONLY cluster work is one narrow pass + a
+   * size-bounded TakeOrdered (the `sampleSize` rows with the smallest
+   * `xxhash64(seed, id)` — a deterministic, data-independent sample;
+   * no `Date.now`/RNG, so reruns are bit-identical). Lloyd then runs
+   * driver-side on ≤ sampleSize vectors: init = first k sample
+   * vectors in hash order, assignment uses the SAME dot/|c| score as
+   * ivfTopK's cell map (cosine-argmax-equivalent), centroids are
+   * normalized means (spherical k-means), and an emptied cell keeps
+   * its previous centroid. O(sampleSize·k·dims·iters) driver work —
+   * milliseconds at practical sizes, independent of corpus scale.
+   */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, sampleSize: Int = 4096, iters: Int = 10,
+      seed: Long = 42L): Seq[Array[Double]] = {
+    require(k >= 1, "k-means needs k >= 1")
+    val sample: Array[Array[Double]] = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(xxhash64(lit(seed), col("id")), col("id"))
+      .limit(sampleSize)
+      .collect()
+      .map(_.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+      }.toArray)
+    require(sample.length >= k,
+      s"sample of ${sample.length} vectors cannot seed $k centroids")
+    val dims = sample.head.length
+    var cents = sample.take(k).map(_.clone())
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(dotLocal(v, v))
+      if (n > 0) v.map(_ / n) else v
+    }
+    for (_ <- 0 until iters) {
+      val norms = cents.map(c => math.sqrt(dotLocal(c, c)))
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < k) {
+          val s = if (norms(i) > 0) dotLocal(v, cents(i)) / norms(i) else 0.0
+          if (s > bestScore) { bestScore = s; best = i }
+          i += 1
+        }
+        var d = 0
+        while (d < dims) { sums(best)(d) += v(d); d += 1 }
+        counts(best) += 1
+      }
+      cents = cents.indices.map { i =>
+        if (counts(i) == 0) cents(i)
+        else normalize(sums(i).map(_ / counts(i)))
+      }.toArray
+    }
+    cents.toSeq
+  }
+
+  /**
    * IVF-flat top-k — the clustered alternative to LSH bucketing:
    * every corpus vector is ASSIGNED to its nearest centroid (one
    * narrow pass over literal centroids — no shuffle, the centroid
