@@ -2,7 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DateType, StringType, TimestampType}
+import org.apache.spark.sql.types.{BinaryType, DataType, DateType,
+  DayTimeIntervalType, StringType, TimestampType, YearMonthIntervalType}
 
 /**
  * `field.type.overrides` (SURVEY.md §2.4; IidrToJdbcSinkTransform
@@ -25,8 +26,14 @@ import org.apache.spark.sql.types.{DataType, DateType, StringType, TimestampType
  */
 object TypeOverrides {
 
-  /** Legal override type names (IidrToJdbcSinkTransform.java:139-143). */
-  val SupportedTypes: Set[String] = Set("timestamp", "date", "time")
+  /** Legal override type names. `timestamp`/`date`/`time` mirror the
+    * reference (IidrToJdbcSinkTransform.java:139-143); `interval_ym`,
+    * `interval_ds` and `binary` are graft extensions covering the
+    * declared §1.3 types Debezium delivers as strings (Oracle INTERVAL
+    * literals / ISO-8601 durations, base64 bytes —
+    * hack/sql/oracle-datatype-test.sql:33-34). */
+  val SupportedTypes: Set[String] =
+    Set("timestamp", "date", "time", "interval_ym", "interval_ds", "binary")
 
   /** Patterns in the reference's order (most specific first,
     * IidrToJdbcSinkTransform.java:68-76). */
@@ -68,6 +75,9 @@ object TypeOverrides {
     case "timestamp" => TimestampType
     case "date" => DateType
     case "time" => StringType
+    case "interval_ym" => YearMonthIntervalType()
+    case "interval_ds" => DayTimeIntervalType()
+    case "binary" => BinaryType
     case t => throw new IllegalArgumentException(s"Unsupported type override: $t")
   }
 
@@ -85,9 +95,76 @@ object TypeOverrides {
         date_format(
           coalesce(TimePatterns.map(p => try_to_timestamp(s, lit(p))): _*),
           "HH:mm:ss.SSS")
+      case "interval_ym" => intervalYm(s)
+      case "interval_ds" => intervalDs(s)
+      case "binary" =>
+        // strict base64: unbase64 is lenient about garbage, so gate on
+        // shape (canonical alphabet + padding) to keep "unparseable →
+        // null" semantics consistent with the temporal ladder
+        when(s.rlike("^[A-Za-z0-9+/]*={0,2}$") && length(s) % 4 === 0,
+          unbase64(s))
       case t => throw new IllegalArgumentException(s"Unsupported type override: $t")
     }
   }
+
+  /**
+   * INTERVAL YEAR TO MONTH from either wire form: the Oracle literal
+   * `[+|-]y-m` (oracle-datatype-test.sql:33) or the ISO-8601 period
+   * Debezium's `io.debezium.data.Interval` emits (`P1Y2M0DT0H0M0S` —
+   * trailing zero D/T parts tolerated, any nonzero sub-month part
+   * rejects). Sign applies to the whole interval.
+   */
+  private def intervalYm(s: Column): Column = {
+    val sign = when(s.rlike("^-"), lit(-1)).otherwise(lit(1))
+    val b = regexp_replace(s, "^[+-]", "")
+    val oracle = when(b.rlike("^\\d{1,9}-\\d{1,2}$"),
+      make_ym_interval(
+        sign * regexp_extract(b, "^(\\d+)-(\\d+)$", 1).cast("int"),
+        sign * regexp_extract(b, "^(\\d+)-(\\d+)$", 2).cast("int")))
+    val iso = when(
+      b.rlike("^P(\\d+Y)?(\\d+M)?(0+D)?(T0+H(0+M)?(0+(\\.0+)?S)?)?$") &&
+        b.rlike("[YM]"),
+      make_ym_interval(
+        sign * part(b, "^P(\\d+)Y"),
+        sign * part(b, "^P(?:\\d+Y)?(\\d+)M")))
+    coalesce(oracle, iso)
+  }
+
+  /**
+   * INTERVAL DAY TO SECOND from either wire form: the Oracle literal
+   * `[+|-]d h:m:s[.f]` (oracle-datatype-test.sql:34) or the ISO-8601
+   * duration (`P0Y0M1DT2H3M4.5S` / `PT26H` — leading zero Y/M parts
+   * tolerated, nonzero ones reject). Sign applies to the whole
+   * interval.
+   */
+  private def intervalDs(s: Column): Column = {
+    val sign = when(s.rlike("^-"), lit(-1)).otherwise(lit(1))
+    val b = regexp_replace(s, "^[+-]", "")
+    val oraRe = "^(\\d+) (\\d{1,2}):(\\d{1,2}):(\\d{1,2}(?:\\.\\d+)?)$"
+    val oracle = when(b.rlike(oraRe),
+      make_dt_interval(
+        sign * regexp_extract(b, oraRe, 1).cast("int"),
+        sign * regexp_extract(b, oraRe, 2).cast("int"),
+        sign * regexp_extract(b, oraRe, 3).cast("int"),
+        sign.cast("decimal(18,6)") *
+          regexp_extract(b, oraRe, 4).cast("decimal(18,6)")))
+    val iso = when(
+      b.rlike("^P(0+Y)?(0+M)?(\\d+D)?(T(\\d+H)?(\\d+M)?(\\d+(\\.\\d+)?S)?)?$") &&
+        b.rlike("\\d+D|T\\d"),
+      make_dt_interval(
+        sign * part(b, "^P(?:0+Y)?(?:0+M)?(\\d+)D"),
+        sign * part(b, "T(\\d+)H"),
+        sign * part(b, "T(?:\\d+H)?(\\d+)M"),
+        sign.cast("decimal(18,6)") * coalesce(
+          nullif(regexp_extract(b, "(\\d+(?:\\.\\d+)?)S", 1), lit(""))
+            .cast("decimal(18,6)"),
+          lit(java.math.BigDecimal.ZERO))))
+    coalesce(oracle, iso)
+  }
+
+  /** Optional integer regex group: 0 when the group is absent. */
+  private def part(b: Column, re: String): Column =
+    coalesce(nullif(regexp_extract(b, re, 1), lit("")).cast("int"), lit(0))
 
   /** Reason string when a NON-blank value matches no pattern (mirrors
     * the reference's DataException text, IidrToJdbcSinkTransform

@@ -21,7 +21,10 @@ trait Dialect {
     * (PG lowercases, Derby/Oracle uppercase — PostgreSqlDialect.java:95-98). */
   def normalizeIdent(ident: String): String = ident
 
-  /** DDL column type for a Spark type (GenericDialect.java:199-221). */
+  /** DDL column type for a Spark type (GenericDialect.java:199-221).
+    * Intervals default to the ANSI forms; dialects without a native
+    * INTERVAL type (Derby, MySQL) override to VARCHAR and receive the
+    * ANSI literal string from the bind layer ([[JdbcApply.jdbcValue]]). */
   def typeFor(dt: DataType): String = dt match {
     case ByteType | ShortType | IntegerType => "INTEGER"
     case LongType                  => "BIGINT"
@@ -32,6 +35,8 @@ trait Dialect {
     case TimestampType             => "TIMESTAMP"
     case DateType                  => "DATE"
     case BinaryType                => "BLOB"
+    case _: YearMonthIntervalType  => "INTERVAL YEAR TO MONTH"
+    case _: DayTimeIntervalType    => "INTERVAL DAY TO SECOND"
     case _                         => "VARCHAR(4000)"
   }
 
@@ -77,6 +82,7 @@ object MySqlDialect extends Dialect {
   override def typeFor(dt: DataType): String = dt match {
     case StringType => "TEXT"
     case BinaryType => "VARBINARY(4000)"
+    case _: YearMonthIntervalType | _: DayTimeIntervalType => "VARCHAR(64)"
     case other      => super.typeFor(other)
   }
   def upsertSql(table: String, cols: Seq[String], pkCols: Seq[String]): UpsertPlan = {
@@ -103,6 +109,7 @@ object PostgreSqlDialect extends Dialect {
     case StringType => "TEXT"
     case BinaryType => "BYTEA"
     case DoubleType => "DOUBLE PRECISION"
+    case _: YearMonthIntervalType | _: DayTimeIntervalType => "INTERVAL"
     case other      => super.typeFor(other)
   }
   def upsertSql(table: String, cols: Seq[String], pkCols: Seq[String]): UpsertPlan = {
@@ -130,6 +137,9 @@ object GenericDialect extends Dialect {
   override def normalizeIdent(ident: String): String = ident.toUpperCase
   override def typeFor(dt: DataType): String = dt match {
     case StringType => "VARCHAR(4000)"
+    // Derby (the tested generic target) has no INTERVAL type: store
+    // the ANSI literal form losslessly
+    case _: YearMonthIntervalType | _: DayTimeIntervalType => "VARCHAR(64)"
     case other      => super.typeFor(other)
   }
   def upsertSql(table: String, cols: Seq[String], pkCols: Seq[String]): UpsertPlan = {

@@ -217,6 +217,16 @@ object JdbcApply {
       case _ => identity
     }
     val jdbcSchema = StructType(effSchema.fields.map(f => f.copy(name = cased(f.name))))
+    // Two wire fields collapsing to one cased name ("ID" and "id"
+    // under lower) would otherwise surface as a confusing dialect
+    // error at DDL/INSERT time — fail here, naming the collision.
+    if (jdbcSchema.fieldNames.distinct.length != jdbcSchema.fieldNames.length) {
+      val dups = jdbcSchema.fieldNames.groupBy(identity)
+        .collect { case (n, ns) if ns.length > 1 => n }
+      throw new IllegalArgumentException(
+        s"field.name.case=${cfg.fieldNameCase} collapses distinct wire fields " +
+          s"into duplicate column name(s) ${dups.mkString(", ")} for table $table")
+    }
     val jdbcPks = pks.map(cased)
 
     // DDL on the driver, before executors touch the table.
@@ -309,14 +319,15 @@ object JdbcApply {
       }
       it.foreach { row =>
         val op = row.getString(0)
-        val pkVals = pks.indices.map(i => row.get(1 + i))
+        val pkVals = pks.indices.map(i => jdbcValue(row.get(1 + i)))
         if (op == Cdc.Op.Delete) {
           pkVals.zipWithIndex.foreach { case (v, i) => delete.setObject(i + 1, v) }
           delete.addBatch(); nDel += 1
           if (nDel % batchSize == 0) delete.executeBatch()
         } else {
           val v = row.getStruct(1 + pks.length)
-          val colVals = valueCols.indices.map(i => if (v == null) null else v.get(i))
+          val colVals = valueCols.indices.map(i =>
+            if (v == null) null else jdbcValue(v.get(i)))
           plan match {
             case NativeUpsert(_, bind) =>
               bind(upsertPs, colVals)
@@ -381,7 +392,7 @@ object JdbcApply {
           val ps = conn.prepareStatement(sql)
           var pending = 0
           it.foreach { row =>
-            fields.indices.foreach(i => ps.setObject(i + 1, row.get(i)))
+            fields.indices.foreach(i => ps.setObject(i + 1, jdbcValue(row.get(i))))
             ps.addBatch(); pending += 1
             if (pending % batchSize == 0) ps.executeBatch()
           }
@@ -393,13 +404,40 @@ object JdbcApply {
   }
 
   // ------------------------------------------------------------- helpers
-  /** Duplicate-key detection that survives non-JDBC4 drivers: either
-    * the typed subclass OR SQLState class 23 (integrity violation —
-    * e.g. 23505 unique violation), since several drivers raise plain
-    * SQLException with only the state set. Anything else rethrows. */
+  /**
+   * JDBC-bindable value for a Spark Row value (W7 typed binding).
+   * Interval externals (java.time.Period/Duration) have no portable
+   * setObject mapping, so they bind as their ANSI interval literal —
+   * `y-m` / `d hh:mm:ss.ffffff`, sign-prefixed — which is both what
+   * an INTERVAL-typed target parses and what a VARCHAR fallback
+   * (Derby/MySQL) stores losslessly; TypeOverrides.coerce parses the
+   * same forms back, closing the round trip. Everything else (incl.
+   * Array[Byte] → BLOB) passes through to setObject.
+   */
+  private[sinks] def jdbcValue(v: Any): Any = v match {
+    case p: java.time.Period =>
+      val tm = p.toTotalMonths
+      val m = math.abs(tm)
+      s"${if (tm < 0) "-" else ""}${m / 12}-${m % 12}"
+    case d: java.time.Duration =>
+      val a = d.abs()
+      val micros = a.getNano / 1000
+      f"${if (d.isNegative) "-" else ""}${a.toDays} " +
+        f"${a.toHoursPart}%02d:${a.toMinutesPart}%02d:${a.toSecondsPart}%02d.$micros%06d"
+    case other => other
+  }
+
+  /** Duplicate-key detection that survives non-JDBC4 drivers.
+    * DUPLICATE-specific only: SQLState 23505 (unique violation, ANSI/
+    * Derby/PG), 23000/23001 (MySQL/Oracle integrity states used for
+    * dup keys), or MySQL vendor code 1062 — NOT the whole class-23
+    * family or the typed subclass, which also cover FK (23503),
+    * NOT NULL (23502) and CHECK (23514) violations; swallowing those
+    * on the all-PK insert path would silently drop genuinely corrupt
+    * rows. Anything else rethrows. */
   private[graft] def isDuplicateKey(e: java.sql.SQLException): Boolean =
-    e.isInstanceOf[java.sql.SQLIntegrityConstraintViolationException] ||
-      Option(e.getSQLState).exists(_.startsWith("23"))
+    Option(e.getSQLState).exists(Set("23505", "23000", "23001")) ||
+      e.getErrorCode == 1062
 
   /** Credentialed connect (serializable inputs only — executors call
     * this with plain strings captured in the task closure). Properties

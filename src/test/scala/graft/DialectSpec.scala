@@ -65,10 +65,16 @@ class DialectSpec extends SparkSpec {
     val url = "jdbc:derby:memory:typesdb;create=true"
     val schema = StructType.fromDDL(
       "ID BIGINT, S STRING, I INT, D DOUBLE, B BOOLEAN, " +
-        "DEC DECIMAL(12,2), TS TIMESTAMP, DT DATE, TM STRING")
+        "DEC DECIMAL(12,2), TS TIMESTAMP, DT DATE, TM STRING, " +
+        "YM STRING, DS STRING, BIN STRING")
+    // YM/DS arrive in the Debezium ISO-8601 forms, BIN as base64 —
+    // the interval_ym/interval_ds/binary overrides re-type them
+    // (oracle-datatype-test.sql:33-34; BYTES path GenericDialect
+    // .java:199-221)
     val value =
       """{"ID":1,"S":"text","I":42,"D":2.5,"B":true,"DEC":123.45,
-         |"TS":"2026-01-15T10:00:00","DT":"2026-01-15","TM":"10:30:00"}"""
+         |"TS":"2026-01-15T10:00:00","DT":"2026-01-15","TM":"10:30:00",
+         |"YM":"P1Y2M0DT0H0M0S","DS":"P0Y0M1DT2H3M4.5S","BIN":"aGVsbG8="}"""
         .stripMargin.replaceAll("\n", "")
     val wire = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(
@@ -81,13 +87,22 @@ class DialectSpec extends SparkSpec {
       url = url,
       tableSchemas = Map("TYPED" -> schema),
       keySchemas = Map("TYPED" -> StructType.fromDDL("ID BIGINT")),
-      primaryKeys = Map("TYPED" -> Seq("ID")))
+      primaryKeys = Map("TYPED" -> Seq("ID")),
+      fieldTypeOverrides = Map(
+        "YM" -> "interval_ym", "DS" -> "interval_ds", "BIN" -> "binary"))
     JdbcApply.applyBatch(CdcNormalize(wire, CdcConfig()), cfg)
 
     val conn = DriverManager.getConnection("jdbc:derby:memory:typesdb")
     try {
+      // interval columns land as VARCHAR on Derby (no INTERVAL type)
+      val meta = conn.createStatement().executeQuery(
+        """SELECT COLUMNDATATYPE FROM SYS.SYSCOLUMNS c
+          |JOIN SYS.SYSTABLES t ON c.REFERENCEID = t.TABLEID
+          |WHERE t.TABLENAME = 'TYPED' AND c.COLUMNNAME = 'YM'""".stripMargin)
+      assert(meta.next() && meta.getString(1).startsWith("VARCHAR"))
       val rs = conn.createStatement().executeQuery(
-        """SELECT "ID", "S", "I", "D", "B", "DEC", "TS", "DT", "TM" FROM "TYPED"""")
+        """SELECT "ID", "S", "I", "D", "B", "DEC", "TS", "DT", "TM",
+          |"YM", "DS", "BIN" FROM "TYPED"""".stripMargin)
       assert(rs.next())
       assert(rs.getLong(1) == 1L)
       assert(rs.getString(2) == "text")
@@ -98,7 +113,40 @@ class DialectSpec extends SparkSpec {
       assert(rs.getTimestamp(7).toString == "2026-01-15 10:00:00.0")
       assert(rs.getDate(8).toString == "2026-01-15")
       assert(rs.getString(9) == "10:30:00") // TIME carried as string (no Spark TimeType)
+      assert(rs.getString(10) == "1-2")               // ANSI y-m literal
+      assert(rs.getString(11) == "1 02:03:04.500000") // ANSI d h:m:s literal
+      assert(new String(rs.getBytes(12), "UTF-8") == "hello") // BLOB bind
       assert(!rs.next())
     } finally conn.close()
+  }
+
+  test("interval coercion parses Oracle literals and ISO durations; rejects garbage") {
+    import graft.operators.TypeOverrides
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = Seq("1-2", "-1-2", "+0-11", "P1Y2M", "P1Y2M0DT0H0M0S",
+      "1-2-3", "P1Y2M3DT0H0M0S", "nonsense", "")
+      .toDF("s")
+      .select(TypeOverrides.coerce(col("s"), "interval_ym").cast("string").as("ym"))
+    val ym = df.collect().map(r => Option(r.get(0)).map(_.toString))
+    assert(ym.toSeq == Seq(
+      Some("INTERVAL '1-2' YEAR TO MONTH"), Some("INTERVAL '-1-2' YEAR TO MONTH"),
+      Some("INTERVAL '0-11' YEAR TO MONTH"), Some("INTERVAL '1-2' YEAR TO MONTH"),
+      Some("INTERVAL '1-2' YEAR TO MONTH"),
+      None,  // malformed literal
+      None,  // nonzero day part cannot be an YM interval
+      None, None))
+    val ds = Seq("1 2:3:4.5", "-0 0:0:1", "P0Y0M1DT2H3M4.5S", "PT26H",
+      "P1Y0M1DT0H0M0S", "junk", "")
+      .toDF("s")
+      .select(TypeOverrides.coerce(col("s"), "interval_ds").cast("string").as("ds"))
+      .collect().map(r => Option(r.get(0)).map(_.toString))
+    assert(ds.toSeq == Seq(
+      Some("INTERVAL '1 02:03:04.5' DAY TO SECOND"),
+      Some("INTERVAL '-0 00:00:01' DAY TO SECOND"),
+      Some("INTERVAL '1 02:03:04.5' DAY TO SECOND"),
+      Some("INTERVAL '1 02:00:00' DAY TO SECOND"),
+      None,  // nonzero year part cannot be a DS interval
+      None, None))
   }
 }
