@@ -137,15 +137,26 @@ object Dedup {
    * Caching: two intermediates (shingle sets, prefix tokens) persist
    * for the session — each is read by 2-3 downstream joins of the
    * SAME returned plan, and the return is lazy so this function
-   * cannot unpersist them itself. Spark's LRU storage eviction bounds
-   * the cost; callers invoking repeatedly on the same inputs should
-   * cache the RESULT (DedupQueries.pairsCache pattern) instead of
-   * re-deriving.
+   * cannot unpersist them itself. Use [[blockedJaccardPairsManaged]]
+   * when calling repeatedly over different inputs: its release handle
+   * unpersists both once the result is materialized, instead of
+   * leaving LRU eviction as the only bound. Callers re-running the
+   * SAME input should cache the RESULT (DedupQueries.pairsCache
+   * pattern) instead of re-deriving.
    *
    * Output: (blockCols…, doc_a, doc_b, jaccard), doc_a < doc_b.
    */
   def blockedJaccardPairs(docs: DataFrame, blockCols: Seq[String],
-      idCol: String, textCol: String, k: Int, threshold: Double): DataFrame = {
+      idCol: String, textCol: String, k: Int, threshold: Double): DataFrame =
+    blockedJaccardPairsManaged(docs, blockCols, idCol, textCol, k, threshold)._1
+
+  /** [[blockedJaccardPairs]] plus a release handle that unpersists the
+    * two cached intermediates — call it AFTER materializing (or
+    * abandoning) the returned plan; the plan stays valid afterwards,
+    * it just recomputes on re-materialization. */
+  def blockedJaccardPairsManaged(docs: DataFrame, blockCols: Seq[String],
+      idCol: String, textCol: String, k: Int,
+      threshold: Double): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     val block = blockCols.map(col)
     // Shingle once; reused by the token explode and both verify
@@ -195,12 +206,13 @@ object Dedup {
     // listed under several blocks) resolves to its own block's shingle
     // set instead of fanning out.
     val sh = d.select(block :+ col("doc_id") :+ col("sh"): _*)
-    cand
+    val out = cand
       .join(sh.toDF(blockCols :+ "doc_a" :+ "sh_a": _*), blockCols :+ "doc_a")
       .join(sh.toDF(blockCols :+ "doc_b" :+ "sh_b": _*), blockCols :+ "doc_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(block ++ Seq(col("doc_a"), col("doc_b"), col("jaccard")): _*)
+    (out, () => { d.unpersist(); prefix.unpersist(); () })
   }
 
   // ---------------------------------------------------------------- simhash

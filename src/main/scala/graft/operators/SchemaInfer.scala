@@ -39,12 +39,23 @@ object SchemaInfer {
 
   /** Infer the value schema for `jsonCol` from a bounded sample of
     * non-null payloads; empty/all-null input → empty struct (inference
-    * over an empty sample yields zero fields — no pre-check job). */
+    * over an empty sample yields zero fields — no pre-check job).
+    *
+    * The sample is DETERMINISTIC: a bare `limit` takes whichever
+    * partitions answer first, so a field with mixed JSON types could
+    * infer differently between micro-batches — and with autoCreate the
+    * first batch pins the DDL type. Ordering by the stream position
+    * (`offset`, when the frame carries one — the CDC apply path always
+    * does) or by the payload itself makes reruns and restarts infer
+    * the same schema from the same data. */
   def infer(spark: SparkSession, df: DataFrame, jsonCol: String,
       sampleSize: Int = DefaultSampleSize): StructType = {
-    val sample = df.select(col(jsonCol))
-      .filter(col(jsonCol).isNotNull)
-      .limit(sampleSize)
+    val orderKey =
+      if (df.columns.contains("offset")) col("offset") else col(jsonCol)
+    val sample = df.filter(col(jsonCol).isNotNull)
+      .orderBy(orderKey)
+      .limit(sampleSize)       // TakeOrdered — one bounded job
+      .select(col(jsonCol))
       .as(Encoders.STRING)
     StructType(spark.read.json(sample).schema.fields
       .filterNot(_.name == "_corrupt_record")

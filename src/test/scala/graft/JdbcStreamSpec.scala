@@ -134,11 +134,19 @@ class JdbcStreamSpec extends SparkSpec {
     }
   }
 
-  test("duplicate-key detection accepts SQLState 23xxx from non-JDBC4 drivers") {
+  test("duplicate-key detection is duplicate-SPECIFIC, not any class-23 violation") {
     import java.sql.{SQLException, SQLIntegrityConstraintViolationException}
     assert(JdbcApply.isDuplicateKey(new SQLException("dup", "23505")))
     assert(JdbcApply.isDuplicateKey(new SQLException("dup", "23000")))
-    assert(JdbcApply.isDuplicateKey(new SQLIntegrityConstraintViolationException("dup")))
+    assert(JdbcApply.isDuplicateKey(new SQLException("dup", "23000", 1062)))
+    assert(JdbcApply.isDuplicateKey(new SQLException("dup", null, 1062)))
+    // FK / NOT NULL / CHECK violations must RETHROW — swallowing them
+    // on the all-PK insert path would silently drop corrupt rows
+    assert(!JdbcApply.isDuplicateKey(new SQLException("fk", "23503")))
+    assert(!JdbcApply.isDuplicateKey(new SQLException("notnull", "23502")))
+    assert(!JdbcApply.isDuplicateKey(new SQLException("check", "23514")))
+    assert(!JdbcApply.isDuplicateKey(
+      new SQLIntegrityConstraintViolationException("fk, typed, no state")))
     assert(!JdbcApply.isDuplicateKey(new SQLException("syntax", "42000")))
     assert(!JdbcApply.isDuplicateKey(new SQLException("no state")))
   }

@@ -132,6 +132,18 @@ class TrainingDataSpec extends SparkSpec {
     assert(b == n)
   }
 
+  test("blockedJaccardPairsManaged release() unpersists both intermediates") {
+    val docs = Seq(("en", 1L, "a b c d"), ("en", 2L, "a b c e"))
+      .toDF("lang", "doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (pairs, release) = Dedup.blockedJaccardPairsManaged(
+      docs, Seq("lang"), "doc_id", "text", 2, 0.3)
+    pairs.collect()
+    assert(spark.sparkContext.getPersistentRDDs.size == before + 2)
+    release()
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
+
   test("cluster resolution: chains collapse to the min id, singletons keep their own") {
     import graft.dedup.Clusters
     val docs = (1L to 8L).toDF("doc_id")
