@@ -28,9 +28,11 @@ object Bench {
       try SparkEntry.queries(q)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    // Min of 2 timed iterations per query: box-load noise on the
-    // driver machine must not masquerade as a code regression
-    // (VERDICT r2 — two loaded-box runs read +53% on unchanged code).
+    // Min AND median of 3 timed iterations per query: min is the
+    // headline (box-load noise on the driver machine must not
+    // masquerade as a code regression — VERDICT r2: two loaded-box
+    // runs read +53% on unchanged code), while median quantifies how
+    // loaded the box was (median >> min ⇒ distrust the totals).
     // Failed queries report -1 (never a time): a crash must look like
     // a crash in the bench output, not a fast run.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -39,15 +41,21 @@ object Bench {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      val t = try math.min(once(), once())
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1.0 }
-      name -> t
+      val (tMin, tMed) = try {
+        val ts = Seq(once(), once(), once()).sorted
+        (ts.head, ts(1))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); (-1.0, -1.0) }
+      (name, tMin, tMed)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val med = results.map { case (k, _, m) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalMed = results.map(_._3).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""total_median":$totalMed,"queries_median":$med,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
