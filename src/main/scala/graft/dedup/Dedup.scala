@@ -225,7 +225,10 @@ object Dedup {
    * interpreted re-folds of the token-hash array per row.
    */
   def simhash16(text: Column): Column =
-    toCol(graft.functions.SimHash16(toExpr(text)))
+    // coalesce: the HOF formulation (and the DuckDB oracle mirroring
+    // it) fingerprints NULL text as 0 — `when(null > 0, …).otherwise(0)`
+    // per bit — while a null-intolerant UnaryExpression returns NULL
+    coalesce(toCol(graft.functions.SimHash16(toExpr(text))), lit(0L))
 
   /**
    * Declarative HOF formulation of [[simhash16]] — 16 interpreted

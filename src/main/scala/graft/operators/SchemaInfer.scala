@@ -46,14 +46,19 @@ object SchemaInfer {
     * infer differently between micro-batches — and with autoCreate the
     * first batch pins the DDL type. Ordering by the stream position
     * (`offset`, when the frame carries one — the CDC apply path always
-    * does) or by the payload itself makes reruns and restarts infer
-    * the same schema from the same data. */
+    * does) with the payload as tie-break (offsets restart per Kafka
+    * partition, so offset alone leaves the cut ambiguous), or by the
+    * payload alone otherwise, makes reruns and restarts infer the same
+    * schema from the same data. The payload-order fallback is biased
+    * toward lexicographically small payloads — acceptable for a
+    * TYPE sample, where determinism matters more than uniformity. */
   def infer(spark: SparkSession, df: DataFrame, jsonCol: String,
       sampleSize: Int = DefaultSampleSize): StructType = {
-    val orderKey =
-      if (df.columns.contains("offset")) col("offset") else col(jsonCol)
+    val orderKeys =
+      if (df.columns.contains("offset")) Seq(col("offset"), col(jsonCol))
+      else Seq(col(jsonCol))
     val sample = df.filter(col(jsonCol).isNotNull)
-      .orderBy(orderKey)
+      .orderBy(orderKeys: _*)
       .limit(sampleSize)       // TakeOrdered — one bounded job
       .select(col(jsonCol))
       .as(Encoders.STRING)

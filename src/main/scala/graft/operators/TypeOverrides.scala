@@ -59,7 +59,7 @@ object TypeOverrides {
           val (field, tpe) = (f.trim, t.trim.toLowerCase)
           require(SupportedTypes.contains(tpe),
             s"Unsupported type '$tpe' for field '$field'. " +
-              s"Supported types: timestamp, date, time")
+              s"Supported types: ${SupportedTypes.toSeq.sorted.mkString(", ")}")
           field -> tpe
         case _ => throw new IllegalArgumentException(
           s"Invalid field.type.overrides entry: '$pair'. " +
@@ -113,16 +113,24 @@ object TypeOverrides {
    * Debezium's `io.debezium.data.Interval` emits (`P1Y2M0DT0H0M0S` —
    * trailing zero D/T parts tolerated, any nonzero sub-month part
    * rejects). Sign applies to the whole interval.
+   *
+   * Component BOUNDS are part of the gate, not an afterthought: an
+   * unbounded `\d+` would let a corrupted field like `200000000-0`
+   * reach make_ym_interval and throw under ANSI mode — killing the
+   * whole batch before DLQ routing — and would silently normalize
+   * impossible literals (`1-45` → 4-9) that no real source emits.
+   * Years ≤ 7 digits (total months stays far inside Int), literal
+   * months 0-11, ISO months ≤ 4 digits.
    */
   private def intervalYm(s: Column): Column = {
     val sign = when(s.rlike("^-"), lit(-1)).otherwise(lit(1))
     val b = regexp_replace(s, "^[+-]", "")
-    val oracle = when(b.rlike("^\\d{1,9}-\\d{1,2}$"),
+    val oracle = when(b.rlike("^\\d{1,7}-(\\d|1[01])$"),
       make_ym_interval(
         sign * regexp_extract(b, "^(\\d+)-(\\d+)$", 1).cast("int"),
         sign * regexp_extract(b, "^(\\d+)-(\\d+)$", 2).cast("int")))
     val iso = when(
-      b.rlike("^P(\\d+Y)?(\\d+M)?(0+D)?(T0+H(0+M)?(0+(\\.0+)?S)?)?$") &&
+      b.rlike("^P(\\d{1,7}Y)?(\\d{1,4}M)?(0+D)?(T0+H(0+M)?(0+(\\.0+)?S)?)?$") &&
         b.rlike("[YM]"),
       make_ym_interval(
         sign * part(b, "^P(\\d+)Y"),
@@ -136,11 +144,18 @@ object TypeOverrides {
    * duration (`P0Y0M1DT2H3M4.5S` / `PT26H` — leading zero Y/M parts
    * tolerated, nonzero ones reject). Sign applies to the whole
    * interval.
+   *
+   * Bounds (same rationale as [[intervalYm]]): literal hours 0-23 and
+   * minutes/seconds 0-59 (an impossible `0 99:00:00` must reject, not
+   * normalize); days ≤ 6 digits and ISO hours/minutes ≤ 6 digits,
+   * seconds ≤ 9 digits — every combination stays orders of magnitude
+   * inside the int64-microsecond range, so make_dt_interval can never
+   * throw on a gated value.
    */
   private def intervalDs(s: Column): Column = {
     val sign = when(s.rlike("^-"), lit(-1)).otherwise(lit(1))
     val b = regexp_replace(s, "^[+-]", "")
-    val oraRe = "^(\\d+) (\\d{1,2}):(\\d{1,2}):(\\d{1,2}(?:\\.\\d+)?)$"
+    val oraRe = "^(\\d{1,6}) ([01]?\\d|2[0-3]):([0-5]?\\d):([0-5]?\\d(?:\\.\\d{1,6})?)$"
     val oracle = when(b.rlike(oraRe),
       make_dt_interval(
         sign * regexp_extract(b, oraRe, 1).cast("int"),
@@ -149,7 +164,8 @@ object TypeOverrides {
         sign.cast("decimal(18,6)") *
           regexp_extract(b, oraRe, 4).cast("decimal(18,6)")))
     val iso = when(
-      b.rlike("^P(0+Y)?(0+M)?(\\d+D)?(T(\\d+H)?(\\d+M)?(\\d+(\\.\\d+)?S)?)?$") &&
+      b.rlike("^P(0+Y)?(0+M)?(\\d{1,6}D)?" +
+        "(T(\\d{1,6}H)?(\\d{1,6}M)?(\\d{1,9}(\\.\\d{1,6})?S)?)?$") &&
         b.rlike("\\d+D|T\\d"),
       make_dt_interval(
         sign * part(b, "^P(?:0+Y)?(?:0+M)?(\\d+)D"),

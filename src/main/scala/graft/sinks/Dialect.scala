@@ -22,9 +22,13 @@ trait Dialect {
   def normalizeIdent(ident: String): String = ident
 
   /** DDL column type for a Spark type (GenericDialect.java:199-221).
-    * Intervals default to the ANSI forms; dialects without a native
-    * INTERVAL type (Derby, MySQL) override to VARCHAR and receive the
-    * ANSI literal string from the bind layer ([[JdbcApply.jdbcValue]]). */
+    * The base mapping declares the ANSI INTERVAL forms; every shipped
+    * dialect overrides intervals to VARCHAR(64), because the bind
+    * layer sends the ANSI literal string ([[JdbcApply.jdbcValue]]) and
+    * drivers type a bare setObject(String) as varchar — only a target
+    * with an implicit varchar→interval cast could accept the native
+    * DDL. The base case remains for custom dialects that add a typed
+    * bind. */
   def typeFor(dt: DataType): String = dt match {
     case ByteType | ShortType | IntegerType => "INTEGER"
     case LongType                  => "BIGINT"
@@ -109,7 +113,12 @@ object PostgreSqlDialect extends Dialect {
     case StringType => "TEXT"
     case BinaryType => "BYTEA"
     case DoubleType => "DOUBLE PRECISION"
-    case _: YearMonthIntervalType | _: DayTimeIntervalType => "INTERVAL"
+    // VARCHAR, not native INTERVAL: the bind layer sends the ANSI
+    // literal as a String, and the PG wire protocol types a bare
+    // setObject(String) as varchar — the server rejects varchar →
+    // interval without stringtype=unspecified or a ?::interval cast
+    // (42804). Lossless VARCHAR beats a DDL type every INSERT fails on.
+    case _: YearMonthIntervalType | _: DayTimeIntervalType => "VARCHAR(64)"
     case other      => super.typeFor(other)
   }
   def upsertSql(table: String, cols: Seq[String], pkCols: Seq[String]): UpsertPlan = {

@@ -428,16 +428,20 @@ object JdbcApply {
   }
 
   /** Duplicate-key detection that survives non-JDBC4 drivers.
-    * DUPLICATE-specific only: SQLState 23505 (unique violation, ANSI/
-    * Derby/PG), 23000/23001 (MySQL/Oracle integrity states used for
-    * dup keys), or MySQL vendor code 1062 — NOT the whole class-23
-    * family or the typed subclass, which also cover FK (23503),
-    * NOT NULL (23502) and CHECK (23514) violations; swallowing those
-    * on the all-PK insert path would silently drop genuinely corrupt
-    * rows. Anything else rethrows. */
+    * DUPLICATE-specific only: SQLState 23505 (unique violation —
+    * ANSI-distinct, used by Derby/PG/H2), or a duplicate-key VENDOR
+    * code (MySQL 1062, Oracle ORA-00001, SQL Server 2601/2627). The
+    * generic states 23000/23001 alone do NOT qualify: Oracle and
+    * SQL Server report FK (ORA-02291, error 547) and NOT NULL
+    * (MySQL 1048) failures under 23000 too, so accepting the bare
+    * state would silently drop genuinely corrupt rows on the all-PK
+    * insert path — as would the whole class-23 family or the typed
+    * subclass (FK 23503, NOT NULL 23502, CHECK 23514). Anything else
+    * rethrows. */
   private[graft] def isDuplicateKey(e: java.sql.SQLException): Boolean =
-    Option(e.getSQLState).exists(Set("23505", "23000", "23001")) ||
-      e.getErrorCode == 1062
+    Option(e.getSQLState).contains("23505") ||
+      Set(1062, 1, 2601, 2627)(e.getErrorCode) &&
+        Option(e.getSQLState).exists(_.startsWith("23"))
 
   /** Credentialed connect (serializable inputs only — executors call
     * this with plain strings captured in the task closure). Properties

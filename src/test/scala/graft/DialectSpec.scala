@@ -125,7 +125,8 @@ class DialectSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val df = Seq("1-2", "-1-2", "+0-11", "P1Y2M", "P1Y2M0DT0H0M0S",
-      "1-2-3", "P1Y2M3DT0H0M0S", "nonsense", "")
+      "1-2-3", "P1Y2M3DT0H0M0S", "nonsense", "",
+      "200000000-0", "1-45")
       .toDF("s")
       .select(TypeOverrides.coerce(col("s"), "interval_ym").cast("string").as("ym"))
     val ym = df.collect().map(r => Option(r.get(0)).map(_.toString))
@@ -135,9 +136,12 @@ class DialectSpec extends SparkSpec {
       Some("INTERVAL '1-2' YEAR TO MONTH"),
       None,  // malformed literal
       None,  // nonzero day part cannot be an YM interval
-      None, None))
+      None, None,
+      None,  // out-of-range years would overflow make_ym_interval (ANSI throw)
+      None)) // months 45 is an impossible literal — reject, don't normalize
     val ds = Seq("1 2:3:4.5", "-0 0:0:1", "P0Y0M1DT2H3M4.5S", "PT26H",
-      "P1Y0M1DT0H0M0S", "junk", "")
+      "P1Y0M1DT0H0M0S", "junk", "",
+      "0 99:00:00", "99999999999 00:00:00")
       .toDF("s")
       .select(TypeOverrides.coerce(col("s"), "interval_ds").cast("string").as("ds"))
       .collect().map(r => Option(r.get(0)).map(_.toString))
@@ -147,6 +151,8 @@ class DialectSpec extends SparkSpec {
       Some("INTERVAL '1 02:03:04.5' DAY TO SECOND"),
       Some("INTERVAL '1 02:00:00' DAY TO SECOND"),
       None,  // nonzero year part cannot be a DS interval
-      None, None))
+      None, None,
+      None,  // hours 99 is an impossible literal — reject, don't normalize
+      None)) // out-of-range days would overflow int64 micros (ANSI throw)
   }
 }

@@ -137,11 +137,16 @@ class JdbcStreamSpec extends SparkSpec {
   test("duplicate-key detection is duplicate-SPECIFIC, not any class-23 violation") {
     import java.sql.{SQLException, SQLIntegrityConstraintViolationException}
     assert(JdbcApply.isDuplicateKey(new SQLException("dup", "23505")))
-    assert(JdbcApply.isDuplicateKey(new SQLException("dup", "23000")))
-    assert(JdbcApply.isDuplicateKey(new SQLException("dup", "23000", 1062)))
-    assert(JdbcApply.isDuplicateKey(new SQLException("dup", null, 1062)))
+    assert(JdbcApply.isDuplicateKey(new SQLException("mysql dup", "23000", 1062)))
+    assert(JdbcApply.isDuplicateKey(new SQLException("ora-00001", "23000", 1)))
+    assert(JdbcApply.isDuplicateKey(new SQLException("mssql dup", "23000", 2627)))
     // FK / NOT NULL / CHECK violations must RETHROW — swallowing them
-    // on the all-PK insert path would silently drop corrupt rows
+    // on the all-PK insert path would silently drop corrupt rows.
+    // 23000 is Oracle/SQL Server/MySQL's GENERIC integrity state (FK
+    // ORA-02291, error 547, MySQL 1452/1048 all carry it), so the
+    // bare state without a duplicate vendor code does not qualify.
+    assert(!JdbcApply.isDuplicateKey(new SQLException("ambiguous", "23000")))
+    assert(!JdbcApply.isDuplicateKey(new SQLException("mysql fk", "23000", 1452)))
     assert(!JdbcApply.isDuplicateKey(new SQLException("fk", "23503")))
     assert(!JdbcApply.isDuplicateKey(new SQLException("notnull", "23502")))
     assert(!JdbcApply.isDuplicateKey(new SQLException("check", "23514")))
@@ -149,6 +154,7 @@ class JdbcStreamSpec extends SparkSpec {
       new SQLIntegrityConstraintViolationException("fk, typed, no state")))
     assert(!JdbcApply.isDuplicateKey(new SQLException("syntax", "42000")))
     assert(!JdbcApply.isDuplicateKey(new SQLException("no state")))
+    assert(!JdbcApply.isDuplicateKey(new SQLException("code only", null, 1062)))
   }
 
   test("malformed JSON routes to the DLQ instead of crashing the apply") {

@@ -214,7 +214,7 @@ class TrainingDataSpec extends SparkSpec {
     // multi-space runs, CJK (code points > 1 UTF-16 unit stay 1 "char"
     // in both folds), long docs, and punctuation-glued tokens.
     val docs = Seq(
-      "", "   ", "one", "ONE", "Hello  World", "a b c d e f g",
+      null, "", "   ", "one", "ONE", "Hello  World", "a b c d e f g",
       "中文 測試 文本", "naïve café über", "tok1 tok2,tok3 tok4.",
       (1 to 200).map(i => s"word$i").mkString(" "),
       "\tlead trail \n", "ONE one One oNe").toDF("t")
