@@ -255,10 +255,15 @@ object Similarity {
     val scores = centroids.zip(norms).map { case (c, n) =>
       if (n > 0) dot(col(vecCol), typedLit(c.toSeq)) / lit(n) else lit(0.0)
     }
-    // struct ordering: max score first, then max(-i) = smallest index
+    // struct ordering: max score first, then max(-i) = smallest index.
+    // The coalesce is a NULLABILITY marker, not a fallback: array_max
+    // types as nullable even over this never-empty literal array, and
+    // a nullable join key makes the optimizer infer an isnotnull(cell)
+    // Filter that re-evaluates all K dots a second time per row
+    // (observed via explain); the non-nullable coalesce suppresses it.
     val best = array_max(array(scores.zipWithIndex.map { case (s, i) =>
       struct(s.as("s"), lit(-i).as("ni")) }: _*))
-    val cell = -best.getField("ni")
+    val cell = coalesce(-best.getField("ni"), lit(0))
     val assigned = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("nv"), cell.as("cell"))
     val probeRows = queries.flatMap { case (qid, qv) =>
