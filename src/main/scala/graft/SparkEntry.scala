@@ -226,15 +226,42 @@ object SparkEntry {
         .otherwise(substring(col("ats"), 1, 10))
       val timeRaw = when(col("offs") % 43 === 0, lit("25:99:00"))
         .otherwise(substring(col("ats"), 12, 8))
+      // Interval wire forms (graft extension): every branch the
+      // coercion accepts — Oracle literals (signed and unsigned), bare
+      // and zero-tailed ISO periods — plus an impossible literal that
+      // must REJECT into the reason channel, all derived from offs so
+      // the DuckDB oracle can re-render the exact cast-to-string
+      // output with integer arithmetic.
+      val (y, m) = ((col("offs") % 8).cast("string"), (col("offs") % 12).cast("string"))
+      val ymRaw = when(col("offs") % 53 === 0, lit("1-45"))
+        .when(col("offs") % 5 === 0, concat(y, lit("-"), m))
+        .when(col("offs") % 5 === 1, concat(lit("P"), y, lit("Y"), m, lit("M")))
+        .when(col("offs") % 5 === 2, concat(lit("P"), y, lit("Y"), m, lit("M0DT0H0M0S")))
+        .when(col("offs") % 5 === 3, concat(lit("-"), y, lit("-"), m))
+        .otherwise(concat(lit("+"), y, lit("-"), m))
+      val (dd, hh) = ((col("offs") % 30).cast("string"), (col("offs") % 24).cast("string"))
+      val (mi, sec) = ((col("offs") % 60).cast("string"), (col("offs") * 7 % 60).cast("string"))
+      val dsRaw = when(col("offs") % 59 === 0, lit("0 99:00:00"))
+        .when(col("offs") % 5 === 0, concat(dd, lit(" "), hh, lit(":"), mi, lit(":"), sec))
+        .when(col("offs") % 5 === 1,
+          concat(lit("P"), dd, lit("DT"), hh, lit("H"), mi, lit("M"), sec, lit("S")))
+        .when(col("offs") % 5 === 2, concat(lit("PT"), hh, lit("H")))
+        .when(col("offs") % 5 === 3,
+          concat(lit("-"), dd, lit(" "), hh, lit(":"), mi, lit(":"), sec))
+        .otherwise(concat(dd, lit(" "), hh, lit(":"), mi, lit(":"), sec))
       f.select(
         col("offs"),
         TypeOverrides.coerce(createdRaw, "timestamp").as("created_at"),
         TypeOverrides.coerce(dateRaw, "date").as("order_date"),
         TypeOverrides.coerce(timeRaw, "time").as("event_time"),
+        TypeOverrides.coerce(ymRaw, "interval_ym").cast("string").as("ym_iv"),
+        TypeOverrides.coerce(dsRaw, "interval_ds").cast("string").as("ds_iv"),
         coalesce(
           TypeOverrides.failureReason(createdRaw, "timestamp"),
           TypeOverrides.failureReason(dateRaw, "date"),
-          TypeOverrides.failureReason(timeRaw, "time")).as("reason"))
+          TypeOverrides.failureReason(timeRaw, "time"),
+          TypeOverrides.failureReason(ymRaw, "interval_ym"),
+          TypeOverrides.failureReason(dsRaw, "interval_ds")).as("reason"))
         .orderBy("offs")
     }),
 
@@ -502,13 +529,43 @@ object SparkEntry {
       SELECT offs, created_at, order_date,
         CASE WHEN t0 IS NULL THEN NULL
              ELSE strftime(t0, '%H:%M:%S') || '.000' END AS event_time,
+        -- interval columns re-render Spark's cast-to-string output
+        -- ("INTERVAL 'y-m' YEAR TO MONTH") from the same offs
+        -- arithmetic; months stay <= 11 so no carry normalization,
+        -- and a negative-signed all-zero interval renders POSITIVE
+        -- (Period/Duration have no negative zero)
+        CASE WHEN offs % 53 = 0 THEN NULL
+             WHEN offs % 5 = 3 AND offs % 8 + offs % 12 > 0
+               THEN 'INTERVAL ''-' || (offs % 8) || '-' || (offs % 12)
+                    || ''' YEAR TO MONTH'
+             ELSE 'INTERVAL ''' || (offs % 8) || '-' || (offs % 12)
+                  || ''' YEAR TO MONTH' END AS ym_iv,
+        CASE WHEN offs % 59 = 0 THEN NULL
+             WHEN offs % 5 = 2
+               THEN 'INTERVAL ''0 ' || lpad(CAST(offs % 24 AS VARCHAR), 2, '0')
+                    || ':00:00'' DAY TO SECOND'
+             WHEN offs % 5 = 3
+               THEN 'INTERVAL ''-' || (offs % 30) || ' '
+                    || lpad(CAST(offs % 24 AS VARCHAR), 2, '0') || ':'
+                    || lpad(CAST(offs % 60 AS VARCHAR), 2, '0') || ':'
+                    || lpad(CAST(offs * 7 % 60 AS VARCHAR), 2, '0')
+                    || ''' DAY TO SECOND'
+             ELSE 'INTERVAL ''' || (offs % 30) || ' '
+                  || lpad(CAST(offs % 24 AS VARCHAR), 2, '0') || ':'
+                  || lpad(CAST(offs % 60 AS VARCHAR), 2, '0') || ':'
+                  || lpad(CAST(offs * 7 % 60 AS VARCHAR), 2, '0')
+                  || ''' DAY TO SECOND' END AS ds_iv,
         COALESCE(
           CASE WHEN created_at IS NULL
                THEN 'Cannot parse ''' || created_raw || ''' as timestamp' END,
           CASE WHEN order_date IS NULL
                THEN 'Cannot parse ''' || date_raw || ''' as date' END,
           CASE WHEN t0 IS NULL
-               THEN 'Cannot parse ''' || time_raw || ''' as time' END) AS reason
+               THEN 'Cannot parse ''' || time_raw || ''' as time' END,
+          CASE WHEN offs % 53 = 0
+               THEN 'Cannot parse ''1-45'' as interval_ym' END,
+          CASE WHEN offs % 59 = 0
+               THEN 'Cannot parse ''0 99:00:00'' as interval_ds' END) AS reason
       FROM c ORDER BY offs""",
 
     "q_cdc_schema_infer" -> s"""
