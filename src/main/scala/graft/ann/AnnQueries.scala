@@ -53,6 +53,19 @@ object AnnQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-flat with SAMPLED-K-MEANS centroids (the production path —
+    // first-K centroids degrade recall on clustered corpora). Lloyd
+    // isn't SQL-expressible, so this entry has no DuckDB oracle: the
+    // driver records the weaker rows-only check, while AnnRecallSpec
+    // pins determinism and the recall win over first-K.
+    "q_ann_ivf_trained" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val queries = collectVecs(emb, NumQueryVecs)
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", CentroidK)
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding", cents, NProbe, TopK)
+        .orderBy("query_id", "rank")
+    }),
+
     // LSH bucket assignment (8 hyperplanes → 256 buckets): the scale path.
     "q_ann_lsh_buckets" -> ((s, dir) =>
       Tables(s, dir, "embeddings").select(

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+
+/**
+ * Structural plan assertions — the scale-design table in README.md as
+ * executable checks, so a refactor that silently degrades a plan (a
+ * broadcast turning into a shuffle join, a pushed filter detaching
+ * from the scan, an extra exchange) fails here instead of at 100 TB.
+ *
+ * All assertions are on the INITIAL physical plan (before AQE
+ * reoptimization), which is what the shapes are designed against.
+ */
+class PlanQualitySpec extends SparkSpec {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+
+  private def collectAll[A](p: SparkPlan)(pf: PartialFunction[SparkPlan, A]): Seq[A] =
+    p.collect(pf) ++ p.subqueries.flatMap(collectAll(_)(pf))
+
+  test("q_join_enrich: all three dims broadcast, no cartesian, one fact shuffle pre-agg") {
+    val p = plan(SparkEntry.queries("q_join_enrich")(spark, Sf))
+    val bhj = collectAll(p) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.length >= 3, s"expected >=3 broadcast joins, got ${bhj.length}")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    // lineitem⋈orders shuffles on the join key; the dims must not add
+    // exchanges beyond the aggregate's and the final orderBy's range
+    val ex = collectAll(p) { case e: ShuffleExchangeLike => e }
+    assert(ex.length <= 4, s"expected <=4 exchanges, got ${ex.length}:\n$p")
+  }
+
+  test("q_events_sessionize: both windows and the aggregate reuse ONE user_id exchange") {
+    val p = plan(SparkEntry.queries("q_events_sessionize")(spark, Sf))
+    val ex = collectAll(p) { case e: ShuffleExchangeLike => e }
+    // one hash exchange on user_id + the final presentation orderBy
+    assert(ex.length <= 2, s"expected <=2 exchanges, got ${ex.length}:\n$p")
+  }
+
+  test("q_ann_ivf: corpus is never shuffled — probes broadcast onto the narrow assignment") {
+    val p = plan(SparkEntry.queries("q_ann_ivf")(spark, Sf))
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "probe join must broadcast the query side")
+    // the only exchanges: the top-k WindowGroupLimit partial→final on
+    // query_id and the presentation sort — never the corpus scan side
+    val ex = collectAll(p) { case e: ShuffleExchangeLike => e }
+    assert(ex.length <= 2, s"expected <=2 exchanges, got ${ex.length}:\n$p")
+    // single assignment evaluation: the K-dot argmax appears in exactly
+    // one Project and in no Filter (the isnotnull-inference regression)
+    val planStr = p.toString
+    assert(!planStr.contains("isnotnull(coalesce(-array_max"),
+      "inferred isnotnull re-evaluates the cell assignment")
+  }
+
+  test("documents scan prunes columns: text-stats reads only what it projects") {
+    val p = plan(SparkEntry.queries("q_text_stats")(spark, Sf))
+    val scans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s.requiredSchema
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        org.apache.spark.sql.types.StructType(s.output.map(a =>
+          org.apache.spark.sql.types.StructField(a.name, a.dataType)))
+    }
+    assert(scans.nonEmpty)
+    val readCols = scans.flatMap(_.fieldNames).toSet
+    // q_text_stats projects doc_id + text derivations only — lang/
+    // source/n_chars must be pruned from the parquet read
+    assert(!readCols.contains("lang") && !readCols.contains("source") &&
+      !readCols.contains("n_chars"),
+      s"documents scan reads unprojected columns: $readCols")
+  }
+}
