@@ -248,20 +248,31 @@ object SparkEntry {
         .when(col("offs") % 5 === 2, concat(lit("PT"), hh, lit("H")))
         .when(col("offs") % 5 === 3,
           concat(lit("-"), dd, lit(" "), hh, lit(":"), mi, lit(":"), sec))
-        .otherwise(concat(dd, lit(" "), hh, lit(":"), mi, lit(":"), sec))
-      f.select(
+        .otherwise(concat(lit("+"), dd, lit(" "), hh, lit(":"), mi, lit(":"), sec))
+      // RDD round-trip = a CODEGEN BARRIER, not a materialization: the
+      // coercions re-inline every reference to their raw input, and
+      // five when-chain raws × (coerce + failureReason) in ONE
+      // projection blew janino's 64KB method limit (observed: 1s → 8s
+      // interpreted fallback). Behind the barrier each coerce sees a
+      // plain attribute, so both codegen stages stay small; the rows
+      // still stream through in a single pass (no cache, no shuffle).
+      val rawDf = f.select(col("offs"), createdRaw.as("created_raw"),
+        dateRaw.as("date_raw"), timeRaw.as("time_raw"),
+        ymRaw.as("ym_raw"), dsRaw.as("ds_raw"))
+      val raw = s.createDataFrame(rawDf.rdd, rawDf.schema)
+      raw.select(
         col("offs"),
-        TypeOverrides.coerce(createdRaw, "timestamp").as("created_at"),
-        TypeOverrides.coerce(dateRaw, "date").as("order_date"),
-        TypeOverrides.coerce(timeRaw, "time").as("event_time"),
-        TypeOverrides.coerce(ymRaw, "interval_ym").cast("string").as("ym_iv"),
-        TypeOverrides.coerce(dsRaw, "interval_ds").cast("string").as("ds_iv"),
+        TypeOverrides.coerce(col("created_raw"), "timestamp").as("created_at"),
+        TypeOverrides.coerce(col("date_raw"), "date").as("order_date"),
+        TypeOverrides.coerce(col("time_raw"), "time").as("event_time"),
+        TypeOverrides.coerce(col("ym_raw"), "interval_ym").cast("string").as("ym_iv"),
+        TypeOverrides.coerce(col("ds_raw"), "interval_ds").cast("string").as("ds_iv"),
         coalesce(
-          TypeOverrides.failureReason(createdRaw, "timestamp"),
-          TypeOverrides.failureReason(dateRaw, "date"),
-          TypeOverrides.failureReason(timeRaw, "time"),
-          TypeOverrides.failureReason(ymRaw, "interval_ym"),
-          TypeOverrides.failureReason(dsRaw, "interval_ds")).as("reason"))
+          TypeOverrides.failureReason(col("created_raw"), "timestamp"),
+          TypeOverrides.failureReason(col("date_raw"), "date"),
+          TypeOverrides.failureReason(col("time_raw"), "time"),
+          TypeOverrides.failureReason(col("ym_raw"), "interval_ym"),
+          TypeOverrides.failureReason(col("ds_raw"), "interval_ds")).as("reason"))
         .orderBy("offs")
     }),
 
