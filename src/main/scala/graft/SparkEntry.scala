@@ -249,17 +249,18 @@ object SparkEntry {
         .when(col("offs") % 5 === 3,
           concat(lit("-"), dd, lit(" "), hh, lit(":"), mi, lit(":"), sec))
         .otherwise(concat(lit("+"), dd, lit(" "), hh, lit(":"), mi, lit(":"), sec))
-      // RDD round-trip = a CODEGEN BARRIER, not a materialization: the
+      // planBarrier = a CODEGEN BARRIER, not a materialization: the
       // coercions re-inline every reference to their raw input, and
       // five when-chain raws × (coerce + failureReason) in ONE
       // projection blew janino's 64KB method limit (observed: 1s → 8s
       // interpreted fallback). Behind the barrier each coerce sees a
       // plain attribute, so both codegen stages stay small; the rows
-      // still stream through in a single pass (no cache, no shuffle).
+      // still stream through in a single pass (no cache, no shuffle,
+      // no InternalRow↔Row conversion — GraftShims.planBarrier).
       val rawDf = f.select(col("offs"), createdRaw.as("created_raw"),
         dateRaw.as("date_raw"), timeRaw.as("time_raw"),
         ymRaw.as("ym_raw"), dsRaw.as("ds_raw"))
-      val raw = s.createDataFrame(rawDf.rdd, rawDf.schema)
+      val raw = org.apache.spark.sql.graftshim.GraftShims.planBarrier(rawDf)
       raw.select(
         col("offs"),
         TypeOverrides.coerce(col("created_raw"), "timestamp").as("created_at"),

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
@@ -15,4 +15,20 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /**
+   * Codegen/optimizer barrier with NO row conversion: downstream plans
+   * see a scan of the upstream's InternalRow RDD, so CollapseProject
+   * cannot re-inline the upstream projection into downstream
+   * expression chains (the 64KB-method pathology), while rows stream
+   * straight through — no cache, no shuffle, and none of the
+   * InternalRow↔Row round-trip the public `createDataFrame(df.rdd,
+   * schema)` form pays (`internalCreateDataFrame` is private[sql],
+   * hence this shim).
+   */
+  def planBarrier(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }
