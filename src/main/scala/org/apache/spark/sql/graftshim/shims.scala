@@ -21,10 +21,17 @@ object GraftShims {
    * see a scan of the upstream's InternalRow RDD, so CollapseProject
    * cannot re-inline the upstream projection into downstream
    * expression chains (the 64KB-method pathology), while rows stream
-   * straight through — no cache, no shuffle, and none of the
-   * InternalRow↔Row round-trip the public `createDataFrame(df.rdd,
-   * schema)` form pays (`internalCreateDataFrame` is private[sql],
-   * hence this shim).
+   * straight through — no cache, and none of the InternalRow↔Row
+   * round-trip the public `createDataFrame(df.rdd, schema)` form pays
+   * (`internalCreateDataFrame` is private[sql], hence this shim).
+   *
+   * Preconditions — this is for NARROW batch projections only:
+   * `toRdd` plans the input EAGERLY at construction time, and under
+   * AQE an upstream exchange would materialize its shuffle stages
+   * right here (jobs during query construction); explain() downstream
+   * also shows only `Scan ExistingRDD`, hiding the upstream plan. A
+   * streaming or Connect Dataset is not supported (classic session
+   * cast).
    */
   def planBarrier(df: DataFrame): DataFrame = {
     val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

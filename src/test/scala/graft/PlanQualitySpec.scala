@@ -25,10 +25,10 @@ class PlanQualitySpec extends SparkSpec {
       case p => p
     }
 
-  // collectWithSubqueries walks subqueriesAll recursively — subqueries
-  // attached to DESCENDANT nodes (e.g. the adaptive-plane count()
-  // under q_dedup_embed_cos's filter) count too, where a shallow
-  // p.subqueries recursion would miss them
+  // collectWithSubqueries walks subqueriesAll recursively, so a future
+  // query shape that tucks an exchange inside a scalar subquery on a
+  // descendant node still counts (none of the current plans carry
+  // subqueries — this is future-proofing, not present coverage)
   private def collectAll[A](p: SparkPlan)(pf: PartialFunction[SparkPlan, A]): Seq[A] =
     p.collectWithSubqueries(pf)
 
