@@ -81,6 +81,12 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "simhash16(text)")
         SimHash16(exprs.head)
+      }),
+    ("simhash60",
+      "simhash60(text) - 60-bit md5-token SimHash fingerprint (int64, bandable)",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "simhash60(text)")
+        SimHash60(exprs.head)
       }))
 
   /** Register every graft function as a temp function on `spark` (SQL
@@ -109,4 +115,7 @@ object GraftFunctions {
 
   def simhash16(text: Column): Column =
     GraftShims.column(SimHash16(GraftShims.expression(text)))
+
+  def simhash60(text: Column): Column =
+    GraftShims.column(SimHash60(GraftShims.expression(text)))
 }

@@ -230,6 +230,58 @@ object Dedup {
     // per bit — while a null-intolerant UnaryExpression returns NULL
     coalesce(toCol(graft.functions.SimHash16(toExpr(text))), lit(0L))
 
+  /** 60-bit md5-token SimHash (graft.functions.SimHash60) — the
+    * bandable fingerprint for [[simhashNearDupPairs]]. NULL text →
+    * NULL fingerprint (null-intolerant like every md5 path; null band
+    * keys never equi-join, so null-text docs simply pair with
+    * nothing). */
+  def simhash60(text: Column): Column =
+    toCol(graft.functions.SimHash60(toExpr(text)))
+
+  /**
+   * SimHash near-dup pairs via banded Hamming join (Manku/Jain/
+   * Sarma, "Detecting Near-Duplicates for Web Crawling", WWW'07): two
+   * docs with Hamming(fp_a, fp_b) ≤ `maxHamming` must agree EXACTLY
+   * on at least one of `bands` disjoint bit-bands (pigeonhole —
+   * maxHamming < bands flipped bits cannot touch every band), so the
+   * candidate set from `bands` equi-joins on (band, key) provably
+   * contains every qualifying pair and the bit_count verify makes the
+   * result EXACT — identical to the naive quadratic join
+   * (equivalence-tested).
+   *
+   * Scale: candidate cost is O(bands · Σ_key bucket²) with 2^(60/
+   * bands) distinct keys per band — 10-bit bands ⇒ uniform buckets of
+   * n/1024. That constant (unlike the 16-bit fingerprint's n/16)
+   * keeps the join tractable to ~10M docs; past that the dial is a
+   * wider fingerprint (more bits/band at fixed bands — the Manku
+   * permutation-table construction), not this operator's parameters.
+   */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 5, bands: Int = 6): DataFrame = {
+    require(60 % bands == 0, s"bands=$bands must divide 60")
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming=$maxHamming < bands=$bands")
+    val bitsPerBand = 60 / bands
+    val mask = (1L << bitsPerBand) - 1
+    val fp = docs.select(col(idCol).as("doc_id"),
+      simhash60(col(textCol)).as("fp"))
+    val banded = fp.select(col("doc_id"),
+      posexplode(array((0 until bands).map(j =>
+        shiftright(col("fp"), j * bitsPerBand).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "key")))
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(fp.toDF("doc_a", "fp_a"), "doc_a")
+      .join(fp.toDF("doc_b", "fp_b"), "doc_b")
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /**
    * Declarative HOF formulation of [[simhash16]] — 16 interpreted
    * `aggregate` passes, one per bit. Kept ONLY as the equivalence

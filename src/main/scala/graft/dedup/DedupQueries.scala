@@ -85,7 +85,18 @@ object DedupQueries {
       docs.select(col("doc_id"),
         Dedup.simhash16(col("text")).as("simhash"))
         .orderBy("doc_id")
-    }))
+    }),
+
+    // SimHash near-dup PAIRS: banded Hamming join over the 60-bit
+    // md5-token fingerprint — exact (pigeonhole guarantee), so the
+    // oracle states the naive quadratic formulation as the spec.
+    "q_dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(Tables(s, dir, "documents"),
+        "doc_id", "text", SimHashMaxHamming, SimHashBands)
+        .orderBy("doc_a", "doc_b")))
+
+  val SimHashMaxHamming = 5
+  val SimHashBands = 6
 
   // ------------------------------------------------------------------
   // DuckDB mirrors
@@ -222,5 +233,31 @@ object DedupQueries {
              list_transform(${TextSql.tokens("text")}, __t -> ${TextSql.charPolyHash("__t")} % 65536) AS hs
            FROM documents)
          SELECT doc_id, $bits AS simhash FROM t ORDER BY doc_id"""
+    },
+
+    "q_dedup_simhash_pairs" -> {
+      // token hash = first 15 hex chars of md5, folded nibble-by-nibble
+      // (exact int64, mirrors TextNative.simHash60's byte assembly)
+      val tokHash =
+        "list_reduce(list_concat([CAST(0 AS BIGINT)], " +
+          "list_transform(range(1, 16), i -> " +
+          "CAST(strpos('0123456789abcdef', substr(md5(__t), CAST(i AS INT), 1)) - 1 AS BIGINT))), " +
+          "(a, b) -> a * 16 + b)"
+      val bits = (0 until 60).map { j =>
+        val pow = 1L << j
+        s"(CASE WHEN list_reduce(list_concat([CAST(0 AS BIGINT)], " +
+          s"list_transform(hs, h -> CAST(CASE WHEN h % ${2 * pow} >= $pow THEN 1 ELSE -1 END AS BIGINT))), " +
+          s"(a, b) -> a + b) > 0 THEN $pow ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH t AS (
+           SELECT doc_id,
+             list_transform(${TextSql.tokens("text")}, __t -> $tokHash) AS hs
+           FROM documents),
+         f AS (SELECT doc_id, $bits AS fp FROM t)
+         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS hamming
+         FROM f x JOIN f y ON x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.fp, y.fp)) <= ${SimHashMaxHamming}
+         ORDER BY doc_a, doc_b"""
     })
 }

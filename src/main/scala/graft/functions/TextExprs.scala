@@ -128,6 +128,44 @@ object TextNative {
   }
 
   /**
+   * 60-bit SimHash over md5 token hashes, one pass — the BANDED
+   * near-dup fingerprint (graft.dedup.Dedup.simhashNearDupPairs).
+   * The 16-bit charPolyHash variant cannot band: 4-bit bands have 16
+   * distinct keys, so every band bucket is ~n/16 of the corpus and
+   * the candidate join is quadratic. Token hash = the first 15 hex
+   * chars of md5(token) parsed as int64 (60 bits, always
+   * non-negative) — reproducible in any engine with md5 and exact
+   * int64 arithmetic; the DuckDB oracle folds the same 15 hex
+   * nibbles. Same vote rule as [[simHash16]].
+   */
+  def simHash60(text: UTF8String): Long = {
+    val toks = text.toLowerCase.toString.split("\\s+")
+    val votes = new Array[Int](60)
+    var t = 0
+    while (t < toks.length) {
+      if (toks(t).nonEmpty) {
+        val d = MessageDigest.getInstance("MD5")
+          .digest(toks(t).getBytes("UTF-8"))
+        // first 15 hex chars = bytes 0-6 plus the high nibble of byte 7
+        var h = 0L
+        var i = 0
+        while (i < 7) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+        h = (h << 4) | ((d(7) >> 4) & 0xFL)
+        var j = 0
+        while (j < 60) {
+          if (((h >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      t += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 60) { if (votes(j) > 0) fp |= 1L << j; j += 1 }
+    fp
+  }
+
+  /**
    * MinHash signature: md5 per shingle, component j = lexicographic
    * min over the j-th 4-hex-char slice. Null components when the
    * shingle set is empty (matches array_min of an empty array).
@@ -197,6 +235,19 @@ case class SimHash16(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextNative.simHash16($c)")
   override protected def withNewChildInternal(newChild: Expression): SimHash16 =
+    copy(child = newChild)
+}
+
+/** `simhash60(text)` → int64 60-bit md5-token SimHash fingerprint (see
+  * TextNative.simHash60) — single codegen'd pass over the document. */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "simhash60"
+  override def nullSafeEval(input: Any): Any =
+    TextNative.simHash60(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNative.simHash60($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
     copy(child = newChild)
 }
 

@@ -224,6 +224,40 @@ class TrainingDataSpec extends SparkSpec {
     both.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
   }
 
+  test("simhash banded pairs ≡ naive quadratic Hamming join (pigeonhole exactness)") {
+    // near-dups (1-2 token edits), exact dups, and unrelated docs; the
+    // banded candidate set must contain EVERY pair the naive join
+    // passes at maxHamming, for several band counts
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base),                      // exact dup: hamming 0
+      (3L, base + " extra"), (4L, base.replace("tok7", "swapped")),
+      (5L, (1 to 40).map(i => s"other$i").mkString(" ")),
+      (6L, "short doc"), (7L, "short doc too")
+    ).toDF("doc_id", "text")
+    val fp = docs.select(col("doc_id"), Dedup.simhash60(col("text")).as("fp"))
+    val naive = fp.as("x").crossJoin(fp.as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .withColumn("hamming",
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_a"), col("doc_b"), col("hamming")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    for ((maxH, bands) <- Seq((5, 6), (3, 4), (0, 2), (9, 10))) {
+      val n = pairs(naive.filter(col("hamming") <= maxH)
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("hamming")))
+      val b = pairs(Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxH, bands))
+      assert(b == n, s"maxHamming=$maxH bands=$bands")
+    }
+    // the fixture must actually exercise the operator
+    val got = pairs(Dedup.simhashNearDupPairs(docs, "doc_id", "text", 5, 6))
+    assert(got.exists(_._3 == 0) && got.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", 6, 6)
+    }
+  }
+
   test("cosine: identity 1, orthogonal 0, opposite -1") {
     val df = Seq(
       (Array(1f, 0f), Array(1f, 0f)),
