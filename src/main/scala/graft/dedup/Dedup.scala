@@ -263,23 +263,24 @@ object Dedup {
       s"pigeonhole guarantee needs maxHamming=$maxHamming < bands=$bands")
     val bitsPerBand = 60 / bands
     val mask = (1L << bitsPerBand) - 1
-    val fp = docs.select(col(idCol).as("doc_id"),
+    // fp rides ALONG with the band rows (8 bytes) instead of being
+    // re-joined per side: the verify needs no join-backs, and both
+    // self-join inputs are the identical subplan, so ReuseExchange
+    // runs the fingerprint scan ONCE. A pair colliding in k bands
+    // recomputes its bit_count k times before the distinct — one
+    // instruction per occurrence vs two extra joins.
+    val banded = docs.select(col(idCol).as("doc_id"),
       simhash60(col(textCol)).as("fp"))
-    val banded = fp.select(col("doc_id"),
-      posexplode(array((0 until bands).map(j =>
-        shiftright(col("fp"), j * bitsPerBand).bitwiseAND(lit(mask))): _*))
-        .as(Seq("band", "key")))
-    val cand = banded.as("x").join(banded.as("y"), Seq("band", "key"))
+      .select(col("doc_id"), col("fp"),
+        posexplode(array((0 until bands).map(j =>
+          shiftright(col("fp"), j * bitsPerBand).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band", "key")))
+    banded.as("x").join(banded.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    cand
-      .join(fp.toDF("doc_a", "fp_a"), "doc_a")
-      .join(fp.toDF("doc_b", "fp_b"), "doc_b")
-      .withColumn("hamming",
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   /**

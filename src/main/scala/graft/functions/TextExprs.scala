@@ -53,6 +53,12 @@ object TextNative {
 
   private val hexChars = "0123456789abcdef".toCharArray
 
+  private val Md5Local: ThreadLocal[MessageDigest] =
+    new ThreadLocal[MessageDigest] {
+      override def initialValue(): MessageDigest =
+        MessageDigest.getInstance("MD5")
+    }
+
   private def md5Hex(s: String): String = {
     val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
     val out = new Array[Char](32)
@@ -144,8 +150,10 @@ object TextNative {
     var t = 0
     while (t < toks.length) {
       if (toks(t).nonEmpty) {
-        val d = MessageDigest.getInstance("MD5")
-          .digest(toks(t).getBytes("UTF-8"))
+        // thread-local digest: getInstance per TOKEN dominates the
+        // fingerprint pass (provider lookup + allocation); digest()
+        // leaves the instance reset for the next token
+        val d = Md5Local.get().digest(toks(t).getBytes("UTF-8"))
         // first 15 hex chars = bytes 0-6 plus the high nibble of byte 7
         var h = 0L
         var i = 0
