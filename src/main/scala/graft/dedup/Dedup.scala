@@ -258,7 +258,7 @@ object Dedup {
    */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 5, bands: Int = 6): DataFrame = {
-    require(60 % bands == 0, s"bands=$bands must divide 60")
+    require(bands > 0 && 60 % bands == 0, s"bands=$bands must divide 60")
     require(maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming=$maxHamming < bands=$bands")
     val bitsPerBand = 60 / bands

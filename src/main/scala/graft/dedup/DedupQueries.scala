@@ -89,7 +89,9 @@ object DedupQueries {
 
     // SimHash near-dup PAIRS: banded Hamming join over the 60-bit
     // md5-token fingerprint — exact (pigeonhole guarantee), so the
-    // oracle states the naive quadratic formulation as the spec.
+    // oracle states the naive quadratic formulation as the spec (with
+    // an explicit text IS NOT NULL matching the null-intolerant
+    // fingerprint: null-text docs pair with nothing on both engines).
     "q_dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(Tables(s, dir, "documents"),
         "doc_id", "text", SimHashMaxHamming, SimHashBands)
@@ -252,7 +254,8 @@ object DedupQueries {
       s"""WITH t AS (
            SELECT doc_id,
              list_transform(${TextSql.tokens("text")}, __t -> $tokHash) AS hs
-           FROM documents),
+           FROM documents
+           WHERE text IS NOT NULL),
          f AS (SELECT doc_id, $bits AS fp FROM t)
          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
                 CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS hamming

@@ -60,7 +60,7 @@ object TextNative {
     }
 
   private def md5Hex(s: String): String = {
-    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    val d = Md5Local.get().digest(s.getBytes("UTF-8"))
     val out = new Array[Char](32)
     var i = 0
     while (i < 16) {
