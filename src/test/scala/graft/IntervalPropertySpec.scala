@@ -18,9 +18,8 @@ import graft.operators.TypeOverrides
 class IntervalPropertySpec extends SparkSpec {
   import spark.implicits._
 
-  private val rnd = new Random(20260812L)
-
   test("interval_ym: 300 random (y, m) in every wire form coerce to exact total months") {
+    val rnd = new Random(20260812L)
     val samples = (0 until 300).map { _ =>
       val y = rnd.nextInt(10000000)           // 0..9999999 (7-digit bound)
       val m = rnd.nextInt(12)                 // literal months 0-11
@@ -45,6 +44,7 @@ class IntervalPropertySpec extends SparkSpec {
   }
 
   test("interval_ds: 300 random components in every wire form coerce to exact micros") {
+    val rnd = new Random(20260813L)
     val samples = (0 until 300).map { _ =>
       val neg = rnd.nextBoolean()
       val sign = if (neg) "-" else ""
