@@ -23,6 +23,9 @@ import graft.text.{TextAnalysis, TextSql}
  *  - q_events_sessionize: one shuffle on user_id; both window passes
  *    (lag + running sum) and the final per-session aggregate reuse
  *    that single partitioning — no second exchange.
+ *  - q_events_asof: point-in-time join (AsOf.joinAsOf) — union-tag +
+ *    one window pass, O(left + right) shuffled rows instead of the
+ *    join-then-rank O(matches) blowup.
  */
 object AnalyticsQueries {
 
@@ -90,6 +93,25 @@ object AnalyticsQueries {
             .as("duration_us"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
         .orderBy("user_id", "session_seq")
+    }),
+
+    // As-of enrichment: each purchase gets the same user's most recent
+    // click at-or-before it (the "state at example time" join a
+    // training pipeline uses to avoid label leakage). Timestamps ride
+    // as epoch micros so both engines compare and emit identical
+    // integers.
+    "q_events_asof" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value"))
+      AsOf.joinAsOf(purchases, clicks, key = "user_id",
+          leftTs = "ts_us", rightTs = "ts_us", tieBreak = "event_id",
+          payload = Seq("event_id", "ts_us", "value"))
+        .orderBy("event_id")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -142,5 +164,27 @@ object AnalyticsQueries {
         CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT) AS duration_us,
         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       FROM sess GROUP BY user_id, session_seq
-      ORDER BY user_id, session_seq""")
+      ORDER BY user_id, session_seq""",
+
+    // Join-then-rank formulation: fine as an oracle at sf0.01, exactly
+    // the O(matches) shape the Spark side avoids. Tie-break (ts DESC,
+    // event_id DESC) mirrors joinAsOf's (ts, tieBreak) ascending-last.
+    "q_events_asof" -> """
+      WITH l AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        FROM events WHERE event_type = 'purchase'),
+      r AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id, value
+        FROM events WHERE event_type = 'click'),
+      j AS (
+        SELECT l.event_id, l.user_id, l.ts_us, l.value,
+          r.event_id AS asof_event_id, r.ts_us AS asof_ts_us,
+          r.value AS asof_value,
+          row_number() OVER (PARTITION BY l.event_id
+            ORDER BY r.ts_us DESC, r.event_id DESC) AS rn
+        FROM l LEFT JOIN r
+          ON l.user_id = r.user_id AND r.ts_us <= l.ts_us)
+      SELECT event_id, user_id, ts_us, value,
+        asof_event_id, asof_ts_us, asof_value
+      FROM j WHERE rn = 1 ORDER BY event_id""")
 }
