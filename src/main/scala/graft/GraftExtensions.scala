@@ -77,10 +77,14 @@ object GraftFunctions {
         MinHashSig(exprs.head, intLit(exprs(1), "k"), intLit(exprs(2), "n"))
       }),
     ("simhash16",
-      "simhash16(text) - 16-bit SimHash fingerprint of whitespace tokens (int64)",
+      "simhash16(text) - 16-bit SimHash fingerprint of whitespace tokens (int64); NULL text -> 0",
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "simhash16(text)")
-        SimHash16(exprs.head)
+        // NULL text fingerprints as 0 on EVERY surface (SQL, Column
+        // API, Dedup.simhash16, DuckDB oracle) — the raw expression is
+        // null-intolerant like any UnaryExpression
+        org.apache.spark.sql.catalyst.expressions.Coalesce(
+          Seq(SimHash16(exprs.head), Literal(0L)))
       }),
     ("simhash60",
       "simhash60(text) - 60-bit md5-token SimHash fingerprint (int64, bandable)",
@@ -114,7 +118,9 @@ object GraftFunctions {
     GraftShims.column(MinHashSig(GraftShims.expression(text), k, numHashes))
 
   def simhash16(text: Column): Column =
-    GraftShims.column(SimHash16(GraftShims.expression(text)))
+    // same NULL -> 0 coalesce as the SQL registration and Dedup.simhash16
+    org.apache.spark.sql.functions.coalesce(
+      GraftShims.column(SimHash16(GraftShims.expression(text))), lit(0L))
 
   def simhash60(text: Column): Column =
     GraftShims.column(SimHash60(GraftShims.expression(text)))

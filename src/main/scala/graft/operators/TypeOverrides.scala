@@ -100,8 +100,15 @@ object TypeOverrides {
       case "binary" =>
         // strict base64: unbase64 is lenient about garbage, so gate on
         // shape (canonical alphabet + padding) to keep "unparseable →
-        // null" semantics consistent with the temporal ladder
-        when(s.rlike("^[A-Za-z0-9+/]*={0,2}$") && length(s) % 4 === 0,
+        // null" semantics consistent with the temporal ladder. \z (not
+        // $) anchors at the ABSOLUTE end — Java's $ matches before a
+        // final line terminator, which would let a newline-tailed
+        // value through the alphabet check — and length(s) > 0 makes
+        // "blank → null" explicit like every other branch (nullif
+        // already nulls the exact-blank case; this keeps the gate
+        // self-evidently non-empty rather than relying on it)
+        when(s.rlike("^[A-Za-z0-9+/]*={0,2}\\z") &&
+          length(s) % 4 === 0 && length(s) > 0,
           unbase64(s))
       case t => throw new IllegalArgumentException(s"Unsupported type override: $t")
     }
@@ -114,27 +121,35 @@ object TypeOverrides {
    * trailing zero D/T parts tolerated, any nonzero sub-month part
    * rejects). Sign applies to the whole interval.
    *
-   * Component BOUNDS are part of the gate, not an afterthought: an
-   * unbounded `\d+` would let a corrupted field like `200000000-0`
-   * reach make_ym_interval and throw under ANSI mode — killing the
-   * whole batch before DLQ routing — and would silently normalize
+   * Component bounds AND an exact value guard are part of the gate,
+   * not an afterthought: an unbounded `\d+` would let a corrupted
+   * field reach make_ym_interval and throw under ANSI mode — killing
+   * the whole batch before DLQ routing — and would silently normalize
    * impossible literals (`1-45` → 4-9) that no real source emits.
-   * Years ≤ 7 digits (total months stays far inside Int), literal
-   * months 0-11, ISO months ≤ 4 digits.
+   * Years ≤ 9 digits (covers Spark's full YearMonthIntervalType
+   * domain: ±178956970-8, i.e. Int.MinValue..MaxValue total months),
+   * literal months 0-11, ISO months ≤ 4 digits; a bigint total-months
+   * check rejects anything outside the Int range (sign-aware — the
+   * negative domain reaches one month further), so [[JdbcApply
+   * .jdbcValue]]'s `y-m` serialization round-trips for EVERY
+   * representable Period and an out-of-domain literal coerces to null
+   * (+ reason) instead of throwing.
    */
   private def intervalYm(s: Column): Column = {
     val sign = when(s.rlike("^-"), lit(-1)).otherwise(lit(1))
     val b = regexp_replace(s, "^[+-]", "")
-    val oracle = when(b.rlike("^\\d{1,7}-(\\d|1[01])$"),
-      make_ym_interval(
-        sign * regexp_extract(b, "^(\\d+)-(\\d+)$", 1).cast("int"),
-        sign * regexp_extract(b, "^(\\d+)-(\\d+)$", 2).cast("int")))
+    // |total months| bound: 2^31-1 for +, 2^31 for - (Int.MinValue)
+    val maxMonths = when(sign === -1, lit(2147483648L)).otherwise(lit(2147483647L))
+    def gated(y: Column, m: Column): Column =
+      when(y.cast("bigint") * 12 + m.cast("bigint") <= maxMonths,
+        make_ym_interval(sign * y.cast("int"), sign * m.cast("int")))
+    val oracle = when(b.rlike("^\\d{1,9}-(\\d|1[01])$"),
+      gated(regexp_extract(b, "^(\\d+)-(\\d+)$", 1),
+        regexp_extract(b, "^(\\d+)-(\\d+)$", 2)))
     val iso = when(
-      b.rlike("^P(\\d{1,7}Y)?(\\d{1,4}M)?(0+D)?(T0+H(0+M)?(0+(\\.0+)?S)?)?$") &&
+      b.rlike("^P(\\d{1,9}Y)?(\\d{1,4}M)?(0+D)?(T0+H(0+M)?(0+(\\.0+)?S)?)?$") &&
         b.rlike("[YM]"),
-      make_ym_interval(
-        sign * part(b, "^P(\\d+)Y"),
-        sign * part(b, "^P(?:\\d+Y)?(\\d+)M")))
+      gated(part(b, "^P(\\d+)Y"), part(b, "^P(?:\\d+Y)?(\\d+)M")))
     coalesce(oracle, iso)
   }
 
@@ -147,31 +162,42 @@ object TypeOverrides {
    *
    * Bounds (same rationale as [[intervalYm]]): literal hours 0-23 and
    * minutes/seconds 0-59 (an impossible `0 99:00:00` must reject, not
-   * normalize); days ≤ 6 digits and ISO hours/minutes ≤ 6 digits,
-   * seconds ≤ 9 digits — every combination stays orders of magnitude
-   * inside the int64-microsecond range, so make_dt_interval can never
-   * throw on a gated value.
+   * normalize); days ≤ 9 digits (covers Spark's full
+   * DayTimeIntervalType domain: ±106751991 days 04:00:54.775807/8,
+   * i.e. Long.MinValue..MaxValue microseconds) and ISO hours/minutes
+   * ≤ 6 digits, seconds ≤ 9 digits. An exact decimal total-seconds
+   * check (sign-aware — the negative domain reaches one microsecond
+   * further) rejects anything outside the int64-microsecond range, so
+   * make_dt_interval can never throw on a gated value and [[JdbcApply
+   * .jdbcValue]]'s `d hh:mm:ss.ffffff` serialization round-trips for
+   * EVERY representable Duration.
    */
   private def intervalDs(s: Column): Column = {
     val sign = when(s.rlike("^-"), lit(-1)).otherwise(lit(1))
     val b = regexp_replace(s, "^[+-]", "")
-    val oraRe = "^(\\d{1,6}) ([01]?\\d|2[0-3]):([0-5]?\\d):([0-5]?\\d(?:\\.\\d{1,6})?)$"
+    // |total seconds| bound: Long.MaxValue/-MinValue micros, exact decimal
+    val maxSecs = when(sign === -1,
+      lit(new java.math.BigDecimal("9223372036854.775808")))
+      .otherwise(lit(new java.math.BigDecimal("9223372036854.775807")))
+    def gated(d: Column, h: Column, mi: Column, sec: Column): Column = {
+      val secDec = sec.cast("decimal(18,6)")
+      val tot = d.cast("decimal(20,0)") * 86400 + h.cast("decimal(20,0)") * 3600 +
+        mi.cast("decimal(20,0)") * 60 + secDec
+      when(tot <= maxSecs,
+        make_dt_interval(sign * d.cast("int"), sign * h.cast("int"),
+          sign * mi.cast("int"), sign.cast("decimal(18,6)") * secDec))
+    }
+    val oraRe = "^(\\d{1,9}) ([01]?\\d|2[0-3]):([0-5]?\\d):([0-5]?\\d(?:\\.\\d{1,6})?)$"
     val oracle = when(b.rlike(oraRe),
-      make_dt_interval(
-        sign * regexp_extract(b, oraRe, 1).cast("int"),
-        sign * regexp_extract(b, oraRe, 2).cast("int"),
-        sign * regexp_extract(b, oraRe, 3).cast("int"),
-        sign.cast("decimal(18,6)") *
-          regexp_extract(b, oraRe, 4).cast("decimal(18,6)")))
+      gated(regexp_extract(b, oraRe, 1), regexp_extract(b, oraRe, 2),
+        regexp_extract(b, oraRe, 3), regexp_extract(b, oraRe, 4)))
     val iso = when(
-      b.rlike("^P(0+Y)?(0+M)?(\\d{1,6}D)?" +
+      b.rlike("^P(0+Y)?(0+M)?(\\d{1,9}D)?" +
         "(T(\\d{1,6}H)?(\\d{1,6}M)?(\\d{1,9}(\\.\\d{1,6})?S)?)?$") &&
         b.rlike("\\d+D|T\\d"),
-      make_dt_interval(
-        sign * part(b, "^P(?:0+Y)?(?:0+M)?(\\d+)D"),
-        sign * part(b, "T(\\d+)H"),
-        sign * part(b, "T(?:\\d+H)?(\\d+)M"),
-        sign.cast("decimal(18,6)") * coalesce(
+      gated(part(b, "^P(?:0+Y)?(?:0+M)?(\\d+)D"), part(b, "T(\\d+)H"),
+        part(b, "T(?:\\d+H)?(\\d+)M"),
+        coalesce(
           nullif(regexp_extract(b, "(\\d+(?:\\.\\d+)?)S", 1), lit(""))
             .cast("decimal(18,6)"),
           lit(java.math.BigDecimal.ZERO))))

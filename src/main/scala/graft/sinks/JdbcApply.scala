@@ -411,10 +411,14 @@ object JdbcApply {
    * `y-m` / `d hh:mm:ss.ffffff`, sign-prefixed — which is both what
    * an INTERVAL-typed target parses and what a VARCHAR fallback
    * (Derby/MySQL) stores losslessly; TypeOverrides.coerce parses the
-   * same forms back, closing the round trip. Everything else (incl.
-   * Array[Byte] → BLOB) passes through to setObject.
+   * same forms back, closing the round trip for EVERY representable
+   * Period/Duration — its 9-digit year/day gates plus exact
+   * total-value guards span Spark's full YearMonthIntervalType
+   * (±178956970-8) and DayTimeIntervalType (±106751991d 04:00:54.8)
+   * domains (IntervalPropertySpec pins the extremes). Everything else
+   * (incl. Array[Byte] → BLOB) passes through to setObject.
    */
-  private[sinks] def jdbcValue(v: Any): Any = v match {
+  private[graft] def jdbcValue(v: Any): Any = v match {
     case p: java.time.Period =>
       val tm = p.toTotalMonths
       val m = math.abs(tm)

@@ -12,8 +12,12 @@ import graft.operators.TypeOverrides
  * every accepted wire form — Oracle literals with optional sign, ISO
  * periods with and without zero tails — must coerce to EXACTLY the
  * expected total months / microseconds, across the full bounded
- * component ranges (incl. the 7-digit year and 6-digit day maxima the
- * overflow gates allow).
+ * component ranges, plus pinned edge cases at the exact
+ * YearMonthIntervalType / DayTimeIntervalType domain boundaries
+ * (Int.MinValue..MaxValue months, Long.MinValue..MaxValue micros):
+ * the boundary value itself round-trips through JdbcApply.jdbcValue's
+ * ANSI-literal serialization, one unit past it coerces to null
+ * instead of throwing under ANSI mode.
  */
 class IntervalPropertySpec extends SparkSpec {
   import spark.implicits._
@@ -21,7 +25,7 @@ class IntervalPropertySpec extends SparkSpec {
   test("interval_ym: 300 random (y, m) in every wire form coerce to exact total months") {
     val rnd = new Random(20260812L)
     val samples = (0 until 300).map { _ =>
-      val y = rnd.nextInt(10000000)           // 0..9999999 (7-digit bound)
+      val y = rnd.nextInt(178956970)          // 0..178956969: any month fits Int
       val m = rnd.nextInt(12)                 // literal months 0-11
       val neg = rnd.nextBoolean()
       val sign = if (neg) "-" else ""
@@ -50,7 +54,7 @@ class IntervalPropertySpec extends SparkSpec {
       val sign = if (neg) "-" else ""
       val (raw, micros): (String, BigInt) = rnd.nextInt(4) match {
         case 0 => // Oracle literal, bounded clock components
-          val (d, h, mi, s) = (rnd.nextInt(1000000), rnd.nextInt(24),
+          val (d, h, mi, s) = (rnd.nextInt(106751991), rnd.nextInt(24),
             rnd.nextInt(60), rnd.nextInt(60))
           val fracDigits = rnd.nextInt(7) // 0 = no fraction
           val frac = if (fracDigits == 0) "" else
@@ -82,5 +86,46 @@ class IntervalPropertySpec extends SparkSpec {
       val gotMicros = BigInt(d.getSeconds) * 1000000 + d.getNano / 1000
       assert(gotMicros == want, s"'$raw': got $gotMicros, want $want")
     }
+  }
+
+  private def coerceYm(raws: Seq[String]): Seq[java.time.Period] =
+    raws.toDF("s").select(TypeOverrides.coerce(col("s"), "interval_ym").as("iv"))
+      .collect().toIndexedSeq.map(_.getAs[java.time.Period](0))
+
+  private def coerceDs(raws: Seq[String]): Seq[java.time.Duration] =
+    raws.toDF("s").select(TypeOverrides.coerce(col("s"), "interval_ds").as("iv"))
+      .collect().toIndexedSeq.map(_.getAs[java.time.Duration](0))
+
+  test("interval_ym: jdbcValue round-trips the exact Int-months domain extremes; one month past rejects") {
+    // Spark's YearMonthIntervalType domain = Int.MinValue..MaxValue months
+    val maxP = java.time.Period.ofMonths(Int.MaxValue).normalized() //  178956970-7
+    val minP = java.time.Period.ofMonths(Int.MinValue).normalized() // -178956970-8
+    val Seq(maxBack, minBack) = coerceYm(Seq(
+      graft.sinks.JdbcApply.jdbcValue(maxP).asInstanceOf[String],
+      graft.sinks.JdbcApply.jdbcValue(minP).asInstanceOf[String]))
+    assert(maxBack != null && maxBack.toTotalMonths == Int.MaxValue.toLong)
+    assert(minBack != null && minBack.toTotalMonths == Int.MinValue.toLong)
+    // one month beyond either end: reject to null (no ANSI throw)
+    assert(coerceYm(Seq("178956970-8", "-178956970-9", "P178956971Y0M"))
+      .forall(_ == null))
+  }
+
+  test("interval_ds: jdbcValue round-trips the exact Long-micros domain extremes; one micro past rejects") {
+    // Spark's DayTimeIntervalType domain = Long.MinValue..MaxValue micros
+    val maxD = java.time.Duration.ofSeconds(Long.MaxValue / 1000000,
+      (Long.MaxValue % 1000000) * 1000)          //  106751991d 04:00:54.775807
+    val minD = java.time.Duration.ofSeconds(Long.MinValue / 1000000,
+      (Long.MinValue % 1000000) * 1000)          // -106751991d 04:00:54.775808
+    assert(BigInt(minD.getSeconds) * 1000000 + minD.getNano / 1000 ==
+      BigInt(Long.MinValue))
+    val Seq(maxBack, minBack) = coerceDs(Seq(
+      graft.sinks.JdbcApply.jdbcValue(maxD).asInstanceOf[String],
+      graft.sinks.JdbcApply.jdbcValue(minD).asInstanceOf[String]))
+    def micros(d: java.time.Duration) = BigInt(d.getSeconds) * 1000000 + d.getNano / 1000
+    assert(maxBack != null && micros(maxBack) == BigInt(Long.MaxValue))
+    assert(minBack != null && micros(minBack) == BigInt(Long.MinValue))
+    // one microsecond beyond either end: reject to null (no ANSI throw)
+    assert(coerceDs(Seq("106751991 04:00:54.775808", "-106751991 04:00:54.775809"))
+      .forall(_ == null))
   }
 }

@@ -23,6 +23,22 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getLong(5) >= 0L && r.getLong(5) < (1L << 16))
   }
 
+  test("simhash16(NULL) is 0 on every surface: SQL, Column API, Dedup") {
+    GraftFunctions.registerAll(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    // SQL surface
+    assert(spark.sql("SELECT simhash16(CAST(NULL AS STRING)) AS fp").head().getLong(0) == 0L)
+    // Column-API surface and the dedup operator surface agree
+    val row = Seq((Option.empty[String], "x")).toDF("t", "pad")
+      .select(
+        GraftFunctions.simhash16(col("t")).as("api"),
+        graft.dedup.Dedup.simhash16(col("t")).as("dedup"),
+        GraftFunctions.simhash16(lit(null).cast("string")).as("apiLit"))
+      .head()
+    assert(row.getLong(0) == 0L && row.getLong(1) == 0L && row.getLong(2) == 0L)
+  }
+
   test("SQL functions validate their literal arguments") {
     GraftFunctions.registerAll(spark)
     val e = intercept[Exception] {
