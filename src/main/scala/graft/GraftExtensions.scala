@@ -91,6 +91,13 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "simhash60(text)")
         SimHash60(exprs.head)
+      }),
+    ("repetition_counts",
+      "repetition_counts(text) - struct of within-document repetition counts " +
+        "(n_tokens, n_distinct, top_bigram, n_bigrams, top_trigram, n_trigrams)",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "repetition_counts(text)")
+        RepetitionCounts(exprs.head)
       }))
 
   /** Register every graft function as a temp function on `spark` (SQL
@@ -124,4 +131,7 @@ object GraftFunctions {
 
   def simhash60(text: Column): Column =
     GraftShims.column(SimHash60(GraftShims.expression(text)))
+
+  def repetitionCounts(text: Column): Column =
+    GraftShims.column(RepetitionCounts(GraftShims.expression(text)))
 }

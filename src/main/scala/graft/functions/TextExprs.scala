@@ -2,10 +2,11 @@ package graft.functions
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -174,6 +175,52 @@ object TextNative {
   }
 
   /**
+   * Within-document repetition counts in ONE pass (the Gopher-style
+   * repetition signals — Rae et al. 2021 §A1.1 use duplicate-line and
+   * top-n-gram fractions; this corpus has no line structure, so the
+   * signals are token-based): over the lower-cased whitespace tokens
+   * (empties dropped, same tokenization as [[shingleStrings]] and
+   * graft.text.TextAnalysis.tokens) —
+   *   n_tokens, n_distinct (distinct tokens),
+   *   top_bigram / n_bigrams (count of the most frequent 2-gram and
+   *   total 2-gram positions, n-1), and top_trigram / n_trigrams.
+   * All integer counts: the fractions (dup-token, top-gram) are formed
+   * DECLARATIVELY by the caller so the rounding/division semantics
+   * live in one place and mirror 1:1 into the DuckDB oracle. The
+   * declarative alternative (explode → groupBy(doc, gram) → max) costs
+   * two shuffles of the exploded corpus; this is a narrow scan-speed
+   * pass with a per-row hash map bounded by document length.
+   */
+  def repetitionCounts(text: UTF8String): InternalRow = {
+    val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    val n = toks.length
+    val distinct = new java.util.HashSet[String](n * 2)
+    var i = 0
+    while (i < n) { distinct.add(toks(i)); i += 1 }
+    def topGram(k: Int): Int = {
+      if (n < k) return 0
+      val counts = new java.util.HashMap[String, Int]((n - k + 1) * 2)
+      var max = 0
+      var i = 0
+      while (i <= n - k) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+        val key = sb.toString
+        val c = counts.getOrDefault(key, 0) + 1
+        counts.put(key, c)
+        if (c > max) max = c
+        i += 1
+      }
+      max
+    }
+    new GenericInternalRow(Array[Any](
+      n, distinct.size,
+      topGram(2), math.max(n - 1, 0),
+      topGram(3), math.max(n - 2, 0)))
+  }
+
+  /**
    * MinHash signature: md5 per shingle, component j = lexicographic
    * min over the j-th 4-hex-char slice. Null components when the
    * shingle set is empty (matches array_min of an empty array).
@@ -257,6 +304,33 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextNative.simHash60($c)")
   override protected def withNewChildInternal(newChild: Expression): SimHash60 =
     copy(child = newChild)
+}
+
+/** `repetition_counts(text)` → struct of within-document repetition
+  * counts (see TextNative.repetitionCounts) — single codegen'd pass;
+  * callers form the dup-token / top-n-gram fractions declaratively.
+  * Multiple struct-field references collapse to ONE evaluation via
+  * whole-stage codegen subexpression elimination (verified in
+  * PlanQualitySpec). */
+case class RepetitionCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = RepetitionCounts.schema
+  override def prettyName: String = "repetition_counts"
+  override def nullSafeEval(input: Any): Any =
+    TextNative.repetitionCounts(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNative.repetitionCounts($c)")
+  override protected def withNewChildInternal(newChild: Expression): RepetitionCounts =
+    copy(child = newChild)
+}
+
+object RepetitionCounts {
+  val schema: StructType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("top_bigram", IntegerType, nullable = false),
+    StructField("n_bigrams", IntegerType, nullable = false),
+    StructField("top_trigram", IntegerType, nullable = false),
+    StructField("n_trigrams", IntegerType, nullable = false)))
 }
 
 /** `minhash_sig(text)` → array<string> MinHash signature (see TextNative). */

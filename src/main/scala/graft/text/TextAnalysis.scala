@@ -78,7 +78,39 @@ object TextAnalysis {
     round(lenOk + stopOk + punctOk, 6)
   }
 
-  // ---------------------------------------------------------------- lang id
+  // ---------------------------------------------------------------- repetition
+  /** Within-document repetition counts — native single-pass struct
+    * (graft.functions.RepetitionCounts): n_tokens, n_distinct,
+    * top_bigram/n_bigrams, top_trigram/n_trigrams. */
+  def repetitionCounts(text: Column): Column =
+    graft.GraftFunctions.repetitionCounts(text)
+
+  /** Duplicate-token fraction from a [[repetitionCounts]] struct:
+    * (n_tokens − n_distinct) / n_tokens, 0 for empty docs. */
+  def dupTokenFrac(r: Column): Column =
+    round((r.getField("n_tokens") - r.getField("n_distinct")).cast("double") /
+      greatest(r.getField("n_tokens"), lit(1)), 6)
+
+  /** Top-n-gram fraction: count of the modal n-gram over total n-gram
+    * positions, 0 when the doc has no n-grams. */
+  def topGramFrac(top: Column, total: Column): Column =
+    round(top.cast("double") / greatest(total, lit(1)), 6)
+
+  // ---------------------------------------------------------------- filter rules
+  /** Gopher-style quality-filter thresholds (Rae et al. 2021 §A1.1,
+    * adapted to this corpus' scale — shared with TextSql so the DuckDB
+    * oracle applies the identical rules). Rule order = reason
+    * precedence: the FIRST failing rule names the document's
+    * fail_reason. */
+  val MinTokens = 20
+  val MaxTokens = 10000
+  val MinMeanTokenLen = 3.0
+  val MaxMeanTokenLen = 10.0
+  val MinStopwordRatio = 0.03 // applied to docs labeled 'en' only
+  val MaxPunctRatio = 0.2
+  val MaxDupTokenFrac = 0.55
+  val QualityRuleNames: Seq[String] =
+    Seq("length", "word_len", "stopword", "punct", "repetition")
   /** Per-language marker words for the language-ID heuristic (shared
     * with TextSql — sequence order defines the argmax tie-break). */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

@@ -53,6 +53,55 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Within-document repetition stats (Gopher-style signals, token
+    // based): one narrow pass via the native RepetitionCounts struct —
+    // the declarative alternative (explode → groupBy(doc, gram) → max)
+    // shuffles the exploded corpus twice. The repeated struct-field
+    // references collapse to ONE evaluation via codegen subexpression
+    // elimination.
+    "q_text_repetition" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      docs.select(col("doc_id"),
+        TextAnalysis.repetitionCounts(col("text")).as("r"))
+        .select(
+          col("doc_id"),
+          col("r.n_tokens").as("n_tokens"),
+          TextAnalysis.dupTokenFrac(col("r")).as("dup_token_frac"),
+          TextAnalysis.topGramFrac(col("r.top_bigram"), col("r.n_bigrams"))
+            .as("top_bigram_frac"),
+          TextAnalysis.topGramFrac(col("r.top_trigram"), col("r.n_trigrams"))
+            .as("top_trigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Gopher-style rule-based quality filter: per-rule flags, composite
+    // keep, and the FIRST failing rule as fail_reason (rule order =
+    // TextAnalysis.QualityRuleNames). Narrow single pass — at 100 TB
+    // this is a scan-speed filter ahead of every downstream stage.
+    "q_text_quality_filter" -> ((s, dir) => {
+      import TextAnalysis._
+      val docs = Tables(s, dir, "documents")
+      val base = docs.select(col("doc_id"), col("lang"), col("text"),
+        repetitionCounts(col("text")).as("r"))
+      val flags = Seq(
+        col("r.n_tokens").between(MinTokens, MaxTokens),
+        meanTokenLen(col("text")).between(MinMeanTokenLen, MaxMeanTokenLen),
+        col("lang") =!= "en" || stopwordRatio(col("text")) >= MinStopwordRatio,
+        punctRatio(col("text")) <= MaxPunctRatio,
+        dupTokenFrac(col("r")) <= MaxDupTokenFrac)
+      val reason = flags.zip(QualityRuleNames)
+        .foldRight(lit(null).cast("string")) { case ((ok, name), acc) =>
+          when(!ok, lit(name)).otherwise(acc)
+        }
+      base.select(
+        col("doc_id"), col("lang"),
+        flags(0).as("len_ok"), flags(1).as("word_len_ok"),
+        flags(2).as("stopword_ok"), flags(3).as("punct_ok"),
+        flags(4).as("repetition_ok"),
+        flags.reduce(_ && _).as("keep"), reason.as("fail_reason"))
+        .orderBy("doc_id")
+    }),
+
     // Rolling-hash document fingerprint + first-token hash.
     "q_text_fingerprint" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
@@ -100,6 +149,56 @@ object TextQueries {
       "q_text_langid" -> s"""
         SELECT doc_id, lang, ${TextSql.langId(t)} AS lang_pred
         FROM documents ORDER BY doc_id""",
+
+      "q_text_repetition" -> s"""
+        WITH t AS (SELECT doc_id, ${TextSql.tokens(t)} AS toks FROM documents),
+        bg AS (
+          SELECT doc_id, max(c) AS top FROM (
+            SELECT doc_id, g, count(*) AS c
+            FROM (SELECT doc_id, unnest(${TextSql.nGrams("toks", 2)}) AS g FROM t)
+            GROUP BY doc_id, g) GROUP BY doc_id),
+        tg AS (
+          SELECT doc_id, max(c) AS top FROM (
+            SELECT doc_id, g, count(*) AS c
+            FROM (SELECT doc_id, unnest(${TextSql.nGrams("toks", 3)}) AS g FROM t)
+            GROUP BY doc_id, g) GROUP BY doc_id)
+        SELECT t.doc_id, len(t.toks) AS n_tokens,
+          ${TextSql.dupTokenFrac("t.toks")} AS dup_token_frac,
+          round(CAST(coalesce(bg.top, 0) AS DOUBLE)
+            / greatest(len(t.toks) - 1, 1), 6) AS top_bigram_frac,
+          round(CAST(coalesce(tg.top, 0) AS DOUBLE)
+            / greatest(len(t.toks) - 2, 1), 6) AS top_trigram_frac
+        FROM t LEFT JOIN bg ON t.doc_id = bg.doc_id
+               LEFT JOIN tg ON t.doc_id = tg.doc_id
+        ORDER BY t.doc_id""",
+
+      "q_text_quality_filter" -> {
+        import TextAnalysis._
+        val reasons = QualityRuleNames
+        s"""
+        WITH t AS (
+          SELECT doc_id, lang, text, ${TextSql.tokens(t)} AS toks FROM documents),
+        f AS (
+          SELECT doc_id, lang,
+            len(toks) BETWEEN $MinTokens AND $MaxTokens AS len_ok,
+            ${TextSql.meanTokenLen(t)} BETWEEN $MinMeanTokenLen AND $MaxMeanTokenLen
+              AS word_len_ok,
+            (lang <> 'en' OR ${TextSql.stopwordRatio(t)} >= $MinStopwordRatio)
+              AS stopword_ok,
+            ${TextSql.punctRatio(t)} <= $MaxPunctRatio AS punct_ok,
+            ${TextSql.dupTokenFrac("toks")} <= $MaxDupTokenFrac AS repetition_ok
+          FROM t)
+        SELECT doc_id, lang, len_ok, word_len_ok, stopword_ok, punct_ok,
+          repetition_ok,
+          (len_ok AND word_len_ok AND stopword_ok AND punct_ok AND repetition_ok)
+            AS keep,
+          CASE WHEN NOT len_ok THEN '${reasons(0)}'
+               WHEN NOT word_len_ok THEN '${reasons(1)}'
+               WHEN NOT stopword_ok THEN '${reasons(2)}'
+               WHEN NOT punct_ok THEN '${reasons(3)}'
+               WHEN NOT repetition_ok THEN '${reasons(4)}' END AS fail_reason
+        FROM f ORDER BY doc_id"""
+      },
 
       "q_text_fingerprint" -> s"""
         SELECT doc_id,

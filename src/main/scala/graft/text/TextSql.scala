@@ -67,7 +67,22 @@ object TextSql {
     s"(CASE $whens ELSE 'und' END)"
   }
 
-  /** Mirror of TextAnalysis.charPolyHash: left fold over codepoints. */
+  /** Duplicate-token fraction over a token-list SQL expression —
+    * mirror of TextAnalysis.dupTokenFrac over the native counts. */
+  def dupTokenFrac(toksSql: String): String =
+    s"round(CAST(len($toksSql) - len(list_distinct($toksSql)) AS DOUBLE)" +
+      s" / greatest(len($toksSql), 1), 6)"
+
+  /** n-gram list (space-joined runs of n consecutive tokens) over a
+    * token-list expression — mirror of TextNative.repetitionCounts'
+    * gram construction. DuckDB range(a, b) is exclusive of b and empty
+    * when a >= b, so short docs yield an empty gram list. */
+  def nGrams(toksSql: String, n: Int): String = {
+    val joined = (0 until n).map(o =>
+      if (o == 0) s"($toksSql)[CAST(i AS INT)]"
+      else s"($toksSql)[CAST(i + $o AS INT)]").mkString(" || ' ' || ")
+    s"list_transform(range(1, len($toksSql) - ${n - 2}), i -> $joined)"
+  }
   def charPolyHash(s: String): String =
     s"(CASE WHEN length($s) > 0 THEN list_reduce(" +
       s"list_concat([CAST(0 AS BIGINT)], " +
