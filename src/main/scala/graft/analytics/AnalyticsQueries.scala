@@ -31,6 +31,12 @@ object AnalyticsQueries {
 
   val SessionGapMinutes = 30
 
+  /** Trailing window of the banded range join (q_events_range_join). */
+  val RangeWindowMinutes = 10
+
+  /** Rank cutoff of the grouped top-k query (q_text_topk_per_group). */
+  val TopKPerGroup = 5
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_text_vocab" -> ((s, dir) =>
@@ -39,6 +45,24 @@ object AnalyticsQueries {
         .groupBy("token").agg(count(lit(1)).as("cnt"))
         .filter(col("cnt") >= 5)
         .orderBy(col("cnt").desc, col("token"))),
+
+    // Grouped top-k: the k most frequent tokens per language. The
+    // rank-filter-on-window shape plans a WindowGroupLimit below the
+    // final sort (verified via explain): each map task keeps only its
+    // local top-k per group BEFORE the lang exchange, so the window
+    // shuffle carries O(groups · k) rows, not the full vocabulary —
+    // the difference between a histogram and a corpus at 100 TB.
+    "q_text_topk_per_group" -> ((s, dir) => {
+      val counts = Tables(s, dir, "documents")
+        .select(col("lang"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("cnt").desc, col("token"))
+      counts.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= TopKPerGroup)
+        .orderBy("lang", "rnk")
+    }),
 
     "q_join_enrich" -> ((s, dir) => {
       val li = Tables(s, dir, "lineitem")
@@ -112,9 +136,46 @@ object AnalyticsQueries {
           leftTs = "ts_us", rightTs = "ts_us", tieBreak = "event_id",
           payload = Seq("event_id", "ts_us", "value"))
         .orderBy("event_id")
+    }),
+
+    // Banded temporal range join: each click gets the count/value of
+    // the same user's views in the trailing 10 minutes (the feature
+    // shape behind "activity in the last N minutes" training columns).
+    // RangeJoin keeps this an equi-join on (user_id, time-bucket) —
+    // the naive inequality join materializes every per-user pair
+    // before filtering, O(|clicks|·|views|) per user at 100 TB.
+    "q_events_range_join" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("v_ts_us"),
+          col("event_id").as("v_event_id"), col("value").as("v_value"))
+      RangeJoin.joinTrailingWindow(clicks, views, key = "user_id",
+          leftTs = "ts_us", rightTs = "v_ts_us",
+          windowUs = RangeWindowMinutes * 60L * 1000000L)
+        .groupBy("event_id", "user_id", "ts_us")
+        .agg(
+          count(col("v_event_id")).as("n_views"),
+          sum(col("v_value").cast("decimal(18,6)")).cast("double")
+            .as("view_value"))
+        .orderBy("event_id")
     }))
 
   def oracleSql: Map[String, String] = Map(
+
+    "q_text_topk_per_group" -> s"""
+      WITH t AS (
+        SELECT lang, unnest(${TextSql.tokens("text")}) AS token FROM documents),
+      c AS (SELECT lang, token, count(*) AS cnt FROM t GROUP BY lang, token),
+      r AS (
+        SELECT lang, token, cnt,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY cnt DESC, token) AS rnk
+        FROM c)
+      SELECT lang, token, cnt, rnk FROM r
+      WHERE rnk <= $TopKPerGroup ORDER BY lang, rnk""",
 
     "q_text_vocab" -> s"""
       WITH toks AS (
@@ -186,5 +247,25 @@ object AnalyticsQueries {
           ON l.user_id = r.user_id AND r.ts_us <= l.ts_us)
       SELECT event_id, user_id, ts_us, value,
         asof_event_id, asof_ts_us, asof_value
-      FROM j WHERE rn = 1 ORDER BY event_id""")
+      FROM j WHERE rn = 1 ORDER BY event_id""",
+
+    // Spec statement of the banded range join: the plain inequality
+    // LEFT JOIN the Spark side refuses to plan as a cartesian.
+    "q_events_range_join" -> s"""
+      WITH c AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'click'),
+      v AS (
+        SELECT user_id, epoch_us(ts) AS v_ts_us, event_id AS v_event_id,
+          value AS v_value
+        FROM events WHERE event_type = 'view')
+      SELECT c.event_id, c.user_id, c.ts_us,
+        count(v.v_event_id) AS n_views,
+        CAST(sum(CAST(v.v_value AS DECIMAL(18,6))) AS DOUBLE) AS view_value
+      FROM c LEFT JOIN v
+        ON v.user_id = c.user_id
+        AND v.v_ts_us > c.ts_us - ${RangeWindowMinutes * 60L * 1000000L}
+        AND v.v_ts_us <= c.ts_us
+      GROUP BY c.event_id, c.user_id, c.ts_us
+      ORDER BY c.event_id""")
 }

@@ -66,6 +66,17 @@ object AnnQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Cluster-balance histogram under nearest-centroid assignment
+    // (first-K centroids so the oracle can restate the assignment):
+    // narrow K-dot pass + map-side-combining groupBy on the K-valued
+    // cell key — the audit a mixture pipeline runs after k-means.
+    "q_ann_cluster_sizes" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = collectVecs(emb, CentroidK).map(_._2)
+      Similarity.clusterSizes(emb, "vec_id", "embedding", cents)
+        .orderBy("cell")
+    }),
+
     // LSH bucket assignment (8 hyperplanes → 256 buckets): the scale path.
     "q_ann_lsh_buckets" -> ((s, dir) =>
       Tables(s, dir, "embeddings").select(
@@ -180,6 +191,25 @@ object AnnQueries {
     "q_ann_lsh_buckets" -> s"""
       SELECT vec_id, ${bucketSql("embedding", 8)} AS bucket
       FROM embeddings ORDER BY vec_id""",
+
+    // Same rank-1 assignment CTE as q_ann_ivf, aggregated per cell;
+    // mean_score sums in DECIMAL then divides as double (the
+    // deterministic-emission convention).
+    "q_ann_cluster_sizes" -> s"""
+      WITH cent AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id < $CentroidK),
+      asg AS (
+        SELECT e.vec_id, c.cid,
+          ${ivfScoreSql("e.embedding", "c.cv")} AS score,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${ivfScoreSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c)
+      SELECT cid AS cell, count(*) AS n_vectors,
+        round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+          / count(*), 6) AS mean_score
+      FROM asg WHERE rn = 1
+      GROUP BY cid ORDER BY cid""",
 
     // Oracle = the IVF spec in relational form: assignment is the
     // rank-1 centroid per vector (cos DESC, cid ASC — identical

@@ -245,6 +245,53 @@ object Similarity {
    * Ties everywhere break toward the smaller index/id, so results are
    * deterministic and engine-portable.
    */
+  /**
+   * Norm-free argmax cell assignment: the winning centroid's
+   * `array<struct<s, ni>>` max — max score `dot(v, cᵢ)/|cᵢ|` first,
+   * then max(-i) = smallest index on float ties. The coalesce on the
+   * cell is a NULLABILITY marker, not a fallback: array_max types as
+   * nullable even over this never-empty literal array, and a nullable
+   * join key makes the optimizer infer an isnotnull(cell) Filter that
+   * re-evaluates all K dots a second time per row (observed via
+   * explain); the non-nullable coalesce suppresses it. Shared by
+   * [[ivfTopK]] (cell only) and [[clusterSizes]] (cell + score — the
+   * two struct-field reads collapse to one evaluation under codegen
+   * subexpression elimination).
+   */
+  private def bestCentroid(vec: Column, centroids: Seq[Array[Double]]): Column = {
+    require(centroids.nonEmpty, "centroid assignment needs at least one centroid")
+    val norms = centroids.map(c => math.sqrt(dotLocal(c, c)))
+    val scores = centroids.zip(norms).map { case (c, n) =>
+      if (n > 0) dot(vec, typedLit(c.toSeq)) / lit(n) else lit(0.0)
+    }
+    array_max(array(scores.zipWithIndex.map { case (s, i) =>
+      struct(s.as("s"), lit(-i).as("ni")) }: _*))
+  }
+
+  /** Non-nullable winning cell index from a [[bestCentroid]] struct. */
+  private def cellOf(best: Column): Column =
+    coalesce(-best.getField("ni"), lit(0))
+
+  /**
+   * Cluster-size histogram under nearest-centroid assignment: one
+   * narrow assignment pass (K dots per row, no shuffle) then a
+   * map-side-combining groupBy on the K-valued cell key — the
+   * diagnostic a mixture/balance pipeline runs after [[trainCentroids]]
+   * to audit cluster balance. `mean_score` is the per-cell mean
+   * assignment score, summed in DECIMAL (order-independent) and
+   * divided as double, so it is deterministic and oracle-portable.
+   */
+  def clusterSizes(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]]): DataFrame = {
+    val best = bestCentroid(col(vecCol), centroids)
+    corpus.select(cellOf(best).as("cell"), best.getField("s").as("score"))
+      .groupBy("cell")
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(sum(col("score").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_score"))
+  }
+
   def ivfTopK(corpus: DataFrame, queries: Seq[(Long, Array[Double])],
       idCol: String, vecCol: String, centroids: Seq[Array[Double]],
       nprobe: Int, k: Int): DataFrame = {
@@ -252,18 +299,7 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
     val norms = centroids.map(c => math.sqrt(dotLocal(c, c)))
-    val scores = centroids.zip(norms).map { case (c, n) =>
-      if (n > 0) dot(col(vecCol), typedLit(c.toSeq)) / lit(n) else lit(0.0)
-    }
-    // struct ordering: max score first, then max(-i) = smallest index.
-    // The coalesce is a NULLABILITY marker, not a fallback: array_max
-    // types as nullable even over this never-empty literal array, and
-    // a nullable join key makes the optimizer infer an isnotnull(cell)
-    // Filter that re-evaluates all K dots a second time per row
-    // (observed via explain); the non-nullable coalesce suppresses it.
-    val best = array_max(array(scores.zipWithIndex.map { case (s, i) =>
-      struct(s.as("s"), lit(-i).as("ni")) }: _*))
-    val cell = coalesce(-best.getField("ni"), lit(0))
+    val cell = cellOf(bestCentroid(col(vecCol), centroids))
     val assigned = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("nv"), cell.as("cell"))
     val probeRows = queries.flatMap { case (qid, qv) =>

@@ -14,6 +14,14 @@ import graft.text.{TextAnalysis, TextSql}
  */
 object DedupQueries {
 
+  /** Per-language sampling rates for the stratified mixture sample
+    * (q_sample_stratified; shared with its oracle). All rates are
+    * binary-exact doubles so rate·10000 and 1/rate are deterministic
+    * across engines; they exercise downsampling, half rates, and a
+    * keep-all stratum. */
+  val StratifiedRates: Seq[(String, Double)] = Seq(
+    "en" -> 0.25, "fr" -> 0.50, "es" -> 0.50, "de" -> 0.75, "zh" -> 1.00)
+
   /** The LSH funnel output, shared by the pairs and clusters queries
     * (same persist-once pattern as SparkEntry's normalized feed). */
   private val pairsCache =
@@ -76,6 +84,27 @@ object DedupQueries {
         col("doc_id"), bucket.as("bucket"),
         when(bucket < 80, "train").when(bucket < 90, "val")
           .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    }),
+
+    // Stratified mixture sampling: each language stratum keeps a
+    // configured fraction of its documents (the pretraining-mixture
+    // dial), selected by a deterministic salted content hash so the
+    // sample is reproducible and join-free to audit. Kept rows carry
+    // the importance weight 1/rate for unbiased downstream statistics.
+    // Scale shape: the rates table broadcasts, the hash filter is a
+    // narrow scan-speed pass — no shuffle at any corpus size.
+    "q_sample_stratified" -> ((s, dir) => {
+      import graft.text.TextAnalysis
+      val rates = broadcast(s.createDataFrame(StratifiedRates).toDF("lang", "rate"))
+      val bucket =
+        TextAnalysis.charPolyHash(concat(col("text"), lit("|strat"))) % 10000
+      Tables(s, dir, "documents")
+        .join(rates, Seq("lang"))
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"), col("rate"))
+        .where(col("bucket") < (col("rate") * 10000).cast("long"))
+        .select(col("doc_id"), col("lang"), col("bucket"),
+          round(lit(1.0) / col("rate"), 6).as("weight"))
         .orderBy("doc_id")
     }),
 
@@ -222,6 +251,21 @@ object DedupQueries {
         CASE WHEN bucket < 80 THEN 'train'
              WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
       FROM b ORDER BY doc_id""",
+
+    "q_sample_stratified" -> {
+      val values = StratifiedRates
+        .map { case (l, r) => s"('$l', CAST($r AS DOUBLE))" }.mkString(", ")
+      s"""
+      WITH rates(lang, rate) AS (VALUES $values),
+      b AS (
+        SELECT doc_id, d.lang,
+          ${graft.text.TextSql.charPolyHash("(text || '|strat')")} % 10000 AS bucket,
+          rate
+        FROM documents d JOIN rates r ON d.lang = r.lang)
+      SELECT doc_id, lang, bucket, round(1.0 / rate, 6) AS weight
+      FROM b WHERE bucket < CAST(rate * 10000 AS BIGINT)
+      ORDER BY doc_id"""
+    },
 
     "q_dedup_simhash" -> {
       val bits = (0 until 16).map { j =>

@@ -68,6 +68,43 @@ class PlanQualitySpec extends SparkSpec {
       "cell assignment evaluated more than once (inferred isnotnull?)")
   }
 
+  test("q_text_topk_per_group: rank filter plans a WindowGroupLimit below the exchange") {
+    val p = plan(SparkEntry.queries("q_text_topk_per_group")(spark, Sf))
+    val limits = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    // partial (map-side, pre-exchange) + final: the shuffle carries
+    // O(groups · k) rows instead of the vocabulary
+    assert(limits.length == 2,
+      s"expected partial+final WindowGroupLimit, got ${limits.length}:\n$p")
+  }
+
+  test("q_events_range_join: banded range join stays an equi-join (no cartesian/NLJ)") {
+    val p = plan(SparkEntry.queries("q_events_range_join")(spark, Sf))
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty,
+      "range join degenerated to a cartesian product")
+    val nlj = collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(nlj.isEmpty, "range join degenerated to a nested-loop join")
+  }
+
+  test("q_sample_stratified: rates dim broadcasts; the document side never shuffles") {
+    val p = plan(SparkEntry.queries("q_sample_stratified")(spark, Sf))
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "rates join must broadcast")
+    // only the presentation orderBy may exchange
+    val ex = collectAll(p) { case e: ShuffleExchangeLike => e }
+    assert(ex.length <= 1, s"expected <=1 exchange, got ${ex.length}:\n$p")
+  }
+
+  test("q_text_repetition: the native struct is evaluated once, not per field") {
+    val p = plan(SparkEntry.queries("q_text_repetition")(spark, Sf))
+    val planStr = p.toString
+    assert("repetition_counts".r.findAllIn(planStr).length == 1,
+      s"repetition_counts inlined per field reference:\n$planStr")
+  }
+
   test("documents scan prunes columns: text-stats reads only what it projects") {
     val p = plan(SparkEntry.queries("q_text_stats")(spark, Sf))
     val scans = collectAll(p) {
