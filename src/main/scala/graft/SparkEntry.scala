@@ -157,6 +157,15 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // SCD Type-2 history: every UPSERT opens a version, the next event
+    // on the key closes it; DELETEs close without opening.
+    "q_cdc_scd2" -> ((s, dir) =>
+      CdcOps.scd2History(keyedValid(s, dir), Cdc.Cols.TableName, Seq("k"), "offset", Cdc.Cols.Op)
+        .select(col(Cdc.Cols.TableName), col("k"), col("amount"),
+          col("valid_from_offs"), col("valid_to_offs"), col("version"),
+          col("is_current"), col("closed_by_delete"))
+        .orderBy(Cdc.Cols.TableName, "k", "valid_from_offs")),
+
     // W11/T6: corrupt-event dead-letter channel.
     "q_cdc_dlq" -> ((s, dir) => {
       val n = normalized(s, dir)
@@ -461,6 +470,20 @@ object SparkEntry {
         WHERE touched.k IS NULL
         UNION ALL SELECT * FROM up)
       ORDER BY o_orderkey"""),
+
+    "q_cdc_scd2" -> (keyedValidSql + """,
+      versions AS (
+        SELECT table_name, k, offs, op, amount,
+               lead(offs) OVER w AS valid_to_offs,
+               COALESCE(lead(op) OVER w = 'DELETE', FALSE) AS closed_by_delete
+        FROM keyed
+        WINDOW w AS (PARTITION BY table_name, k ORDER BY offs))
+      SELECT table_name, k, amount, offs AS valid_from_offs, valid_to_offs,
+             CAST(row_number() OVER (PARTITION BY table_name, k ORDER BY offs) AS BIGINT)
+               AS version,
+             (valid_to_offs IS NULL) AS is_current, closed_by_delete
+      FROM versions WHERE op = 'UPSERT'
+      ORDER BY table_name, k, valid_from_offs"""),
 
     "q_cdc_dlq" -> withNorm(
       """SELECT topic, kpart AS kafka_partition, offs AS kafka_offset,

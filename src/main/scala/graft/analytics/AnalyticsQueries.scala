@@ -161,9 +161,22 @@ object AnalyticsQueries {
           sum(col("v_value").cast("decimal(18,6)")).cast("double")
             .as("view_value"))
         .orderBy("event_id")
-    }))
+    }),
+
+    // Tumbling-window aggregate — the batch face of the streaming
+    // EventTimeOps.windowedAgg (same operator, no watermark in batch).
+    "q_events_windowed" -> ((s, dir) =>
+      graft.streaming.EventTimeOps.windowedAgg(
+        Tables(s, dir, "events"), windowLen = "1 hour")
+        .orderBy("win_start", "event_type")))
 
   def oracleSql: Map[String, String] = Map(
+
+    "q_events_windowed" -> """
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,
+        event_type, count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
 
     "q_text_topk_per_group" -> s"""
       WITH t AS (

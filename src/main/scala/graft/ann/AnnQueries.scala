@@ -84,6 +84,11 @@ object AnnQueries {
         Similarity.lshBucket(col("embedding"), 8, Dims).as("bucket"))
         .orderBy("vec_id")),
 
+    // Int8 scalar quantization codes + per-element reconstruction error.
+    "q_ann_quantize" -> ((s, dir) =>
+      Similarity.scalarQuantize(Tables(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id", "i")),
+
     // Embedding-cosine near-dup pairs, LSH-bucket blocked. The plane
     // count ADAPTS to the corpus (one cheap count() job): expected
     // bucket size stays ≤ Similarity.TargetBucketSize, so the in-bucket
@@ -191,6 +196,29 @@ object AnnQueries {
     "q_ann_lsh_buckets" -> s"""
       SELECT vec_id, ${bucketSql("embedding", 8)} AS bucket
       FROM embeddings ORDER BY vec_id""",
+
+    "q_ann_quantize" -> """
+      WITH d AS (
+        SELECT vec_id,
+          list_transform(embedding, __x -> CAST(__x AS DOUBLE)) AS v
+        FROM embeddings WHERE embedding IS NOT NULL),
+      m AS (
+        SELECT vec_id, v,
+          list_aggregate(v, 'min') AS mn, list_aggregate(v, 'max') AS mx
+        FROM d),
+      e AS (
+        SELECT vec_id, mn, mx,
+          unnest(range(1, len(v) + 1)) AS i, unnest(v) AS v
+        FROM m),
+      c AS (
+        SELECT vec_id, i, v, mn, mx,
+          CASE WHEN mx > mn
+               THEN CAST(round(((v - mn) * 255.0) / (mx - mn)) AS BIGINT)
+               ELSE 0 END AS code
+        FROM e)
+      SELECT vec_id, i, v, code,
+        round(abs(v - (mn + ((code * (mx - mn)) / 255.0))), 6) AS abs_err
+      FROM c ORDER BY vec_id, i""",
 
     // Same rank-1 assignment CTE as q_ann_ivf, aggregated per cell;
     // mean_score sums in DECIMAL then divides as double (the

@@ -354,4 +354,38 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
+
+  // ---------------------------------------------------------------- quantize
+  /**
+   * Per-vector int8 scalar quantization — the memory dial for a
+   * billion-vector index (4 bytes/dim → 1): each vector maps its own
+   * [min, max] range onto the 0..255 code grid,
+   * `code = round((v − min)·255 / (max − min))`, and dequantizes as
+   * `min + code·(max − min)/255`. Emits one row per element with its
+   * code and the absolute reconstruction error (rounded to 6 dp), so
+   * the error distribution is directly queryable; constant vectors
+   * (max == min) code to 0 and reconstruct exactly.
+   *
+   * Every arithmetic step is fixed-order IEEE double (floats widened
+   * exactly), so the codes are engine-portable — the DuckDB oracle
+   * states the identical expression. Scale shape: narrow generate-only
+   * pass, no shuffle at any corpus size.
+   */
+  def scalarQuantize(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val dv = transform(col(vecCol), _.cast("double"))
+    vecs
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol), dv.as("__v"),
+        array_min(dv).as("mn"), array_max(dv).as("mx"))
+      .select(col(idCol), col("mn"), col("mx"),
+        posexplode(col("__v")).as(Seq("__pos", "v")))
+      .withColumn("i", col("__pos").cast("long") + 1)
+      .withColumn("code", when(col("mx") > col("mn"),
+        round((col("v") - col("mn")) * 255.0 / (col("mx") - col("mn"))).cast("long"))
+        .otherwise(lit(0L)))
+      .withColumn("recon",
+        col("mn") + col("code") * (col("mx") - col("mn")) / 255.0)
+      .select(col(idCol), col("i"), col("v"), col("code"),
+        round(abs(col("v") - col("recon")), 6).as("abs_err"))
+  }
 }

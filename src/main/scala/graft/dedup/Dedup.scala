@@ -301,4 +301,42 @@ object Dedup {
       when(vote > 0, lit(pow)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
+
+  // ---------------------------------------------------------------- decontamination
+  /**
+   * Train/eval decontamination scores: for every training document,
+   * the fraction of its distinct k-token shingles that also occur
+   * anywhere in the held-out (test/benchmark) split. The standard
+   * pretraining hygiene pass — documents whose n-gram overlap with an
+   * eval set exceeds `threshold` are flagged for removal so the model
+   * is not graded on memorized training text.
+   *
+   * Output: (idCol, n_grams, n_overlap, contamination, contaminated),
+   * one row per training doc (docs with < k tokens score 0).
+   *
+   * Scale shape: eval sets are small by contract (benchmarks, not
+   * corpora), so their distinct gram set BROADCASTS and the exploded
+   * training grams never shuffle — the only exchange is the final
+   * per-doc count aggregation, and explode keeps a doc's grams within
+   * one partition, so map-side partial aggregation collapses to ~one
+   * row per doc before it moves. Pass `broadcastTest = false` if the
+   * held-out side is genuinely corpus-sized.
+   */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+      isTrain: Column, isTest: Column, k: Int = 3, threshold: Double = 0.5,
+      broadcastTest: Boolean = true): DataFrame = {
+    val testGrams0 = docs.filter(isTest)
+      .select(explode(shingles(col(textCol), k)).as("gram")).distinct()
+      .withColumn("hit", lit(1))
+    val testGrams = if (broadcastTest) broadcast(testGrams0) else testGrams0
+    val trainGrams = docs.filter(isTrain)
+      .select(col(idCol), explode_outer(shingles(col(textCol), k)).as("gram"))
+    val agg = trainGrams.join(testGrams, Seq("gram"), "left")
+      .groupBy(idCol)
+      .agg(count(col("gram")).as("n_grams"), count(col("hit")).as("n_overlap"))
+    agg.select(col(idCol), col("n_grams"), col("n_overlap"),
+      round(col("n_overlap").cast("double") / greatest(col("n_grams"), lit(1L)), 6)
+        .as("contamination"))
+      .withColumn("contaminated", col("contamination") >= threshold)
+  }
 }

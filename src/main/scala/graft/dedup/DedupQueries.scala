@@ -124,7 +124,21 @@ object DedupQueries {
     "q_dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(Tables(s, dir, "documents"),
         "doc_id", "text", SimHashMaxHamming, SimHashBands)
-        .orderBy("doc_a", "doc_b")))
+        .orderBy("doc_a", "doc_b")),
+
+    // Train/eval decontamination: shingle overlap of each train-split
+    // doc against the test split's gram set (same hash split as
+    // q_sample_split; train = bucket < 80, test = bucket >= 90).
+    "q_text_decontaminate" -> ((s, dir) => {
+      val bucket = TextAnalysis.charFingerprint(col("text")) % 100
+      Dedup.contamination(
+        Tables(s, dir, "documents").withColumn("bucket", bucket),
+        "doc_id", "text", col("bucket") < 80, col("bucket") >= 90,
+        k = 3, threshold = ContaminationThreshold)
+        .orderBy("doc_id")
+    }))
+
+  val ContaminationThreshold = 0.5
 
   val SimHashMaxHamming = 5
   val SimHashBands = 6
@@ -306,5 +320,29 @@ object DedupQueries {
          FROM f x JOIN f y ON x.doc_id < y.doc_id
          WHERE bit_count(xor(x.fp, y.fp)) <= ${SimHashMaxHamming}
          ORDER BY doc_a, doc_b"""
+    },
+
+    "q_text_decontaminate" -> {
+      val sh = shinglesSql(TextSql.tokens("text"))
+      val contamination =
+        "round(CAST(COALESCE(ag.n_overlap, 0) AS DOUBLE)" +
+          " / greatest(COALESCE(ag.n_grams, 0), 1), 6)"
+      s"""WITH b AS (
+           SELECT doc_id, text, ${TextSql.charPolyHash("text")} % 100 AS bucket
+           FROM documents),
+         tr AS (SELECT doc_id, $sh AS sh FROM b WHERE bucket < 80),
+         tg AS (SELECT doc_id, unnest(sh) AS gram FROM tr),
+         te AS (SELECT DISTINCT gram FROM (
+           SELECT unnest($sh) AS gram FROM b WHERE bucket >= 90) u),
+         ag AS (
+           SELECT tg.doc_id, count(*) AS n_grams, count(te.gram) AS n_overlap
+           FROM tg LEFT JOIN te ON tg.gram = te.gram GROUP BY tg.doc_id)
+         SELECT tr.doc_id AS doc_id,
+           COALESCE(ag.n_grams, 0) AS n_grams,
+           COALESCE(ag.n_overlap, 0) AS n_overlap,
+           $contamination AS contamination,
+           ($contamination >= ${ContaminationThreshold}) AS contaminated
+         FROM tr LEFT JOIN ag ON tr.doc_id = ag.doc_id
+         ORDER BY tr.doc_id"""
     })
 }

@@ -182,6 +182,46 @@ object CdcOps {
     survivors.unionByName(upserted)
   }
 
+  // ----------------------------------------------------------------- scd2
+  /**
+   * Slowly-changing-dimension Type-2 history from an ordered CDC
+   * change feed (SURVEY.md §2.5 extension): every UPSERT opens a
+   * version, the next event on the same (table, key) — UPSERT or
+   * DELETE — closes it. DELETEs close the prior version without
+   * opening one. Emits per surviving version:
+   *
+   *   - `valid_from_offs` / `valid_to_offs` — the half-open version
+   *     interval in source-offset coordinates (`valid_to_offs` NULL for
+   *     the open head version);
+   *   - `version` — 1-based UPSERT ordinal within the key;
+   *   - `is_current` — open interval;
+   *   - `closed_by_delete` — the closing event was a DELETE.
+   *
+   * Plan shape: ONE exchange + ONE sort on (table, key, offset). The
+   * lead() pass runs over all events and the row_number() pass over
+   * the UPSERT subset, but both windows share the partitioning and
+   * ordering, so Catalyst plans them over a single shuffle — the
+   * standard SCD2 shape that holds at 100 TB (state per key is just
+   * its event count; no driver-side iteration).
+   *
+   * Same tie caveat as [[lastWriteWins]]: `offsetCol` must be unique
+   * per (table, key).
+   */
+  def scd2History(df: DataFrame, tableCol: String, keyCols: Seq[String],
+      offsetCol: String, opCol: String): DataFrame = {
+    val part = (tableCol +: keyCols).map(col)
+    val wAll = Window.partitionBy(part: _*).orderBy(col(offsetCol))
+    val closed = df
+      .withColumn("valid_to_offs", lead(col(offsetCol), 1).over(wAll))
+      .withColumn("closed_by_delete",
+        coalesce(lead(col(opCol), 1).over(wAll) === Cdc.Op.Delete, lit(false)))
+    closed
+      .filter(col(opCol) === Cdc.Op.Upsert)
+      .withColumn("version", row_number().over(wAll).cast("long"))
+      .withColumn("valid_from_offs", col(offsetCol))
+      .withColumn("is_current", col("valid_to_offs").isNull)
+  }
+
   // ----------------------------------------------------------------- W11
   /**
    * Corrupt-event DLQ projection (CorruptEventWriter.java:37-114):

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -26,14 +26,20 @@ object EventTimeOps {
    * Input needs (ts: timestamp, event_type: string, value: double).
    */
   def windowedAgg(events: DataFrame, watermarkDelay: String = "10 minutes",
-      windowLen: String = "5 minutes"): DataFrame =
-    events
-      .withWatermark("ts", watermarkDelay)
+      windowLen: String = "5 minutes"): DataFrame = {
+    // Batch-polymorphic: the same operator runs over a bounded table
+    // (no watermark — the concept doesn't exist in batch; sums go
+    // through DECIMAL so emission is order-independent) or a stream.
+    val base =
+      if (events.isStreaming) events.withWatermark("ts", watermarkDelay)
+      else events
+    base
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value")).as("total_value"))
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
       .select(col("window.start").as("win_start"),
         col("event_type"), col("n_events"), col("total_value"))
+  }
 
   /**
    * Streaming exact dedup for a document/event feed: keep the FIRST
@@ -105,5 +111,27 @@ object EventTimeOps {
             closed.reverseIterator
           }
       }
+  }
+
+  /**
+   * Watermarked stream-stream interval join: pair each left event with
+   * the right events satisfying `condition` whose timestamp falls in
+   * the trailing window `[leftTs − lookback, leftTs]` — the streaming
+   * face of the batch banded range join (graft.analytics.RangeJoin).
+   *
+   * The time bound plus the two watermarks is exactly what Spark needs
+   * to BOUND the join state: each side retains only `watermarkDelay +
+   * lookback` of buffered rows per key, so state is horizon-sized, not
+   * corpus-sized, on an unbounded feed. Column names must be disjoint
+   * across the two sides (the ts columns are referenced unqualified).
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame, condition: Column,
+      leftTsCol: String, rightTsCol: String, lookback: String,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermarkDelay)
+    val r = right.withWatermark(rightTsCol, watermarkDelay)
+    l.join(r, condition &&
+      col(rightTsCol) >= col(leftTsCol) - expr(s"INTERVAL $lookback") &&
+      col(rightTsCol) <= col(leftTsCol))
   }
 }

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -180,4 +180,40 @@ object TextAnalysis {
 
   /** Per-token polynomial hashes (same fold, inside transform). */
   def tokenHashes(toks: Column): Column = transform(toks, charPolyHash(_))
+
+  // ---------------------------------------------------------------- chunking
+  /**
+   * Sliding-window document chunking for context-length-bounded
+   * training: split each document into windows of `chunkSize`
+   * whitespace tokens starting every `stride` tokens (overlap =
+   * chunkSize − stride), the standard pre-tokenization packing pass.
+   * Case and punctuation are preserved — chunk text must stay
+   * verbatim, so this splits on whitespace WITHOUT the lower-casing
+   * the analysis tokenizer applies.
+   *
+   * Output: (idCol, chunk_id, chunk_text, n_tokens); a chunk starts at
+   * every multiple of `stride` below the token count, so the final
+   * window may be shorter than `chunkSize`. Empty/NULL docs emit no
+   * chunks.
+   *
+   * Scale shape: generate-only — a narrow per-row explode with no
+   * shuffle at any corpus size; output order is whatever the caller
+   * sorts by downstream.
+   */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), size(col("__toks")) - 1, lit(stride))))
+      .select(col(idCol), col("pos").cast("long").as("chunk_id"),
+        slice(col("__toks"), col("col") + 1, lit(chunkSize)).as("__ctoks"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(col("__ctoks"), " ").as("chunk_text"),
+        size(col("__ctoks")).cast("long").as("n_tokens"))
+  }
 }

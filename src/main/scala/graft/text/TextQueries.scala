@@ -111,7 +111,16 @@ object TextQueries {
         TextAnalysis.charFingerprint(col("text")).as("fp"),
         TextAnalysis.charPolyHash(try_element_at(toks, lit(1))).as("first_tok_hash"))
         .orderBy("doc_id")
-    }))
+    }),
+
+    // Sliding-window chunking (64-token windows every 48 tokens).
+    "q_text_chunk" -> ((s, dir) =>
+      TextAnalysis.chunk(Tables(s, dir, "documents"),
+        "doc_id", "text", ChunkSize, ChunkStride)
+        .orderBy("doc_id", "chunk_id")))
+
+  val ChunkSize = 64
+  val ChunkStride = 48
 
   def oracleSql: Map[String, String] = {
     val t = "text"
@@ -204,6 +213,25 @@ object TextQueries {
         SELECT doc_id,
           ${TextSql.charPolyHash(t)} AS fp,
           ${TextSql.charPolyHash(s"(${TextSql.tokens(t)})[1]")} AS first_tok_hash
-        FROM documents ORDER BY doc_id""")
+        FROM documents ORDER BY doc_id""",
+
+      "q_text_chunk" -> s"""
+        WITH d AS (
+          SELECT doc_id,
+            list_filter(regexp_split_to_array(text, '\\s+'), __t -> __t <> '') AS toks
+          FROM documents WHERE text IS NOT NULL),
+        c AS (
+          SELECT doc_id, toks,
+            unnest(range(0, ((len(toks) - 1) // $ChunkStride) + 1)) AS chunk_id
+          FROM d WHERE len(toks) > 0),
+        s AS (
+          SELECT doc_id, chunk_id,
+            list_slice(toks, CAST(chunk_id * $ChunkStride AS INT) + 1,
+                       CAST(chunk_id * $ChunkStride AS INT) + $ChunkSize) AS ctoks
+          FROM c)
+        SELECT doc_id, chunk_id,
+          array_to_string(ctoks, ' ') AS chunk_text,
+          len(ctoks) AS n_tokens
+        FROM s ORDER BY doc_id, chunk_id""")
   }
 }

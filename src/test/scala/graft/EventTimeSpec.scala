@@ -90,4 +90,42 @@ class EventTimeSpec extends SparkSpec {
       assert(got.contains((2L, 1, 7.0)))
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches the batch join on the same data") {
+    val lSchema = StructType.fromDDL("lts TIMESTAMP, lk BIGINT, imp_id BIGINT")
+    val rSchema = StructType.fromDDL("rts TIMESTAMP, rk BIGINT, conv_id BIGINT")
+    implicit val lEnc: ExpressionEncoder[Row] = ExpressionEncoder(lSchema)
+    implicit val rEnc: ExpressionEncoder[Row] = ExpressionEncoder(rSchema)
+    val lMem = MemoryStream[Row](lEnc, spark)
+    val rMem = MemoryStream[Row](rEnc, spark)
+    // conversions (left) pick up impressions (right) ≤ 5 min back
+    val joined = EventTimeOps.intervalJoin(
+      lMem.toDF(), rMem.toDF(), col("lk") === col("rk"),
+      "lts", "rts", "5 minutes", "10 minutes")
+    val q = joined.select("imp_id", "conv_id")
+      .writeStream.format("memory").queryName("ivj")
+      .outputMode(OutputMode.Append).start()
+    val lRows = Seq(Row(ts(6), 1L, 10L), Row(ts(9), 1L, 11L), Row(ts(8), 2L, 12L))
+    val rRows = Seq(Row(ts(2), 1L, 20L), Row(ts(5), 1L, 21L), Row(ts(7), 2L, 22L),
+      Row(ts(8), 3L, 23L))
+    try {
+      lMem.addData(lRows: _*); rMem.addData(rRows: _*)
+      q.processAllAvailable()
+      val got = spark.table("ivj").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // imp 10 @6: within 5 min sees conv 20@2? no (6-5=1 ≤ 2 ≤ 6 yes) and 21@5
+      val batch = {
+        val l = spark.createDataFrame(spark.sparkContext.parallelize(lRows), lSchema)
+        val r = spark.createDataFrame(spark.sparkContext.parallelize(rRows), rSchema)
+        l.join(r, col("lk") === col("rk") &&
+            col("rts") >= col("lts") - expr("INTERVAL 5 minutes") &&
+            col("rts") <= col("lts"))
+          .select("imp_id", "conv_id").collect()
+          .map(r2 => (r2.getLong(0), r2.getLong(1))).toSet
+      }
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got.contains((10L, 20L)) && got.contains((10L, 21L)))
+      assert(got.contains((12L, 22L)) && !got.exists(_._2 == 23L))
+    } finally q.stop()
+  }
 }

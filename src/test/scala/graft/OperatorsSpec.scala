@@ -127,4 +127,38 @@ class OperatorsSpec extends SparkSpec {
       .select(Timestamps.iidrTimestampToIsoZoned(col("s"), "Not/AZone").as("iso"))
     assert(df.head().getString(0) == "2025-06-15T12:30:45.000000+00:00")
   }
+
+  test("SCD2 history: upserts open versions, next event closes, delete closes only") {
+    // key 1: U@1, U@3, D@5, U@7 (re-insert)  → 3 versions, last open
+    // key 2: U@2                              → 1 open version
+    // key 3: D@4                              → no versions
+    val feed = Seq(
+      ("T", 1L, 1L, "UPSERT", 10.0), ("T", 1L, 3L, "UPSERT", 11.0),
+      ("T", 1L, 5L, "DELETE", 0.0), ("T", 1L, 7L, "UPSERT", 12.0),
+      ("T", 2L, 2L, "UPSERT", 20.0),
+      ("T", 3L, 4L, "DELETE", 0.0)
+    ).toDF("table_name", "k", "offset", "op", "amount")
+    val hist = CdcOps.scd2History(feed, "table_name", Seq("k"), "offset", "op")
+      .select("k", "version", "valid_from_offs", "valid_to_offs",
+        "is_current", "closed_by_delete", "amount")
+      .orderBy("k", "version")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5), r.getDouble(6)))
+    assert(hist.toSeq == Seq(
+      (1L, 1L, 1L, 3L, false, false, 10.0),
+      (1L, 2L, 3L, 5L, false, true, 11.0),
+      (1L, 3L, 7L, -1L, true, false, 12.0),
+      (2L, 1L, 2L, -1L, true, false, 20.0)))
+  }
+
+  test("SCD2 history plans a single exchange (shared window partitioning)") {
+    val feed = Seq(("T", 1L, 1L, "UPSERT", 10.0))
+      .toDF("table_name", "k", "offset", "op", "amount")
+    val hist = CdcOps.scd2History(feed, "table_name", Seq("k"), "offset", "op")
+    val plan = hist.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
+  }
 }

@@ -356,4 +356,53 @@ class TrainingDataSpec extends SparkSpec {
     assert(frames.groupBy("asset_id").count().agg(max("count")).head().getLong(0) <= 4)
     d.unpersist()
   }
+
+  test("contamination: overlap fractions, short docs score 0, eval side excluded") {
+    // train doc 1 shares both its shingles with eval doc 10; train doc 2
+    // shares nothing; train doc 3 is too short for any 3-shingle.
+    val docs = Seq(
+      (1L, "a b c d", true, false),        // shingles: "a b c", "b c d"
+      (2L, "x y z w", true, false),
+      (3L, "hi there", true, false),
+      (10L, "a b c d e", false, true)      // eval: contains both of doc 1's
+    ).toDF("doc_id", "text", "is_train", "is_test")
+    val got = Dedup.contamination(docs, "doc_id", "text",
+        col("is_train"), col("is_test"), k = 3, threshold = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, 1.0, true),
+      (2L, 2L, 0L, 0.0, false),
+      (3L, 0L, 0L, 0.0, false)))
+  }
+
+  test("chunking: stride windows, short tail, verbatim text, empty docs dropped") {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ") // 10 tokens
+    val docs = Seq((1L, text), (2L, "one two"), (3L, ""), (4L, null))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(docs, "doc_id", "text", chunkSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // doc 1: starts 0,3,6,9 → windows of 4,4,4,1 tokens
+    assert(got.toSeq == Seq(
+      (1L, 0L, "t1 t2 t3 t4", 4L),
+      (1L, 1L, "t4 t5 t6 t7", 4L),
+      (1L, 2L, "t7 t8 t9 t10", 4L),
+      (1L, 3L, "t10", 1L),
+      (2L, 0L, "one two", 2L)))
+  }
+
+  test("quantize: codes span 0..255, constant vectors reconstruct exactly") {
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.5f, 1.0f)),
+      (2L, Seq(2.0f, 2.0f, 2.0f))   // constant → mx == mn
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.scalarQuantize(vecs, "vec_id", "embedding")
+      .orderBy("vec_id", "i").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, 0L, 0.0), (1L, 2L, 128L, 0.001961), (1L, 3L, 255L, 0.0),
+      (2L, 1L, 0L, 0.0), (2L, 2L, 0L, 0.0), (2L, 3L, 0L, 0.0)))
+  }
 }
