@@ -76,6 +76,15 @@ object GraftFunctions {
         require(exprs.length == 3, "minhash_sig(text, k, n)")
         MinHashSig(exprs.head, intLit(exprs(1), "k"), intLit(exprs(2), "n"))
       }),
+    ("char_poly_hash",
+      "char_poly_hash(s) - polynomial code-point hash (int64); NULL and '' both -> 0",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "char_poly_hash(s)")
+        // NULL hashes to 0 on every surface (SQL, Column API,
+        // TextAnalysis.charPolyHash, DuckDB oracle's CASE)
+        org.apache.spark.sql.catalyst.expressions.Coalesce(
+          Seq(CharPolyHash(exprs.head), Literal(0L)))
+      }),
     ("simhash16",
       "simhash16(text) - 16-bit SimHash fingerprint of whitespace tokens (int64); NULL text -> 0",
       (exprs: Seq[Expression]) => {
@@ -128,6 +137,12 @@ object GraftFunctions {
     // same NULL -> 0 coalesce as the SQL registration and Dedup.simhash16
     org.apache.spark.sql.functions.coalesce(
       GraftShims.column(SimHash16(GraftShims.expression(text))), lit(0L))
+
+  def charPolyHash(s: Column): Column =
+    // same NULL -> 0 coalesce as the SQL registration and
+    // TextAnalysis.charPolyHash
+    org.apache.spark.sql.functions.coalesce(
+      GraftShims.column(CharPolyHash(GraftShims.expression(s))), lit(0L))
 
   def simhash60(text: Column): Column =
     GraftShims.column(SimHash60(GraftShims.expression(text)))

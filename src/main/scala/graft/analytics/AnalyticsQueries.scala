@@ -168,7 +168,34 @@ object AnalyticsQueries {
     "q_events_windowed" -> ((s, dir) =>
       graft.streaming.EventTimeOps.windowedAgg(
         Tables(s, dir, "events"), windowLen = "1 hour")
-        .orderBy("win_start", "event_type")))
+        .orderBy("win_start", "event_type")),
+
+    // Keyword extraction: top terms per doc by (tf DESC, df ASC) over
+    // non-stopword tokens — rank-equivalent to tf-idf for a fixed doc
+    // (idf is monotone-decreasing in df) but integer-only, so the
+    // ranking is exactly portable with no transcendental rounding.
+    // Scale shape: tf aggregates on (doc_id, token) with map-side
+    // combine; df re-aggregates the tf table (vocabulary-sized, not
+    // corpus-sized); the per-doc rank runs partial+final
+    // WindowGroupLimit so the window shuffle carries O(docs·k) rows.
+    "q_text_keywords" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(!col("token").isin(TextAnalysis.Stopwords: _*))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val byDoc = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("token"))
+      tf.join(dfreq, "token")
+        .withColumn("rnk", row_number().over(byDoc))
+        .filter(col("rnk") <= KeywordsPerDoc)
+        .select(col("doc_id"), col("rnk"), col("token"), col("tf"), col("df"))
+        .orderBy("doc_id", "rnk")
+    }))
+
+  /** Keywords kept per document (q_text_keywords; shared with oracle). */
+  val KeywordsPerDoc = 5
 
   def oracleSql: Map[String, String] = Map(
 
@@ -177,6 +204,25 @@ object AnalyticsQueries {
         event_type, count(*) AS n_events,
         CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""",
+
+    "q_text_keywords" -> {
+      val stops = graft.text.TextAnalysis.Stopwords
+        .map(s => s"'$s'").mkString("(", ", ", ")")
+      s"""WITH t AS (
+           SELECT doc_id, unnest(${TextSql.tokens("text")}) AS token
+           FROM documents),
+         f AS (
+           SELECT doc_id, token, count(*) AS tf FROM t
+           WHERE token NOT IN $stops GROUP BY doc_id, token),
+         d AS (SELECT token, count(*) AS df FROM f GROUP BY token),
+         r AS (
+           SELECT f.doc_id, f.token, f.tf, d.df,
+             row_number() OVER (PARTITION BY f.doc_id
+               ORDER BY f.tf DESC, d.df ASC, f.token) AS rnk
+           FROM f JOIN d ON f.token = d.token)
+       SELECT doc_id, rnk, token, tf, df FROM r
+       WHERE rnk <= $KeywordsPerDoc ORDER BY doc_id, rnk"""
+    },
 
     "q_text_topk_per_group" -> s"""
       WITH t AS (

@@ -280,6 +280,28 @@ case class TokenShingles(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `char_poly_hash(s)` → int64 polynomial code-point hash (see
+  * TextNative.charPolyHash) — the engine's content-hash primitive
+  * (split/stratified-sample buckets, fingerprints, token hashes) as
+  * ONE codegen'd pass. The declarative formulation
+  * (TextAnalysis.charPolyHashHof) folds a `sequence(1, length)` array
+  * through an interpreted `aggregate` HOF, re-evaluated per REFERENCE
+  * when CollapseProject re-inlines the alias into a filter + project —
+  * the same pathology SimHash16/MinHashSig fixed. NULL propagates
+  * here; callers that need the HOF's NULL→0 wrap in coalesce
+  * (TextAnalysis.charPolyHash does). */
+case class CharPolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "char_poly_hash"
+  override def nullSafeEval(input: Any): Any =
+    TextNative.charPolyHash(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextNative.charPolyHash($c.toString())")
+  override protected def withNewChildInternal(newChild: Expression): CharPolyHash =
+    copy(child = newChild)
+}
+
 /** `simhash16(text)` → int64 16-bit SimHash fingerprint (see
   * TextNative.simHash16) — single codegen'd pass over the document. */
 case class SimHash16(child: Expression) extends UnaryExpression {

@@ -164,12 +164,32 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------- hashing
   /**
-   * Polynomial hash of a string column's characters, via an explicit
+   * Polynomial hash of a string column's code points:
+   * fold(acc = (acc·31 + codepoint_i) mod P), exact int64; NULL and
+   * empty both hash to 0 (the CaseWhen in the HOF formulation sends a
+   * NULL length to the otherwise-0 branch, and the DuckDB mirror's
+   * CASE does the same — the native expression preserves that via
+   * coalesce). Single codegen'd pass (graft.functions.CharPolyHash);
+   * [[charPolyHashHof]] keeps the declarative formulation as the
+   * portable spec and parity check.
+   */
+  def charPolyHash(s: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShims.{column => toCol, expression => toExpr}
+    coalesce(toCol(graft.functions.CharPolyHash(toExpr(s))), lit(0L))
+  }
+
+  /**
+   * The declarative statement of [[charPolyHash]]: an explicit
    * position fold — `sequence(1, length)` + `substring` — rather than
    * split-on-empty, whose trailing-element semantics differ across
-   * engines: fold(acc = (acc·31 + ascii(char_i)) mod P). Exact int64.
+   * engines: fold(acc = (acc·31 + ascii(char_i)) mod P). `ascii` /
+   * `substr` / `length` all count code points, so the fold unit is the
+   * code point on both surfaces. Interpreted (HOFs sit outside
+   * whole-stage codegen) and re-inlined per reference by
+   * CollapseProject — kept as the spec the native expression is
+   * parity-tested against, not for production plans.
    */
-  def charPolyHash(s: Column): Column =
+  def charPolyHashHof(s: Column): Column =
     when(length(s) > 0,
       aggregate(sequence(lit(1), length(s)), lit(0L),
         (acc, i) => (acc * 31 + ascii(s.substr(i, lit(1)))) % HashPrime))

@@ -224,6 +224,22 @@ class TrainingDataSpec extends SparkSpec {
     both.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
   }
 
+  test("native charPolyHash ≡ aggregate HOF formulation, incl. NULL/empty/non-BMP") {
+    // The HOF folds ascii(substr(i,1)) — code points — so the native
+    // pass must agree on multibyte BMP chars AND supplementary-plane
+    // code points (surrogate pairs in the JVM string). NULL and ''
+    // both hash to 0 on both formulations.
+    val docs = Seq(
+      null, "", " ", "a", "abc", "The quick brown fox",
+      "中文測試", "naïve café", "𝕏 𝄞 𐍈 emoji: 😀🎉",
+      "mixed 中 and 😀 planes", (1 to 500).map(_.toString).mkString("|"))
+      .toDF("t")
+    val both = docs.select(
+      TextAnalysis.charPolyHash(col("t")).as("native"),
+      TextAnalysis.charPolyHashHof(col("t")).as("hof")).collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
   test("simhash banded pairs ≡ naive quadratic Hamming join (pigeonhole exactness)") {
     // near-dups (1-2 token edits), exact dups, and unrelated docs; the
     // banded candidate set must contain EVERY pair the naive join
