@@ -20,6 +20,11 @@ object AnnQueries {
   val NearDupBandPlanes = 6
   val CentroidK = 8
   val NProbe = 2
+  val ProjDims = 8
+  /** Projection planes sit above every bucketing plane in use (single
+    * band ≤ 16, banded ≤ NearDupBands·NearDupBandPlanes = 18), so the
+    * same LCG family serves both without correlation. */
+  val ProjPlaneOffset = 64
 
   /** First-n vectors by id, as driver-side double arrays (the same
     * float→double cast the Spark-side VectorDot applies). */
@@ -88,6 +93,13 @@ object AnnQueries {
     "q_ann_quantize" -> ((s, dir) =>
       Similarity.scalarQuantize(Tables(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy("vec_id", "i")),
+
+    // Johnson-Lindenstrauss random projection 64 → 8 dims (the
+    // dimensionality dial ahead of clustering / near-dup passes).
+    "q_ann_project" -> ((s, dir) =>
+      Similarity.randomProject(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", ProjDims, Dims, ProjPlaneOffset)
+        .orderBy("vec_id", "dim")),
 
     // Embedding-cosine near-dup pairs, LSH-bucket blocked. The plane
     // count ADAPTS to the corpus (one cheap count() job): expected
@@ -196,6 +208,23 @@ object AnnQueries {
     "q_ann_lsh_buckets" -> s"""
       SELECT vec_id, ${bucketSql("embedding", 8)} AS bucket
       FROM embeddings ORDER BY vec_id""",
+
+    // Parallel unnests zip in DuckDB: dim j pairs with component j's
+    // projection (same fold, same LCG planes, same sqrt scale).
+    "q_ann_project" -> {
+      val scale = s"sqrt(CAST($ProjDims AS DOUBLE))"
+      val comps = (0 until ProjDims).map { j =>
+        val proj = foldSum(Dims, i =>
+          s"CAST((embedding)[$i] AS DOUBLE) * ${weightSql(ProjPlaneOffset + j, i)}")
+        s"round($proj / $scale, 6)"
+      }.mkString("[", ", ", "]")
+      s"""
+      SELECT vec_id,
+        unnest(range(1, ${ProjDims + 1})) AS dim,
+        unnest($comps) AS value
+      FROM embeddings WHERE embedding IS NOT NULL
+      ORDER BY vec_id, dim"""
+    },
 
     "q_ann_quantize" -> """
       WITH d AS (

@@ -355,6 +355,34 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  // ---------------------------------------------------------------- project
+  /**
+   * Johnson-Lindenstrauss random projection to `projDims` dimensions:
+   * component j = dot(v, w_{planeOffset+j}) / sqrt(projDims), with the
+   * same LCG hyperplane family as [[lshBucket]] (planeOffset keeps the
+   * projection planes disjoint from any bucketing planes in the same
+   * pipeline). The dimensionality dial for downstream clustering /
+   * near-dup passes: distances are preserved to (1±ε) while the
+   * per-vector cost drops dims/projDims-fold.
+   *
+   * Emits one row per (id, dim) with the projected value rounded to
+   * 6 dp, so the result is directly comparable across engines. Scale
+   * shape: narrow generate-only pass — the projDims×dims plane matrix
+   * is a plan constant, nothing shuffles at any corpus size.
+   */
+  def randomProject(vecs: DataFrame, idCol: String, vecCol: String,
+      projDims: Int, dims: Int, planeOffset: Int): DataFrame = {
+    require(projDims > 0, s"projDims must be positive, got $projDims")
+    val scale = math.sqrt(projDims.toDouble)
+    val comps = (0 until projDims).map { j =>
+      round(dot(col(vecCol), typedLit(planeWeights(planeOffset + j, dims)))
+        / lit(scale), 6)
+    }
+    vecs.filter(col(vecCol).isNotNull)
+      .select(col(idCol), posexplode(array(comps: _*)).as(Seq("__j", "value")))
+      .select(col(idCol), (col("__j") + 1).cast("long").as("dim"), col("value"))
+  }
+
   // ---------------------------------------------------------------- quantize
   /**
    * Per-vector int8 scalar quantization — the memory dial for a

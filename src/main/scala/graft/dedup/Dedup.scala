@@ -339,4 +339,46 @@ object Dedup {
         .as("contamination"))
       .withColumn("contaminated", col("contamination") >= threshold)
   }
+
+  // ---------------------------------------------------------------- mixture
+  /**
+   * Mixture REBALANCING sample: derive a per-domain keep rate from the
+   * observed domain counts so the sample hits `targets` (fractions of
+   * the SAMPLED output) at overall fraction `budget` of the corpus —
+   * rate_d = min(1, budget·target_d·total/n_d). A stratum too small to
+   * fill its target keeps everything (rate clamps at 1) and the output
+   * mixture degrades gracefully; importance weight 1/rate restores
+   * unbiased statistics either way.
+   *
+   * Selection is the deterministic salted content hash (same mechanism
+   * as the stratified sampler), so reruns are bit-identical and the
+   * oracle can restate the filter. budget·target products must be
+   * embedded as literals computed ONCE (here, driver-side) so both
+   * engines parse the identical IEEE double.
+   *
+   * Scale shape: the stats pass is one partial-aggregating scan to a
+   * |domains|-row table; the rates broadcast into a narrow hash
+   * filter — no shuffle ever touches the corpus.
+   */
+  def mixtureSample(docs: DataFrame, domainCol: String, idCol: String,
+      textCol: String, targets: Seq[(String, Double)],
+      budget: Double): DataFrame = {
+    require(targets.nonEmpty, "mixtureSample needs at least one target")
+    val bt = targets.tail.foldLeft(
+      when(col(domainCol) === targets.head._1, lit(budget * targets.head._2))) {
+      case (acc, (d, tgt)) => acc.when(col(domainCol) === d, lit(budget * tgt))
+    }
+    val rates = docs.groupBy(domainCol).agg(count(lit(1)).as("n_c"))
+      .crossJoin(docs.agg(count(lit(1)).as("total")))
+      .select(col(domainCol), least(lit(1.0),
+        bt * col("total").cast("double") / col("n_c").cast("double"))
+        .as("rate"))
+    val bucket =
+      TextAnalysis.charPolyHash(concat(col(textCol), lit("|mix"))) % 1000000
+    docs.join(broadcast(rates), Seq(domainCol))
+      .select(col(idCol), col(domainCol), bucket.as("bucket"), col("rate"))
+      .where(col("bucket") < floor(col("rate") * 1000000))
+      .select(col(idCol), col(domainCol), col("bucket"),
+        round(lit(1.0) / col("rate"), 6).as("weight"))
+  }
 }

@@ -22,6 +22,19 @@ object DedupQueries {
   val StratifiedRates: Seq[(String, Double)] = Seq(
     "en" -> 0.25, "fr" -> 0.50, "es" -> 0.50, "de" -> 0.75, "zh" -> 1.00)
 
+  /** Target language mixture for q_sample_mixture (fractions of the
+    * SAMPLED corpus, not of each stratum — the distinction from
+    * [[StratifiedRates]]: mixture rates are DERIVED from the observed
+    * language counts so the output hits these proportions) and the
+    * overall sampling budget as a fraction of the corpus. Each
+    * per-language keep rate is min(1, budget·target·total/n_lang).
+    * budget·target products are computed driver-side and embedded as
+    * shortest-round-trip double literals, so both engines parse the
+    * identical IEEE value. */
+  val MixtureTargets: Seq[(String, Double)] = Seq(
+    "en" -> 0.40, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+  val MixtureBudget = 0.5
+
   /** The LSH funnel output, shared by the pairs and clusters queries
     * (same persist-once pattern as SparkEntry's normalized feed). */
   private val pairsCache =
@@ -107,6 +120,19 @@ object DedupQueries {
           round(lit(1.0) / col("rate"), 6).as("weight"))
         .orderBy("doc_id")
     }),
+
+    // Mixture REBALANCING: per-language keep rates derived from the
+    // observed counts so the sample lands on the configured target
+    // mixture at the configured budget (vs q_sample_stratified's
+    // fixed per-stratum rates). Two-pass shape: a tiny groupBy(lang)
+    // count + corpus count feed the rate table, which broadcasts into
+    // a narrow deterministic-hash filter — at 100 TB the stats pass
+    // is one partial-aggregating scan and the sample pass never
+    // shuffles.
+    "q_sample_mixture" -> ((s, dir) =>
+      Dedup.mixtureSample(Tables(s, dir, "documents"),
+        "lang", "doc_id", "text", MixtureTargets, MixtureBudget)
+        .orderBy("doc_id")),
 
     // 16-bit SimHash fingerprints.
     "q_dedup_simhash" -> ((s, dir) => {
@@ -278,6 +304,28 @@ object DedupQueries {
         FROM documents d JOIN rates r ON d.lang = r.lang)
       SELECT doc_id, lang, bucket, round(1.0 / rate, 6) AS weight
       FROM b WHERE bucket < CAST(rate * 10000 AS BIGINT)
+      ORDER BY doc_id"""
+    },
+
+    "q_sample_mixture" -> {
+      val btCase = "CASE lang " + MixtureTargets
+        .map { case (l, tgt) =>
+          s"WHEN '$l' THEN CAST(${MixtureBudget * tgt} AS DOUBLE)" }
+        .mkString(" ") + " END"
+      s"""
+      WITH c AS (SELECT lang, count(*) AS n_c FROM documents GROUP BY lang),
+      tt AS (SELECT count(*) AS total FROM documents),
+      r AS (
+        SELECT lang, least(CAST(1.0 AS DOUBLE),
+          ($btCase) * CAST(total AS DOUBLE) / CAST(n_c AS DOUBLE)) AS rate
+        FROM c, tt),
+      b AS (
+        SELECT doc_id, d.lang,
+          ${graft.text.TextSql.charPolyHash("(text || '|mix')")} % 1000000 AS bucket,
+          rate
+        FROM documents d JOIN r ON d.lang = r.lang)
+      SELECT doc_id, lang, bucket, round(1.0 / rate, 6) AS weight
+      FROM b WHERE bucket < CAST(floor(rate * 1000000) AS BIGINT)
       ORDER BY doc_id"""
     },
 

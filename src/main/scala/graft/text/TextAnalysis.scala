@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -220,6 +221,50 @@ object TextAnalysis {
    * shuffle at any corpus size; output order is whatever the caller
    * sorts by downstream.
    */
+  /**
+   * Concat-and-chunk sequence packing — the GPT-style pretraining
+   * layout: within each shard, documents are laid end-to-end in id
+   * order and the token stream is cut into fixed `seqLen`-token
+   * training sequences; a document that straddles a cut contributes a
+   * row to each sequence it spans. Output, one row per (document,
+   * sequence) span: shard, seq (per-shard sequence ordinal), idCol,
+   * seq_offset (token position of the span inside its sequence),
+   * n_tokens_in_seq. Every sequence except a shard's last is exactly
+   * full — no padding waste, which is the point of packing.
+   *
+   * Scale shape: ONE shuffle on the shard key for the per-shard
+   * running-total window, then a narrow bounded-fan-out explode (a doc
+   * spans ≤ n_tokens/seqLen + 1 sequences). Shards are the
+   * parallelism dial: the running total is sequential per shard by
+   * construction (packing IS a prefix sum), so shard count must scale
+   * with the corpus — at 100 TB you'd shard to ~10⁵ streams, each an
+   * independent token stream; the per-shard cumulative sums never
+   * overflow int64 and stay exact at any scale.
+   */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, numShards: Int): DataFrame = {
+    require(seqLen > 0 && numShards > 0,
+      s"need positive seqLen/numShards, got seqLen=$seqLen numShards=$numShards")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), (col(idCol) % numShards).as("shard"),
+        tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    val running = Window.partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val placed = base
+      .withColumn("tok_start", coalesce(sum("n_tokens").over(running), lit(0L)))
+      .withColumn("tok_end", col("tok_start") + col("n_tokens"))
+    placed
+      .withColumn("seq", explode(sequence(
+        expr(s"tok_start div $seqLen"),
+        expr(s"(tok_end - 1) div $seqLen"))))
+      .select(col("shard"), col("seq"), col(idCol),
+        (greatest(col("tok_start"), col("seq") * seqLen) - col("seq") * seqLen)
+          .as("seq_offset"),
+        (least(col("tok_end"), (col("seq") + 1) * seqLen)
+          - greatest(col("tok_start"), col("seq") * seqLen)).as("n_tokens_in_seq"))
+  }
+
   def chunk(docs: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, stride: Int): DataFrame = {
     require(stride > 0 && chunkSize >= stride,

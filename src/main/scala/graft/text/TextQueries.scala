@@ -117,10 +117,41 @@ object TextQueries {
     "q_text_chunk" -> ((s, dir) =>
       TextAnalysis.chunk(Tables(s, dir, "documents"),
         "doc_id", "text", ChunkSize, ChunkStride)
-        .orderBy("doc_id", "chunk_id")))
+        .orderBy("doc_id", "chunk_id")),
+
+    // Concat-and-chunk sequence packing: per-shard token streams cut
+    // into fixed 64-token training sequences, one row per (doc, seq)
+    // span — every sequence except a shard's last is exactly full.
+    "q_text_pack" -> ((s, dir) =>
+      TextAnalysis.packSequences(Tables(s, dir, "documents"),
+        "doc_id", "text", PackSeqLen, PackShards)
+        .orderBy("shard", "seq", "doc_id")),
+
+    // Per-language token-length distribution: exact interpolated
+    // quantiles (percentile ≡ DuckDB quantile_cont) + mean. The
+    // corpus-profiling pass that picks every downstream length
+    // threshold. Scale: one partial-aggregating groupBy on a
+    // 5-valued key; at extreme group cardinality the dial is
+    // percentile_approx — this entry pins the exact spec.
+    "q_text_length_quantiles" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val qs = LengthQuantiles.map(p =>
+        round(percentile(col("n_tokens"), lit(p)), 6)
+          .as("p" + math.round(p * 100)))
+      docs.filter(col("text").isNotNull)
+        .select(col("lang"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          (round(sum(col("n_tokens").cast("long")).cast("double") /
+            count(lit(1)), 6).as("mean_tokens") +: qs): _*)
+        .orderBy("lang")
+    }))
 
   val ChunkSize = 64
   val ChunkStride = 48
+  val PackSeqLen = 64
+  val PackShards = 4
+  val LengthQuantiles = Seq(0.25, 0.5, 0.75, 0.95)
 
   def oracleSql: Map[String, String] = {
     val t = "text"
@@ -214,6 +245,43 @@ object TextQueries {
           ${TextSql.charPolyHash(t)} AS fp,
           ${TextSql.charPolyHash(s"(${TextSql.tokens(t)})[1]")} AS first_tok_hash
         FROM documents ORDER BY doc_id""",
+
+      "q_text_pack" -> s"""
+        WITH t AS (
+          SELECT doc_id, doc_id % $PackShards AS shard,
+            len(${TextSql.tokens(t)}) AS n_tokens
+          FROM documents WHERE text IS NOT NULL),
+        p AS (
+          SELECT doc_id, shard, n_tokens,
+            CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS tok_start
+          FROM t WHERE n_tokens > 0),
+        e AS (SELECT *, tok_start + n_tokens AS tok_end FROM p),
+        x AS (
+          SELECT shard, doc_id, tok_start, tok_end,
+            unnest(range(tok_start // $PackSeqLen,
+                         (tok_end - 1) // $PackSeqLen + 1)) AS seq
+          FROM e)
+        SELECT shard, seq, doc_id,
+          greatest(tok_start, seq * $PackSeqLen) - seq * $PackSeqLen AS seq_offset,
+          least(tok_end, (seq + 1) * $PackSeqLen)
+            - greatest(tok_start, seq * $PackSeqLen) AS n_tokens_in_seq
+        FROM x ORDER BY shard, seq, doc_id""",
+
+      "q_text_length_quantiles" -> {
+        val qcols = LengthQuantiles.map(p =>
+          s"round(quantile_cont(n_tokens, $p), 6) AS p${math.round(p * 100)}")
+          .mkString(", ")
+        s"""
+        WITH t AS (
+          SELECT lang, len(${TextSql.tokens(t)}) AS n_tokens
+          FROM documents WHERE text IS NOT NULL)
+        SELECT lang, count(*) AS n_docs,
+          round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 6) AS mean_tokens,
+          $qcols
+        FROM t GROUP BY lang ORDER BY lang"""
+      },
 
       "q_text_chunk" -> s"""
         WITH d AS (

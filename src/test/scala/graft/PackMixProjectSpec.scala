@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.Similarity
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** Invariants for the round-6 operators: sequence packing, mixture
+  * rebalancing, and JL random projection. */
+class PackMixProjectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val seqLen = 8
+
+  private def packed = {
+    val docs = Seq(
+      (0L, "a b c"),            // 3 tokens, shard 0
+      (1L, "d e f g h i j"),    // 7 tokens, shard 1
+      (2L, "k l m n o p q r s t u v"), // 12 tokens, shard 0 — straddles
+      (3L, null.asInstanceOf[String]), // dropped
+      (4L, "   "),              // 0 tokens, dropped
+      (6L, "w x y z a b c d e f")      // 10 tokens, shard 0
+    ).toDF("doc_id", "text")
+    TextAnalysis.packSequences(docs, "doc_id", "text", seqLen, 2)
+  }
+
+  test("packing conserves every document's tokens") {
+    val perDoc = packed.groupBy("doc_id")
+      .agg(sum("n_tokens_in_seq").as("got")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc == Map(0L -> 3L, 2L -> 12L, 6L -> 10L, 1L -> 7L))
+  }
+
+  test("every sequence except a shard's last is exactly full") {
+    val seqTotals = packed.groupBy("shard", "seq")
+      .agg(sum("n_tokens_in_seq").as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val lastSeq = seqTotals.keys.groupBy(_._1).map { case (s, ks) =>
+      s -> ks.map(_._2).max }
+    seqTotals.foreach { case ((shard, seq), n) =>
+      if (seq < lastSeq(shard)) assert(n == seqLen, s"shard $shard seq $seq")
+      else assert(n >= 1 && n <= seqLen)
+    }
+    // shard 0 carries 3+12+10 = 25 tokens → seqs 0..3; shard 1 only 7.
+    assert(lastSeq == Map(0L -> 3L, 1L -> 0L))
+  }
+
+  test("span offsets sit inside the sequence and chain contiguously") {
+    packed.collect().foreach { r =>
+      val off = r.getAs[Long]("seq_offset")
+      val n = r.getAs[Long]("n_tokens_in_seq")
+      assert(off >= 0 && off < seqLen && n >= 1 && off + n <= seqLen)
+    }
+    // within a (shard, seq), spans tile [0, total) without gaps
+    packed.orderBy("shard", "seq", "doc_id").collect()
+      .groupBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq")))
+      .foreach { case (_, rows) =>
+        rows.sortBy(_.getAs[Long]("seq_offset"))
+          .foldLeft(0L) { (expect, r) =>
+            assert(r.getAs[Long]("seq_offset") == expect)
+            expect + r.getAs[Long]("n_tokens_in_seq")
+          }
+      }
+  }
+
+  test("mixture rebalancing hits targets; starved stratum keeps all") {
+    // 400 'a' docs, 100 'b' docs, 10 'c' docs; targets 50/25/25 at
+    // budget 0.4 of 510 docs → ideal rates a: .255, b: .51, c: 5.1→1.
+    val docs = (0 until 400).map(i => (i.toLong, "a", s"doc a $i text")) ++
+      (0 until 100).map(i => (400L + i, "b", s"doc b $i text")) ++
+      (0 until 10).map(i => (500L + i, "c", s"doc c $i text"))
+    val df = docs.toDF("doc_id", "lang", "text")
+    val out = Dedup.mixtureSample(df, "lang", "doc_id", "text",
+      Seq("a" -> 0.50, "b" -> 0.25, "c" -> 0.25), 0.4).cache()
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // c's rate clamps at 1 → all 10 kept, weight exactly 1
+    assert(byLang("c") == 10)
+    assert(out.filter(col("lang") === "c").select("weight")
+      .collect().forall(_.getDouble(0) == 1.0))
+    // a and b land near their ideal expected counts (hash is uniform
+    // enough on this corpus for a ±40% band)
+    assert(math.abs(byLang("a") - 102L) < 41, s"a=${byLang("a")}")
+    assert(math.abs(byLang("b") - 51L) < 21, s"b=${byLang("b")}")
+    // deterministic: rerun is identical
+    val again = Dedup.mixtureSample(df, "lang", "doc_id", "text",
+      Seq("a" -> 0.50, "b" -> 0.25, "c" -> 0.25), 0.4)
+    assert(out.orderBy("doc_id").collect().toSeq ==
+      again.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("random projection: shape, determinism, linearity") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 2.0f, -1.0f)),
+      (1L, Array(2.0f, 0.0f, 4.0f, -2.0f)), // 2 × vec 0
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(vecs, "vec_id", "embedding", 3, 4, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.size == 9)
+    // zero vector projects to 0 in every dimension
+    (1 to 3).foreach(j => assert(out((2L, j.toLong)) == 0.0))
+    // projection is linear: proj(2v) = 2·proj(v) (6-dp rounding slack)
+    (1 to 3).foreach { j =>
+      assert(math.abs(out((1L, j.toLong)) - 2 * out((0L, j.toLong))) < 2e-6)
+    }
+    val again = Similarity.randomProject(vecs, "vec_id", "embedding", 3, 4, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out == again)
+  }
+}
