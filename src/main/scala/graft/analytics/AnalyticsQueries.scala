@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -170,6 +170,44 @@ object AnalyticsQueries {
         Tables(s, dir, "events"), windowLen = "1 hour")
         .orderBy("win_start", "event_type")),
 
+    // Ordered conversion funnel (view → click → purchase), earliest-
+    // completion semantics: t1 = first view; t2 = first click AFTER
+    // t1; t3 = first purchase AFTER t2; stages = how deep the user
+    // got. The naive formulation is a chain of three dependent
+    // aggregate-joins, which the planner expands into SIX exchanges
+    // and six scans (each stage subtree is recomputed per reference).
+    // Instead: filter to funnel events, ONE groupBy(user_id)
+    // collecting each user's (ts, type) pairs, then the dependent
+    // stage minima are array folds over the per-user collection —
+    // min{ts: type=sᵢ, ts > tᵢ₋₁} is order-independent, so no sort is
+    // needed and the whole funnel costs one scan + one exchange of
+    // the stage-filtered events at any corpus size. Per-user state is
+    // that user's funnel events — the same bound sessionization
+    // carries. Users whose first stage never fires are dropped
+    // (matching the relational LEFT-JOIN-from-stage-1 spec).
+    "q_events_funnel" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val collected = ev
+        .filter(col("event_type").isin(FunnelStages: _*))
+        .select(col("user_id"), struct(unix_micros(col("ts")).as("ts_us"),
+          col("event_type").as("et")).as("e"))
+        .groupBy("user_id").agg(collect_list("e").as("evs"))
+      def stageMin(prev: Column, stageName: String): Column =
+        array_min(transform(
+          filter(col("evs"), e =>
+            e.getField("et") === stageName && e.getField("ts_us") > prev),
+          e => e.getField("ts_us")))
+      collected
+        .withColumn("t1", stageMin(lit(Long.MinValue), FunnelStages(0)))
+        .withColumn("t2", stageMin(col("t1"), FunnelStages(1)))
+        .withColumn("t3", stageMin(col("t2"), FunnelStages(2)))
+        .where(col("t1").isNotNull)
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+          (lit(1) + col("t2").isNotNull.cast("int") +
+            col("t3").isNotNull.cast("int")).as("stages"))
+        .orderBy("user_id")
+    }),
+
     // Keyword extraction: top terms per doc by (tf DESC, df ASC) over
     // non-stopword tokens — rank-equivalent to tf-idf for a fixed doc
     // (idf is monotone-decreasing in df) but integer-only, so the
@@ -196,6 +234,9 @@ object AnalyticsQueries {
 
   /** Keywords kept per document (q_text_keywords; shared with oracle). */
   val KeywordsPerDoc = 5
+
+  /** Ordered funnel stages (q_events_funnel; shared with oracle). */
+  val FunnelStages = Seq("view", "click", "purchase")
 
   def oracleSql: Map[String, String] = Map(
 
@@ -307,6 +348,27 @@ object AnalyticsQueries {
       SELECT event_id, user_id, ts_us, value,
         asof_event_id, asof_ts_us, asof_value
       FROM j WHERE rn = 1 ORDER BY event_id""",
+
+    "q_events_funnel" -> s"""
+      WITH s1 AS (
+        SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        WHERE event_type = '${FunnelStages(0)}' GROUP BY user_id),
+      s2 AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = '${FunnelStages(1)}' AND epoch_us(e.ts) > s1.t1
+        GROUP BY e.user_id),
+      s3 AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = '${FunnelStages(2)}' AND epoch_us(e.ts) > s2.t2
+        GROUP BY e.user_id)
+      SELECT s1.user_id, t1, t2, t3,
+        1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT) AS stages
+      FROM s1
+      LEFT JOIN s2 ON s1.user_id = s2.user_id
+      LEFT JOIN s3 ON s1.user_id = s3.user_id
+      ORDER BY s1.user_id""",
 
     // Spec statement of the banded range join: the plain inequality
     // LEFT JOIN the Spark side refuses to plan as a cartesian.

@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+import graft.sources.Bucketed
+
+/** The storage-layout half of the scale design: a join between two
+  * tables bucketed by the join key with the same bucket count must
+  * plan with ZERO exchanges — and return the same rows as the plain
+  * shuffled join. */
+class BucketedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def initialPlan(df: org.apache.spark.sql.DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.initialPlan
+      case p => p
+    }
+
+  test("co-located bucketed join plans no exchange and matches the shuffled join") {
+    val dir = Files.createTempDirectory("graft-bucketed").toFile.getAbsolutePath
+    val facts = (0L until 1000L).map(i => (i % 97, i, i * 2.5)).toDF("k", "id", "v")
+    val dims = (0L until 97L).map(i => (i, s"dim_$i")).toDF("k", "name")
+    Bucketed.writeBucketed(facts, "bspec_facts", s"$dir/facts", "k", 8)
+    Bucketed.writeBucketed(dims, "bspec_dims", s"$dir/dims", "k", 8)
+    try {
+      val joined = Bucketed.colocatedJoin(spark, "bspec_facts", "bspec_dims", "k")
+      val ex = initialPlan(joined).collectWithSubqueries {
+        case e: ShuffleExchangeLike => e
+      }
+      assert(ex.isEmpty,
+        s"bucketed join must not shuffle, found ${ex.length} exchanges")
+      val expected = facts.join(dims, "k")
+        .orderBy("id").collect().toSeq
+      assert(joined.orderBy("id").collect().toSeq == expected)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bspec_facts")
+      spark.sql("DROP TABLE IF EXISTS bspec_dims")
+    }
+  }
+}

@@ -105,6 +105,42 @@ class PlanQualitySpec extends SparkSpec {
       s"repetition_counts inlined per field reference:\n$planStr")
   }
 
+  test("q_text_pack: one shard exchange feeds the window; the explode is narrow") {
+    val p = plan(SparkEntry.queries("q_text_pack")(spark, Sf))
+    val ex = collectAll(p) { case e: ShuffleExchangeLike => e }
+    // the shard-key hash exchange for the running total + the
+    // presentation orderBy's range exchange — nothing else
+    assert(ex.length <= 2, s"expected <=2 exchanges, got ${ex.length}:\n$p")
+  }
+
+  test("q_sample_mixture: rates broadcast; only the stats pass aggregates") {
+    val p = plan(SparkEntry.queries("q_sample_mixture")(spark, Sf))
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "derived-rates join must broadcast")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q_ann_project: narrow generate-only pass — no exchange before the sort") {
+    val p = plan(SparkEntry.queries("q_ann_project")(spark, Sf))
+    val ex = collectAll(p) { case e: ShuffleExchangeLike => e }
+    // only the presentation orderBy may exchange
+    assert(ex.length <= 1, s"expected <=1 exchange, got ${ex.length}:\n$p")
+  }
+
+  test("q_events_funnel: one scan, one user_id exchange — stage folds are narrow") {
+    val p = plan(SparkEntry.queries("q_events_funnel")(spark, Sf))
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+    // the collect_list exchange on user_id + the presentation orderBy;
+    // the dependent-aggregate-join formulation this replaced planned
+    // SIX exchanges and six scans of events
+    val ex = collectAll(p) { case e: ShuffleExchangeLike => e }
+    assert(ex.length <= 2, s"expected <=2 exchanges, got ${ex.length}:\n$p")
+    val scans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 1, s"expected 1 events scan, got ${scans.length}")
+  }
+
   test("documents scan prunes columns: text-stats reads only what it projects") {
     val p = plan(SparkEntry.queries("q_text_stats")(spark, Sf))
     val scans = collectAll(p) {
