@@ -166,6 +166,25 @@ object SparkEntry {
           col("is_current"), col("closed_by_delete"))
         .orderBy(Cdc.Cols.TableName, "k", "valid_from_offs")),
 
+    // Reverse CDC: diff two orders snapshots into the I/U/D change set
+    // (bootstrap for log-less sources; reconciliation audit otherwise).
+    // Old/new are deterministic derivations of the same table: key%13=3
+    // rows are missing from old (→ I), key%17=5 rows are missing from
+    // new (→ D), key%11=0 rows carry a perturbed price in old (→ U).
+    "q_cdc_snapshot_diff" -> ((s, dir) => {
+      import graft.operators.SnapshotDiff
+      val orders = Tables(s, dir, "orders")
+      val k = col("o_orderkey")
+      val oldSnap = orders.filter(k % 13 =!= 3)
+        .withColumn("o_totalprice",
+          when(k % 11 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+      val newSnap = orders.filter(k % 17 =!= 5)
+      SnapshotDiff.diff(oldSnap, newSnap, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"))
+        .orderBy("o_orderkey")
+    }),
+
     // W11/T6: corrupt-event dead-letter channel.
     "q_cdc_dlq" -> ((s, dir) => {
       val n = normalized(s, dir)
@@ -484,6 +503,31 @@ object SparkEntry {
              (valid_to_offs IS NULL) AS is_current, closed_by_delete
       FROM versions WHERE op = 'UPSERT'
       ORDER BY table_name, k, valid_from_offs"""),
+
+    "q_cdc_snapshot_diff" -> """
+      WITH o AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1
+               ELSE o_totalprice END AS o_totalprice,
+          o_orderstatus
+        FROM orders WHERE o_orderkey % 13 <> 3),
+      n AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 17 <> 5),
+      j AS (
+        SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+          CASE WHEN o.o_orderkey IS NULL THEN 'I'
+               WHEN n.o_orderkey IS NULL THEN 'D'
+               WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                 OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+               THEN 'U' END AS op,
+          CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_orderstatus
+               ELSE o.o_orderstatus END AS o_orderstatus,
+          CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_totalprice
+               ELSE o.o_totalprice END AS o_totalprice
+        FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey)
+      SELECT o_orderkey, op, o_orderstatus, o_totalprice
+      FROM j WHERE op IS NOT NULL ORDER BY o_orderkey""",
 
     "q_cdc_dlq" -> withNorm(
       """SELECT topic, kpart AS kafka_partition, offs AS kafka_offset,

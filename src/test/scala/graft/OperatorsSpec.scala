@@ -161,4 +161,48 @@ class OperatorsSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges == 1, s"expected 1 exchange, plan:\n$plan")
   }
+
+  test("snapshot diff emits I/U/D, drops identical rows, keeps nulled updates") {
+    import graft.operators.SnapshotDiff
+    val oldSnap = Seq(
+      (1L, Some("a"), Some(1.0)),  // unchanged → no event
+      (2L, Some("b"), Some(2.0)),  // price changes → U
+      (3L, Some("c"), Some(3.0)),  // deleted → D with OLD values
+      (4L, Some("d"), Some(4.0)),  // value nulled in new → U with NULL
+      (6L, None, None)             // null → value → U
+    ).toDF("k", "status", "price")
+    val newSnap = Seq(
+      (1L, Some("a"), Some(1.0)),
+      (2L, Some("b"), Some(2.5)),
+      (4L, Some("d"), None),
+      (5L, Some("e"), Some(5.0)),  // inserted → I
+      (6L, Some("f"), Some(6.0))
+    ).toDF("k", "status", "price")
+    val got = SnapshotDiff.diff(oldSnap, newSnap, Seq("k"), Seq("status", "price"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.toSeq == Seq(
+      (2L, "U", Some("b"), Some(2.5)),
+      (3L, "D", Some("c"), Some(3.0)),
+      (4L, "U", Some("d"), None),     // NULL survives — not masked by old
+      (5L, "I", Some("e"), Some(5.0)),
+      (6L, "U", Some("f"), Some(6.0))))
+  }
+
+  test("snapshot diff round-trips through applyChanges: old + diff = new") {
+    import graft.operators.SnapshotDiff
+    val oldSnap = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("k", "status", "price")
+    val newSnap = Seq((1L, "a", 1.0), (2L, "B", 2.0), (4L, "d", 4.0))
+      .toDF("k", "status", "price")
+    val d = SnapshotDiff.diff(oldSnap, newSnap, Seq("k"), Seq("status", "price"))
+    val changes = d.withColumn("op",
+      when(col("op") === "D", "DELETE").otherwise("UPSERT"))
+    val applied = CdcOps.applyChanges(oldSnap, changes, Seq("k"))
+      .orderBy("k").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(applied == Seq((1L, "a", 1.0), (2L, "B", 2.0), (4L, "d", 4.0)))
+  }
 }
