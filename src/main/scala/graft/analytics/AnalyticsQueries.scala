@@ -208,6 +208,35 @@ object AnalyticsQueries {
         .orderBy("user_id")
     }),
 
+    // Per-type z-score outlier flagging — the numeric-column health
+    // check a feature pipeline runs before training. Two passes: group
+    // stats from ORDER-INDEPENDENT decimal sums (sum, sum of squares —
+    // Welford/stddev aggregates are sequence-dependent and not
+    // engine-portable), then a broadcast join back and a narrow filter
+    // |z| > threshold. The stats table is |event types| rows, so at
+    // 100 TB this is one partial-aggregating scan + one scan-speed
+    // filter; variance via (s2 − s1²/n)/(n−1) off exact sums.
+    "q_events_outliers" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val stats = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(28,10)")).cast("double").as("s1"),
+        sum((col("value") * col("value")).cast("decimal(28,10)"))
+          .cast("double").as("s2"))
+        .select(col("event_type"), col("n"),
+          (col("s1") / col("n")).as("mean"),
+          sqrt(greatest(
+            (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1),
+            lit(0.0))).as("std"))
+      ev.join(broadcast(stats), "event_type")
+        .where(col("std") > 0)
+        .withColumn("z", (col("value") - col("mean")) / col("std"))
+        .where(abs(col("z")) > OutlierZ)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 6).as("z"))
+        .orderBy("event_id")
+    }),
+
     // Keyword extraction: top terms per doc by (tf DESC, df ASC) over
     // non-stopword tokens — rank-equivalent to tf-idf for a fixed doc
     // (idf is monotone-decreasing in df) but integer-only, so the
@@ -237,6 +266,9 @@ object AnalyticsQueries {
 
   /** Ordered funnel stages (q_events_funnel; shared with oracle). */
   val FunnelStages = Seq("view", "click", "purchase")
+
+  /** |z| threshold of the outlier flagger (q_events_outliers). */
+  val OutlierZ = 2.5
 
   def oracleSql: Map[String, String] = Map(
 
@@ -348,6 +380,22 @@ object AnalyticsQueries {
       SELECT event_id, user_id, ts_us, value,
         asof_event_id, asof_ts_us, asof_value
       FROM j WHERE rn = 1 ORDER BY event_id""",
+
+    "q_events_outliers" -> s"""
+      WITH st AS (
+        SELECT event_type, count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS s1,
+          CAST(sum(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS s2
+        FROM events GROUP BY event_type),
+      m AS (
+        SELECT event_type, s1 / n AS mean,
+          sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), CAST(0 AS DOUBLE))) AS std
+        FROM st)
+      SELECT e.event_id, e.event_type, e.value,
+        round((e.value - m.mean) / m.std, 6) AS z
+      FROM events e JOIN m ON e.event_type = m.event_type
+      WHERE m.std > 0 AND abs((e.value - m.mean) / m.std) > $OutlierZ
+      ORDER BY e.event_id""",
 
     "q_events_funnel" -> s"""
       WITH s1 AS (

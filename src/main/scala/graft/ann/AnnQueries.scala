@@ -21,6 +21,8 @@ object AnnQueries {
   val CentroidK = 8
   val NProbe = 2
   val ProjDims = 8
+  /** Edges kept per vertex in the kNN graph (q_ann_knn_graph). */
+  val KnnK = 3
   /** Projection planes sit above every bucketing plane in use (single
     * band ≤ 16, banded ≤ NearDupBands·NearDupBandPlanes = 18), so the
     * same LCG family serves both without correlation. */
@@ -100,6 +102,17 @@ object AnnQueries {
       Similarity.randomProject(Tables(s, dir, "embeddings"),
         "vec_id", "embedding", ProjDims, Dims, ProjPlaneOffset)
         .orderBy("vec_id", "dim")),
+
+    // LSH-bucketed approximate kNN graph (top-KnnK per vertex within
+    // its bucket) — the edge list community detection / diversity
+    // sampling consumes; plane count adapts to the corpus like
+    // q_dedup_embed_cos.
+    "q_ann_knn_graph" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val np = Similarity.adaptivePlanes(emb.count())
+      Similarity.knnGraph(emb, "vec_id", "embedding", np, Dims, KnnK)
+        .orderBy("src", "rank")
+    }),
 
     // Embedding-cosine near-dup pairs, LSH-bucket blocked. The plane
     // count ADAPTS to the corpus (one cheap count() job): expected
@@ -323,6 +336,24 @@ object AnnQueries {
       FROM j WHERE cos >= $NearDupThreshold
       ORDER BY id_a, id_b"""
     },
+
+    "q_ann_knn_graph" -> s"""
+      WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+      np_t AS (SELECT $npSql AS np FROM n),
+      b AS (
+        SELECT vec_id AS id, embedding AS v,
+               ${bucketAdaptiveSql("embedding")} AS bucket
+        FROM embeddings, np_t),
+      e AS (
+        SELECT x.id AS src, y.id AS dst, ${cosineSql("x.v", "y.v")} AS cos
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.id <> y.id),
+      r AS (
+        SELECT src, dst, cos,
+          row_number() OVER (PARTITION BY src
+            ORDER BY cos DESC, dst) AS rank
+        FROM e)
+      SELECT src, rank, dst, round(cos, 6) AS cos
+      FROM r WHERE rank <= $KnnK ORDER BY src, rank""",
 
     "q_dedup_embed_cos" -> s"""
       WITH n AS (SELECT count(*) AS cnt FROM embeddings),

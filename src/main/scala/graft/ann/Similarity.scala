@@ -355,6 +355,38 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  /**
+   * Approximate kNN GRAPH over the whole corpus — the input to
+   * cluster/community detection and diversity-aware sampling: each
+   * vector's top-k cosine neighbors among the vectors sharing its LSH
+   * bucket. The all-pairs kNN graph is O(n²) at any scale; bucketing
+   * bounds the candidate set per vector at the usual recall cost, and
+   * `numPlanes` should come from [[adaptivePlanes]] so expected bucket
+   * size (hence per-vertex candidate cost) stays constant as the
+   * corpus grows. Rank ties break toward the smaller neighbor id;
+   * vectors alone in their bucket emit no edges.
+   *
+   * Scale shape: narrow bucket assignment (plan-constant planes), one
+   * equi-join on bucket with bounded fan-out, and the per-vertex rank
+   * runs partial+final WindowGroupLimit so the top-k shuffle carries
+   * O(n·k) rows, not the candidate set.
+   */
+  def knnGraph(corpus: DataFrame, idCol: String, vecCol: String,
+      numPlanes: Int, dims: Int, k: Int): DataFrame = {
+    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), numPlanes, dims).as("bucket"))
+    val w = Window.partitionBy("src")
+      .orderBy(col("cos").desc, col("dst").asc)
+    b.as("x").join(b.as("y"), Seq("bucket"))
+      .filter(col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("src"), col("y.id").as("dst"),
+        cosine(col("x.v"), col("y.v")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("rank"), col("dst"),
+        round(col("cos"), 6).as("cos"))
+  }
+
   // ---------------------------------------------------------------- project
   /**
    * Johnson-Lindenstrauss random projection to `projDims` dimensions:
