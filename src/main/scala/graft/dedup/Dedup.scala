@@ -368,8 +368,14 @@ object Dedup {
       when(col(domainCol) === targets.head._1, lit(budget * targets.head._2))) {
       case (acc, (d, tgt)) => acc.when(col(domainCol) === d, lit(budget * tgt))
     }
+    // total via a global window over the |domains|-row counts table
+    // (NOT a crossJoin against a 1-row aggregate, which plans a
+    // nested-loop join and trips the global degenerate-join guard;
+    // the single-partition window moves |domains| rows, nothing more)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     val rates = docs.groupBy(domainCol).agg(count(lit(1)).as("n_c"))
-      .crossJoin(docs.agg(count(lit(1)).as("total")))
+      .withColumn("total", sum("n_c").over(w))
       .select(col(domainCol), least(lit(1.0),
         bt * col("total").cast("double") / col("n_c").cast("double"))
         .as("rate"))

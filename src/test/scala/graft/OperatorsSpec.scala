@@ -191,6 +191,37 @@ class OperatorsSpec extends SparkSpec {
       (6L, "U", Some("f"), Some(6.0))))
   }
 
+  test("snapshot diff property: old + diff = new on 30 random snapshot pairs") {
+    import graft.operators.SnapshotDiff
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 0 until 30) {
+      // random keyed tables with overlapping key ranges, nullable
+      // values, and value collisions — every I/U/D/unchanged mix
+      def snap(): Seq[(Long, Option[String], Option[Double])] =
+        (0L until 40L).filter(_ => rnd.nextBoolean()).map { k =>
+          (k,
+            if (rnd.nextInt(5) == 0) None else Some(s"v${rnd.nextInt(3)}"),
+            if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(3).toDouble))
+        }
+      val oldRows = snap()
+      val newRows = snap()
+      val oldDf = oldRows.toDF("k", "status", "price")
+      val newDf = newRows.toDF("k", "status", "price")
+      val d = SnapshotDiff.diff(oldDf, newDf, Seq("k"), Seq("status", "price"))
+      val changes = d.withColumn("op",
+        when(col("op") === "D", "DELETE").otherwise("UPSERT"))
+      val applied = CdcOps.applyChanges(oldDf, changes, Seq("k"))
+        .collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+        .toSet
+      assert(applied == newRows.toSet, s"trial $trial: diff+apply != new")
+      // and the diff of identical snapshots is empty
+      assert(SnapshotDiff.diff(newDf, newDf, Seq("k"),
+        Seq("status", "price")).count() == 0, s"trial $trial: self-diff")
+    }
+  }
+
   test("snapshot diff round-trips through applyChanges: old + diff = new") {
     import graft.operators.SnapshotDiff
     val oldSnap = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))

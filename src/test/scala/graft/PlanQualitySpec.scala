@@ -141,6 +141,41 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans.length == 1, s"expected 1 events scan, got ${scans.length}")
   }
 
+  test("q_events_outliers: stats broadcast back; events scanned, never cartesian") {
+    val p = plan(SparkEntry.queries("q_events_outliers")(spark, Sf))
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "per-type stats must broadcast")
+    assert(collectAll(p) { case c: CartesianProductExec => c }.isEmpty)
+  }
+
+  test("q_ann_knn_graph: per-vertex rank plans partial+final WindowGroupLimit") {
+    val p = plan(SparkEntry.queries("q_ann_knn_graph")(spark, Sf))
+    val limits = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(limits.length == 2,
+      s"expected partial+final WindowGroupLimit, got ${limits.length}:\n$p")
+  }
+
+  test("no query plans a cartesian product or nested-loop join (brute force excepted)") {
+    // The global guard: a refactor that silently degenerates any join
+    // (lost equi-condition, non-broadcastable inequality) fails here.
+    // q_ann_bruteforce is the INTENTIONAL exact-baseline cross join.
+    val exempt = Set("q_ann_bruteforce")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(exempt)
+      .flatMap { name =>
+        val p = plan(SparkEntry.queries(name)(spark, Sf))
+        val bad = collectAll(p) {
+          case c: CartesianProductExec => "cartesian"
+          case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec =>
+            "nested-loop"
+        }
+        bad.headOption.map(kind => s"$name: $kind")
+      }
+    assert(offenders.isEmpty, s"degenerate joins in:\n${offenders.mkString("\n")}")
+  }
+
   test("documents scan prunes columns: text-stats reads only what it projects") {
     val p = plan(SparkEntry.queries("q_text_stats")(spark, Sf))
     val scans = collectAll(p) {
