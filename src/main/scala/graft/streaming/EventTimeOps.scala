@@ -113,6 +113,66 @@ object EventTimeOps {
       }
   }
 
+  final case class FunnelInput(user_id: Long, ts: Timestamp, event_type: String)
+  final case class FunnelBuf(events: List[(Long, String)], lastTs: Long)
+  final case class FunnelOut(user_id: Long, t1: Option[Long], t2: Option[Long],
+      t3: Option[Long], stages: Int)
+
+  /**
+   * Streaming ordered funnel — the stateful twin of the batch
+   * `q_events_funnel` (earliest-completion semantics: tᵢ = first
+   * stage-i event after tᵢ₋₁). Stage events buffer in per-user state
+   * until `idleMs` of EVENT-TIME inactivity, then the user's funnel
+   * summary emits once and state clears; users whose first stage never
+   * fired emit nothing (matching the batch contract). Emission waits
+   * for the timeout because a late-but-within-watermark event can
+   * lower an earlier stage's minimum and thereby change later stages —
+   * stage depth only ever grows, but the timestamps are only final
+   * once the user goes quiet.
+   *
+   * State per user = that user's funnel-stage events inside the
+   * horizon (the same bound sessionization carries); timestamps ride
+   * as epoch millis.
+   */
+  def funnel(events: Dataset[FunnelInput], stages: Seq[String], idleMs: Long,
+      watermarkDelay: String = "10 minutes"): Dataset[FunnelOut] = {
+    require(stages.length == 3, s"funnel expects 3 stages, got ${stages.length}")
+    import events.sparkSession.implicits._
+    val stageSet = stages.toSet
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[FunnelInput], state: GroupState[FunnelBuf]) =>
+          if (state.hasTimedOut) {
+            val evs = state.get.events
+            state.remove()
+            // t1 = min stage-0 ts; tᵢ = min stage-i ts strictly after
+            // tᵢ₋₁ — order-independent folds, same spec as the batch
+            val ts = stages.scanLeft(Option(Long.MinValue)) { (prev, st) =>
+              prev.flatMap(p =>
+                evs.collect { case (t, e) if e == st && t > p => t }.minOption)
+            }.tail
+            if (ts.head.isDefined)
+              Iterator.single(FunnelOut(user, ts(0), ts(1), ts(2),
+                ts.count(_.isDefined)))
+            else Iterator.empty
+          } else {
+            val fresh = rows.filter(r => stageSet(r.event_type))
+              .map(r => (r.ts.getTime, r.event_type)).toList
+            val prev = state.getOption.getOrElse(FunnelBuf(Nil, Long.MinValue))
+            val lastTs = math.max(prev.lastTs,
+              if (fresh.nonEmpty) fresh.map(_._1).max else Long.MinValue)
+            if (fresh.nonEmpty || prev.events.nonEmpty) {
+              state.update(FunnelBuf(prev.events ++ fresh, lastTs))
+              state.setTimeoutTimestamp(lastTs + idleMs)
+            }
+            Iterator.empty
+          }
+      }
+  }
+
   /**
    * Watermarked stream-stream interval join: pair each left event with
    * the right events satisfying `condition` whose timestamp falls in

@@ -91,6 +91,44 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel emits per-user summaries after idle timeout") {
+    import spark.implicits._
+    import graft.streaming.EventTimeOps.{FunnelInput, FunnelOut}
+    val mem = MemoryStream[FunnelInput](spark)
+    // 10-minute watermark: the deliberately-late view below must be
+    // late-but-WITHIN-watermark (a tighter delay would drop it before
+    // the stateful operator and t1 would stay at the on-time view)
+    val q = EventTimeOps.funnel(mem.toDS(),
+      Seq("view", "click", "purchase"), idleMs = 5 * 60 * 1000L, "10 minutes")
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1 completes all 3 stages; user 2 stops after click; user 3
+      // clicks WITHOUT a view (no funnel entry); user 1's purchase
+      // arrives before a LATE view that precedes everything — the late
+      // event must not change completion but does set t1
+      mem.addData(
+        FunnelInput(1L, ts(2), "view"), FunnelInput(1L, ts(4), "click"),
+        FunnelInput(1L, ts(5), "purchase"),
+        FunnelInput(2L, ts(1), "view"), FunnelInput(2L, ts(3), "click"),
+        FunnelInput(3L, ts(2), "click"))
+      q.processAllAvailable()
+      mem.addData(FunnelInput(1L, ts(1), "view")) // late, earlier view
+      q.processAllAvailable()
+      // advance event time far ahead → all users idle out and emit
+      mem.addData(FunnelInput(9L, ts(55), "view"))
+      q.processAllAvailable()
+      mem.addData(FunnelInput(9L, ts(59), "click"))
+      q.processAllAvailable()
+      val got = spark.table("funnel_stream").as[FunnelOut].collect()
+        .map(f => f.user_id -> ((f.t1, f.t2, f.t3, f.stages))).toMap
+      def ms(minute: Int): Long = ts(minute).getTime
+      assert(got(1L) == ((Some(ms(1)), Some(ms(4)), Some(ms(5)), 3)))
+      assert(got(2L) == ((Some(ms(1)), Some(ms(3)), None, 2)))
+      assert(!got.contains(3L), "click without view must not enter the funnel")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join on the same data") {
     val lSchema = StructType.fromDDL("lts TIMESTAMP, lk BIGINT, imp_id BIGINT")
     val rSchema = StructType.fromDDL("rts TIMESTAMP, rk BIGINT, conv_id BIGINT")
