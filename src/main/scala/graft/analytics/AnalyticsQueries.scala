@@ -242,19 +242,20 @@ object AnalyticsQueries {
     // (idf is monotone-decreasing in df) but integer-only, so the
     // ranking is exactly portable with no transcendental rounding.
     // Scale shape: tf aggregates on (doc_id, token) with map-side
-    // combine; df re-aggregates the tf table (vocabulary-sized, not
-    // corpus-sized); the per-doc rank runs partial+final
-    // WindowGroupLimit so the window shuffle carries O(docs·k) rows.
+    // combine; df is a COUNT WINDOW over the tf table partitioned by
+    // token (vocabulary-sized) — the tf-join-dfreq formulation
+    // re-derives the tf subtree per reference and scans the corpus
+    // twice; the per-doc rank runs partial+final WindowGroupLimit so
+    // the final shuffle carries O(docs·k) rows.
     "q_text_keywords" -> ((s, dir) => {
       val toks = Tables(s, dir, "documents")
         .select(col("doc_id"),
           explode(TextAnalysis.tokens(col("text"))).as("token"))
         .filter(!col("token").isin(TextAnalysis.Stopwords: _*))
       val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
       val byDoc = Window.partitionBy("doc_id")
         .orderBy(col("tf").desc, col("df").asc, col("token"))
-      tf.join(dfreq, "token")
+      tf.withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
         .withColumn("rnk", row_number().over(byDoc))
         .filter(col("rnk") <= KeywordsPerDoc)
         .select(col("doc_id"), col("rnk"), col("token"), col("tf"), col("df"))

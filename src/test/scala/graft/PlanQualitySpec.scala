@@ -141,6 +141,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans.length == 1, s"expected 1 events scan, got ${scans.length}")
   }
 
+  test("q_text_keywords: single corpus scan — df rides a window, not a re-derived join") {
+    val p = plan(SparkEntry.queries("q_text_keywords")(spark, Sf))
+    val scans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    // the tf-join-dfreq formulation re-derives the tf subtree and
+    // scans documents twice
+    assert(scans.length == 1, s"expected 1 documents scan, got ${scans.length}")
+  }
+
   test("q_events_outliers: stats broadcast back; events scanned, never cartesian") {
     val p = plan(SparkEntry.queries("q_events_outliers")(spark, Sf))
     assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
