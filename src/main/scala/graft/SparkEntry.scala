@@ -98,7 +98,8 @@ object SparkEntry {
     graft.dedup.DedupQueries.queries ++
     graft.ann.AnnQueries.queries ++
     graft.multimodal.MultimodalQueries.queries ++
-    graft.analytics.AnalyticsQueries.queries
+    graft.analytics.AnalyticsQueries.queries ++
+    graft.pipeline.PipelineQueries.queries
 
   private def cdcQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -448,7 +449,8 @@ object SparkEntry {
     graft.dedup.DedupQueries.oracleSql ++
     graft.ann.AnnQueries.oracleSql ++
     graft.multimodal.MultimodalQueries.oracleSql ++
-    graft.analytics.AnalyticsQueries.oracleSql
+    graft.analytics.AnalyticsQueries.oracleSql ++
+    graft.pipeline.PipelineQueries.oracleSql
 
   private def cdcOracleSql: Map[String, String] = Map(
 

@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.text.{TextAnalysis, TextQueries, TextSql}
+
+/**
+ * The END-TO-END curation pipeline — the composition story: the same
+ * four stages a production pretraining-data build runs, chained as ONE
+ * lazy DataFrame flow that Catalyst plans globally (filters merge into
+ * the scan, each stage's projection prunes the last's):
+ *
+ *   1. rule-based quality filter  (narrow, scan-speed)
+ *   2. exact dedup, min-id keeper (one shuffle on the content hash)
+ *   3. deterministic train split  (narrow hash filter)
+ *   4. sequence packing           (one shuffle on the shard key)
+ *
+ * Two shuffles total at any corpus size, both on uniform hash keys.
+ * Every stage reuses the SAME constants/operators as its standalone
+ * query (q_text_quality_filter, q_dedup_exact, q_sample_split,
+ * q_text_pack), and the DuckDB oracle is assembled from the same SQL
+ * mirrors — so the composed pipeline is oracle-checked end to end,
+ * not just stage by stage.
+ */
+object PipelineQueries {
+
+  def curate(docs: DataFrame): DataFrame = {
+    import TextAnalysis._
+    // stage 1: quality rules (same flags as q_text_quality_filter)
+    val base = docs.select(col("doc_id"), col("lang"), col("text"),
+      repetitionCounts(col("text")).as("r"))
+    val keep = Seq(
+      col("r.n_tokens").between(MinTokens, MaxTokens),
+      meanTokenLen(col("text")).between(MinMeanTokenLen, MaxMeanTokenLen),
+      col("lang") =!= "en" || stopwordRatio(col("text")) >= MinStopwordRatio,
+      punctRatio(col("text")) <= MaxPunctRatio,
+      dupTokenFrac(col("r")) <= MaxDupTokenFrac).reduce(_ && _)
+    val kept = base.where(keep).select(col("doc_id"), col("text"))
+    // stage 2: exact dedup — keep the min doc_id per canonical hash
+    val byHash = Window.partitionBy(Dedup.exactHash(col("text")))
+    val deduped = kept
+      .withColumn("__keeper", col("doc_id") === min("doc_id").over(byHash))
+      .where(col("__keeper")).drop("__keeper")
+    // stage 3: train split (same bucket rule as q_sample_split)
+    val train = deduped
+      .where(charFingerprint(col("text")) % 100 < 80)
+    // stage 4: pack into fixed training sequences
+    packSequences(train, "doc_id", "text",
+      TextQueries.PackSeqLen, TextQueries.PackShards)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_curate" -> ((s, dir) =>
+      curate(Tables(s, dir, "documents"))
+        .orderBy("shard", "seq", "doc_id")))
+
+  def oracleSql: Map[String, String] = {
+    import TextAnalysis._
+    val t = "text"
+    Map("q_pipeline_curate" -> s"""
+      WITH q AS (
+        SELECT doc_id, lang, text, ${TextSql.tokens(t)} AS toks
+        FROM documents),
+      kept AS (
+        SELECT doc_id, text FROM q
+        WHERE len(toks) BETWEEN $MinTokens AND $MaxTokens
+          AND ${TextSql.meanTokenLen(t)}
+                BETWEEN $MinMeanTokenLen AND $MaxMeanTokenLen
+          AND (lang <> 'en' OR ${TextSql.stopwordRatio(t)} >= $MinStopwordRatio)
+          AND ${TextSql.punctRatio(t)} <= $MaxPunctRatio
+          AND ${TextSql.dupTokenFrac("toks")} <= $MaxDupTokenFrac),
+      dd AS (
+        SELECT doc_id, text,
+          doc_id = MIN(doc_id) OVER (PARTITION BY
+            md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))
+            AS keeper
+        FROM kept),
+      train AS (
+        SELECT doc_id, text FROM dd
+        WHERE keeper AND ${TextSql.charPolyHash(t)} % 100 < 80),
+      tok AS (
+        SELECT doc_id, doc_id % ${TextQueries.PackShards} AS shard,
+          len(${TextSql.tokens(t)}) AS n_tokens
+        FROM train WHERE text IS NOT NULL),
+      p AS (
+        SELECT doc_id, shard, n_tokens,
+          CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS tok_start
+        FROM tok WHERE n_tokens > 0),
+      e AS (SELECT *, tok_start + n_tokens AS tok_end FROM p),
+      x AS (
+        SELECT shard, doc_id, tok_start, tok_end,
+          unnest(range(tok_start // ${TextQueries.PackSeqLen},
+                       (tok_end - 1) // ${TextQueries.PackSeqLen} + 1)) AS seq
+        FROM e)
+      SELECT shard, seq, doc_id,
+        greatest(tok_start, seq * ${TextQueries.PackSeqLen})
+          - seq * ${TextQueries.PackSeqLen} AS seq_offset,
+        least(tok_end, (seq + 1) * ${TextQueries.PackSeqLen})
+          - greatest(tok_start, seq * ${TextQueries.PackSeqLen})
+          AS n_tokens_in_seq
+      FROM x ORDER BY shard, seq, doc_id""")
+  }
+}

@@ -141,6 +141,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans.length == 1, s"expected 1 events scan, got ${scans.length}")
   }
 
+  test("q_pipeline_curate: two semantic shuffles end to end, one scan") {
+    val p = plan(SparkEntry.queries("q_pipeline_curate")(spark, Sf))
+    // content-hash window + shard window + presentation orderBy —
+    // the quality filter and split stages must stay narrow
+    val ex = collectAll(p) { case e: ShuffleExchangeLike => e }
+    assert(ex.length <= 3, s"expected <=3 exchanges, got ${ex.length}:\n$p")
+    val scans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 1, s"expected 1 documents scan, got ${scans.length}")
+  }
+
   test("q_text_keywords: single corpus scan — df rides a window, not a re-derived join") {
     val p = plan(SparkEntry.queries("q_text_keywords")(spark, Sf))
     val scans = collectAll(p) {
