@@ -103,6 +103,12 @@ object AnnQueries {
         "vec_id", "embedding", ProjDims, Dims, ProjPlaneOffset)
         .orderBy("vec_id", "dim")),
 
+    // Per-label mean embedding (class prototypes): exact decimal sums
+    // per (label, dim); the shuffle carries |labels|·dims rows.
+    "q_ann_label_means" -> ((s, dir) =>
+      Similarity.meanByGroup(Tables(s, dir, "embeddings"), "label", "embedding")
+        .orderBy("label", "dim")),
+
     // LSH-bucketed approximate kNN graph (top-KnnK per vertex within
     // its bucket) — the edge list community detection / diversity
     // sampling consumes; plane count adapts to the corpus like
@@ -336,6 +342,16 @@ object AnnQueries {
       FROM j WHERE cos >= $NearDupThreshold
       ORDER BY id_a, id_b"""
     },
+
+    "q_ann_label_means" -> """
+      WITH e AS (
+        SELECT label, unnest(range(1, len(embedding) + 1)) AS dim,
+               unnest(embedding) AS v
+        FROM embeddings WHERE embedding IS NOT NULL)
+      SELECT label, dim, count(*) AS n_vectors,
+        round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
+          / count(*), 6) AS mean_val
+      FROM e GROUP BY label, dim ORDER BY label, dim""",
 
     "q_ann_knn_graph" -> s"""
       WITH n AS (SELECT count(*) AS cnt FROM embeddings),

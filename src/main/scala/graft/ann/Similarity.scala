@@ -415,6 +415,31 @@ object Similarity {
       .select(col(idCol), (col("__j") + 1).cast("long").as("dim"), col("value"))
   }
 
+  // ---------------------------------------------------------------- pooling
+  /**
+   * Per-group mean embedding — class prototypes / cluster centroids by
+   * label: explode each vector to (group, dim, value), sum in DECIMAL
+   * (exact, order-independent — a double sum's value depends on
+   * reduction order and is NOT engine-portable), divide as double.
+   * Emits one row per (group, dim) so the result is flat-comparable.
+   *
+   * Scale shape: the explode fans out ×dims but map-side partial
+   * aggregation collapses each partition to its (group, dim) partials
+   * before the exchange — the shuffle carries |groups|·dims rows, not
+   * the corpus. The standard prototype/centroid-update pass of a
+   * label-conditioned pipeline.
+   */
+  def meanByGroup(vecs: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    vecs
+      .filter(col(vecCol).isNotNull)
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .select(col(groupCol), (col("__pos").cast("long") + 1).as("dim"),
+        col("__v").cast("double").as("__v"))
+      .groupBy(groupCol, "dim")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("__v").cast("decimal(28,10)")).cast("double") /
+          count(lit(1)), 6).as("mean_val"))
+
   // ---------------------------------------------------------------- quantize
   /**
    * Per-vector int8 scalar quantization — the memory dial for a
