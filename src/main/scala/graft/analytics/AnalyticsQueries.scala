@@ -208,6 +208,29 @@ object AnalyticsQueries {
         .orderBy("user_id")
     }),
 
+    // Daily cohort retention: users grouped by first-active day, cell
+    // (cohort_day, day_offset) counts users active that many days
+    // later — the classic warehouse triangle. Single events scan: the
+    // distinct (user, day) activity matrix takes one exchange, the
+    // per-user cohort day rides a window on the SAME user partitioning
+    // (not a self-join against a re-derived aggregate, which would
+    // scan events twice), then one matrix-sized groupBy. At 100 TB
+    // the shuffles carry the activity matrix (users × active-days),
+    // never raw events.
+    "q_events_retention" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val days = ev.select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val byUser = Window.partitionBy("user_id")
+      days
+        .withColumn("cohort_day", min("day").over(byUser))
+        .select(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // Per-type z-score outlier flagging — the numeric-column health
     // check a feature pipeline runs before training. Two passes: group
     // stats from ORDER-INDEPENDENT decimal sums (sum, sum of squares —
@@ -381,6 +404,18 @@ object AnalyticsQueries {
       SELECT event_id, user_id, ts_us, value,
         asof_event_id, asof_ts_us, asof_value
       FROM j WHERE rn = 1 ORDER BY event_id""",
+
+    "q_events_retention" -> """
+      WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      c AS (
+        SELECT user_id, day,
+          min(day) OVER (PARTITION BY user_id) AS cohort_day
+        FROM days)
+      SELECT cohort_day, datediff('day', cohort_day, day) AS day_offset,
+        count(*) AS n_users
+      FROM c GROUP BY cohort_day, day_offset
+      ORDER BY cohort_day, day_offset""",
 
     "q_events_outliers" -> s"""
       WITH st AS (

@@ -163,6 +163,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans.length == 1, s"expected 1 documents scan, got ${scans.length}")
   }
 
+  test("q_events_retention: one events scan — cohort day rides the user window") {
+    val p = plan(SparkEntry.queries("q_events_retention")(spark, Sf))
+    val scans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 1, s"expected 1 events scan, got ${scans.length}")
+    // distinct + user window + matrix groupBy + presentation sort
+    val ex = collectAll(p) { case e: ShuffleExchangeLike => e }
+    assert(ex.length <= 4, s"expected <=4 exchanges, got ${ex.length}:\n$p")
+  }
+
   test("q_events_outliers: stats broadcast back; events scanned, never cartesian") {
     val p = plan(SparkEntry.queries("q_events_outliers")(spark, Sf))
     assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
