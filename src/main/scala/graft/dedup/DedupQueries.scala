@@ -134,6 +134,23 @@ object DedupQueries {
         "lang", "doc_id", "text", MixtureTargets, MixtureBudget)
         .orderBy("doc_id")),
 
+    // Exact per-stratum QUOTA sampling: exactly SampleQuota docs per
+    // language, selected by salted-content-hash order (rate-based
+    // samplers can't promise exact counts; quota sampling is how eval
+    // sets and human-review batches are drawn). The rank filter plans
+    // partial+final WindowGroupLimit, so the shuffle carries
+    // O(strata · quota) rows at any corpus size.
+    "q_sample_topn" -> ((s, dir) => {
+      val h = TextAnalysis.charPolyHash(concat(col("text"), lit("|topn")))
+      val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), h.as("h"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= SampleQuota)
+        .select(col("doc_id"), col("lang"), col("rnk"))
+        .orderBy("lang", "rnk")
+    }),
+
     // 16-bit SimHash fingerprints.
     "q_dedup_simhash" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
@@ -165,6 +182,9 @@ object DedupQueries {
     }))
 
   val ContaminationThreshold = 0.5
+
+  /** Docs drawn per language stratum (q_sample_topn). */
+  val SampleQuota = 20
 
   val SimHashMaxHamming = 5
   val SimHashBands = 6
@@ -306,6 +326,18 @@ object DedupQueries {
       FROM b WHERE bucket < CAST(rate * 10000 AS BIGINT)
       ORDER BY doc_id"""
     },
+
+    "q_sample_topn" -> s"""
+      WITH h AS (
+        SELECT doc_id, lang,
+          ${graft.text.TextSql.charPolyHash("(text || '|topn')")} AS h
+        FROM documents),
+      r AS (
+        SELECT doc_id, lang,
+          row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rnk
+        FROM h)
+      SELECT doc_id, lang, rnk FROM r
+      WHERE rnk <= $SampleQuota ORDER BY lang, rnk""",
 
     "q_sample_mixture" -> {
       val btCase = "CASE lang " + MixtureTargets
