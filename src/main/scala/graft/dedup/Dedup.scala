@@ -353,6 +353,40 @@ object Dedup {
       .withColumn("contaminated", col("contamination") >= threshold)
   }
 
+  // ---------------------------------------------------------------- incremental
+  /**
+   * INCREMENTAL exact dedup — the production shape: dedup an incoming
+   * batch against the corpus already ingested WITHOUT re-deduping the
+   * corpus. A new doc is a duplicate if its canonical hash exists in
+   * the corpus (left-semi evidence via the joined flag) OR an earlier
+   * (smaller-id) doc in the same batch shares the hash. Emits every
+   * batch doc with `is_dup`; downstream keeps `!is_dup` rows and
+   * appends their hashes to the corpus index.
+   *
+   * Scale shape: the corpus side reduces to its DISTINCT hash set
+   * (partial-aggregated map-side), the join is hash-equi on uniform
+   * md5 keys, and the within-batch keeper is one window on the same
+   * hash partitioning — at 100 TB the corpus index is the thing you
+   * keep bucketed by hash (graft.sources.Bucketed) so the daily batch
+   * join never reshuffles history.
+   */
+  def incrementalExactDedup(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpusHashes = corpus
+      .select(exactHash(col(textCol)).as("norm_hash")).distinct()
+      .withColumn("__in_corpus", lit(true))
+    val hashed = batch.select(col(idCol),
+      exactHash(col(textCol)).as("norm_hash"))
+    val w = Window.partitionBy("norm_hash")
+    hashed
+      .join(corpusHashes, Seq("norm_hash"), "left")
+      .withColumn("__batch_dup", col(idCol) =!= min(idCol).over(w))
+      .select(col(idCol), col("norm_hash"),
+        (coalesce(col("__in_corpus"), lit(false)) || col("__batch_dup"))
+          .as("is_dup"))
+  }
+
   // ---------------------------------------------------------------- mixture
   /**
    * Mixture REBALANCING sample: derive a per-domain keep rate from the

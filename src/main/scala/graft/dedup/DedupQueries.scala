@@ -134,6 +134,19 @@ object DedupQueries {
         "lang", "doc_id", "text", MixtureTargets, MixtureBudget)
         .orderBy("doc_id")),
 
+    // Incremental exact dedup: the val/test buckets arrive as the
+    // "new batch" and dedup against the train bucket as the standing
+    // corpus (same hash split as q_sample_split) — the production
+    // don't-re-dedup-history shape.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val bucket = TextAnalysis.charFingerprint(col("text")) % 100
+      val docs = Tables(s, dir, "documents").withColumn("bucket", bucket)
+      Dedup.incrementalExactDedup(
+        docs.filter(col("bucket") >= 80),
+        docs.filter(col("bucket") < 80), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Exact per-stratum QUOTA sampling: exactly SampleQuota docs per
     // language, selected by salted-content-hash order (rate-based
     // samplers can't promise exact counts; quota sampling is how eval
@@ -326,6 +339,23 @@ object DedupQueries {
       FROM b WHERE bucket < CAST(rate * 10000 AS BIGINT)
       ORDER BY doc_id"""
     },
+
+    "q_dedup_incremental" -> s"""
+      WITH b AS (
+        SELECT doc_id, text,
+          ${graft.text.TextSql.charPolyHash("text")} % 100 AS bucket,
+          md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash
+        FROM documents),
+      corpus AS (SELECT DISTINCT norm_hash FROM b WHERE bucket < 80),
+      batch AS (SELECT doc_id, norm_hash FROM b WHERE bucket >= 80),
+      k AS (
+        SELECT doc_id, norm_hash,
+          doc_id <> MIN(doc_id) OVER (PARTITION BY norm_hash) AS batch_dup
+        FROM batch)
+      SELECT k.doc_id, k.norm_hash,
+        (corpus.norm_hash IS NOT NULL OR k.batch_dup) AS is_dup
+      FROM k LEFT JOIN corpus ON k.norm_hash = corpus.norm_hash
+      ORDER BY k.doc_id""",
 
     "q_sample_topn" -> s"""
       WITH h AS (

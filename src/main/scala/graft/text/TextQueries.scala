@@ -36,6 +36,15 @@ object TextQueries {
         TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // Language-ID confusion matrix vs the table's labels — the eval
+    // every classifier-backed filter ships with; one groupBy on a
+    // |langs|²-bounded key.
+    "q_text_langid_confusion" -> ((s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "lang_pred")),
+
     // PII redaction over text with synthesized contact info (the
     // corpus itself is clean, so the query plants one of each type).
     "q_text_redact" -> ((s, dir) => {
@@ -189,6 +198,12 @@ object TextQueries {
       "q_text_langid" -> s"""
         SELECT doc_id, lang, ${TextSql.langId(t)} AS lang_pred
         FROM documents ORDER BY doc_id""",
+
+      "q_text_langid_confusion" -> s"""
+        WITH p AS (
+          SELECT lang, ${TextSql.langId(t)} AS lang_pred FROM documents)
+        SELECT lang, lang_pred, count(*) AS n_docs
+        FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred""",
 
       "q_text_repetition" -> s"""
         WITH t AS (SELECT doc_id, ${TextSql.tokens(t)} AS toks FROM documents),

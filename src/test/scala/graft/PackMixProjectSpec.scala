@@ -64,6 +64,38 @@ class PackMixProjectSpec extends SparkSpec {
       }
   }
 
+  test("packing property: conservation + fullness on 20 random corpora") {
+    val rnd = new scala.util.Random(20260812L)
+    for (trial <- 0 until 20) {
+      val sl = 1 + rnd.nextInt(16)          // seqLen 1..16
+      val shards = 1 + rnd.nextInt(4)
+      val docs = (0L until 30L).map { i =>
+        val n = rnd.nextInt(40)             // 0..39 tokens (empties too)
+        (i, if (rnd.nextInt(10) == 0) null else Seq.fill(n)("t").mkString(" "))
+      }.toDF("doc_id", "text")
+      val out = TextAnalysis.packSequences(docs, "doc_id", "text", sl, shards)
+        .collect()
+      // conservation: each doc's spans sum to its token count
+      val want = docs.collect().map { r =>
+        val t = r.getString(1)
+        r.getLong(0) -> (if (t == null) 0
+          else t.split("\\s+").count(_.nonEmpty))
+      }.filter(_._2 > 0).toMap
+      val got = out.groupBy(_.getAs[Long]("doc_id"))
+        .view.mapValues(_.map(_.getAs[Long]("n_tokens_in_seq")).sum).toMap
+      assert(got == want.view.mapValues(_.toLong).toMap, s"trial $trial sl=$sl")
+      // fullness: all but each shard's last sequence carry exactly sl
+      out.groupBy(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq")))
+        .map { case (k, rows) => k -> rows.map(_.getAs[Long]("n_tokens_in_seq")).sum }
+        .groupBy(_._1._1).foreach { case (shard, cells) =>
+          val last = cells.keys.map(_._2).max
+          cells.foreach { case ((_, seq), n) =>
+            if (seq < last) assert(n == sl, s"trial $trial shard $shard seq $seq")
+          }
+        }
+    }
+  }
+
   test("mixture rebalancing hits targets; starved stratum keeps all") {
     // 400 'a' docs, 100 'b' docs, 10 'c' docs; targets 50/25/25 at
     // budget 0.4 of 510 docs → ideal rates a: .255, b: .51, c: 5.1→1.
