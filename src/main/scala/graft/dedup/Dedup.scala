@@ -355,6 +355,46 @@ object Dedup {
 
   // ---------------------------------------------------------------- incremental
   /**
+   * INCREMENTAL near-dup — the fuzzy twin of [[incrementalExactDedup]]:
+   * match an incoming batch against the standing corpus's LSH BAND
+   * INDEX (band_key → corpus doc) instead of re-running the all-pairs
+   * funnel over corpus ∪ batch. Candidates are batch-band ⋈
+   * corpus-band collisions; the exact shingle-Jaccard verify keeps
+   * only true matches. Emits one row per matching (batch, corpus)
+   * pair — a batch doc colliding with nothing emits nothing and is
+   * genuinely new.
+   *
+   * Scale shape: the corpus index is |corpus|·bands narrow rows you
+   * persist (and bucket by band_key) ONCE; each batch pays
+   * |batch|·bands probe rows plus a verify join-back for candidates
+   * only. Within-batch duplicates are [[nearDupPairs]] on the batch
+   * alone — orthogonal, corpus-independent cost.
+   */
+  def incrementalNearDup(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double): DataFrame = {
+    def prep(df: DataFrame, side: String) = df
+      .select(col(idCol).as(s"${side}_id"),
+        shingles(col(textCol)).as(s"sh_$side"),
+        minhashSignature(col(textCol)).as("sig"))
+      .persist()
+    val b = prep(batch, "batch")
+    val c = prep(corpus, "corpus")
+    def bandsOf(df: DataFrame, side: String) = df
+      .filter(element_at(col("sig"), 1).isNotNull)
+      .select(col(s"${side}_id"), explode(bandKeys(col("sig"))).as("band_key"))
+    val cand = bandsOf(b, "batch")
+      .join(bandsOf(c, "corpus"), "band_key")
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+    cand
+      .join(b.select(col("batch_id"), col("sh_batch")), "batch_id")
+      .join(c.select(col("corpus_id"), col("sh_corpus")), "corpus_id")
+      .withColumn("jaccard", jaccard(col("sh_batch"), col("sh_corpus")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
+  /**
    * INCREMENTAL exact dedup — the production shape: dedup an incoming
    * batch against the corpus already ingested WITHOUT re-deduping the
    * corpus. A new doc is a duplicate if its canonical hash exists in

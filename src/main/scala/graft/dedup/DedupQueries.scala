@@ -147,6 +147,18 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Incremental NEAR-dup: val/test batch probed against the train
+    // corpus's band index, exact-Jaccard verified — the fuzzy twin of
+    // q_dedup_incremental.
+    "q_dedup_incremental_fuzzy" -> ((s, dir) => {
+      val bucket = TextAnalysis.charFingerprint(col("text")) % 100
+      val docs = Tables(s, dir, "documents").withColumn("bucket", bucket)
+      Dedup.incrementalNearDup(
+        docs.filter(col("bucket") >= 80),
+        docs.filter(col("bucket") < 80), "doc_id", "text", 0.5)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     // Exact per-stratum QUOTA sampling: exactly SampleQuota docs per
     // language, selected by salted-content-hash order (rate-based
     // samplers can't promise exact counts; quota sampling is how eval
@@ -338,6 +350,43 @@ object DedupQueries {
       SELECT doc_id, lang, bucket, round(1.0 / rate, 6) AS weight
       FROM b WHERE bucket < CAST(rate * 10000 AS BIGINT)
       ORDER BY doc_id"""
+    },
+
+    "q_dedup_incremental_fuzzy" -> {
+      val mhs = (0 until Dedup.NumHashes)
+        .map(j => s"${minhashSql("dg", j)} AS mh$j").mkString(", ")
+      val bandSelects = (0 until Dedup.numBands).map { b =>
+        val parts = (0 until Dedup.BandRows).map(r => s"mh${b * Dedup.BandRows + r}")
+        s"SELECT doc_id, bucket, md5('$b' || '|' || ${parts.mkString(" || '|' || ")}) AS band_key FROM sig WHERE mh0 IS NOT NULL"
+      }.mkString(" UNION ALL ")
+      s"""
+      WITH b0 AS (
+        SELECT doc_id, text,
+          ${graft.text.TextSql.charPolyHash("text")} % 100 AS bucket
+        FROM documents),
+      docs AS (
+        SELECT doc_id, bucket, ${shinglesSql(TextSql.tokens("text"))} AS sh
+        FROM b0),
+      digests AS (
+        SELECT doc_id, bucket, sh, list_transform(sh, s -> md5(s)) AS dg
+        FROM docs),
+      sig AS (SELECT doc_id, bucket, sh, $mhs FROM digests),
+      bands AS ($bandSelects),
+      cand AS (
+        SELECT x.doc_id AS batch_id, y.doc_id AS corpus_id
+        FROM bands x JOIN bands y ON x.band_key = y.band_key
+        WHERE x.bucket >= 80 AND y.bucket < 80
+        GROUP BY 1, 2),
+      j AS (
+        SELECT batch_id, corpus_id,
+          round(CAST(len(list_intersect(sb.sh, sc.sh)) AS DOUBLE)
+            / greatest(len(list_distinct(list_concat(sb.sh, sc.sh))), 1), 6)
+            AS jaccard
+        FROM cand
+        JOIN sig sb ON sb.doc_id = cand.batch_id
+        JOIN sig sc ON sc.doc_id = cand.corpus_id)
+      SELECT batch_id, corpus_id, jaccard FROM j WHERE jaccard >= 0.5
+      ORDER BY batch_id, corpus_id"""
     },
 
     "q_dedup_incremental" -> s"""

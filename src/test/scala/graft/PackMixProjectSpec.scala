@@ -122,6 +122,27 @@ class PackMixProjectSpec extends SparkSpec {
       again.orderBy("doc_id").collect().toSeq)
   }
 
+  test("incremental near-dup equals the cross-split slice of the full funnel") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),   // near-dup of 1
+      (3L, "one two three four five six"),
+      (4L, "one two three four five seven"),        // near-dup of 3
+      (5L, "totally different content here now yes")
+    ).toDF("doc_id", "text")
+    val corpus = docs.filter(col("doc_id") <= 3)
+    val batch = docs.filter(col("doc_id") > 3)
+    val inc = Dedup.incrementalNearDup(batch, corpus, "doc_id", "text", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.nearDupPairs(docs, "doc_id", "text", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val crossSlice = full.collect {
+      case (a, b) if a <= 3 && b > 3 => (b, a)
+      case (a, b) if b <= 3 && a > 3 => (a, b)
+    }
+    assert(inc == crossSlice && inc.contains((4L, 3L)), s"inc=$inc full=$full")
+  }
+
   test("random projection: shape, determinism, linearity") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 2.0f, -1.0f)),
