@@ -122,6 +122,26 @@ class PackMixProjectSpec extends SparkSpec {
       again.orderBy("doc_id").collect().toSeq)
   }
 
+  test("salted join equals the plain join on a skewed key") {
+    import graft.analytics.Skew
+    // 90% of big-side rows share one hot key
+    val big = (0L until 2000L).map(i =>
+      (if (i % 10 == 0) i % 7 else 42L, i, i * 0.5)).toDF("k", "id", "v")
+    val small = Seq((42L, "hot"), (0L, "a"), (3L, "b"), (6L, "c"))
+      .toDF("k", "name")
+    val plain = big.join(small, "k")
+      .orderBy("id").collect().toSeq
+    val salted = Skew.saltedJoin(big, small, "k", salts = 8, saltBy = Seq("id"))
+      .select(plain.head.schema.fieldNames.map(col): _*)
+      .orderBy("id").collect().toSeq
+    assert(salted == plain, s"salted join diverged (${salted.size} vs ${plain.size})")
+    // and the salt actually spreads the hot key across partitions
+    val spread = big.withColumn("__salt",
+        pmod(hash(col("id")), lit(8)))
+      .filter(col("k") === 42L).select("__salt").distinct().count()
+    assert(spread == 8, s"hot key only reached $spread of 8 salt partitions")
+  }
+
   test("incremental near-dup equals the cross-split slice of the full funnel") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
