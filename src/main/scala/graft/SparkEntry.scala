@@ -167,6 +167,18 @@ object SparkEntry {
           col("is_current"), col("closed_by_delete"))
         .orderBy(Cdc.Cols.TableName, "k", "valid_from_offs")),
 
+    // Offset-continuity audit: within-partition offsets (offs div 8 is
+    // dense per kpart in the synthetic feed) with every 101st record
+    // "lost" — the gap report a consumer reconciles against upstream
+    // acks. Healthy stream ⇒ empty output.
+    "q_cdc_offset_gaps" -> ((s, dir) =>
+      CdcOps.offsetGaps(
+        CdcFeed.base(s, dir)
+          .where(col("offs") % 101 =!= 5)
+          .select(col("kpart"), expr("offs div 8").as("poffset")),
+        Seq("kpart"), "poffset")
+        .orderBy("kpart", "gap_start")),
+
     // Reverse CDC: diff two orders snapshots into the I/U/D change set
     // (bootstrap for log-less sources; reconciliation audit otherwise).
     // Old/new are deterministic derivations of the same table: key%13=3
@@ -505,6 +517,20 @@ object SparkEntry {
              (valid_to_offs IS NULL) AS is_current, closed_by_delete
       FROM versions WHERE op = 'UPSERT'
       ORDER BY table_name, k, valid_from_offs"""),
+
+    "q_cdc_offset_gaps" -> s"""
+      WITH feed AS (${CdcFeed.feedSql}),
+      f AS (
+        SELECT kpart, offs // 8 AS poffset FROM feed
+        WHERE offs % 101 <> 5),
+      l AS (
+        SELECT kpart, poffset,
+          lag(poffset) OVER (PARTITION BY kpart ORDER BY poffset) AS prev
+        FROM f)
+      SELECT kpart, prev + 1 AS gap_start, poffset - 1 AS gap_end,
+        poffset - prev - 1 AS missing
+      FROM l WHERE prev IS NOT NULL AND poffset > prev + 1
+      ORDER BY kpart, gap_start""",
 
     "q_cdc_snapshot_diff" -> """
       WITH o AS (

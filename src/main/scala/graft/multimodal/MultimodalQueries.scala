@@ -59,6 +59,21 @@ object MultimodalQueries {
         .orderBy("asset_id")
     }),
 
+    // Per-kind asset profile — the modality histogram a multimodal
+    // intake job reports (counts + mean dimensions via exact integer
+    // sums; one 3-valued groupBy).
+    "q_mm_kind_stats" -> ((s, dir) =>
+      decoded(s, dir)
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_assets"),
+          round(sum(col("width").cast("long")).cast("double") /
+            count(lit(1)), 6).as("mean_width"),
+          round(sum(col("height").cast("long")).cast("double") /
+            count(lit(1)), 6).as("mean_height"),
+          round(sum(col("n_frames").cast("long")).cast("double") /
+            count(lit(1)), 6).as("mean_frames"))
+        .orderBy("kind")),
+
     // Even frame sampling for video assets (generator, pre-shuffle).
     "q_mm_frames" -> ((s, dir) => {
       val dec = decoded(s, dir)
@@ -122,6 +137,14 @@ object MultimodalQueries {
         .mkString(", ")
       s"SELECT doc_id AS asset_id, $cols FROM documents ORDER BY asset_id"
     },
+
+    "q_mm_kind_stats" -> s"""
+      WITH $decodedCte
+      SELECT kind, count(*) AS n_assets,
+        round(CAST(sum(width) AS DOUBLE) / count(*), 6) AS mean_width,
+        round(CAST(sum(height) AS DOUBLE) / count(*), 6) AS mean_height,
+        round(CAST(sum(n_frames) AS DOUBLE) / count(*), 6) AS mean_frames
+      FROM dec GROUP BY kind ORDER BY kind""",
 
     "q_mm_frames" -> s"""
       WITH $decodedCte,

@@ -242,4 +242,29 @@ object CdcOps {
       substring(reason, 1, 1000).as("error_reason"),
       tableName.as("table_name"),
       entryType.as("entry_type"))
+
+  /**
+   * Offset-continuity audit — the lost-event detector a CDC consumer
+   * runs against its committed stream: Kafka offsets are dense per
+   * partition, so any jump (offset > prev + 1) inside a partition is
+   * a gap of `missing = offset − prev − 1` records that were acked
+   * upstream but never processed here. Emits one row per gap with its
+   * inclusive [gap_start, gap_end] range.
+   *
+   * Scale shape: one window pass on the partition columns — the same
+   * per-partition exchange every other per-partition op reuses; the
+   * output is gaps only (empty when healthy).
+   */
+  def offsetGaps(events: DataFrame, partCols: Seq[String],
+      offsetCol: String): DataFrame = {
+    require(partCols.nonEmpty, "offsetGaps needs partition columns")
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(col(offsetCol))
+    events
+      .withColumn("__prev", lag(col(offsetCol), 1).over(w))
+      .where(col("__prev").isNotNull && col(offsetCol) > col("__prev") + 1)
+      .select(partCols.map(col) ++ Seq(
+        (col("__prev") + 1).as("gap_start"),
+        (col(offsetCol) - 1).as("gap_end"),
+        (col(offsetCol) - col("__prev") - 1).as("missing")): _*)
+  }
 }
