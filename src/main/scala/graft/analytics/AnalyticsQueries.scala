@@ -170,6 +170,14 @@ object AnalyticsQueries {
         Tables(s, dir, "events"), windowLen = "1 hour")
         .orderBy("win_start", "event_type")),
 
+    // Sliding-window variant: 1-hour windows every 30 minutes (each
+    // event in 2 windows; the overlap factor is the only shuffle
+    // amplification).
+    "q_events_windowed_sliding" -> ((s, dir) =>
+      graft.streaming.EventTimeOps.slidingAgg(
+        Tables(s, dir, "events"), "10 minutes", "1 hour", "30 minutes")
+        .orderBy("win_start", "event_type")),
+
     // Ordered conversion funnel (view → click → purchase), earliest-
     // completion semantics: t1 = first view; t2 = first click AFTER
     // t1; t3 = first purchase AFTER t2; stages = how deep the user
@@ -404,6 +412,25 @@ object AnalyticsQueries {
       SELECT event_id, user_id, ts_us, value,
         asof_event_id, asof_ts_us, asof_value
       FROM j WHERE rn = 1 ORDER BY event_id""",
+
+    // Every covering window start: aligned to epoch like Spark's
+    // window(), enumerated per event via generate_series over the
+    // slide grid (len 3600 s, slide 1800 s, all in micros).
+    "q_events_windowed_sliding" -> """
+      WITH e AS (
+        SELECT event_type, value, epoch_us(ts) AS us FROM events),
+      w AS (
+        SELECT event_type, value,
+          unnest(generate_series(
+            ((us - 3600000000 ) // 1800000000 + 1) * 1800000000,
+            (us // 1800000000) * 1800000000,
+            1800000000)) AS start_us
+        FROM e)
+      SELECT make_timestamp(start_us) AS win_start, event_type,
+        count(*) AS n_events,
+        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      FROM w GROUP BY win_start, event_type
+      ORDER BY win_start, event_type""",
 
     "q_events_retention" -> """
       WITH days AS (

@@ -26,7 +26,19 @@ object EventTimeOps {
    * Input needs (ts: timestamp, event_type: string, value: double).
    */
   def windowedAgg(events: DataFrame, watermarkDelay: String = "10 minutes",
-      windowLen: String = "5 minutes"): DataFrame = {
+      windowLen: String = "5 minutes"): DataFrame =
+    slidingAgg(events, watermarkDelay, windowLen, windowLen)
+
+  /**
+   * Sliding-window variant: windows of `windowLen` starting every
+   * `slide` (tumbling when equal — [[windowedAgg]] delegates here).
+   * Each event lands in windowLen/slide windows; Spark's generator
+   * expands them BEFORE the partial aggregation, so the shuffle
+   * carries per-(window, type) partials, amplified only by the
+   * overlap factor — the dial between report granularity and cost.
+   */
+  def slidingAgg(events: DataFrame, watermarkDelay: String,
+      windowLen: String, slide: String): DataFrame = {
     // Batch-polymorphic: the same operator runs over a bounded table
     // (no watermark — the concept doesn't exist in batch; sums go
     // through DECIMAL so emission is order-independent) or a stream.
@@ -34,7 +46,7 @@ object EventTimeOps {
       if (events.isStreaming) events.withWatermark("ts", watermarkDelay)
       else events
     base
-      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("total_value"))
       .select(col("window.start").as("win_start"),
