@@ -125,6 +125,34 @@ object EventTimeOps {
       }
   }
 
+  /**
+   * Streaming incremental near-dup — the ingestion-time face of
+   * `Dedup.incrementalNearDup`: each micro-batch of arriving documents
+   * probes the STATIC corpus band index and `onMatches` receives that
+   * batch's (batch_id, corpus_id, jaccard) matches (route them to a
+   * quarantine sink, or anti-join them off the ingest path). Built on
+   * foreachBatch because the funnel needs a per-batch `distinct` over
+   * candidates — as a stream-static join that would be unbounded
+   * stateful dedup; per micro-batch it is the plain batch operator,
+   * and offset checkpointing makes redelivery idempotent for any
+   * idempotent sink.
+   *
+   * The corpus frame should be the persisted/bucketed standing corpus:
+   * it is re-read per micro-batch only if not cached — persist it (or
+   * store it bucketed by band key) exactly as the batch operator's
+   * scaladoc prescribes.
+   */
+  def dedupAgainstCorpus(docs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double)(
+      onMatches: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        onMatches(graft.dedup.Dedup.incrementalNearDup(
+          batch, corpus, idCol, textCol, threshold))
+        ()
+      }
+
   final case class FunnelInput(user_id: Long, ts: Timestamp, event_type: String)
   final case class FunnelBuf(events: List[(Long, String)], lastTs: Long)
   final case class FunnelOut(user_id: Long, t1: Option[Long], t2: Option[Long],

@@ -91,6 +91,36 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup-against-corpus matches the batch operator across micro-batches") {
+    import graft.dedup.Dedup
+    import spark.implicits._
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")
+    ).toDF("doc_id", "text").persist()
+    val mem = MemoryStream[Row](enc, spark)
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    val q = EventTimeOps.dedupAgainstCorpus(
+      mem.toDF(), corpus, "doc_id", "text", 0.3) { m =>
+        got ++= m.collect().map(r => (r.getLong(0), r.getLong(1)))
+      }.start()
+    try {
+      val b1 = Seq(Row(10L, "alpha beta gamma delta epsilon eta"), // ~dup of 1
+        Row(11L, "completely unrelated text body here"))
+      val b2 = Seq(Row(12L, "one two three four five seven"))      // ~dup of 3
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val batchEquiv = Dedup.incrementalNearDup(
+        (b1 ++ b2).map(r => (r.getLong(0), r.getString(1))).toDF("doc_id", "text"),
+        corpus, "doc_id", "text", 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.toSet == batchEquiv && got.contains((10L, 1L)) &&
+        got.contains((12L, 3L)), s"stream $got vs batch $batchEquiv")
+    } finally { q.stop(); corpus.unpersist() }
+  }
+
   test("streaming funnel emits per-user summaries after idle timeout") {
     import spark.implicits._
     import graft.streaming.EventTimeOps.{FunnelInput, FunnelOut}
