@@ -119,6 +119,44 @@ object Dedup {
   }
 
   /**
+   * MinHash estimator CALIBRATION over the LSH candidate pairs: the
+   * signature-agreement estimate (matching components / NumHashes)
+   * next to the exact shingle Jaccard and the absolute error — the
+   * audit that tells you whether [[NumHashes]] is enough before you
+   * trust signature-only similarity at a scale where exact verify is
+   * unaffordable. Candidates only (banded), so the quadratic step
+   * stays bounded exactly like [[nearDupPairs]].
+   */
+  def minhashEstimatePairs(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val withSig = docs
+      .select(col(idCol).as("doc_id"),
+        shingles(col(textCol)).as("sh"),
+        minhashSignature(col(textCol)).as("sig"))
+      .persist()
+    val bands = withSig
+      .filter(element_at(col("sig"), 1).isNotNull)
+      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("band_key"))
+    val cand = bands.as("x").join(bands.as("y"), Seq("band_key"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sides = withSig.select(col("doc_id"), col("sh"), col("sig"))
+    val matches = (1 to NumHashes).map(j =>
+      (element_at(col("sig_a"), j) === element_at(col("sig_b"), j))
+        .cast("int")).reduce(_ + _)
+    cand
+      .join(sides.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+        col("sig").as("sig_a")), "doc_a")
+      .join(sides.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+        col("sig").as("sig_b")), "doc_b")
+      .withColumn("est", round(matches.cast("double") / NumHashes, 6))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .select(col("doc_a"), col("doc_b"), col("est"), col("jaccard"),
+        round(abs(col("est") - col("jaccard")), 6).as("abs_err"))
+  }
+
+  /**
    * Exact all-pairs Jaccard ≥ `threshold` within equality blocks,
    * via prefix filtering (Bayardo/Ma/Srikant, "Scaling Up All Pairs
    * Similarity Search", WWW'07; Xiao et al. PPJoin): any pair with

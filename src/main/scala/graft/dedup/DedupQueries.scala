@@ -134,6 +134,14 @@ object DedupQueries {
         "lang", "doc_id", "text", MixtureTargets, MixtureBudget)
         .orderBy("doc_id")),
 
+    // MinHash estimator calibration: signature-agreement estimate vs
+    // exact Jaccard (+ abs error) over the banded candidates — the
+    // audit run before trusting signature-only similarity at scales
+    // where exact verify is unaffordable.
+    "q_dedup_minhash_est" -> ((s, dir) =>
+      Dedup.minhashEstimatePairs(Tables(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")),
+
     // Incremental exact dedup: the val/test buckets arrive as the
     // "new batch" and dedup against the train bucket as the standing
     // corpus (same hash split as q_sample_split) — the production
@@ -350,6 +358,34 @@ object DedupQueries {
       SELECT doc_id, lang, bucket, round(1.0 / rate, 6) AS weight
       FROM b WHERE bucket < CAST(rate * 10000 AS BIGINT)
       ORDER BY doc_id"""
+    },
+
+    "q_dedup_minhash_est" -> {
+      val bandSelects = (0 until Dedup.numBands).map { b =>
+        val parts = (0 until Dedup.BandRows).map(r => s"mh${b * Dedup.BandRows + r}")
+        s"SELECT doc_id, md5('$b' || '|' || ${parts.mkString(" || '|' || ")}) AS band_key FROM sig WHERE mh0 IS NOT NULL"
+      }.mkString(" UNION ALL ")
+      val matchSum = (0 until Dedup.NumHashes)
+        .map(j => s"(CASE WHEN sa.mh$j = sb.mh$j THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $sigCte,
+        bands AS ($bandSelects),
+        cand AS (
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+          FROM bands x JOIN bands y ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+        j AS (
+          SELECT doc_a, doc_b,
+            round(CAST($matchSum AS DOUBLE) / ${Dedup.NumHashes}, 6) AS est,
+            round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / greatest(len(list_distinct(list_concat(sa.sh, sb.sh))), 1), 6)
+              AS jaccard
+          FROM cand
+          JOIN sig sa ON sa.doc_id = cand.doc_a
+          JOIN sig sb ON sb.doc_id = cand.doc_b)
+      SELECT doc_a, doc_b, est, jaccard,
+        round(abs(est - jaccard), 6) AS abs_err
+      FROM j ORDER BY doc_a, doc_b"""
     },
 
     "q_dedup_incremental_fuzzy" -> {
