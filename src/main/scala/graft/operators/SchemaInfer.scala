@@ -28,6 +28,41 @@ object SchemaInfer {
 
   val DefaultSampleSize = 1000
 
+  /** One field-level difference between a pinned and an observed
+    * schema: kind ∈ added | removed | type_changed. */
+  final case class Drift(field: String, kind: String,
+      pinnedType: Option[String], observedType: Option[String])
+
+  /**
+   * Schema-DRIFT report: what a freshly [[infer]]red schema says about
+   * the pinned one — the registry-drift alarm a CDC consumer raises
+   * before auto-evolve acts (a new upstream column is `added`; a
+   * column gone from the wire is `removed` — which auto-evolve must
+   * NOT drop, SURVEY §2.7 W9's add-only contract; a type flip is
+   * `type_changed` and needs a human). Pure schema-vs-schema
+   * comparison, case-sensitive on purpose: identifier-case policy is
+   * the routing layer's job (T3), and masking a case change here
+   * would hide real wire drift.
+   */
+  def drift(pinned: StructType, observed: StructType): Seq[Drift] = {
+    val p = pinned.fields.map(f => f.name -> f.dataType).toMap
+    val o = observed.fields.map(f => f.name -> f.dataType).toMap
+    val added = observed.fields.collect {
+      case f if !p.contains(f.name) =>
+        Drift(f.name, "added", None, Some(f.dataType.simpleString))
+    }
+    val removed = pinned.fields.collect {
+      case f if !o.contains(f.name) =>
+        Drift(f.name, "removed", Some(f.dataType.simpleString), None)
+    }
+    val changed = pinned.fields.collect {
+      case f if o.contains(f.name) && o(f.name) != f.dataType =>
+        Drift(f.name, "type_changed", Some(f.dataType.simpleString),
+          Some(o(f.name).simpleString))
+    }
+    (added ++ removed ++ changed).sortBy(d => (d.field, d.kind))
+  }
+
   /** The SMT's inferSchema ladder over Spark inferred types. */
   private def ladder(dt: DataType): DataType = dt match {
     case ByteType | ShortType | IntegerType | LongType => LongType

@@ -117,6 +117,28 @@ class OperatorsSpec extends SparkSpec {
     assert(SchemaInfer.infer(spark, Seq.empty[String].toDF("j"), "j").isEmpty)
   }
 
+  test("schema drift flags added/removed/type-changed through real inference") {
+    import graft.operators.SchemaInfer
+    import graft.operators.SchemaInfer.Drift
+    import org.apache.spark.sql.types._
+    val pinned = StructType(Seq(
+      StructField("ID", LongType), StructField("AMOUNT", DoubleType),
+      StructField("LEGACY", StringType)))
+    // the wire evolved: AMOUNT now arrives quoted (type flip), LEGACY
+    // is gone, NOTE is new
+    val feed = Seq(
+      """{"ID":1,"AMOUNT":"1.50","NOTE":"a"}""",
+      """{"ID":2,"AMOUNT":"2.75","NOTE":"b"}""").toDF("j")
+    val observed = SchemaInfer.infer(spark, feed, "j")
+    val got = SchemaInfer.drift(pinned, observed)
+    assert(got == Seq(
+      Drift("AMOUNT", "type_changed", Some("double"), Some("string")),
+      Drift("LEGACY", "removed", Some("string"), None),
+      Drift("NOTE", "added", None, Some("string"))))
+    // no drift between identical schemas
+    assert(SchemaInfer.drift(observed, observed).isEmpty)
+  }
+
   test("zone resolution mirrors the reference: blank/unknown → UTC, offsets accepted") {
     assert(Timestamps.resolveZone("") == "UTC")
     assert(Timestamps.resolveZone(null) == "UTC")
