@@ -53,6 +53,9 @@ object SparkEntry {
         .drop("key", "value", "headers").persist())
 
   private val keySchema = StructType.fromDDL("ID BIGINT")
+
+  /** Hottest keys reported per table (q_cdc_hot_keys; shared with oracle). */
+  val HotKeysPerTable = 5
   private val valueSchema = StructType.fromDDL("ID BIGINT, AMOUNT DOUBLE")
 
   /**
@@ -166,6 +169,23 @@ object SparkEntry {
           col("valid_from_offs"), col("valid_to_offs"), col("version"),
           col("is_current"), col("closed_by_delete"))
         .orderBy(Cdc.Cols.TableName, "k", "valid_from_offs")),
+
+    // Hot-key audit: events per (table, key), top-HotKeysPerTable
+    // hottest keys each — the skew report that decides when a key
+    // needs Skew.saltedJoin / AQE skew handling before the apply.
+    // Rank filter plans partial+final WindowGroupLimit: the shuffle
+    // carries O(tables · k) rows, not the key histogram.
+    "q_cdc_hot_keys" -> ((s, dir) => {
+      val counts = keyedValid(s, dir)
+        .groupBy(col(Cdc.Cols.TableName), col("k"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(Cdc.Cols.TableName)
+        .orderBy(col("n_events").desc, col("k"))
+      counts.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= HotKeysPerTable)
+        .orderBy(Cdc.Cols.TableName, "rnk")
+    }),
 
     // Offset-continuity audit: within-partition offsets (offs div 8 is
     // dense per kpart in the synthetic feed) with every 101st record
@@ -517,6 +537,18 @@ object SparkEntry {
              (valid_to_offs IS NULL) AS is_current, closed_by_delete
       FROM versions WHERE op = 'UPSERT'
       ORDER BY table_name, k, valid_from_offs"""),
+
+    "q_cdc_hot_keys" -> (keyedValidSql + s""",
+      c AS (
+        SELECT table_name, k, count(*) AS n_events
+        FROM keyed GROUP BY table_name, k),
+      r AS (
+        SELECT table_name, k, n_events,
+          row_number() OVER (PARTITION BY table_name
+            ORDER BY n_events DESC, k) AS rnk
+        FROM c)
+      SELECT table_name, k, n_events, rnk FROM r
+      WHERE rnk <= $HotKeysPerTable ORDER BY table_name, rnk"""),
 
     "q_cdc_offset_gaps" -> s"""
       WITH feed AS (${CdcFeed.feedSql}),
