@@ -80,42 +80,96 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     round(toCol(graft.functions.JaccardSim(toExpr(a), toExpr(b))), 6)
 
+  // ------------------------------------------------- LSH banding funnel
+  /**
+   * Shared signature frame for every banding funnel: one narrow pass
+   * computing (id, shingle set, MinHash signature), PERSISTED — the
+   * funnel plans read this subtree three times (band side(s) plus the
+   * verify join-backs) and Spark would otherwise recompute the digest
+   * pass for each use. At cluster scale this is a checkpoint /
+   * exchange-reuse point for the same reason. Callers own the handle:
+   * the `…Managed` funnel variants unpersist it on release.
+   */
+  private def withSignatures(docs: DataFrame, idCol: String,
+      textCol: String, idName: String, shName: String = "sh"): DataFrame = docs
+    .select(col(idCol).as(idName),
+      shingles(col(textCol)).as(shName),
+      minhashSignature(col(textCol)).as("sig"))
+    .persist()
+
+  /**
+   * Exploded (id, band_key) rows of a signature frame — with THE
+   * degenerate-doc guard: docs with < k tokens have all-null
+   * signatures; concat_ws would silently skip the nulls and give
+   * EVERY degenerate doc the same band key — one quadratic mega-bucket
+   * at corpus scale. They can't be near-dups by shingle Jaccard anyway
+   * (empty sets), so drop them before banding. Lives here exactly
+   * ONCE so no funnel variant can drift out of it.
+   */
+  private def bandRows(sigFrame: DataFrame, idName: String): DataFrame =
+    sigFrame
+      .filter(element_at(col("sig"), 1).isNotNull)
+      .select(col(idName), explode(bandKeys(col("sig"))).as("band_key"))
+
+  /**
+   * THE parameterized LSH candidate generator every banding funnel
+   * ([[nearDupPairs]], [[minhashEstimatePairs]],
+   * [[incrementalNearDup]]) funnels through.
+   *
+   *  - `index = None`: self-join over the probe's band rows — ordered
+   *    (doc_a < doc_b) within-corpus pairs.
+   *  - `index = Some((frame, idName))`: cross-probe — each probe band
+   *    row looks up collisions in the standing index's band rows,
+   *    emitting (probeId, indexId).
+   *
+   * Either way the shuffle carries (band_key, id) pairs — bytes per
+   * doc, never the documents — and the trailing `distinct` collapses
+   * multi-band collisions so the verify pays each pair once.
+   */
+  private def bandCandidates(probe: DataFrame, probeId: String,
+      index: Option[(DataFrame, String)]): DataFrame = index match {
+    case None =>
+      val bands = bandRows(probe, probeId)
+      bands.as("x").join(bands.as("y"), Seq("band_key"))
+        .filter(col(s"x.$probeId") < col(s"y.$probeId"))
+        .select(col(s"x.$probeId").as("doc_a"), col(s"y.$probeId").as("doc_b"))
+        .distinct()
+    case Some((idx, idxId)) =>
+      bandRows(probe, probeId).join(bandRows(idx, idxId), "band_key")
+        .select(col(probeId), col(idxId))
+        .distinct()
+  }
+
   /**
    * Full near-dup pipeline: docs(idCol, textCol) → candidate pairs via
    * LSH banding → exact shingle-Jaccard ≥ threshold.
    * Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+   *
+   * Persists the signature frame for the session (the plan reads it
+   * three times); use [[nearDupPairsManaged]] when iterating over many
+   * inputs in one session so the cache is released deterministically
+   * instead of by LRU eviction.
    */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    // Shingle + signature in one narrow pass, PERSISTED: the plan
-    // below uses this subtree three times (two band sides, two
-    // shingle join-backs) and Spark would otherwise recompute the
-    // digest pass for each use. At cluster scale this would be a
-    // checkpoint / exchange-reuse point for the same reason.
-    val withSig = docs
-      .select(col(idCol).as("doc_id"),
-        shingles(col(textCol)).as("sh"),
-        minhashSignature(col(textCol)).as("sig"))
-      .persist()
-    // Docs with < k tokens have all-null signatures; concat_ws would
-    // silently skip the nulls and give EVERY degenerate doc the same
-    // band key — one quadratic mega-bucket at corpus scale. They can't
-    // be near-dups by shingle Jaccard anyway (empty sets), so drop
-    // them before banding.
-    val bands = withSig
-      .filter(element_at(col("sig"), 1).isNotNull)
-      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("band_key"))
-    val cand = bands.as("x").join(bands.as("y"), Seq("band_key"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+      threshold: Double): DataFrame =
+    nearDupPairsManaged(docs, idCol, textCol, threshold)._1
+
+  /** [[nearDupPairs]] plus a release handle that unpersists the cached
+    * signature frame — call it AFTER materializing (or abandoning) the
+    * returned plan; the plan stays valid afterwards, it just
+    * recomputes on re-materialization. */
+  def nearDupPairsManaged(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): (DataFrame, () => Unit) = {
+    val withSig = withSignatures(docs, idCol, textCol, "doc_id")
+    val cand = bandCandidates(withSig, "doc_id", None)
     val sh = withSig.select(col("doc_id"), col("sh"))
-    cand
+    val out = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    (out, () => { withSig.unpersist(); () })
   }
 
   /**
@@ -128,32 +182,28 @@ object Dedup {
    * stays bounded exactly like [[nearDupPairs]].
    */
   def minhashEstimatePairs(docs: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
-    val withSig = docs
-      .select(col(idCol).as("doc_id"),
-        shingles(col(textCol)).as("sh"),
-        minhashSignature(col(textCol)).as("sig"))
-      .persist()
-    val bands = withSig
-      .filter(element_at(col("sig"), 1).isNotNull)
-      .select(col("doc_id"), explode(bandKeys(col("sig"))).as("band_key"))
-    val cand = bands.as("x").join(bands.as("y"), Seq("band_key"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    val sides = withSig.select(col("doc_id"), col("sh"), col("sig"))
+      textCol: String): DataFrame =
+    minhashEstimatePairsManaged(docs, idCol, textCol)._1
+
+  /** [[minhashEstimatePairs]] with the signature-frame release handle
+    * (same contract as [[nearDupPairsManaged]]). */
+  def minhashEstimatePairsManaged(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, () => Unit) = {
+    val withSig = withSignatures(docs, idCol, textCol, "doc_id")
+    val cand = bandCandidates(withSig, "doc_id", None)
     val matches = (1 to NumHashes).map(j =>
       (element_at(col("sig_a"), j) === element_at(col("sig_b"), j))
         .cast("int")).reduce(_ + _)
-    cand
-      .join(sides.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+    val out = cand
+      .join(withSig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
         col("sig").as("sig_a")), "doc_a")
-      .join(sides.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      .join(withSig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
         col("sig").as("sig_b")), "doc_b")
       .withColumn("est", round(matches.cast("double") / NumHashes, 6))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .select(col("doc_a"), col("doc_b"), col("est"), col("jaccard"),
         round(abs(col("est") - col("jaccard")), 6).as("abs_err"))
+    (out, () => { withSig.unpersist(); () })
   }
 
   /**
@@ -403,33 +453,64 @@ object Dedup {
    * genuinely new.
    *
    * Scale shape: the corpus index is |corpus|·bands narrow rows you
-   * persist (and bucket by band_key) ONCE; each batch pays
+   * persist (and bucket by band_key) ONCE — [[corpusNearDupIndex]] is
+   * that build step, reusable across probes; each batch pays
    * |batch|·bands probe rows plus a verify join-back for candidates
    * only. Within-batch duplicates are [[nearDupPairs]] on the batch
    * alone — orthogonal, corpus-independent cost.
    */
   def incrementalNearDup(batch: DataFrame, corpus: DataFrame,
-      idCol: String, textCol: String, threshold: Double): DataFrame = {
-    def prep(df: DataFrame, side: String) = df
-      .select(col(idCol).as(s"${side}_id"),
-        shingles(col(textCol)).as(s"sh_$side"),
-        minhashSignature(col(textCol)).as("sig"))
-      .persist()
-    val b = prep(batch, "batch")
-    val c = prep(corpus, "corpus")
-    def bandsOf(df: DataFrame, side: String) = df
-      .filter(element_at(col("sig"), 1).isNotNull)
-      .select(col(s"${side}_id"), explode(bandKeys(col("sig"))).as("band_key"))
-    val cand = bandsOf(b, "batch")
-      .join(bandsOf(c, "corpus"), "band_key")
-      .select(col("batch_id"), col("corpus_id"))
-      .distinct()
-    cand
+      idCol: String, textCol: String, threshold: Double): DataFrame =
+    incrementalNearDupManaged(batch, corpus, idCol, textCol, threshold)._1
+
+  /** [[incrementalNearDup]] with a release handle unpersisting BOTH
+    * cached signature frames (batch + corpus). One-shot use; a caller
+    * probing the same corpus repeatedly (a stream) should build the
+    * index once with [[corpusNearDupIndex]] and pay only the batch
+    * side per probe via [[probeNearDupIndex]]. */
+  def incrementalNearDupManaged(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      threshold: Double): (DataFrame, () => Unit) = {
+    val (idx, releaseIdx) = corpusNearDupIndex(corpus, idCol, textCol)
+    val (out, releaseBatch) = probeNearDupIndex(batch, idx, idCol, textCol,
+      threshold)
+    (out, () => { releaseBatch(); releaseIdx(); () })
+  }
+
+  /**
+   * The STANDING corpus side of incremental near-dup, computed once:
+   * the persisted (corpus_id, sh_corpus, sig) frame that
+   * [[probeNearDupIndex]] bands and joins against per batch. Build it
+   * once per corpus snapshot and reuse across every probe — a
+   * long-running stream re-deriving (and re-caching) corpus signatures
+   * per micro-batch pays |corpus| digest work × batches for nothing.
+   * The release handle drops the cache when the corpus snapshot is
+   * superseded.
+   */
+  def corpusNearDupIndex(corpus: DataFrame, idCol: String,
+      textCol: String): (DataFrame, () => Unit) = {
+    // The rename happens INSIDE the persisted select (not as a
+    // projection on top of it) so the release handle unpersists the
+    // exact cached plan.
+    val c = withSignatures(corpus, idCol, textCol, "corpus_id", "sh_corpus")
+    (c, () => { c.unpersist(); () })
+  }
+
+  /** Probe a [[corpusNearDupIndex]] with one incoming batch; the
+    * release handle drops only the BATCH-side cache, leaving the
+    * standing index persisted for the next probe. */
+  def probeNearDupIndex(batch: DataFrame, corpusIndex: DataFrame,
+      idCol: String, textCol: String,
+      threshold: Double): (DataFrame, () => Unit) = {
+    val b = withSignatures(batch, idCol, textCol, "batch_id", "sh_batch")
+    val cand = bandCandidates(b, "batch_id", Some((corpusIndex, "corpus_id")))
+    val out = cand
       .join(b.select(col("batch_id"), col("sh_batch")), "batch_id")
-      .join(c.select(col("corpus_id"), col("sh_corpus")), "corpus_id")
+      .join(corpusIndex.select(col("corpus_id"), col("sh_corpus")), "corpus_id")
       .withColumn("jaccard", jaccard(col("sh_batch"), col("sh_corpus")))
       .filter(col("jaccard") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+    (out, () => { b.unpersist(); () })
   }
 
   /**

@@ -118,7 +118,11 @@ object EventTimeOps {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastTs + gapMs)
+              // Timeouts must be strictly above the current watermark or
+              // Spark throws and kills the query; a session whose horizon
+              // already passed fires at the next watermark tick instead.
+              state.setTimeoutTimestamp(
+                math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs + 1))
             }
             closed.reverseIterator
           }
@@ -137,21 +141,28 @@ object EventTimeOps {
    * and offset checkpointing makes redelivery idempotent for any
    * idempotent sink.
    *
-   * The corpus frame should be the persisted/bucketed standing corpus:
-   * it is re-read per micro-batch only if not cached — persist it (or
-   * store it bucketed by band key) exactly as the batch operator's
-   * scaladoc prescribes.
+   * The corpus signature index (`Dedup.corpusNearDupIndex`) is built
+   * and persisted ONCE here, outside the per-batch path — a stream
+   * re-deriving and re-caching corpus signatures every micro-batch
+   * would pay |corpus| digest work × batches and accumulate cached
+   * frames without bound. It stays persisted for the stream's lifetime
+   * (it IS the standing index); each batch's own signature cache is
+   * released as soon as `onMatches` returns.
    */
   def dedupAgainstCorpus(docs: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, threshold: Double)(
-      onMatches: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      onMatches: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val (corpusIndex, _) =
+      graft.dedup.Dedup.corpusNearDupIndex(corpus, idCol, textCol)
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        onMatches(graft.dedup.Dedup.incrementalNearDup(
-          batch, corpus, idCol, textCol, threshold))
+        val (matches, releaseBatch) = graft.dedup.Dedup.probeNearDupIndex(
+          batch, corpusIndex, idCol, textCol, threshold)
+        try onMatches(matches) finally releaseBatch()
         ()
       }
+  }
 
   final case class FunnelInput(user_id: Long, ts: Timestamp, event_type: String)
   final case class FunnelBuf(events: List[(Long, String)], lastTs: Long)
@@ -206,7 +217,13 @@ object EventTimeOps {
               if (fresh.nonEmpty) fresh.map(_._1).max else Long.MinValue)
             if (fresh.nonEmpty || prev.events.nonEmpty) {
               state.update(FunnelBuf(prev.events ++ fresh, lastTs))
-              state.setTimeoutTimestamp(lastTs + idleMs)
+              // A batch can deliver ONLY non-stage events for a user with
+              // buffered state: fresh is empty, lastTs keeps its old value,
+              // and lastTs + idleMs may sit below the current watermark —
+              // setTimeoutTimestamp would throw and kill the query. Clamp
+              // so the quiet user times out at the next watermark tick.
+              state.setTimeoutTimestamp(
+                math.max(lastTs + idleMs, state.getCurrentWatermarkMs + 1))
             }
             Iterator.empty
           }

@@ -159,6 +159,38 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel survives a non-stage-only batch for a user whose idle horizon passed") {
+    import spark.implicits._
+    import graft.streaming.EventTimeOps.{FunnelInput, FunnelOut}
+    val mem = MemoryStream[FunnelInput](spark)
+    val q = EventTimeOps.funnel(mem.toDS(),
+      Seq("view", "click", "purchase"), idleMs = 5 * 60 * 1000L, "10 minutes")
+      .writeStream.format("memory").queryName("funnel_clamp")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1 buffers a view; its idle deadline is ts(2)+5min = 10:07
+      mem.addData(FunnelInput(1L, ts(2), "view"))
+      q.processAllAvailable()
+      // push the watermark (10:50 − 10min = 10:40) far past that deadline
+      mem.addData(FunnelInput(9L, ts(50), "view"))
+      q.processAllAvailable()
+      // now user 1 gets ONLY a non-stage event: fresh is empty, lastTs
+      // stays 10:02, and re-arming at lastTs+idleMs would sit below the
+      // 10:40 watermark — without the clamp this batch kills the query
+      mem.addData(FunnelInput(1L, ts(50), "scroll"))
+      q.processAllAvailable()
+      // two flush batches so the clamped timeout (wm+1ms) actually fires
+      mem.addData(FunnelInput(8L, ts(55), "view"))
+      q.processAllAvailable()
+      mem.addData(FunnelInput(8L, ts(59), "view"))
+      q.processAllAvailable()
+      assert(q.isActive, "query must survive the non-stage-only batch")
+      val got = spark.table("funnel_clamp").as[FunnelOut].collect()
+        .map(f => f.user_id -> f.stages).toMap
+      assert(got.get(1L).contains(1), s"user 1 must emit its 1-stage funnel: $got")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches the batch join on the same data") {
     val lSchema = StructType.fromDDL("lts TIMESTAMP, lk BIGINT, imp_id BIGINT")
     val rSchema = StructType.fromDDL("rts TIMESTAMP, rk BIGINT, conv_id BIGINT")

@@ -144,6 +144,46 @@ class TrainingDataSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size == before)
   }
 
+  test("managed LSH funnels release their signature caches; results unchanged") {
+    val mk = (seed: String) => (1 to 20).map(i => s"$seed$i").mkString(" ")
+    val docs = Seq((1L, mk("w")), (2L, mk("w") + " tail"), (3L, mk("z")))
+      .toDF("doc_id", "text")
+    val corpus = Seq((10L, mk("w")), (11L, mk("q"))).toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.size
+
+    val (pairs, relPairs) = Dedup.nearDupPairsManaged(docs, "doc_id", "text", 0.5)
+    val gotPairs = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotPairs == Seq((1L, 2L)))
+    assert(spark.sparkContext.getPersistentRDDs.size == before + 1)
+    relPairs()
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+
+    val (est, relEst) = Dedup.minhashEstimatePairsManaged(docs, "doc_id", "text")
+    assert(est.collect().nonEmpty)
+    relEst()
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+
+    val (inc, relInc) = Dedup.incrementalNearDupManaged(
+      docs, corpus, "doc_id", "text", 0.5)
+    val gotInc = inc.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotInc == Set((1L, 10L), (2L, 10L)))
+    assert(spark.sparkContext.getPersistentRDDs.size == before + 2)
+    relInc()
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+
+    // split build/probe: releasing a probe batch keeps the standing
+    // corpus index cached for the next probe
+    val (idx, relIdx) = Dedup.corpusNearDupIndex(corpus, "doc_id", "text")
+    val (probe, relProbe) = Dedup.probeNearDupIndex(
+      docs, idx, "doc_id", "text", 0.5)
+    assert(probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == gotInc)
+    relProbe()
+    assert(spark.sparkContext.getPersistentRDDs.size == before + 1,
+      "corpus index must survive a probe release")
+    relIdx()
+    assert(spark.sparkContext.getPersistentRDDs.size == before)
+  }
+
   test("cluster resolution: chains collapse to the min id, singletons keep their own") {
     import graft.dedup.Clusters
     val docs = (1L to 8L).toDF("doc_id")
