@@ -254,6 +254,11 @@ object AnalyticsQueries {
         sum(col("value").cast("decimal(28,10)")).cast("double").as("s1"),
         sum((col("value") * col("value")).cast("decimal(28,10)"))
           .cast("double").as("s2"))
+        // n = 1 would make the (n−1) variance denominator 0/0 = NaN,
+        // and Spark's NaN-is-largest ordering lets NaN pass std > 0
+        // while DuckDB's behavior at the same edge differs — drop
+        // single-event types BEFORE the divide, in both engines.
+        .filter(col("n") > 1)
         .select(col("event_type"), col("n"),
           (col("s1") / col("n")).as("mean"),
           sqrt(greatest(
@@ -453,7 +458,7 @@ object AnalyticsQueries {
       m AS (
         SELECT event_type, s1 / n AS mean,
           sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), CAST(0 AS DOUBLE))) AS std
-        FROM st)
+        FROM st WHERE n > 1)
       SELECT e.event_id, e.event_type, e.value,
         round((e.value - m.mean) / m.std, 6) AS z
       FROM events e JOIN m ON e.event_type = m.event_type

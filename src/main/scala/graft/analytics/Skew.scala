@@ -25,10 +25,19 @@ import org.apache.spark.sql.functions._
  */
 object Skew {
 
+  /** INNER join only: the (key, salt) equi-join replicates small-side
+    * rows per salt, which is exactly-once only under inner semantics —
+    * an outer variant would emit one null-extended row PER SALT for an
+    * unmatched big-side key. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salts: Int, saltBy: Seq[String]): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
     require(saltBy.nonEmpty, "need row-identity columns to derive the salt")
+    // A pre-existing __salt would be silently overwritten on the big
+    // side and collide in the join on the small side — wrong results
+    // with no error. Fail loudly instead.
+    require(!big.columns.contains("__salt") && !small.columns.contains("__salt"),
+      "saltedJoin reserves the __salt column; rename it on the inputs")
     val salted = big.withColumn("__salt",
       pmod(hash(saltBy.map(col): _*), lit(salts)))
     val replicated = small.withColumn("__salt",

@@ -150,8 +150,8 @@ object DedupQueries {
       val bucket = TextAnalysis.charFingerprint(col("text")) % 100
       val docs = Tables(s, dir, "documents").withColumn("bucket", bucket)
       Dedup.incrementalExactDedup(
-        docs.filter(col("bucket") >= 80),
-        docs.filter(col("bucket") < 80), "doc_id", "text")
+        docs.filter(col("bucket") >= IncrementalSplitBoundary),
+        docs.filter(col("bucket") < IncrementalSplitBoundary), "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -162,8 +162,9 @@ object DedupQueries {
       val bucket = TextAnalysis.charFingerprint(col("text")) % 100
       val docs = Tables(s, dir, "documents").withColumn("bucket", bucket)
       Dedup.incrementalNearDup(
-        docs.filter(col("bucket") >= 80),
-        docs.filter(col("bucket") < 80), "doc_id", "text", 0.5)
+        docs.filter(col("bucket") >= IncrementalSplitBoundary),
+        docs.filter(col("bucket") < IncrementalSplitBoundary),
+        "doc_id", "text", IncrementalFuzzyThreshold)
         .orderBy("batch_id", "corpus_id")
     }),
 
@@ -215,6 +216,15 @@ object DedupQueries {
     }))
 
   val ContaminationThreshold = 0.5
+
+  /** Hash-bucket boundary splitting the standing corpus (< boundary)
+    * from the incoming batch (>= boundary) in the incremental dedup
+    * queries — shared with both oracles so the engines can't drift. */
+  val IncrementalSplitBoundary = 80
+
+  /** Exact-Jaccard verify threshold of q_dedup_incremental_fuzzy
+    * (shared with its oracle). */
+  val IncrementalFuzzyThreshold = 0.5
 
   /** Docs drawn per language stratum (q_sample_topn). */
   val SampleQuota = 20
@@ -411,7 +421,8 @@ object DedupQueries {
       cand AS (
         SELECT x.doc_id AS batch_id, y.doc_id AS corpus_id
         FROM bands x JOIN bands y ON x.band_key = y.band_key
-        WHERE x.bucket >= 80 AND y.bucket < 80
+        WHERE x.bucket >= $IncrementalSplitBoundary
+          AND y.bucket < $IncrementalSplitBoundary
         GROUP BY 1, 2),
       j AS (
         SELECT batch_id, corpus_id,
@@ -421,7 +432,8 @@ object DedupQueries {
         FROM cand
         JOIN sig sb ON sb.doc_id = cand.batch_id
         JOIN sig sc ON sc.doc_id = cand.corpus_id)
-      SELECT batch_id, corpus_id, jaccard FROM j WHERE jaccard >= 0.5
+      SELECT batch_id, corpus_id, jaccard
+      FROM j WHERE jaccard >= $IncrementalFuzzyThreshold
       ORDER BY batch_id, corpus_id"""
     },
 
@@ -431,8 +443,10 @@ object DedupQueries {
           ${graft.text.TextSql.charPolyHash("text")} % 100 AS bucket,
           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash
         FROM documents),
-      corpus AS (SELECT DISTINCT norm_hash FROM b WHERE bucket < 80),
-      batch AS (SELECT doc_id, norm_hash FROM b WHERE bucket >= 80),
+      corpus AS (SELECT DISTINCT norm_hash FROM b
+        WHERE bucket < $IncrementalSplitBoundary),
+      batch AS (SELECT doc_id, norm_hash FROM b
+        WHERE bucket >= $IncrementalSplitBoundary),
       k AS (
         SELECT doc_id, norm_hash,
           doc_id <> MIN(doc_id) OVER (PARTITION BY norm_hash) AS batch_dup
