@@ -182,6 +182,33 @@ object CdcOps {
     survivors.unionByName(upserted)
   }
 
+  /**
+   * ZERO-EXCHANGE batch CDC apply — [[applyChanges]] over the bucketed
+   * storage layout (graft.sources.Bucketed). The recurring cost of the
+   * apply at 100 TB is re-shuffling the snapshot for the anti-join
+   * every batch once the change-set outgrows the broadcast threshold;
+   * with BOTH sides stored bucketed (and sorted) by the primary key at
+   * the same bucket count, the anti-join sort-merges bucket i against
+   * bucket i straight off parquet and the whole apply plans with NO
+   * exchange on either side (asserted in BucketedJoinSpec):
+   *
+   *   - snapshot table: the standing state, bucketed by `key` once at
+   *     write time (its own previous apply output);
+   *   - changes table: the collapsed ([[lastWriteWins]]) change-set,
+   *     written bucketed by the same key — ONE small-side shuffle at
+   *     write time, amortized across every downstream co-located read;
+   *   - the touched-keys distinct also rides the bucketed distribution
+   *     (partial+final aggregate, no exchange).
+   *
+   * Writing the apply output back bucketed (the next snapshot) closes
+   * the loop: steady-state CDC apply whose only exchange, per cycle,
+   * is laying out the incoming change-set.
+   */
+  def applyChangesBucketed(spark: org.apache.spark.sql.SparkSession,
+      snapshotTable: String, changesTable: String, key: String): DataFrame =
+    applyChanges(spark.table(snapshotTable), spark.table(changesTable),
+      Seq(key), broadcastChanges = false)
+
   // ----------------------------------------------------------------- scd2
   /**
    * Slowly-changing-dimension Type-2 history from an ordered CDC

@@ -22,6 +22,38 @@ class BucketedJoinSpec extends SparkSpec {
       case p => p
     }
 
+  test("bucketed CDC apply plans no exchange and matches the broadcast apply") {
+    import graft.model.Cdc
+    import graft.operators.CdcOps
+    val dir = Files.createTempDirectory("graft-bapply").toFile.getAbsolutePath
+    // snapshot: 500 keys; change-set: upserts on 0..49, deletes on 50..59
+    val snapshot = (0L until 500L).map(i => (i, s"v$i", i * 1.0))
+      .toDF("pk", "payload", "amount")
+    val changes = ((0L until 50L).map(i => (i, s"new$i", i * 2.0, Cdc.Op.Upsert)) ++
+      (50L until 60L).map(i => (i, null: String, 0.0, Cdc.Op.Delete)))
+      .toDF("pk", "payload", "amount", Cdc.Cols.Op)
+    Bucketed.writeBucketed(snapshot, "bspec_snap", s"$dir/snap", "pk", 8)
+    Bucketed.writeBucketed(changes, "bspec_changes", s"$dir/changes", "pk", 8)
+    try {
+      val applied = CdcOps.applyChangesBucketed(
+        spark, "bspec_snap", "bspec_changes", "pk")
+      val ex = initialPlan(applied).collectWithSubqueries {
+        case e: ShuffleExchangeLike => e
+      }
+      assert(ex.isEmpty,
+        s"bucketed apply must not shuffle, found ${ex.length} exchanges")
+      val expected = CdcOps.applyChanges(snapshot, changes, Seq("pk"))
+        .orderBy("pk").collect().toSeq
+      val got = applied.orderBy("pk").collect().toSeq
+      assert(got == expected)
+      // the fold semantics themselves: deletes gone, upserts replaced
+      assert(got.length == 490 && got.head.getString(1) == "new0")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bspec_snap")
+      spark.sql("DROP TABLE IF EXISTS bspec_changes")
+    }
+  }
+
   test("co-located bucketed join plans no exchange and matches the shuffled join") {
     val dir = Files.createTempDirectory("graft-bucketed").toFile.getAbsolutePath
     val facts = (0L until 1000L).map(i => (i % 97, i, i * 2.5)).toDF("k", "id", "v")
