@@ -20,6 +20,9 @@ object AnnQueries {
   val NearDupBandPlanes = 6
   val CentroidK = 8
   val NProbe = 2
+
+  /** Full-corpus Lloyd refinement rounds of q_ann_ivf_trained. */
+  val TrainRefineIters = 2
   val ProjDims = 8
   /** Edges kept per vertex in the kNN graph (q_ann_knn_graph). */
   val KnnK = 3
@@ -68,7 +71,11 @@ object AnnQueries {
     "q_ann_ivf_trained" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val queries = collectVecs(emb, NumQueryVecs)
-      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", CentroidK)
+      // sampled seed + distributed full-corpus Lloyd refinement — the
+      // production trainer (cluster-side assignment, decimal-sum
+      // centroid updates)
+      val cents = Similarity.trainCentroidsDistributed(
+        emb, "vec_id", "embedding", CentroidK, refineIters = TrainRefineIters)
       Similarity.ivfTopK(emb, queries, "vec_id", "embedding", cents, NProbe, TopK)
         .orderBy("query_id", "rank")
     }),

@@ -154,6 +154,14 @@ object Similarity {
     if (nn > 0) dotLocal(a, b) / nn else 0.0
   }
 
+  /** Unit-normalize in place semantics (returns a new array); all-zero
+    * vectors pass through — shared by the sampled and distributed
+    * Lloyd updates. */
+  private def normalizeLocal(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(dotLocal(v, v))
+    if (n > 0) v.map(_ / n) else v
+  }
+
   /**
    * Deterministic sampled k-means (spherical Lloyd on a bounded
    * hash-sample) producing [[ivfTopK]] centroids that track the
@@ -188,10 +196,6 @@ object Similarity {
       s"sample of ${sample.length} vectors cannot seed $k centroids")
     val dims = sample.head.length
     var cents = sample.take(k).map(_.clone())
-    def normalize(v: Array[Double]): Array[Double] = {
-      val n = math.sqrt(dotLocal(v, v))
-      if (n > 0) v.map(_ / n) else v
-    }
     for (_ <- 0 until iters) {
       val norms = cents.map(c => math.sqrt(dotLocal(c, c)))
       val sums = Array.fill(k)(new Array[Double](dims))
@@ -210,11 +214,75 @@ object Similarity {
       }
       cents = cents.indices.map { i =>
         if (counts(i) == 0) cents(i)
-        else normalize(sums(i).map(_ / counts(i)))
+        else normalizeLocal(sums(i).map(_ / counts(i)))
       }.toArray
     }
     cents.toSeq
   }
+
+  /**
+   * DISTRIBUTED Lloyd refinement — the full-corpus production pass a
+   * 100 TB index runs after [[trainCentroids]]' sampled seeding (a
+   * bounded sample positions centroids well, but only assignment over
+   * ALL vectors lets every data point vote on its cell mean). Each
+   * iteration is:
+   *
+   *   - cluster-side assignment: [[bestCentroid]] — K plan-constant
+   *     dots per row, narrow, no shuffle (identical score to
+   *     [[ivfTopK]]'s cell map, so the refined centroids are consistent
+   *     with query-time assignment);
+   *   - centroid update: per-(cell, dim) DECIMAL sums (the
+   *     [[meanByGroup]] shape — order-independent, so reruns are
+   *     bit-identical) with map-side partial aggregation; the shuffle
+   *     carries ≤ K·dims rows, not the corpus;
+   *   - normalized means on the driver (spherical k-means); an emptied
+   *     cell keeps its previous centroid, like the sampled trainer.
+   *
+   * Cost: `iters` corpus scans, each a narrow pass plus a K·dims-row
+   * exchange — corpus-scale-linear with no driver-side data movement
+   * beyond the K·dims aggregate (the collect below is bounded by
+   * centroids·dims rows by construction, NOT by corpus size).
+   */
+  def refineCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]], iters: Int = 2): Seq[Array[Double]] = {
+    require(centroids.nonEmpty, "refineCentroids needs a seed centroid set")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val k = centroids.length
+    val dims = centroids.head.length
+    var cents = centroids
+    for (_ <- 0 until iters) {
+      val best = bestCentroid(col(vecCol), cents)
+      // ≤ k·dims rows by construction — small-by-contract collect
+      val perDim = corpus
+        .filter(col(vecCol).isNotNull)
+        .select(cellOf(best).as("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("x").cast("decimal(28,10)")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Long](k)
+      perDim.foreach { r =>
+        val cell = r.getInt(0)
+        sums(cell)(r.getInt(1)) = r.getDecimal(2).doubleValue()
+        counts(cell) = r.getLong(3)
+      }
+      cents = cents.indices.map { i =>
+        if (counts(i) == 0) cents(i)
+        else normalizeLocal(sums(i).map(_ / counts(i)))
+      }
+    }
+    cents
+  }
+
+  /** The production trainer: sampled Lloyd seed ([[trainCentroids]])
+    * + `refineIters` full-corpus [[refineCentroids]] rounds. */
+  def trainCentroidsDistributed(corpus: DataFrame, idCol: String,
+      vecCol: String, k: Int, sampleSize: Int = 4096, sampleIters: Int = 10,
+      refineIters: Int = 2, seed: Long = 42L): Seq[Array[Double]] =
+    refineCentroids(corpus, idCol, vecCol,
+      trainCentroids(corpus, idCol, vecCol, k, sampleSize, sampleIters, seed),
+      refineIters)
 
   /**
    * IVF-flat top-k — the clustered alternative to LSH bucketing:

@@ -70,6 +70,21 @@ class AnnRecallSpec extends SparkSpec {
     info(s"IVF recall@5 firstK=$rFirst trained=$rTrained")
     assert(rTrained >= rFirst, s"trained $rTrained < firstK $rFirst")
     assert(rTrained >= 0.9, s"trained recall $rTrained below floor")
+
+    // distributed refinement (full-corpus assignment + decimal-sum
+    // updates) must hold the sampled trainer's recall on the clustered
+    // fixture and stay deterministic across runs
+    val refined = Similarity.refineCentroids(
+      df, "vec_id", "embedding", trained, iters = 2)
+    val refined2 = Similarity.refineCentroids(
+      df, "vec_id", "embedding", trained, iters = 2)
+    assert(refined.map(_.toSeq) == refined2.map(_.toSeq),
+      "distributed refinement must be deterministic")
+    val rRefined = recallAtK(
+      Similarity.ivfTopK(df, queries, "vec_id", "embedding", refined, 1, 5), exact)
+    info(s"IVF recall@5 refined=$rRefined")
+    assert(rRefined >= rTrained, s"refined $rRefined < sampled $rTrained")
+    assert(rRefined >= 0.9, s"refined recall $rRefined below floor")
   }
 
   test("trainCentroids is deterministic and respects k/sample bounds") {
@@ -82,6 +97,21 @@ class AnnRecallSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.trainCentroids(df, "vec_id", "embedding", 60)
     }
+  }
+
+  test("q_ann_ivf_trained golden hash at sf0.01 (the one oracle-less query)") {
+    // Lloyd isn't SQL-expressible, so the driver's DuckDB harness only
+    // row-counts this query; this pinned hash is its correctness gate.
+    // Any change to sampling, seeding, assignment, or refinement that
+    // alters the output must consciously re-pin.
+    val out = SparkEntry.queries("q_ann_ivf_trained")(spark, "/root/testdata/sf0.01")
+      .collect()
+      .map(r => s"${r.getLong(0)}|${r.getInt(1)}|${r.getLong(2)}|${r.getDouble(3)}")
+      .mkString("\n")
+    val hash = java.security.MessageDigest.getInstance("MD5")
+      .digest(out.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    info(s"q_ann_ivf_trained sf0.01 hash=$hash rows=${out.linesIterator.size}")
+    assert(hash == "33deb5d510c9f9ea5db0d9ffe6fcad46", s"golden hash drifted: $hash")
   }
 
   test("sf0.001 recall floors: IVF top-k and LSH/banded near-dup pairs") {
