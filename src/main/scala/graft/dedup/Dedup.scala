@@ -353,33 +353,65 @@ object Dedup {
    * Scale: candidate cost is O(bands · Σ_key bucket²) with 2^(60/
    * bands) distinct keys per band — 10-bit bands ⇒ uniform buckets of
    * n/1024. That constant (unlike the 16-bit fingerprint's n/16)
-   * keeps the join tractable to ~10M docs; past that the dial is a
-   * wider fingerprint (more bits/band at fixed bands — the Manku
-   * permutation-table construction), not this operator's parameters.
+   * keeps the join tractable to ~10M docs; past that the dial is
+   * [[simhashNearDupPairsWide]] — a wider fingerprint (more bits per
+   * band at fixed bands, the Manku f-bit construction), not this
+   * operator's parameters.
    */
   def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 5, bands: Int = 6): DataFrame = {
-    require(bands > 0 && 60 % bands == 0, s"bands=$bands must divide 60")
+      maxHamming: Int = 5, bands: Int = 6): DataFrame =
+    simhashNearDupPairsWide(docs, idCol, textCol, maxHamming, bands, words = 1)
+
+  /**
+   * [[simhashNearDupPairs]] with a PARAMETERIZED fingerprint width —
+   * the past-10M-docs dial: `words` independent 60-bit fingerprint
+   * words (graft.functions.SimHashWide — word 0 ≡ simhash60, both
+   * words from the one md5 per token) give 60·words total bits at the
+   * SAME band count, so each band key carries 60·words/bands bits and
+   * expected bucket size drops from n/2^10 to n/2^20 at the defaults
+   * (words=2, bands=6) — tractable to ~10 BILLION docs before buckets
+   * outgrow the per-key join. Hamming distance spans all words
+   * (Σ bit_count(xor) per word), and the pigeonhole guarantee is
+   * unchanged: maxHamming < bands flipped bits cannot touch every
+   * band, so the banded candidates provably contain every qualifying
+   * pair and the verify keeps the result EXACT at the wider width too
+   * (equivalence-tested against the naive quadratic join).
+   *
+   * fp rides ALONG with the band rows (8·words bytes) instead of
+   * being re-joined per side: the verify needs no join-backs, and both
+   * self-join inputs are the identical subplan, so ReuseExchange runs
+   * the fingerprint scan ONCE. A pair colliding in k bands recomputes
+   * its bit_count k times before the distinct — instructions per
+   * occurrence vs two extra joins.
+   */
+  def simhashNearDupPairsWide(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, bands: Int, words: Int): DataFrame = {
+    val totalBits = 60 * words
+    require(bands > 0 && totalBits % bands == 0,
+      s"bands=$bands must divide $totalBits")
     require(maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming=$maxHamming < bands=$bands")
-    val bitsPerBand = 60 / bands
+    val bitsPerBand = totalBits / bands
+    require(60 % bitsPerBand == 0,
+      s"bitsPerBand=$bitsPerBand must divide 60 so bands don't straddle words")
+    val bandsPerWord = 60 / bitsPerBand
     val mask = (1L << bitsPerBand) - 1
-    // fp rides ALONG with the band rows (8 bytes) instead of being
-    // re-joined per side: the verify needs no join-backs, and both
-    // self-join inputs are the identical subplan, so ReuseExchange
-    // runs the fingerprint scan ONCE. A pair colliding in k bands
-    // recomputes its bit_count k times before the distinct — one
-    // instruction per occurrence vs two extra joins.
     val banded = docs.select(col(idCol).as("doc_id"),
-      simhash60(col(textCol)).as("fp"))
+      toCol(graft.functions.SimHashWide(toExpr(col(textCol)), words)).as("fp"))
       .select(col("doc_id"), col("fp"),
-        posexplode(array((0 until bands).map(j =>
-          shiftright(col("fp"), j * bitsPerBand).bitwiseAND(lit(mask))): _*))
-          .as(Seq("band", "key")))
+        posexplode(array((0 until bands).map { j =>
+          val word = j / bandsPerWord
+          val shift = (j % bandsPerWord) * bitsPerBand
+          shiftright(element_at(col("fp"), word + 1), shift)
+            .bitwiseAND(lit(mask))
+        }: _*)).as(Seq("band", "key")))
+    val hamming = (0 until words).map(w =>
+      bit_count(element_at(col("x.fp"), w + 1)
+        .bitwiseXOR(element_at(col("y.fp"), w + 1)))).reduce(_ + _)
     banded.as("x").join(banded.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long").as("hamming"))
+        hamming.cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

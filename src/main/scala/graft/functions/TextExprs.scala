@@ -175,6 +175,62 @@ object TextNative {
   }
 
   /**
+   * WIDE SimHash: `words` independent 60-bit fingerprints from ONE md5
+   * per token — word w folds hex chars [15w, 15w+15) of the digest
+   * (md5's 32 hex chars supply two full words), so word 0 is
+   * bit-identical to [[simHash60]] and the extra width costs no extra
+   * digest work. This is the Manku f-bit dial for banded Hamming
+   * joins: more bits per band at a FIXED band count shrinks band
+   * buckets exponentially (20-bit bands ⇒ n/2^20) where the 60-bit
+   * fingerprint's 10-bit bands cap out around ~10M docs.
+   */
+  def simHashWide(text: UTF8String, words: Int): ArrayData = {
+    val toks = text.toLowerCase.toString.split("\\s+")
+    val bits = 60 * words
+    val votes = new Array[Int](bits)
+    var t = 0
+    while (t < toks.length) {
+      if (toks(t).nonEmpty) {
+        val d = Md5Local.get().digest(toks(t).getBytes("UTF-8"))
+        var w = 0
+        while (w < words) {
+          // fold 15 hex nibbles [15w, 15w+15) into a 60-bit hash —
+          // nibble i is the high (even i) or low (odd i) half of byte i/2
+          var h = 0L
+          var i = 15 * w
+          val end = i + 15
+          while (i < end) {
+            val nib =
+              if ((i & 1) == 0) (d(i >> 1) >> 4) & 0xF else d(i >> 1) & 0xF
+            h = (h << 4) | nib
+            i += 1
+          }
+          var j = 0
+          val off = 60 * w
+          while (j < 60) {
+            if (((h >> j) & 1L) == 1L) votes(off + j) += 1
+            else votes(off + j) -= 1
+            j += 1
+          }
+          w += 1
+        }
+      }
+      t += 1
+    }
+    val out = new Array[Any](words)
+    var w = 0
+    while (w < words) {
+      var fp = 0L
+      var j = 0
+      val off = 60 * w
+      while (j < 60) { if (votes(off + j) > 0) fp |= 1L << j; j += 1 }
+      out(w) = fp
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /**
    * Within-document repetition counts in ONE pass (the Gopher-style
    * repetition signals — Rae et al. 2021 §A1.1 use duplicate-line and
    * top-n-gram fractions; this corpus has no line structure, so the
@@ -325,6 +381,23 @@ case class SimHash60(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextNative.simHash60($c)")
   override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+/** `simhash_wide(text, words)` → array<int64> of `words` 60-bit
+  * SimHash fingerprints (see TextNative.simHashWide; word 0 ≡
+  * simhash60) — single codegen'd pass over the document. */
+case class SimHashWide(child: Expression, words: Int) extends UnaryExpression {
+  require(words >= 1 && words <= 2,
+    s"simhash_wide: md5 supplies two 60-bit words, got words=$words")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "simhash_wide"
+  override def nullSafeEval(input: Any): Any =
+    TextNative.simHashWide(input.asInstanceOf[UTF8String], words)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNative.simHashWide($c, $words)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashWide =
     copy(child = newChild)
 }
 

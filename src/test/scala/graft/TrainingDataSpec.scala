@@ -312,6 +312,37 @@ class TrainingDataSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.simhashNearDupPairs(docs, "doc_id", "text", 6, 6)
     }
+
+    // WIDE fingerprint (120-bit, 20-bit bands): word 0 must be
+    // bit-identical to simhash60, and the pigeonhole equivalence must
+    // hold against the naive quadratic join over the FULL 120-bit
+    // Hamming distance
+    import org.apache.spark.sql.graftshim.GraftShims.{column => toCol, expression => toExpr}
+    val wideFp = docs.select(col("doc_id"),
+      Dedup.simhash60(col("text")).as("fp60"),
+      toCol(graft.functions.SimHashWide(toExpr(col("text")), 2)).as("fpw"))
+    wideFp.collect().foreach { r =>
+      assert(r.getLong(1) == r.getSeq[Long](2).head,
+        s"wide word 0 must equal simhash60 for doc ${r.getLong(0)}")
+    }
+    val naiveWide = wideFp.as("x").crossJoin(wideFp.as("y"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .withColumn("hamming",
+        (bit_count(element_at(col("x.fpw"), 1).bitwiseXOR(element_at(col("y.fpw"), 1))) +
+         bit_count(element_at(col("x.fpw"), 2).bitwiseXOR(element_at(col("y.fpw"), 2))))
+          .cast("long"))
+    for ((maxH, bands) <- Seq((5, 6), (3, 4), (11, 12))) {
+      val n = pairs(naiveWide.filter(col("hamming") <= maxH)
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("hamming")))
+      val b = pairs(Dedup.simhashNearDupPairsWide(
+        docs, "doc_id", "text", maxH, bands, words = 2))
+      assert(b == n, s"wide maxHamming=$maxH bands=$bands")
+    }
+    // 15 bands ⇒ 8-bit bands straddling the 60-bit word boundary → rejected
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairsWide(docs, "doc_id", "text", 5, 15, words = 2)
+    }
   }
 
   test("cosine: identity 1, orthogonal 0, opposite -1") {
