@@ -74,6 +74,36 @@ def main():
         print(f"OK   {name} ({len(o)} rows)")
         n_ok += 1
     print(f"{n_ok}/{len(oracles)} ok")
+    check_readme_counts(out_dir, len(oracles))
+
+def check_readme_counts(out_dir, n_oracles):
+    """README's query/test totals drifted twice across rounds; derive
+    them from the artifacts instead of trusting the hand-sync. Fails
+    the run (exit 1) on any mismatch."""
+    import re
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    readme = open(os.path.join(root, "README.md")).read()
+    n_queries = len([d for d in os.listdir(out_dir) if d != "oracle_sql.json"])
+    n_tests = 0
+    for p in glob.glob(os.path.join(root, "src/test/scala/graft/*.scala")):
+        n_tests += len(re.findall(r"^\s+test\(", open(p).read(), re.M))
+    problems = []
+    for label, actual, pats in [
+        ("oracle-backed queries", n_oracles, [r"(\d+) oracle-backed queries"]),
+        ("total queries", n_queries, [r"(\d+)-query suite"]),
+        ("tests", n_tests, [r"\((\d+) tests\)", r"(\d+) ScalaTest specs"]),
+    ]:
+        for pat in pats:
+            for m in re.findall(pat, readme):
+                if int(m) != actual:
+                    problems.append(
+                        f"README claims {m} {label}; actual is {actual}")
+    if problems:
+        for p in problems:
+            print(f"FAIL readme-counts: {p}")
+        sys.exit(1)
+    print(f"OK   readme-counts ({n_oracles} oracle / {n_queries} queries / "
+          f"{n_tests} tests)")
 
 if __name__ == "__main__":
     main()
