@@ -203,6 +203,16 @@ object DedupQueries {
         "doc_id", "text", SimHashMaxHamming, SimHashBands)
         .orderBy("doc_a", "doc_b")),
 
+    // WIDE (120-bit) SimHash pairs — the past-10M-docs dial as a
+    // first-class oracle query: both 60-bit words of the per-token
+    // md5, 20-bit bands at the same band count, Hamming summed across
+    // words. Exact by the same pigeonhole argument, so the oracle is
+    // the naive quadratic join over the full 120-bit distance.
+    "q_dedup_simhash_pairs_wide" -> ((s, dir) =>
+      Dedup.simhashNearDupPairsWide(Tables(s, dir, "documents"),
+        "doc_id", "text", SimHashMaxHamming, SimHashBands, words = 2)
+        .orderBy("doc_a", "doc_b")),
+
     // Train/eval decontamination: shingle overlap of each train-split
     // doc against the test split's gram set (same hash split as
     // q_sample_split; train = bucket < 80, test = bucket >= 90).
@@ -245,6 +255,25 @@ object DedupQueries {
 
   private def minhashSql(dg: String, j: Int): String =
     s"list_aggregate(list_transform($dg, d -> substr(d, ${j * 4 + 1}, 4)), 'min')"
+
+  /** Token hash for SimHash word `w`: hex chars [15w, 15w+15) of
+    * md5(token), folded nibble-by-nibble into exact int64 — mirrors
+    * TextNative.simHashWide's byte assembly (word 0 ≡ simHash60). */
+  private def simhashTokHashSql(w: Int): String =
+    "list_reduce(list_concat([CAST(0 AS BIGINT)], " +
+      s"list_transform(range(${15 * w + 1}, ${15 * w + 16}), i -> " +
+      "CAST(strpos('0123456789abcdef', substr(md5(__t), CAST(i AS INT), 1)) - 1 AS BIGINT))), " +
+      "(a, b) -> a * 16 + b)"
+
+  /** 60-bit SimHash vote fold over a token-hash list column — the
+    * bit-by-bit modular-arithmetic statement of the fingerprint. */
+  private def simhashBitsSql(hsCol: String): String =
+    (0 until 60).map { j =>
+      val pow = 1L << j
+      s"(CASE WHEN list_reduce(list_concat([CAST(0 AS BIGINT)], " +
+        s"list_transform($hsCol, h -> CAST(CASE WHEN h % ${2 * pow} >= $pow THEN 1 ELSE -1 END AS BIGINT))), " +
+        s"(a, b) -> a + b) > 0 THEN $pow ELSE 0 END)"
+    }.mkString(" + ")
 
   /** Shared CTE: doc_id + shingle set + signature columns mh0..mh7
     * (one md5 per shingle, sliced — mirrors Dedup.signatureFromDigests). */
@@ -505,29 +534,35 @@ object DedupQueries {
     },
 
     "q_dedup_simhash_pairs" -> {
-      // token hash = first 15 hex chars of md5, folded nibble-by-nibble
-      // (exact int64, mirrors TextNative.simHash60's byte assembly)
-      val tokHash =
-        "list_reduce(list_concat([CAST(0 AS BIGINT)], " +
-          "list_transform(range(1, 16), i -> " +
-          "CAST(strpos('0123456789abcdef', substr(md5(__t), CAST(i AS INT), 1)) - 1 AS BIGINT))), " +
-          "(a, b) -> a * 16 + b)"
-      val bits = (0 until 60).map { j =>
-        val pow = 1L << j
-        s"(CASE WHEN list_reduce(list_concat([CAST(0 AS BIGINT)], " +
-          s"list_transform(hs, h -> CAST(CASE WHEN h % ${2 * pow} >= $pow THEN 1 ELSE -1 END AS BIGINT))), " +
-          s"(a, b) -> a + b) > 0 THEN $pow ELSE 0 END)"
-      }.mkString(" + ")
       s"""WITH t AS (
            SELECT doc_id,
-             list_transform(${TextSql.tokens("text")}, __t -> $tokHash) AS hs
+             list_transform(${TextSql.tokens("text")}, __t -> ${simhashTokHashSql(0)}) AS hs0
            FROM documents
            WHERE text IS NOT NULL),
-         f AS (SELECT doc_id, $bits AS fp FROM t)
+         f AS (SELECT doc_id, ${simhashBitsSql("hs0")} AS fp FROM t)
          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
                 CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS hamming
          FROM f x JOIN f y ON x.doc_id < y.doc_id
          WHERE bit_count(xor(x.fp, y.fp)) <= ${SimHashMaxHamming}
+         ORDER BY doc_a, doc_b"""
+    },
+
+    "q_dedup_simhash_pairs_wide" -> {
+      val toks = TextSql.tokens("text")
+      s"""WITH t AS (
+           SELECT doc_id,
+             list_transform($toks, __t -> ${simhashTokHashSql(0)}) AS hs0,
+             list_transform($toks, __t -> ${simhashTokHashSql(1)}) AS hs1
+           FROM documents
+           WHERE text IS NOT NULL),
+         f AS (SELECT doc_id, ${simhashBitsSql("hs0")} AS fp0,
+                      ${simhashBitsSql("hs1")} AS fp1 FROM t)
+         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+                CAST(bit_count(xor(x.fp0, y.fp0)) +
+                     bit_count(xor(x.fp1, y.fp1)) AS BIGINT) AS hamming
+         FROM f x JOIN f y ON x.doc_id < y.doc_id
+         WHERE bit_count(xor(x.fp0, y.fp0)) + bit_count(xor(x.fp1, y.fp1))
+               <= ${SimHashMaxHamming}
          ORDER BY doc_a, doc_b"""
     },
 
