@@ -384,8 +384,11 @@ object Dedup {
    * its bit_count k times before the distinct — instructions per
    * occurrence vs two extra joins.
    */
-  def simhashNearDupPairsWide(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int, bands: Int, words: Int): DataFrame = {
+  /** Validated band layout of a 60·words-bit fingerprint: band j's key
+    * is bits [shift, shift+bitsPerBand) of word j/bandsPerWord — THE
+    * band math, shared by the self-join and probe variants. */
+  private def simhashBandKeys(fp: Column, maxHamming: Int, bands: Int,
+      words: Int): Seq[Column] = {
     val totalBits = 60 * words
     require(bands > 0 && totalBits % bands == 0,
       s"bands=$bands must divide $totalBits")
@@ -396,22 +399,68 @@ object Dedup {
       s"bitsPerBand=$bitsPerBand must divide 60 so bands don't straddle words")
     val bandsPerWord = 60 / bitsPerBand
     val mask = (1L << bitsPerBand) - 1
-    val banded = docs.select(col(idCol).as("doc_id"),
+    (0 until bands).map { j =>
+      shiftright(element_at(fp, j / bandsPerWord + 1),
+        (j % bandsPerWord) * bitsPerBand).bitwiseAND(lit(mask))
+    }
+  }
+
+  /** Exploded (id, fp, band, key) rows — fp rides along (8·words
+    * bytes) so the verify needs no join-backs. */
+  private def simhashBandRows(docs: DataFrame, idCol: String,
+      textCol: String, idName: String, maxHamming: Int, bands: Int,
+      words: Int): DataFrame = {
+    val fpFrame = docs.select(col(idCol).as(idName),
       toCol(graft.functions.SimHashWide(toExpr(col(textCol)), words)).as("fp"))
-      .select(col("doc_id"), col("fp"),
-        posexplode(array((0 until bands).map { j =>
-          val word = j / bandsPerWord
-          val shift = (j % bandsPerWord) * bitsPerBand
-          shiftright(element_at(col("fp"), word + 1), shift)
-            .bitwiseAND(lit(mask))
-        }: _*)).as(Seq("band", "key")))
-    val hamming = (0 until words).map(w =>
+    fpFrame.select(col(idName), col("fp"),
+      posexplode(array(
+        simhashBandKeys(col("fp"), maxHamming, bands, words): _*))
+        .as(Seq("band", "key")))
+  }
+
+  /** Full-fingerprint Hamming distance between the two sides of a
+    * banded self-join/probe (x.fp, y.fp as word arrays). */
+  private def simhashHamming(words: Int): Column =
+    (0 until words).map(w =>
       bit_count(element_at(col("x.fp"), w + 1)
         .bitwiseXOR(element_at(col("y.fp"), w + 1)))).reduce(_ + _)
+      .cast("long")
+
+  def simhashNearDupPairsWide(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, bands: Int, words: Int): DataFrame = {
+    val banded = simhashBandRows(docs, idCol, textCol, "doc_id",
+      maxHamming, bands, words)
     banded.as("x").join(banded.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        hamming.cast("long").as("hamming"))
+        simhashHamming(words).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /**
+   * INCREMENTAL SimHash — the fingerprint twin of
+   * [[incrementalNearDup]], completing the probe-against-standing-
+   * corpus family (exact hash / MinHash-Jaccard / SimHash-Hamming):
+   * each batch doc probes the corpus's banded fingerprint index and
+   * emits (batch_id, corpus_id, hamming) for every corpus doc within
+   * `maxHamming` — exact by the same pigeonhole argument as the
+   * self-join variant (a qualifying pair agrees on ≥ 1 band).
+   *
+   * Scale shape: the corpus side is |corpus|·bands narrow (band, key,
+   * id, fp) rows — persist/bucket them by (band, key) once per corpus
+   * snapshot and a daily batch pays |batch|·bands probe rows; the
+   * verify is one bit_count per surviving collision, no join-backs.
+   */
+  def simhashProbePairs(batch: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, maxHamming: Int, bands: Int, words: Int): DataFrame = {
+    val b = simhashBandRows(batch, idCol, textCol, "batch_id",
+      maxHamming, bands, words)
+    val c = simhashBandRows(corpus, idCol, textCol, "corpus_id",
+      maxHamming, bands, words)
+    b.as("x").join(c.as("y"), Seq("band", "key"))
+      .select(col("batch_id"), col("corpus_id"),
+        simhashHamming(words).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

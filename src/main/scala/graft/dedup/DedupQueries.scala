@@ -213,6 +213,20 @@ object DedupQueries {
         "doc_id", "text", SimHashMaxHamming, SimHashBands, words = 2)
         .orderBy("doc_a", "doc_b")),
 
+    // Incremental SimHash: the val/test batch probes the train
+    // corpus's banded fingerprint index (same split as the other
+    // incremental queries) — completes the probe-against-corpus
+    // family: exact hash / MinHash-Jaccard / SimHash-Hamming.
+    "q_dedup_incremental_simhash" -> ((s, dir) => {
+      val bucket = TextAnalysis.charFingerprint(col("text")) % 100
+      val docs = Tables(s, dir, "documents").withColumn("bucket", bucket)
+      Dedup.simhashProbePairs(
+        docs.filter(col("bucket") >= IncrementalSplitBoundary),
+        docs.filter(col("bucket") < IncrementalSplitBoundary),
+        "doc_id", "text", SimHashMaxHamming, SimHashBands, words = 2)
+        .orderBy("batch_id", "corpus_id")
+    }),
+
     // Train/eval decontamination: shingle overlap of each train-split
     // doc against the test split's gram set (same hash split as
     // q_sample_split; train = bucket < 80, test = bucket >= 90).
@@ -464,6 +478,31 @@ object DedupQueries {
       SELECT batch_id, corpus_id, jaccard
       FROM j WHERE jaccard >= $IncrementalFuzzyThreshold
       ORDER BY batch_id, corpus_id"""
+    },
+
+    "q_dedup_incremental_simhash" -> {
+      val toks = TextSql.tokens("text")
+      s"""WITH b0 AS (
+           SELECT doc_id, text,
+             ${graft.text.TextSql.charPolyHash("text")} % 100 AS bucket
+           FROM documents
+           WHERE text IS NOT NULL),
+         t AS (
+           SELECT doc_id, bucket,
+             list_transform($toks, __t -> ${simhashTokHashSql(0)}) AS hs0,
+             list_transform($toks, __t -> ${simhashTokHashSql(1)}) AS hs1
+           FROM b0),
+         f AS (SELECT doc_id, bucket, ${simhashBitsSql("hs0")} AS fp0,
+                      ${simhashBitsSql("hs1")} AS fp1 FROM t)
+         SELECT x.doc_id AS batch_id, y.doc_id AS corpus_id,
+                CAST(bit_count(xor(x.fp0, y.fp0)) +
+                     bit_count(xor(x.fp1, y.fp1)) AS BIGINT) AS hamming
+         FROM f x JOIN f y
+           ON x.bucket >= $IncrementalSplitBoundary
+          AND y.bucket < $IncrementalSplitBoundary
+         WHERE bit_count(xor(x.fp0, y.fp0)) + bit_count(xor(x.fp1, y.fp1))
+               <= $SimHashMaxHamming
+         ORDER BY batch_id, corpus_id"""
     },
 
     "q_dedup_incremental" -> s"""
