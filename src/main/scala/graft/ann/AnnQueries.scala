@@ -91,6 +91,16 @@ object AnnQueries {
         .orderBy("cell")
     }),
 
+    // Per-vector cell ROUTING (first-K centroids, oracle-checked):
+    // the assignment table q_ann_cluster_sizes histograms — what a
+    // mixture/curriculum pipeline joins on to sample per cell.
+    "q_ann_assign" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = collectVecs(emb, CentroidK).map(_._2)
+      Similarity.assignCells(emb, "vec_id", "embedding", cents)
+        .orderBy("vec_id")
+    }),
+
     // LSH bucket assignment (8 hyperplanes → 256 buckets): the scale path.
     "q_ann_lsh_buckets" -> ((s, dir) =>
       Tables(s, dir, "embeddings").select(
@@ -293,6 +303,20 @@ object AnnQueries {
           / count(*), 6) AS mean_score
       FROM asg WHERE rn = 1
       GROUP BY cid ORDER BY cid""",
+
+    "q_ann_assign" -> s"""
+      WITH cent AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id < $CentroidK),
+      asg AS (
+        SELECT e.vec_id, c.cid,
+          ${ivfScoreSql("e.embedding", "c.cv")} AS score,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${ivfScoreSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c)
+      SELECT vec_id, cid AS cell, round(score, 6) AS score
+      FROM asg WHERE rn = 1
+      ORDER BY vec_id""",
 
     // Oracle = the IVF spec in relational form: assignment is the
     // rank-1 centroid per vector (cos DESC, cid ASC — identical

@@ -349,6 +349,20 @@ object Similarity {
    * assignment score, summed in DECIMAL (order-independent) and
    * divided as double, so it is deterministic and oracle-portable.
    */
+  /**
+   * Per-vector nearest-centroid assignment — the ROUTING table a
+   * mixture/curriculum pipeline consumes ([[clusterSizes]] is its
+   * histogram): one narrow K-dot pass emitting (id, cell, score), no
+   * shuffle at any corpus size. Same argmax/tie-break as [[ivfTopK]]'s
+   * cell map, so routing and query-time probing agree.
+   */
+  def assignCells(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]]): DataFrame = {
+    val best = bestCentroid(col(vecCol), centroids)
+    corpus.select(col(idCol), cellOf(best).as("cell"),
+      round(best.getField("s"), 6).as("score"))
+  }
+
   def clusterSizes(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Array[Double]]): DataFrame = {
     val best = bestCentroid(col(vecCol), centroids)

@@ -453,12 +453,34 @@ object Dedup {
    * verify is one bit_count per surviving collision, no join-backs.
    */
   def simhashProbePairs(batch: DataFrame, corpus: DataFrame, idCol: String,
-      textCol: String, maxHamming: Int, bands: Int, words: Int): DataFrame = {
+      textCol: String, maxHamming: Int, bands: Int, words: Int): DataFrame =
+    probeSimhashIndex(batch,
+      simhashBandRows(corpus, idCol, textCol, "corpus_id",
+        maxHamming, bands, words),
+      idCol, textCol, maxHamming, bands, words)
+
+  /** The STANDING banded fingerprint index for repeated SimHash
+    * probing (a stream): the persisted (corpus_id, fp, band, key)
+    * rows — |corpus|·bands narrow rows, computed once per corpus
+    * snapshot. Unlike the MinHash index there are no verify join-backs
+    * (fp rides with the band rows), so the persist exists purely to
+    * amortize the fingerprint pass across probes. */
+  def corpusSimhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, bands: Int, words: Int): (DataFrame, () => Unit) = {
+    val c = simhashBandRows(corpus, idCol, textCol, "corpus_id",
+      maxHamming, bands, words).persist()
+    (c, () => { c.unpersist(); () })
+  }
+
+  /** Probe a [[corpusSimhashIndex]] (or any band-row frame) with one
+    * batch; the batch side is single-use, so nothing needs caching or
+    * releasing. */
+  def probeSimhashIndex(batch: DataFrame, corpusIndex: DataFrame,
+      idCol: String, textCol: String, maxHamming: Int, bands: Int,
+      words: Int): DataFrame = {
     val b = simhashBandRows(batch, idCol, textCol, "batch_id",
       maxHamming, bands, words)
-    val c = simhashBandRows(corpus, idCol, textCol, "corpus_id",
-      maxHamming, bands, words)
-    b.as("x").join(c.as("y"), Seq("band", "key"))
+    b.as("x").join(corpusIndex.as("y"), Seq("band", "key"))
       .select(col("batch_id"), col("corpus_id"),
         simhashHamming(words).as("hamming"))
       .filter(col("hamming") <= maxHamming)

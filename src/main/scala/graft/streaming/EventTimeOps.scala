@@ -164,6 +164,31 @@ object EventTimeOps {
       }
   }
 
+  /**
+   * Streaming SimHash dedup-against-corpus — the fingerprint twin of
+   * [[dedupAgainstCorpus]]: each micro-batch probes the STANDING
+   * banded fingerprint index (built and persisted once, outside the
+   * per-batch path) and `onMatches` receives that batch's
+   * (batch_id, corpus_id, hamming) rows. Same foreachBatch rationale:
+   * the funnel's per-batch `distinct` would be unbounded stateful
+   * dedup as a stream-static join; per micro-batch it is the plain
+   * batch operator, idempotent under redelivery for idempotent sinks.
+   */
+  def simhashDedupAgainstCorpus(docs: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, maxHamming: Int, bands: Int,
+      words: Int)(
+      onMatches: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val (corpusIndex, _) = graft.dedup.Dedup.corpusSimhashIndex(
+      corpus, idCol, textCol, maxHamming, bands, words)
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        onMatches(graft.dedup.Dedup.probeSimhashIndex(
+          batch, corpusIndex, idCol, textCol, maxHamming, bands, words))
+        ()
+      }
+  }
+
   final case class FunnelInput(user_id: Long, ts: Timestamp, event_type: String)
   final case class FunnelBuf(events: List[(Long, String)], lastTs: Long)
   final case class FunnelOut(user_id: Long, t1: Option[Long], t2: Option[Long],

@@ -121,6 +121,41 @@ class EventTimeSpec extends SparkSpec {
     } finally { q.stop(); corpus.unpersist() }
   }
 
+  test("streaming simhash dedup-against-corpus matches the batch probe") {
+    import graft.dedup.Dedup
+    import spark.implicits._
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+    val mk = (n: Int) => (1 to n).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (1L, mk(40)),
+      (3L, (1 to 40).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val mem = MemoryStream[Row](enc, spark)
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val q = EventTimeOps.simhashDedupAgainstCorpus(
+      mem.toDF(), corpus, "doc_id", "text", 5, 6, 2) { m =>
+        got ++= m.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      }.start()
+    try {
+      // exact dups (hamming 0) — a 1-token edit in 40 can exceed
+      // hamming 5 over the FULL 120-bit distance; this test pins the
+      // stream ≡ batch contract and index reuse, not recall
+      val b1 = Seq(Row(10L, mk(40)),                            // dup of 1
+        Row(11L, "completely unrelated text body here"))
+      val b2 = Seq(Row(12L, mk(40)))                            // dup of 1
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val batchEquiv = Dedup.simhashProbePairs(
+        (b1 ++ b2).map(r => (r.getLong(0), r.getString(1))).toDF("doc_id", "text"),
+        corpus, "doc_id", "text", 5, 6, 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got.toSet == batchEquiv, s"stream $got vs batch $batchEquiv")
+      assert(got.exists(_._2 == 1L) && !got.exists(_._2 == 3L),
+        "near-dups of corpus doc 1 must match; unrelated doc 3 must not")
+    } finally q.stop()
+  }
+
   test("streaming funnel emits per-user summaries after idle timeout") {
     import spark.implicits._
     import graft.streaming.EventTimeOps.{FunnelInput, FunnelOut}
