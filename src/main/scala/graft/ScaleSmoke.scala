@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.sources.Bucketed
+
 /**
  * Scale sanity pass (VERDICT r3 #8): no sf1 dataset ships in this
  * sandbox, so this harness synthesizes a 10× corpus from sf0.1 in /tmp
@@ -106,6 +108,46 @@ object ScaleSmoke {
       val n = SparkEntry.queries(name)(spark, OutDir).count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[scale] $name%-24s ${sec}%8.2f s  rows=$n")
+    }
+
+    // ---- bucketed zero-exchange apply at 10x ------------------------
+    // the flagship's steady state: snapshot and LWW'd change-set both
+    // bucketed by PK, the apply plans no exchange on either side
+    {
+      import graft.operators.CdcOps
+      import graft.model.Cdc
+      val snap = Tables(spark, OutDir, "orders")
+      val lww = SparkEntry.queries("q_cdc_lww")(spark, OutDir)
+      val changes = lww.select(
+        col("k").as("o_orderkey"), (col("k") % 100).as("o_custkey"),
+        lit("U").as("o_orderstatus"), col("amount").as("o_totalprice"),
+        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as("o_orderdate"),
+        lit("CDC-UPSERT").as("o_orderpriority"), col(Cdc.Cols.Op))
+      Bucketed.writeBucketed(snap, "smoke_snap", s"$OutDir/bsnap", "o_orderkey", 8)
+      Bucketed.writeBucketed(changes, "smoke_changes", s"$OutDir/bchanges",
+        "o_orderkey", 8)
+      try {
+        val t0 = System.nanoTime()
+        val n = CdcOps.applyChangesBucketed(
+          spark, "smoke_snap", "smoke_changes", "o_orderkey").count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val plan = CdcOps.applyChangesBucketed(
+          spark, "smoke_snap", "smoke_changes", "o_orderkey")
+          .queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.initialPlan
+          case p => p
+        }
+        val nEx = plan.collectWithSubqueries {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }.length
+        println(f"[scale] bucketed apply           ${sec}%8.2f s  rows=$n " +
+          s"exchanges=$nEx")
+        require(nEx == 0, s"bucketed apply planned $nEx exchanges")
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS smoke_snap")
+        spark.sql("DROP TABLE IF EXISTS smoke_changes")
+      }
     }
 
     // ---- hot-key audit feeding the salted join decision -------------
