@@ -68,6 +68,22 @@ class PlanQualitySpec extends SparkSpec {
       "cell assignment evaluated more than once (inferred isnotnull?)")
   }
 
+  test("q_cdc_lww: hot-key collapse plans partial+final WindowGroupLimit") {
+    // The skew-safety claim in CdcOps.lastWriteWins' scaladoc as an
+    // executable check: the rank<=1 filter must plan a PARTIAL
+    // WindowGroupLimit before the (table, key) exchange, so a key with
+    // millions of updates in a batch collapses to one row per map
+    // partition before it shuffles. If a Spark upgrade or refactor
+    // drops the partial pass, the hot-key story breaks silently at
+    // scale — and loudly here.
+    val p = plan(SparkEntry.queries("q_cdc_lww")(spark, Sf))
+    val limits = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(limits.length == 2,
+      s"expected partial+final WindowGroupLimit, got ${limits.length}:\n$p")
+  }
+
   test("q_text_topk_per_group: rank filter plans a WindowGroupLimit below the exchange") {
     val p = plan(SparkEntry.queries("q_text_topk_per_group")(spark, Sf))
     val limits = collectAll(p) {
