@@ -227,6 +227,39 @@ object DedupQueries {
         .orderBy("batch_id", "corpus_id")
     }),
 
+    // The composed incremental INGEST GATE — what an ingestion pipeline
+    // actually runs per batch: every batch doc gets ONE verdict from
+    // the three corpus probes, in fixed precedence (exact > fuzzy >
+    // fingerprint > kept). Oracle-checked as a composition, like
+    // q_pipeline_curate. Scale shape: the three probes share the batch
+    // scan; each is the already-bounded incremental operator, and the
+    // verdict join-backs are on distinct batch ids (≤ |batch| rows).
+    "q_pipeline_ingest" -> ((s, dir) => {
+      val bucket = TextAnalysis.charFingerprint(col("text")) % 100
+      val docs = Tables(s, dir, "documents").withColumn("bucket", bucket)
+      val batch = docs.filter(col("bucket") >= IncrementalSplitBoundary)
+      val corpus = docs.filter(col("bucket") < IncrementalSplitBoundary)
+      val exact = Dedup.incrementalExactDedup(batch, corpus, "doc_id", "text")
+        .select(col("doc_id"), col("is_dup"))
+      val fuzzy = Dedup.incrementalNearDup(
+          batch, corpus, "doc_id", "text", IncrementalFuzzyThreshold)
+        .select(col("batch_id").as("doc_id")).distinct()
+        .withColumn("__fuzzy", lit(true))
+      val fp = Dedup.simhashProbePairs(batch, corpus, "doc_id", "text",
+          SimHashMaxHamming, SimHashBands, words = 2)
+        .select(col("batch_id").as("doc_id")).distinct()
+        .withColumn("__fp", lit(true))
+      exact
+        .join(fuzzy, Seq("doc_id"), "left")
+        .join(fp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("is_dup"), "exact")
+            .when(coalesce(col("__fuzzy"), lit(false)), "fuzzy")
+            .when(coalesce(col("__fp"), lit(false)), "fingerprint")
+            .otherwise("kept").as("verdict"))
+        .orderBy("doc_id")
+    }),
+
     // Train/eval decontamination: shingle overlap of each train-split
     // doc against the test split's gram set (same hash split as
     // q_sample_split; train = bucket < 80, test = bucket >= 90).
@@ -300,6 +333,92 @@ object DedupQueries {
        digests AS (
          SELECT doc_id, sh, list_transform(sh, s -> md5(s)) AS dg FROM docs),
        sig AS (SELECT doc_id, sh, $mhs FROM digests)"""
+  }
+
+  /** The three incremental-probe oracles as shared vals: each is a
+    * standalone statement AND a CTE body of the composed
+    * q_pipeline_ingest oracle — one spec, stated once. */
+  private val incrementalExactOracle: String = s"""
+    WITH b AS (
+      SELECT doc_id, text,
+        ${graft.text.TextSql.charPolyHash("text")} % 100 AS bucket,
+        md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash
+      FROM documents),
+    corpus AS (SELECT DISTINCT norm_hash FROM b
+      WHERE bucket < $IncrementalSplitBoundary),
+    batch AS (SELECT doc_id, norm_hash FROM b
+      WHERE bucket >= $IncrementalSplitBoundary),
+    k AS (
+      SELECT doc_id, norm_hash,
+        doc_id <> MIN(doc_id) OVER (PARTITION BY norm_hash) AS batch_dup
+      FROM batch)
+    SELECT k.doc_id, k.norm_hash,
+      (corpus.norm_hash IS NOT NULL OR k.batch_dup) AS is_dup
+    FROM k LEFT JOIN corpus ON k.norm_hash = corpus.norm_hash
+    ORDER BY k.doc_id"""
+
+  private val incrementalFuzzyOracle: String = {
+    val mhs = (0 until Dedup.NumHashes)
+      .map(j => s"${minhashSql("dg", j)} AS mh$j").mkString(", ")
+    val bandSelects = (0 until Dedup.numBands).map { b =>
+      val parts = (0 until Dedup.BandRows).map(r => s"mh${b * Dedup.BandRows + r}")
+      s"SELECT doc_id, bucket, md5('$b' || '|' || ${parts.mkString(" || '|' || ")}) AS band_key FROM sig WHERE mh0 IS NOT NULL"
+    }.mkString(" UNION ALL ")
+    s"""
+    WITH b0 AS (
+      SELECT doc_id, text,
+        ${graft.text.TextSql.charPolyHash("text")} % 100 AS bucket
+      FROM documents),
+    docs AS (
+      SELECT doc_id, bucket, ${shinglesSql(TextSql.tokens("text"))} AS sh
+      FROM b0),
+    digests AS (
+      SELECT doc_id, bucket, sh, list_transform(sh, s -> md5(s)) AS dg
+      FROM docs),
+    sig AS (SELECT doc_id, bucket, sh, $mhs FROM digests),
+    bands AS ($bandSelects),
+    cand AS (
+      SELECT x.doc_id AS batch_id, y.doc_id AS corpus_id
+      FROM bands x JOIN bands y ON x.band_key = y.band_key
+      WHERE x.bucket >= $IncrementalSplitBoundary
+        AND y.bucket < $IncrementalSplitBoundary
+      GROUP BY 1, 2),
+    j AS (
+      SELECT batch_id, corpus_id,
+        round(CAST(len(list_intersect(sb.sh, sc.sh)) AS DOUBLE)
+          / greatest(len(list_distinct(list_concat(sb.sh, sc.sh))), 1), 6)
+          AS jaccard
+      FROM cand
+      JOIN sig sb ON sb.doc_id = cand.batch_id
+      JOIN sig sc ON sc.doc_id = cand.corpus_id)
+    SELECT batch_id, corpus_id, jaccard
+    FROM j WHERE jaccard >= $IncrementalFuzzyThreshold
+    ORDER BY batch_id, corpus_id"""
+  }
+
+  private val incrementalSimhashOracle: String = {
+    val toks = TextSql.tokens("text")
+    s"""WITH b0 AS (
+         SELECT doc_id, text,
+           ${graft.text.TextSql.charPolyHash("text")} % 100 AS bucket
+         FROM documents
+         WHERE text IS NOT NULL),
+       t AS (
+         SELECT doc_id, bucket,
+           list_transform($toks, __t -> ${simhashTokHashSql(0)}) AS hs0,
+           list_transform($toks, __t -> ${simhashTokHashSql(1)}) AS hs1
+         FROM b0),
+       f AS (SELECT doc_id, bucket, ${simhashBitsSql("hs0")} AS fp0,
+                    ${simhashBitsSql("hs1")} AS fp1 FROM t)
+       SELECT x.doc_id AS batch_id, y.doc_id AS corpus_id,
+              CAST(bit_count(xor(x.fp0, y.fp0)) +
+                   bit_count(xor(x.fp1, y.fp1)) AS BIGINT) AS hamming
+       FROM f x JOIN f y
+         ON x.bucket >= $IncrementalSplitBoundary
+        AND y.bucket < $IncrementalSplitBoundary
+       WHERE bit_count(xor(x.fp0, y.fp0)) + bit_count(xor(x.fp1, y.fp1))
+             <= $SimHashMaxHamming
+       ORDER BY batch_id, corpus_id"""
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -441,88 +560,22 @@ object DedupQueries {
       FROM j ORDER BY doc_a, doc_b"""
     },
 
-    "q_dedup_incremental_fuzzy" -> {
-      val mhs = (0 until Dedup.NumHashes)
-        .map(j => s"${minhashSql("dg", j)} AS mh$j").mkString(", ")
-      val bandSelects = (0 until Dedup.numBands).map { b =>
-        val parts = (0 until Dedup.BandRows).map(r => s"mh${b * Dedup.BandRows + r}")
-        s"SELECT doc_id, bucket, md5('$b' || '|' || ${parts.mkString(" || '|' || ")}) AS band_key FROM sig WHERE mh0 IS NOT NULL"
-      }.mkString(" UNION ALL ")
-      s"""
-      WITH b0 AS (
-        SELECT doc_id, text,
-          ${graft.text.TextSql.charPolyHash("text")} % 100 AS bucket
-        FROM documents),
-      docs AS (
-        SELECT doc_id, bucket, ${shinglesSql(TextSql.tokens("text"))} AS sh
-        FROM b0),
-      digests AS (
-        SELECT doc_id, bucket, sh, list_transform(sh, s -> md5(s)) AS dg
-        FROM docs),
-      sig AS (SELECT doc_id, bucket, sh, $mhs FROM digests),
-      bands AS ($bandSelects),
-      cand AS (
-        SELECT x.doc_id AS batch_id, y.doc_id AS corpus_id
-        FROM bands x JOIN bands y ON x.band_key = y.band_key
-        WHERE x.bucket >= $IncrementalSplitBoundary
-          AND y.bucket < $IncrementalSplitBoundary
-        GROUP BY 1, 2),
-      j AS (
-        SELECT batch_id, corpus_id,
-          round(CAST(len(list_intersect(sb.sh, sc.sh)) AS DOUBLE)
-            / greatest(len(list_distinct(list_concat(sb.sh, sc.sh))), 1), 6)
-            AS jaccard
-        FROM cand
-        JOIN sig sb ON sb.doc_id = cand.batch_id
-        JOIN sig sc ON sc.doc_id = cand.corpus_id)
-      SELECT batch_id, corpus_id, jaccard
-      FROM j WHERE jaccard >= $IncrementalFuzzyThreshold
-      ORDER BY batch_id, corpus_id"""
-    },
+    "q_dedup_incremental_fuzzy" -> incrementalFuzzyOracle,
 
-    "q_dedup_incremental_simhash" -> {
-      val toks = TextSql.tokens("text")
-      s"""WITH b0 AS (
-           SELECT doc_id, text,
-             ${graft.text.TextSql.charPolyHash("text")} % 100 AS bucket
-           FROM documents
-           WHERE text IS NOT NULL),
-         t AS (
-           SELECT doc_id, bucket,
-             list_transform($toks, __t -> ${simhashTokHashSql(0)}) AS hs0,
-             list_transform($toks, __t -> ${simhashTokHashSql(1)}) AS hs1
-           FROM b0),
-         f AS (SELECT doc_id, bucket, ${simhashBitsSql("hs0")} AS fp0,
-                      ${simhashBitsSql("hs1")} AS fp1 FROM t)
-         SELECT x.doc_id AS batch_id, y.doc_id AS corpus_id,
-                CAST(bit_count(xor(x.fp0, y.fp0)) +
-                     bit_count(xor(x.fp1, y.fp1)) AS BIGINT) AS hamming
-         FROM f x JOIN f y
-           ON x.bucket >= $IncrementalSplitBoundary
-          AND y.bucket < $IncrementalSplitBoundary
-         WHERE bit_count(xor(x.fp0, y.fp0)) + bit_count(xor(x.fp1, y.fp1))
-               <= $SimHashMaxHamming
-         ORDER BY batch_id, corpus_id"""
-    },
+    "q_dedup_incremental_simhash" -> incrementalSimhashOracle,
 
-    "q_dedup_incremental" -> s"""
-      WITH b AS (
-        SELECT doc_id, text,
-          ${graft.text.TextSql.charPolyHash("text")} % 100 AS bucket,
-          md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash
-        FROM documents),
-      corpus AS (SELECT DISTINCT norm_hash FROM b
-        WHERE bucket < $IncrementalSplitBoundary),
-      batch AS (SELECT doc_id, norm_hash FROM b
-        WHERE bucket >= $IncrementalSplitBoundary),
-      k AS (
-        SELECT doc_id, norm_hash,
-          doc_id <> MIN(doc_id) OVER (PARTITION BY norm_hash) AS batch_dup
-        FROM batch)
-      SELECT k.doc_id, k.norm_hash,
-        (corpus.norm_hash IS NOT NULL OR k.batch_dup) AS is_dup
-      FROM k LEFT JOIN corpus ON k.norm_hash = corpus.norm_hash
-      ORDER BY k.doc_id""",
+    "q_dedup_incremental" -> incrementalExactOracle,
+
+    "q_pipeline_ingest" -> s"""
+      WITH ex AS ($incrementalExactOracle),
+      fz AS ($incrementalFuzzyOracle),
+      fp AS ($incrementalSimhashOracle)
+      SELECT ex.doc_id,
+        CASE WHEN ex.is_dup THEN 'exact'
+             WHEN ex.doc_id IN (SELECT batch_id FROM fz) THEN 'fuzzy'
+             WHEN ex.doc_id IN (SELECT batch_id FROM fp) THEN 'fingerprint'
+             ELSE 'kept' END AS verdict
+      FROM ex ORDER BY ex.doc_id""",
 
     "q_sample_topn" -> s"""
       WITH h AS (
