@@ -184,6 +184,23 @@ class TrainingDataSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size == before)
   }
 
+  test("incremental probes tolerate empty batch and empty corpus") {
+    // day-one shape (standing corpus empty) and quiet-batch shape —
+    // every probe must return an empty result, not throw
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val empty = docs.filter(lit(false))
+    assert(Dedup.incrementalNearDup(empty, docs, "doc_id", "text", 0.5).count() == 0)
+    assert(Dedup.incrementalNearDup(docs, empty, "doc_id", "text", 0.5).count() == 0)
+    assert(Dedup.simhashProbePairs(empty, docs, "doc_id", "text", 5, 6, 2).count() == 0)
+    assert(Dedup.simhashProbePairs(docs, empty, "doc_id", "text", 5, 6, 2).count() == 0)
+    val exAll = Dedup.incrementalExactDedup(docs, empty, "doc_id", "text")
+      .collect()
+    assert(exAll.length == 1 && !exAll.head.getBoolean(2),
+      "against an empty corpus every batch doc is new")
+    assert(Dedup.incrementalExactDedup(empty, docs, "doc_id", "text").count() == 0)
+  }
+
   test("cluster resolution: chains collapse to the min id, singletons keep their own") {
     import graft.dedup.Clusters
     val docs = (1L to 8L).toDF("doc_id")
