@@ -88,7 +88,7 @@ object ScaleSmoke {
   def cdcSmoke(spark: SparkSession, src: String): Unit = {
     import graft.analytics.Skew
     val ev = Tables(spark, src, "events")
-    val span = ev.agg(max(col("event_id"))).head.getLong(0) + 1
+    val span = ev.agg(max(col("event_id"))).head().getLong(0) + 1
     val others = ev.columns.filterNot(_ == "event_id").map(col).toSeq
     val evX = (0 until Copies).map { i =>
       val newId =
@@ -156,7 +156,7 @@ object ScaleSmoke {
     val feed = graft.feeds.CdcFeed.base(spark, OutDir)
     val keyStats = feed.groupBy("k").agg(count(lit(1)).as("n"))
       .agg(max(col("n")).as("mx"),
-        (sum(col("n")) / count(lit(1))).as("mean")).head
+        (sum(col("n")) / count(lit(1))).as("mean")).head()
     val (mx, mean) = (keyStats.getLong(0), keyStats.getDouble(1))
     val skewRatio = mx / mean
     // the audit decides: salts sized to split the hottest key down to

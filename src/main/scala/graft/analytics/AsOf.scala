@@ -63,7 +63,7 @@ object AsOf {
       lit(null).cast(tieType).as("__tb"),
       lit(null).cast(rightRows.schema("__pay").dataType).as("__pay"),
       lit(1).as("__side"),
-      struct(left.columns.map(col): _*).as("__lrow"))
+      struct(left.columns.toIndexedSeq.map(col): _*).as("__lrow"))
 
     // Rights (side 0) sort before lefts (side 1) at equal ts, so an
     // exact-time right row is visible to its left row; among equal-ts

@@ -60,7 +60,7 @@ object SchemaInfer {
         Drift(f.name, "type_changed", Some(f.dataType.simpleString),
           Some(o(f.name).simpleString))
     }
-    (added ++ removed ++ changed).sortBy(d => (d.field, d.kind))
+    (added ++ removed ++ changed).toIndexedSeq.sortBy(d => (d.field, d.kind))
   }
 
   /** The SMT's inferSchema ladder over Spark inferred types. */

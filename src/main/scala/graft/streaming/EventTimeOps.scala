@@ -122,7 +122,7 @@ object EventTimeOps {
               // Spark throws and kills the query; a session whose horizon
               // already passed fires at the next watermark tick instead.
               state.setTimeoutTimestamp(
-                math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs + 1))
+                math.max(s.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }
@@ -248,7 +248,7 @@ object EventTimeOps {
               // setTimeoutTimestamp would throw and kill the query. Clamp
               // so the quiet user times out at the next watermark tick.
               state.setTimeoutTimestamp(
-                math.max(lastTs + idleMs, state.getCurrentWatermarkMs + 1))
+                math.max(lastTs + idleMs, state.getCurrentWatermarkMs() + 1))
             }
             Iterator.empty
           }
