@@ -46,6 +46,68 @@ object Clusters {
     out
   }
 
+  /**
+   * INCREMENTAL cluster maintenance — fold one batch into a standing
+   * assignment table without re-clustering the corpus. At 100 TB the
+   * daily question is never "what are the components of everything"
+   * but "where do today's documents land, and which existing clusters
+   * did they merge" — answering it must not touch corpus-scale state
+   * beyond one broadcast join.
+   *
+   * Works on the QUOTIENT graph: each corpus doc is represented by its
+   * cluster representative (already the MIN doc id of its component),
+   * each batch doc by itself; the new edges' endpoints map through the
+   * assignment table. Components of that graph are exactly the merged
+   * components, and the quotient min IS the global min (every corpus
+   * doc ≥ its representative), so the output is IDENTICAL to
+   * re-running [[resolve]] on corpus ∪ batch from scratch
+   * (equivalence-tested, and oracle-checked via the from-scratch SQL).
+   *
+   * Scale shape: the quotient graph has |batch| + |touched clusters|
+   * nodes — batch-sized, corpus-independent; [[resolve]] on it is the
+   * usual union-find/star machinery. The corpus-sized assignment table
+   * is touched ONCE, by a broadcast join on its cluster column (the
+   * quotient label map is batch-sized, so it broadcasts by contract).
+   *
+   * @param assignments (doc_id, cluster) standing labels, cluster =
+   *                    component min doc id (a prior resolve output)
+   * @param batchDocs   new docs (idCol); ids disjoint from the corpus
+   * @param newPairs    (aCol, bCol) near-dup edges touching the batch:
+   *                    within-batch pairs plus batch↔corpus probe
+   *                    matches — the incremental funnels' outputs
+   * @return (doc_id, cluster, keeper) for corpus ∪ batch
+   */
+  def incrementalResolve(assignments: DataFrame, batchDocs: DataFrame,
+      idCol: String, newPairs: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val asgA = assignments.select(col("doc_id").as("__a"), col("cluster").as("__ca"))
+    val asgB = assignments.select(col("doc_id").as("__b"), col("cluster").as("__cb"))
+    val quotientEdges = newPairs
+      .select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .join(asgA, Seq("__a"), "left")
+      .join(asgB, Seq("__b"), "left")
+      .select(coalesce(col("__ca"), col("__a")).as("qa"),
+        coalesce(col("__cb"), col("__b")).as("qb"))
+    // batch docs off every edge come back as singletons; touched
+    // corpus representatives are edge nodes, so they need no seeding
+    val quotient = resolve(batchDocs.select(col(idCol).as("doc_id")), "doc_id",
+      quotientEdges, "qa", "qb")
+      .select(col("doc_id"), col("cluster"))
+    // corpus side: relabel through the quotient map on the REP —
+    // untouched clusters (no quotient row) keep their label. Batch ids
+    // are disjoint from corpus doc ids by contract, so a batch row in
+    // the map can never capture a corpus cluster.
+    val repMap = broadcast(
+      quotient.select(col("doc_id").as("cluster"), col("cluster").as("__new")))
+    val corpusOut = assignments
+      .join(repMap, Seq("cluster"), "left")
+      .select(col("doc_id"), coalesce(col("__new"), col("cluster")).as("cluster"))
+    val batchOut = quotient
+      .join(batchDocs.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
+    corpusOut.unionByName(batchOut)
+      .withColumn("keeper", (col("doc_id") === col("cluster")).cast("int"))
+  }
+
   /** Driver-side union-find over a collected (small) edge list. */
   private def resolveLocal(docs: DataFrame, idCol: String,
       pairs: DataFrame): DataFrame = {

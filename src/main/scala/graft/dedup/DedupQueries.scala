@@ -89,6 +89,31 @@ object DedupQueries {
         cachedPairs(s, dir), "doc_a", "doc_b")
         .orderBy("doc_id")),
 
+    // Incremental cluster MAINTENANCE: the corpus (train bucket) is
+    // clustered once into a standing assignment table; the batch
+    // (val/test buckets) folds in via its within-batch pairs plus the
+    // batch↔corpus probe matches, on the batch-sized quotient graph.
+    // The oracle re-clusters corpus ∪ batch from scratch — equality
+    // IS the operator's contract.
+    "q_dedup_clusters_incremental" -> ((s, dir) => {
+      val bucket = TextAnalysis.charFingerprint(col("text")) % 100
+      val docs = Tables(s, dir, "documents").withColumn("bucket", bucket)
+      val corpus = docs.filter(col("bucket") < IncrementalSplitBoundary)
+      val batch = docs.filter(col("bucket") >= IncrementalSplitBoundary)
+      val assignments = Clusters.resolve(corpus, "doc_id",
+        Dedup.nearDupPairs(corpus, "doc_id", "text", IncrementalFuzzyThreshold),
+        "doc_a", "doc_b").select("doc_id", "cluster")
+      val batchPairs = Dedup.nearDupPairs(
+          batch, "doc_id", "text", IncrementalFuzzyThreshold)
+        .select(col("doc_a"), col("doc_b"))
+      val crossPairs = Dedup.incrementalNearDup(
+          batch, corpus, "doc_id", "text", IncrementalFuzzyThreshold)
+        .select(col("batch_id").as("doc_a"), col("corpus_id").as("doc_b"))
+      Clusters.incrementalResolve(assignments, batch, "doc_id",
+        batchPairs.unionByName(crossPairs), "doc_a", "doc_b")
+        .orderBy("doc_id")
+    }),
+
     // Deterministic hash-based train/val/test split (80/10/10).
     "q_sample_split" -> ((s, dir) => {
       import graft.text.TextAnalysis
@@ -335,6 +360,39 @@ object DedupQueries {
        sig AS (SELECT doc_id, sh, $mhs FROM digests)"""
   }
 
+  /** From-scratch clustering over ALL documents (recursive CTE) —
+    * the oracle of both q_dedup_clusters AND the incremental-
+    * maintenance query (whose whole contract is equality with the
+    * from-scratch answer). */
+  private val clustersOracle: String = {
+    val bandSelects = (0 until Dedup.numBands).map { b =>
+      val parts = (0 until Dedup.BandRows).map(r => s"mh${b * Dedup.BandRows + r}")
+      s"SELECT doc_id, md5('$b' || '|' || ${parts.mkString(" || '|' || ")}) AS band_key FROM sig WHERE mh0 IS NOT NULL"
+    }.mkString(" UNION ALL ")
+    s"""WITH RECURSIVE $sigCte,
+      bands AS ($bandSelects),
+      cand AS (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT doc_a, doc_b FROM cand
+        JOIN sig sa ON sa.doc_id = cand.doc_a
+        JOIN sig sb ON sb.doc_id = cand.doc_b
+        WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+          / greatest(len(list_distinct(list_concat(sa.sh, sb.sh))), 1), 6) >= 0.5),
+      edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+    SELECT id AS doc_id, MIN(r) AS cluster,
+      CAST(id = MIN(r) AS INT) AS keeper
+    FROM reach GROUP BY id ORDER BY doc_id"""
+  }
+
   /** The three incremental-probe oracles as shared vals: each is a
     * standalone statement AND a CTE body of the composed
     * q_pipeline_ingest oracle — one spec, stated once. */
@@ -479,34 +537,11 @@ object DedupQueries {
        WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b"""
     },
 
-    "q_dedup_clusters" -> {
-      val bandSelects = (0 until Dedup.numBands).map { b =>
-        val parts = (0 until Dedup.BandRows).map(r => s"mh${b * Dedup.BandRows + r}")
-        s"SELECT doc_id, md5('$b' || '|' || ${parts.mkString(" || '|' || ")}) AS band_key FROM sig WHERE mh0 IS NOT NULL"
-      }.mkString(" UNION ALL ")
-      s"""WITH RECURSIVE $sigCte,
-        bands AS ($bandSelects),
-        cand AS (
-          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
-          FROM bands x JOIN bands y ON x.band_key = y.band_key AND x.doc_id < y.doc_id
-          GROUP BY 1, 2),
-        pairs AS (
-          SELECT doc_a, doc_b FROM cand
-          JOIN sig sa ON sa.doc_id = cand.doc_a
-          JOIN sig sb ON sb.doc_id = cand.doc_b
-          WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-            / greatest(len(list_distinct(list_concat(sa.sh, sb.sh))), 1), 6) >= 0.5),
-        edges AS (
-          SELECT doc_a AS src, doc_b AS dst FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs),
-        reach(id, r) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
-      SELECT id AS doc_id, MIN(r) AS cluster,
-        CAST(id = MIN(r) AS INT) AS keeper
-      FROM reach GROUP BY id ORDER BY doc_id"""
-    },
+    "q_dedup_clusters" -> clustersOracle,
+
+    // Incremental maintenance must equal the from-scratch answer — the
+    // oracle IS the full-recompute clustering over corpus ∪ batch.
+    "q_dedup_clusters_incremental" -> clustersOracle,
 
     "q_sample_split" -> s"""
       WITH b AS (

@@ -184,6 +184,33 @@ class TrainingDataSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size == before)
   }
 
+  test("incremental cluster maintenance ≡ from-scratch resolve") {
+    import graft.dedup.Clusters
+    // standing corpus: clusters {1,2,3}, {10,11}, singleton 20
+    val corpusDocs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val corpusPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val assignments = Clusters.resolve(corpusDocs, "doc_id",
+      corpusPairs, "doc_a", "doc_b").select("doc_id", "cluster")
+    // batch: 30 BRIDGES the two standing clusters (the merge case),
+    // 31-32 pair with each other, 33 joins singleton 20, 34 is alone,
+    // and 0 joins cluster {1,2,3} with an id SMALLER than its rep
+    val batchDocs = Seq(30L, 31L, 32L, 33L, 34L, 0L).toDF("doc_id")
+    val newPairs = Seq((30L, 3L), (30L, 11L), (31L, 32L), (33L, 20L), (0L, 2L))
+      .toDF("doc_a", "doc_b")
+    val inc = Clusters.incrementalResolve(assignments, batchDocs, "doc_id",
+      newPairs, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val scratch = Clusters.resolve(
+      corpusDocs.unionByName(batchDocs), "doc_id",
+      corpusPairs.unionByName(newPairs), "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(inc == scratch, s"incremental $inc vs scratch $scratch")
+    // the bridge merged {1,2,3}+{10,11}+{30}+{0} under min id 0
+    assert(inc.contains((30L, 0L, 0)) && inc.contains((10L, 0L, 0)) &&
+      inc.contains((1L, 0L, 0)) && inc.contains((0L, 0L, 1)))
+    assert(inc.contains((34L, 34L, 1)), "edge-free batch doc stays a singleton")
+  }
+
   test("incremental probes tolerate empty batch and empty corpus") {
     // day-one shape (standing corpus empty) and quiet-batch shape —
     // every probe must return an empty result, not throw
