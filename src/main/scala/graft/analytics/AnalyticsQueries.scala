@@ -46,6 +46,41 @@ object AnalyticsQueries {
         .filter(col("cnt") >= 5)
         .orderBy(col("cnt").desc, col("token"))),
 
+    // Vocabulary DRIFT between the standing corpus (train bucket) and
+    // the incoming batch: per-token relative frequencies on each side
+    // and the top total-variation contributors — the ingestion alarm
+    // that fires before a source shift poisons the mixture. Pure
+    // arithmetic (no transcendentals), so exactly oracle-portable
+    // where a KL divergence's log would drift in the last ulp.
+    // Scale shape: one token aggregation with map-side combine (the
+    // shuffle carries the vocabulary, not the corpus); the two side
+    // totals come from a 2-row driver aggregate embedded as plan
+    // literals (small-by-contract collect, like the ANN query
+    // vectors), so the vocab frame stays narrow; the top-K is a
+    // global TakeOrdered over the vocabulary.
+    "q_text_vocab_drift" -> ((s, dir) => {
+      val boundary = graft.dedup.DedupQueries.IncrementalSplitBoundary
+      val bucket = TextAnalysis.charFingerprint(col("text")) % 100
+      val toks = Tables(s, dir, "documents")
+        .select((bucket >= boundary).as("is_batch"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+      // ≤ 2 rows by construction — small-by-contract collect
+      val totals = toks.groupBy("is_batch").agg(count(lit(1)).as("t"))
+        .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      val tCorpus = math.max(totals.getOrElse(false, 0L), 1L)
+      val tBatch = math.max(totals.getOrElse(true, 0L), 1L)
+      val pc = col("n_corpus").cast("double") / tCorpus
+      val pb = col("n_batch").cast("double") / tBatch
+      toks.groupBy("token").agg(
+          count(when(!col("is_batch"), lit(1))).as("n_corpus"),
+          count(when(col("is_batch"), lit(1))).as("n_batch"))
+        .select(col("token"), col("n_corpus"), col("n_batch"),
+          round(pc, 9).as("p_corpus"), round(pb, 9).as("p_batch"),
+          round(abs(pc - pb), 9).as("abs_diff"))
+        .orderBy(col("abs_diff").desc, col("token"))
+        .limit(VocabDriftTopK)
+    }),
+
     // Grouped top-k: the k most frequent tokens per language. The
     // rank-filter-on-window shape plans a WindowGroupLimit below the
     // final sort (verified via explain): each map task keeps only its
@@ -307,6 +342,10 @@ object AnalyticsQueries {
   /** |z| threshold of the outlier flagger (q_events_outliers). */
   val OutlierZ = 2.5
 
+  /** Top total-variation contributors reported by q_text_vocab_drift
+    * (shared with its oracle). */
+  val VocabDriftTopK = 50
+
   def oracleSql: Map[String, String] = Map(
 
     "q_events_windowed" -> """
@@ -352,6 +391,31 @@ object AnalyticsQueries {
       SELECT token, count(*) AS cnt FROM toks
       GROUP BY token HAVING count(*) >= 5
       ORDER BY cnt DESC, token""",
+
+    "q_text_vocab_drift" -> s"""
+      WITH d AS (
+        SELECT (${graft.text.TextSql.charPolyHash("text")} % 100 >=
+                ${graft.dedup.DedupQueries.IncrementalSplitBoundary}) AS is_batch,
+               text
+        FROM documents),
+      t AS (
+        SELECT is_batch, unnest(${TextSql.tokens("text")}) AS token FROM d),
+      c AS (
+        SELECT token,
+          count(*) FILTER (WHERE NOT is_batch) AS n_corpus,
+          count(*) FILTER (WHERE is_batch) AS n_batch
+        FROM t GROUP BY token),
+      tot AS (
+        SELECT greatest(count(*) FILTER (WHERE NOT is_batch), 1) AS tc,
+               greatest(count(*) FILTER (WHERE is_batch), 1) AS tb
+        FROM t)
+      SELECT token, n_corpus, n_batch,
+        round(CAST(n_corpus AS DOUBLE) / tc, 9) AS p_corpus,
+        round(CAST(n_batch AS DOUBLE) / tb, 9) AS p_batch,
+        round(abs(CAST(n_corpus AS DOUBLE) / tc
+                  - CAST(n_batch AS DOUBLE) / tb), 9) AS abs_diff
+      FROM c, tot
+      ORDER BY abs_diff DESC, token LIMIT $VocabDriftTopK""",
 
     "q_join_enrich" -> """
       SELECT r_name, n_name,
