@@ -23,6 +23,10 @@ object AnnQueries {
 
   /** Full-corpus Lloyd refinement rounds of q_ann_ivf_trained. */
   val TrainRefineIters = 2
+
+  /** vec_id % 10 bucket boundary splitting corpus (< boundary) from
+    * batch in q_ann_embedding_drift (shared with its oracle). */
+  val EmbDriftBatchBucket = 8
   val ProjDims = 8
   /** Edges kept per vertex in the kNN graph (q_ann_knn_graph). */
   val KnnK = 3
@@ -125,6 +129,34 @@ object AnnQueries {
     "q_ann_label_means" -> ((s, dir) =>
       Similarity.meanByGroup(Tables(s, dir, "embeddings"), "label", "embedding")
         .orderBy("label", "dim")),
+
+    // Embedding-space DRIFT: per-dimension mean shift between the
+    // standing corpus and the incoming batch (vec_id % 10 split) —
+    // the vector-side twin of q_text_vocab_drift: a shifted encoder
+    // or source shows up as per-dim mean displacement before it
+    // degrades ANN recall. One narrow explode + a dims-row shuffle
+    // (map-side combined); DECIMAL sums keep both engines exact.
+    "q_ann_embedding_drift" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull)
+        .select((col("vec_id") % 10 >= EmbDriftBatchBucket).as("is_batch"),
+          posexplode(col("embedding")).as(Seq("__pos", "__v")))
+        .select(col("is_batch"), (col("__pos").cast("long") + 1).as("dim"),
+          col("__v").cast("double").as("v"))
+      val mc = col("s_corpus").cast("double") / col("n_corpus")
+      val mb = col("s_batch").cast("double") / col("n_batch")
+      e.groupBy("dim").agg(
+          count(when(!col("is_batch"), lit(1))).as("n_corpus"),
+          sum(when(!col("is_batch"), col("v").cast("decimal(28,10)")))
+            .as("s_corpus"),
+          count(when(col("is_batch"), lit(1))).as("n_batch"),
+          sum(when(col("is_batch"), col("v").cast("decimal(28,10)")))
+            .as("s_batch"))
+        .select(col("dim"), col("n_corpus"), col("n_batch"),
+          round(mc, 6).as("mean_corpus"), round(mb, 6).as("mean_batch"),
+          round(abs(mc - mb), 6).as("abs_diff"))
+        .orderBy("dim")
+    }),
 
     // LSH-bucketed approximate kNN graph (top-KnnK per vertex within
     // its bucket) — the edge list community detection / diversity
@@ -383,6 +415,27 @@ object AnnQueries {
         round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10))) AS DOUBLE)
           / count(*), 6) AS mean_val
       FROM e GROUP BY label, dim ORDER BY label, dim""",
+
+    "q_ann_embedding_drift" -> s"""
+      WITH e AS (
+        SELECT (vec_id % 10 >= $EmbDriftBatchBucket) AS is_batch,
+               unnest(range(1, len(embedding) + 1)) AS dim,
+               unnest(embedding) AS v
+        FROM embeddings WHERE embedding IS NOT NULL),
+      a AS (
+        SELECT dim,
+          count(*) FILTER (WHERE NOT is_batch) AS n_corpus,
+          count(*) FILTER (WHERE is_batch) AS n_batch,
+          CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10)))
+               FILTER (WHERE NOT is_batch) AS DOUBLE) AS s_corpus,
+          CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(28,10)))
+               FILTER (WHERE is_batch) AS DOUBLE) AS s_batch
+        FROM e GROUP BY dim)
+      SELECT dim, n_corpus, n_batch,
+        round(s_corpus / n_corpus, 6) AS mean_corpus,
+        round(s_batch / n_batch, 6) AS mean_batch,
+        round(abs(s_corpus / n_corpus - s_batch / n_batch), 6) AS abs_diff
+      FROM a ORDER BY dim""",
 
     "q_ann_knn_graph" -> s"""
       WITH n AS (SELECT count(*) AS cnt FROM embeddings),
