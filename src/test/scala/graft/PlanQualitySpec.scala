@@ -225,6 +225,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(offenders.isEmpty, s"degenerate joins in:\n${offenders.mkString("\n")}")
   }
 
+  test("drift audits prune their scans to the columns they derive from") {
+    // vocab drift needs only text; embedding drift only vec_id+embedding
+    def readCols(q: String): Set[String] = {
+      val p = plan(SparkEntry.queries(q)(spark, Sf))
+      collectAll(p) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.requiredSchema.fieldNames.toSeq
+      }.flatten.toSet
+    }
+    val vd = readCols("q_text_vocab_drift")
+    assert(!vd.contains("lang") && !vd.contains("source") &&
+      !vd.contains("n_chars"), s"vocab drift reads unprojected columns: $vd")
+    val ed = readCols("q_ann_embedding_drift")
+    assert(!ed.contains("label"), s"embedding drift reads unprojected columns: $ed")
+  }
+
   test("documents scan prunes columns: text-stats reads only what it projects") {
     val p = plan(SparkEntry.queries("q_text_stats")(spark, Sf))
     val scans = collectAll(p) {
