@@ -256,9 +256,12 @@ object DedupQueries {
     // actually runs per batch: every batch doc gets ONE verdict from
     // the three corpus probes, in fixed precedence (exact > fuzzy >
     // fingerprint > kept). Oracle-checked as a composition, like
-    // q_pipeline_curate. Scale shape: the three probes share the batch
-    // scan; each is the already-bounded incremental operator, and the
-    // verdict join-backs are on distinct batch ids (≤ |batch| rows).
+    // q_pipeline_curate. Scale shape: each probe scans the BATCH side
+    // once (batch-sized, cheap ×3); the corpus sides are, in
+    // production, three different STANDING indexes (hash set, band
+    // index, fingerprint index) built once per snapshot — this harness
+    // derives them in-query. The verdict join-backs are on distinct
+    // batch ids (≤ |batch| rows).
     "q_pipeline_ingest" -> ((s, dir) => {
       val bucket = TextAnalysis.charFingerprint(col("text")) % 100
       val docs = Tables(s, dir, "documents").withColumn("bucket", bucket)
