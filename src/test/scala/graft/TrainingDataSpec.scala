@@ -211,6 +211,40 @@ class TrainingDataSpec extends SparkSpec {
     assert(inc.contains((34L, 34L, 1)), "edge-free batch doc stays a singleton")
   }
 
+  test("incremental cluster maintenance property: ≡ from-scratch on 15 random graphs") {
+    import graft.dedup.Clusters
+    val rnd = new scala.util.Random(20260813L)
+    for (trial <- 0 until 15) {
+      val nCorpus = 5 + rnd.nextInt(20)
+      val nBatch = 1 + rnd.nextInt(10)
+      // corpus ids 0..nCorpus-1; batch ids interleave ABOVE AND BELOW
+      // (negative) so batch minima sometimes undercut corpus reps
+      val corpusIds = (0L until nCorpus.toLong).toSeq
+      val batchIds = (0 until nBatch).map(i =>
+        if (rnd.nextBoolean()) 100L + i else -1L - i)
+      val corpusPairs = Seq.fill(rnd.nextInt(nCorpus * 2))(
+        (corpusIds(rnd.nextInt(nCorpus)), corpusIds(rnd.nextInt(nCorpus))))
+        .filter(p => p._1 != p._2)
+      val all = corpusIds ++ batchIds
+      // batch-touching edges: batch↔corpus and batch↔batch
+      val newPairs = Seq.fill(rnd.nextInt(3 * nBatch))(
+        (batchIds(rnd.nextInt(nBatch)), all(rnd.nextInt(all.length))))
+        .filter(p => p._1 != p._2)
+      val assignments = Clusters.resolve(corpusIds.toDF("doc_id"), "doc_id",
+        corpusPairs.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .select("doc_id", "cluster")
+      val inc = Clusters.incrementalResolve(assignments,
+        batchIds.toDF("doc_id"), "doc_id",
+        newPairs.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val scratch = Clusters.resolve(all.toDF("doc_id"), "doc_id",
+        (corpusPairs ++ newPairs).toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(inc == scratch,
+        s"trial $trial: nCorpus=$nCorpus nBatch=$nBatch\ninc=$inc\nscr=$scratch")
+    }
+  }
+
   test("incremental probes tolerate empty batch and empty corpus") {
     // day-one shape (standing corpus empty) and quiet-batch shape —
     // every probe must return an empty result, not throw
