@@ -119,7 +119,10 @@ object ScaleSmoke {
       import graft.operators.CdcOps
       import graft.model.Cdc
       val snap = Tables(spark, OutDir, "orders")
+      // only the snapshot's own table — the LWW output spans all event
+      // types, and an apply's one-row-per-key contract holds per table
       val lww = SparkEntry.queries("q_cdc_lww")(spark, OutDir)
+        .filter(col(Cdc.Cols.TableName) === "TEST_PURCHASE")
       val changes = lww.select(
         col("k").as("o_orderkey"), (col("k") % 100).as("o_custkey"),
         lit("U").as("o_orderstatus"), col("amount").as("o_totalprice"),

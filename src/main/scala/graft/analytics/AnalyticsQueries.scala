@@ -52,25 +52,24 @@ object AnalyticsQueries {
     // that fires before a source shift poisons the mixture. Pure
     // arithmetic (no transcendentals), so exactly oracle-portable
     // where a KL divergence's log would drift in the last ulp.
-    // Scale shape: one token aggregation with map-side combine (the
-    // shuffle carries the vocabulary, not the corpus); the two side
-    // totals come from a 2-row driver aggregate embedded as plan
-    // literals (small-by-contract collect, like the ANN query
-    // vectors), so the vocab frame stays narrow; the top-K is a
-    // global TakeOrdered over the vocabulary.
+    // Scale shape: ONE token aggregation with map-side combine (the
+    // shuffle carries the vocabulary, not the corpus); the side totals
+    // are a global window over the aggregated vocab frame — a
+    // vocabulary-sized single-partition pass, the trade against a
+    // second full corpus scan (a crossJoin with a 1-row aggregate
+    // would plan the BroadcastNestedLoopJoin the degenerate-join guard
+    // bans); the top-K is a global TakeOrdered over the vocabulary.
     "q_text_vocab_drift" -> ((s, dir) => {
       val boundary = graft.dedup.DedupQueries.IncrementalSplitBoundary
       val bucket = TextAnalysis.charFingerprint(col("text")) % 100
       val toks = Tables(s, dir, "documents")
         .select((bucket >= boundary).as("is_batch"),
           explode(TextAnalysis.tokens(col("text"))).as("token"))
-      // ≤ 2 rows by construction — small-by-contract collect
-      val totals = toks.groupBy("is_batch").agg(count(lit(1)).as("t"))
-        .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
-      val tCorpus = math.max(totals.getOrElse(false, 0L), 1L)
-      val tBatch = math.max(totals.getOrElse(true, 0L), 1L)
-      val pc = col("n_corpus").cast("double") / tCorpus
-      val pb = col("n_batch").cast("double") / tBatch
+      val w = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+      val pc = col("n_corpus").cast("double") /
+        greatest(sum("n_corpus").over(w), lit(1L)).cast("double")
+      val pb = col("n_batch").cast("double") /
+        greatest(sum("n_batch").over(w), lit(1L)).cast("double")
       toks.groupBy("token").agg(
           count(when(!col("is_batch"), lit(1))).as("n_corpus"),
           count(when(col("is_batch"), lit(1))).as("n_batch"))

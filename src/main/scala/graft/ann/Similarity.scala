@@ -243,7 +243,7 @@ object Similarity {
    * beyond the K·dims aggregate (the collect below is bounded by
    * centroids·dims rows by construction, NOT by corpus size).
    */
-  def refineCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+  def refineCentroids(corpus: DataFrame, vecCol: String,
       centroids: Seq[Array[Double]], iters: Int = 2): Seq[Array[Double]] = {
     require(centroids.nonEmpty, "refineCentroids needs a seed centroid set")
     require(iters >= 0, s"iters must be >= 0, got $iters")
@@ -280,7 +280,7 @@ object Similarity {
   def trainCentroidsDistributed(corpus: DataFrame, idCol: String,
       vecCol: String, k: Int, sampleSize: Int = 4096, sampleIters: Int = 10,
       refineIters: Int = 2, seed: Long = 42L): Seq[Array[Double]] =
-    refineCentroids(corpus, idCol, vecCol,
+    refineCentroids(corpus, vecCol,
       trainCentroids(corpus, idCol, vecCol, k, sampleSize, sampleIters, seed),
       refineIters)
 

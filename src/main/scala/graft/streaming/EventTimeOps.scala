@@ -147,14 +147,19 @@ object EventTimeOps {
    * would pay |corpus| digest work × batches and accumulate cached
    * frames without bound. It stays persisted for the stream's lifetime
    * (it IS the standing index); each batch's own signature cache is
-   * released as soon as `onMatches` returns.
+   * released as soon as `onMatches` returns. The returned release
+   * handle drops the standing index — call it after the query stops
+   * when this corpus snapshot is superseded, or the caches of retired
+   * snapshots accumulate until LRU eviction.
+   *
+   * @return (writer, release handle for the standing corpus index)
    */
   def dedupAgainstCorpus(docs: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, threshold: Double)(
-      onMatches: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val (corpusIndex, _) =
+      onMatches: DataFrame => Unit): (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row], () => Unit) = {
+    val (corpusIndex, releaseIndex) =
       graft.dedup.Dedup.corpusNearDupIndex(corpus, idCol, textCol)
-    docs.writeStream
+    val writer = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val (matches, releaseBatch) = graft.dedup.Dedup.probeNearDupIndex(
@@ -162,6 +167,7 @@ object EventTimeOps {
         try onMatches(matches) finally releaseBatch()
         ()
       }
+    (writer, releaseIndex)
   }
 
   /**
@@ -173,20 +179,26 @@ object EventTimeOps {
    * the funnel's per-batch `distinct` would be unbounded stateful
    * dedup as a stream-static join; per micro-batch it is the plain
    * batch operator, idempotent under redelivery for idempotent sinks.
+   * Same release contract as [[dedupAgainstCorpus]]: the returned
+   * handle drops the standing fingerprint index once this corpus
+   * snapshot is superseded.
+   *
+   * @return (writer, release handle for the standing corpus index)
    */
   def simhashDedupAgainstCorpus(docs: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, maxHamming: Int, bands: Int,
       words: Int)(
-      onMatches: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    val (corpusIndex, _) = graft.dedup.Dedup.corpusSimhashIndex(
+      onMatches: DataFrame => Unit): (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row], () => Unit) = {
+    val (corpusIndex, releaseIndex) = graft.dedup.Dedup.corpusSimhashIndex(
       corpus, idCol, textCol, maxHamming, bands, words)
-    docs.writeStream
+    val writer = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         onMatches(graft.dedup.Dedup.probeSimhashIndex(
           batch, corpusIndex, idCol, textCol, maxHamming, bands, words))
         ()
       }
+    (writer, releaseIndex)
   }
 
   final case class FunnelInput(user_id: Long, ts: Timestamp, event_type: String)

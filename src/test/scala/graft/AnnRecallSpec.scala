@@ -75,9 +75,9 @@ class AnnRecallSpec extends SparkSpec {
     // updates) must hold the sampled trainer's recall on the clustered
     // fixture and stay deterministic across runs
     val refined = Similarity.refineCentroids(
-      df, "vec_id", "embedding", trained, iters = 2)
+      df, "embedding", trained, iters = 2)
     val refined2 = Similarity.refineCentroids(
-      df, "vec_id", "embedding", trained, iters = 2)
+      df, "embedding", trained, iters = 2)
     assert(refined.map(_.toSeq) == refined2.map(_.toSeq),
       "distributed refinement must be deterministic")
     val rRefined = recallAtK(

@@ -102,10 +102,11 @@ class EventTimeSpec extends SparkSpec {
     ).toDF("doc_id", "text").persist()
     val mem = MemoryStream[Row](enc, spark)
     val got = scala.collection.mutable.Set.empty[(Long, Long)]
-    val q = EventTimeOps.dedupAgainstCorpus(
+    val (writer, releaseIndex) = EventTimeOps.dedupAgainstCorpus(
       mem.toDF(), corpus, "doc_id", "text", 0.3) { m =>
         got ++= m.collect().map(r => (r.getLong(0), r.getLong(1)))
-      }.start()
+      }
+    val q = writer.start()
     try {
       val b1 = Seq(Row(10L, "alpha beta gamma delta epsilon eta"), // ~dup of 1
         Row(11L, "completely unrelated text body here"))
@@ -118,6 +119,10 @@ class EventTimeSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got.toSet == batchEquiv && got.contains((10L, 1L)) &&
         got.contains((12L, 3L)), s"stream $got vs batch $batchEquiv")
+      val cached = spark.sparkContext.getPersistentRDDs.size
+      releaseIndex()
+      assert(spark.sparkContext.getPersistentRDDs.size == cached - 1,
+        "release handle must drop the standing corpus index")
     } finally { q.stop(); corpus.unpersist() }
   }
 
@@ -133,10 +138,11 @@ class EventTimeSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val mem = MemoryStream[Row](enc, spark)
     val got = scala.collection.mutable.Set.empty[(Long, Long, Long)]
-    val q = EventTimeOps.simhashDedupAgainstCorpus(
+    val (writer, releaseIndex) = EventTimeOps.simhashDedupAgainstCorpus(
       mem.toDF(), corpus, "doc_id", "text", 5, 6, 2) { m =>
         got ++= m.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      }.start()
+      }
+    val q = writer.start()
     try {
       // exact dups (hamming 0) — a 1-token edit in 40 can exceed
       // hamming 5 over the FULL 120-bit distance; this test pins the
@@ -153,6 +159,10 @@ class EventTimeSpec extends SparkSpec {
       assert(got.toSet == batchEquiv, s"stream $got vs batch $batchEquiv")
       assert(got.exists(_._2 == 1L) && !got.exists(_._2 == 3L),
         "near-dups of corpus doc 1 must match; unrelated doc 3 must not")
+      val cached = spark.sparkContext.getPersistentRDDs.size
+      releaseIndex()
+      assert(spark.sparkContext.getPersistentRDDs.size == cached - 1,
+        "release handle must drop the standing fingerprint index")
     } finally q.stop()
   }
 

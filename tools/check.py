@@ -75,6 +75,10 @@ def main():
         n_ok += 1
     print(f"{n_ok}/{len(oracles)} ok")
     check_readme_counts(out_dir, len(oracles))
+    # a failed oracle comparison must fail the run at least as loudly
+    # as a README count drift does
+    if n_ok < len(oracles):
+        sys.exit(1)
 
 def check_readme_counts(out_dir, n_oracles):
     """README's query/test totals drifted twice across rounds; derive
