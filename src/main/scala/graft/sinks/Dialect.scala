@@ -14,12 +14,20 @@ trait Dialect {
 
   def name: String
 
-  /** Quote an identifier for this dialect. */
-  def quote(ident: String): String = s""""$ident""""
+  /** Quote an identifier for this dialect. Embedded quote characters
+    * are doubled: inferred-schema column names come verbatim from
+    * payload JSON keys, so an unescaped quote would let a payload
+    * break out of the identifier and into the DDL statement. */
+  def quote(ident: String): String =
+    "\"" + ident.replace("\"", "\"\"") + "\""
 
   /** Normalize an identifier the way the target stores unquoted names
     * (PG lowercases, Derby/Oracle uppercase — PostgreSqlDialect.java:95-98). */
   def normalizeIdent(ident: String): String = ident
+
+  /** DDL type for a PRIMARY KEY column — dialects whose default string
+    * type cannot be indexed (MySQL TEXT) override this. */
+  def pkTypeFor(dt: DataType): String = typeFor(dt)
 
   /** DDL column type for a Spark type (GenericDialect.java:199-221).
     * The base mapping declares the ANSI INTERVAL forms; every shipped
@@ -46,8 +54,10 @@ trait Dialect {
 
   def createTableSql(table: String, schema: StructType, pkCols: Seq[String]): String = {
     val cols = schema.fields.map { f =>
-      val notNull = if (pkCols.contains(f.name)) " NOT NULL" else ""
-      s"${quote(f.name)} ${typeFor(f.dataType)}$notNull"
+      val isPk = pkCols.contains(f.name)
+      val notNull = if (isPk) " NOT NULL" else ""
+      val tpe = if (isPk) pkTypeFor(f.dataType) else typeFor(f.dataType)
+      s"${quote(f.name)} $tpe$notNull"
     }
     val pk = if (pkCols.nonEmpty)
       s", PRIMARY KEY (${pkCols.map(quote).mkString(", ")})" else ""
@@ -82,12 +92,20 @@ final case class UpdateInsert(updateSql: String, insertSql: String,
 /** MySQL / MariaDB: INSERT ... ON DUPLICATE KEY UPDATE (MySqlDialect.java:16-31). */
 object MySqlDialect extends Dialect {
   val name = "mysql"
-  override def quote(ident: String): String = s"`$ident`"
+  override def quote(ident: String): String =
+    "`" + ident.replace("`", "``") + "`"
   override def typeFor(dt: DataType): String = dt match {
     case StringType => "TEXT"
     case BinaryType => "VARBINARY(4000)"
     case _: YearMonthIntervalType | _: DayTimeIntervalType => "VARCHAR(64)"
     case other      => super.typeFor(other)
+  }
+  // TEXT cannot carry a key (MySQL 1170 wants a prefix length); string
+  // PKs get an indexable VARCHAR instead.
+  override def pkTypeFor(dt: DataType): String = dt match {
+    case StringType => "VARCHAR(255)"
+    case BinaryType => "VARBINARY(255)"
+    case other      => typeFor(other)
   }
   def upsertSql(table: String, cols: Seq[String], pkCols: Seq[String]): UpsertPlan = {
     val collist = cols.map(quote).mkString(", ")
@@ -108,7 +126,10 @@ object MySqlDialect extends Dialect {
 /** PostgreSQL: INSERT ... ON CONFLICT DO UPDATE (PostgreSqlDialect.java:17-39). */
 object PostgreSqlDialect extends Dialect {
   val name = "postgresql"
-  override def normalizeIdent(ident: String): String = ident.toLowerCase
+  // Locale.ROOT: identifier folding must not vary with the JVM locale
+  // (Turkish-I would corrupt "ID")
+  override def normalizeIdent(ident: String): String =
+    ident.toLowerCase(java.util.Locale.ROOT)
   override def typeFor(dt: DataType): String = dt match {
     case StringType => "TEXT"
     case BinaryType => "BYTEA"
@@ -143,7 +164,8 @@ object PostgreSqlDialect extends Dialect {
  */
 object GenericDialect extends Dialect {
   val name = "generic"
-  override def normalizeIdent(ident: String): String = ident.toUpperCase
+  override def normalizeIdent(ident: String): String =
+    ident.toUpperCase(java.util.Locale.ROOT)
   override def typeFor(dt: DataType): String = dt match {
     case StringType => "VARCHAR(4000)"
     // Derby (the tested generic target) has no INTERVAL type: store
@@ -173,7 +195,7 @@ object Dialects {
     forProductName(conn.getMetaData.getDatabaseProductName)
 
   def forProductName(product: String): Dialect = {
-    val p = Option(product).getOrElse("").toLowerCase
+    val p = Option(product).getOrElse("").toLowerCase(java.util.Locale.ROOT)
     if (p.contains("mysql") || p.contains("mariadb")) MySqlDialect
     else if (p.contains("postgresql")) PostgreSqlDialect
     else GenericDialect

@@ -41,10 +41,13 @@ object JdbcApply {
     * poison batch must not flood the driver with log I/O. */
   val MaxLoggedCorrupt = 100
 
-  /** What a batch apply skipped: corrupt rows written to the DLQ, and
-    * how many of them were WARN-logged (>0 only under tolerance=log —
-    * the observable difference from `all`, IidrCdcSinkTask.java:236-264). */
-  final case class ApplyStats(corruptSkipped: Long, warningsLogged: Long)
+  /** What a batch apply skipped: corrupt rows written to the DLQ, how
+    * many of them were WARN-logged (>0 only under tolerance=log — the
+    * observable difference from `all`, IidrCdcSinkTask.java:236-264),
+    * and valid rows whose PK could not be resolved (warn + skip, like
+    * JdbcWriter.java:208-221 — never a silent drop). */
+  final case class ApplyStats(corruptSkipped: Long, warningsLogged: Long,
+      unroutableSkipped: Long = 0L)
 
   final case class Config(
       url: String,
@@ -142,13 +145,32 @@ object JdbcApply {
       // A table with a PK but no pinned schema is still applied — its
       // value schema is INFERRED from the batch's own payloads (C1
       // fallback, IidrToJdbcSinkTransform.java:299-320).
-      (cfg.tableSchemas.keySet ++ cfg.primaryKeys.keySet).toSeq.sorted
-        .foreach(t => applyTable(batch, t, cfg))
-      ApplyStats(nCorrupt, warned)
+      val configured = cfg.tableSchemas.keySet ++ cfg.primaryKeys.keySet
+      // One cheap distinct over the PERSISTED batch: tables with no
+      // rows this batch skip their per-table DDL round trip and Spark
+      // job entirely, and rows routed to an UNCONFIGURED table are
+      // surfaced (a config typo would otherwise advance the checkpoint
+      // past the data with no signal).
+      val present = batch
+        .filter(col(Cdc.Cols.CorruptReason).isNull &&
+          col(Cdc.Cols.TargetTable).isNotNull)
+        .select(Cdc.Cols.TargetTable).distinct()
+        .collect().map(_.getString(0)).toSet
+      val unconfigured = present -- configured
+      if (unconfigured.nonEmpty)
+        log.warn(s"Batch contains rows for unconfigured table(s) " +
+          s"${unconfigured.toSeq.sorted.mkString(", ")} — no schema or " +
+          "primary key is configured, so these rows are NOT applied")
+      val unroutable = configured.toSeq.sorted
+        .filter(present.contains)
+        .map(t => applyTable(batch, t, cfg)).sum
+      ApplyStats(nCorrupt, warned, unroutable)
     } finally batch.unpersist()
   }
 
-  private def applyTable(batch: DataFrame, table: String, cfg: Config): Unit = {
+  /** Apply one table's slice of the batch; returns the number of
+    * valid rows skipped because no PK value could be resolved. */
+  private def applyTable(batch: DataFrame, table: String, cfg: Config): Long = {
     val schema = cfg.tableSchemas.getOrElse(table,
       graft.operators.SchemaInfer.infer(
         batch.sparkSession,
@@ -157,7 +179,7 @@ object JdbcApply {
         Cdc.Cols.ValueJson))
     // Nothing inferable (no payloads for the table in this batch — e.g.
     // deletes only against a table that was never created): no-op.
-    if (schema.isEmpty) return
+    if (schema.isEmpty) return 0L
     // Overrides hit STRING-declared fields only (the reference coerces
     // only string values, IidrToJdbcSinkTransform.java:246-252); the
     // EFFECTIVE schema — with overridden fields re-typed — drives DDL
@@ -184,19 +206,32 @@ object JdbcApply {
     }
 
     // PK columns: key struct for deletes, value struct otherwise
-    // (IidrCdcSinkTask.java:186-195 / JdbcWriter.java:208-221).
+    // (IidrCdcSinkTask.java:186-195 / JdbcWriter.java:208-221). Either
+    // struct may LACK the field (pinned value schema without the PK,
+    // or no key schema configured) — referencing a missing struct
+    // field would fail analysis, so both sides are schema-guarded.
+    def valueField(pk: String) =
+      if (schema.fieldNames.contains(pk)) Some(col(s"__v.$pk")) else None
     val keyed = pks.foldLeft(rows) { (df, pk) =>
+      val fromKey = keyField(keySchema, pk)
+      val fromValue = valueField(pk)
       df.withColumn(s"__pk_$pk",
         when(col(Cdc.Cols.Op) === Cdc.Op.Delete,
-          keyField(keySchema, pk).getOrElse(col(s"__v.$pk")))
-          .otherwise(coalesce(col(s"__v.$pk"),
-            keyField(keySchema, pk).getOrElse(lit(null)))))
+          fromKey.orElse(fromValue).getOrElse(lit(null)))
+          .otherwise(coalesce(
+            (fromValue.toSeq ++ fromKey.toSeq :+ lit(null)): _*)))
     }
 
-    // Valid JSON that lacks the PK fields cannot be routed: skip, like
-    // the reference's "no PK fields => warn + skip" (JdbcWriter.java:208-221).
-    val routable = keyed.filter(
-      pks.map(p => col(s"__pk_$p").isNotNull).reduce(_ && _))
+    // Valid JSON that lacks the PK fields cannot be routed: warn +
+    // skip + count, like the reference's "no PK fields => warn + skip"
+    // (JdbcWriter.java:208-221) — never a silent drop. The count scans
+    // the PERSISTED batch, so it costs one cached pass.
+    val routableCond = pks.map(p => col(s"__pk_$p").isNotNull).reduce(_ && _)
+    val nUnroutable = keyed.filter(!routableCond).count()
+    if (nUnroutable > 0)
+      log.warn(s"$nUnroutable record(s) for table $table skipped: no " +
+        s"primary-key value resolvable from key or value payload")
+    val routable = keyed.filter(routableCond)
 
     val lww = CdcOps.lastWriteWins(routable, Cdc.Cols.TargetTable,
       pks.map(p => s"__pk_$p"), "offset")
@@ -216,7 +251,13 @@ object JdbcApply {
       case "upper" => _.toUpperCase(java.util.Locale.ROOT)
       case _ => identity
     }
-    val jdbcSchema = StructType(effSchema.fields.map(f => f.copy(name = cased(f.name))))
+    // A PK carried only by the KEY schema (value payloads never repeat
+    // it — the compacted-topic shape) still needs a column: append it
+    // so DDL declares it and the writer binds it from __pk_* below.
+    val ddlSchema = StructType(effSchema.fields ++
+      pks.filterNot(effSchema.fieldNames.contains)
+        .flatMap(p => keySchema.fields.find(_.name == p)))
+    val jdbcSchema = StructType(ddlSchema.fields.map(f => f.copy(name = cased(f.name))))
     // Two wire fields collapsing to one cased name ("ID" and "id"
     // under lower) would otherwise surface as a confusing dialect
     // error at DDL/INSERT time — fail here, naming the collision.
@@ -243,6 +284,7 @@ object JdbcApply {
         if (it.hasNext)
           writePartition(it, url, user, password, table, valueCols, jdbcPks, batchSize)
       }
+    nUnroutable
   }
 
   private def keyField(keySchema: StructType, name: String) =
@@ -326,8 +368,15 @@ object JdbcApply {
           if (nDel % batchSize == 0) delete.executeBatch()
         } else {
           val v = row.getStruct(1 + pks.length)
-          val colVals = valueCols.indices.map(i =>
-            if (v == null) null else jdbcValue(v.get(i)))
+          // PK columns bind from the ROUTING values (__pk_*, already
+          // key/value-coalesced): a PK riding only the record key
+          // would otherwise insert as NULL from the value struct —
+          // and key-only PK columns have no value-struct slot at all.
+          val colVals = valueCols.indices.map { i =>
+            val pkIdx = pks.indexOf(valueCols(i))
+            if (pkIdx >= 0) pkVals(pkIdx)
+            else if (v == null) null else jdbcValue(v.get(i))
+          }
           plan match {
             case NativeUpsert(_, bind) =>
               bind(upsertPs, colVals)
@@ -362,8 +411,12 @@ object JdbcApply {
         throw new IllegalStateException(s"table $t missing and autoCreate=false")
       exec(conn, dialect.createTableSql(t, schema, pks))
     } else if (cfg.autoEvolve) {
-      val existing = columnsOf(conn, t).map(_.toLowerCase)
-      schema.fields.filterNot(f => existing.contains(f.name.toLowerCase))
+      // Locale.ROOT like every identifier fold in this file — the
+      // default-locale toLowerCase would mis-compare "ID" under tr-TR
+      // and spuriously ADD a duplicate column.
+      val existing = columnsOf(conn, t).map(_.toLowerCase(java.util.Locale.ROOT))
+      schema.fields.filterNot(f =>
+          existing.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
         .foreach(f => exec(conn, dialect.addColumnSql(t, f)))
     }
   }

@@ -61,6 +61,24 @@ class DialectSpec extends SparkSpec {
     assert(PostgreSqlDialect.typeFor(DoubleType) == "DOUBLE PRECISION")
   }
 
+  test("identifier quoting escapes embedded quote characters (DDL injection guard)") {
+    assert(GenericDialect.quote("""a" INT); DROP TABLE x; --""") ==
+      "\"a\"\" INT); DROP TABLE x; --\"")
+    assert(MySqlDialect.quote("a` INT); DROP TABLE x; --") ==
+      "`a`` INT); DROP TABLE x; --`")
+    assert(GenericDialect.quote("plain") == "\"plain\"")
+  }
+
+  test("MySQL string/binary PRIMARY KEY columns get indexable types, not TEXT") {
+    val schema = StructType.fromDDL("ID STRING, PAYLOAD STRING")
+    val ddl = MySqlDialect.createTableSql("t", schema, Seq("ID"))
+    assert(ddl.contains("`ID` VARCHAR(255) NOT NULL"),
+      s"string PK must be VARCHAR, got: $ddl")
+    assert(ddl.contains("`PAYLOAD` TEXT"), s"non-PK string stays TEXT: $ddl")
+    assert(MySqlDialect.pkTypeFor(BinaryType) == "VARBINARY(255)")
+    assert(MySqlDialect.pkTypeFor(LongType) == "BIGINT")
+  }
+
   test("full-type row round-trips through the Derby apply (typed binding)") {
     val url = "jdbc:derby:memory:typesdb;create=true"
     val schema = StructType.fromDDL(

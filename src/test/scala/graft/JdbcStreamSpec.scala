@@ -99,6 +99,54 @@ class JdbcStreamSpec extends SparkSpec {
     assert(rows.map(_._1) == Seq(1L, 2L))
   }
 
+  test("PK riding only the record key routes, binds, and deletes correctly") {
+    // compacted-topic shape: value payloads never repeat the PK — the
+    // value schema has no ID column at all; the key supplies it. The
+    // apply must append the PK column to the DDL and bind it from the
+    // routing values (it previously inserted NULL from the value
+    // struct, or failed analysis on the missing struct field).
+    val db = "keyonlydb"
+    val rows = Seq(
+      wireRow(0, "PT", """{"ID":1}""",
+        """{"ORDER_NAME":"A","AMOUNT":1.5,"STATUS":"NEW"}"""),
+      wireRow(1, "PT", """{"ID":2}""",
+        """{"ORDER_NAME":"B","AMOUNT":2.5,"STATUS":"NEW"}"""),
+      wireRow(2, "UP", """{"ID":1}""",
+        """{"ORDER_NAME":"A2","AMOUNT":9.0,"STATUS":"DONE"}"""),
+      wireRow(3, "DL", """{"ID":2}""", null))
+    val cfg = sinkCfg(db).copy(
+      tableSchemas = Map("TEST_ORDERS" -> StructType.fromDDL(
+        "ORDER_NAME STRING, AMOUNT DOUBLE, STATUS STRING")))
+    val wire = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Cdc.kafkaWireSchema)
+    val stats = JdbcApply.applyBatch(CdcNormalize(wire, CdcConfig()), cfg)
+    assert(stats.unroutableSkipped == 0)
+    val conn = DriverManager.getConnection(s"jdbc:derby:memory:$db")
+    try {
+      val rs = conn.createStatement().executeQuery(
+        """SELECT "ID", "ORDER_NAME" FROM "TEST_ORDERS" ORDER BY "ID"""")
+      val got = Seq.newBuilder[(Long, String)]
+      while (rs.next()) got += ((rs.getLong(1), rs.getString(2)))
+      assert(got.result() == Seq((1L, "A2")),
+        "key-only PK must upsert under its key id and delete id 2")
+    } finally conn.close()
+  }
+
+  test("rows with no resolvable PK are counted and skipped, not applied or lost silently") {
+    val db = "unroutabledb"
+    val rows = Seq(
+      wireRow(0, "PT", """{"ID":1}""",
+        """{"ID":1,"ORDER_NAME":"ok","AMOUNT":1.0,"STATUS":"NEW"}"""),
+      // valid upsert, but no key and no ID in the value → unroutable
+      wireRow(1, "PT", null,
+        """{"ORDER_NAME":"orphan","AMOUNT":2.0,"STATUS":"NEW"}"""))
+    val wire = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Cdc.kafkaWireSchema)
+    val stats = JdbcApply.applyBatch(CdcNormalize(wire, CdcConfig()), sinkCfg(db))
+    assert(stats.unroutableSkipped == 1, s"stats=$stats")
+    assert(queryAll(s"jdbc:derby:memory:$db").map(_._1) == Seq(1L))
+  }
+
   test("errors.tolerance=none throws after writing the DLQ") {
     val db = "strictdb"
     val wire = spark.createDataFrame(
