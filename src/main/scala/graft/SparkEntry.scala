@@ -637,8 +637,9 @@ object SparkEntry {
           strftime(ts, '%H:%M:%S') AS tstr
         FROM events)
       SELECT offs, raw,
-        CASE WHEN raw = '' THEN NULL
-             ELSE CAST(replace(raw, 'T', ' ') AS TIMESTAMP) END AS coerced,
+        CASE WHEN regexp_matches(raw,
+               '^\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(\.\d{3})?$')
+             THEN CAST(replace(raw, 'T', ' ') AS TIMESTAMP) END AS coerced,
         CAST(dstr AS DATE) AS d,
         tstr AS t
       FROM r ORDER BY offs""",

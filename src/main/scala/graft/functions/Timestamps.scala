@@ -87,21 +87,26 @@ object Timestamps {
     catch { case _: java.time.DateTimeException => "UTC" }
   }
 
-  /** Patterns tried in order by the reference SMT (IidrToJdbcSinkTransform.java:68-75). */
-  private val timestampPatterns = Seq(
-    "yyyy-MM-dd HH:mm:ss.SSS",
+  /** THE timestamp pattern list, verbatim from the reference
+    * (TIMESTAMP_PATTERNS, IidrToJdbcSinkTransform.java:68-73 — most
+    * specific first, 'T' separators before space separators, and NO
+    * bare-date fallback: the reference's coerceValue throws for a
+    * date-only value under a timestamp target; [[coerceDate]] is the
+    * date path). Shared with TypeOverrides so the two coercion
+    * surfaces can never disagree. */
+  val TimestampPatterns: Seq[String] = Seq(
     "yyyy-MM-dd'T'HH:mm:ss.SSS",
-    "yyyy-MM-dd HH:mm:ss",
     "yyyy-MM-dd'T'HH:mm:ss",
-    "yyyy-MM-dd")
+    "yyyy-MM-dd HH:mm:ss.SSS",
+    "yyyy-MM-dd HH:mm:ss")
 
   /**
-   * Multi-pattern string → timestamp (IidrToJdbcSinkTransform.java:271-294):
+   * Multi-pattern string → timestamp (IidrToJdbcSinkTransform.java:272-294):
    * try each pattern, first hit wins; empty/blank → null.
    */
   def coerceTimestamp(raw: Column): Column = {
     val s = nullif(trim(raw), lit(""))
-    coalesce(timestampPatterns.map(p => try_to_timestamp(s, lit(p))): _*)
+    coalesce(TimestampPatterns.map(p => try_to_timestamp(s, lit(p))): _*)
   }
 
   /** String → date: reference truncates to the first 10 chars (JdbcWriter.java:242-268). */

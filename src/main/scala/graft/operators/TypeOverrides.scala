@@ -35,13 +35,9 @@ object TypeOverrides {
   val SupportedTypes: Set[String] =
     Set("timestamp", "date", "time", "interval_ym", "interval_ds", "binary")
 
-  /** Patterns in the reference's order (most specific first,
-    * IidrToJdbcSinkTransform.java:68-76). */
-  private val TimestampPatterns = Seq(
-    "yyyy-MM-dd'T'HH:mm:ss.SSS",
-    "yyyy-MM-dd'T'HH:mm:ss",
-    "yyyy-MM-dd HH:mm:ss.SSS",
-    "yyyy-MM-dd HH:mm:ss")
+  /** The ONE reference pattern list (IidrToJdbcSinkTransform
+    * .java:68-73), shared with Timestamps.coerceTimestamp. */
+  private val TimestampPatterns = graft.functions.Timestamps.TimestampPatterns
   private val DatePatterns = Seq("yyyy-MM-dd")
   private val TimePatterns = Seq("HH:mm:ss.SSS", "HH:mm:ss")
 

@@ -64,7 +64,9 @@ class OperatorsSpec extends SparkSpec {
     assert(got("2026-01-15 10:00:00.123").get.toString == "2026-01-15 10:00:00.123")
     assert(got("2026-01-15T10:00:00.123").get.toString == "2026-01-15 10:00:00.123")
     assert(got("2026-01-15 10:00:00").get.toString == "2026-01-15 10:00:00.0")
-    assert(got("2026-01-15").get.toString == "2026-01-15 00:00:00.0")
+    // Reference parity: a bare date is NOT a timestamp (coerceValue has no
+    // date-only pattern under a timestamp target; coerceDate is the date path).
+    assert(got("2026-01-15").isEmpty)
     assert(got("").isEmpty); assert(got("garbage").isEmpty)
   }
 
