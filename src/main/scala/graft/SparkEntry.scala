@@ -102,6 +102,7 @@ object SparkEntry {
     graft.ann.AnnQueries.queries ++
     graft.multimodal.MultimodalQueries.queries ++
     graft.analytics.AnalyticsQueries.queries ++
+    graft.analytics.SketchQueries.queries ++
     graft.pipeline.PipelineQueries.queries
 
   private def cdcQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -482,6 +483,7 @@ object SparkEntry {
     graft.ann.AnnQueries.oracleSql ++
     graft.multimodal.MultimodalQueries.oracleSql ++
     graft.analytics.AnalyticsQueries.oracleSql ++
+    graft.analytics.SketchQueries.oracleSql ++
     graft.pipeline.PipelineQueries.oracleSql
 
   private def cdcOracleSql: Map[String, String] = Map(

@@ -1,0 +1,138 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/**
+ * Sketch-based estimation: the 100 TB cardinality and quantile path.
+ *
+ * An exact COUNT(DISTINCT) over 100 TB shuffles every distinct value;
+ * an exact percentile sorts the column. The production substitutes are
+ * mergeable sketches — HyperLogLog for cardinality (constant KBs per
+ * group, map-side combined, unioned across partitions/days without
+ * touching raw data again) and rank sketches for quantiles. Spark
+ * ships both natively (`approx_count_distinct` = HLL++, Heule et al.
+ * CACM'13; `hll_sketch_agg`/`hll_union_agg` = Apache DataSketches HLL;
+ * `approx_percentile` = Greenwald–Khanna) — all codegen-friendly
+ * aggregates with partial merge, so the shuffle carries sketch bytes,
+ * not rows.
+ *
+ * An estimate can't hash-match a DuckDB oracle, so these queries follow
+ * the repo's estimator-calibration pattern (q_dedup_minhash_est): run
+ * the estimator AND the exact computation side by side and emit the
+ * exact value plus a within-tolerance verdict. The oracle recomputes
+ * the exact side and asserts the verdict is uniformly true — the audit
+ * a pipeline runs at small scale before trusting sketch-only numbers
+ * at full scale (where the exact side is dropped). Both sketches are
+ * order-independent (HLL register state is a per-bucket max; GK merge
+ * is rank-bounded with a deterministic compaction given the merge
+ * tree, which Spark's partial-agg plan fixes per dataset), so the
+ * verdicts are stable for the oracle.
+ */
+object SketchQueries {
+
+  /** Relative-error tolerance of the calibration verdicts. HLL++ at
+    * default precision carries ~1.6% standard error and the
+    * DataSketches HLL (lgK=12) ~1.04/√4096 ≈ 1.6%; 5% is >3σ. GK at
+    * [[PercentileAccuracy]] bounds RANK error to n/accuracy, far
+    * tighter than 5% of value on these distributions. */
+  val SketchTol = 0.05
+
+  /** approx_count_distinct target relative standard deviation. */
+  val DistinctRsd = 0.02
+
+  /** approx_percentile accuracy knob (rank error ≤ n/accuracy). */
+  val PercentileAccuracy = 10000
+
+  /** Quantiles audited by q_lineitem_approx_quantiles. */
+  val AuditQuantiles: Seq[Double] = Seq(0.5, 0.95)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // HLL++ cardinality calibration: per event_type, exact distinct
+    // users vs approx_count_distinct. ONE aggregation exchange; at
+    // full scale the exact side is dropped and the same plan is a
+    // map-side-combined sketch aggregation — no distinct-value
+    // shuffle.
+    "q_events_approx_users" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          count_distinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), DistinctRsd).as("est"))
+        .select(
+          col("event_type"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) <=
+            col("exact_users") * SketchTol).as("within_tol"))
+        .orderBy("event_type")),
+
+    // Mergeable-sketch ROLLUP: daily DataSketches-HLL sketches per
+    // (event_type, day) unioned up to event_type — the pre-aggregation
+    // shape that lets a 100 TB store answer arbitrary-window distinct
+    // questions from KB-sized daily sketches instead of re-scanning
+    // raw events. The exact side (audit only) pays the real distinct;
+    // the sketch side's second aggregation moves sketch bytes only.
+    "q_events_sketch_rollup" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val daily = ev
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val rolled = daily.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = ev.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("exact_users"))
+      exact.join(broadcast(rolled), "event_type")
+        .select(
+          col("event_type"), col("exact_users"),
+          (abs(col("est") - col("exact_users")) <=
+            col("exact_users") * SketchTol).as("within_tol"))
+        .orderBy("event_type")
+    }),
+
+    // Quantile-sketch calibration: per return flag, exact p50/p95 of
+    // l_extendedprice vs approx_percentile (Greenwald–Khanna). The
+    // exact `percentile` sorts per group; GK keeps an ε-bounded
+    // summary per partition and merges — the only quantile that works
+    // when a group no longer fits an executor.
+    "q_lineitem_approx_quantiles" -> ((s, dir) => {
+      val qs = array(AuditQuantiles.map(lit): _*)
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          percentile(col("l_extendedprice"), qs).as("exact"),
+          approx_percentile(col("l_extendedprice"), qs,
+            lit(PercentileAccuracy)).as("est"))
+        .select(
+          col("l_returnflag"),
+          round(col("exact").getItem(0), 6).as("exact_p50"),
+          round(col("exact").getItem(1), 6).as("exact_p95"),
+          (abs(col("est").getItem(0) - col("exact").getItem(0)) <=
+            col("exact").getItem(0) * SketchTol &&
+           abs(col("est").getItem(1) - col("exact").getItem(1)) <=
+            col("exact").getItem(1) * SketchTol).as("within_tol"))
+        .orderBy("l_returnflag")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_events_approx_users" -> """
+      SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        TRUE AS within_tol
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_events_sketch_rollup" -> """
+      SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        TRUE AS within_tol
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_lineitem_approx_quantiles" -> s"""
+      SELECT l_returnflag,
+        round(quantile_cont(l_extendedprice, ${AuditQuantiles(0)}), 6)
+          AS exact_p50,
+        round(quantile_cont(l_extendedprice, ${AuditQuantiles(1)}), 6)
+          AS exact_p95,
+        TRUE AS within_tol
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+}
