@@ -241,6 +241,43 @@ class PlanQualitySpec extends SparkSpec {
     assert(!ed.contains("label"), s"embedding drift reads unprojected columns: $ed")
   }
 
+  test("sketch calibrations prune their scans and keep aggregates partial") {
+    // The calibration queries touch only their grouped/sketched
+    // columns (events: event_type+user_id(+ts for the daily rollup);
+    // lineitem: l_returnflag+l_extendedprice), and every sketch
+    // aggregate must plan a partial stage so the exchange carries
+    // sketch bytes, not rows.
+    def p(q: String) = plan(SparkEntry.queries(q)(spark, Sf))
+    def readCols(q: String): Set[String] = collectAll(p(q)) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.requiredSchema.fieldNames.toSeq
+    }.flatten.toSet
+    val au = readCols("q_events_approx_users")
+    assert(!au.contains("value") && !au.contains("props") &&
+      !au.contains("event_id"), s"approx_users reads unprojected: $au")
+    val ro = readCols("q_events_sketch_rollup")
+    assert(!ro.contains("value") && !ro.contains("props"),
+      s"sketch_rollup reads unprojected: $ro")
+    val qt = readCols("q_lineitem_approx_quantiles")
+    assert(!qt.contains("l_comment") && !qt.contains("l_quantity"),
+      s"approx_quantiles reads unprojected: $qt")
+    for (q <- Seq("q_events_approx_users", "q_events_sketch_rollup",
+        "q_lineitem_approx_quantiles")) {
+      val partials = collectAll(p(q)) {
+        case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+            if h.aggregateExpressions.exists(_.mode ==
+              org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => h
+        case o: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+            if o.aggregateExpressions.exists(_.mode ==
+              org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => o
+        case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+            if s.aggregateExpressions.exists(_.mode ==
+              org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => s
+      }
+      assert(partials.nonEmpty, s"$q plans no partial aggregation stage")
+    }
+  }
+
   test("documents scan prunes columns: text-stats reads only what it projects") {
     val p = plan(SparkEntry.queries("q_text_stats")(spark, Sf))
     val scans = collectAll(p) {
