@@ -54,6 +54,30 @@ object EventTimeOps {
   }
 
   /**
+   * Watermarked windowed DISTINCT-user estimate per event type.
+   * Streaming aggregation forbids exact COUNT(DISTINCT) outright (its
+   * state is the distinct set itself — unbounded and not mergeable
+   * incrementally); the HLL++ sketch is the streaming cardinality
+   * path: constant-size per-(window, type) state, partial-merged
+   * map-side like any other aggregate. Batch-polymorphic, and the
+   * sketch's register-max merge is order-independent, so the
+   * streaming terminal state equals the batch run bit-for-bit
+   * (pinned in EventTimeSpec).
+   */
+  def windowedDistinct(events: DataFrame,
+      watermarkDelay: String = "10 minutes", windowLen: String = "5 minutes",
+      rsd: Double = 0.02): DataFrame = {
+    val base =
+      if (events.isStreaming) events.withWatermark("ts", watermarkDelay)
+      else events
+    base
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+      .select(col("window.start").as("win_start"),
+        col("event_type"), col("approx_users"))
+  }
+
+  /**
    * Streaming exact dedup for a document/event feed: keep the FIRST
    * record per content key inside the watermark horizon, drop
    * replays/duplicates after it. `dropDuplicatesWithinWatermark`

@@ -68,6 +68,48 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed distinct-user sketch matches the batch run exactly") {
+    import spark.implicits._
+    // Exact COUNT(DISTINCT) is rejected by streaming aggregation —
+    // the sketch isn't a convenience here, it's the only path.
+    val schema = StructType.fromDDL("ts TIMESTAMP, event_type STRING, user_id BIGINT")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+    val rows = for {
+      m <- 0 until 12; u <- 0 until 20
+    } yield Row(ts(m), if (u % 3 == 0) "view" else "click", (u % 7).toLong)
+    val memEx = MemoryStream[Row](enc, spark)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      memEx.toDF().withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes"))
+        .agg(count_distinct(col("user_id")))
+        .writeStream.format("memory").queryName("never")
+        .outputMode(OutputMode.Append).start()
+    }
+    val mem = MemoryStream[Row](enc, spark)
+    val q = EventTimeOps.windowedDistinct(mem.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("win_distinct")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two micro-batches, then advance the watermark so all real
+      // windows close and append-mode emits them
+      mem.addData(rows.take(120): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(120): _*)
+      mem.addData(Row(ts(59), "flush", 999L))
+      q.processAllAvailable()
+      val streamed = spark.table("win_distinct")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .filter(_._2 != "flush").toSet
+      val batch = EventTimeOps.windowedDistinct(
+        spark.createDataFrame(spark.sparkContext.parallelize(rows), schema))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      // HLL register merge is a per-bucket max — micro-batch order
+      // can't change the terminal estimate
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(streamed.forall(_._3 == 7L)) // rsd 2% is exact at card 7
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization emits sessions after gap timeout") {
     import spark.implicits._
     val mem = MemoryStream[SessionInput](spark)

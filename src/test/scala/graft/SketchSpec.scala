@@ -50,6 +50,24 @@ class SketchSpec extends SparkSpec {
     assert(math.abs(est - n / 2.0) <= bound, s"est=$est")
   }
 
+  test("HLL sketches survive a parquet round-trip and union incrementally") {
+    // The production shape behind q_events_sketch_rollup: persist the
+    // per-group sketch TABLE (a binary column), then fold a new
+    // batch's sketches in by union — no raw-data rescan. The estimate
+    // after the round-trip must equal the all-at-once estimate.
+    val dir = java.nio.file.Files.createTempDirectory("graft-sk").toString
+    val (old_, fresh) = (ids.filter(col("g") < 5), ids.filter(col("g") >= 5))
+    old_.groupBy("g").agg(hll_sketch_agg(col("v")).as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val merged = spark.read.parquet(dir)
+      .unionByName(fresh.groupBy("g").agg(hll_sketch_agg(col("v")).as("sk")))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+      .head().getLong(0)
+    val direct = ids.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("v"))).as("e")).head().getLong(0)
+    assert(merged == direct, s"merged=$merged direct=$direct")
+  }
+
   test("calibration queries are deterministic across runs") {
     val sf = "/root/testdata/sf0.001"
     for (q <- Seq("q_events_approx_users", "q_events_sketch_rollup",
