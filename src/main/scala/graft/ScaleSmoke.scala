@@ -195,5 +195,49 @@ object ScaleSmoke {
       println(f"[scale] apply-enrich join       plain ${plainSec}%6.2f s  " +
         f"salted($salts) ${saltedSec}%6.2f s  rows=$plainN")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+
+    sketchAndLayoutSmoke(spark)
+  }
+
+  /**
+   * Sketch + layout at 10×: cardinality estimation cost must track the
+   * row count (per-group state is a constant-size sketch regardless of
+   * distinct count), and the range-sorted layout's scan pruning must
+   * hold on the synthesized feed — the point filter reads ~1/files of
+   * the rows its naive copy reads.
+   */
+  def sketchAndLayoutSmoke(spark: SparkSession): Unit = {
+    Seq("q_events_approx_users", "q_events_sketch_rollup").foreach { name =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, OutDir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] $name%-24s ${sec}%8.2f s  rows=$n")
+    }
+
+    import graft.sources.Layout
+    val ev = Tables(spark, OutDir, "events").select("event_id", "user_id", "value")
+    val files = 16
+    Layout.writeRangeSorted(ev, "user_id", files, s"$OutDir/ev_by_user")
+    val probeId = ev.agg(max(col("user_id")) / 2).head().getDouble(0).toLong
+    def scanRows(path: String): Long = {
+      val df = spark.read.parquet(path).filter(col("user_id") === probeId)
+      // collect() executes df's own QueryExecution (count() would plan
+      // a separate one whose scan metrics we couldn't read)
+      df.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          Seq(s.metrics("numOutputRows").value)
+        case o => o.children.flatMap(scans)
+      }
+      scans(df.queryExecution.executedPlan).sum
+    }
+    val total = ev.count()
+    val pruned = scanRows(s"$OutDir/ev_by_user")
+    println(f"[scale] range-sorted point scan  reads $pruned of $total rows " +
+      f"(${100.0 * pruned / total}%.1f%%)")
+    require(pruned <= total / (files / 2),
+      s"layout pruning regressed at 10x: $pruned of $total")
   }
 }
