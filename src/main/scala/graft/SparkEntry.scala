@@ -103,6 +103,7 @@ object SparkEntry {
     graft.multimodal.MultimodalQueries.queries ++
     graft.analytics.AnalyticsQueries.queries ++
     graft.analytics.SketchQueries.queries ++
+    graft.analytics.ProfileQueries.queries ++
     graft.pipeline.PipelineQueries.queries
 
   private def cdcQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -484,6 +485,7 @@ object SparkEntry {
     graft.multimodal.MultimodalQueries.oracleSql ++
     graft.analytics.AnalyticsQueries.oracleSql ++
     graft.analytics.SketchQueries.oracleSql ++
+    graft.analytics.ProfileQueries.oracleSql ++
     graft.pipeline.PipelineQueries.oracleSql
 
   private def cdcOracleSql: Map[String, String] = Map(

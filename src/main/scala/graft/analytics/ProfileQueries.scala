@@ -1,0 +1,155 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/**
+ * Ingest-QA operators: the audit a production pipeline runs on a batch
+ * BEFORE letting it into the corpus (the quality twin of the drift
+ * audits, which compare a batch against standing history).
+ *
+ *  - [[q_profile_events]]: one-scan per-column profile — row count,
+ *    null count, distinct count, numeric min/max — unpivoted to one
+ *    row per column. All aggregates partial-merge, so the exchange
+ *    carries one partial row per (partition), never data. The exact
+ *    distinct counts plan one Expand (×columns) for oracle parity; at
+ *    full scale the same query swaps count_distinct for
+ *    approx_count_distinct (SketchQueries' calibrated path) and the
+ *    Expand disappears.
+ *  - [[q_dq_orders]]: declarative constraint gate — each rule becomes
+ *    a counting aggregate over ONE scan (null/unique/range/domain
+ *    checks), emitting (constraint, violations, pass). The gate's
+ *    output is row-per-rule so a scheduler can fail the batch on any
+ *    pass=false without parsing logs.
+ *
+ * Numeric min/max go through epoch micros for timestamps and plain
+ * doubles otherwise — both exactly representable and engine-portable
+ * (string-typed min/max would hit double/timestamp FORMATTING
+ * differences between engines).
+ */
+object ProfileQueries {
+
+  /** Valid o_orderdate span enforced by the dq gate (TPC-H data spans
+    * 1992-1998; shared with the oracle). */
+  val OrderDateLo = "1992-01-01"
+  val OrderDateHi = "1998-12-31"
+
+  /** Valid o_orderstatus domain (shared with the oracle). */
+  val OrderStatusDomain: Seq[String] = Seq("F", "O", "P")
+
+  private case class ColProfile(name: String, numeric: Column)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_profile_events" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val profiled = Seq(
+        ColProfile("event_id", col("event_id").cast("double")),
+        ColProfile("event_type", lit(null).cast("double")),
+        ColProfile("props", lit(null).cast("double")),
+        ColProfile("ts", unix_micros(col("ts")).cast("double")),
+        ColProfile("user_id", col("user_id").cast("double")),
+        ColProfile("value", col("value").cast("double")))
+      val aggs = profiled.flatMap { p =>
+        Seq(
+          count(lit(1)).as(s"${p.name}__n"),
+          sum(when(col(p.name).isNull, 1L).otherwise(0L)).as(s"${p.name}__nulls"),
+          count_distinct(col(p.name)).as(s"${p.name}__distinct"),
+          min(p.numeric).as(s"${p.name}__min"),
+          max(p.numeric).as(s"${p.name}__max"))
+      }
+      // Unpivot by exploding a struct array over the ONE aggregate
+      // row — a union of per-column selects would re-plan (and
+      // re-scan) the aggregation once per referenced column.
+      val wide = ev.agg(aggs.head, aggs.tail: _*)
+      wide.select(explode(array(profiled.map { p =>
+          struct(
+            lit(p.name).as("col_name"),
+            col(s"${p.name}__n").as("n_rows"),
+            col(s"${p.name}__nulls").as("n_null"),
+            col(s"${p.name}__distinct").as("n_distinct"),
+            round(col(s"${p.name}__min"), 6).as("min_num"),
+            round(col(s"${p.name}__max"), 6).as("max_num"))
+        }: _*)).as("r"))
+        .select("r.*")
+        .orderBy("col_name")
+    }),
+
+    "q_dq_orders" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val gate = o.agg(
+        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+          .as("v_key_null"),
+        (count(lit(1)) - count_distinct(col("o_orderkey")))
+          .as("v_key_dup"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
+          .as("v_price_nonpos"),
+        sum(when(col("o_orderdate").cast("date")
+            .between(lit(OrderDateLo), lit(OrderDateHi)), 0L).otherwise(1L))
+          .as("v_date_range"),
+        sum(when(col("o_orderstatus").isin(OrderStatusDomain: _*), 0L)
+          .otherwise(1L)).as("v_status_domain"))
+      // same explode-unpivot as the profile: one scan, one agg row
+      gate.select(explode(array(Seq(
+          ("orderkey_not_null", "v_key_null"),
+          ("orderkey_unique", "v_key_dup"),
+          ("totalprice_positive", "v_price_nonpos"),
+          ("orderdate_in_span", "v_date_range"),
+          ("orderstatus_in_domain", "v_status_domain")
+        ).map { case (rule, c) =>
+          struct(lit(rule).as("constraint"), col(c).as("violations"),
+            (col(c) === 0L).as("pass"))
+        }: _*)).as("r"))
+        .select("r.*")
+        .orderBy("constraint")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_profile_events" -> {
+      val cols = Seq(
+        ("event_id", "CAST(event_id AS DOUBLE)"),
+        ("event_type", "CAST(NULL AS DOUBLE)"),
+        ("props", "CAST(NULL AS DOUBLE)"),
+        ("ts", "CAST(epoch_us(ts) AS DOUBLE)"),
+        ("user_id", "CAST(user_id AS DOUBLE)"),
+        ("value", "value"))
+      cols.map { case (name, num) =>
+        s"""SELECT '$name' AS col_name, count(*) AS n_rows,
+          CAST(sum(CASE WHEN $name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+          count(DISTINCT $name) AS n_distinct,
+          round(min($num), 6) AS min_num, round(max($num), 6) AS max_num
+        FROM events"""
+      }.mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
+
+    "q_dq_orders" -> {
+      val domainList = OrderStatusDomain.map(v => s"'$v'").mkString(", ")
+      s"""WITH g AS (
+        SELECT
+          CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS v_key_null,
+          count(*) - count(DISTINCT o_orderkey) AS v_key_dup,
+          CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS v_price_nonpos,
+          CAST(sum(CASE WHEN CAST(o_orderdate AS DATE)
+              BETWEEN DATE '$OrderDateLo' AND DATE '$OrderDateHi'
+            THEN 0 ELSE 1 END) AS BIGINT) AS v_date_range,
+          CAST(sum(CASE WHEN o_orderstatus IN ($domainList) THEN 0 ELSE 1 END)
+            AS BIGINT) AS v_status_domain
+        FROM orders)
+      SELECT * FROM (
+        SELECT 'orderkey_not_null' AS "constraint", v_key_null AS violations,
+          v_key_null = 0 AS pass FROM g
+        UNION ALL SELECT 'orderkey_unique', v_key_dup, v_key_dup = 0 FROM g
+        UNION ALL SELECT 'totalprice_positive', v_price_nonpos,
+          v_price_nonpos = 0 FROM g
+        UNION ALL SELECT 'orderdate_in_span', v_date_range,
+          v_date_range = 0 FROM g
+        UNION ALL SELECT 'orderstatus_in_domain', v_status_domain,
+          v_status_domain = 0 FROM g)
+      ORDER BY "constraint""""
+    })
+}

@@ -278,6 +278,18 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("profile and dq gate plan exactly one scan of their table") {
+    // The unpivot is an explode over the single aggregate row; a
+    // union of per-column selects would re-scan the table once per
+    // output row (6x/5x) — pin the single-scan shape.
+    for (q <- Seq("q_profile_events", "q_dq_orders")) {
+      val scans = collectAll(plan(SparkEntry.queries(q)(spark, Sf))) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.length == 1, s"$q plans ${scans.length} scans")
+    }
+  }
+
   test("documents scan prunes columns: text-stats reads only what it projects") {
     val p = plan(SparkEntry.queries("q_text_stats")(spark, Sf))
     val scans = collectAll(p) {
