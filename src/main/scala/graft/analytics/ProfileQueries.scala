@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.pipeline.DqGate
 
 /**
  * Ingest-QA operators: the audit a production pipeline runs on a batch
@@ -31,10 +32,11 @@ import graft.Tables
  */
 object ProfileQueries {
 
-  /** Valid o_orderdate span enforced by the dq gate (TPC-H data spans
-    * 1992-1998; shared with the oracle). */
-  val OrderDateLo = "1992-01-01"
-  val OrderDateHi = "1998-12-31"
+  /** Valid o_orderdate span enforced by the dq gate (the synthetic
+    * generator's actual span — seed-42 orders run 1995..2001, not the
+    * TPC-H spec's 1992..1998; shared with the oracle). */
+  val OrderDateLo = "1995-01-01"
+  val OrderDateHi = "2001-12-31"
 
   /** Valid o_orderstatus domain (shared with the oracle). */
   val OrderStatusDomain: Seq[String] = Seq("F", "O", "P")
@@ -77,34 +79,21 @@ object ProfileQueries {
         .orderBy("col_name")
     }),
 
-    "q_dq_orders" -> ((s, dir) => {
-      val o = Tables(s, dir, "orders")
-      val gate = o.agg(
-        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
-          .as("v_key_null"),
-        (count(lit(1)) - count_distinct(col("o_orderkey")))
-          .as("v_key_dup"),
-        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L))
-          .as("v_price_nonpos"),
-        sum(when(col("o_orderdate").cast("date")
-            .between(lit(OrderDateLo), lit(OrderDateHi)), 0L).otherwise(1L))
-          .as("v_date_range"),
-        sum(when(col("o_orderstatus").isin(OrderStatusDomain: _*), 0L)
-          .otherwise(1L)).as("v_status_domain"))
-      // same explode-unpivot as the profile: one scan, one agg row
-      gate.select(explode(array(Seq(
-          ("orderkey_not_null", "v_key_null"),
-          ("orderkey_unique", "v_key_dup"),
-          ("totalprice_positive", "v_price_nonpos"),
-          ("orderdate_in_span", "v_date_range"),
-          ("orderstatus_in_domain", "v_status_domain")
-        ).map { case (rule, c) =>
-          struct(lit(rule).as("constraint"), col(c).as("violations"),
-            (col(c) === 0L).as("pass"))
-        }: _*)).as("r"))
-        .select("r.*")
-        .orderBy("constraint")
-    }))
+    "q_dq_orders" -> ((s, dir) =>
+      DqGate.verdicts(Tables(s, dir, "orders"), OrderRules,
+        uniqueKey = Some(("orderkey_unique", "o_orderkey")))))
+
+  /** The orders constraint set — shared by the batch query and the
+    * streaming gate spec so both faces enforce the same contract. */
+  def OrderRules: Seq[DqGate.Rule] = Seq(
+    DqGate.Rule("orderkey_not_null", col("o_orderkey").isNull),
+    DqGate.Rule("totalprice_positive",
+      DqGate.notSatisfied(col("o_totalprice") > 0)),
+    DqGate.Rule("orderdate_in_span",
+      DqGate.notSatisfied(col("o_orderdate").cast("date")
+        .between(lit(OrderDateLo), lit(OrderDateHi)))),
+    DqGate.Rule("orderstatus_in_domain",
+      DqGate.notSatisfied(col("o_orderstatus").isin(OrderStatusDomain: _*))))
 
   def oracleSql: Map[String, String] = Map(
 
@@ -131,8 +120,8 @@ object ProfileQueries {
         SELECT
           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
             AS v_key_null,
-          count(*) - count(DISTINCT o_orderkey) AS v_key_dup,
-          CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+          count(o_orderkey) - count(DISTINCT o_orderkey) AS v_key_dup,
+          CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
             AS v_price_nonpos,
           CAST(sum(CASE WHEN CAST(o_orderdate AS DATE)
               BETWEEN DATE '$OrderDateLo' AND DATE '$OrderDateHi'
