@@ -219,22 +219,9 @@ object ScaleSmoke {
     val files = 16
     Layout.writeRangeSorted(ev, "user_id", files, s"$OutDir/ev_by_user")
     val probeId = ev.agg(max(col("user_id")) / 2).head().getDouble(0).toLong
-    def scanRows(path: String): Long = {
-      val df = spark.read.parquet(path).filter(col("user_id") === probeId)
-      // collect() executes df's own QueryExecution (count() would plan
-      // a separate one whose scan metrics we couldn't read)
-      df.collect()
-      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          scans(a.executedPlan)
-        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-          Seq(s.metrics("numOutputRows").value)
-        case o => o.children.flatMap(scans)
-      }
-      scans(df.queryExecution.executedPlan).sum
-    }
     val total = ev.count()
-    val pruned = scanRows(s"$OutDir/ev_by_user")
+    val pruned = Layout.scanOutputRows(
+      spark.read.parquet(s"$OutDir/ev_by_user").filter(col("user_id") === probeId))
     println(f"[scale] range-sorted point scan  reads $pruned of $total rows " +
       f"(${100.0 * pruned / total}%.1f%%)")
     require(pruned <= total / (files / 2),

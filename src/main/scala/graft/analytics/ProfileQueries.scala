@@ -106,9 +106,14 @@ object ProfileQueries {
         ("user_id", "CAST(user_id AS DOUBLE)"),
         ("value", "value"))
       cols.map { case (name, num) =>
+        // ts distinct must count at MICROsecond precision: DuckDB reads
+        // the raw TIMESTAMP_NS column while the Spark side truncates
+        // nanos to micros at load (Tables), so a raw DISTINCT ts could
+        // exceed Spark's if two events share a micro but not the nanos
+        val distinctExpr = if (name == "ts") "epoch_us(ts)" else name
         s"""SELECT '$name' AS col_name, count(*) AS n_rows,
           CAST(sum(CASE WHEN $name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-          count(DISTINCT $name) AS n_distinct,
+          count(DISTINCT $distinctExpr) AS n_distinct,
           round(min($num), 6) AS min_num, round(max($num), 6) AS max_num
         FROM events"""
       }.mkString("", " UNION ALL ", " ORDER BY col_name")

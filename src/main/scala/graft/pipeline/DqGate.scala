@@ -40,8 +40,15 @@ object DqGate {
   def verdicts(df: DataFrame, rules: Seq[Rule],
       uniqueKey: Option[(String, String)] = None): DataFrame = {
     require(rules.nonEmpty || uniqueKey.nonEmpty, "no rules given")
+    val allNames = rules.map(_.name) ++ uniqueKey.map(_._1)
+    require(allNames.distinct.size == allNames.size,
+      s"duplicate rule names: ${allNames.diff(allNames.distinct).distinct.mkString(", ")}")
+    // coalesce: sum over an EMPTY batch is NULL, and a gate that
+    // answers a no-data micro-batch with NULL verdicts kills the
+    // stream at the collect — zero rows means zero violations
     val ruleAggs = rules.map(r =>
-      sum(when(r.violationWhen, 1L).otherwise(0L)).as(s"__v_${r.name}"))
+      coalesce(sum(when(r.violationWhen, 1L).otherwise(0L)), lit(0L))
+        .as(s"__v_${r.name}"))
     // duplicates among NON-null keys: a null key is the not-null
     // rule's finding, not a duplicate of other nulls
     val uniqAggs = uniqueKey.toSeq.map { case (name, c) =>

@@ -31,6 +31,28 @@ import org.apache.spark.sql.functions._
  */
 object Layout {
 
+  /**
+   * Diagnostic: execute `df` and return the number of rows its
+   * parquet scan operators actually emitted — the direct measure of
+   * row-group skipping (total rows minus whatever the footer stats
+   * pruned). Materializes the frame via collect, so call it on
+   * SELECTIVE probes only (that is what it measures anyway). Used by
+   * LayoutSpec and the 10× smoke so both assert the same metric.
+   */
+  def scanOutputRows(df: DataFrame): Long = {
+    // collect() executes df's own QueryExecution — count() would plan
+    // a separate one whose scan metrics we couldn't read
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[Long] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Seq(s.metrics("numOutputRows").value)
+      case o => o.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan).sum
+  }
+
   /** Range-partition into `numFiles` files sorted by `key`:
     * non-overlapping per-file [min,max] ranges on `key`. */
   def writeRangeSorted(df: DataFrame, key: String, numFiles: Int,
@@ -50,9 +72,11 @@ object Layout {
     val bins = 1 << bitsPerDim
     val qs = (1 until bins).map(_.toDouble / bins).toArray
     // relativeError 1/(4·bins): bin edges land within a quarter-bin
-    // of the true quantiles — plenty for a layout decision.
-    val Seq(aEdges, bEdges) = Seq(a, b).map(c =>
-      df.stat.approxQuantile(c, qs, 1.0 / (4 * bins)))
+    // of the true quantiles — plenty for a layout decision. ONE
+    // aggregation pass for both columns (the per-column overload
+    // would scan df once per dimension).
+    val Array(aEdges, bEdges) =
+      df.stat.approxQuantile(Array(a, b), qs, 1.0 / (4 * bins))
     def bin(c: String, edges: Array[Double]): Column =
       edges.foldLeft(lit(0)) { (acc, e) =>
         acc + when(col(c).cast("double") >= e, 1).otherwise(0)

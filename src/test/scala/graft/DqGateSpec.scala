@@ -33,10 +33,27 @@ class DqGateSpec extends SparkSpec {
       ("v_positive", 2L, false)))   // -1.0 AND the null v both violate
   }
 
-  test("verdicts require at least one rule") {
+  test("verdicts require at least one rule and distinct rule names") {
     intercept[IllegalArgumentException] {
       DqGate.verdicts(Seq((1, 1)).toDF("id", "v"), Nil, None)
     }
+    intercept[IllegalArgumentException] {
+      DqGate.verdicts(Seq((1, 1)).toDF("id", "v"),
+        rules, Some(("id_not_null", "id"))) // collides with a rule name
+    }
+  }
+
+  test("an empty batch passes every rule with zero violations") {
+    // sum over zero rows is NULL — an ungated coalesce would hand the
+    // streaming collect NULL verdicts and kill the query on a no-data
+    // micro-batch
+    val empty = Seq.empty[(java.lang.Long, java.lang.Double)].toDF("id", "v")
+    val got = DqGate.verdicts(empty, rules, Some(("id_unique", "id")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq(
+      ("id_not_null", 0L, true),
+      ("id_unique", 0L, true),
+      ("v_positive", 0L, true)))
   }
 
   test("streaming gate routes pass and fail batches with their verdicts") {

@@ -3,8 +3,6 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.functions._
 
 import graft.sources.Layout
@@ -38,20 +36,9 @@ class LayoutSpec extends SparkSpec {
     root
   }
 
-  /** Rows the scan operator actually emitted (post row-group skip). */
-  private def scanRows(df: DataFrame): Long = {
-    df.collect()
-    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-      case s: FileSourceScanExec    => Seq(s)
-      case o => o.children.flatMap(scans)
-    }
-    scans(df.queryExecution.executedPlan)
-      .map(_.metrics("numOutputRows").value).sum
-  }
-
   private def probe(layout: String, c: String, v: Int): Long =
-    scanRows(spark.read.parquet(s"$dirs/$layout").filter(col(c) === v))
+    Layout.scanOutputRows(
+      spark.read.parquet(s"$dirs/$layout").filter(col(c) === v))
 
   test("range-sorted layout: point filter on the sort column skips almost everything") {
     val naive = probe("naive", "a", 250)
