@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.text.TextAnalysis
+
+/**
+ * Streaming distribution-drift gate — the ingestion-time face of
+ * `q_text_vocab_drift`: each arriving micro-batch's token distribution
+ * is compared against the STANDING corpus profile and the batch is
+ * routed with its total-variation distance, so a source shift (new
+ * scraper, broken encoding, language flip) trips an alarm before the
+ * batch poisons the mixture. Total variation (½·Σ|p−q|) because it is
+ * pure arithmetic — a KL divergence's log would make the verdict
+ * engine- and libm-dependent, the same reason the batch audit uses it.
+ *
+ * The corpus profile is aggregated and persisted ONCE ([[corpusProfile]],
+ * same standing-index contract as the dedup corpus indexes: release it
+ * when the corpus snapshot is superseded); per batch the gate pays one
+ * token aggregation over the BATCH plus a vocabulary-sized join —
+ * the shuffle carries the vocabularies, never the documents.
+ */
+object DriftGate {
+
+  /** Standing token-frequency profile of the corpus, persisted, with a
+    * release handle. */
+  def corpusProfile(corpus: DataFrame, textCol: String): (DataFrame, () => Unit) = {
+    val freq = corpus
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_corpus"))
+      .persist()
+    (freq, () => { freq.unpersist(); () })
+  }
+
+  /**
+   * Total-variation distance between the corpus profile's token
+   * distribution and `batch`'s. 0 = identical distributions, 1 =
+   * disjoint vocabularies. An empty batch (no tokens) returns 0 —
+   * no evidence is not drift; emptiness is the dq gate's finding.
+   */
+  def tvd(profile: DataFrame, batch: DataFrame, textCol: String): Double = {
+    val bf = batch
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_batch"))
+    val joined = profile.join(bf, Seq("token"), "full_outer")
+      .select(coalesce(col("n_corpus"), lit(0L)).as("nc"),
+        coalesce(col("n_batch"), lit(0L)).as("nb"))
+      .persist()
+    try {
+      val totals = joined.agg(
+        coalesce(sum("nc"), lit(0L)), coalesce(sum("nb"), lit(0L))).head()
+      val (tc, tb) = (totals.getLong(0), totals.getLong(1))
+      if (tb == 0L || tc == 0L) 0.0
+      else joined.agg(sum(abs(
+          col("nc").cast("double") / tc.toDouble -
+          col("nb").cast("double") / tb.toDouble)).as("s"))
+        .head().getDouble(0) / 2.0
+    } finally { joined.unpersist(); () }
+  }
+
+  /** Per micro-batch: compute [[tvd]] against the standing profile and
+    * hand `route` the batch, its distance, and the batch id (typical:
+    * distance > threshold → quarantine + alert, else ingest). */
+  def gateStream(docs: DataFrame, profile: DataFrame, textCol: String)(
+      route: (DataFrame, Double, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try route(batch, tvd(profile, batch, textCol), batchId)
+        finally batch.unpersist()
+        ()
+      }
+}

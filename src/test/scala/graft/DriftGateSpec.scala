@@ -1,0 +1,58 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types.StructType
+
+import graft.pipeline.DriftGate
+
+/** The streaming drift gate: TVD endpoints (identical → 0, disjoint
+  * → 1), empty-batch contract, and per-batch routing against the
+  * standing corpus profile. */
+class DriftGateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq.tabulate(50)(i =>
+    if (i % 2 == 0) "alpha beta gamma" else "beta gamma delta").toDF("text")
+
+  test("tvd is 0 for an identically-distributed batch and 1 for disjoint vocab") {
+    val (profile, release) = DriftGate.corpusProfile(corpus, "text")
+    try {
+      assert(DriftGate.tvd(profile, corpus, "text") == 0.0)
+      val disjoint = Seq("omega psi", "psi chi omega").toDF("text")
+      assert(DriftGate.tvd(profile, disjoint, "text") == 1.0)
+      val half = Seq("alpha beta gamma", "omega omega omega").toDF("text")
+      val t = DriftGate.tvd(profile, half, "text")
+      assert(t > 0.3 && t < 0.8, s"partial drift out of range: $t")
+    } finally release()
+  }
+
+  test("an empty batch is not drift") {
+    val (profile, release) = DriftGate.corpusProfile(corpus, "text")
+    try assert(DriftGate.tvd(profile, corpus.limit(0), "text") == 0.0)
+    finally release()
+  }
+
+  test("streaming gate routes each micro-batch with its distance") {
+    val (profile, release) = DriftGate.corpusProfile(corpus, "text")
+    val schema = StructType.fromDDL("text STRING")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+    val mem = MemoryStream[Row](enc, spark)
+    val routed = mutable.ArrayBuffer[(Long, Long, Double)]()
+    val q = DriftGate.gateStream(mem.toDF(), profile, "text") {
+      (batch, t, id) => routed += ((id, batch.count(), t))
+    }.start()
+    try {
+      mem.addData(Row("alpha beta gamma"), Row("beta gamma delta"))
+      q.processAllAvailable()
+      mem.addData(Row("omega psi chi"))
+      q.processAllAvailable()
+    } finally { q.stop(); release() }
+    assert(routed.size == 2)
+    assert(routed(0)._2 == 2L && routed(0)._3 == 0.0) // in-distribution
+    assert(routed(1)._2 == 1L && routed(1)._3 == 1.0) // vocabulary flip
+  }
+}
