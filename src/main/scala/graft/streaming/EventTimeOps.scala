@@ -78,6 +78,29 @@ object EventTimeOps {
   }
 
   /**
+   * Watermarked windowed value QUANTILES per event type — the
+   * latency-percentile panel. Exact percentiles would buffer every
+   * window's values; the Greenwald–Khanna summary keeps ε-bounded
+   * per-(window, type) state and merges across micro-batches. Unlike
+   * the HLL register-max, GK compaction depends on merge ORDER, so
+   * streaming and batch runs agree only to the rank-error bound —
+   * the spec asserts the bound, not bit-equality.
+   */
+  def windowedQuantiles(events: DataFrame, quantiles: Seq[Double],
+      watermarkDelay: String = "10 minutes", windowLen: String = "5 minutes",
+      accuracy: Int = 10000): DataFrame = {
+    val base =
+      if (events.isStreaming) events.withWatermark("ts", watermarkDelay)
+      else events
+    base
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(approx_percentile(col("value"),
+        array(quantiles.map(lit): _*), lit(accuracy)).as("qs"))
+      .select(col("window.start").as("win_start"),
+        col("event_type"), col("qs"))
+  }
+
+  /**
    * Streaming exact dedup for a document/event feed: keep the FIRST
    * record per content key inside the watermark horizon, drop
    * replays/duplicates after it. `dropDuplicatesWithinWatermark`

@@ -110,6 +110,34 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed quantiles stay within the GK rank-error bound") {
+    import spark.implicits._
+    val schema = StructType.fromDDL("ts TIMESTAMP, event_type STRING, value DOUBLE")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+    // one 5-min window, values 1..200 for "click" — exact p50=100.5±,
+    // p95=190.x; GK at accuracy 10000 on 200 rows is rank-exact
+    val rows = (1 to 200).map(i => Row(ts(i % 5), "click", i.toDouble))
+    val mem = MemoryStream[Row](enc, spark)
+    val q = EventTimeOps.windowedQuantiles(mem.toDF(), Seq(0.5, 0.95))
+      .writeStream.format("memory").queryName("win_q")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(rows.take(90): _*)   // two micro-batches: merge path
+      q.processAllAvailable()
+      mem.addData(rows.drop(90): _*)
+      mem.addData(Row(ts(59), "flush", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("win_q").collect()
+        .filter(_.getString(1) == "click")
+        .map(r => r.getSeq[Double](2))
+      assert(got.length == 1)
+      val Seq(p50, p95) = got.head.toSeq
+      // rank error ≤ n/accuracy = 0.02 ranks — value within one step
+      assert(math.abs(p50 - 100.0) <= 1.0, s"p50=$p50")
+      assert(math.abs(p95 - 190.0) <= 1.0, s"p95=$p95")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization emits sessions after gap timeout") {
     import spark.implicits._
     val mem = MemoryStream[SessionInput](spark)
