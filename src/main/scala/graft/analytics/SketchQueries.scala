@@ -91,6 +91,29 @@ object SketchQueries {
         .orderBy("event_type")
     }),
 
+    // The oracle-anchored batch twin of EventTimeOps.windowedQuantiles:
+    // per (hour window, event type), exact p50/p95 — Spark's
+    // interpolating percentile equals DuckDB's quantile_cont
+    // bit-for-bit after round(,6), pinning the window alignment and
+    // per-window percentile semantics the streaming op shares. No GK
+    // verdict HERE: a toy-scale hourly window holds a handful of
+    // values, where the sketch (an actual data value) and the
+    // interpolated exact differ by up to an order-statistic gap — the
+    // sketch-vs-exact calibration lives in the large-n audits
+    // (q_lineitem_approx_quantiles) where the comparison is meaningful,
+    // and the streaming spec bounds GK's rank error on controlled data.
+    "q_events_windowed_quantiles" -> ((s, dir) => {
+      val qs = array(AuditQuantiles.map(lit): _*)
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(percentile(col("value"), qs).as("exact"))
+        .select(
+          col("window.start").as("win_start"), col("event_type"),
+          round(col("exact").getItem(0), 6).as("exact_p50"),
+          round(col("exact").getItem(1), 6).as("exact_p95"))
+        .orderBy("win_start", "event_type")
+    }),
+
     // Quantile-sketch calibration: per return flag, exact p50/p95 of
     // l_extendedprice vs approx_percentile (Greenwald–Khanna). The
     // exact `percentile` sorts per group; GK keeps an ε-bounded
@@ -126,6 +149,13 @@ object SketchQueries {
       SELECT event_type, count(DISTINCT user_id) AS exact_users,
         TRUE AS within_tol
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_events_windowed_quantiles" -> s"""
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,
+        event_type,
+        round(quantile_cont(value, ${AuditQuantiles(0)}), 6) AS exact_p50,
+        round(quantile_cont(value, ${AuditQuantiles(1)}), 6) AS exact_p95
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_lineitem_approx_quantiles" -> s"""
       SELECT l_returnflag,
