@@ -55,7 +55,7 @@ object DqGate {
       (count(col(c)) - count_distinct(col(c))).as(s"__v_$name")
     }
     val aggs = ruleAggs ++ uniqAggs
-    val names = rules.map(_.name) ++ uniqueKey.map(_._1)
+    val names = allNames
     // explode-unpivot over the single aggregate row — a union of
     // per-rule selects would re-scan the table once per rule
     df.agg(aggs.head, aggs.tail: _*)

@@ -53,10 +53,18 @@ object DriftGate {
         coalesce(sum("nc"), lit(0L)), coalesce(sum("nb"), lit(0L))).head()
       val (tc, tb) = (totals.getLong(0), totals.getLong(1))
       if (tb == 0L || tc == 0L) 0.0
-      else joined.agg(sum(abs(
-          col("nc").cast("double") / tc.toDouble -
-          col("nb").cast("double") / tb.toDouble)).as("s"))
-        .head().getDouble(0) / 2.0
+      else {
+        // Σ|nc/tc − nb/tb| summed as DOUBLES is last-ulp partial-sum-
+        // order dependent, so "disjoint vocabularies ⇒ exactly 1"
+        // would hold only for one partitioning. Sum the integer form
+        // |nc·tb − nb·tc| in DECIMAL (exact, order-independent — the
+        // repo's decimal-sum emission convention) and divide ONCE.
+        val num = joined.agg(sum(abs(
+            col("nc").cast("decimal(38,0)") * lit(tb) -
+            col("nb").cast("decimal(38,0)") * lit(tc))).as("s"))
+          .head().getDecimal(0)
+        num.doubleValue() / (2.0 * tc.toDouble * tb.toDouble)
+      }
     } finally { joined.unpersist(); () }
   }
 

@@ -88,7 +88,8 @@ object EventTimeOps {
    */
   def windowedQuantiles(events: DataFrame, quantiles: Seq[Double],
       watermarkDelay: String = "10 minutes", windowLen: String = "5 minutes",
-      accuracy: Int = 10000): DataFrame = {
+      accuracy: Int = graft.analytics.SketchQueries.PercentileAccuracy)
+      : DataFrame = {
     val base =
       if (events.isStreaming) events.withWatermark("ts", watermarkDelay)
       else events
