@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+import graft.dedup.Dedup
+
+/**
+ * The composed streaming INGEST STACK — what a production corpus
+ * actually runs on every arriving micro-batch, in one foreachBatch:
+ *
+ *   1. constraint verdicts ([[DqGate]]: nulls/domains/uniqueness),
+ *   2. distribution drift vs the standing corpus ([[DriftGate]] TVD),
+ *   3. near-dup probe against the standing corpus band index
+ *      (`Dedup.probeNearDupIndex` — the q_pipeline_ingest funnel's
+ *      fuzzy stage),
+ *
+ * and hands the caller one [[BatchReport]] plus the batch to route
+ * (ingest / quarantine / partial-accept is the caller's policy — the
+ * stack's job is that every batch leaves a verdict trail).
+ *
+ * Standing structures (corpus token profile, corpus signature index)
+ * are built and persisted ONCE, outside the per-batch path, and
+ * released together via the returned handle when the corpus snapshot
+ * is superseded — the same contract as the dedup/drift gates they
+ * compose. Per batch the stack pays: one constraint aggregation, one
+ * batch-vocabulary aggregation + vocabulary join, one banded index
+ * probe — every shuffle carries aggregates, band keys, or vocabulary
+ * rows, never the documents themselves.
+ */
+object IngestStream {
+
+  /** Everything the router needs to decide a batch's fate. */
+  final case class BatchReport(
+      batchId: Long,
+      rows: Long,
+      dq: Seq[DqGate.Verdict],
+      drift: Double,
+      nearDupMatches: Long) {
+    def dqPass: Boolean = dq.forall(_.pass)
+  }
+
+  /**
+   * @param rules     row-level dq rules over the batch's columns
+   * @param idCol     document id column (uniqueness + probe identity)
+   * @param textCol   document text column (drift + near-dup probe)
+   * @param threshold exact-Jaccard floor for a near-dup match
+   * @return (stream writer, release handle for BOTH standing
+   *         structures)
+   */
+  def gated(docs: DataFrame, corpus: DataFrame, idCol: String,
+      textCol: String, rules: Seq[DqGate.Rule], threshold: Double)(
+      route: (DataFrame, BatchReport) => Unit)
+      : (DataStreamWriter[Row], () => Unit) = {
+    val (profile, releaseProfile) = DriftGate.corpusProfile(corpus, textCol)
+    val (index, releaseIndex) = Dedup.corpusNearDupIndex(corpus, idCol, textCol)
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          val dq = DqGate.verdicts(batch, rules,
+              uniqueKey = Some((s"${idCol}_unique", idCol)))
+            .collect()
+            .map(r => DqGate.Verdict(r.getString(0), r.getLong(1),
+              r.getBoolean(2)))
+            .toSeq
+          val drift = DriftGate.tvd(profile, batch, textCol)
+          val (matches, releaseBatch) = Dedup.probeNearDupIndex(
+            batch, index, idCol, textCol, threshold)
+          val nDup = try matches.count() finally releaseBatch()
+          route(batch, BatchReport(batchId, batch.count(), dq, drift, nDup))
+        } finally batch.unpersist()
+        ()
+      }
+    (writer, () => { releaseProfile(); releaseIndex(); () })
+  }
+}

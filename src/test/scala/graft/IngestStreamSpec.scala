@@ -1,0 +1,69 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.pipeline.{DqGate, IngestStream}
+
+/** The composed streaming ingest stack: one clean batch and one
+  * poisoned batch (dq violation + vocabulary flip + near-duplicate of
+  * the corpus), each leaving a full verdict trail. */
+class IngestStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ingest stack reports dq, drift, and near-dup per micro-batch") {
+    // 3-token-shingle near-dup: corpus docs must be pairwise DIVERSE
+    // (a shared sentence frame would make any in-vocabulary fresh doc
+    // a near-duplicate of everything); rotate the word order per doc
+    // so docs share TOKENS (for a stable drift profile) but not
+    // shingles.
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    def sentence(i: Int): String =
+      (0 until 8).map(j => words((i * 3 + j * (1 + i % 7)) % 10))
+        .mkString(" ") + s" tail$i"
+    val corpus = Seq.tabulate(30)(i => (i.toLong, sentence(i)))
+      .toDF("doc_id", "text")
+    val rules = Seq(DqGate.Rule("text_nonempty",
+      DqGate.notSatisfied(length(trim(col("text"))) > 0)))
+
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+    val mem = MemoryStream[Row](enc, spark)
+    val reports = mutable.ArrayBuffer[IngestStream.BatchReport]()
+    val (writer, release) = IngestStream.gated(
+      mem.toDF(), corpus, "doc_id", "text", rules, threshold = 0.5) {
+      (_, report) => reports += report
+    }
+    val q = writer.start()
+    try {
+      // clean: corpus vocabulary, fresh shingle combinations
+      mem.addData(
+        Row(100L, "kappa alpha theta beta iota gamma zeta delta fresh1"),
+        Row(101L, "epsilon iota beta kappa eta alpha delta theta fresh2"))
+      q.processAllAvailable()
+      // poisoned: near-copy of corpus doc 3, a blank text, vocab flip
+      mem.addData(
+        Row(200L, sentence(3).replace("tail3", "tail999")),
+        Row(201L, "   "),
+        Row(202L, "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp"))
+      q.processAllAvailable()
+    } finally { q.stop(); release() }
+
+    assert(reports.size == 2)
+    val clean = reports(0)
+    assert(clean.rows == 2 && clean.dqPass && clean.nearDupMatches == 0L)
+    assert(clean.drift < 0.6, s"clean drift=${clean.drift}")
+    val bad = reports(1)
+    assert(bad.rows == 3 && !bad.dqPass)
+    assert(bad.dq.exists(v => v.constraint == "text_nonempty" &&
+      v.violations == 1L))
+    assert(bad.nearDupMatches >= 1L, "near-copy of corpus doc not flagged")
+    assert(bad.drift > clean.drift, "vocab flip did not raise drift")
+  }
+}
