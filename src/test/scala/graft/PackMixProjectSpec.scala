@@ -132,7 +132,7 @@ class PackMixProjectSpec extends SparkSpec {
     val plain = big.join(small, "k")
       .orderBy("id").collect().toSeq
     val salted = Skew.saltedJoin(big, small, "k", salts = 8, saltBy = Seq("id"))
-      .select(plain.head.schema.fieldNames.map(col): _*)
+      .select(plain.head.schema.fieldNames.toIndexedSeq.map(col): _*)
       .orderBy("id").collect().toSeq
     assert(salted == plain, s"salted join diverged (${salted.size} vs ${plain.size})")
     // and the salt actually spreads the hot key across partitions

@@ -262,7 +262,7 @@ class PlanQualitySpec extends SparkSpec {
     assert(!qt.contains("l_comment") && !qt.contains("l_quantity"),
       s"approx_quantiles reads unprojected: $qt")
     for (q <- Seq("q_events_approx_users", "q_events_sketch_rollup",
-        "q_lineitem_approx_quantiles")) {
+        "q_lineitem_approx_quantiles", "q_events_windowed_quantiles")) {
       val partials = collectAll(p(q)) {
         case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec
             if h.aggregateExpressions.exists(_.mode ==
