@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -49,6 +49,10 @@ object SketchQueries {
   /** Quantiles audited by q_lineitem_approx_quantiles. */
   val AuditQuantiles: Seq[Double] = Seq(0.5, 0.95)
 
+  /** The calibration verdict: estimate within [[SketchTol]] of exact. */
+  private def withinTol(est: Column, exact: Column): Column =
+    abs(est - exact) <= exact * SketchTol
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // HLL++ cardinality calibration: per event_type, exact distinct
@@ -64,8 +68,7 @@ object SketchQueries {
           approx_count_distinct(col("user_id"), DistinctRsd).as("est"))
         .select(
           col("event_type"), col("exact_users"),
-          (abs(col("est") - col("exact_users")) <=
-            col("exact_users") * SketchTol).as("within_tol"))
+          withinTol(col("est"), col("exact_users")).as("within_tol"))
         .orderBy("event_type")),
 
     // Mergeable-sketch ROLLUP: daily DataSketches-HLL sketches per
@@ -86,8 +89,7 @@ object SketchQueries {
       exact.join(broadcast(rolled), "event_type")
         .select(
           col("event_type"), col("exact_users"),
-          (abs(col("est") - col("exact_users")) <=
-            col("exact_users") * SketchTol).as("within_tol"))
+          withinTol(col("est"), col("exact_users")).as("within_tol"))
         .orderBy("event_type")
     }),
 
@@ -131,24 +133,25 @@ object SketchQueries {
           col("l_returnflag"),
           round(col("exact").getItem(0), 6).as("exact_p50"),
           round(col("exact").getItem(1), 6).as("exact_p95"),
-          (abs(col("est").getItem(0) - col("exact").getItem(0)) <=
-            col("exact").getItem(0) * SketchTol &&
-           abs(col("est").getItem(1) - col("exact").getItem(1)) <=
-            col("exact").getItem(1) * SketchTol).as("within_tol"))
+          (withinTol(col("est").getItem(0), col("exact").getItem(0)) &&
+           withinTol(col("est").getItem(1), col("exact").getItem(1)))
+            .as("within_tol"))
         .orderBy("l_returnflag")
     }))
 
+  /** Both distinct-user calibrations reduce to the same exact oracle —
+    * the sketch sides differ (direct HLL++ vs daily-rollup union) but
+    * the audited truth is identical. */
+  private val DistinctUsersOracle = """
+      SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        TRUE AS within_tol
+      FROM events GROUP BY event_type ORDER BY event_type"""
+
   def oracleSql: Map[String, String] = Map(
 
-    "q_events_approx_users" -> """
-      SELECT event_type, count(DISTINCT user_id) AS exact_users,
-        TRUE AS within_tol
-      FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_events_approx_users" -> DistinctUsersOracle,
 
-    "q_events_sketch_rollup" -> """
-      SELECT event_type, count(DISTINCT user_id) AS exact_users,
-        TRUE AS within_tol
-      FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_events_sketch_rollup" -> DistinctUsersOracle,
 
     "q_events_windowed_quantiles" -> s"""
       SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,

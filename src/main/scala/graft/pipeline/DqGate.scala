@@ -55,17 +55,25 @@ object DqGate {
       (count(col(c)) - count_distinct(col(c))).as(s"__v_$name")
     }
     val aggs = ruleAggs ++ uniqAggs
-    val names = allNames
     // explode-unpivot over the single aggregate row — a union of
     // per-rule selects would re-scan the table once per rule
     df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(names.map { n =>
+      .select(explode(array(allNames.map { n =>
           struct(lit(n).as("constraint"), col(s"__v_$n").as("violations"),
             (col(s"__v_$n") === 0L).as("pass"))
         }: _*)).as("r"))
       .select("r.*")
       .orderBy("constraint")
   }
+
+  /** [[verdicts]] collected to the driver as [[Verdict]]s — the
+    * per-micro-batch form shared by [[gateStream]] and the composed
+    * ingest stack. */
+  def collectVerdicts(df: DataFrame, rules: Seq[Rule],
+      uniqueKey: Option[(String, String)] = None): Seq[Verdict] =
+    verdicts(df, rules, uniqueKey).collect()
+      .map(r => Verdict(r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .toSeq
 
   /**
    * Streaming gate: per micro-batch, run [[verdicts]] and hand
@@ -83,10 +91,7 @@ object DqGate {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
-          val vs = verdicts(batch, rules, uniqueKey).collect()
-            .map(r => Verdict(r.getString(0), r.getLong(1), r.getBoolean(2)))
-            .toSeq
-          route(batch, vs, batchId)
+          route(batch, collectVerdicts(batch, rules, uniqueKey), batchId)
         } finally batch.unpersist()
         ()
       }

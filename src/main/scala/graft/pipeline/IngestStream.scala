@@ -60,12 +60,8 @@ object IngestStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
-          val dq = DqGate.verdicts(batch, rules,
-              uniqueKey = Some((s"${idCol}_unique", idCol)))
-            .collect()
-            .map(r => DqGate.Verdict(r.getString(0), r.getLong(1),
-              r.getBoolean(2)))
-            .toSeq
+          val dq = DqGate.collectVerdicts(batch, rules,
+            uniqueKey = Some((s"${idCol}_unique", idCol)))
           val drift = DriftGate.tvd(profile, batch, textCol)
           val (matches, releaseBatch) = Dedup.probeNearDupIndex(
             batch, index, idCol, textCol, threshold)
