@@ -73,11 +73,72 @@ object DriftGate {
     * distance > threshold → quarantine + alert, else ingest). */
   def gateStream(docs: DataFrame, profile: DataFrame, textCol: String)(
       route: (DataFrame, Double, Long) => Unit): DataStreamWriter[Row] =
+    measuredStream(docs, b => tvd(profile, b, textCol))(route)
+
+  // ------------------------------------------------------- embeddings
+
+  /** Standing per-dimension profile of the corpus embedding column:
+    * (dim, n_corpus, s_corpus) with DECIMAL sums, persisted, with a
+    * release handle — the vector-side twin of [[corpusProfile]]
+    * (mirrors the batch audit q_ann_embedding_drift). */
+  def embeddingProfile(corpus: DataFrame, vecCol: String): (DataFrame, () => Unit) = {
+    val p = dimSums(corpus, vecCol, "n_corpus", "s_corpus").persist()
+    (p, () => { p.unpersist(); () })
+  }
+
+  /**
+   * Mean per-dimension displacement between the corpus profile and
+   * `batch`: avg over dims of |mean_corpus − mean_batch|. A shifted
+   * encoder or a new source moves the batch centroid before it
+   * degrades ANN recall — this is the alarm. Per-dim means come from
+   * exact DECIMAL sums; an empty batch returns 0 (no evidence is not
+   * drift, as in [[tvd]]).
+   */
+  def embeddingDist(profile: DataFrame, batch: DataFrame, vecCol: String): Double = {
+    val joined = profile
+      .join(dimSums(batch, vecCol, "n_batch", "s_batch"), Seq("dim"), "left")
+      .persist()
+    try {
+      if (joined.filter(col("n_batch").isNotNull && col("n_batch") > 0)
+          .isEmpty) 0.0
+      else {
+        val mc = col("s_corpus").cast("double") / col("n_corpus")
+        val mb = col("s_batch").cast("double") / col("n_batch")
+        val r = joined
+          .filter(col("n_batch").isNotNull && col("n_batch") > 0)
+          .agg(sum(abs(mc - mb)).as("s"), count(lit(1)).as("d")).head()
+        r.getDouble(0) / r.getLong(1)
+      }
+    } finally { joined.unpersist(); () }
+  }
+
+  /** Per micro-batch [[embeddingDist]] against the standing profile. */
+  def embeddingGateStream(docs: DataFrame, profile: DataFrame,
+      vecCol: String)(
+      route: (DataFrame, Double, Long) => Unit): DataStreamWriter[Row] =
+    measuredStream(docs, b => embeddingDist(profile, b, vecCol))(route)
+
+  /** Per-dim (dim, count, DECIMAL sum) of an embedding column — the
+    * q_ann_embedding_drift aggregation shape: one narrow posexplode,
+    * dims-row shuffle, map-side combined. */
+  private def dimSums(df: DataFrame, vecCol: String,
+      nName: String, sName: String): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .select((col("__pos").cast("long") + 1).as("dim"),
+        col("__v").cast("decimal(28,10)").as("v"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as(nName), sum(col("v")).as(sName))
+
+  /** The shared foreachBatch shell: persist the batch, run `measure`,
+    * hand (batch, measure, batchId) to the router, release. */
+  private def measuredStream(docs: DataFrame, measure: DataFrame => Double)(
+      route: (DataFrame, Double, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
-        try route(batch, tvd(profile, batch, textCol), batchId)
+        try route(batch, measure(batch), batchId)
         finally batch.unpersist()
         ()
       }

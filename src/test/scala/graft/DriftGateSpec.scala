@@ -36,6 +36,21 @@ class DriftGateSpec extends SparkSpec {
     finally release()
   }
 
+  test("embedding drift: identical batch is 0, uniform +1 shift is exactly 1") {
+    // quarter-step floats stay exact under +1, so the DECIMAL sums
+    // make both endpoints exact, not approximate
+    val vecs = Seq.tabulate(20)(i =>
+      Array(0.25f * (i % 8), -0.5f * (i % 3), 1.25f)).toSeq
+    val corpus = vecs.toDF("embedding")
+    val (profile, release) = DriftGate.embeddingProfile(corpus, "embedding")
+    try {
+      assert(DriftGate.embeddingDist(profile, corpus, "embedding") == 0.0)
+      val shifted = vecs.map(_.map(_ + 1.0f)).toDF("embedding")
+      assert(DriftGate.embeddingDist(profile, shifted, "embedding") == 1.0)
+      assert(DriftGate.embeddingDist(profile, corpus.limit(0), "embedding") == 0.0)
+    } finally release()
+  }
+
   test("streaming gate routes each micro-batch with its distance") {
     val (profile, release) = DriftGate.corpusProfile(corpus, "text")
     val schema = StructType.fromDDL("text STRING")
