@@ -226,5 +226,22 @@ object ScaleSmoke {
       f"(${100.0 * pruned / total}%.1f%%)")
     require(pruned <= total / (files / 2),
       s"layout pruning regressed at 10x: $pruned of $total")
+
+    // z-order on (user_id, value): BOTH point filters must skip on the
+    // 10x feed — the two-dimensional claim, measured at scale
+    Layout.writeZOrdered(ev, "user_id", "value", 4, files, s"$OutDir/ev_z")
+    // a NARROW value band — a broad range predicate mostly reads rows
+    // that genuinely match, which demonstrates nothing about skipping
+    val vProbe = ev.agg(max(col("value")) / 2).head().getDouble(0)
+    val zByUser = Layout.scanOutputRows(
+      spark.read.parquet(s"$OutDir/ev_z").filter(col("user_id") === probeId))
+    val zByValue = Layout.scanOutputRows(
+      spark.read.parquet(s"$OutDir/ev_z")
+        .filter(col("value").between(vProbe, vProbe + 1.0)))
+    println(f"[scale] z-order scans            user $zByUser / value $zByValue " +
+      f"of $total rows (${100.0 * zByUser / total}%.1f%% / " +
+      f"${100.0 * zByValue / total}%.1f%%)")
+    require(zByUser <= total * 6 / 10 && zByValue <= total * 6 / 10,
+      s"z-order pruning regressed at 10x: $zByUser / $zByValue of $total")
   }
 }
