@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
@@ -88,28 +88,33 @@ object DriftGate {
 
   /**
    * Mean per-dimension displacement between the corpus profile and
-   * `batch`: avg over dims of |mean_corpus − mean_batch|. A shifted
-   * encoder or a new source moves the batch centroid before it
-   * degrades ANN recall — this is the alarm. Per-dim means come from
-   * exact DECIMAL sums; an empty batch returns 0 (no evidence is not
-   * drift, as in [[tvd]]).
+   * `batch`: avg over the UNION of dims of |mean_corpus − mean_batch|.
+   * A shifted encoder or a new source moves the batch centroid before
+   * it degrades ANN recall — this is the alarm — and a DIMENSIONALITY
+   * change is the loudest form of it: the dim join is full-outer and a
+   * side with no values contributes mean 0, so a 32-dim batch against
+   * a 768-dim profile alarms with the 736 missing dims' |mean_corpus|
+   * instead of silently averaging the shared prefix. An empty batch
+   * (no vectors at all) returns 0, as in [[tvd]].
+   *
+   * Determinism: per-dim diffs are doubles (deterministic per row),
+   * rounded to 12 dp and summed in DECIMAL, so the cross-dim total is
+   * independent of partial-sum order — the same convention the TVD
+   * sum follows. One aggregation action per call.
    */
   def embeddingDist(profile: DataFrame, batch: DataFrame, vecCol: String): Double = {
     val joined = profile
-      .join(dimSums(batch, vecCol, "n_batch", "s_batch"), Seq("dim"), "left")
-      .persist()
-    try {
-      if (joined.filter(col("n_batch").isNotNull && col("n_batch") > 0)
-          .isEmpty) 0.0
-      else {
-        val mc = col("s_corpus").cast("double") / col("n_corpus")
-        val mb = col("s_batch").cast("double") / col("n_batch")
-        val r = joined
-          .filter(col("n_batch").isNotNull && col("n_batch") > 0)
-          .agg(sum(abs(mc - mb)).as("s"), count(lit(1)).as("d")).head()
-        r.getDouble(0) / r.getLong(1)
-      }
-    } finally { joined.unpersist(); () }
+      .join(dimSums(batch, vecCol, "n_batch", "s_batch"), Seq("dim"), "full_outer")
+    def meanOf(n: String, s: String): Column =
+      when(coalesce(col(n), lit(0L)) > 0,
+        col(s).cast("double") / col(n)).otherwise(lit(0.0))
+    val diff = round(abs(meanOf("n_corpus", "s_corpus") -
+      meanOf("n_batch", "s_batch")), 12).cast("decimal(38,12)")
+    val r = joined.agg(
+      coalesce(sum(coalesce(col("n_batch"), lit(0L))), lit(0L)).as("nb"),
+      sum(diff).as("s"), count(lit(1)).as("d")).head()
+    if (r.getLong(0) == 0L || r.getLong(2) == 0L) 0.0
+    else r.getDecimal(1).doubleValue() / r.getLong(2)
   }
 
   /** Per micro-batch [[embeddingDist]] against the standing profile. */
@@ -118,9 +123,11 @@ object DriftGate {
       route: (DataFrame, Double, Long) => Unit): DataStreamWriter[Row] =
     measuredStream(docs, b => embeddingDist(profile, b, vecCol))(route)
 
-  /** Per-dim (dim, count, DECIMAL sum) of an embedding column — the
-    * q_ann_embedding_drift aggregation shape: one narrow posexplode,
-    * dims-row shuffle, map-side combined. */
+  /** Per-dim (dim, non-null count, DECIMAL sum) of an embedding
+    * column — the q_ann_embedding_drift aggregation shape: one narrow
+    * posexplode, dims-row shuffle, map-side combined. The count is of
+    * VALUES (count(v), not count(*)) so null elements can't bias a
+    * dim's mean low or dilute the drift average. */
   private def dimSums(df: DataFrame, vecCol: String,
       nName: String, sName: String): DataFrame =
     df.filter(col(vecCol).isNotNull)
@@ -128,7 +135,7 @@ object DriftGate {
       .select((col("__pos").cast("long") + 1).as("dim"),
         col("__v").cast("decimal(28,10)").as("v"))
       .groupBy("dim")
-      .agg(count(lit(1)).as(nName), sum(col("v")).as(sName))
+      .agg(count(col("v")).as(nName), sum(col("v")).as(sName))
 
   /** The shared foreachBatch shell: persist the batch, run `measure`,
     * hand (batch, measure, batchId) to the router, release. */

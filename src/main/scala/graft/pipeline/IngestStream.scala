@@ -53,6 +53,12 @@ object IngestStream {
       textCol: String, rules: Seq[DqGate.Rule], threshold: Double)(
       route: (DataFrame, BatchReport) => Unit)
       : (DataStreamWriter[Row], () => Unit) = {
+    // the injected uniqueness rule's name must be free — validate at
+    // build time, not as a duplicate-name failure inside the first
+    // micro-batch (which would kill the stream)
+    val uniqueName = s"${idCol}_unique"
+    require(!rules.exists(_.name == uniqueName),
+      s"rule name '$uniqueName' is reserved for the injected uniqueness rule")
     val (profile, releaseProfile) = DriftGate.corpusProfile(corpus, textCol)
     val (index, releaseIndex) = Dedup.corpusNearDupIndex(corpus, idCol, textCol)
     val writer = docs.writeStream
@@ -61,7 +67,7 @@ object IngestStream {
         batch.persist()
         try {
           val dq = DqGate.collectVerdicts(batch, rules,
-            uniqueKey = Some((s"${idCol}_unique", idCol)))
+            uniqueKey = Some((uniqueName, idCol)))
           val drift = DriftGate.tvd(profile, batch, textCol)
           val (matches, releaseBatch) = Dedup.probeNearDupIndex(
             batch, index, idCol, textCol, threshold)

@@ -37,8 +37,9 @@ class DriftGateSpec extends SparkSpec {
   }
 
   test("embedding drift: identical batch is 0, uniform +1 shift is exactly 1") {
-    // quarter-step floats stay exact under +1, so the DECIMAL sums
-    // make both endpoints exact, not approximate
+    // quarter-step floats stay exact under +1; per-dim diffs are
+    // rounded to 12 dp before the DECIMAL sum, so both endpoints are
+    // exact under ANY partial-sum order
     val vecs = Seq.tabulate(20)(i =>
       Array(0.25f * (i % 8), -0.5f * (i % 3), 1.25f)).toSeq
     val corpus = vecs.toDF("embedding")
@@ -48,6 +49,23 @@ class DriftGateSpec extends SparkSpec {
       val shifted = vecs.map(_.map(_ + 1.0f)).toDF("embedding")
       assert(DriftGate.embeddingDist(profile, shifted, "embedding") == 1.0)
       assert(DriftGate.embeddingDist(profile, corpus.limit(0), "embedding") == 0.0)
+    } finally release()
+  }
+
+  test("embedding drift alarms on a dimensionality change") {
+    // a batch of truncated (1-dim) vectors with a matching first-dim
+    // mean must NOT read as no-drift: the missing dims contribute
+    // their full |mean_corpus| displacement
+    val vecs = Seq.tabulate(20)(i =>
+      Array(0.25f * (i % 8), -0.5f * (i % 3), 1.25f)).toSeq
+    val corpus = vecs.toDF("embedding")
+    val (profile, release) = DriftGate.embeddingProfile(corpus, "embedding")
+    try {
+      val truncated = vecs.map(_.take(1)).toDF("embedding")
+      val d = DriftGate.embeddingDist(profile, truncated, "embedding")
+      // dims 2 and 3 contribute |mean| (0.5·(19·1)/20-ish and 1.25);
+      // dim 1 contributes 0 — avg strictly positive
+      assert(d > 0.4, s"truncated-vector batch read as no drift: $d")
     } finally release()
   }
 
