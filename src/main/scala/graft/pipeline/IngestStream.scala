@@ -78,4 +78,19 @@ object IngestStream {
       }
     (writer, () => { releaseProfile(); releaseIndex(); () })
   }
+
+  /**
+   * Turnkey quarantine router: append a failing batch to
+   * `quarantineDir` as parquet, stamped with the batch id and a
+   * machine-readable reason, so triage reads one table instead of
+   * logs. Idempotent under micro-batch redelivery IF the caller keeps
+   * batchId in the path semantics downstream dedup keys on (batch_id,
+   * doc identity) — the stamp columns make that join possible.
+   */
+  def quarantine(batch: DataFrame, report: BatchReport, reason: String,
+      quarantineDir: String): Unit =
+    batch
+      .withColumn("__batch_id", lit(report.batchId))
+      .withColumn("__reason", lit(reason))
+      .write.mode("append").parquet(quarantineDir)
 }

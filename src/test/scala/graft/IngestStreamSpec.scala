@@ -65,5 +65,28 @@ class IngestStreamSpec extends SparkSpec {
       v.violations == 1L))
     assert(bad.nearDupMatches >= 1L, "near-copy of corpus doc not flagged")
     assert(bad.drift > clean.drift, "vocab flip did not raise drift")
+
+    // quarantine writer: the bad batch lands stamped and re-readable
+    val qDir = java.nio.file.Files.createTempDirectory("graft-quar").toString + "/q"
+    val badBatch = Seq((201L, "   ")).toDF("doc_id", "text")
+    IngestStream.quarantine(badBatch, bad, "dq:text_nonempty", qDir)
+    val quarantined = spark.read.parquet(qDir)
+    assert(quarantined.count() == 1L)
+    val row = quarantined.head()
+    assert(row.getAs[Long]("__batch_id") == bad.batchId &&
+      row.getAs[String]("__reason") == "dq:text_nonempty")
+  }
+
+  test("a rule colliding with the reserved uniqueness name fails at build time") {
+    val corpus = Seq((1L, "alpha")).toDF("doc_id", "text")
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+    val mem = MemoryStream[Row](enc, spark)
+    intercept[IllegalArgumentException] {
+      IngestStream.gated(mem.toDF(), corpus, "doc_id", "text",
+        Seq(DqGate.Rule("doc_id_unique", col("doc_id").isNull)), 0.5) {
+        (_, _) => ()
+      }
+    }
   }
 }
