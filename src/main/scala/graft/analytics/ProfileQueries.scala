@@ -81,7 +81,28 @@ object ProfileQueries {
 
     "q_dq_orders" -> ((s, dir) =>
       DqGate.verdicts(Tables(s, dir, "orders"), OrderRules,
-        uniqueKey = Some(("orderkey_unique", "o_orderkey")))))
+        uniqueKey = Some(("orderkey_unique", "o_orderkey")))),
+
+    // The text-corpus face of the gate: same machinery, rules over
+    // document identity, content, derived-column consistency, and the
+    // language domain — what an ingest runs on a batch of documents
+    // before the drift/dedup probes bother with it.
+    "q_dq_documents" -> ((s, dir) =>
+      DqGate.verdicts(Tables(s, dir, "documents"), DocumentRules,
+        uniqueKey = Some(("doc_id_unique", "doc_id")))))
+
+  /** Language domain the generator emits (shared with the oracle). */
+  val LangDomain: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  /** Document constraint set (q_dq_documents; shared with the oracle). */
+  def DocumentRules: Seq[DqGate.Rule] = Seq(
+    DqGate.Rule("doc_id_not_null", col("doc_id").isNull),
+    DqGate.Rule("text_nonempty",
+      DqGate.notSatisfied(length(trim(col("text"))) > 0)),
+    DqGate.Rule("n_chars_consistent",
+      DqGate.notSatisfied(col("n_chars") === length(col("text")))),
+    DqGate.Rule("lang_in_domain",
+      DqGate.notSatisfied(col("lang").isin(LangDomain: _*))))
 
   /** The orders constraint set — shared by the batch query and the
     * streaming gate spec so both faces enforce the same contract. */
@@ -117,6 +138,31 @@ object ProfileQueries {
           round(min($num), 6) AS min_num, round(max($num), 6) AS max_num
         FROM events"""
       }.mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
+
+    "q_dq_documents" -> {
+      val langList = LangDomain.map(v => s"'$v'").mkString(", ")
+      s"""WITH g AS (
+        SELECT
+          CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS v_id_null,
+          count(doc_id) - count(DISTINCT doc_id) AS v_id_dup,
+          CAST(sum(CASE WHEN length(trim(text)) > 0 THEN 0 ELSE 1 END)
+            AS BIGINT) AS v_text_empty,
+          CAST(sum(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END)
+            AS BIGINT) AS v_nchars,
+          CAST(sum(CASE WHEN lang IN ($langList) THEN 0 ELSE 1 END)
+            AS BIGINT) AS v_lang
+        FROM documents)
+      SELECT * FROM (
+        SELECT 'doc_id_not_null' AS "constraint", v_id_null AS violations,
+          v_id_null = 0 AS pass FROM g
+        UNION ALL SELECT 'doc_id_unique', v_id_dup, v_id_dup = 0 FROM g
+        UNION ALL SELECT 'lang_in_domain', v_lang, v_lang = 0 FROM g
+        UNION ALL SELECT 'n_chars_consistent', v_nchars, v_nchars = 0 FROM g
+        UNION ALL SELECT 'text_nonempty', v_text_empty,
+          v_text_empty = 0 FROM g)
+      ORDER BY "constraint""""
     },
 
     "q_dq_orders" -> {
