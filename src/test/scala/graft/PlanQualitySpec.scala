@@ -282,7 +282,7 @@ class PlanQualitySpec extends SparkSpec {
     // The unpivot is an explode over the single aggregate row; a
     // union of per-column selects would re-scan the table once per
     // output row (6x/5x) — pin the single-scan shape.
-    for (q <- Seq("q_profile_events", "q_dq_orders")) {
+    for (q <- Seq("q_profile_events", "q_dq_orders", "q_dq_documents")) {
       val scans = collectAll(plan(SparkEntry.queries(q)(spark, Sf))) {
         case s: org.apache.spark.sql.execution.FileSourceScanExec => s
       }
