@@ -94,8 +94,9 @@ object DriftGate {
    * change is the loudest form of it: the dim join is full-outer and a
    * side with no values contributes mean 0, so a 32-dim batch against
    * a 768-dim profile alarms with the 736 missing dims' |mean_corpus|
-   * instead of silently averaging the shared prefix. An empty batch
-   * (no vectors at all) returns 0, as in [[tvd]].
+   * instead of silently averaging the shared prefix. Either side
+   * empty (no batch vectors, or a profile built from an empty corpus)
+   * returns 0, as in [[tvd]].
    *
    * Determinism: per-dim diffs are doubles (deterministic per row),
    * rounded to 12 dp and summed in DECIMAL, so the cross-dim total is
@@ -110,11 +111,15 @@ object DriftGate {
         col(s).cast("double") / col(n)).otherwise(lit(0.0))
     val diff = round(abs(meanOf("n_corpus", "s_corpus") -
       meanOf("n_batch", "s_batch")), 12).cast("decimal(38,12)")
+    // either side empty → 0, the tvd convention: no corpus profile is
+    // no evidence of drift (bootstrap), and no batch vectors is the
+    // dq gate's finding, not drift
     val r = joined.agg(
       coalesce(sum(coalesce(col("n_batch"), lit(0L))), lit(0L)).as("nb"),
+      coalesce(sum(coalesce(col("n_corpus"), lit(0L))), lit(0L)).as("nc"),
       sum(diff).as("s"), count(lit(1)).as("d")).head()
-    if (r.getLong(0) == 0L || r.getLong(2) == 0L) 0.0
-    else r.getDecimal(1).doubleValue() / r.getLong(2)
+    if (r.getLong(0) == 0L || r.getLong(1) == 0L || r.getLong(3) == 0L) 0.0
+    else r.getDecimal(2).doubleValue() / r.getLong(3)
   }
 
   /** Per micro-batch [[embeddingDist]] against the standing profile. */

@@ -53,11 +53,16 @@ object IngestStream {
       textCol: String, rules: Seq[DqGate.Rule], threshold: Double)(
       route: (DataFrame, BatchReport) => Unit)
       : (DataStreamWriter[Row], () => Unit) = {
-    // the injected uniqueness rule's name must be free — validate at
-    // build time, not as a duplicate-name failure inside the first
-    // micro-batch (which would kill the stream)
+    // every rule-name problem must surface at BUILD time, not as a
+    // require failure inside the first micro-batch (which would kill
+    // the stream and leak the standing structures): caller duplicates
+    // and a collision with the injected uniqueness rule's name both
+    // validate here
     val uniqueName = s"${idCol}_unique"
-    require(!rules.exists(_.name == uniqueName),
+    val names = rules.map(_.name)
+    require(names.distinct.size == names.size,
+      s"duplicate rule names: ${names.diff(names.distinct).distinct.mkString(", ")}")
+    require(!names.contains(uniqueName),
       s"rule name '$uniqueName' is reserved for the injected uniqueness rule")
     val (profile, releaseProfile) = DriftGate.corpusProfile(corpus, textCol)
     val (index, releaseIndex) = Dedup.corpusNearDupIndex(corpus, idCol, textCol)
@@ -88,9 +93,17 @@ object IngestStream {
    * doc identity) — the stamp columns make that join possible.
    */
   def quarantine(batch: DataFrame, report: BatchReport, reason: String,
-      quarantineDir: String): Unit =
+      quarantineDir: String): Unit = {
+    // a batch re-read FROM a quarantine table already carries the
+    // stamps; silently overwriting them would destroy the original
+    // lineage triage keys on
+    require(!batch.columns.contains("__batch_id") &&
+      !batch.columns.contains("__reason"),
+      "batch already carries quarantine stamps (__batch_id/__reason); " +
+        "drop or rename them before re-quarantining")
     batch
       .withColumn("__batch_id", lit(report.batchId))
       .withColumn("__reason", lit(reason))
       .write.mode("append").parquet(quarantineDir)
+  }
 }

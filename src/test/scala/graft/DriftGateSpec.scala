@@ -67,6 +67,13 @@ class DriftGateSpec extends SparkSpec {
       // dim 1 contributes 0 — avg strictly positive
       assert(d > 0.4, s"truncated-vector batch read as no drift: $d")
     } finally release()
+
+    // bootstrap: a profile from an EMPTY corpus is no evidence — every
+    // batch would otherwise alarm on day one
+    val (emptyProfile, release2) = DriftGate.embeddingProfile(
+      corpus.limit(0), "embedding")
+    try assert(DriftGate.embeddingDist(emptyProfile, corpus, "embedding") == 0.0)
+    finally release2()
   }
 
   test("streaming gate routes each micro-batch with its distance") {

@@ -77,16 +77,34 @@ class IngestStreamSpec extends SparkSpec {
       row.getAs[String]("__reason") == "dq:text_nonempty")
   }
 
-  test("a rule colliding with the reserved uniqueness name fails at build time") {
+  test("rule-name problems fail at build time, not inside the first batch") {
     val corpus = Seq((1L, "alpha")).toDF("doc_id", "text")
     val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
     val mem = MemoryStream[Row](enc, spark)
+    // collision with the injected uniqueness rule's reserved name
     intercept[IllegalArgumentException] {
       IngestStream.gated(mem.toDF(), corpus, "doc_id", "text",
         Seq(DqGate.Rule("doc_id_unique", col("doc_id").isNull)), 0.5) {
         (_, _) => ()
       }
+    }
+    // duplicates among the caller's own rules
+    intercept[IllegalArgumentException] {
+      IngestStream.gated(mem.toDF(), corpus, "doc_id", "text",
+        Seq(DqGate.Rule("a", col("doc_id").isNull),
+          DqGate.Rule("a", col("text").isNull)), 0.5) {
+        (_, _) => ()
+      }
+    }
+  }
+
+  test("quarantine refuses a batch that already carries stamps") {
+    val stamped = Seq((1L, "x", 9L, "old")).toDF(
+      "doc_id", "text", "__batch_id", "__reason")
+    val report = IngestStream.BatchReport(1L, 1L, Nil, 0.0, 0L)
+    intercept[IllegalArgumentException] {
+      IngestStream.quarantine(stamped, report, "again", "/tmp/never-written")
     }
   }
 }
