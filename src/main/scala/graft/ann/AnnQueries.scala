@@ -25,7 +25,8 @@ object AnnQueries {
   val TrainRefineIters = 2
 
   /** vec_id % 10 bucket boundary splitting corpus (< boundary) from
-    * batch in q_ann_embedding_drift (shared with its oracle). */
+    * batch in q_ann_embedding_drift AND q_dedup_incremental_embed
+    * (shared with both oracles). */
   val EmbDriftBatchBucket = 8
   val ProjDims = 8
   /** Edges kept per vertex in the kNN graph (q_ann_knn_graph). */
@@ -42,6 +43,20 @@ object AnnQueries {
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       .toSeq
+
+  /** The STANDING corpus-side embedding index of
+    * q_dedup_incremental_embed, built and persisted once per
+    * (session, sf-dir) — the same session-scoped standing-structure
+    * pattern as DedupQueries' corpus signature index (the streaming
+    * face in EventTimeOps carries the per-snapshot release handle). */
+  private val embedIdxCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def cachedEmbedIndex(s: SparkSession, dir: String): DataFrame =
+    embedIdxCache.getOrElseUpdate((s, dir),
+      Similarity.corpusEmbedIndex(
+        Tables(s, dir, "embeddings")
+          .filter(col("vec_id") % 10 < EmbDriftBatchBucket),
+        "vec_id", "embedding", NearDupBands, NearDupBandPlanes, Dims)._1)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -190,7 +205,23 @@ object AnnQueries {
       Similarity.bandedNearDupPairs(Tables(s, dir, "embeddings"),
         "vec_id", "embedding", NearDupBands, NearDupBandPlanes, Dims,
         NearDupThreshold)
-        .orderBy("id_a", "id_b")))
+        .orderBy("id_a", "id_b")),
+
+    // Incremental embedding NEAR-DUP: the batch (vec_id % 10 >=
+    // EmbDriftBatchBucket) probes the corpus's STANDING banded-LSH
+    // index — the vector-side member of the probe-against-corpus
+    // family (exact hash / MinHash / SimHash / embedding cosine),
+    // closing the one family that still rebuilt its index per batch.
+    // Each batch pays |batch|·bands probe rows against the persisted
+    // |corpus|·bands index; exact cosine verifies every collision.
+    "q_dedup_incremental_embed" -> ((s, dir) =>
+      Similarity.probeEmbedIndex(
+        Tables(s, dir, "embeddings")
+          .filter(col("vec_id") % 10 >= EmbDriftBatchBucket),
+        cachedEmbedIndex(s, dir),
+        "vec_id", "embedding", NearDupBands, NearDupBandPlanes, Dims,
+        NearDupThreshold)
+        .orderBy("batch_id", "corpus_id")))
 
   // ------------------------------------------------------------------
   // DuckDB mirrors (explicit left folds, same LCG hyperplanes)
@@ -468,5 +499,33 @@ object AnnQueries {
         FROM b x JOIN b y ON x.bucket = y.bucket AND x.id < y.id)
       SELECT id_a, id_b, bucket, round(cos, 6) AS cos
       FROM pairs WHERE cos >= $NearDupThreshold
-      ORDER BY id_a, id_b""")
+      ORDER BY id_a, id_b""",
+
+    // Same banded construction as q_dedup_embed_cos_banded, probed
+    // ACROSS the corpus/batch split instead of within the corpus
+    // (UNION dedups multi-band collisions like the Spark distinct).
+    "q_dedup_incremental_embed" -> {
+      val bandJoins = (0 until NearDupBands).map(b =>
+        s"""SELECT x.id AS batch_id, y.id AS corpus_id
+            FROM b x JOIN b y ON x.bk$b = y.bk$b
+            WHERE x.is_batch AND NOT y.is_batch""")
+        .mkString(" UNION ")
+      val bkCols = (0 until NearDupBands)
+        .map(b => s"${bucketBandSql("embedding", b, NearDupBandPlanes)} AS bk$b")
+        .mkString(", ")
+      s"""
+      WITH b AS (
+        SELECT vec_id AS id, (vec_id % 10 >= $EmbDriftBatchBucket) AS is_batch,
+               embedding AS v, $bkCols
+        FROM embeddings WHERE embedding IS NOT NULL),
+      cand AS ($bandJoins),
+      j AS (
+        SELECT batch_id, corpus_id, ${cosineSql("xa.v", "yb.v")} AS cos
+        FROM cand
+        JOIN b xa ON xa.id = cand.batch_id
+        JOIN b yb ON yb.id = cand.corpus_id)
+      SELECT batch_id, corpus_id, round(cos, 6) AS cos
+      FROM j WHERE cos >= $NearDupThreshold
+      ORDER BY batch_id, corpus_id"""
+    })
 }

@@ -437,6 +437,79 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
 
+  // ------------------------------------------- standing embedding index
+  /**
+   * Exploded (idName, v, band, bucket) rows of the banded LSH
+   * assignment — the standing-index/probe generator (the vector rides
+   * with its band rows, so the probe verify needs no join-backs; the
+   * same instructions-per-collision-vs-two-joins trade the SimHash
+   * probe makes). Null vectors are dropped up front: [[cosine]] guards
+   * them to 0 so they can never reach a positive threshold, but every
+   * one of them would land in bucket 0 of every band — the degenerate
+   * mega-bucket the text funnel's null-signature guard exists for.
+   */
+  private def embedBandRows(df: DataFrame, idCol: String, vecCol: String,
+      idName: String, bands: Int, planesPerBand: Int, dims: Int): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as(idName), col(vecCol).as("v"),
+        posexplode(array((0 until bands).map(b =>
+          lshBucket(col(vecCol), planesPerBand, dims, b * planesPerBand)): _*))
+          .as(Seq("band", "bucket")))
+
+  /**
+   * The STANDING banded-LSH index over the corpus embeddings — the
+   * vector-side member of the probe-against-corpus family
+   * (exact hash / MinHash-Jaccard / SimHash-Hamming / embedding-
+   * cosine), closing the one asymmetry the family had: an ingest
+   * stack gating on embedding near-dup no longer rebuilds LSH buckets
+   * per batch. |corpus|·bands narrow (corpus_id, v, band, bucket)
+   * rows, computed and persisted ONCE per corpus snapshot; the release
+   * handle drops the cache when the snapshot is superseded. At rest,
+   * bucket (band, bucket) is also the natural bucketed-write key
+   * (graft.sources.Bucketed) so repeated probes never reshuffle the
+   * index.
+   */
+  def corpusEmbedIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      bands: Int, planesPerBand: Int, dims: Int): (DataFrame, () => Unit) = {
+    val c = embedBandRows(corpus, idCol, vecCol, "corpus_id",
+      bands, planesPerBand, dims).persist()
+    (c, () => { c.unpersist(); () })
+  }
+
+  /**
+   * Probe a [[corpusEmbedIndex]] with one incoming batch: batch band
+   * rows equi-join the index on (band, bucket), exact cosine verifies,
+   * and the trailing distinct collapses multi-band collisions — one
+   * row per matching (batch_id, corpus_id) pair with its cosine. The
+   * batch side is single-use (|batch|·bands rows), so nothing needs
+   * caching or releasing. OR-amplified recall across bands, exactly
+   * like [[bandedNearDupPairs]]'s within-corpus candidates.
+   */
+  def probeEmbedIndex(batch: DataFrame, corpusIndex: DataFrame,
+      idCol: String, vecCol: String, bands: Int, planesPerBand: Int,
+      dims: Int, threshold: Double): DataFrame = {
+    val b = embedBandRows(batch, idCol, vecCol, "batch_id",
+      bands, planesPerBand, dims)
+    b.as("x").join(corpusIndex.as("y"), Seq("band", "bucket"))
+      .withColumn("cos", cosine(col("x.v"), col("y.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), round(col("cos"), 6).as("cos"))
+      .distinct()
+  }
+
+  /** One-shot convenience composing [[corpusEmbedIndex]] +
+    * [[probeEmbedIndex]]; the release handle drops the standing index.
+    * A caller probing the same corpus repeatedly (a stream) should
+    * build the index once and pay only the batch side per probe. */
+  def incrementalEmbedNearDup(batch: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, bands: Int, planesPerBand: Int,
+      dims: Int, threshold: Double): (DataFrame, () => Unit) = {
+    val (idx, release) = corpusEmbedIndex(corpus, idCol, vecCol,
+      bands, planesPerBand, dims)
+    (probeEmbedIndex(batch, idx, idCol, vecCol, bands, planesPerBand,
+      dims, threshold), release)
+  }
+
   /**
    * Approximate kNN GRAPH over the whole corpus — the input to
    * cluster/community detection and diversity-aware sampling: each

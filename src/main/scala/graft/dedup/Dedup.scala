@@ -90,7 +90,7 @@ object Dedup {
    * exchange-reuse point for the same reason. Callers own the handle:
    * the `…Managed` funnel variants unpersist it on release.
    */
-  private def withSignatures(docs: DataFrame, idCol: String,
+  private[dedup] def withSignatures(docs: DataFrame, idCol: String,
       textCol: String, idName: String, shName: String = "sh"): DataFrame = docs
     .select(col(idCol).as(idName),
       shingles(col(textCol)).as(shName),
@@ -161,15 +161,31 @@ object Dedup {
   def nearDupPairsManaged(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): (DataFrame, () => Unit) = {
     val withSig = withSignatures(docs, idCol, textCol, "doc_id")
-    val cand = bandCandidates(withSig, "doc_id", None)
-    val sh = withSig.select(col("doc_id"), col("sh"))
-    val out = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+    (pairsFromSignatures(withSig, "doc_id", "sh", threshold),
+      () => { withSig.unpersist(); () })
+  }
+
+  /**
+   * The WITHIN-set LSH funnel over an ALREADY-BUILT signature frame
+   * ([[corpusNearDupIndex]], [[batchSignatures]], or any
+   * `withSignatures` output): band-candidate self-join + exact
+   * shingle-Jaccard verify, with NO persist of its own. This is how
+   * composed queries (incremental cluster maintenance, the ingest
+   * funnel) share ONE standing signature cache across every consumer
+   * instead of each funnel re-persisting its own copy of the same
+   * plan. Output: (doc_a, doc_b, jaccard), doc_a < doc_b in `idName`'s
+   * id space.
+   */
+  def pairsFromSignatures(sig: DataFrame, idName: String, shName: String,
+      threshold: Double): DataFrame = {
+    val cand = bandCandidates(sig, idName, None)
+    val sh = sig.select(col(idName), col(shName))
+    cand
+      .join(sh.select(col(idName).as("doc_a"), col(shName).as("sh_a")), "doc_a")
+      .join(sh.select(col(idName).as("doc_b"), col(shName).as("sh_b")), "doc_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    (out, () => { withSig.unpersist(); () })
   }
 
   /**
@@ -190,20 +206,28 @@ object Dedup {
   def minhashEstimatePairsManaged(docs: DataFrame, idCol: String,
       textCol: String): (DataFrame, () => Unit) = {
     val withSig = withSignatures(docs, idCol, textCol, "doc_id")
-    val cand = bandCandidates(withSig, "doc_id", None)
+    (minhashEstimateFromSignatures(withSig),
+      () => { withSig.unpersist(); () })
+  }
+
+  /** The calibration funnel over an ALREADY-BUILT (doc_id, sh, sig)
+    * signature frame, persisting nothing — the shared-index
+    * counterpart of [[pairsFromSignatures]], so one cached signature
+    * frame serves the near-dup funnel AND this audit. */
+  def minhashEstimateFromSignatures(sig: DataFrame): DataFrame = {
+    val cand = bandCandidates(sig, "doc_id", None)
     val matches = (1 to NumHashes).map(j =>
       (element_at(col("sig_a"), j) === element_at(col("sig_b"), j))
         .cast("int")).reduce(_ + _)
-    val out = cand
-      .join(withSig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+    cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
         col("sig").as("sig_a")), "doc_a")
-      .join(withSig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      .join(sig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
         col("sig").as("sig_b")), "doc_b")
       .withColumn("est", round(matches.cast("double") / NumHashes, 6))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .select(col("doc_a"), col("doc_b"), col("est"), col("jaccard"),
         round(abs(col("est") - col("jaccard")), 6).as("abs_err"))
-    (out, () => { withSig.unpersist(); () })
   }
 
   /**
@@ -599,21 +623,41 @@ object Dedup {
     (c, () => { c.unpersist(); () })
   }
 
+  /** Batch-side signature frame (batch_id, sh_batch, sig), persisted,
+    * with a release handle — what [[probeNearDupIndex]] builds
+    * internally, exposed so composed queries can build the batch
+    * signatures ONCE and feed several consumers
+    * ([[pairsFromSignatures]] for within-batch pairs,
+    * [[probeFromSignatures]] for the corpus probe). */
+  def batchSignatures(batch: DataFrame, idCol: String,
+      textCol: String): (DataFrame, () => Unit) = {
+    val b = withSignatures(batch, idCol, textCol, "batch_id", "sh_batch")
+    (b, () => { b.unpersist(); () })
+  }
+
   /** Probe a [[corpusNearDupIndex]] with one incoming batch; the
     * release handle drops only the BATCH-side cache, leaving the
     * standing index persisted for the next probe. */
   def probeNearDupIndex(batch: DataFrame, corpusIndex: DataFrame,
       idCol: String, textCol: String,
       threshold: Double): (DataFrame, () => Unit) = {
-    val b = withSignatures(batch, idCol, textCol, "batch_id", "sh_batch")
-    val cand = bandCandidates(b, "batch_id", Some((corpusIndex, "corpus_id")))
-    val out = cand
-      .join(b.select(col("batch_id"), col("sh_batch")), "batch_id")
+    val (b, releaseBatch) = batchSignatures(batch, idCol, textCol)
+    (probeFromSignatures(b, corpusIndex, threshold), releaseBatch)
+  }
+
+  /** The cross-probe funnel over ALREADY-BUILT frames — batch
+    * signatures ([[batchSignatures]]) against a standing
+    * [[corpusNearDupIndex]] — with no persist of its own (the shared-
+    * index counterpart of [[pairsFromSignatures]]). */
+  def probeFromSignatures(batchSig: DataFrame, corpusIndex: DataFrame,
+      threshold: Double): DataFrame = {
+    val cand = bandCandidates(batchSig, "batch_id", Some((corpusIndex, "corpus_id")))
+    cand
+      .join(batchSig.select(col("batch_id"), col("sh_batch")), "batch_id")
       .join(corpusIndex.select(col("corpus_id"), col("sh_corpus")), "corpus_id")
       .withColumn("jaccard", jaccard(col("sh_batch"), col("sh_corpus")))
       .filter(col("jaccard") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
-    (out, () => { b.unpersist(); () })
   }
 
   /**

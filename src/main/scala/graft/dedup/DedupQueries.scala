@@ -35,14 +35,66 @@ object DedupQueries {
     "en" -> 0.40, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
   val MixtureBudget = 0.5
 
+  /** Full-corpus signature frame shared by every full-docs funnel
+    * (near-dup pairs, the MinHash calibration) — without the shared
+    * cache, each funnel re-persists the identical signature plan and
+    * the CacheManager logs duplicate-cache warnings. */
+  private val docSigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def cachedDocSignatures(s: SparkSession, dir: String): DataFrame =
+    docSigCache.getOrElseUpdate((s, dir),
+      Dedup.withSignatures(Tables(s, dir, "documents"), "doc_id", "text",
+        "doc_id"))
+
   /** The LSH funnel output, shared by the pairs and clusters queries
     * (same persist-once pattern as SparkEntry's normalized feed). */
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def cachedPairs(s: SparkSession, dir: String): DataFrame =
     pairsCache.getOrElseUpdate((s, dir),
-      Dedup.nearDupPairs(Tables(s, dir, "documents"), "doc_id", "text", 0.5)
-        .persist())
+      Dedup.pairsFromSignatures(cachedDocSignatures(s, dir), "doc_id", "sh",
+        LshPairsThreshold).persist())
+
+  /** The corpus/batch hash split shared by every incremental query
+    * (and both oracle families): corpus = bucket < boundary, batch =
+    * the rest. One definition so the Spark plans are IDENTICAL across
+    * queries — that identity is what lets the standing-index caches
+    * below be shared instead of re-persisted per query. */
+  private def splitDocs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val bucket = TextAnalysis.charFingerprint(col("text")) % 100
+    val docs = Tables(s, dir, "documents").withColumn("bucket", bucket)
+    (docs.filter(col("bucket") < IncrementalSplitBoundary),
+      docs.filter(col("bucket") >= IncrementalSplitBoundary))
+  }
+
+  /** STANDING indexes of the incremental family, built and persisted
+    * ONCE per (session, sf-dir) and shared by every consumer —
+    * q_dedup_incremental_fuzzy, q_dedup_incremental_simhash,
+    * q_dedup_clusters_incremental, and the composed q_pipeline_ingest
+    * each used to derive (and re-persist) their own copy of the same
+    * corpus signature plan, which is exactly the per-batch rebuild an
+    * ingest pipeline must not pay. Session-scoped like [[pairsCache]]:
+    * these ARE the standing structures, released when the session
+    * stops (the streaming faces in EventTimeOps/IngestStream carry
+    * per-snapshot release handles for long-lived processes). */
+  private val corpusIdxCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def cachedCorpusIndex(s: SparkSession, dir: String): DataFrame =
+    corpusIdxCache.getOrElseUpdate((s, dir),
+      Dedup.corpusNearDupIndex(splitDocs(s, dir)._1, "doc_id", "text")._1)
+
+  private val batchSigCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def cachedBatchSignatures(s: SparkSession, dir: String): DataFrame =
+    batchSigCache.getOrElseUpdate((s, dir),
+      Dedup.batchSignatures(splitDocs(s, dir)._2, "doc_id", "text")._1)
+
+  private val simhashIdxCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def cachedSimhashIndex(s: SparkSession, dir: String): DataFrame =
+    simhashIdxCache.getOrElseUpdate((s, dir),
+      Dedup.corpusSimhashIndex(splitDocs(s, dir)._1, "doc_id", "text",
+        SimHashMaxHamming, SimHashBands, words = 2)._1)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -79,7 +131,7 @@ object DedupQueries {
     // remains the oracle spec (and the ScalaTest equivalence case).
     "q_dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.blockedJaccardPairs(Tables(s, dir, "documents"),
-        Seq("lang", "source"), "doc_id", "text", 2, 0.3)
+        Seq("lang", "source"), "doc_id", "text", 2, NgramJaccardThreshold)
         .orderBy("doc_a", "doc_b")),
 
     // Connected-component cluster resolution over the LSH near-dup
@@ -96,18 +148,23 @@ object DedupQueries {
     // The oracle re-clusters corpus ∪ batch from scratch — equality
     // IS the operator's contract.
     "q_dedup_clusters_incremental" -> ((s, dir) => {
-      val bucket = TextAnalysis.charFingerprint(col("text")) % 100
-      val docs = Tables(s, dir, "documents").withColumn("bucket", bucket)
-      val corpus = docs.filter(col("bucket") < IncrementalSplitBoundary)
-      val batch = docs.filter(col("bucket") >= IncrementalSplitBoundary)
+      val (corpus, batch) = splitDocs(s, dir)
+      // ONE standing corpus index + ONE batch signature cache feed all
+      // three pair sources (within-corpus, within-batch, cross-probe) —
+      // the funnels themselves persist nothing (pairsFromSignatures /
+      // probeFromSignatures), so a Verify/Bench run caches each plan
+      // exactly once no matter how many queries compose it.
+      val corpusIdx = cachedCorpusIndex(s, dir)
+      val batchSig = cachedBatchSignatures(s, dir)
       val assignments = Clusters.resolve(corpus, "doc_id",
-        Dedup.nearDupPairs(corpus, "doc_id", "text", IncrementalFuzzyThreshold),
+        Dedup.pairsFromSignatures(corpusIdx, "corpus_id", "sh_corpus",
+          IncrementalFuzzyThreshold),
         "doc_a", "doc_b").select("doc_id", "cluster")
-      val batchPairs = Dedup.nearDupPairs(
-          batch, "doc_id", "text", IncrementalFuzzyThreshold)
+      val batchPairs = Dedup.pairsFromSignatures(batchSig, "batch_id",
+          "sh_batch", IncrementalFuzzyThreshold)
         .select(col("doc_a"), col("doc_b"))
-      val crossPairs = Dedup.incrementalNearDup(
-          batch, corpus, "doc_id", "text", IncrementalFuzzyThreshold)
+      val crossPairs = Dedup.probeFromSignatures(batchSig, corpusIdx,
+          IncrementalFuzzyThreshold)
         .select(col("batch_id").as("doc_a"), col("corpus_id").as("doc_b"))
       Clusters.incrementalResolve(assignments, batch, "doc_id",
         batchPairs.unionByName(crossPairs), "doc_a", "doc_b")
@@ -164,7 +221,7 @@ object DedupQueries {
     // audit run before trusting signature-only similarity at scales
     // where exact verify is unaffordable.
     "q_dedup_minhash_est" -> ((s, dir) =>
-      Dedup.minhashEstimatePairs(Tables(s, dir, "documents"), "doc_id", "text")
+      Dedup.minhashEstimateFromSignatures(cachedDocSignatures(s, dir))
         .orderBy("doc_a", "doc_b")),
 
     // Incremental exact dedup: the val/test buckets arrive as the
@@ -172,26 +229,18 @@ object DedupQueries {
     // corpus (same hash split as q_sample_split) — the production
     // don't-re-dedup-history shape.
     "q_dedup_incremental" -> ((s, dir) => {
-      val bucket = TextAnalysis.charFingerprint(col("text")) % 100
-      val docs = Tables(s, dir, "documents").withColumn("bucket", bucket)
-      Dedup.incrementalExactDedup(
-        docs.filter(col("bucket") >= IncrementalSplitBoundary),
-        docs.filter(col("bucket") < IncrementalSplitBoundary), "doc_id", "text")
+      val (corpus, batch) = splitDocs(s, dir)
+      Dedup.incrementalExactDedup(batch, corpus, "doc_id", "text")
         .orderBy("doc_id")
     }),
 
     // Incremental NEAR-dup: val/test batch probed against the train
     // corpus's band index, exact-Jaccard verified — the fuzzy twin of
     // q_dedup_incremental.
-    "q_dedup_incremental_fuzzy" -> ((s, dir) => {
-      val bucket = TextAnalysis.charFingerprint(col("text")) % 100
-      val docs = Tables(s, dir, "documents").withColumn("bucket", bucket)
-      Dedup.incrementalNearDup(
-        docs.filter(col("bucket") >= IncrementalSplitBoundary),
-        docs.filter(col("bucket") < IncrementalSplitBoundary),
-        "doc_id", "text", IncrementalFuzzyThreshold)
-        .orderBy("batch_id", "corpus_id")
-    }),
+    "q_dedup_incremental_fuzzy" -> ((s, dir) =>
+      Dedup.probeFromSignatures(cachedBatchSignatures(s, dir),
+        cachedCorpusIndex(s, dir), IncrementalFuzzyThreshold)
+        .orderBy("batch_id", "corpus_id")),
 
     // Exact per-stratum QUOTA sampling: exactly SampleQuota docs per
     // language, selected by salted-content-hash order (rate-based
@@ -242,39 +291,35 @@ object DedupQueries {
     // corpus's banded fingerprint index (same split as the other
     // incremental queries) — completes the probe-against-corpus
     // family: exact hash / MinHash-Jaccard / SimHash-Hamming.
-    "q_dedup_incremental_simhash" -> ((s, dir) => {
-      val bucket = TextAnalysis.charFingerprint(col("text")) % 100
-      val docs = Tables(s, dir, "documents").withColumn("bucket", bucket)
-      Dedup.simhashProbePairs(
-        docs.filter(col("bucket") >= IncrementalSplitBoundary),
-        docs.filter(col("bucket") < IncrementalSplitBoundary),
+    "q_dedup_incremental_simhash" -> ((s, dir) =>
+      Dedup.probeSimhashIndex(splitDocs(s, dir)._2, cachedSimhashIndex(s, dir),
         "doc_id", "text", SimHashMaxHamming, SimHashBands, words = 2)
-        .orderBy("batch_id", "corpus_id")
-    }),
+        .orderBy("batch_id", "corpus_id")),
 
     // The composed incremental INGEST GATE — what an ingestion pipeline
     // actually runs per batch: every batch doc gets ONE verdict from
     // the three corpus probes, in fixed precedence (exact > fuzzy >
     // fingerprint > kept). Oracle-checked as a composition, like
     // q_pipeline_curate. Scale shape: each probe scans the BATCH side
-    // once (batch-sized, cheap ×3); the corpus sides are, in
-    // production, three different STANDING indexes (hash set, band
-    // index, fingerprint index) built once per snapshot — this harness
-    // derives them in-query. The verdict join-backs are on distinct
+    // once (batch-sized, cheap ×3); the corpus sides are the SHARED
+    // standing indexes (band index, fingerprint index — built and
+    // persisted once per (session, dir), reused by the standalone
+    // incremental queries; the exact-hash set is a plain distinct with
+    // no cache to share). The verdict join-backs are on distinct
     // batch ids (≤ |batch| rows).
     "q_pipeline_ingest" -> ((s, dir) => {
-      val bucket = TextAnalysis.charFingerprint(col("text")) % 100
-      val docs = Tables(s, dir, "documents").withColumn("bucket", bucket)
-      val batch = docs.filter(col("bucket") >= IncrementalSplitBoundary)
-      val corpus = docs.filter(col("bucket") < IncrementalSplitBoundary)
+      val (corpus, batch) = splitDocs(s, dir)
+      // the three probes hit the SHARED standing indexes (hash set is
+      // derived inline — it has no cache to share), exactly the
+      // production shape the scaladoc below describes
       val exact = Dedup.incrementalExactDedup(batch, corpus, "doc_id", "text")
         .select(col("doc_id"), col("is_dup"))
-      val fuzzy = Dedup.incrementalNearDup(
-          batch, corpus, "doc_id", "text", IncrementalFuzzyThreshold)
+      val fuzzy = Dedup.probeFromSignatures(cachedBatchSignatures(s, dir),
+          cachedCorpusIndex(s, dir), IncrementalFuzzyThreshold)
         .select(col("batch_id").as("doc_id")).distinct()
         .withColumn("__fuzzy", lit(true))
-      val fp = Dedup.simhashProbePairs(batch, corpus, "doc_id", "text",
-          SimHashMaxHamming, SimHashBands, words = 2)
+      val fp = Dedup.probeSimhashIndex(batch, cachedSimhashIndex(s, dir),
+          "doc_id", "text", SimHashMaxHamming, SimHashBands, words = 2)
         .select(col("batch_id").as("doc_id")).distinct()
         .withColumn("__fp", lit(true))
       exact
@@ -302,14 +347,27 @@ object DedupQueries {
 
   val ContaminationThreshold = 0.5
 
+  /** Exact bigram-Jaccard floor of the blocked prefix-filter join
+    * (q_dedup_ngram_jaccard; shared with its oracle). */
+  val NgramJaccardThreshold = 0.3
+
   /** Hash-bucket boundary splitting the standing corpus (< boundary)
     * from the incoming batch (>= boundary) in the incremental dedup
     * queries — shared with both oracles so the engines can't drift. */
   val IncrementalSplitBoundary = 80
 
-  /** Exact-Jaccard verify threshold of q_dedup_incremental_fuzzy
-    * (shared with its oracle). */
-  val IncrementalFuzzyThreshold = 0.5
+  /** Exact-Jaccard floor of the full-corpus LSH funnel
+    * (q_dedup_lsh_pairs / q_dedup_clusters; shared with their
+    * oracles). */
+  val LshPairsThreshold = 0.5
+
+  /** Exact-Jaccard verify threshold of the incremental fuzzy probes.
+    * DEFINED as the funnel threshold, not merely equal to it:
+    * q_dedup_clusters_incremental's oracle is the from-scratch
+    * re-cluster ([[clustersOracle]]), whose pair set uses the funnel
+    * threshold — the incremental operator can only equal that answer
+    * when both thresholds are the same value. */
+  val IncrementalFuzzyThreshold: Double = LshPairsThreshold
 
   /** Docs drawn per language stratum (q_sample_topn). */
   val SampleQuota = 20
@@ -383,7 +441,7 @@ object DedupQueries {
         JOIN sig sa ON sa.doc_id = cand.doc_a
         JOIN sig sb ON sb.doc_id = cand.doc_b
         WHERE round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-          / greatest(len(list_distinct(list_concat(sa.sh, sb.sh))), 1), 6) >= 0.5),
+          / greatest(len(list_distinct(list_concat(sa.sh, sb.sh))), 1), 6) >= $LshPairsThreshold),
       edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
         UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -516,7 +574,7 @@ object DedupQueries {
           FROM cand
           JOIN sig sa ON sa.doc_id = cand.doc_a
           JOIN sig sb ON sb.doc_id = cand.doc_b)
-      SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.5
+      SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= $LshPairsThreshold
       ORDER BY doc_a, doc_b"""
     },
 
@@ -537,7 +595,7 @@ object DedupQueries {
            FROM d x JOIN d y
              ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id)
        SELECT lang, source, doc_a, doc_b, jaccard FROM p
-       WHERE jaccard >= 0.3 ORDER BY doc_a, doc_b"""
+       WHERE jaccard >= $NgramJaccardThreshold ORDER BY doc_a, doc_b"""
     },
 
     "q_dedup_clusters" -> clustersOracle,

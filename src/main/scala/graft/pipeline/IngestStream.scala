@@ -31,26 +31,42 @@ import graft.dedup.Dedup
  */
 object IngestStream {
 
-  /** Everything the router needs to decide a batch's fate. */
+  /** Everything the router needs to decide a batch's fate.
+    * `embedDupMatches` stays 0 when the stack runs without an
+    * [[EmbedGate]]. */
   final case class BatchReport(
       batchId: Long,
       rows: Long,
       dq: Seq[DqGate.Verdict],
       drift: Double,
-      nearDupMatches: Long) {
+      nearDupMatches: Long,
+      embedDupMatches: Long = 0L) {
     def dqPass: Boolean = dq.forall(_.pass)
   }
+
+  /** Embedding-side near-dup gate: when the feed carries an embedding
+    * column, each batch also probes the corpus's standing banded-LSH
+    * index (`Similarity.corpusEmbedIndex`) — the increasingly-default
+    * production gate for semantic duplicates that share no shingles.
+    * `threshold` is the exact-cosine floor for a match. */
+  final case class EmbedGate(vecCol: String, bands: Int, planesPerBand: Int,
+      dims: Int, threshold: Double)
 
   /**
    * @param rules     row-level dq rules over the batch's columns
    * @param idCol     document id column (uniqueness + probe identity)
    * @param textCol   document text column (drift + near-dup probe)
    * @param threshold exact-Jaccard floor for a near-dup match
-   * @return (stream writer, release handle for BOTH standing
+   * @param embed     optional embedding-side gate: when set, `docs`
+   *                  and `corpus` must also carry `embed.vecCol` and
+   *                  each batch probes the standing embedding index
+   *                  too ([[BatchReport.embedDupMatches]])
+   * @return (stream writer, release handle for ALL standing
    *         structures)
    */
   def gated(docs: DataFrame, corpus: DataFrame, idCol: String,
-      textCol: String, rules: Seq[DqGate.Rule], threshold: Double)(
+      textCol: String, rules: Seq[DqGate.Rule], threshold: Double,
+      embed: Option[EmbedGate] = None)(
       route: (DataFrame, BatchReport) => Unit)
       : (DataStreamWriter[Row], () => Unit) = {
     // every rule-name problem must surface at BUILD time, not as a
@@ -64,8 +80,19 @@ object IngestStream {
       s"duplicate rule names: ${names.diff(names.distinct).distinct.mkString(", ")}")
     require(!names.contains(uniqueName),
       s"rule name '$uniqueName' is reserved for the injected uniqueness rule")
+    // a missing embedding column must fail HERE, not inside the first
+    // micro-batch (same build-time contract as the rule names)
+    embed.foreach { e =>
+      require(corpus.columns.contains(e.vecCol) &&
+        docs.schema.fieldNames.contains(e.vecCol),
+        s"embed gate needs column '${e.vecCol}' on both corpus and feed")
+    }
     val (profile, releaseProfile) = DriftGate.corpusProfile(corpus, textCol)
     val (index, releaseIndex) = Dedup.corpusNearDupIndex(corpus, idCol, textCol)
+    val embedIdx = embed.map { e =>
+      graft.ann.Similarity.corpusEmbedIndex(corpus, idCol, e.vecCol,
+        e.bands, e.planesPerBand, e.dims)
+    }
     val writer = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -77,11 +104,17 @@ object IngestStream {
           val (matches, releaseBatch) = Dedup.probeNearDupIndex(
             batch, index, idCol, textCol, threshold)
           val nDup = try matches.count() finally releaseBatch()
-          route(batch, BatchReport(batchId, batch.count(), dq, drift, nDup))
+          val nEmb = embed.zip(embedIdx).map { case (e, (idx, _)) =>
+            graft.ann.Similarity.probeEmbedIndex(batch, idx, idCol,
+              e.vecCol, e.bands, e.planesPerBand, e.dims, e.threshold).count()
+          }.getOrElse(0L)
+          route(batch, BatchReport(batchId, batch.count(), dq, drift, nDup, nEmb))
         } finally batch.unpersist()
         ()
       }
-    (writer, () => { releaseProfile(); releaseIndex(); () })
+    (writer, () => {
+      releaseProfile(); releaseIndex(); embedIdx.foreach(_._2()); ()
+    })
   }
 
   /**

@@ -249,6 +249,38 @@ object EventTimeOps {
     (writer, releaseIndex)
   }
 
+  /**
+   * Streaming embedding dedup-against-corpus — the vector-side member
+   * of the [[dedupAgainstCorpus]] family, completing it (exact hash /
+   * MinHash-Jaccard / SimHash-Hamming / embedding-cosine): each
+   * micro-batch of arriving vectors probes the STANDING banded-LSH
+   * index (`Similarity.corpusEmbedIndex`, built and persisted once
+   * outside the per-batch path) and `onMatches` receives that batch's
+   * (batch_id, corpus_id, cos) rows. Same foreachBatch rationale as
+   * the text faces (the funnel's per-batch distinct would be unbounded
+   * stateful dedup as a stream-static join), same release contract:
+   * the returned handle drops the standing index once this corpus
+   * snapshot is superseded.
+   *
+   * @return (writer, release handle for the standing corpus index)
+   */
+  def embedDedupAgainstCorpus(docs: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, bands: Int, planesPerBand: Int,
+      dims: Int, threshold: Double)(
+      onMatches: DataFrame => Unit): (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row], () => Unit) = {
+    val (corpusIndex, releaseIndex) = graft.ann.Similarity.corpusEmbedIndex(
+      corpus, idCol, vecCol, bands, planesPerBand, dims)
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        onMatches(graft.ann.Similarity.probeEmbedIndex(
+          batch, corpusIndex, idCol, vecCol, bands, planesPerBand, dims,
+          threshold))
+        ()
+      }
+    (writer, releaseIndex)
+  }
+
   final case class FunnelInput(user_id: Long, ts: Timestamp, event_type: String)
   final case class FunnelBuf(events: List[(Long, String)], lastTs: Long)
   final case class FunnelOut(user_id: Long, t1: Option[Long], t2: Option[Long],

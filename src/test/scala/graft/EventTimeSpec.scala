@@ -236,6 +236,53 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming embedding dedup-against-corpus matches the batch probe") {
+    import graft.ann.Similarity
+    import spark.implicits._
+    val schema = StructType.fromDDL("vec_id BIGINT, embedding ARRAY<FLOAT>")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (3L, Seq(0f, 1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val mem = MemoryStream[Row](enc, spark)
+    val got = scala.collection.mutable.Set.empty[(Long, Long)]
+    val (writer, releaseIndex) = EventTimeOps.embedDedupAgainstCorpus(
+      mem.toDF(), corpus, "vec_id", "embedding",
+      bands = 2, planesPerBand = 4, dims = 4, threshold = 0.9) { m =>
+        got ++= m.collect().map(r => (r.getLong(0), r.getLong(1)))
+      }
+    val q = writer.start()
+    try {
+      // scaled copies share every projection sign, hence every band
+      // bucket — collision is provable, and cosine is exactly 1.0
+      val b1 = Seq(Row(10L, Seq(0.5f, 0f, 0f, 0f)),    // dup of 1
+        Row(11L, Seq(0f, 0f, 1f, 0f)))                 // orthogonal to both
+      val b2 = Seq(Row(12L, Seq(2f, 0f, 0f, 0f)))      // dup of 1
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      // release the standing index BEFORE building the batch
+      // equivalent: its index persists the identical corpus plan, and
+      // Spark's cache manager dedups by canonicalized plan — either
+      // handle would drop the single shared entry
+      val cached = spark.sparkContext.getPersistentRDDs.size
+      releaseIndex()
+      assert(spark.sparkContext.getPersistentRDDs.size == cached - 1,
+        "release handle must drop the standing embedding index")
+      val (batchDf, releaseBatchIdx) = Similarity.incrementalEmbedNearDup(
+        (b1 ++ b2).map(r => (r.getLong(0), r.getSeq[Float](1)))
+          .toDF("vec_id", "embedding"),
+        corpus, "vec_id", "embedding", 2, 4, 4, 0.9)
+      val batchEquiv =
+        try batchDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        finally releaseBatchIdx()
+      assert(got.toSet == batchEquiv, s"stream $got vs batch $batchEquiv")
+      assert(got.contains((10L, 1L)) && got.contains((12L, 1L)) &&
+        !got.exists(_._2 == 3L),
+        "scaled copies of corpus vec 1 must match; orthogonal vecs must not")
+    } finally q.stop()
+  }
+
   test("streaming funnel emits per-user summaries after idle timeout") {
     import spark.implicits._
     import graft.streaming.EventTimeOps.{FunnelInput, FunnelOut}

@@ -77,6 +77,64 @@ class IngestStreamSpec extends SparkSpec {
       row.getAs[String]("__reason") == "dq:text_nonempty")
   }
 
+  test("ingest stack gates on the embedding index when configured") {
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    def sentence(i: Int): String =
+      (0 until 8).map(j => words((i * 3 + j * (1 + i % 7)) % 10))
+        .mkString(" ") + s" tail$i"
+    // all corpus embeddings share direction e0 — a scaled-copy probe
+    // provably collides in every band and verifies at cosine 1.0
+    val corpus = Seq.tabulate(10)(i =>
+      (i.toLong, sentence(i), Seq(1f, 0f, 0f, 0f)))
+      .toDF("doc_id", "text", "embedding")
+    val schema = StructType.fromDDL(
+      "doc_id BIGINT, text STRING, embedding ARRAY<FLOAT>")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+    val mem = MemoryStream[Row](enc, spark)
+    val reports = mutable.ArrayBuffer[IngestStream.BatchReport]()
+    val gate = IngestStream.EmbedGate("embedding",
+      bands = 2, planesPerBand = 4, dims = 4, threshold = 0.9)
+    val (writer, release) = IngestStream.gated(
+      mem.toDF(), corpus, "doc_id", "text", Nil, threshold = 0.5,
+      embed = Some(gate)) { (_, report) => reports += report }
+    val q = writer.start()
+    try {
+      // clean: corpus vocabulary, orthogonal embedding
+      mem.addData(Row(100L,
+        "kappa alpha theta beta iota gamma zeta delta fresh1",
+        Seq(0f, 0f, 1f, 0f)))
+      q.processAllAvailable()
+      // poisoned: semantic duplicate (scaled corpus direction) whose
+      // TEXT shares no shingles with the corpus — only the embedding
+      // gate can catch it
+      mem.addData(Row(200L,
+        "entirely novel wording that shares not one shingle",
+        Seq(2f, 0f, 0f, 0f)))
+      q.processAllAvailable()
+    } finally { q.stop(); release() }
+
+    assert(reports.size == 2)
+    assert(reports(0).embedDupMatches == 0L,
+      s"orthogonal embedding flagged: ${reports(0)}")
+    assert(reports(1).embedDupMatches >= 1L &&
+      reports(1).nearDupMatches == 0L,
+      s"semantic dup must trip ONLY the embedding gate: ${reports(1)}")
+  }
+
+  test("embed gate validates the embedding column at build time") {
+    val corpus = Seq((1L, "alpha")).toDF("doc_id", "text")
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+    val mem = MemoryStream[Row](enc, spark)
+    intercept[IllegalArgumentException] {
+      IngestStream.gated(mem.toDF(), corpus, "doc_id", "text", Nil, 0.5,
+        embed = Some(IngestStream.EmbedGate("embedding", 2, 4, 4, 0.9))) {
+        (_, _) => ()
+      }
+    }
+  }
+
   test("rule-name problems fail at build time, not inside the first batch") {
     val corpus = Seq((1L, "alpha")).toDF("doc_id", "text")
     val schema = StructType.fromDDL("doc_id BIGINT, text STRING")

@@ -98,7 +98,14 @@ def check_readme_counts(out_dir, n_oracles):
         ("tests", n_tests, [r"\((\d+) tests\)", r"(\d+) ScalaTest specs"]),
     ]:
         for pat in pats:
-            for m in re.findall(pat, readme):
+            ms = re.findall(pat, readme)
+            if not ms:
+                # a reworded README must FAIL, not silently disable the
+                # guard: zero matches means the count is no longer pinned
+                problems.append(
+                    f"README no longer matches {pat!r} ({label}); "
+                    "update the wording AND this checker together")
+            for m in ms:
                 if int(m) != actual:
                     problems.append(
                         f"README claims {m} {label}; actual is {actual}")
