@@ -378,21 +378,61 @@ object Similarity {
       idCol: String, vecCol: String, centroids: Seq[Array[Double]],
       nprobe: Int, k: Int): DataFrame = {
     require(centroids.nonEmpty, "ivfTopK needs at least one centroid")
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    val norms = centroids.map(c => math.sqrt(dotLocal(c, c)))
     val cell = cellOf(bestCentroid(col(vecCol), centroids))
     val assigned = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("nv"), cell.as("cell"))
+    // no cell pre-filter here: over an IN-QUERY assignment the
+    // isInCollection guard would re-evaluate the K-dot argmax a second
+    // time per row (filter + project); pruning pays only when the cell
+    // is a MATERIALIZED column ([[ivfTopKAssigned]])
+    ivfProbe(assigned, queries, centroids, nprobe, k, pruneCells = false)
+  }
+
+  /** (id, vec, cell) assignment — the WRITE side of the at-rest IVF
+    * layout ([[graft.ann.IvfIndex]]): same argmax/tie-break as
+    * [[ivfTopK]]'s in-query cell map, so the materialized cells and
+    * query-time probing agree. */
+  def assignWithVectors(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]]): DataFrame =
+    corpus.select(col(idCol), col(vecCol),
+      cellOf(bestCentroid(col(vecCol), centroids)).as("cell"))
+
+  /**
+   * IVF probe over a PRE-ASSIGNED corpus (neighbor_id, nv, cell) — the
+   * READ path of the at-rest layout: cells were materialized at index-
+   * build time, so the probe's `cell IN (probe cells)` filter prunes
+   * whole cell partitions at the scan (nprobe/K of the files) and the
+   * per-row K-dot assignment pass disappears entirely. Query probe
+   * cells are computed DRIVER-side with the bit-identical fold, like
+   * [[ivfTopK]].
+   */
+  def ivfTopKAssigned(assigned: DataFrame, queries: Seq[(Long, Array[Double])],
+      centroids: Seq[Array[Double]], nprobe: Int, k: Int): DataFrame =
+    ivfProbe(assigned, queries, centroids, nprobe, k, pruneCells = true)
+
+  private def ivfProbe(assigned: DataFrame, queries: Seq[(Long, Array[Double])],
+      centroids: Seq[Array[Double]], nprobe: Int, k: Int,
+      pruneCells: Boolean): DataFrame = {
+    require(centroids.nonEmpty, "ivfTopK needs at least one centroid")
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val norms = centroids.map(c => math.sqrt(dotLocal(c, c)))
     val probeRows = queries.flatMap { case (qid, qv) =>
       val cs = centroids.zip(norms).map { case (c, n) =>
         if (n > 0) dotLocal(qv, c) / n else 0.0 }
       val order = cs.indices.sortBy(i => (-cs(i), i))
       order.take(nprobe).map(cid => (qid, qv.toSeq, cid))
     }
+    // static partition pruning: the probed cell set is known on the
+    // driver, so non-probed cell PARTITIONS of the at-rest layout
+    // never even reach the scan
+    val base =
+      if (pruneCells)
+        assigned.filter(col("cell").isInCollection(probeRows.map(_._3).distinct))
+      else assigned
     val probes = broadcast(probeRows.toDF("query_id", "qv", "probe"))
     val scored = probes
-      .join(assigned, col("probe") === col("cell") &&
+      .join(base, col("probe") === col("cell") &&
         col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("nv")))
     rankTopK(scored, k)

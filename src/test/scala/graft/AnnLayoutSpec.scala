@@ -49,4 +49,50 @@ class AnnLayoutSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("persisted IvfIndex probe equals the in-query ivfTopK and prunes cells") {
+    import graft.ann.IvfIndex
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables(spark, sf, "embeddings")
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", K)
+    val queries = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .toSeq
+
+    val root = Files.createTempDirectory("graft-ivf-index").toString + "/idx"
+    IvfIndex.write(emb, "vec_id", "embedding", cents, root)
+
+    // centroid round-trip is exact (doubles in parquet)
+    val readBack = IvfIndex.readCentroids(spark, root)
+    assert(readBack.map(_.toSeq) == cents.map(_.toSeq))
+
+    // probe-only read path ≡ the in-query operator, bit for bit
+    val fromIndex = IvfIndex.probe(spark, root, queries,
+      "vec_id", "embedding", 2, 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val inQuery = Similarity.ivfTopK(emb, queries,
+      "vec_id", "embedding", cents, 2, 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(fromIndex == inQuery && fromIndex.nonEmpty)
+
+    // directory-level pruning: the probe scan reads ONLY the probed
+    // cells' partitions, never the rest of the corpus
+    val probedCells = queries.flatMap { case (_, qv) =>
+      val norms = cents.map(c => math.sqrt(Similarity.dotLocal(c, c)))
+      val cs = cents.zip(norms).map { case (c, n) =>
+        if (n > 0) Similarity.dotLocal(qv, c) / n else 0.0 }
+      cs.indices.sortBy(i => (-cs(i), i)).take(2)
+    }.distinct
+    val cellSizes = spark.read.parquet(s"$root/corpus")
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val expected = probedCells.map(c => cellSizes.getOrElse(c, 0L)).sum
+    val total = cellSizes.values.sum
+    val scanned = Layout.scanOutputRows(
+      spark.read.parquet(s"$root/corpus")
+        .filter(col("cell").isInCollection(probedCells)))
+    assert(scanned == expected && scanned < total,
+      s"probe scan read $scanned rows; probed cells hold $expected of $total")
+  }
 }
