@@ -80,6 +80,55 @@ object AnalyticsQueries {
         .limit(VocabDriftTopK)
     }),
 
+    // CAPPED-drift CALIBRATION: the true TVD next to the TVD computed
+    // from a top-K capped profile (tail folded into one OTHER bucket —
+    // DriftGate.cappedProfile, the standing profile a 100 TB corpus
+    // with an unbounded vocabulary actually keeps), plus the machine-
+    // checked verdict that capped ≤ true. The bound is structural
+    // (folding replaces Σ|·| with |Σ·|), and comparing the DECIMAL
+    // numerators — not the divided doubles — makes the verdict exact.
+    // One aggregation tree: per-token terms and per-fold-key terms
+    // aggregate in the same groupBy, so no cross join of two one-row
+    // frames (which would plan a nested loop).
+    "q_text_vocab_drift_capped" -> ((s, dir) => {
+      val boundary = graft.dedup.DedupQueries.IncrementalSplitBoundary
+      val bucket = TextAnalysis.charFingerprint(col("text")) % 100
+      val other = graft.pipeline.DriftGate.OtherToken
+      val toks = Tables(s, dir, "documents")
+        .select((bucket >= boundary).as("is_batch"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val c = toks.groupBy("token").agg(
+        count(when(!col("is_batch"), lit(1))).as("nc"),
+        count(when(col("is_batch"), lit(1))).as("nb"))
+      val wTot = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+      val wRank = Window.orderBy(col("nc").desc, col("token"))
+      // fold key: top-K CORPUS tokens keep identity (nc > 0 — a
+      // batch-only token is outside the profile head by definition)
+      val keyed = c
+        .withColumn("tc", greatest(sum("nc").over(wTot), lit(1L)))
+        .withColumn("tb", greatest(sum("nb").over(wTot), lit(1L)))
+        .withColumn("rnk", row_number().over(wRank))
+        .withColumn("key",
+          when(col("rnk") <= CappedDriftTopK && col("nc") > 0, col("token"))
+            .otherwise(lit(other)))
+      val term = col("nc").cast("decimal(38,0)") * col("tb") -
+        col("nb").cast("decimal(38,0)") * col("tc")
+      val g = keyed.groupBy("key").agg(
+        sum(abs(term)).as("true_part"),
+        abs(sum(term)).as("capped_part"),
+        max("tc").as("tc"), max("tb").as("tb"))
+      g.agg(
+          sum("true_part").as("tn"), sum("capped_part").as("cn"),
+          max("tc").as("tc"), max("tb").as("tb"))
+        .select(
+          lit(CappedDriftTopK).as("capped_k"),
+          round(col("tn").cast("double") /
+            (lit(2.0) * col("tc") * col("tb")), 9).as("tvd_true"),
+          round(col("cn").cast("double") /
+            (lit(2.0) * col("tc") * col("tb")), 9).as("tvd_capped"),
+          (col("cn") <= col("tn")).as("bounded"))
+    }),
+
     // Grouped top-k: the k most frequent tokens per language. The
     // rank-filter-on-window shape plans a WindowGroupLimit below the
     // final sort (verified via explain): each map task keeps only its
@@ -345,6 +394,11 @@ object AnalyticsQueries {
     * (shared with its oracle). */
   val VocabDriftTopK = 50
 
+  /** Profile head size of the capped-drift calibration — deliberately
+    * SMALLER than the fixture vocabulary (~31 tokens) so the tail
+    * actually folds and the bound is exercised, not vacuous. */
+  val CappedDriftTopK = 10
+
   def oracleSql: Map[String, String] = Map(
 
     "q_events_windowed" -> """
@@ -415,6 +469,45 @@ object AnalyticsQueries {
                   - CAST(n_batch AS DOUBLE) / tb), 9) AS abs_diff
       FROM c, tot
       ORDER BY abs_diff DESC, token LIMIT $VocabDriftTopK""",
+
+    "q_text_vocab_drift_capped" -> s"""
+      WITH d AS (
+        SELECT (${graft.text.TextSql.charPolyHash("text")} % 100 >=
+                ${graft.dedup.DedupQueries.IncrementalSplitBoundary}) AS is_batch,
+               text
+        FROM documents),
+      t AS (
+        SELECT is_batch, unnest(${TextSql.tokens("text")}) AS token FROM d),
+      c AS (
+        SELECT token,
+          count(*) FILTER (WHERE NOT is_batch) AS nc,
+          count(*) FILTER (WHERE is_batch) AS nb
+        FROM t GROUP BY token),
+      tot AS (
+        SELECT greatest(sum(nc), 1) AS tc, greatest(sum(nb), 1) AS tb
+        FROM c),
+      r AS (
+        SELECT token, nc, nb,
+          row_number() OVER (ORDER BY nc DESC, token) AS rnk
+        FROM c),
+      k AS (
+        SELECT CASE WHEN rnk <= $CappedDriftTopK AND nc > 0 THEN token
+                    ELSE '${graft.pipeline.DriftGate.OtherToken}' END AS key,
+               nc, nb
+        FROM r),
+      g AS (
+        SELECT key,
+          sum(abs(CAST(nc AS DECIMAL(38,0)) * tb
+                  - CAST(nb AS DECIMAL(38,0)) * tc)) AS true_part,
+          abs(sum(CAST(nc AS DECIMAL(38,0)) * tb
+                  - CAST(nb AS DECIMAL(38,0)) * tc)) AS capped_part
+        FROM k, tot GROUP BY key),
+      f AS (SELECT sum(true_part) AS tn, sum(capped_part) AS cn FROM g)
+      SELECT $CappedDriftTopK AS capped_k,
+        round(CAST(tn AS DOUBLE) / (2.0 * tc * tb), 9) AS tvd_true,
+        round(CAST(cn AS DOUBLE) / (2.0 * tc * tb), 9) AS tvd_capped,
+        (cn <= tn) AS bounded
+      FROM f, tot""",
 
     "q_join_enrich" -> """
       SELECT r_name, n_name,

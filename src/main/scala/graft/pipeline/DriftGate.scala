@@ -27,11 +27,51 @@ object DriftGate {
   /** Standing token-frequency profile of the corpus, persisted, with a
     * release handle. */
   def corpusProfile(corpus: DataFrame, textCol: String): (DataFrame, () => Unit) = {
-    val freq = corpus
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("n_corpus"))
-      .persist()
+    val freq = corpusFreq(corpus, textCol).persist()
     (freq, () => { freq.unpersist(); () })
+  }
+
+  /** Token that absorbs the folded tail mass of a CAPPED profile.
+    * Contains spaces, which `TextAnalysis.tokens` (whitespace split)
+    * can never emit — collision with a real token is impossible. */
+  val OtherToken = "~ other ~"
+
+  /**
+   * Top-K CAPPED standing profile — the 100 TB form of
+   * [[corpusProfile]]: a web corpus's token vocabulary is itself
+   * corpus-sized, so a standing profile that carries every token is
+   * not a summary. The K most frequent tokens (ties broken by token)
+   * keep their counts; the tail folds into ONE [[OtherToken]] row, so
+   * the standing state is exactly K+1 rows and every per-batch TVD
+   * join is K+1-sized regardless of corpus scale.
+   *
+   * The capped TVD ([[cappedTvd]]) LOWER-bounds the true TVD: folding
+   * is a coarsening, and each fold replaces a Σ|·| over its tokens
+   * with |Σ·| ≤ Σ|·| (triangle inequality) — so a capped alarm is
+   * always a true alarm, and the calibration query
+   * (q_text_vocab_drift_capped) proves the bound on the fixture. The
+   * head of a Zipfian distribution carries most of the mass, so the
+   * gap is small in practice.
+   *
+   * Shape: one token aggregation (shuffle carries the vocabulary,
+   * never documents) + a rank over the AGGREGATED vocabulary rows to
+   * pick the head. The rank's sort is vocabulary-sized — for a
+   * vocabulary too big to sort, derive the head with a frequency
+   * threshold from a sketch instead; the profile contract (K tokens +
+   * OTHER) is unchanged.
+   */
+  def cappedProfile(corpus: DataFrame, textCol: String,
+      topK: Int): (DataFrame, () => Unit) = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("n_corpus").desc, col("token"))
+    val capped = corpusFreq(corpus, textCol)
+      .withColumn("rnk", row_number().over(w))
+      .select(when(col("rnk") <= topK, col("token"))
+        .otherwise(lit(OtherToken)).as("token"), col("n_corpus"))
+      .groupBy("token").agg(sum("n_corpus").as("n_corpus"))
+      .persist()
+    (capped, () => { capped.unpersist(); () })
   }
 
   /**
@@ -40,10 +80,41 @@ object DriftGate {
    * disjoint vocabularies. An empty batch (no tokens) returns 0 —
    * no evidence is not drift; emptiness is the dq gate's finding.
    */
-  def tvd(profile: DataFrame, batch: DataFrame, textCol: String): Double = {
-    val bf = batch
+  def tvd(profile: DataFrame, batch: DataFrame, textCol: String): Double =
+    tvdOfFreqs(profile, batchFreq(batch, textCol))
+
+  /** [[tvd]] against a CAPPED profile: batch tokens outside the
+    * profile's head fold into [[OtherToken]] (the profile's own fold),
+    * then the same exact integer TVD. The join against the head is
+    * K+1-sized — broadcastable at any corpus scale. */
+  def cappedTvd(profile: DataFrame, batch: DataFrame, textCol: String): Double = {
+    val head = profile.filter(col("token") =!= OtherToken)
+      .select(col("token"), lit(true).as("__keep"))
+    val folded = batchFreq(batch, textCol)
+      .join(broadcast(head), Seq("token"), "left")
+      .select(when(col("__keep"), col("token"))
+        .otherwise(lit(OtherToken)).as("token"), col("n_batch"))
+      .groupBy("token").agg(sum("n_batch").as("n_batch"))
+    tvdOfFreqs(profile, folded)
+  }
+
+  /** Per micro-batch [[cappedTvd]] against a standing capped profile —
+    * the gate a corpus with an unbounded vocabulary runs. */
+  def cappedGateStream(docs: DataFrame, profile: DataFrame, textCol: String)(
+      route: (DataFrame, Double, Long) => Unit): DataStreamWriter[Row] =
+    measuredStream(docs, b => cappedTvd(profile, b, textCol))(route)
+
+  private def corpusFreq(corpus: DataFrame, textCol: String): DataFrame =
+    corpus
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_corpus"))
+
+  private def batchFreq(batch: DataFrame, textCol: String): DataFrame =
+    batch
       .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n_batch"))
+
+  private def tvdOfFreqs(profile: DataFrame, bf: DataFrame): Double = {
     val joined = profile.join(bf, Seq("token"), "full_outer")
       .select(coalesce(col("n_corpus"), lit(0L)).as("nc"),
         coalesce(col("n_batch"), lit(0L)).as("nb"))

@@ -36,6 +36,34 @@ class DriftGateSpec extends SparkSpec {
     finally release()
   }
 
+  test("capped profile: TVD lower-bounds the true TVD, equals it at full K") {
+    // corpus vocab: alpha/beta/gamma/delta (4 tokens); batch shifts
+    // mass and adds out-of-vocab tokens, so with K=2 the tail folds
+    val batch = Seq("alpha alpha omega", "beta psi omega chi").toDF("text")
+    val (full, releaseFull) = DriftGate.corpusProfile(corpus, "text")
+    val (capped2, release2) = DriftGate.cappedProfile(corpus, "text", 2)
+    val (capped9, release9) = DriftGate.cappedProfile(corpus, "text", 9)
+    try {
+      // standing state really is K+1 rows, tail mass conserved
+      val rows = capped2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows.size == 3 && rows.contains(DriftGate.OtherToken))
+      assert(rows.values.sum ==
+        full.collect().map(_.getLong(1)).sum, "fold lost mass")
+
+      val t = DriftGate.tvd(full, batch, "text")
+      val c2 = DriftGate.cappedTvd(capped2, batch, "text")
+      val c9 = DriftGate.cappedTvd(capped9, batch, "text")
+      assert(c2 <= t, s"capped TVD $c2 exceeds true TVD $t")
+      assert(c2 > 0.0, "folded drift must still alarm")
+      // K >= vocab: nothing folds on the corpus side, but the batch's
+      // out-of-vocab tokens still collapse into ONE bucket — the
+      // coarsening bound, approaching equality as K grows
+      assert(c9 <= t && c9 >= c2 - 1e-12, s"monotonicity: c2=$c2 c9=$c9 t=$t")
+      // identical batch stays 0 through the fold
+      assert(DriftGate.cappedTvd(capped2, corpus, "text") == 0.0)
+    } finally { releaseFull(); release2(); release9() }
+  }
+
   test("embedding drift: identical batch is 0, uniform +1 shift is exactly 1") {
     // quarter-step floats stay exact under +1; per-dim diffs are
     // rounded to 12 dp before the DECIMAL sum, so both endpoints are
