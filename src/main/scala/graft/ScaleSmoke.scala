@@ -243,5 +243,97 @@ object ScaleSmoke {
       f"${100.0 * zByValue / total}%.1f%%)")
     require(zByUser <= total * 6 / 10 && zByValue <= total * 6 / 10,
       s"z-order pruning regressed at 10x: $zByUser / $zByValue of $total")
+
+    streamingIngestSmoke(spark)
+  }
+
+  /**
+   * The composed streaming ingest stack over the 10× corpus: standing
+   * structures (token profile + corpus band index over ~80% of the 10×
+   * documents) built ONCE, then N micro-batches through
+   * IngestStream.gated. What the timings demonstrate: batch 1 pays the
+   * standing-index materialization; every later batch pays only the
+   * batch-sized probe — per-batch cost flat, the amortization claim
+   * made measurable. The poisoned batch (blank texts + vocabulary
+   * flip) must fail dq, raise drift, and land in the quarantine table.
+   */
+  def streamingIngestSmoke(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types.StructType
+    import graft.pipeline.{DqGate, IngestStream}
+
+    val docs = Tables(spark, OutDir, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 < 8).select("doc_id", "text")
+    // held-out rows feed the stream; fresh ids per batch
+    val feedRows = docs.filter(col("doc_id") % 10 >= 8)
+      .select("doc_id", "text").collect()
+    val nBatches = 4
+    val per = feedRows.length / nBatches
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+    val mem = MemoryStream[Row](enc, spark)
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[(IngestStream.BatchReport, Double)]
+    var t0 = 0L
+    val batches = scala.collection.mutable.Map.empty[Long, org.apache.spark.sql.DataFrame]
+    val (writer, release) = IngestStream.gated(
+      mem.toDF(), corpus, "doc_id", "text",
+      Seq(DqGate.Rule("text_nonempty",
+        DqGate.notSatisfied(length(trim(col("text"))) > 0))),
+      threshold = 0.5) { (batch, report) =>
+      reports += ((report, (System.nanoTime() - t0) / 1e9))
+      if (!report.dqPass)
+        batches(report.batchId) = batch.sparkSession
+          .createDataFrame(batch.collectAsList(), batch.schema)
+    }
+    // fresh dir per run: quarantine appends, and stale batch ids from
+    // a previous smoke run would inflate the count check
+    val quarDir = java.nio.file.Files
+      .createTempDirectory("graft-scale-quar").toString + "/q"
+    val q = writer.start()
+    try {
+      (0 until nBatches).foreach { b =>
+        val slice = feedRows.slice(b * per, (b + 1) * per)
+        val rows =
+          if (b == nBatches - 2) slice.zipWithIndex.map { case (r, i) =>
+            // poisoned: 10% blank, the rest a flipped vocabulary
+            if (i % 10 == 0) Row(r.getLong(0) + 10000000L, "   ")
+            else Row(r.getLong(0) + 10000000L,
+              s"zzz qqq www eee rrr ttt yyy uuu batch$b row$i")
+          }
+          else slice.zipWithIndex.map { case (r, i) =>
+            Row(r.getLong(0) + (b + 1) * 10000000L, r.getString(1))
+          }
+        t0 = System.nanoTime()
+        mem.addData(rows.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally { q.stop(); release() }
+
+    reports.zipWithIndex.foreach { case ((r, sec), i) =>
+      println(f"[scale] ingest batch $i         ${sec}%8.2f s  rows=${r.rows} " +
+        f"dq=${r.dqPass} drift=${r.drift}%.3f dups=${r.nearDupMatches}")
+    }
+    require(reports.size == nBatches, s"expected $nBatches reports")
+    val poisoned = reports(nBatches - 2)._1
+    require(!poisoned.dqPass && poisoned.drift > reports.head._1.drift,
+      "poisoned batch must fail dq and raise drift")
+    // standing-index amortization: batch 1 pays the corpus index
+    // build; later CLEAN batches must not (flat per-batch cost)
+    val first = reports.head._2
+    val laterClean = reports.drop(1).zipWithIndex
+      .collect { case ((_, s), i) if i != nBatches - 3 => s }
+    require(laterClean.max <= math.max(first * 1.5, first + 2.0),
+      f"per-batch cost not flat: first=$first%.2f later=${laterClean.max}%.2f")
+    // quarantine: the poisoned batch lands stamped and re-readable
+    batches.get(poisoned.batchId).foreach { b =>
+      IngestStream.quarantine(b, poisoned, "dq:text_nonempty", quarDir)
+      val n = spark.read.parquet(quarDir)
+        .filter(col("__batch_id") === poisoned.batchId).count()
+      println(s"[scale] quarantined rows=$n (batch ${poisoned.batchId})")
+      require(n == poisoned.rows, s"quarantine wrote $n of ${poisoned.rows}")
+    }
   }
 }

@@ -209,6 +209,38 @@ object CdcOps {
     applyChanges(spark.table(snapshotTable), spark.table(changesTable),
       Seq(key), broadcastChanges = false)
 
+  /**
+   * CLOSE the bucketed-apply loop: [[applyChangesBucketed]] + bucketed
+   * write of the result + table swap, so the steady-state compaction
+   * cycle is ONE call and `snapshotTable` remains the stable handle
+   * across cycles. The cycle's only exchange is laying out the new
+   * snapshot at write time — the apply itself plans none, and because
+   * the output is written bucketed by the same key, the NEXT cycle's
+   * apply is exchange-free again (asserted for two consecutive cycles
+   * in BucketedJoinSpec).
+   *
+   * `outPath` must be a FRESH path (versioned per cycle): the write
+   * streams from the old snapshot's files while producing the new
+   * ones, so writing over the live path would read-under-write. The
+   * table swap is metadata-only (external tables — dropping the old
+   * entry never deletes data); retire the previous cycle's path after
+   * the swap commits.
+   *
+   * `numBuckets` must match the standing snapshot's bucket count —
+   * the co-location contract every cycle renews.
+   */
+  def compactSnapshot(spark: org.apache.spark.sql.SparkSession,
+      snapshotTable: String, changesTable: String, key: String,
+      numBuckets: Int, outPath: String): Unit = {
+    val next = snapshotTable + "__next"
+    spark.sql(s"DROP TABLE IF EXISTS $next")
+    graft.sources.Bucketed.writeBucketed(
+      applyChangesBucketed(spark, snapshotTable, changesTable, key),
+      next, outPath, key, numBuckets)
+    spark.sql(s"DROP TABLE $snapshotTable")
+    spark.sql(s"ALTER TABLE $next RENAME TO $snapshotTable")
+  }
+
   // ----------------------------------------------------------------- scd2
   /**
    * Slowly-changing-dimension Type-2 history from an ordered CDC

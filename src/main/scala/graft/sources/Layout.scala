@@ -63,44 +63,58 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
-  /** Morton key of `a` and `b`, each quantile-bucketed into
-    * 2^`bitsPerDim` bins so skew in either domain can't collapse the
-    * grid. Boundaries come from one approx-quantile pass (driver gets
-    * 2·2^bits doubles — constant, never the data). */
-  private def mortonKey(df: DataFrame, a: String, b: String,
+  /** N-dimensional Morton key: each column quantile-bucketed into
+    * 2^`bitsPerDim` bins so skew in any domain can't collapse the
+    * grid, then the bin bits round-robin interleaved (bit i of dim k
+    * at position i·D + (D−1−k) — the 2-dim case reproduces the classic
+    * a-odd/b-even layout). Boundaries come from ONE approx-quantile
+    * pass over all columns (driver gets D·2^bits doubles — constant,
+    * never the data). */
+  private def mortonKey(df: DataFrame, cols: Seq[String],
       bitsPerDim: Int): Column = {
+    val d = cols.length
     val bins = 1 << bitsPerDim
     val qs = (1 until bins).map(_.toDouble / bins).toArray
     // relativeError 1/(4·bins): bin edges land within a quarter-bin
     // of the true quantiles — plenty for a layout decision. ONE
-    // aggregation pass for both columns (the per-column overload
+    // aggregation pass for every column (the per-column overload
     // would scan df once per dimension).
-    val Array(aEdges, bEdges) =
-      df.stat.approxQuantile(Array(a, b), qs, 1.0 / (4 * bins))
-    def bin(c: String, edges: Array[Double]): Column =
-      edges.foldLeft(lit(0)) { (acc, e) =>
+    val edges = df.stat.approxQuantile(cols.toArray, qs, 1.0 / (4 * bins))
+    def bin(c: String, es: Array[Double]): Column =
+      es.foldLeft(lit(0)) { (acc, e) =>
         acc + when(col(c).cast("double") >= e, 1).otherwise(0)
       }
-    val (aBin, bBin) = (bin(a, aEdges), bin(b, bEdges))
-    (0 until bitsPerDim).foldLeft(lit(0)) { (acc, i) =>
-      acc
-        .bitwiseOR(shiftleft(shiftright(aBin, i).bitwiseAND(lit(1)), 2 * i + 1))
-        .bitwiseOR(shiftleft(shiftright(bBin, i).bitwiseAND(lit(1)), 2 * i))
+    val binCols = cols.zip(edges.toSeq).map { case (c, es) => bin(c, es) }
+    (0 until bitsPerDim).foldLeft(lit(0L)) { (acc, i) =>
+      binCols.zipWithIndex.foldLeft(acc) { case (a, (bc, k)) =>
+        a.bitwiseOR(shiftleft(
+          shiftright(bc, i).bitwiseAND(lit(1)).cast("long"),
+          i * d + (d - 1 - k)))
+      }
     }
   }
 
-  /** Z-order `df` by (`a`, `b`) into `numFiles` files: range-partition
-    * + sort on the Morton key, so each file's footer carries a tight
-    * [min,max] on BOTH columns. */
-  def writeZOrdered(df: DataFrame, a: String, b: String, bitsPerDim: Int,
+  /** Z-order `df` by `cols` into `numFiles` files: range-partition +
+    * sort on the N-dim Morton key, so each file's footer carries a
+    * tight [min,max] on EVERY listed column. Skipping per column
+    * weakens as D grows (each file owns a D-cube; a point filter on
+    * one column touches bins^(D−1) cells) — 2-4 dims is the useful
+    * range, which the bit-budget guard enforces loosely. */
+  def writeZOrdered(df: DataFrame, cols: Seq[String], bitsPerDim: Int,
       numFiles: Int, path: String): Unit = {
-    require(numFiles > 0 && bitsPerDim > 0 && bitsPerDim <= 15,
-      s"bad layout params: files=$numFiles bits=$bitsPerDim")
-    val z = "__z_" + a + "_" + b
-    df.withColumn(z, mortonKey(df, a, b, bitsPerDim))
+    require(cols.size >= 2, s"z-order needs >= 2 columns, got ${cols.size}")
+    require(numFiles > 0 && bitsPerDim > 0 && bitsPerDim * cols.size <= 62,
+      s"bad layout params: files=$numFiles bits=$bitsPerDim dims=${cols.size}")
+    val z = "__z_" + cols.mkString("_")
+    df.withColumn(z, mortonKey(df, cols, bitsPerDim))
       .repartitionByRange(numFiles, col(z))
       .sortWithinPartitions(z)
       .drop(z)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Two-column convenience overload. */
+  def writeZOrdered(df: DataFrame, a: String, b: String, bitsPerDim: Int,
+      numFiles: Int, path: String): Unit =
+    writeZOrdered(df, Seq(a, b), bitsPerDim, numFiles, path)
 }

@@ -54,6 +54,48 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("compactSnapshot closes the loop: cycle-2 apply is still exchange-free") {
+    import graft.model.Cdc
+    import graft.operators.CdcOps
+    val dir = Files.createTempDirectory("graft-compact").toFile.getAbsolutePath
+    val snapshot = (0L until 500L).map(i => (i, s"v$i")).toDF("pk", "payload")
+    def changeSet(tag: String, del0: Long): org.apache.spark.sql.DataFrame =
+      ((0L until 50L).map(i => (i, s"$tag$i", Cdc.Op.Upsert)) ++
+        (del0 until del0 + 10L).map(i => (i, null: String, Cdc.Op.Delete)))
+        .toDF("pk", "payload", Cdc.Cols.Op)
+    Bucketed.writeBucketed(snapshot, "cspec_snap", s"$dir/snap0", "pk", 8)
+    Bucketed.writeBucketed(changeSet("c1_", 450L), "cspec_ch1",
+      s"$dir/ch1", "pk", 8)
+    Bucketed.writeBucketed(changeSet("c2_", 460L), "cspec_ch2",
+      s"$dir/ch2", "pk", 8)
+    try {
+      // cycle 1: apply + bucketed write-back + swap, one call
+      CdcOps.compactSnapshot(spark, "cspec_snap", "cspec_ch1", "pk",
+        8, s"$dir/snap1")
+      // cycle 2 over the COMPACTED snapshot: the plan must again be
+      // exchange-free — the whole point of writing the output bucketed
+      val applied2 = CdcOps.applyChangesBucketed(
+        spark, "cspec_snap", "cspec_ch2", "pk")
+      val ex = initialPlan(applied2).collectWithSubqueries {
+        case e: ShuffleExchangeLike => e
+      }
+      assert(ex.isEmpty,
+        s"cycle-2 apply must not shuffle, found ${ex.length} exchanges")
+      // and the data equals applying both change-sets in sequence
+      val expected = CdcOps.applyChanges(
+        CdcOps.applyChanges(snapshot, changeSet("c1_", 450L), Seq("pk")),
+        changeSet("c2_", 460L), Seq("pk"))
+        .orderBy("pk").collect().toSeq
+      CdcOps.compactSnapshot(spark, "cspec_snap", "cspec_ch2", "pk",
+        8, s"$dir/snap2")
+      val got = spark.table("cspec_snap").orderBy("pk").collect().toSeq
+      assert(got == expected && got.length == 480)
+    } finally {
+      Seq("cspec_snap", "cspec_snap__next", "cspec_ch1", "cspec_ch2")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("co-located bucketed join plans no exchange and matches the shuffled join") {
     val dir = Files.createTempDirectory("graft-bucketed").toFile.getAbsolutePath
     val facts = (0L until 1000L).map(i => (i % 97, i, i * 2.5)).toDF("k", "id", "v")

@@ -65,6 +65,39 @@ class LayoutSpec extends SparkSpec {
     assert(zb <= N * 6 / 10, s"z-order did not skip on b: $zb")
   }
 
+  test("3-column z-order skips on ALL THREE filter columns") {
+    // three INDEPENDENT coordinates of a 64x64x64 grid (disjoint digit
+    // positions of id, scrambled per-dim so no column determines
+    // another)
+    val data3 = spark.range(N).select(
+      col("id"),
+      (((col("id") % 64) * 37) % 64).as("a"),
+      ((((col("id") / 64) % 64) * 41) % 64).as("b"),
+      ((((col("id") / 4096) % 64) * 43) % 64).as("c"))
+    // 3 dims need more files than 2 for the same per-column skipping:
+    // file count sets how many leading z-bits select a file, and those
+    // bits round-robin across D columns — at 16 files the 4 selector
+    // bits give the last dim only ONE, i.e. half the files; 64 files
+    // give every dim two selector bits
+    val files3 = 64
+    val root = Files.createTempDirectory("graft-layout3").toString
+    data3.repartition(files3).write.mode("overwrite").parquet(s"$root/naive")
+    Layout.writeZOrdered(data3, Seq("a", "b", "c"), 4, files3, s"$root/z3")
+    def p(dir: String, c: String): Long = Layout.scanOutputRows(
+      spark.read.parquet(s"$root/$dir").filter(col(c) === 32))
+    assert(p("naive", "a") >= N * 9 / 10, "naive layout unexpectedly skipped")
+    val (za, zb, zc) = (p("z3", "a"), p("z3", "b"), p("z3", "c"))
+    // D=3 dilutes per-column selector bits (the documented trade), but
+    // every column must still skip a meaningful fraction
+    assert(za <= N * 6 / 10, s"3-dim z-order did not skip on a: $za")
+    assert(zb <= N * 6 / 10, s"3-dim z-order did not skip on b: $zb")
+    assert(zc <= N * 6 / 10, s"3-dim z-order did not skip on c: $zc")
+    // and the layout is a permutation of the input
+    val key = (df: DataFrame) => df.select("id").collect()
+      .map(_.getLong(0)).sorted
+    assert(key(spark.read.parquet(s"$root/z3")).sameElements(key(data3)))
+  }
+
   test("layouts preserve the data exactly") {
     val key = (df: DataFrame) => df.select("id", "a", "b")
       .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].longValue)
