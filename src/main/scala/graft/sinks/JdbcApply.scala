@@ -151,6 +151,13 @@ object JdbcApply {
       // job entirely, and rows routed to an UNCONFIGURED table are
       // surfaced (a config typo would otherwise advance the checkpoint
       // past the data with no signal).
+      //
+      // DEFERRED AUTO-CREATE is a consequence operators should expect:
+      // a configured table's DDL runs on the first batch that CARRIES
+      // rows for it, not when the sink starts — after a data-free (or
+      // deletes-only-against-nothing) first batch the table does not
+      // exist yet. Intentional: creating from config alone would need a
+      // schema before the C1 inference fallback has seen any payload.
       val present = batch
         .filter(col(Cdc.Cols.CorruptReason).isNull &&
           col(Cdc.Cols.TargetTable).isNotNull)
@@ -257,6 +264,16 @@ object JdbcApply {
     val ddlSchema = StructType(effSchema.fields ++
       pks.filterNot(effSchema.fieldNames.contains)
         .flatMap(p => keySchema.fields.find(_.name == p)))
+    // A configured PK found in NEITHER schema must fail HERE with the
+    // config problem named — otherwise ddlSchema silently omits the
+    // column while createTableSql still declares PRIMARY KEY over it,
+    // surfacing as an opaque dialect-level SQL error at DDL time.
+    val missingPks = pks.filterNot(ddlSchema.fieldNames.contains)
+    if (missingPks.nonEmpty)
+      throw new IllegalArgumentException(
+        s"configured primary key(s) ${missingPks.mkString(", ")} for table " +
+          s"$table resolve to no column in either the value schema or the " +
+          "key schema — fix the pk list or the schemas")
     val jdbcSchema = StructType(ddlSchema.fields.map(f => f.copy(name = cased(f.name))))
     // Two wire fields collapsing to one cased name ("ID" and "id"
     // under lower) would otherwise surface as a confusing dialect

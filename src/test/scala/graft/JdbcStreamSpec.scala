@@ -416,6 +416,21 @@ class JdbcStreamSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("a configured PK resolving to no column fails fast with the config named") {
+    val db = "badpkdb"
+    val wire = spark.createDataFrame(
+      spark.sparkContext.parallelize(fixture), Cdc.kafkaWireSchema)
+    val cfg = sinkCfg(db).copy(
+      primaryKeys = Map("TEST_ORDERS" -> Seq("NO_SUCH_COL")),
+      keySchemas = Map.empty)
+    val e = intercept[IllegalArgumentException] {
+      JdbcApply.applyBatch(CdcNormalize(wire, CdcConfig()), cfg)
+    }
+    assert(e.getMessage.contains("NO_SUCH_COL") &&
+      e.getMessage.contains("TEST_ORDERS"),
+      s"error must name the missing PK and table: ${e.getMessage}")
+  }
+
   test("field.type.overrides config validation mirrors the reference") {
     import graft.operators.TypeOverrides
     assert(TypeOverrides.parseConfig("") == Map.empty)
