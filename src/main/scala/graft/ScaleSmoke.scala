@@ -64,8 +64,9 @@ object ScaleSmoke {
       "q_dedup_embed_cos", "q_dedup_lsh_pairs", "q_dedup_clusters",
       "q_dedup_ngram_jaccard", "q_ann_knn_graph", "q_text_pack",
       "q_pipeline_curate", "q_dedup_incremental", "q_dedup_incremental_fuzzy",
-      "q_dedup_incremental_simhash", "q_pipeline_ingest",
-      "q_dedup_clusters_incremental")
+      "q_dedup_incremental_simhash", "q_dedup_incremental_embed",
+      "q_pipeline_ingest", "q_dedup_clusters_incremental",
+      "q_text_vocab_drift_capped")
     queries.foreach { name =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, OutDir).count()

@@ -278,6 +278,39 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q_dedup_incremental_embed: pruned scans, equi band join, no corpus re-derive") {
+    val p = plan(SparkEntry.queries("q_dedup_incremental_embed")(spark, Sf))
+    // probe side reads only (vec_id, embedding); the standing index is
+    // an InMemoryRelation — the batch must never re-derive it
+    val cols = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.requiredSchema.fieldNames.toSeq
+    }.flatten.toSet
+    assert(!cols.contains("label"), s"embed probe reads unprojected: $cols")
+    val inMem = collectAll(p) {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => m
+    }
+    assert(inMem.nonEmpty, "probe must hit the persisted standing index")
+    // the verify is an equi-join on (band, bucket) — broadcast or SMJ,
+    // never a nested loop (global guard) — and the trailing distinct
+    // is the only aggregate
+    assert(collectAll(p) {
+      case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.nonEmpty, "band probe must plan an equi-join")
+  }
+
+  test("q_text_vocab_drift_capped: one documents scan reading only text") {
+    val p = plan(SparkEntry.queries("q_text_vocab_drift_capped")(spark, Sf))
+    val scans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 1, s"capped calibration plans ${scans.length} scans")
+    val cols = scans.head.requiredSchema.fieldNames.toSet
+    assert(cols == Set("text"), s"capped calibration reads $cols")
+  }
+
   test("profile and dq gate plan exactly one scan of their table") {
     // The unpivot is an explode over the single aggregate row; a
     // union of per-column selects would re-scan the table once per
