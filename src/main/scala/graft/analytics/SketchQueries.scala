@@ -49,6 +49,14 @@ object SketchQueries {
   /** Quantiles audited by q_lineitem_approx_quantiles. */
   val AuditQuantiles: Seq[Double] = Seq(0.5, 0.95)
 
+  /** Head size of the Count-Min heavy-hitters calibration. */
+  val HeavyHitterK = 20
+  /** Count-Min ε: estimate ≤ exact + ε·N w.p. [[CmsConfidence]]
+    * (width = ⌈2/ε⌉ counters per row — KBs total). */
+  val CmsEps = 0.001
+  val CmsConfidence = 0.999
+  val CmsSeed = 42
+
   /** The calibration verdict: estimate within [[SketchTol]] of exact. */
   private def withinTol(est: Column, exact: Column): Column =
     abs(est - exact) <= exact * SketchTol
@@ -116,6 +124,47 @@ object SketchQueries {
         .orderBy("win_start", "event_type")
     }),
 
+    // Count-Min HEAVY HITTERS calibration: the sketch-based head
+    // selection DriftGate.cappedProfile's scaladoc points to for
+    // vocabularies too large to sort — a CMS over the token stream is
+    // a mergeable, KB-sized counter grid (partial-aggregated exactly
+    // like the HLL sketches; counters SUM, so merge order can't change
+    // an estimate), and probing it answers "how frequent is this
+    // token" without the exact count's vocabulary-sized state. The
+    // audit emits, for each exact top-K token: the exact count, the
+    // structural guarantee est >= exact (CMS never undercounts), and
+    // the ε-bound est <= exact + ε·N — the two facts that justify
+    // sketch-selected profile heads at full scale.
+    "q_text_heavy_hitters" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.text.TextAnalysis
+      val toks = Tables(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+      val counts = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+        .persist()
+      try {
+        val total = counts.agg(coalesce(sum("exact_cnt"), lit(0L)))
+          .head().getLong(0)
+        val w = Window.orderBy(col("exact_cnt").desc, col("token"))
+        val top = counts.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= HeavyHitterK)
+          .select("rnk", "token", "exact_cnt")
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+        val skBytes = toks.agg(count_min_sketch(col("token"), lit(CmsEps),
+            lit(CmsConfidence), lit(CmsSeed)).as("sk"))
+          .head().getAs[Array[Byte]](0)
+        val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(skBytes))
+        val bound = math.ceil(CmsEps * total).toLong
+        import s.implicits._
+        top.toSeq.map { case (rnk, tok, exact) =>
+          val est = sk.estimateCount(tok)
+          (rnk, tok, exact, est >= exact, est - exact <= bound)
+        }.toDF("rnk", "token", "exact_cnt", "overestimates", "within_bound")
+          .orderBy("rnk")
+      } finally { counts.unpersist(); () }
+    }),
+
     // Quantile-sketch calibration: per return flag, exact p50/p95 of
     // l_extendedprice vs approx_percentile (Greenwald–Khanna). The
     // exact `percentile` sorts per group; GK keeps an ε-bounded
@@ -152,6 +201,19 @@ object SketchQueries {
     "q_events_approx_users" -> DistinctUsersOracle,
 
     "q_events_sketch_rollup" -> DistinctUsersOracle,
+
+    "q_text_heavy_hitters" -> s"""
+      WITH t AS (
+        SELECT unnest(${graft.text.TextSql.tokens("text")}) AS token
+        FROM documents),
+      c AS (SELECT token, count(*) AS exact_cnt FROM t GROUP BY token),
+      r AS (
+        SELECT token, exact_cnt,
+          row_number() OVER (ORDER BY exact_cnt DESC, token) AS rnk
+        FROM c)
+      SELECT rnk, token, exact_cnt,
+        TRUE AS overestimates, TRUE AS within_bound
+      FROM r WHERE rnk <= $HeavyHitterK ORDER BY rnk""",
 
     "q_events_windowed_quantiles" -> s"""
       SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS win_start,

@@ -24,6 +24,33 @@ class SketchSpec extends SparkSpec {
       s"est=$est exact=$n")
   }
 
+  test("count-min estimates never undercount, hold the eps bound, and merge order-independently") {
+    // known skewed frequencies: value v appears (v % 50) + 1 times
+    val data = (0 until 2000).flatMap(v =>
+      Seq.fill(v % 50 + 1)(s"tok$v")).toDF("t")
+    def estimates(parts: Int): Map[String, Long] = {
+      val bytes = data.repartition(parts)
+        .agg(count_min_sketch(col("t"), lit(SketchQueries.CmsEps),
+          lit(SketchQueries.CmsConfidence), lit(SketchQueries.CmsSeed)))
+        .head().getAs[Array[Byte]](0)
+      val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      (0 until 2000).map(v => s"tok$v" -> sk.estimateCount(s"tok$v")).toMap
+    }
+    val e1 = estimates(1)
+    // counters SUM, so any partitioning merges to the same grid — the
+    // property that makes the calibration verdicts stable
+    assert(estimates(13) == e1, "CMS estimates depend on partitioning")
+    val total = data.count()
+    val bound = math.ceil(SketchQueries.CmsEps * total).toLong
+    (0 until 2000).foreach { v =>
+      val exact = v % 50 + 1
+      val est = e1(s"tok$v")
+      assert(est >= exact, s"tok$v undercounted: $est < $exact")
+      assert(est - exact <= bound, s"tok$v over eps bound: $est vs $exact")
+    }
+  }
+
   test("HLL union of partial sketches matches the one-shot sketch") {
     // Group-wise sketches unioned == sketch over the whole column:
     // HLL register state is a per-bucket max, so any partition of the
