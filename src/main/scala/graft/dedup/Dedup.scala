@@ -553,13 +553,41 @@ object Dedup {
   def contamination(docs: DataFrame, idCol: String, textCol: String,
       isTrain: Column, isTest: Column, k: Int = 3, threshold: Double = 0.5,
       broadcastTest: Boolean = true): DataFrame = {
-    val testGrams0 = docs.filter(isTest)
+    val testGrams = docs.filter(isTest)
       .select(explode(shingles(col(textCol), k)).as("gram")).distinct()
       .withColumn("hit", lit(1))
-    val testGrams = if (broadcastTest) broadcast(testGrams0) else testGrams0
-    val trainGrams = docs.filter(isTrain)
+    contaminationAgainstIndex(docs.filter(isTrain), idCol, textCol,
+      testGrams, k, threshold, broadcastTest)
+  }
+
+  /**
+   * The STANDING eval-gram index for repeated decontamination (a
+   * stream): the persisted distinct k-shingle set of the held-out
+   * split, computed once per eval-suite revision — eval sets change on
+   * benchmark releases, not per batch, so a long-running ingest
+   * re-deriving them per micro-batch pays |eval| shingle work ×
+   * batches for nothing. Same release contract as every standing
+   * index here.
+   */
+  def evalGramIndex(evalDocs: DataFrame, textCol: String,
+      k: Int = 3): (DataFrame, () => Unit) = {
+    val g = evalDocs
+      .select(explode(shingles(col(textCol), k)).as("gram")).distinct()
+      .withColumn("hit", lit(1))
+      .persist()
+    (g, () => { g.unpersist(); () })
+  }
+
+  /** Score a batch against an eval-gram index ([[evalGramIndex]] or
+    * any (gram, hit) frame) — the per-batch path of train/eval
+    * decontamination, persisting nothing itself. */
+  def contaminationAgainstIndex(batch: DataFrame, idCol: String,
+      textCol: String, gramIndex: DataFrame, k: Int = 3,
+      threshold: Double = 0.5, broadcastIndex: Boolean = true): DataFrame = {
+    val gi = if (broadcastIndex) broadcast(gramIndex) else gramIndex
+    val trainGrams = batch
       .select(col(idCol), explode_outer(shingles(col(textCol), k)).as("gram"))
-    val agg = trainGrams.join(testGrams, Seq("gram"), "left")
+    val agg = trainGrams.join(gi, Seq("gram"), "left")
       .groupBy(idCol)
       .agg(count(col("gram")).as("n_grams"), count(col("hit")).as("n_overlap"))
     agg.select(col(idCol), col("n_grams"), col("n_overlap"),

@@ -250,6 +250,34 @@ object EventTimeOps {
   }
 
   /**
+   * Streaming train/eval DECONTAMINATION — the ingestion-time face of
+   * `Dedup.contamination`: each micro-batch of arriving training
+   * documents is scored against the STANDING eval-gram index
+   * (`Dedup.evalGramIndex`, built and persisted once per eval-suite
+   * revision) and `onScores` receives that batch's (id, n_grams,
+   * n_overlap, contamination, contaminated) rows — route contaminated
+   * docs off the training mix before they poison an eval. Same
+   * standing-structure contract as the dedup faces: the release handle
+   * drops the index when the eval suite is superseded.
+   *
+   * @return (writer, release handle for the standing eval-gram index)
+   */
+  def decontaminateStream(docs: DataFrame, evalDocs: DataFrame,
+      idCol: String, textCol: String, k: Int = 3, threshold: Double = 0.5)(
+      onScores: DataFrame => Unit): (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row], () => Unit) = {
+    val (index, releaseIndex) =
+      graft.dedup.Dedup.evalGramIndex(evalDocs, textCol, k)
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        onScores(graft.dedup.Dedup.contaminationAgainstIndex(
+          batch, idCol, textCol, index, k, threshold))
+        ()
+      }
+    (writer, releaseIndex)
+  }
+
+  /**
    * Streaming embedding dedup-against-corpus — the vector-side member
    * of the [[dedupAgainstCorpus]] family, completing it (exact hash /
    * MinHash-Jaccard / SimHash-Hamming / embedding-cosine): each

@@ -236,6 +236,44 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination matches the batch operator against a standing eval index") {
+    import graft.dedup.Dedup
+    import spark.implicits._
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+    val eval = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "one two three four five six")
+    ).toDF("doc_id", "text")
+    val mem = MemoryStream[Row](enc, spark)
+    val got = scala.collection.mutable.Map.empty[Long, (Long, Long, Boolean)]
+    val (writer, releaseIndex) = EventTimeOps.decontaminateStream(
+      mem.toDF(), eval, "doc_id", "text", k = 3, threshold = 0.5) { m =>
+        got ++= m.collect().map(r =>
+          r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4))))
+      }
+    val q = writer.start()
+    try {
+      mem.addData(
+        Row(1L, "alpha beta gamma delta leaked prefix"),  // 2 of 4 grams hit
+        Row(2L, "totally novel words nowhere in evals"))
+      q.processAllAvailable()
+      mem.addData(Row(3L, "one two three four five six"))  // full overlap
+      q.processAllAvailable()
+      val batchEquiv = Dedup.contaminationAgainstIndex(
+        Seq((1L, "alpha beta gamma delta leaked prefix"),
+          (2L, "totally novel words nowhere in evals"),
+          (3L, "one two three four five six")).toDF("doc_id", "text"),
+        "doc_id", "text",
+        Dedup.evalGramIndex(eval, "text")._1)
+        .collect().map(r =>
+          r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+      assert(got.toMap == batchEquiv, s"stream $got vs batch $batchEquiv")
+      assert(got(3L)._3 && !got(2L)._3, "full overlap flags; novel text passes")
+      assert(got(1L) == ((4L, 2L, true)), s"partial overlap wrong: ${got(1L)}")
+    } finally { q.stop(); releaseIndex() }
+  }
+
   test("streaming embedding dedup-against-corpus matches the batch probe") {
     import graft.ann.Similarity
     import spark.implicits._
