@@ -138,31 +138,36 @@ object SketchQueries {
     "q_text_heavy_hitters" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       import graft.text.TextAnalysis
+      // each action re-derives the token stream from the scan: at this
+      // width, caching the exploded tokens costs MORE than the narrow
+      // re-scan (measured — memory-store write/read beats codegen'd
+      // tokenize only on far wider documents)
       val toks = Tables(s, dir, "documents")
         .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
-      val counts = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
-        .persist()
-      try {
-        val total = counts.agg(coalesce(sum("exact_cnt"), lit(0L)))
-          .head().getLong(0)
-        val w = Window.orderBy(col("exact_cnt").desc, col("token"))
-        val top = counts.withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= HeavyHitterK)
-          .select("rnk", "token", "exact_cnt")
-          .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
-        val skBytes = toks.agg(count_min_sketch(col("token"), lit(CmsEps),
-            lit(CmsConfidence), lit(CmsSeed)).as("sk"))
-          .head().getAs[Array[Byte]](0)
-        val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-          new java.io.ByteArrayInputStream(skBytes))
+      // TWO driver actions total: the head collect carries the grand
+      // total as a window sum over the counts table (vocabulary-sized,
+      // never documents), and the sketch aggregation is the second
+      val wTot = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+      val wRank = Window.orderBy(col("exact_cnt").desc, col("token"))
+      val top = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+        .withColumn("total", sum("exact_cnt").over(wTot))
+        .withColumn("rnk", row_number().over(wRank))
+        .filter(col("rnk") <= HeavyHitterK)
+        .select("rnk", "token", "exact_cnt", "total")
+        .collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val skBytes = toks.agg(count_min_sketch(col("token"), lit(CmsEps),
+          lit(CmsConfidence), lit(CmsSeed)).as("sk"))
+        .head().getAs[Array[Byte]](0)
+      val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skBytes))
+      import s.implicits._
+      top.toSeq.map { case (rnk, tok, exact, total) =>
+        val est = sk.estimateCount(tok)
         val bound = math.ceil(CmsEps * total).toLong
-        import s.implicits._
-        top.toSeq.map { case (rnk, tok, exact) =>
-          val est = sk.estimateCount(tok)
-          (rnk, tok, exact, est >= exact, est - exact <= bound)
-        }.toDF("rnk", "token", "exact_cnt", "overestimates", "within_bound")
-          .orderBy("rnk")
-      } finally { counts.unpersist(); () }
+        (rnk, tok, exact, est >= exact, est - exact <= bound)
+      }.toDF("rnk", "token", "exact_cnt", "overestimates", "within_bound")
+        .orderBy("rnk")
     }),
 
     // Quantile-sketch calibration: per return flag, exact p50/p95 of
