@@ -54,23 +54,27 @@ object DriftGate {
    * gap is small in practice.
    *
    * Shape: one token aggregation (shuffle carries the vocabulary,
-   * never documents) + a rank over the AGGREGATED vocabulary rows to
-   * pick the head. The rank's sort is vocabulary-sized — for a
-   * vocabulary too big to sort, derive the head with a frequency
-   * threshold from a sketch instead; the profile contract (K tokens +
-   * OTHER) is unchanged.
+   * never documents), then the head via orderBy+limit — Spark plans
+   * TakeOrderedAndProject, a per-partition PARTIAL top-K merged on the
+   * driver from K·partitions candidate rows, so NOTHING ever sorts the
+   * full vocabulary — plus one vocabulary-sized sum for the tail mass.
+   * The head is K rows by contract, so collecting it is the point, not
+   * a compromise. (q_text_heavy_hitters is the sketch-side audit of
+   * the same head-selection idea when even the counts table is too
+   * hot to aggregate exactly.)
    */
   def cappedProfile(corpus: DataFrame, textCol: String,
       topK: Int): (DataFrame, () => Unit) = {
     require(topK > 0, s"topK must be positive, got $topK")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("n_corpus").desc, col("token"))
-    val capped = corpusFreq(corpus, textCol)
-      .withColumn("rnk", row_number().over(w))
-      .select(when(col("rnk") <= topK, col("token"))
-        .otherwise(lit(OtherToken)).as("token"), col("n_corpus"))
-      .groupBy("token").agg(sum("n_corpus").as("n_corpus"))
-      .persist()
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val freq = corpusFreq(corpus, textCol)
+    val head = freq.orderBy(col("n_corpus").desc, col("token")).limit(topK)
+      .as[(String, Long)].collect()
+    val total = freq.agg(coalesce(sum("n_corpus"), lit(0L))).head().getLong(0)
+    val tail = total - head.map(_._2).sum
+    val capped = (head.toSeq ++ (if (tail > 0) Seq((OtherToken, tail)) else Nil))
+      .toDF("token", "n_corpus").persist()
     (capped, () => { capped.unpersist(); () })
   }
 
