@@ -123,4 +123,34 @@ class DriftGateSpec extends SparkSpec {
     assert(routed(0)._2 == 2L && routed(0)._3 == 0.0) // in-distribution
     assert(routed(1)._2 == 1L && routed(1)._3 == 1.0) // vocabulary flip
   }
+
+  test("capped streaming gate: zero fixpoint holds; disjoint folds to the exact capped bound") {
+    // K=2 of a 4-token vocabulary (head beta/gamma, tail alpha/delta →
+    // OTHER, each a 1/3 share). An in-distribution batch still reads 0
+    // (equal distributions coarsen to equal folds). A DISJOINT batch
+    // does NOT read 1 under capping: its whole mass folds into OTHER,
+    // which overlaps the corpus tail bucket — capped TVD is exactly
+    // ½(1/3 + 1/3 + |1 − 1/3|) = 2/3, strictly below the true TVD of
+    // 1, which is precisely the lower-bound contract.
+    val (profile, release) = DriftGate.cappedProfile(corpus, "text", 2)
+    val schema = StructType.fromDDL("text STRING")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+    val mem = MemoryStream[Row](enc, spark)
+    val routed = mutable.ArrayBuffer[(Long, Double)]()
+    val q = DriftGate.cappedGateStream(mem.toDF(), profile, "text") {
+      (_, t, id) => routed += ((id, t))
+    }.start()
+    try {
+      // the corpus's own distribution (25x alpha/delta, 50x beta/gamma
+      // per 50 docs — one clean replica)
+      mem.addData(Row("alpha beta gamma"), Row("beta gamma delta"))
+      q.processAllAvailable()
+      mem.addData(Row("omega psi chi"))
+      q.processAllAvailable()
+    } finally { q.stop(); release() }
+    assert(routed.size == 2)
+    assert(routed(0)._2 == 0.0, s"identical batch drifted: ${routed(0)}")
+    assert(routed(1)._2 == 600.0 / 900.0,
+      s"disjoint batch must fold to exactly 2/3: ${routed(1)}")
+  }
 }
