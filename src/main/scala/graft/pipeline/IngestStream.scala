@@ -61,12 +61,19 @@ object IngestStream {
    *                  and `corpus` must also carry `embed.vecCol` and
    *                  each batch probes the standing embedding index
    *                  too ([[BatchReport.embedDupMatches]])
+   * @param cappedDriftK when set, the drift gate runs against a
+   *                  [[DriftGate.cappedProfile]] of this head size
+   *                  instead of the full vocabulary profile — the
+   *                  100 TB form: standing state K+1 rows, per-batch
+   *                  join K+1-sized, and the reported distance
+   *                  lower-bounds the true TVD (a capped alarm is
+   *                  always a true alarm)
    * @return (stream writer, release handle for ALL standing
    *         structures)
    */
   def gated(docs: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, rules: Seq[DqGate.Rule], threshold: Double,
-      embed: Option[EmbedGate] = None)(
+      embed: Option[EmbedGate] = None, cappedDriftK: Option[Int] = None)(
       route: (DataFrame, BatchReport) => Unit)
       : (DataStreamWriter[Row], () => Unit) = {
     // every rule-name problem must surface at BUILD time, not as a
@@ -87,7 +94,14 @@ object IngestStream {
         docs.schema.fieldNames.contains(e.vecCol),
         s"embed gate needs column '${e.vecCol}' on both corpus and feed")
     }
-    val (profile, releaseProfile) = DriftGate.corpusProfile(corpus, textCol)
+    val (profile, releaseProfile) = cappedDriftK match {
+      case Some(k) => DriftGate.cappedProfile(corpus, textCol, k)
+      case None => DriftGate.corpusProfile(corpus, textCol)
+    }
+    val measureDrift: DataFrame => Double = cappedDriftK match {
+      case Some(_) => b => DriftGate.cappedTvd(profile, b, textCol)
+      case None => b => DriftGate.tvd(profile, b, textCol)
+    }
     val (index, releaseIndex) = Dedup.corpusNearDupIndex(corpus, idCol, textCol)
     val embedIdx = embed.map { e =>
       graft.ann.Similarity.corpusEmbedIndex(corpus, idCol, e.vecCol,
@@ -100,7 +114,7 @@ object IngestStream {
         try {
           val dq = DqGate.collectVerdicts(batch, rules,
             uniqueKey = Some((uniqueName, idCol)))
-          val drift = DriftGate.tvd(profile, batch, textCol)
+          val drift = measureDrift(batch)
           val (matches, releaseBatch) = Dedup.probeNearDupIndex(
             batch, index, idCol, textCol, threshold)
           val nDup = try matches.count() finally releaseBatch()

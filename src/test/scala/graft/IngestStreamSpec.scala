@@ -122,6 +122,38 @@ class IngestStreamSpec extends SparkSpec {
       s"semantic dup must trip ONLY the embedding gate: ${reports(1)}")
   }
 
+  test("capped drift profile drives the stack: clean batch low, vocab flip raised") {
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    def sentence(i: Int): String =
+      (0 until 8).map(j => words((i * 3 + j * (1 + i % 7)) % 10))
+        .mkString(" ") + s" tail$i"
+    val corpus = Seq.tabulate(30)(i => (i.toLong, sentence(i)))
+      .toDF("doc_id", "text")
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+    val mem = MemoryStream[Row](enc, spark)
+    val reports = mutable.ArrayBuffer[IngestStream.BatchReport]()
+    // head smaller than the ~40-token vocabulary (10 words + 30 tails),
+    // so the tail genuinely folds
+    val (writer, release) = IngestStream.gated(
+      mem.toDF(), corpus, "doc_id", "text", Nil, threshold = 0.5,
+      cappedDriftK = Some(8)) { (_, report) => reports += report }
+    val q = writer.start()
+    try {
+      mem.addData(
+        Row(100L, "kappa alpha theta beta iota gamma zeta delta fresh1"))
+      q.processAllAvailable()
+      mem.addData(
+        Row(200L, "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp"))
+      q.processAllAvailable()
+    } finally { q.stop(); release() }
+    assert(reports.size == 2)
+    assert(reports(0).drift < 0.6, s"clean capped drift: ${reports(0).drift}")
+    assert(reports(1).drift > reports(0).drift,
+      s"vocab flip must raise capped drift: ${reports.map(_.drift)}")
+  }
+
   test("embed gate validates the embedding column at build time") {
     val corpus = Seq((1L, "alpha")).toDF("doc_id", "text")
     val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
