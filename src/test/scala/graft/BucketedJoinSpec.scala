@@ -96,6 +96,35 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("snapshot diff over bucketed snapshots plans no exchange") {
+    import graft.operators.SnapshotDiff
+    val dir = Files.createTempDirectory("graft-bdiff").toFile.getAbsolutePath
+    val oldSnap = (0L until 400L).map(i => (i, s"s$i", i * 1.0))
+      .toDF("k", "status", "price")
+    val newSnap = ((0L until 350L).map(i =>
+      (i, if (i % 10 == 0) s"chg$i" else s"s$i", i * 1.0)) ++
+      (400L until 420L).map(i => (i, s"new$i", i * 2.0)))
+      .toDF("k", "status", "price")
+    Bucketed.writeBucketed(oldSnap, "bdiff_old", s"$dir/old", "k", 8)
+    Bucketed.writeBucketed(newSnap, "bdiff_new", s"$dir/new", "k", 8)
+    try {
+      val d = SnapshotDiff.diff(spark.table("bdiff_old"),
+        spark.table("bdiff_new"), Seq("k"), Seq("status", "price"))
+      val ex = initialPlan(d).collectWithSubqueries {
+        case e: ShuffleExchangeLike => e
+      }
+      assert(ex.isEmpty,
+        s"bucketed snapshot diff must not shuffle, found ${ex.length}:\n${initialPlan(d)}")
+      // and the diff itself is right: 35 updates, 50 deletes, 20 inserts
+      val byOp = d.groupBy("op").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byOp == Map("U" -> 35L, "D" -> 50L, "I" -> 20L), s"$byOp")
+    } finally {
+      Seq("bdiff_old", "bdiff_new")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("co-located bucketed join plans no exchange and matches the shuffled join") {
     val dir = Files.createTempDirectory("graft-bucketed").toFile.getAbsolutePath
     val facts = (0L until 1000L).map(i => (i % 97, i, i * 2.5)).toDF("k", "id", "v")
