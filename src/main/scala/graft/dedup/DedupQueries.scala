@@ -202,6 +202,37 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // CLUSTER-BALANCED (diversity-aware) sampling: per-cluster keep
+    // rate min(1, quota / cluster_size), selected by the deterministic
+    // salted content hash, importance weight 1/rate — the sampler that
+    // stops large near-dup families from dominating the mixture (a
+    // 10,000-copy boilerplate cluster contributes ~quota docs, a
+    // singleton always survives), while weights keep statistics
+    // unbiased. The standard diversity pass AFTER near-dup clustering.
+    // Scale shape: the assignment table joins the size histogram on
+    // cluster (both corpus-derived, shuffle carries assignments, never
+    // text beyond the fingerprint) and the selection is the usual
+    // narrow hash filter.
+    "q_sample_cluster" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val clusters = Clusters.resolve(docs, "doc_id",
+        cachedPairs(s, dir), "doc_a", "doc_b").select("doc_id", "cluster")
+      val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("n_c"))
+      val rate = least(lit(1.0),
+        lit(ClusterSampleQuota.toDouble) / col("n_c").cast("double"))
+      val bucket =
+        TextAnalysis.charPolyHash(concat(col("text"), lit("|clus"))) % 1000000
+      docs.select(col("doc_id"), col("text"))
+        .join(clusters, "doc_id")
+        .join(sizes, "cluster")
+        .select(col("doc_id"), col("cluster"), col("n_c"),
+          bucket.as("bucket"), rate.as("rate"))
+        .where(col("bucket") < floor(col("rate") * 1000000))
+        .select(col("doc_id"), col("cluster"), col("n_c"), col("bucket"),
+          round(lit(1.0) / col("rate"), 6).as("weight"))
+        .orderBy("doc_id")
+    }),
+
     // Deterministic hash-based train/val/test split (80/10/10).
     "q_sample_split" -> ((s, dir) => {
       import graft.text.TextAnalysis
@@ -403,6 +434,10 @@ object DedupQueries {
   /** Docs drawn per language stratum (q_sample_topn). */
   val SampleQuota = 20
 
+  /** Expected docs kept per near-dup cluster (q_sample_cluster;
+    * shared with its oracle). */
+  val ClusterSampleQuota = 2
+
   val SimHashMaxHamming = 5
   val SimHashBands = 6
 
@@ -452,16 +487,15 @@ object DedupQueries {
        sig AS (SELECT doc_id, sh, $mhs FROM digests)"""
   }
 
-  /** From-scratch clustering over ALL documents (recursive CTE) —
-    * the oracle of both q_dedup_clusters AND the incremental-
-    * maintenance query (whose whole contract is equality with the
-    * from-scratch answer). */
-  private val clustersOracle: String = {
+  /** The shared clustering CTE chain (funnel → edges → reachability),
+    * reused by the clusters oracles AND the cluster-balanced sampler's
+    * oracle. Must follow `WITH RECURSIVE`. */
+  private val clusterCtes: String = {
     val bandSelects = (0 until Dedup.numBands).map { b =>
       val parts = (0 until Dedup.BandRows).map(r => s"mh${b * Dedup.BandRows + r}")
       s"SELECT doc_id, md5('$b' || '|' || ${parts.mkString(" || '|' || ")}) AS band_key FROM sig WHERE mh0 IS NOT NULL"
     }.mkString(" UNION ALL ")
-    s"""WITH RECURSIVE $sigCte,
+    s"""$sigCte,
       bands AS ($bandSelects),
       cand AS (
         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -479,11 +513,17 @@ object DedupQueries {
       reach(id, r) AS (
         SELECT doc_id, doc_id FROM documents
         UNION
-        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)"""
+  }
+
+  /** From-scratch clustering over ALL documents (recursive CTE) —
+    * the oracle of both q_dedup_clusters AND the incremental-
+    * maintenance query (whose whole contract is equality with the
+    * from-scratch answer). */
+  private val clustersOracle: String = s"""WITH RECURSIVE $clusterCtes
     SELECT id AS doc_id, MIN(r) AS cluster,
       CAST(id = MIN(r) AS INT) AS keeper
     FROM reach GROUP BY id ORDER BY doc_id"""
-  }
 
   /** The three incremental-probe oracles as shared vals: each is a
     * standalone statement AND a CTE body of the composed
@@ -634,6 +674,21 @@ object DedupQueries {
     // Incremental maintenance must equal the from-scratch answer — the
     // oracle IS the full-recompute clustering over corpus ∪ batch.
     "q_dedup_clusters_incremental" -> clustersOracle,
+
+    "q_sample_cluster" -> s"""WITH RECURSIVE $clusterCtes,
+      asg AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id),
+      sz AS (SELECT cluster, count(*) AS n_c FROM asg GROUP BY cluster),
+      b AS (
+        SELECT d.doc_id, a.cluster, sz.n_c,
+          ${graft.text.TextSql.charPolyHash("(text || '|clus')")} % 1000000 AS bucket,
+          least(CAST(1.0 AS DOUBLE),
+            CAST($ClusterSampleQuota AS DOUBLE) / CAST(sz.n_c AS DOUBLE)) AS rate
+        FROM documents d
+        JOIN asg a ON d.doc_id = a.doc_id
+        JOIN sz ON a.cluster = sz.cluster)
+      SELECT doc_id, cluster, n_c, bucket, round(1.0 / rate, 6) AS weight
+      FROM b WHERE bucket < CAST(floor(rate * 1000000) AS BIGINT)
+      ORDER BY doc_id""",
 
     "q_sample_split" -> s"""
       WITH b AS (
