@@ -70,6 +70,12 @@ object GraftFunctions {
         require(exprs.length == 2, "token_shingles(text, k)")
         TokenShingles(exprs.head, intLit(exprs(1), "k"))
       }),
+    ("token_ngrams",
+      "token_ngrams(text, k) - positional k-token n-grams of lower-cased text (duplicates kept)",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "token_ngrams(text, k)")
+        TokenNgrams(exprs.head, intLit(exprs(1), "k"))
+      }),
     ("minhash_sig",
       "minhash_sig(text, k, n) - n-component MinHash signature over k-token shingles",
       (exprs: Seq[Expression]) => {
@@ -129,6 +135,9 @@ object GraftFunctions {
 
   def tokenShingles(text: Column, k: Int = 3): Column =
     GraftShims.column(TokenShingles(GraftShims.expression(text), k))
+
+  def tokenNgrams(text: Column, k: Int): Column =
+    GraftShims.column(TokenNgrams(GraftShims.expression(text), k))
 
   def minhashSig(text: Column, k: Int = 3, numHashes: Int = 8): Column =
     GraftShims.column(MinHashSig(GraftShims.expression(text), k, numHashes))

@@ -43,7 +43,79 @@ object ProfileQueries {
 
   private case class ColProfile(name: String, numeric: Column)
 
+  /** Hash-bucket boundary splitting the standing corpus from the
+    * incoming batch in q_profile_incremental (same convention as the
+    * dedup incremental family; shared with the oracle). */
+  val ProfileSplitBoundary = 80
+
+  /** Numeric columns covered by the mergeable profile
+    * (q_profile_incremental; shared with the oracle). */
+  val MergeProfileCols: Seq[String] = Seq("event_id", "user_id", "value")
+
+  /** One part's mergeable profile: per column, the exactly-mergeable
+    * statistics — row count, null count, min, max, and a
+    * DECIMAL(38,6) sum of per-row values rounded to 6 dp (the
+    * order-independent summation discipline; a raw double sum would
+    * flip the last ulp with partitioning and the merge could no
+    * longer promise bit-equality with the from-scratch profile).
+    * Unpivoted exactly like q_profile_events: one aggregate row,
+    * exploded. */
+  private def partProfile(df: DataFrame): DataFrame = {
+    val aggs = MergeProfileCols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        min(col(c).cast("double")).as(s"${c}__min"),
+        max(col(c).cast("double")).as(s"${c}__max"),
+        sum(round(col(c).cast("double"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .as(s"${c}__sum"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(MergeProfileCols.map { c =>
+        struct(
+          lit(c).as("col_name"),
+          col(s"${c}__n").as("n_rows"),
+          col(s"${c}__nulls").as("n_null"),
+          col(s"${c}__min").as("min_num"),
+          col(s"${c}__max").as("max_num"),
+          col(s"${c}__sum").as("sum_dec"))
+      }: _*)).as("r"))
+      .select("r.*")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Incremental profile maintenance: the standing corpus profile
+    // merged with an arriving batch's profile, via the profile
+    // algebra (counts add, mins min, maxes max, decimal sums add) —
+    // proven equal to the from-scratch profile over corpus ∪ batch,
+    // which is exactly what the oracle computes. This is how corpus
+    // statistics stay current at 100 TB: history is NEVER rescanned;
+    // each batch contributes one profile row per column and the merge
+    // is |columns|-sized driver work. n_distinct is deliberately
+    // absent — it is the one profile field with no exact merge; the
+    // mergeable-sketch path (q_events_sketch_rollup) is its dial.
+    "q_profile_incremental" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val corpus = ev.filter(
+        pmod(col("event_id"), lit(100)) < ProfileSplitBoundary)
+      val batch = ev.filter(
+        pmod(col("event_id"), lit(100)) >= ProfileSplitBoundary)
+      partProfile(corpus).unionByName(partProfile(batch))
+        .groupBy("col_name").agg(
+          sum("n_rows").as("n_rows"),
+          sum("n_null").as("n_null"),
+          min("min_num").as("mn"),
+          max("max_num").as("mx"),
+          sum("sum_dec").as("sd"))
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          round(col("mn"), 6).as("min_num"),
+          round(col("mx"), 6).as("max_num"),
+          round(col("sd").cast("double"), 6).as("sum_num"),
+          round(col("sd").cast("double") / col("n_rows"), 6).as("mean_num"))
+        .orderBy("col_name")
+    }),
 
     "q_profile_events" -> ((s, dir) => {
       val ev = Tables(s, dir, "events")
@@ -117,6 +189,24 @@ object ProfileQueries {
       DqGate.notSatisfied(col("o_orderstatus").isin(OrderStatusDomain: _*))))
 
   def oracleSql: Map[String, String] = Map(
+
+    // The from-scratch profile over the FULL table — the merge on the
+    // Spark side must equal this exactly, or the incremental algebra
+    // is broken.
+    "q_profile_incremental" -> {
+      MergeProfileCols.map { c =>
+        val sumDec =
+          s"sum(CAST(round(CAST($c AS DOUBLE), 6) AS DECIMAL(38, 6)))"
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+          CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_null,
+          round(min(CAST($c AS DOUBLE)), 6) AS min_num,
+          round(max(CAST($c AS DOUBLE)), 6) AS max_num,
+          round(CAST($sumDec AS DOUBLE), 6) AS sum_num,
+          round(CAST($sumDec AS DOUBLE) / count(*), 6) AS mean_num
+        FROM events"""
+      }.mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
 
     "q_profile_events" -> {
       val cols = Seq(

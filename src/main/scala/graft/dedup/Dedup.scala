@@ -41,7 +41,7 @@ object Dedup {
 
   // ---------------------------------------------------------------- shingles
   import org.apache.spark.sql.graftshim.GraftShims.{column => toCol, expression => toExpr}
-  import graft.functions.{MinHashSig, TokenShingles}
+  import graft.functions.{MinHashSig, TokenNgrams, TokenShingles}
 
   /**
    * Distinct 3-token shingles (space-joined), first-occurrence order;
@@ -51,6 +51,12 @@ object Dedup {
    */
   def shingles(text: Column, k: Int = 3): Column =
     toCol(TokenShingles(toExpr(text), k))
+
+  /** Positional k-token n-grams, duplicates kept (one per start
+    * position) — the multiset twin of [[shingles]] for span-level
+    * duplication accounting (graft.functions.TokenNgrams). */
+  def ngrams(text: Column, k: Int): Column =
+    toCol(TokenNgrams(toExpr(text), k))
 
   // ---------------------------------------------------------------- minhash
   /**

@@ -130,6 +130,35 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Span-level duplication audit (Lee et al., "Deduplicating
+    // Training Data Makes Language Models Better", ACL 2022, at
+    // n-gram granularity): per document, the fraction of
+    // [[SpanGramLen]]-token start positions whose gram also occurs in
+    // at least one OTHER document — the corpus-health metric that
+    // tells you how much of each document is copied text, which
+    // doc-level near-dup (whole-document Jaccard) cannot see. Shape:
+    // the shuffle carries (gram, doc) pairs — bytes, never documents;
+    // the per-gram window holds one row per distinct citing document,
+    // bounded by the hottest gram's document frequency (a production
+    // run keys by a 128-bit gram hash to make shuffle rows
+    // fixed-width; the string key here keeps the oracle exact).
+    "q_dedup_span_coverage" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val grams = docs.select(col("doc_id"),
+        explode(Dedup.ngrams(col("text"), SpanGramLen)).as("gram"))
+      val per = grams.groupBy("gram", "doc_id").agg(count(lit(1)).as("cnt"))
+      val marked = per.withColumn("n_docs",
+        count(lit(1)).over(Window.partitionBy("gram")))
+      marked.groupBy("doc_id").agg(
+          sum("cnt").as("n_grams"),
+          sum(when(col("n_docs") >= 2, col("cnt")).otherwise(0L))
+            .as("dup_grams"))
+        .select(col("doc_id"), col("n_grams"), col("dup_grams"),
+          round(col("dup_grams").cast("double") / col("n_grams"), 6)
+            .as("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
     // MinHash signatures (8 md5-min hashes over 3-token shingles).
     "q_dedup_minhash" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
@@ -413,6 +442,12 @@ object DedupQueries {
     * (q_dedup_ngram_jaccard; shared with its oracle). */
   val NgramJaccardThreshold = 0.3
 
+  /** Gram length of the span-duplication audit (q_dedup_span_coverage;
+    * shared with its oracle). 5 tokens is long enough that shared
+    * vocabulary alone doesn't alias as a span, short enough to catch
+    * partial copies whole-document Jaccard misses. */
+  val SpanGramLen = 5
+
   /** Hash-bucket boundary splitting the standing corpus (< boundary)
     * from the incoming batch (>= boundary) in the incremental dedup
     * queries — shared with both oracles so the engines can't drift. */
@@ -625,6 +660,26 @@ object DedupQueries {
     "q_dedup_minhash" -> {
       val cols = (0 until Dedup.NumHashes).map(j => s"mh$j").mkString(", ")
       s"WITH $sigCte SELECT doc_id, $cols FROM sig ORDER BY doc_id"
+    },
+
+    "q_dedup_span_coverage" -> {
+      val g = SpanGramLen
+      val toks = TextSql.tokens("text")
+      s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
+        grams AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(t) - ${g - 2}),
+            i -> array_to_string(t[CAST(i AS INT):CAST(i AS INT) + ${g - 1}], ' '))) AS gram
+          FROM toks WHERE len(t) >= $g),
+        per AS (SELECT gram, doc_id, count(*) AS cnt FROM grams GROUP BY 1, 2),
+        marked AS (
+          SELECT doc_id, cnt, count(*) OVER (PARTITION BY gram) AS n_docs
+          FROM per)
+      SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+        CAST(sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+          AS dup_grams,
+        round(sum(CASE WHEN n_docs >= 2 THEN cnt ELSE 0 END)
+          / CAST(sum(cnt) AS DOUBLE), 6) AS dup_frac
+      FROM marked GROUP BY doc_id ORDER BY doc_id"""
     },
 
     "q_dedup_lsh_pairs" -> {

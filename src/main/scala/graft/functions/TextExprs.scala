@@ -52,6 +52,31 @@ object TextNative {
     new GenericArrayData(arr.map(UTF8String.fromString(_): Any))
   }
 
+  /** Positional k-token n-grams of the lower-cased text — one entry
+    * per start position, duplicates KEPT (unlike [[shingleStrings]],
+    * whose set semantics serve Jaccard/MinHash). The multiset is what
+    * span-level duplication metrics need: a gram repeated inside one
+    * document contributes once per occurrence to that document's
+    * duplicated-span mass. */
+  def ngramStrings(text: UTF8String, k: Int): Array[String] = {
+    val toks = text.toLowerCase.toString.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < k) return Array.empty
+    val out = new Array[String](toks.length - k + 1)
+    var i = 0
+    while (i <= toks.length - k) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out(i) = sb.toString
+      i += 1
+    }
+    out
+  }
+
+  def ngrams(text: UTF8String, k: Int): ArrayData =
+    new GenericArrayData(
+      ngramStrings(text, k).map(UTF8String.fromString(_): Any))
+
   private val hexChars = "0123456789abcdef".toCharArray
 
   private val Md5Local: ThreadLocal[MessageDigest] =
@@ -333,6 +358,20 @@ case class TokenShingles(child: Expression, k: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TextNative.shingles($c, $k)")
   override protected def withNewChildInternal(newChild: Expression): TokenShingles =
+    copy(child = newChild)
+}
+
+/** `token_ngrams(text)` → array<string> of positional k-token n-grams
+  * (duplicates kept, one per start position — the multiset twin of
+  * [[TokenShingles]], see TextNative.ngramStrings). */
+case class TokenNgrams(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_ngrams"
+  override def nullSafeEval(input: Any): Any =
+    TextNative.ngrams(input.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNative.ngrams($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): TokenNgrams =
     copy(child = newChild)
 }
 

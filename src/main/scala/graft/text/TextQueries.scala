@@ -154,13 +154,38 @@ object TextQueries {
           (round(sum(col("n_tokens").cast("long")).cast("double") /
             count(lit(1)), 6).as("mean_tokens") +: qs): _*)
         .orderBy("lang")
-    }))
+    }),
+
+    // Boilerplate detection (the C4 / RefinedWeb cleanup step): token
+    // n-grams recurring across >= BoilerplateMinDocs DISTINCT
+    // documents of the SAME source — headers, footers, navigation
+    // chrome, license blurbs. Shape: TokenShingles' per-document set
+    // semantics make count(*) per (source, gram) a distinct-document
+    // count with NO count_distinct expand, so the whole audit is one
+    // partial-aggregating shuffle of (source, gram) pairs — bytes,
+    // never documents. Emitting the grams themselves (not a
+    // per-source rollup) is deliberate: the output IS the removal
+    // list the cleanup pass subtracts.
+    "q_text_boilerplate" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          explode(graft.dedup.Dedup.shingles(col("text"), BoilerplateGramLen))
+            .as("gram"))
+        .groupBy("source", "gram").agg(count(lit(1)).as("n_docs"))
+        .where(col("n_docs") >= BoilerplateMinDocs)
+        .orderBy("source", "gram")))
 
   val ChunkSize = 64
   val ChunkStride = 48
   val PackSeqLen = 64
   val PackShards = 4
   val LengthQuantiles = Seq(0.25, 0.5, 0.75, 0.95)
+
+  /** Boilerplate audit knobs (q_text_boilerplate; shared with its
+    * oracle): gram length and the distinct-document floor above which
+    * a gram counts as source-level boilerplate. */
+  val BoilerplateGramLen = 3
+  val BoilerplateMinDocs = 3
 
   def oracleSql: Map[String, String] = {
     val t = "text"
@@ -315,6 +340,21 @@ object TextQueries {
         SELECT doc_id, chunk_id,
           array_to_string(ctoks, ' ') AS chunk_text,
           len(ctoks) AS n_tokens
-        FROM s ORDER BY doc_id, chunk_id""")
+        FROM s ORDER BY doc_id, chunk_id""",
+
+      "q_text_boilerplate" -> {
+        val g = BoilerplateGramLen
+        s"""
+        WITH toks AS (
+          SELECT doc_id, source, ${TextSql.tokens(t)} AS tk FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id, source,
+            unnest(list_transform(range(1, len(tk) - ${g - 2}),
+              i -> array_to_string(tk[CAST(i AS INT):CAST(i AS INT) + ${g - 1}], ' '))) AS gram
+          FROM toks WHERE len(tk) >= $g)
+        SELECT source, gram, count(*) AS n_docs
+        FROM grams GROUP BY 1, 2 HAVING count(*) >= $BoilerplateMinDocs
+        ORDER BY source, gram"""
+      })
   }
 }

@@ -12,6 +12,7 @@ class SqlFunctionsSpec extends SparkSpec {
         vector_dot(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS dot,
         jaccard_sim(array('a','b','c'), array('b','c','d')) AS jac,
         token_shingles('one two three four', 3) AS sh,
+        token_ngrams('one two one two', 2) AS ng,
         minhash_sig('one two three four five', 3, 8) AS sig,
         simhash16('one two three four five') AS sh16
     """).head()
@@ -19,8 +20,10 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getDouble(1) == 11.0)
     assert(r.getDouble(2) == 0.5)
     assert(r.getSeq[String](3) == Seq("one two three", "two three four"))
-    assert(r.getSeq[String](4).length == 8)
-    assert(r.getLong(5) >= 0L && r.getLong(5) < (1L << 16))
+    // multiset semantics: the repeated "one two" gram is KEPT
+    assert(r.getSeq[String](4) == Seq("one two", "two one", "one two"))
+    assert(r.getSeq[String](5).length == 8)
+    assert(r.getLong(6) >= 0L && r.getLong(6) < (1L << 16))
   }
 
   test("simhash16(NULL) is 0 on every surface: SQL, Column API, Dedup") {
