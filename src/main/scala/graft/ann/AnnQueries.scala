@@ -28,6 +28,12 @@ object AnnQueries {
     * batch in q_ann_embedding_drift AND q_dedup_incremental_embed
     * (shared with both oracles). */
   val EmbDriftBatchBucket = 8
+
+  /** Within-cluster cosine floor of q_dedup_semantic (shared with its
+    * oracle). Sits above the pair-recall floor [[NearDupThreshold]]:
+    * semantic dedup DROPS data, so its bar is "near-identical within
+    * the cluster", not "candidate worth verifying". */
+  val SemanticThreshold = 0.3
   val ProjDims = 8
   /** Edges kept per vertex in the kNN graph (q_ann_knn_graph). */
   val KnnK = 3
@@ -246,7 +252,20 @@ object AnnQueries {
         cachedEmbedIndex(s, dir),
         "vec_id", "embedding", NearDupBands, NearDupBandPlanes, Dims,
         NearDupThreshold)
-        .orderBy("batch_id", "corpus_id")))
+        .orderBy("batch_id", "corpus_id")),
+
+    // SEMANTIC dedup (SemDeDup): per-vector kept/dropped verdict
+    // under the upper-triangular within-cluster rule — see
+    // Similarity.semanticDedup. First-K centroids so the oracle can
+    // restate the assignment (the trained-centroid variant swaps in
+    // cachedIvfIndex's centroids, same rule).
+    "q_dedup_semantic" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = collectVecs(emb, CentroidK).map(_._2)
+      Similarity.semanticDedup(emb, "vec_id", "embedding", cents,
+        SemanticThreshold)
+        .orderBy("vec_id")
+    }))
 
   // ------------------------------------------------------------------
   // DuckDB mirrors (explicit left folds, same LCG hyperplanes)
@@ -552,5 +571,33 @@ object AnnQueries {
       SELECT batch_id, corpus_id, round(cos, 6) AS cos
       FROM j WHERE cos >= $NearDupThreshold
       ORDER BY batch_id, corpus_id"""
-    })
+    },
+
+    // Assignment CTE identical to q_ann_assign's; the dedup rule is
+    // the upper-triangular within-cell pair filter restated
+    // relationally.
+    "q_dedup_semantic" -> s"""
+      WITH cent AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id < $CentroidK),
+      asg AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${ivfScoreSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.embedding IS NOT NULL),
+      cells AS (
+        SELECT vec_id, embedding AS v, cid AS cell FROM asg WHERE rn = 1),
+      sh AS (
+        SELECT y.vec_id, min(x.vec_id) AS shadow_id,
+          round(max(${cosineSql("x.v", "y.v")}), 6) AS max_sim
+        FROM cells x JOIN cells y
+          ON x.cell = y.cell AND x.vec_id < y.vec_id
+        WHERE ${cosineSql("x.v", "y.v")} >= $SemanticThreshold
+        GROUP BY y.vec_id)
+      SELECT c.vec_id, c.cell,
+        (sh.shadow_id IS NOT NULL) AS dropped,
+        sh.shadow_id, sh.max_sim
+      FROM cells c LEFT JOIN sh ON c.vec_id = sh.vec_id
+      ORDER BY c.vec_id""")
 }

@@ -398,6 +398,54 @@ object Similarity {
       cellOf(bestCentroid(col(vecCol), centroids)).as("cell"))
 
   /**
+   * SEMANTIC dedup (SemDeDup — Abbas et al., "SemDeDup: Data-efficient
+   * learning at web-scale through semantic deduplication", 2023):
+   * cluster the corpus by nearest centroid, then within each cluster
+   * drop every vector that has a LOWER-id cluster-mate above the
+   * cosine threshold — the paper's upper-triangular keep rule, which
+   * keeps exactly one representative (the lowest id) per group of
+   * mutually-similar items without a transitive-closure pass. Unlike
+   * the LSH near-dup family (recall-tuned random buckets), the
+   * clustering here is the SEMANTIC partition a curation pipeline
+   * already maintains, and the verdict is per-ITEM (kept/dropped), not
+   * per-pair.
+   *
+   * Output: (id, cell, dropped, shadow_id, max_sim) — `shadow_id` the
+   * smallest retained-or-not lower id that shadows this vector (null
+   * when kept), `max_sim` its strongest within-cell similarity.
+   *
+   * Scale shape: the quadratic step is CELL-blocked — O(Σ|cell|²)
+   * instead of O(n²) — and the cell count K is the dial that bounds
+   * it (the paper runs K ≈ n/100k; here K = centroids.length). The
+   * join shuffles by cell key; at production scale the assignment is
+   * the MATERIALIZED at-rest IVF layout ([[assignWithVectors]] +
+   * [[graft.ann.IvfIndex]]), so the pair join reads cell-local files
+   * with no assignment recompute and no shuffle. Tie-break and argmax
+   * are [[ivfTopK]]'s, so dedup and probing agree on the partition.
+   */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]], threshold: Double): DataFrame = {
+    val assigned = assignWithVectors(
+      corpus.filter(col(vecCol).isNotNull), idCol, vecCol, centroids)
+    val left = assigned.select(col("cell"), col(idCol).as("a_id"),
+      col(vecCol).as("av"))
+    val right = assigned.select(col("cell"), col(idCol).as("b_id"),
+      col(vecCol).as("bv"))
+    val shadows = left.join(right, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", cosine(col("av"), col("bv")))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("b_id").as(idCol))
+      .agg(min("a_id").as("shadow_id"),
+        round(max("cos"), 6).as("max_sim"))
+    assigned.select(col(idCol), col("cell"))
+      .join(shadows, Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        col("shadow_id").isNotNull.as("dropped"),
+        col("shadow_id"), col("max_sim"))
+  }
+
+  /**
    * IVF probe over a PRE-ASSIGNED corpus (neighbor_id, nv, cell) — the
    * READ path of the at-rest layout: cells were materialized at index-
    * build time, so the probe's `cell IN (probe cells)` filter prunes
