@@ -2,23 +2,34 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Parquet table loader for the driver test data (TESTDATA.md). */
 object Tables {
 
   /**
-   * `events.parquet` carries TIMESTAMP(NANOS), which Spark 4 refuses
-   * unless the legacy nanos-as-long read path is on. We read nanos as
-   * Long and rebuild a (micros) TimestampType column — truncation from
-   * nanos matches DuckDB's cast-to-micros behavior for the oracle.
+   * The driver's parquet timestamps have shifted shape across
+   * regenerations: TIMESTAMP(NANOS) (which Spark 4 refuses unless the
+   * legacy nanos-as-long read path is on) and plain `timestamp[us]`
+   * with no zone (which Spark reads as TIMESTAMP_NTZ — a type
+   * `unix_micros` and friends reject). Normalize both to session-TZ
+   * TimestampType here so every downstream operator sees one timestamp
+   * type regardless of which writer produced the file. All graft entry
+   * points pin `spark.sql.session.timeZone=UTC`, so the NTZ→LTZ cast
+   * is value-preserving on the epoch reading and matches how DuckDB
+   * treats the same naive column in the oracle.
    */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None    => df
+    df.schema.fields.foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case LongType if f.name == "ts" =>
+          acc.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          acc.withColumn(f.name, col(f.name).cast(TimestampType))
+        case _ => acc
+      }
     }
   }
 }
