@@ -70,8 +70,7 @@ object AnnQueries {
       val emb = Tables(s, dir, "embeddings")
       val cents = Similarity.trainCentroidsDistributed(
         emb, "vec_id", "embedding", CentroidK, refineIters = TrainRefineIters)
-      val path = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-        "/graft_ivf_" + Integer.toHexString(dir.hashCode)
+      val path = IvfIndex.scratchPath(dir)
       IvfIndex.write(emb, "vec_id", "embedding", cents, path)
       // read BACK from the written index (not the in-memory trainer
       // output) so the query exercises the same load path a fresh
@@ -263,6 +262,23 @@ object AnnQueries {
       val emb = Tables(s, dir, "embeddings")
       val cents = collectVecs(emb, CentroidK).map(_._2)
       Similarity.semanticDedup(emb, "vec_id", "embedding", cents,
+        SemanticThreshold)
+        .orderBy("vec_id")
+    }),
+
+    // SemDeDup in its PRODUCTION form: trained centroids (distributed
+    // Lloyd — the same resident state q_ann_ivf_trained probes) over
+    // the AT-REST cell-partitioned corpus, so the semantic partition
+    // is the index layout itself: zero assignment recompute, the pair
+    // join's one exchange hashes the stored cell key, and the files
+    // are read cell-local. Lloyd isn't SQL-expressible, so like
+    // q_ann_ivf_trained this entry is oracle-less (driver rows-only
+    // check); the correctness gates are the SemanticDedupSpec at-rest
+    // equality case (verdicts ≡ in-query rule on the same centroids)
+    // and the golden output hash pinned there.
+    "q_dedup_semantic_trained" -> ((s, dir) => {
+      val (path, _, _) = cachedIvfIndex(s, dir)
+      IvfIndex.semanticDedup(s, path, "vec_id", "embedding",
         SemanticThreshold)
         .orderBy("vec_id")
     }))

@@ -33,6 +33,21 @@ import org.apache.spark.sql.functions._
  */
 object IvfIndex {
 
+  /** Collision-free scratch location for an index over `sourceDir`:
+    * the sanitized source dir (readability when listing /tmp) plus a
+    * process-unique token, so two concurrent sessions over the SAME
+    * dir — or two dirs with colliding hashCodes — each write and probe
+    * their OWN index instead of overwriting each other's mid-probe.
+    * Callers cache the result per (session, dir), so the cost is one
+    * UUID per standing index, and a production deployment would swap
+    * the token for its corpus-snapshot id. */
+  def scratchPath(sourceDir: String): String = {
+    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val tag = sourceDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    s"$base/graft_ivf_${tag}_$token"
+  }
+
   /** Train-side write: centroids + the corpus laid out cell-partitioned
     * (one assignment pass — K plan-constant dots per row, no shuffle;
     * the write's only exchange is the partitioned output itself). */
@@ -49,6 +64,41 @@ object IvfIndex {
     Similarity.assignWithVectors(corpus, idCol, vecCol, centroids)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
   }
+
+  /** Incremental cell APPEND — the per-batch face of the standing
+    * index. A new batch is assigned against the RESIDENT centroids
+    * (the same argmax/tie-break as [[write]], so appended rows land in
+    * exactly the cells a full rewrite would put them in) and appended
+    * to its cells' partitions; untouched cells' files are never
+    * rewritten. This is the same append-only discipline as every other
+    * standing index here (band signatures, SimHash, cluster
+    * assignments): per-batch cost is O(|batch|) assignment + the
+    * appended files, while [[write]] — a full corpus rewrite — is the
+    * per-SNAPSHOT cost (and the moment to retrain centroids if the
+    * batch drift gate fired). Probe-after-append ≡
+    * probe-after-full-rewrite is pinned by AnnLayoutSpec. */
+  def append(batch: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]], path: String): Unit = {
+    require(centroids.nonEmpty, "IvfIndex.append needs at least one centroid")
+    Similarity.assignWithVectors(batch, idCol, vecCol, centroids)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+  }
+
+  /** The SemDeDup shadow rule over the AT-REST corpus — the production
+    * composition the [[Similarity.semanticDedup]] scaladoc promises:
+    * the semantic partition is the index's materialized cell layout
+    * (assignment precomputed at index-build time — zero K-dot work
+    * here), the pair join's one exchange hashes the stored cell key,
+    * and each cell's files are read cell-local thanks to the
+    * directory partitioning. Verdict-identical to the in-query rule on
+    * the same centroids (SemanticDedupSpec's at-rest equality case). */
+  def semanticDedup(spark: SparkSession, path: String,
+      idCol: String, vecCol: String, threshold: Double): DataFrame =
+    Similarity.semanticDedupAssigned(
+      spark.read.parquet(s"$path/corpus")
+        .filter(col(vecCol).isNotNull)
+        .select(col(idCol), col(vecCol), col("cell")),
+      idCol, vecCol, threshold)
 
   /** Read back the trained centroids (K rows — driver-side by
     * construction, like every centroid structure here). */

@@ -420,13 +420,29 @@ object Similarity {
    * join shuffles by cell key; at production scale the assignment is
    * the MATERIALIZED at-rest IVF layout ([[assignWithVectors]] +
    * [[graft.ann.IvfIndex]]), so the pair join reads cell-local files
-   * with no assignment recompute and no shuffle. Tie-break and argmax
+   * with no assignment recompute and the one remaining exchange
+   * carries only the materialized cell key
+   * ([[graft.ann.IvfIndex.semanticDedup]] / q_dedup_semantic_trained).
+   * Tie-break and argmax
    * are [[ivfTopK]]'s, so dedup and probing agree on the partition.
    */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[Array[Double]], threshold: Double): DataFrame = {
-    val assigned = assignWithVectors(
-      corpus.filter(col(vecCol).isNotNull), idCol, vecCol, centroids)
+      centroids: Seq[Array[Double]], threshold: Double): DataFrame =
+    semanticDedupAssigned(
+      assignWithVectors(
+        corpus.filter(col(vecCol).isNotNull), idCol, vecCol, centroids),
+      idCol, vecCol, threshold)
+
+  /** The SemDeDup shadow rule over a PRE-ASSIGNED (id, vec, cell)
+    * frame — the production form: when `assigned` is the at-rest IVF
+    * corpus ([[graft.ann.IvfIndex.semanticDedup]]), the per-row K-dot
+    * assignment pass disappears entirely and the one remaining
+    * exchange hashes the (cell, id, vec) rows by their materialized
+    * cell key. Verdicts are identical to [[semanticDedup]] on the same
+    * centroids (floats round-trip parquet exactly) — pinned by
+    * SemanticDedupSpec's at-rest equality case. */
+  def semanticDedupAssigned(assigned: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
     val left = assigned.select(col("cell"), col(idCol).as("a_id"),
       col(vecCol).as("av"))
     val right = assigned.select(col("cell"), col(idCol).as("b_id"),

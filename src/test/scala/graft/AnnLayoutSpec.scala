@@ -95,4 +95,47 @@ class AnnLayoutSpec extends SparkSpec {
     assert(scanned == expected && scanned < total,
       s"probe scan read $scanned rows; probed cells hold $expected of $total")
   }
+
+  test("IvfIndex.append: probe-after-append ≡ probe-after-full-rewrite") {
+    import graft.ann.IvfIndex
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables(spark, sf, "embeddings")
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", K)
+    val corpus = emb.filter(col("vec_id") % 10 < 8)
+    val batch = emb.filter(col("vec_id") % 10 >= 8)
+    val queries = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .toSeq
+
+    val root = Files.createTempDirectory("graft-ivf-append").toString
+    IvfIndex.write(corpus, "vec_id", "embedding", cents, s"$root/appended")
+    val beforeAppend = listParquetFiles(s"$root/appended/corpus")
+    IvfIndex.append(batch, "vec_id", "embedding", cents, s"$root/appended")
+    IvfIndex.write(emb, "vec_id", "embedding", cents, s"$root/rewritten")
+
+    // append-only: every file of the original corpus write survives —
+    // untouched cells were never rewritten, only new files landed
+    val afterAppend = listParquetFiles(s"$root/appended/corpus")
+    assert(beforeAppend.subsetOf(afterAppend) &&
+      afterAppend.size > beforeAppend.size,
+      "append must add files without rewriting existing ones")
+    assert(spark.read.parquet(s"$root/appended/corpus").count() == emb.count())
+
+    // the probe cannot tell the layouts apart, bit for bit
+    def probed(path: String) =
+      IvfIndex.probe(spark, path, queries, "vec_id", "embedding", 2, 5)
+        .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val a = probed(s"$root/appended")
+    val b = probed(s"$root/rewritten")
+    assert(a == b && a.nonEmpty)
+  }
+
+  private def listParquetFiles(dir: String): Set[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(new java.io.File(dir))
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+  }
 }

@@ -89,4 +89,50 @@ class SemanticDedupSpec extends SparkSpec {
       if (!isMin) assert(r.getLong(3) == cellMin(r.getInt(1)))
     }
   }
+
+  test("at-rest semantic dedup ≡ in-query rule on the same trained centroids") {
+    import java.nio.file.Files
+    import graft.ann.IvfIndex
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables(spark, sf, "embeddings")
+    val cents = Similarity.trainCentroidsDistributed(
+      emb, "vec_id", "embedding", 8, refineIters = 2)
+    val root = Files.createTempDirectory("graft-semdedup-idx").toString + "/idx"
+    IvfIndex.write(emb, "vec_id", "embedding", cents, root)
+    val threshold = 0.3
+
+    val atRest = IvfIndex.semanticDedup(
+      spark, root, "vec_id", "embedding", threshold)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    val inQuery = Similarity.semanticDedup(
+      emb, "vec_id", "embedding", cents, threshold)
+      .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    // floats round-trip parquet exactly and the cell layout was
+    // materialized with the same argmax, so the verdicts are
+    // bit-identical — not merely close
+    assert(atRest == inQuery && atRest.nonEmpty)
+    // the fixture exercises both verdicts, or the equality is vacuous
+    assert(atRest.count(_(2) == true) > 0 && atRest.count(_(2) == false) > 0)
+  }
+
+  test("q_dedup_semantic_trained golden hash at sf0.01 (oracle-less query)") {
+    // Trained centroids make this query non-SQL-expressible, so the
+    // driver only row-counts it; this pinned hash is its correctness
+    // gate (same convention as q_ann_ivf_trained). Any change to
+    // training, assignment, the shadow rule, or the at-rest layout
+    // that alters the output must consciously re-pin.
+    val out = SparkEntry.queries("q_dedup_semantic_trained")(
+      spark, "/root/testdata/sf0.01")
+      .collect()
+      .map { r =>
+        val shadow = if (r.isNullAt(3)) "-" else r.getLong(3).toString
+        val sim = if (r.isNullAt(4)) "-" else r.getDouble(4).toString
+        s"${r.getLong(0)}|${r.getInt(1)}|${r.getBoolean(2)}|$shadow|$sim"
+      }
+      .mkString("\n")
+    val hash = java.security.MessageDigest.getInstance("MD5")
+      .digest(out.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    info(s"q_dedup_semantic_trained sf0.01 hash=$hash rows=${out.linesIterator.size}")
+    assert(hash == "ee5e8d6f6b6b757dbc8c5f84c6314262", s"golden hash drifted: $hash")
+  }
 }
