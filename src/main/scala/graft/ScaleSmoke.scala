@@ -249,14 +249,19 @@ object ScaleSmoke {
   }
 
   /**
-   * The composed streaming ingest stack over the 10× corpus: standing
-   * structures (token profile + corpus band index over ~80% of the 10×
-   * documents) built ONCE, then N micro-batches through
-   * IngestStream.gated. What the timings demonstrate: batch 1 pays the
-   * standing-index materialization; every later batch pays only the
-   * batch-sized probe — per-batch cost flat, the amortization claim
-   * made measurable. The poisoned batch (blank texts + vocabulary
-   * flip) must fail dq, raise drift, and land in the quarantine table.
+   * The FULL composed streaming ingest stack over the 10× corpus —
+   * all four gates (dq + capped drift + text near-dup probe + embed
+   * near-dup probe): standing structures (capped K+1-row token
+   * profile, corpus band index, banded embedding index over ~80% of
+   * the 10× corpus) built ONCE, then N micro-batches through
+   * IngestStream.gated. What the timings demonstrate: batch 1 pays
+   * the standing-index materialization; every later batch pays only
+   * the batch-sized probes — per-batch cost flat, the amortization
+   * claim made measurable, with PER-GATE wall-clock printed so the
+   * cost attribution is visible. The poisoned batch (blank texts +
+   * vocabulary flip) must fail dq, raise (capped, lower-bound) drift,
+   * and land in the quarantine table; clean batches must hit the
+   * embedding index (the feed replicates corpus vectors).
    */
   def streamingIngestSmoke(spark: SparkSession): Unit = {
     import org.apache.spark.sql.Row
@@ -265,14 +270,24 @@ object ScaleSmoke {
     import org.apache.spark.sql.types.StructType
     import graft.pipeline.{DqGate, IngestStream}
 
-    val docs = Tables(spark, OutDir, "documents")
-    val corpus = docs.filter(col("doc_id") % 10 < 8).select("doc_id", "text")
+    val rawDocs = Tables(spark, OutDir, "documents")
+    val embTable = Tables(spark, OutDir, "embeddings")
+    val nVecsX = embTable.count()
+    // attach a vector to every document (vec index = doc_id mod the
+    // vector count) so the embed gate has a column to probe; feed
+    // vectors therefore REPLICATE corpus vectors — the exact-duplicate
+    // shape the embedding index must catch
+    val docs = rawDocs.join(
+        embTable.select(col("vec_id"), col("embedding")),
+        rawDocs("doc_id") % nVecsX === embTable("vec_id"))
+      .select("doc_id", "text", "embedding")
+    val corpus = docs.filter(col("doc_id") % 10 < 8)
     // held-out rows feed the stream; fresh ids per batch
-    val feedRows = docs.filter(col("doc_id") % 10 >= 8)
-      .select("doc_id", "text").collect()
+    val feedRows = docs.filter(col("doc_id") % 10 >= 8).collect()
     val nBatches = 4
     val per = feedRows.length / nBatches
-    val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+    val schema = StructType.fromDDL(
+      "doc_id BIGINT, text STRING, embedding ARRAY<FLOAT>")
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
     val mem = MemoryStream[Row](enc, spark)
     val reports = scala.collection.mutable.ArrayBuffer
@@ -283,7 +298,10 @@ object ScaleSmoke {
       mem.toDF(), corpus, "doc_id", "text",
       Seq(DqGate.Rule("text_nonempty",
         DqGate.notSatisfied(length(trim(col("text"))) > 0))),
-      threshold = 0.5) { (batch, report) =>
+      threshold = 0.5,
+      embed = Some(IngestStream.EmbedGate("embedding",
+        bands = 3, planesPerBand = 6, dims = 64, threshold = 0.2)),
+      cappedDriftK = Some(512)) { (batch, report) =>
       reports += ((report, (System.nanoTime() - t0) / 1e9))
       if (!report.dqPass)
         batches(report.batchId) = batch.sparkSession
@@ -300,12 +318,13 @@ object ScaleSmoke {
         val rows =
           if (b == nBatches - 2) slice.zipWithIndex.map { case (r, i) =>
             // poisoned: 10% blank, the rest a flipped vocabulary
-            if (i % 10 == 0) Row(r.getLong(0) + 10000000L, "   ")
+            // (embeddings kept, so the embed gate still sees the feed)
+            if (i % 10 == 0) Row(r.getLong(0) + 10000000L, "   ", r.get(2))
             else Row(r.getLong(0) + 10000000L,
-              s"zzz qqq www eee rrr ttt yyy uuu batch$b row$i")
+              s"zzz qqq www eee rrr ttt yyy uuu batch$b row$i", r.get(2))
           }
-          else slice.zipWithIndex.map { case (r, i) =>
-            Row(r.getLong(0) + (b + 1) * 10000000L, r.getString(1))
+          else slice.zipWithIndex.map { case (r, _) =>
+            Row(r.getLong(0) + (b + 1) * 10000000L, r.getString(1), r.get(2))
           }
         t0 = System.nanoTime()
         mem.addData(rows.toIndexedSeq: _*)
@@ -314,13 +333,25 @@ object ScaleSmoke {
     } finally { q.stop(); release() }
 
     reports.zipWithIndex.foreach { case ((r, sec), i) =>
+      val gates = r.gateSeconds
+        .map { case (g, s) => f"$g=$s%.2fs" }.mkString(" ")
       println(f"[scale] ingest batch $i         ${sec}%8.2f s  rows=${r.rows} " +
-        f"dq=${r.dqPass} drift=${r.drift}%.3f dups=${r.nearDupMatches}")
+        f"dq=${r.dqPass} drift=${r.drift}%.3f dups=${r.nearDupMatches} " +
+        s"embdups=${r.embedDupMatches}  [$gates]")
     }
     require(reports.size == nBatches, s"expected $nBatches reports")
+    // all four gates ran and reported their cost on every batch
+    require(reports.forall(_._1.gateSeconds.map(_._1) ==
+      Seq("dq", "drift", "text", "embed")),
+      "every batch must report all four gate timings")
     val poisoned = reports(nBatches - 2)._1
     require(!poisoned.dqPass && poisoned.drift > reports.head._1.drift,
-      "poisoned batch must fail dq and raise drift")
+      "poisoned batch must fail dq and raise (capped) drift")
+    // the feed replicates corpus vectors, so every CLEAN batch must
+    // hit the standing embedding index
+    require(reports.zipWithIndex.forall { case ((r, _), i) =>
+      i == nBatches - 2 || r.embedDupMatches > 0 },
+      "clean batches must match the standing embedding index")
     // standing-index amortization: batch 1 pays the corpus index
     // build; later CLEAN batches must not (flat per-batch cost)
     val first = reports.head._2
@@ -336,5 +367,38 @@ object ScaleSmoke {
       println(s"[scale] quarantined rows=$n (batch ${poisoned.batchId})")
       require(n == poisoned.rows, s"quarantine wrote $n of ${poisoned.rows}")
     }
+
+    ivfAppendSmoke(spark)
+  }
+
+  /**
+   * Standing IVF index maintenance at 10×: a 10%-of-corpus batch
+   * APPENDED against resident centroids (IvfIndex.append — assign +
+   * write only the new files) vs the full-corpus rewrite the
+   * pre-append discipline would pay per batch. The append must cost a
+   * small fraction of the rewrite — that ratio is the reason every
+   * standing index here is append-only between snapshots.
+   */
+  def ivfAppendSmoke(spark: SparkSession): Unit = {
+    import graft.ann.{IvfIndex, Similarity}
+    val emb = Tables(spark, OutDir, "embeddings")
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", 8)
+    val corpus = emb.filter(col("vec_id") % 10 < 9)
+    val batch = emb.filter(col("vec_id") % 10 === 9)
+    val appendPath = IvfIndex.scratchPath(OutDir)
+    IvfIndex.write(corpus, "vec_id", "embedding", cents, appendPath)
+
+    val t0 = System.nanoTime()
+    IvfIndex.append(batch, "vec_id", "embedding", cents, appendPath)
+    val appendSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    IvfIndex.write(emb, "vec_id", "embedding", cents, IvfIndex.scratchPath(OutDir))
+    val rewriteSec = (System.nanoTime() - t1) / 1e9
+    val total = spark.read.parquet(s"$appendPath/corpus").count()
+    println(f"[scale] ivf cell append          append ${appendSec}%6.2f s  " +
+      f"full rewrite ${rewriteSec}%6.2f s  rows=$total")
+    require(total == emb.count(), "appended index lost rows")
+    require(appendSec < rewriteSec,
+      f"append ($appendSec%.2f s) must beat the full rewrite ($rewriteSec%.2f s)")
   }
 }

@@ -33,14 +33,18 @@ object IngestStream {
 
   /** Everything the router needs to decide a batch's fate.
     * `embedDupMatches` stays 0 when the stack runs without an
-    * [[EmbedGate]]. */
+    * [[EmbedGate]]. `gateSeconds` is per-gate wall-clock observability
+    * (dq / drift / text / embed, in stack order) — the number an
+    * operator watches to see which gate a slow batch is paying, and
+    * what the 10× smoke prints per batch. */
   final case class BatchReport(
       batchId: Long,
       rows: Long,
       dq: Seq[DqGate.Verdict],
       drift: Double,
       nearDupMatches: Long,
-      embedDupMatches: Long = 0L) {
+      embedDupMatches: Long = 0L,
+      gateSeconds: Seq[(String, Double)] = Nil) {
     def dqPass: Boolean = dq.forall(_.pass)
   }
 
@@ -111,18 +115,29 @@ object IngestStream {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
+        def timed[T](body: => T): (T, Double) = {
+          val t0 = System.nanoTime()
+          val r = body
+          (r, (System.nanoTime() - t0) / 1e9)
+        }
         try {
-          val dq = DqGate.collectVerdicts(batch, rules,
-            uniqueKey = Some((uniqueName, idCol)))
-          val drift = measureDrift(batch)
-          val (matches, releaseBatch) = Dedup.probeNearDupIndex(
-            batch, index, idCol, textCol, threshold)
-          val nDup = try matches.count() finally releaseBatch()
-          val nEmb = embed.zip(embedIdx).map { case (e, (idx, _)) =>
-            graft.ann.Similarity.probeEmbedIndex(batch, idx, idCol,
-              e.vecCol, e.bands, e.planesPerBand, e.dims, e.threshold).count()
-          }.getOrElse(0L)
-          route(batch, BatchReport(batchId, batch.count(), dq, drift, nDup, nEmb))
+          val (dq, sDq) = timed(DqGate.collectVerdicts(batch, rules,
+            uniqueKey = Some((uniqueName, idCol))))
+          val (drift, sDrift) = timed(measureDrift(batch))
+          val (nDup, sText) = timed {
+            val (matches, releaseBatch) = Dedup.probeNearDupIndex(
+              batch, index, idCol, textCol, threshold)
+            try matches.count() finally releaseBatch()
+          }
+          val (nEmb, sEmb) = timed(
+            embed.zip(embedIdx).map { case (e, (idx, _)) =>
+              graft.ann.Similarity.probeEmbedIndex(batch, idx, idCol,
+                e.vecCol, e.bands, e.planesPerBand, e.dims, e.threshold).count()
+            }.getOrElse(0L))
+          val gates = Seq("dq" -> sDq, "drift" -> sDrift, "text" -> sText) ++
+            (if (embed.isDefined) Seq("embed" -> sEmb) else Nil)
+          route(batch, BatchReport(batchId, batch.count(), dq, drift, nDup,
+            nEmb, gates))
         } finally batch.unpersist()
         ()
       }
