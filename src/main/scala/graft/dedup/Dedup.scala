@@ -58,6 +58,42 @@ object Dedup {
   def ngrams(text: Column, k: Int): Column =
     toCol(TokenNgrams(toExpr(text), k))
 
+  /**
+   * Span-duplication audit (Lee et al. ACL 2022 at n-gram
+   * granularity) keyed by a 128-BIT GRAM HASH — the production form
+   * of q_dedup_span_coverage: the shuffle rows become fixed-width
+   * (two longs + doc id + count) instead of carrying gram STRINGS
+   * whose width is unbounded, so shuffle bytes are row-count-
+   * proportional at any document length. The 128 bits are two
+   * independent xxhash64 views of the gram (the second salted by a
+   * distinct-column trick), putting a corpus-wide collision beyond
+   * reach (~2^64 grams for a 50% birthday bound) — the same
+   * hash-for-identity discipline as [[exactHash]]. Output is
+   * identical to the string-keyed audit barring such a collision
+   * (the equivalence spec pins this at sf0.01; the ORACLE query stays
+   * string-keyed so DuckDB needn't replicate xxhash64).
+   */
+  def spanCoverageHashed(docs: DataFrame, idCol: String, textCol: String,
+      gramLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs.select(col(idCol),
+        explode(ngrams(col(textCol), gramLen)).as("gram"))
+      .select(col(idCol),
+        xxhash64(col("gram")).as("g_hi"),
+        xxhash64(lit("graft-span-salt"), col("gram")).as("g_lo"))
+    val per = grams.groupBy("g_hi", "g_lo", idCol)
+      .agg(count(lit(1)).as("cnt"))
+    val marked = per.withColumn("n_docs",
+      count(lit(1)).over(Window.partitionBy("g_hi", "g_lo")))
+    marked.groupBy(idCol).agg(
+        sum("cnt").as("n_grams"),
+        sum(when(col("n_docs") >= 2, col("cnt")).otherwise(0L))
+          .as("dup_grams"))
+      .select(col(idCol), col("n_grams"), col("dup_grams"),
+        round(col("dup_grams").cast("double") / col("n_grams"), 6)
+          .as("dup_frac"))
+  }
+
   // ---------------------------------------------------------------- minhash
   /**
    * MinHash signature: ONE md5 per shingle, sliced into

@@ -139,9 +139,11 @@ object DedupQueries {
     // doc-level near-dup (whole-document Jaccard) cannot see. Shape:
     // the shuffle carries (gram, doc) pairs — bytes, never documents;
     // the per-gram window holds one row per distinct citing document,
-    // bounded by the hottest gram's document frequency (a production
-    // run keys by a 128-bit gram hash to make shuffle rows
-    // fixed-width; the string key here keeps the oracle exact).
+    // bounded by the hottest gram's document frequency. A production
+    // run keys by a 128-bit gram hash to make shuffle rows fixed-width
+    // — implemented as [[Dedup.spanCoverageHashed]], output-equivalent
+    // (TrainingDataSpec pins it at sf0.01); the string key HERE keeps
+    // the DuckDB oracle exact without replicating xxhash64.
     "q_dedup_span_coverage" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val grams = docs.select(col("doc_id"),

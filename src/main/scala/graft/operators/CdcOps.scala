@@ -241,6 +241,52 @@ object CdcOps {
     spark.sql(s"ALTER TABLE $next RENAME TO $snapshotTable")
   }
 
+  /**
+   * The fully-turnkey steady-state loop: [[compactSnapshot]] plus the
+   * retention discipline its scaladoc asks the caller for. Snapshot
+   * versions live as `root/v<N>` directories; each call writes the
+   * next version, swaps the table handle, then PRUNES every version
+   * directory older than the newest `keep` — so the loop never leaks
+   * paths and never deletes one the write just streamed from (the
+   * prune runs strictly after the swap commits).
+   *
+   * `keep` ≥ 1; the newest version (the live table's data) is always
+   * retained. keep = 1 reclaims the previous version the moment the
+   * swap lands — correct for a single-driver loop, but a deployment
+   * with concurrent readers still scanning the old files wants
+   * keep ≥ 2 (the default) so a version survives one full cycle of
+   * reader grace. Only `root/v<N>` directories are managed: a
+   * bootstrap snapshot bucketed at some other path is never touched,
+   * so the first call is safe from any starting layout. Paths go
+   * through the Hadoop FileSystem API, so root may be any Spark-
+   * reachable filesystem (HDFS/S3/local), not just local disk.
+   *
+   * @return the live version's path (what the table handle now reads)
+   */
+  def compactSnapshotRetained(spark: org.apache.spark.sql.SparkSession,
+      snapshotTable: String, changesTable: String, key: String,
+      numBuckets: Int, root: String, keep: Int = 2): String = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    import org.apache.hadoop.fs.Path
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val VersionDir = "^v(\\d+)$".r
+    def versions(): Seq[(Long, Path)] =
+      (if (fs.exists(rootPath)) fs.listStatus(rootPath).toSeq else Nil)
+        .filter(_.isDirectory)
+        .flatMap(st => st.getPath.getName match {
+          case VersionDir(n) => Some(n.toLong -> st.getPath)
+          case _ => None
+        })
+        .sortBy(_._1)
+    val nextV = versions().lastOption.map(_._1 + 1).getOrElse(0L)
+    compactSnapshot(spark, snapshotTable, changesTable, key, numBuckets,
+      s"$root/v$nextV")
+    // swap committed — now (and only now) retire old versions
+    versions().dropRight(keep).foreach { case (_, p) => fs.delete(p, true) }
+    s"$root/v$nextV"
+  }
+
   // ----------------------------------------------------------------- scd2
   /**
    * Slowly-changing-dimension Type-2 history from an ordered CDC

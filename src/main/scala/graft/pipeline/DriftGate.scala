@@ -78,6 +78,77 @@ object DriftGate {
     (capped, () => { capped.unpersist(); () })
   }
 
+  /** [[sketchProfile]] CMS parameters: ε=1e-4 bounds any token's
+    * overcount by N/10 000 total tokens (a few KB of counter grid);
+    * candidate slack 4 gives the exact re-rank room to demote tail
+    * tokens the overcount promoted. */
+  val SketchEps = 1e-4
+  val SketchConfidence = 0.99
+  val SketchSeed = 42
+  val SketchCandidateSlack = 4
+
+  /**
+   * [[cappedProfile]] with CMS-SELECTED head — for the corpus where
+   * even the token-counts table is too hot to aggregate exactly
+   * (cappedProfile's one vocabulary-sized groupBy is its only
+   * vocabulary-sized step; this replaces it). Three bounded passes,
+   * none shuffling the vocabulary:
+   *
+   *   1. ONE Count-Min sketch aggregation over the token stream —
+   *      mergeable KB-sized counter grid, partial-aggregated per
+   *      partition (counters sum, so merge order is immaterial);
+   *   2. candidate generation: each partition probes the BROADCAST
+   *      sketch for its locally-distinct tokens and emits only its
+   *      local top-(slack·K) by global estimate — a token in the
+   *      global estimate-top-M is in the local top-M of every
+   *      partition that saw it, so the union (≤ partitions·slack·K
+   *      rows, a bounded driver collect) provably contains the
+   *      estimate-top-M;
+   *   3. exact counts for the CANDIDATES ONLY (the shuffle carries
+   *      ≤ slack·K tokens), exact re-rank, head = exact top-K.
+   *
+   * CMS never undercounts and overcounts by ≤ ε·N (the two facts
+   * q_text_heavy_hitters audits), so a true head token is missed only
+   * if > (slack−1)·K tail tokens are overcounted past it — with
+   * ε·N below the rank-K count, impossible; DriftGateSpec pins
+   * head-set equality with [[cappedProfile]] on the fixture. The tail
+   * row's mass comes from total = one count() of the token stream
+   * (no shuffle at all), so the result is the same K+1-row profile,
+   * drop-in for [[cappedTvd]] and the ingest stack.
+   */
+  def sketchProfile(corpus: DataFrame, textCol: String,
+      topK: Int): (DataFrame, () => Unit) = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val toks = corpus.select(explode(TextAnalysis.tokens(col(textCol)))
+      .as("token"))
+    val skBytes = toks.agg(count_min_sketch(col("token"), lit(SketchEps),
+        lit(SketchConfidence), lit(SketchSeed)).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val bc = spark.sparkContext.broadcast(skBytes)
+    val candM = topK * SketchCandidateSlack
+    val candidates = toks.as[String].mapPartitions { it =>
+      val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(bc.value))
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      it.foreach(seen += _)
+      seen.toSeq.map(t => (t, sk.estimateCount(t)))
+        .sortBy { case (t, e) => (-e, t) }.take(candM).iterator
+    }.collect()
+      .groupBy(_._1).view.mapValues(_.head._2).toSeq
+      .sortBy { case (t, e) => (-e, t) }.take(candM).map(_._1)
+    val head = toks.filter(col("token").isInCollection(candidates))
+      .groupBy("token").agg(count(lit(1)).as("n_corpus"))
+      .as[(String, Long)].collect()
+      .sortBy { case (t, n) => (-n, t) }.take(topK).toSeq
+    val total = toks.count()
+    val tail = total - head.map(_._2).sum
+    val capped = (head ++ (if (tail > 0) Seq((OtherToken, tail)) else Nil))
+      .toDF("token", "n_corpus").persist()
+    (capped, () => { capped.unpersist(); bc.destroy(); () })
+  }
+
   /**
    * Total-variation distance between the corpus profile's token
    * distribution and `batch`'s. 0 = identical distributions, 1 =

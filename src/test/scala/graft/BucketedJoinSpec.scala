@@ -96,6 +96,61 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("compactSnapshotRetained: three cycles prune old versions, handle stable") {
+    import graft.model.Cdc
+    import graft.operators.CdcOps
+    val dir = Files.createTempDirectory("graft-retain").toFile.getAbsolutePath
+    val root = s"$dir/versions"
+    val snapshot = (0L until 500L).map(i => (i, s"v$i")).toDF("pk", "payload")
+    def changeSet(tag: String, del0: Long): org.apache.spark.sql.DataFrame =
+      ((0L until 50L).map(i => (i, s"$tag$i", Cdc.Op.Upsert)) ++
+        (del0 until del0 + 10L).map(i => (i, null: String, Cdc.Op.Delete)))
+        .toDF("pk", "payload", Cdc.Cols.Op)
+    val sets = Seq(changeSet("c1_", 450L), changeSet("c2_", 460L),
+      changeSet("c3_", 470L))
+    // bootstrap snapshot lives OUTSIDE root — retention must not touch it
+    Bucketed.writeBucketed(snapshot, "rspec_snap", s"$dir/snap0", "pk", 8)
+    sets.zipWithIndex.foreach { case (cs, i) =>
+      Bucketed.writeBucketed(cs, s"rspec_ch$i", s"$dir/ch$i", "pk", 8)
+    }
+    def versionDirs(): Seq[String] = {
+      val f = new java.io.File(root)
+      Option(f.listFiles()).toSeq.flatten.filter(_.isDirectory)
+        .map(_.getName).filter(_.matches("v\\d+")).sorted
+    }
+    try {
+      // keep=1: the previous version is reclaimed the moment each swap
+      // lands, so three cycles leave exactly the live version behind
+      val live = sets.indices.map { i =>
+        CdcOps.compactSnapshotRetained(spark, "rspec_snap", s"rspec_ch$i",
+          "pk", 8, root, keep = 1)
+      }
+      assert(live.last == s"$root/v2")
+      assert(versionDirs() == Seq("v2"),
+        s"old versions must be pruned, found ${versionDirs()}")
+      // the bootstrap path outside root is untouched
+      assert(new java.io.File(s"$dir/snap0").exists())
+      // the stable handle reads the result of all three applies in order
+      val expected = sets.foldLeft(snapshot)(
+          (acc, cs) => CdcOps.applyChanges(acc, cs, Seq("pk")))
+        .orderBy("pk").collect().toSeq
+      val got = spark.table("rspec_snap").orderBy("pk").collect().toSeq
+      assert(got == expected && got.length == 470)
+      // and the NEXT apply over the compacted handle is exchange-free —
+      // retention kept the loop's co-location contract intact
+      val applied = CdcOps.applyChangesBucketed(
+        spark, "rspec_snap", "rspec_ch0", "pk")
+      val ex = initialPlan(applied).collectWithSubqueries {
+        case e: ShuffleExchangeLike => e
+      }
+      assert(ex.isEmpty, s"post-retention apply planned ${ex.length} exchanges")
+    } finally {
+      (Seq("rspec_snap", "rspec_snap__next") ++
+        sets.indices.map(i => s"rspec_ch$i"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("snapshot diff over bucketed snapshots plans no exchange") {
     import graft.operators.SnapshotDiff
     val dir = Files.createTempDirectory("graft-bdiff").toFile.getAbsolutePath

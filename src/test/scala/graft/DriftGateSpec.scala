@@ -64,6 +64,27 @@ class DriftGateSpec extends SparkSpec {
     } finally { releaseFull(); release2(); release9() }
   }
 
+  test("sketch-selected profile ≡ cappedProfile: same head, same tail, same TVD") {
+    // the real-corpus fixture: Zipf-ish token mix where CMS selection
+    // must reproduce the exact head despite overcounts
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+    Seq(4, 32).foreach { k =>
+      val (exactP, releaseE) = DriftGate.cappedProfile(docs, "text", k)
+      val (sketchP, releaseS) = DriftGate.sketchProfile(docs, "text", k)
+      try {
+        val e = exactP.orderBy("token").collect().map(_.toSeq).toSeq
+        val s = sketchP.orderBy("token").collect().map(_.toSeq).toSeq
+        // not just the head SET — counts and the folded tail row too,
+        // so the sketch-selected profile is a drop-in for cappedTvd
+        assert(s == e && s.nonEmpty, s"k=$k profiles differ")
+        val batch = docs.limit(20)
+        assert(DriftGate.cappedTvd(sketchP, batch, "text") ==
+          DriftGate.cappedTvd(exactP, batch, "text"))
+      } finally { releaseE(); releaseS() }
+    }
+  }
+
   test("embedding drift: identical batch is 0, uniform +1 shift is exactly 1") {
     // quarter-step floats stay exact under +1; per-dim diffs are
     // rounded to 12 dp before the DECIMAL sum, so both endpoints are

@@ -97,6 +97,22 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("hashed-gram span coverage ≡ string-keyed audit at sf0.01") {
+    // Dedup.spanCoverageHashed trades the gram-string shuffle key for
+    // two xxhash64 longs (fixed-width shuffle rows — the 100 TB form);
+    // barring a 128-bit collision the audit is unchanged, and this
+    // pins that equivalence on the real corpus at the driver's gate
+    // scale.
+    val dir = "/root/testdata/sf0.01"
+    val stringKeyed = SparkEntry.queries("q_dedup_span_coverage")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val hashed = Dedup.spanCoverageHashed(
+        Tables(spark, dir, "documents"), "doc_id", "text",
+        graft.dedup.DedupQueries.SpanGramLen)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(hashed == stringKeyed && hashed.nonEmpty)
+  }
+
   test("blocked prefix-filter Jaccard ≡ naive in-block pairwise join") {
     // Blocks of varying size; doc ids REUSED across blocks (unique only
     // within a block); a <2-token doc; pairs straddling the threshold.
