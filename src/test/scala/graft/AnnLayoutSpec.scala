@@ -131,6 +131,30 @@ class AnnLayoutSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("scratchPath: two sessions over the same dir get disjoint indexes") {
+    import graft.ann.IvfIndex
+    val sf = "/root/testdata/sf0.001"
+    // the pre-round-9 path was keyed on dir.hashCode: two concurrent
+    // sessions over the SAME dir would overwrite each other mid-probe.
+    // scratchPath makes every call (= every session-cache fill) unique.
+    val p1 = IvfIndex.scratchPath(sf)
+    val p2 = IvfIndex.scratchPath(sf)
+    assert(p1 != p2, "same source dir must yield distinct index paths")
+    // and the two indexes really are independent at rest: write
+    // different corpus slices, neither write disturbs the other
+    val emb = Tables(spark, sf, "embeddings")
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", K)
+    IvfIndex.write(emb.filter(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", cents, p1)
+    IvfIndex.write(emb.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", cents, p2)
+    def ids(p: String): Set[Long] = spark.read.parquet(s"$p/corpus")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val (a, b) = (ids(p1), ids(p2))
+    assert(a.nonEmpty && b.nonEmpty &&
+      a.forall(_ % 2 == 0) && b.forall(_ % 2 == 1))
+  }
+
   private def listParquetFiles(dir: String): Set[String] = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
