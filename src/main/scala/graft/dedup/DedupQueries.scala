@@ -309,6 +309,35 @@ object DedupQueries {
         "lang", "doc_id", "text", MixtureTargets, MixtureBudget)
         .orderBy("doc_id")),
 
+    // Deterministic SEEDED SHUFFLE + shard assignment — the
+    // reproducible training order every epoch-0 data loader needs:
+    // key = LCG(doc_id + seed) (the same public LCG family as the LSH
+    // hyperplanes, so both engines restate it exactly), shard =
+    // key % ShuffleShards, pos = rank within the shard by (key, id).
+    // Reading shards in order then rows by pos IS the global
+    // pseudo-random deal — sources interleave by construction
+    // (TrainingDataSpec bounds same-source runs) — and re-running
+    // with the same seed reproduces it bit-for-bit.
+    // Scale shape: NO total-order sort ever happens — the key is a
+    // narrow id-only projection (the scan reads no text), the one
+    // exchange hashes by shard, and each task sorts only its own
+    // shard (corpus/ShuffleShards rows — the dial that keeps the sort
+    // in-memory at any corpus size). Restoring global order across
+    // shards is a streaming merge by key, which is the reader's loop,
+    // not a Spark stage.
+    "q_sample_shuffle" -> ((s, dir) => {
+      val key = ((col("doc_id") + lit(ShuffleSeed)) * lit(1103515245L)
+        + lit(12345L)) % lit(2147483648L)
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("key"), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), key.as("key"))
+        .withColumn("shard", col("key") % ShuffleShards)
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos", "key")
+        .orderBy("doc_id")
+    }),
+
     // MinHash estimator calibration: signature-agreement estimate vs
     // exact Jaccard (+ abs error) over the banded candidates — the
     // audit run before trusting signature-only similarity at scales
@@ -470,6 +499,13 @@ object DedupQueries {
 
   /** Docs drawn per language stratum (q_sample_topn). */
   val SampleQuota = 20
+
+  /** q_sample_shuffle: additive seed folded into the id before the
+    * LCG (change it to re-deal the order), and the output shard
+    * count — at production scale sized so corpus/shards matches the
+    * training reader's preferred file size. */
+  val ShuffleSeed = 7L
+  val ShuffleShards = 16
 
   /** Expected docs kept per near-dup cluster (q_sample_cluster;
     * shared with its oracle). */
@@ -755,6 +791,17 @@ object DedupQueries {
         CASE WHEN bucket < 80 THEN 'train'
              WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
       FROM b ORDER BY doc_id""",
+
+    "q_sample_shuffle" -> s"""
+      WITH k AS (
+        SELECT doc_id,
+          ((doc_id + $ShuffleSeed) * 1103515245 + 12345) % 2147483648 AS key
+        FROM documents)
+      SELECT doc_id, key % $ShuffleShards AS shard,
+        row_number() OVER (PARTITION BY key % $ShuffleShards
+                           ORDER BY key, doc_id) AS pos,
+        key
+      FROM k ORDER BY doc_id""",
 
     "q_sample_stratified" -> {
       val values = StratifiedRates

@@ -206,6 +206,31 @@ class PlanQualitySpec extends SparkSpec {
       s"expected partial+final WindowGroupLimit, got ${limits.length}:\n$p")
   }
 
+  test("q_dedup_semantic_trained: at-rest pair join, zero assignment recompute") {
+    val p = plan(SparkEntry.queries("q_dedup_semantic_trained")(spark, Sf))
+    // the whole point of the at-rest layout: the per-row K-dot argmax
+    // (VectorDot chains) ran at index-build time and must NOT appear
+    // in the query plan — the in-query q_dedup_semantic pays it, this
+    // one reads the materialized cell
+    val s = p.toString.toLowerCase
+    assert(!s.contains("vectordot"),
+      "at-rest semantic dedup must not recompute the cell assignment")
+    // the pair step is an equi-join on the stored cell key
+    assert(collectAll(p) {
+      case j: BroadcastHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.nonEmpty, "cell pair join must be an equi-join")
+    // and every corpus scan is the index's own files
+    val scans = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty &&
+      scans.forall(_.relation.location.rootPaths.head.toString
+        .contains("graft_ivf_")),
+      "all scans must read the at-rest index")
+  }
+
   test("no query plans a cartesian product or nested-loop join (brute force excepted)") {
     // The global guard: a refactor that silently degenerates any join
     // (lost equi-condition, non-broadcastable inequality) fails here.

@@ -97,6 +97,38 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("seeded shuffle: reproducible deal, balanced shards, sources interleave") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q_sample_shuffle")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // same seed ⇒ the identical deal, bit for bit
+    val again = SparkEntry.queries("q_sample_shuffle")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == again && rows.nonEmpty)
+    // every doc dealt exactly once; positions are 1..|shard| per shard
+    assert(rows.map(_._1).distinct.size == rows.size)
+    val byShard = rows.groupBy(_._2)
+    byShard.values.foreach(s =>
+      assert(s.map(_._3).sorted == (1L to s.size).toSeq))
+    // LCG uniformity: no shard more than twice the mean
+    val mean = rows.size / byShard.size
+    assert(byShard.values.map(_.size).max <= 2 * mean,
+      s"unbalanced shards: ${byShard.values.map(_.size).max} vs mean $mean")
+    // the interleave claim: reading a shard in pos order never dwells
+    // on one source — with 20 uniform sources a same-source run of
+    // even 8 would be ~1-in-millions by chance
+    val src = Tables(spark, dir, "documents").select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val maxRun = byShard.values.map { s =>
+      val ordered = s.sortBy(_._3).map(t => src(t._1))
+      ordered.foldLeft((0, 0, "")) { case ((best, cur, prev), x) =>
+        val c = if (x == prev) cur + 1 else 1
+        (math.max(best, c), c, x)
+      }._1
+    }.max
+    assert(maxRun <= 8, s"sources do not interleave: max run $maxRun")
+  }
+
   test("hashed-gram span coverage ≡ string-keyed audit at sf0.01") {
     // Dedup.spanCoverageHashed trades the gram-string shuffle key for
     // two xxhash64 longs (fixed-width shuffle rows — the 100 TB form);
