@@ -66,7 +66,8 @@ object ScaleSmoke {
       "q_pipeline_curate", "q_dedup_incremental", "q_dedup_incremental_fuzzy",
       "q_dedup_incremental_simhash", "q_dedup_incremental_embed",
       "q_pipeline_ingest", "q_dedup_clusters_incremental",
-      "q_text_vocab_drift_capped", "q_sample_cluster")
+      "q_text_vocab_drift_capped", "q_sample_cluster",
+      "q_sample_shuffle", "q_dedup_semantic_trained")
     queries.foreach { name =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, OutDir).count()

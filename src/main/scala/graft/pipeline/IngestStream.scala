@@ -72,12 +72,21 @@ object IngestStream {
    *                  join K+1-sized, and the reported distance
    *                  lower-bounds the true TVD (a capped alarm is
    *                  always a true alarm)
+   * @param sketchSelectedHead with `cappedDriftK`, build the standing
+   *                  profile via [[DriftGate.sketchProfile]] (Count-Min
+   *                  head selection — no vocabulary-sized aggregation
+   *                  even at profile-build time) instead of
+   *                  [[DriftGate.cappedProfile]]'s exact top-K; the
+   *                  resulting profile is identical on any corpus
+   *                  where ε·N clears the rank-K count (DriftGateSpec),
+   *                  so this is purely the build-cost dial
    * @return (stream writer, release handle for ALL standing
    *         structures)
    */
   def gated(docs: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, rules: Seq[DqGate.Rule], threshold: Double,
-      embed: Option[EmbedGate] = None, cappedDriftK: Option[Int] = None)(
+      embed: Option[EmbedGate] = None, cappedDriftK: Option[Int] = None,
+      sketchSelectedHead: Boolean = false)(
       route: (DataFrame, BatchReport) => Unit)
       : (DataStreamWriter[Row], () => Unit) = {
     // every rule-name problem must surface at BUILD time, not as a
@@ -98,7 +107,11 @@ object IngestStream {
         docs.schema.fieldNames.contains(e.vecCol),
         s"embed gate needs column '${e.vecCol}' on both corpus and feed")
     }
+    require(!sketchSelectedHead || cappedDriftK.isDefined,
+      "sketchSelectedHead is a cappedDriftK build strategy; set cappedDriftK")
     val (profile, releaseProfile) = cappedDriftK match {
+      case Some(k) if sketchSelectedHead =>
+        DriftGate.sketchProfile(corpus, textCol, k)
       case Some(k) => DriftGate.cappedProfile(corpus, textCol, k)
       case None => DriftGate.corpusProfile(corpus, textCol)
     }

@@ -309,6 +309,38 @@ object EventTimeOps {
     (writer, releaseIndex)
   }
 
+  /**
+   * Streaming IVF index MAINTENANCE — the write-side twin of the
+   * probe faces above, completing the standing-structure symmetry:
+   * every standing index here now has both a probe face and an
+   * append-only maintenance path. Each arriving micro-batch of
+   * vectors is assigned against the RESIDENT centroid matrix (the
+   * same argmax the index was built with) and appended to its cells'
+   * partitions of the at-rest [[graft.ann.IvfIndex]] — only new
+   * files are written, untouched cells are never rewritten, and the
+   * next probe reads the appended vectors through the same
+   * directory-pruned scan (probe-after-append ≡
+   * probe-after-full-rewrite, AnnLayoutSpec). Retraining the
+   * centroids stays a per-SNAPSHOT decision ([[graft.ann.IvfIndex.write]]),
+   * taken when the embedding drift gate fires — not a per-batch cost.
+   *
+   * `onAppended` receives (batchId, rows) after each append commits —
+   * the hook a checkpoint/metrics pipeline keys on. No release handle:
+   * the index lives at rest, and the centroid matrix is the caller's
+   * RAM-resident state.
+   */
+  def ivfAppendStream(vecs: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Array[Double]], indexPath: String)(
+      onAppended: (Long, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val n = batch.count()
+        graft.ann.IvfIndex.append(batch, idCol, vecCol, centroids, indexPath)
+        onAppended(batchId, n)
+        ()
+      }
+
   final case class FunnelInput(user_id: Long, ts: Timestamp, event_type: String)
   final case class FunnelBuf(events: List[(Long, String)], lastTs: Long)
   final case class FunnelOut(user_id: Long, t1: Option[Long], t2: Option[Long],

@@ -321,6 +321,46 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming IVF append: probes see each appended batch; ≡ full rewrite") {
+    import java.nio.file.Files
+    import graft.ann.{IvfIndex, Similarity}
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables(spark, sf, "embeddings")
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", 8)
+    val corpus = emb.filter(col("vec_id") % 10 < 8)
+    val feed = emb.filter(col("vec_id") % 10 >= 8)
+      .select("vec_id", "embedding").collect()
+    val (b1, b2) = feed.splitAt(feed.length / 2)
+    val root = Files.createTempDirectory("graft-ivf-stream").toString + "/idx"
+    IvfIndex.write(corpus, "vec_id", "embedding", cents, root)
+
+    val schema = StructType.fromDDL("vec_id BIGINT, embedding ARRAY<FLOAT>")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+    val mem = MemoryStream[Row](enc, spark)
+    val appended = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = EventTimeOps.ivfAppendStream(mem.toDF(), "vec_id", "embedding",
+      cents, root) { (id, n) => appended += ((id, n)) }.start()
+    try {
+      mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(appended.map(_._2) == Seq(b1.length.toLong, b2.length.toLong))
+
+    // after both appends the index answers probes exactly like a full
+    // rewrite over corpus ∪ feed
+    val rewritten = Files.createTempDirectory("graft-ivf-rewrite").toString + "/idx"
+    IvfIndex.write(emb, "vec_id", "embedding", cents, rewritten)
+    val queries = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .toSeq
+    def probed(p: String) = IvfIndex.probe(spark, p, queries,
+        "vec_id", "embedding", 2, 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val (a, b) = (probed(root), probed(rewritten))
+    assert(a == b && a.nonEmpty)
+  }
+
   test("streaming funnel emits per-user summaries after idle timeout") {
     import spark.implicits._
     import graft.streaming.EventTimeOps.{FunnelInput, FunnelOut}

@@ -154,6 +154,41 @@ class IngestStreamSpec extends SparkSpec {
       s"vocab flip must raise capped drift: ${reports.map(_.drift)}")
   }
 
+  test("sketch-selected head drives the stack: same drift as the exact head") {
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    def sentence(i: Int): String =
+      (0 until 8).map(j => words((i * 3 + j * (1 + i % 7)) % 10))
+        .mkString(" ") + s" tail$i"
+    val corpus = Seq.tabulate(30)(i => (i.toLong, sentence(i)))
+      .toDF("doc_id", "text")
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+    val batches = Seq(
+      Row(100L, "kappa alpha theta beta iota gamma zeta delta fresh1"),
+      Row(200L, "zzz qqq www eee rrr ttt yyy uuu iii ooo ppp"))
+    def run(sketch: Boolean): Seq[Double] = {
+      val mem = MemoryStream[Row](enc, spark)
+      val drifts = mutable.ArrayBuffer[Double]()
+      val (writer, release) = IngestStream.gated(
+        mem.toDF(), corpus, "doc_id", "text", Nil, threshold = 0.5,
+        cappedDriftK = Some(8), sketchSelectedHead = sketch) {
+        (_, r) => drifts += r.drift }
+      val q = writer.start()
+      try {
+        batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      } finally { q.stop(); release() }
+      drifts.toSeq
+    }
+    // the CMS-selected profile is a drop-in: identical drift verdicts
+    assert(run(sketch = true) == run(sketch = false))
+    // and the strategy flag is rejected without a capped head to build
+    intercept[IllegalArgumentException] {
+      IngestStream.gated(MemoryStream[Row](enc, spark).toDF(), corpus,
+        "doc_id", "text", Nil, 0.5, sketchSelectedHead = true) { (_, _) => () }
+    }
+  }
+
   test("embed gate validates the embedding column at build time") {
     val corpus = Seq((1L, "alpha")).toDF("doc_id", "text")
     val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
