@@ -206,6 +206,27 @@ class PlanQualitySpec extends SparkSpec {
       s"expected partial+final WindowGroupLimit, got ${limits.length}:\n$p")
   }
 
+  test("q_sample_shuffle: id-only scan, shard-local sorts, no operator-level global sort") {
+    val p = plan(SparkEntry.queries("q_sample_shuffle")(spark, Sf))
+    // the key is pure id arithmetic — the scan must not read text
+    val scans = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.length == 1 &&
+      scans.head.requiredSchema.fieldNames.toSeq == Seq("doc_id"),
+      s"shuffle deal must scan only doc_id: ${scans.map(_.requiredSchema)}")
+    // exactly two exchanges: the shard hash partition for the window,
+    // and the driver-contract presentation orderBy (range) — the deal
+    // itself never plans a total-order sort
+    val ex = collectAll(p) { case e: ShuffleExchangeLike => e }
+    assert(ex.length == 2, s"expected shard hash + presentation range, got $ex")
+    // the window's sort runs per shard partition (global = false)
+    val localSorts = collectAll(p) {
+      case s: org.apache.spark.sql.execution.SortExec if !s.global => s
+    }
+    assert(localSorts.nonEmpty, "rank sort must be shard-local")
+  }
+
   test("q_dedup_semantic_trained: at-rest pair join, zero assignment recompute") {
     val p = plan(SparkEntry.queries("q_dedup_semantic_trained")(spark, Sf))
     // the whole point of the at-rest layout: the per-row K-dot argmax
