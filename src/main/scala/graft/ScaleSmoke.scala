@@ -392,8 +392,9 @@ object ScaleSmoke {
     val t0 = System.nanoTime()
     IvfIndex.append(batch, "vec_id", "embedding", cents, appendPath)
     val appendSec = (System.nanoTime() - t0) / 1e9
+    val rewritePath = IvfIndex.scratchPath(OutDir)
     val t1 = System.nanoTime()
-    IvfIndex.write(emb, "vec_id", "embedding", cents, IvfIndex.scratchPath(OutDir))
+    IvfIndex.write(emb, "vec_id", "embedding", cents, rewritePath)
     val rewriteSec = (System.nanoTime() - t1) / 1e9
     val total = spark.read.parquet(s"$appendPath/corpus").count()
     println(f"[scale] ivf cell append          append ${appendSec}%6.2f s  " +
@@ -401,5 +402,8 @@ object ScaleSmoke {
     require(total == emb.count(), "appended index lost rows")
     require(appendSec < rewriteSec,
       f"append ($appendSec%.2f s) must beat the full rewrite ($rewriteSec%.2f s)")
+    // retire both smoke indexes (the lifecycle's last verb)
+    IvfIndex.delete(spark, appendPath)
+    IvfIndex.delete(spark, rewritePath)
   }
 }

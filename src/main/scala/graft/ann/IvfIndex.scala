@@ -100,6 +100,21 @@ object IvfIndex {
         .select(col(idCol), col(vecCol), col("cell")),
       idCol, vecCol, threshold)
 
+  /** Retire an index — the lifecycle's last verb (write / append /
+    * probe / delete), the at-rest twin of the in-memory standing
+    * indexes' release handles: call when the corpus snapshot this
+    * index serves is superseded (the retrained replacement lives at
+    * its own [[scratchPath]], so readers of the old index are never
+    * raced — same swap-then-retire discipline as
+    * `CdcOps.compactSnapshotRetained`). Hadoop FS API, so the path may
+    * be any Spark-reachable filesystem. */
+  def delete(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
+  }
+
   /** Read back the trained centroids (K rows — driver-side by
     * construction, like every centroid structure here). */
   def readCentroids(spark: SparkSession, path: String): Seq[Array[Double]] =

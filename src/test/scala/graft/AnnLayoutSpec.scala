@@ -153,6 +153,11 @@ class AnnLayoutSpec extends SparkSpec {
     val (a, b) = (ids(p1), ids(p2))
     assert(a.nonEmpty && b.nonEmpty &&
       a.forall(_ % 2 == 0) && b.forall(_ % 2 == 1))
+    // retiring one index never touches the other (swap-then-retire)
+    IvfIndex.delete(spark, p1)
+    assert(!new java.io.File(p1).exists())
+    assert(ids(p2) == b)
+    IvfIndex.delete(spark, p2)
   }
 
   private def listParquetFiles(dir: String): Set[String] = {
