@@ -71,6 +71,12 @@ object AnnQueries {
       val cents = Similarity.trainCentroidsDistributed(
         emb, "vec_id", "embedding", CentroidK, refineIters = TrainRefineIters)
       val path = IvfIndex.scratchPath(dir)
+      // scratch indexes are session-lived: retire on JVM exit so
+      // repeated harness runs never accumulate /tmp state (the
+      // standing-index release-handle discipline, at-rest edition)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(path))))
       IvfIndex.write(emb, "vec_id", "embedding", cents, path)
       // read BACK from the written index (not the in-memory trainer
       // output) so the query exercises the same load path a fresh
