@@ -274,13 +274,18 @@ object ScaleSmoke {
     val rawDocs = Tables(spark, OutDir, "documents")
     val embTable = Tables(spark, OutDir, "embeddings")
     val nVecsX = embTable.count()
-    // attach a vector to every document (vec index = doc_id mod the
-    // vector count) so the embed gate has a column to probe; feed
-    // vectors therefore REPLICATE corpus vectors — the exact-duplicate
-    // shape the embedding index must catch
+    // attach a vector to every document so the embed gate has a column
+    // to probe. Index by doc_id DIV 10 (mod the vector count): each
+    // decade of doc ids shares one vector, so every feed doc
+    // (doc_id % 10 ∈ {8,9}) has EXACT vector duplicates among its
+    // decade's corpus docs (doc_id % 10 < 8) — the exact-duplicate
+    // shape the embedding index must catch. (doc_id % nVecsX would
+    // NOT do this: nVecsX is a multiple of 10, so that mapping
+    // preserves doc_id mod 10 and the corpus/feed vector sets would
+    // be disjoint.)
     val docs = rawDocs.join(
         embTable.select(col("vec_id"), col("embedding")),
-        rawDocs("doc_id") % nVecsX === embTable("vec_id"))
+        (rawDocs("doc_id") / 10).cast("long") % nVecsX === embTable("vec_id"))
       .select("doc_id", "text", "embedding")
     val corpus = docs.filter(col("doc_id") % 10 < 8)
     // held-out rows feed the stream; fresh ids per batch
@@ -390,7 +395,7 @@ object ScaleSmoke {
     IvfIndex.write(corpus, "vec_id", "embedding", cents, appendPath)
 
     val t0 = System.nanoTime()
-    IvfIndex.append(batch, "vec_id", "embedding", cents, appendPath)
+    IvfIndex.append(batch, "vec_id", "embedding", cents, appendPath, 0L)
     val appendSec = (System.nanoTime() - t0) / 1e9
     val rewritePath = IvfIndex.scratchPath(OutDir)
     val t1 = System.nanoTime()

@@ -15,11 +15,17 @@ object Tables {
    * `unix_micros` and friends reject). Normalize both to session-TZ
    * TimestampType here so every downstream operator sees one timestamp
    * type regardless of which writer produced the file. The NTZ→LTZ
-   * cast is value-preserving on the epoch reading ONLY under a UTC
-   * session zone (and that is also how DuckDB treats the same naive
-   * column in the oracle), so the zone is pinned HERE — next to the
-   * cast that depends on it — rather than relying on every entry
-   * point's builder convention.
+   * conversion is expressed ZONE-INDEPENDENTLY: the naive value's
+   * micros-since-epoch are computed by NTZ-domain arithmetic
+   * (timestampdiff against the NTZ epoch — no session zone in the
+   * expression) and re-wrapped via timestamp_micros, so the result
+   * carries the UTC reading of the naive column no matter what the
+   * session zone is at ACTION time — matching how DuckDB treats the
+   * same naive column in the oracle. (A plain NTZ→LTZ cast would be
+   * correct only under a UTC session zone at execution, an invariant
+   * a caller could silently break between plan build and action; the
+   * UTC pin below is still set for downstream formatting, but
+   * correctness here no longer depends on it.)
    *
    * The normalization folds over TOP-LEVEL fields only: the driver
    * tables are flat (TESTDATA.md), and no nested struct/array carries
@@ -36,7 +42,9 @@ object Tables {
         case LongType if f.name == "ts" =>
           acc.withColumn("ts", timestamp_micros(expr("ts div 1000")))
         case TimestampNTZType =>
-          acc.withColumn(f.name, col(f.name).cast(TimestampType))
+          acc.withColumn(f.name, timestamp_micros(expr(
+            s"timestampdiff(MICROSECOND, " +
+              s"TIMESTAMP_NTZ'1970-01-01 00:00:00', `${f.name}`)")))
         case t =>
           require(!hasNestedNtz(t),
             s"Tables: nested TIMESTAMP_NTZ in $name.$f — flat-schema " +

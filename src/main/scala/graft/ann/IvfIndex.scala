@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
  *
  * Layout under `path`:
  *   - `centroids/` — K rows (cell, weights array<double>);
- *   - `corpus/cell=<i>/` — (id, vec) parquet, partitioned by cell, so
- *     `cell IN (...)` prunes at the directory level.
+ *   - `corpus/cell=<i>/__batch=<b>/` — (id, vec) parquet, partitioned
+ *     by cell (so `cell IN (...)` prunes at the directory level) then
+ *     by the append batch (`__batch = -1` for the base snapshot), so
+ *     a replayed append OVERWRITES exactly its own (cell, batch)
+ *     partitions instead of duplicating rows — see [[append]].
  *
  * The probe's output contract is IDENTICAL to the in-query
  * [[Similarity.ivfTopK]] (same centroids ⇒ same cells, floats
@@ -51,6 +54,9 @@ object IvfIndex {
   /** Train-side write: centroids + the corpus laid out cell-partitioned
     * (one assignment pass — K plan-constant dots per row, no shuffle;
     * the write's only exchange is the partitioned output itself). */
+  /** Base-snapshot marker in the `__batch` partition column. */
+  val BaseBatch = -1L
+
   def write(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Array[Double]], path: String): Unit = {
     require(centroids.nonEmpty, "IvfIndex.write needs at least one centroid")
@@ -62,26 +68,42 @@ object IvfIndex {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
     Similarity.assignWithVectors(corpus, idCol, vecCol, centroids)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+      .withColumn("__batch", lit(BaseBatch))
+      .write.mode("overwrite").partitionBy("cell", "__batch")
+      .parquet(s"$path/corpus")
   }
 
   /** Incremental cell APPEND — the per-batch face of the standing
     * index. A new batch is assigned against the RESIDENT centroids
     * (the same argmax/tie-break as [[write]], so appended rows land in
-    * exactly the cells a full rewrite would put them in) and appended
-    * to its cells' partitions; untouched cells' files are never
-    * rewritten. This is the same append-only discipline as every other
-    * standing index here (band signatures, SimHash, cluster
-    * assignments): per-batch cost is O(|batch|) assignment + the
-    * appended files, while [[write]] — a full corpus rewrite — is the
-    * per-SNAPSHOT cost (and the moment to retrain centroids if the
-    * batch drift gate fired). Probe-after-append ≡
-    * probe-after-full-rewrite is pinned by AnnLayoutSpec. */
+    * exactly the cells a full rewrite would put them in) and written
+    * into its cells' `__batch = batchId` partitions; untouched cells'
+    * files are never rewritten. This is the same append-only
+    * discipline as every other standing index here (band signatures,
+    * SimHash, cluster assignments): per-batch cost is O(|batch|)
+    * assignment + the appended files, while [[write]] — a full corpus
+    * rewrite — is the per-SNAPSHOT cost (and the moment to retrain
+    * centroids if the batch drift gate fired).
+    *
+    * `batchId` makes the append IDEMPOTENT under redelivery: the
+    * write is a DYNAMIC partition overwrite, so replaying a batch id
+    * (Structured Streaming's foreachBatch is at-least-once —
+    * [[graft.streaming.EventTimeOps.ivfAppendStream]] passes the
+    * stream's own batch id through) replaces exactly its own
+    * (cell, batch) partitions instead of duplicating rows. Distinct
+    * batches MUST use distinct ids ≥ 0 ([[BaseBatch]] is reserved).
+    * Probe-after-append ≡ probe-after-full-rewrite and
+    * replay-idempotence are pinned by AnnLayoutSpec/EventTimeSpec. */
   def append(batch: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[Array[Double]], path: String): Unit = {
+      centroids: Seq[Array[Double]], path: String, batchId: Long): Unit = {
     require(centroids.nonEmpty, "IvfIndex.append needs at least one centroid")
+    require(batchId != BaseBatch, s"batch id $BaseBatch is the base snapshot")
     Similarity.assignWithVectors(batch, idCol, vecCol, centroids)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+      .withColumn("__batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell", "__batch")
+      .parquet(s"$path/corpus")
   }
 
   /** The SemDeDup shadow rule over the AT-REST corpus — the production

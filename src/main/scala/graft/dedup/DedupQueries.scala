@@ -312,8 +312,12 @@ object DedupQueries {
     // Deterministic SEEDED SHUFFLE + shard assignment — the
     // reproducible training order every epoch-0 data loader needs:
     // key = LCG(doc_id + seed) (the same public LCG family as the LSH
-    // hyperplanes, so both engines restate it exactly), shard =
-    // key % ShuffleShards, pos = rank within the shard by (key, id).
+    // hyperplanes, so both engines restate it exactly), shard = the
+    // key's HIGH bits (key div 2^31/shards — a power-of-two LCG's low
+    // bits have short periods: key mod 16 is affine in doc_id mod 16
+    // and seed-INVARIANT, which would freeze shard membership into
+    // fixed id-cosets; the high bits mix all input bits and re-deal
+    // under a new seed), pos = rank within the shard by (key, id).
     // Reading shards in order then rows by pos IS the global
     // pseudo-random deal — sources interleave by construction
     // (TrainingDataSpec bounds same-source runs) — and re-running
@@ -332,7 +336,8 @@ object DedupQueries {
         .orderBy(col("key"), col("doc_id"))
       Tables(s, dir, "documents")
         .select(col("doc_id"), key.as("key"))
-        .withColumn("shard", col("key") % ShuffleShards)
+        .withColumn("shard",
+          expr(s"key div ${2147483648L / ShuffleShards}"))
         .withColumn("pos", row_number().over(w).cast("long"))
         .select("doc_id", "shard", "pos", "key")
         .orderBy("doc_id")
@@ -502,8 +507,9 @@ object DedupQueries {
 
   /** q_sample_shuffle: additive seed folded into the id before the
     * LCG (change it to re-deal the order), and the output shard
-    * count — at production scale sized so corpus/shards matches the
-    * training reader's preferred file size. */
+    * count — a power of two (shard = the key's high bits), at
+    * production scale sized so corpus/shards matches the training
+    * reader's preferred file size. */
   val ShuffleSeed = 7L
   val ShuffleShards = 16
 
@@ -797,8 +803,8 @@ object DedupQueries {
         SELECT doc_id,
           ((doc_id + $ShuffleSeed) * 1103515245 + 12345) % 2147483648 AS key
         FROM documents)
-      SELECT doc_id, key % $ShuffleShards AS shard,
-        row_number() OVER (PARTITION BY key % $ShuffleShards
+      SELECT doc_id, key // ${2147483648L / ShuffleShards} AS shard,
+        row_number() OVER (PARTITION BY key // ${2147483648L / ShuffleShards}
                            ORDER BY key, doc_id) AS pos,
         key
       FROM k ORDER BY doc_id""",

@@ -121,32 +121,41 @@ object DriftGate {
     require(topK > 0, s"topK must be positive, got $topK")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // three actions share the tokenized corpus — persist it so the
+    // documents are scanned and tokenized ONCE, not per action (this
+    // function exists to CUT profile-build cost)
     val toks = corpus.select(explode(TextAnalysis.tokens(col(textCol)))
-      .as("token"))
-    val skBytes = toks.agg(count_min_sketch(col("token"), lit(SketchEps),
-        lit(SketchConfidence), lit(SketchSeed)).as("sk"))
-      .head().getAs[Array[Byte]](0)
-    val bc = spark.sparkContext.broadcast(skBytes)
-    val candM = topK * SketchCandidateSlack
-    val candidates = toks.as[String].mapPartitions { it =>
-      val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(bc.value))
-      val seen = scala.collection.mutable.HashSet.empty[String]
-      it.foreach(seen += _)
-      seen.toSeq.map(t => (t, sk.estimateCount(t)))
-        .sortBy { case (t, e) => (-e, t) }.take(candM).iterator
-    }.collect()
-      .groupBy(_._1).view.mapValues(_.head._2).toSeq
-      .sortBy { case (t, e) => (-e, t) }.take(candM).map(_._1)
-    val head = toks.filter(col("token").isInCollection(candidates))
-      .groupBy("token").agg(count(lit(1)).as("n_corpus"))
-      .as[(String, Long)].collect()
-      .sortBy { case (t, n) => (-n, t) }.take(topK).toSeq
-    val total = toks.count()
-    val tail = total - head.map(_._2).sum
-    val capped = (head ++ (if (tail > 0) Seq((OtherToken, tail)) else Nil))
-      .toDF("token", "n_corpus").persist()
-    (capped, () => { capped.unpersist(); bc.destroy(); () })
+      .as("token")).persist()
+    try {
+      val skBytes = toks.agg(count_min_sketch(col("token"), lit(SketchEps),
+          lit(SketchConfidence), lit(SketchSeed)).as("sk"))
+        .head().getAs[Array[Byte]](0)
+      val sk0 = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skBytes))
+      // the sketch already counted the stream — the tail row's total
+      // needs no fourth pass
+      val total = sk0.totalCount()
+      val bc = spark.sparkContext.broadcast(skBytes)
+      val candM = topK * SketchCandidateSlack
+      val candidates = toks.as[String].mapPartitions { it =>
+        val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(bc.value))
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        it.foreach(seen += _)
+        seen.toSeq.map(t => (t, sk.estimateCount(t)))
+          .sortBy { case (t, e) => (-e, t) }.take(candM).iterator
+      }.collect()
+        .groupBy(_._1).view.mapValues(_.head._2).toSeq
+        .sortBy { case (t, e) => (-e, t) }.take(candM).map(_._1)
+      val head = toks.filter(col("token").isInCollection(candidates))
+        .groupBy("token").agg(count(lit(1)).as("n_corpus"))
+        .as[(String, Long)].collect()
+        .sortBy { case (t, n) => (-n, t) }.take(topK).toSeq
+      val tail = total - head.map(_._2).sum
+      val capped = (head ++ (if (tail > 0) Seq((OtherToken, tail)) else Nil))
+        .toDF("token", "n_corpus").persist()
+      (capped, () => { capped.unpersist(); bc.destroy(); () })
+    } finally toks.unpersist()
   }
 
   /**

@@ -324,6 +324,13 @@ object EventTimeOps {
    * centroids stays a per-SNAPSHOT decision ([[graft.ann.IvfIndex.write]]),
    * taken when the embedding drift gate fires — not a per-batch cost.
    *
+   * The stream's batch id keys the append's dynamic partition
+   * overwrite, so foreachBatch's at-least-once redelivery REPLACES a
+   * replayed batch's own partitions instead of duplicating rows —
+   * the index stays probe-identical to a full rewrite across replays
+   * (EventTimeSpec). The batch is persisted around its two uses
+   * (count + append) so the reported row count is the appended one.
+   *
    * `onAppended` receives (batchId, rows) after each append commits —
    * the hook a checkpoint/metrics pipeline keys on. No release handle:
    * the index lives at rest, and the centroid matrix is the caller's
@@ -335,9 +342,13 @@ object EventTimeOps {
     vecs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val n = batch.count()
-        graft.ann.IvfIndex.append(batch, idCol, vecCol, centroids, indexPath)
-        onAppended(batchId, n)
+        batch.persist()
+        try {
+          val n = batch.count()
+          graft.ann.IvfIndex.append(batch, idCol, vecCol, centroids,
+            indexPath, batchId)
+          onAppended(batchId, n)
+        } finally batch.unpersist()
         ()
       }
 

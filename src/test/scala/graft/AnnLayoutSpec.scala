@@ -111,7 +111,7 @@ class AnnLayoutSpec extends SparkSpec {
     val root = Files.createTempDirectory("graft-ivf-append").toString
     IvfIndex.write(corpus, "vec_id", "embedding", cents, s"$root/appended")
     val beforeAppend = listParquetFiles(s"$root/appended/corpus")
-    IvfIndex.append(batch, "vec_id", "embedding", cents, s"$root/appended")
+    IvfIndex.append(batch, "vec_id", "embedding", cents, s"$root/appended", 0L)
     IvfIndex.write(emb, "vec_id", "embedding", cents, s"$root/rewritten")
 
     // append-only: every file of the original corpus write survives —
@@ -129,6 +129,14 @@ class AnnLayoutSpec extends SparkSpec {
     val a = probed(s"$root/appended")
     val b = probed(s"$root/rewritten")
     assert(a == b && a.nonEmpty)
+
+    // REPLAYING the same batch id is a no-op, not a duplication:
+    // foreachBatch redelivery overwrites the batch's own partitions
+    IvfIndex.append(batch, "vec_id", "embedding", cents, s"$root/appended", 0L)
+    assert(spark.read.parquet(s"$root/appended/corpus").count() == emb.count(),
+      "replayed append must not duplicate rows")
+    assert(probed(s"$root/appended") == a,
+      "replayed append must leave probes unchanged")
   }
 
   test("scratchPath: two sessions over the same dir get disjoint indexes") {
