@@ -58,6 +58,51 @@ object Dedup {
   def ngrams(text: Column, k: Int): Column =
     toCol(TokenNgrams(toExpr(text), k))
 
+  /** The xor-shift-multiply mixing round of [[shuffleDeal]]'s key —
+    * the public-domain 32-bit integer-hash finalizer shape (the
+    * murmur3/splitmix family): xor-fold the high bits down, multiply,
+    * keep 31 bits. NONLINEAR in its input, which is the property the
+    * deal needs: any affine key (an LCG over id+seed) makes the seed
+    * a CONSTANT key shift, so shard co-membership barely changes
+    * between seeds — two mixing rounds spread a one-bit input change
+    * across the word instead. */
+  private def mix31(c: Column): Column =
+    (c.bitwiseXOR(shiftright(c, 16)) * lit(73244475L)) % lit(2147483648L)
+
+  /**
+   * Deterministic SEEDED SHUFFLE + shard deal — the reproducible
+   * epoch-0 training order (q_sample_shuffle is the driver-contract
+   * face): key = a two-round [[mix31]] hash of (id + seed) — xor-fold
+   * the final round too, so the top bits are mixed — shard = the
+   * key's HIGH bits (a power-of-two modulus leaves structure in the
+   * LOW bits of any multiply-based hash; the high bits carry the
+   * avalanche), pos = rank within the shard by (key, id). Reading
+   * shards in order, rows by pos, IS the global pseudo-random deal;
+   * the same seed reproduces it bit-for-bit, and a NEW seed
+   * genuinely re-deals which docs share a shard (TrainingDataSpec
+   * asserts ≳7/8 of membership moves — an affine key moves almost
+   * none).
+   *
+   * Scale shape: NO total-order sort — an id-only narrow projection,
+   * ONE hash exchange on shard, and per-shard local sorts of
+   * corpus/shards rows (the dial that keeps each sort in-memory at
+   * any corpus size; size shards to the training reader's file size).
+   */
+  def shuffleDeal(docs: DataFrame, idCol: String, seed: Long,
+      shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shards > 0 && (shards & (shards - 1)) == 0,
+      s"shards must be a positive power of two, got $shards")
+    val k0 = (col(idCol) + lit(seed)) % lit(2147483648L)
+    val m = mix31(mix31(k0))
+    val key = m.bitwiseXOR(shiftright(m, 16))
+    val w = Window.partitionBy(col("shard")).orderBy(col("key"), col(idCol))
+    docs.select(col(idCol), key.as("key"))
+      .withColumn("shard", expr(s"key div ${2147483648L / shards}"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(idCol, "shard", "pos", "key")
+  }
+
   /**
    * Span-duplication audit (Lee et al. ACL 2022 at n-gram
    * granularity) keyed by a 128-BIT GRAM HASH — the production form

@@ -310,14 +310,12 @@ object DedupQueries {
         .orderBy("doc_id")),
 
     // Deterministic SEEDED SHUFFLE + shard assignment — the
-    // reproducible training order every epoch-0 data loader needs:
-    // key = LCG(doc_id + seed) (the same public LCG family as the LSH
-    // hyperplanes, so both engines restate it exactly), shard = the
-    // key's HIGH bits (key div 2^31/shards — a power-of-two LCG's low
-    // bits have short periods: key mod 16 is affine in doc_id mod 16
-    // and seed-INVARIANT, which would freeze shard membership into
-    // fixed id-cosets; the high bits mix all input bits and re-deal
-    // under a new seed), pos = rank within the shard by (key, id).
+    // reproducible training order every epoch-0 data loader needs
+    // ([[Dedup.shuffleDeal]]): key = a two-round xor-shift-multiply
+    // hash of (doc_id + seed) (nonlinear, so a new seed re-deals
+    // membership — an LCG would make the seed a constant key shift),
+    // shard = the key's high bits, pos = rank within the shard; the
+    // oracle restates the identical integer arithmetic.
     // Reading shards in order then rows by pos IS the global
     // pseudo-random deal — sources interleave by construction
     // (TrainingDataSpec bounds same-source runs) — and re-running
@@ -329,19 +327,10 @@ object DedupQueries {
     // in-memory at any corpus size). Restoring global order across
     // shards is a streaming merge by key, which is the reader's loop,
     // not a Spark stage.
-    "q_sample_shuffle" -> ((s, dir) => {
-      val key = ((col("doc_id") + lit(ShuffleSeed)) * lit(1103515245L)
-        + lit(12345L)) % lit(2147483648L)
-      val w = Window.partitionBy(col("shard"))
-        .orderBy(col("key"), col("doc_id"))
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), key.as("key"))
-        .withColumn("shard",
-          expr(s"key div ${2147483648L / ShuffleShards}"))
-        .withColumn("pos", row_number().over(w).cast("long"))
-        .select("doc_id", "shard", "pos", "key")
-        .orderBy("doc_id")
-    }),
+    "q_sample_shuffle" -> ((s, dir) =>
+      Dedup.shuffleDeal(Tables(s, dir, "documents"), "doc_id",
+        ShuffleSeed, ShuffleShards)
+        .orderBy("doc_id")),
 
     // MinHash estimator calibration: signature-agreement estimate vs
     // exact Jaccard (+ abs error) over the banded candidates — the
@@ -799,10 +788,14 @@ object DedupQueries {
       FROM b ORDER BY doc_id""",
 
     "q_sample_shuffle" -> s"""
-      WITH k AS (
-        SELECT doc_id,
-          ((doc_id + $ShuffleSeed) * 1103515245 + 12345) % 2147483648 AS key
-        FROM documents)
+      WITH k0 AS (
+        SELECT doc_id, (doc_id + $ShuffleSeed) % 2147483648 AS x
+        FROM documents),
+      m1 AS (SELECT doc_id,
+          (xor(x, x >> 16) * 73244475) % 2147483648 AS x FROM k0),
+      m2 AS (SELECT doc_id,
+          (xor(x, x >> 16) * 73244475) % 2147483648 AS x FROM m1),
+      k AS (SELECT doc_id, xor(x, x >> 16) AS key FROM m2)
       SELECT doc_id, key // ${2147483648L / ShuffleShards} AS shard,
         row_number() OVER (PARTITION BY key // ${2147483648L / ShuffleShards}
                            ORDER BY key, doc_id) AS pos,

@@ -129,6 +129,29 @@ class TrainingDataSpec extends SparkSpec {
     assert(maxRun <= 8, s"sources do not interleave: max run $maxRun")
   }
 
+  test("shuffle deal property: permutation, valid shards, seeds re-deal membership") {
+    val docs = (0L until 400L).map(i => Tuple1(i)).toDF("doc_id")
+    val deals = Seq(1L, 2L, 3L, 4L, 5L).map { seed =>
+      val rows = Dedup.shuffleDeal(docs, "doc_id", seed, 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // a deal is a permutation into valid shards
+      assert(rows.size == 400 && rows.values.forall(s => s >= 0 && s < 8))
+      seed -> rows
+    }.toMap
+    // different seeds must actually RE-DEAL shard membership (the
+    // low-bit shard key failed exactly this: seed-invariant cosets)
+    val pairs = for (a <- deals.keys; b <- deals.keys if a < b) yield (a, b)
+    pairs.foreach { case (a, b) =>
+      val moved = deals(a).count { case (id, s) => deals(b)(id) != s }
+      assert(moved > 100,
+        s"seeds $a/$b moved only $moved of 400 docs between shards")
+    }
+    // non-power-of-two shard counts are rejected (high-bit split)
+    intercept[IllegalArgumentException] {
+      Dedup.shuffleDeal(docs, "doc_id", 1L, 12)
+    }
+  }
+
   test("hashed-gram span coverage ≡ string-keyed audit at sf0.01") {
     // Dedup.spanCoverageHashed trades the gram-string shuffle key for
     // two xxhash64 longs (fixed-width shuffle rows — the 100 TB form);
