@@ -264,6 +264,38 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // CLUSTER LABELING: the top tokens of every multi-doc near-dup
+    // family — the triage view a curator opens after clustering
+    // ("what IS this duplicate family?"): per cluster of size ≥ 2,
+    // the ClusterKeywordsK most frequent non-stopword tokens
+    // (tf DESC, token tie-break). Composes the standing cluster
+    // assignment with the token aggregation; the shuffle carries
+    // (cluster, token) counts — never text — and the per-cluster rank
+    // runs partial+final WindowGroupLimit, so the final exchange is
+    // O(clusters·k) rows at any corpus size.
+    "q_text_cluster_keywords" -> ((s, dir) => {
+      import graft.text.TextAnalysis
+      val docs = Tables(s, dir, "documents")
+      val clusters = Clusters.resolve(docs, "doc_id",
+        cachedPairs(s, dir), "doc_a", "doc_b").select("doc_id", "cluster")
+      val sizes = clusters.groupBy("cluster")
+        .agg(count(lit(1)).as("n_docs")).filter(col("n_docs") >= 2)
+      val tf = docs
+        .select(col("doc_id"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .filter(!col("token").isin(TextAnalysis.Stopwords: _*))
+        .join(clusters, "doc_id")
+        .groupBy("cluster", "token").agg(count(lit(1)).as("tf"))
+      val byCluster = Window.partitionBy("cluster")
+        .orderBy(col("tf").desc, col("token"))
+      tf.withColumn("rnk", row_number().over(byCluster))
+        .filter(col("rnk") <= ClusterKeywordsK)
+        .join(sizes, "cluster")
+        .select(col("cluster"), col("n_docs"), col("rnk"), col("token"),
+          col("tf"))
+        .orderBy("cluster", "rnk")
+    }),
+
     // Deterministic hash-based train/val/test split (80/10/10).
     "q_sample_split" -> ((s, dir) => {
       import graft.text.TextAnalysis
@@ -505,6 +537,10 @@ object DedupQueries {
   /** Expected docs kept per near-dup cluster (q_sample_cluster;
     * shared with its oracle). */
   val ClusterSampleQuota = 2
+
+  /** Label tokens kept per multi-doc cluster (q_text_cluster_keywords;
+    * shared with its oracle). */
+  val ClusterKeywordsK = 3
 
   val SimHashMaxHamming = 5
   val SimHashBands = 6
@@ -777,6 +813,32 @@ object DedupQueries {
       SELECT doc_id, cluster, n_c, bucket, round(1.0 / rate, 6) AS weight
       FROM b WHERE bucket < CAST(floor(rate * 1000000) AS BIGINT)
       ORDER BY doc_id""",
+
+    "q_text_cluster_keywords" -> {
+      val stops = graft.text.TextAnalysis.Stopwords
+        .map(s => s"'$s'").mkString("(", ", ", ")")
+      s"""WITH RECURSIVE $clusterCtes,
+      asg AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id),
+      sz AS (SELECT cluster, count(*) AS n_docs FROM asg
+             GROUP BY cluster HAVING count(*) >= 2),
+      t AS (
+        SELECT doc_id, unnest(${graft.text.TextSql.tokens("text")}) AS token
+        FROM documents),
+      tf AS (
+        SELECT a.cluster, t.token, count(*) AS tf
+        FROM t JOIN asg a ON t.doc_id = a.doc_id
+        WHERE t.token NOT IN $stops
+        GROUP BY a.cluster, t.token),
+      r AS (
+        SELECT cluster, token, tf,
+          row_number() OVER (PARTITION BY cluster
+            ORDER BY tf DESC, token) AS rnk
+        FROM tf)
+      SELECT r.cluster, sz.n_docs, r.rnk, r.token, r.tf
+      FROM r JOIN sz ON r.cluster = sz.cluster
+      WHERE r.rnk <= $ClusterKeywordsK
+      ORDER BY r.cluster, r.rnk"""
+    },
 
     "q_sample_split" -> s"""
       WITH b AS (
