@@ -359,13 +359,21 @@ object SparkEntry {
     // C1 runtime fallback: the value schema INFERRED from the feed's
     // own payloads (SMT value-type ladder: int→BIGINT, float→DOUBLE,
     // bool, else STRING) must parse identically to the pinned schema.
+    // A field ABSENT from the inferred schema (an empty feed infers an
+    // empty struct; a source that never sent the column) reads as a
+    // typed null — the same answer the SMT's sink gives a missing
+    // column — instead of failing the plan on getField.
     "q_cdc_infer_fallback" -> ((s, dir) => {
       val base = CdcFeed.base(s, dir)
       val inferred = graft.operators.SchemaInfer.infer(s, base, "value_json")
+      def fieldOrNull(name: String, dt: String) =
+        if (inferred.fieldNames.contains(name))
+          from_json(col("value_json"), inferred).getField(name).cast(dt)
+        else lit(null).cast(dt)
       base.select(
         col("offs"),
-        from_json(col("value_json"), inferred).getField("ID").as("val_id"),
-        from_json(col("value_json"), inferred).getField("AMOUNT").as("amount"))
+        fieldOrNull("ID", "bigint").as("val_id"),
+        fieldOrNull("AMOUNT", "double").as("amount"))
         .orderBy("offs")
     }),
 
