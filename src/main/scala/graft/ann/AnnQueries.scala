@@ -43,9 +43,14 @@ object AnnQueries {
   val ProjPlaneOffset = 64
 
   /** First-n vectors by id, as driver-side double arrays (the same
-    * float→double cast the Spark-side VectorDot applies). */
+    * float→double cast the Spark-side VectorDot applies). Null
+    * vectors are skipped — a corpus whose head rows lack embeddings
+    * yields a smaller (possibly empty) seed set, and the downstream
+    * centroid `require`s turn that into a clear refusal instead of a
+    * driver-side NPE. */
   private def collectVecs(df: DataFrame, n: Int): Seq[(Long, Array[Double])] =
-    df.filter(col("vec_id") < n).orderBy("vec_id")
+    df.filter(col("vec_id") < n && col("embedding").isNotNull)
+      .orderBy("vec_id")
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       .toSeq

@@ -183,7 +183,11 @@ object Similarity {
       k: Int, sampleSize: Int = 4096, iters: Int = 10,
       seed: Long = 42L): Seq[Array[Double]] = {
     require(k >= 1, "k-means needs k >= 1")
+    // null vectors carry no training signal and would NPE the
+    // driver-side fold — sample only real embeddings, and let the
+    // sample-size require below refuse clearly when too few remain
     val sample: Array[Array[Double]] = corpus
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .orderBy(xxhash64(lit(seed), col("id")), col("id"))
       .limit(sampleSize)

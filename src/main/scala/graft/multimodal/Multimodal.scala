@@ -43,8 +43,16 @@ object Multimodal {
     def decodeBatch(assets: Iterator[RawAsset]): Iterator[DecodedAsset] = {
       // Real implementation would initialize the codec library HERE,
       // once per partition, before streaming the batch through it.
-      assets.map { a =>
-        def b(i: Int): Int = a.content(i) & 0xFF
+      // Null or zero-byte payloads are UNDECODABLE by definition (a
+      // real codec throws on them too) and are dropped — the same
+      // skip-don't-crash contract a production decode stage needs for
+      // a feed whose upstream occasionally delivers empty blobs.
+      // Header probes past the payload's end read 0, so a truncated
+      // asset decodes to degenerate metadata instead of an
+      // out-of-bounds crash.
+      assets.filter(a => a.content != null && a.content.nonEmpty).map { a =>
+        def b(i: Int): Int =
+          if (i < a.content.length) a.content(i) & 0xFF else 0
         val avg = a.content.foldLeft(0L)((s, x) => s + (x & 0xFF)).toDouble / a.content.length
         a.kind match {
           case "image" => DecodedAsset(a.asset_id, a.kind,
@@ -65,7 +73,9 @@ object Multimodal {
 
   def extractFeatures(raw: Dataset[RawAsset], dims: Int): Dataset[AssetFeatures] = {
     import raw.sparkSession.implicits._
-    raw.mapPartitions(_.map { a =>
+    // same skip-don't-crash contract as the codec: no payload, no
+    // feature row (a real encoder has nothing to embed)
+    raw.mapPartitions(_.filter(_.content != null).map { a =>
       AssetFeatures(a.asset_id,
         Array.tabulate(math.min(dims, a.content.length))(i =>
           (a.content(i) & 0xFF).toDouble / 255))

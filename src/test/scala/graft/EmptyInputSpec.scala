@@ -53,4 +53,38 @@ class EmptyInputSpec extends SparkSpec {
     assert(failures.isEmpty,
       s"queries not empty-safe:\n${failures.mkString("\n")}")
   }
+
+  test("text/embedding queries survive all-null payloads (rows present, values null)") {
+    import org.apache.spark.sql.functions._
+    // the "scraper returned nulls" shape: documents/embeddings keep
+    // their rows and keys but every payload value is null; the
+    // relational tables stay intact (the CDC feed derives from events)
+    val src = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-nullpay").toString
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events").foreach { t =>
+      Tables(spark, src, t).write.parquet(s"$dir/$t.parquet")
+    }
+    Tables(spark, src, "documents")
+      .withColumn("text", lit(null).cast("string"))
+      .write.parquet(s"$dir/documents.parquet")
+    Tables(spark, src, "embeddings")
+      .withColumn("embedding", lit(null).cast("array<float>"))
+      .write.parquet(s"$dir/embeddings.parquet")
+    // centroid trainers now also lack a sample (all-null vectors are
+    // filtered before seeding) — same clearly-typed refusal contract
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try { fn(spark, dir).count(); () }
+      catch {
+        case _: IllegalArgumentException | _: IllegalStateException
+            if needsData(name) => ()
+        case e: Throwable =>
+          failures += s"$name: ${e.getClass.getSimpleName}: " +
+            s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}"
+      }
+    }
+    assert(failures.isEmpty,
+      s"queries not null-payload-safe:\n${failures.mkString("\n")}")
+  }
 }
