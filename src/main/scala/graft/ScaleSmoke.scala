@@ -380,10 +380,13 @@ object ScaleSmoke {
   /**
    * Standing IVF index maintenance at 10×: a 10%-of-corpus batch
    * APPENDED against resident centroids (IvfIndex.append — assign +
-   * write only the new files) vs the full-corpus rewrite the
-   * pre-append discipline would pay per batch. The append must cost a
-   * small fraction of the rewrite — that ratio is the reason every
-   * standing index here is append-only between snapshots.
+   * write only the batch's partitions) vs the full-corpus rewrite the
+   * pre-append discipline would pay per batch. The enforced claim is
+   * the BYTES-WRITTEN ratio — the append touches batch-proportional
+   * data, the rewrite touches everything — because that is what scales
+   * (at this toy size both writes are fixed-cost dominated, so
+   * wall-clock is printed as information but a loaded box must not
+   * flap the smoke).
    */
   def ivfAppendSmoke(spark: SparkSession): Unit = {
     import graft.ann.{IvfIndex, Similarity}
@@ -393,22 +396,36 @@ object ScaleSmoke {
     val batch = emb.filter(col("vec_id") % 10 === 9)
     val appendPath = IvfIndex.scratchPath(OutDir)
     IvfIndex.write(corpus, "vec_id", "embedding", cents, appendPath)
+    val baseBytes = dirBytes(s"$appendPath/corpus")
 
     val t0 = System.nanoTime()
     IvfIndex.append(batch, "vec_id", "embedding", cents, appendPath, 0L)
     val appendSec = (System.nanoTime() - t0) / 1e9
+    val appendBytes = dirBytes(s"$appendPath/corpus") - baseBytes
     val rewritePath = IvfIndex.scratchPath(OutDir)
     val t1 = System.nanoTime()
     IvfIndex.write(emb, "vec_id", "embedding", cents, rewritePath)
     val rewriteSec = (System.nanoTime() - t1) / 1e9
+    val rewriteBytes = dirBytes(s"$rewritePath/corpus")
     val total = spark.read.parquet(s"$appendPath/corpus").count()
-    println(f"[scale] ivf cell append          append ${appendSec}%6.2f s  " +
-      f"full rewrite ${rewriteSec}%6.2f s  rows=$total")
+    println(f"[scale] ivf cell append          append ${appendSec}%6.2f s " +
+      f"(${appendBytes / 1024}%d KB)  full rewrite ${rewriteSec}%6.2f s " +
+      f"(${rewriteBytes / 1024}%d KB)  rows=$total")
     require(total == emb.count(), "appended index lost rows")
-    require(appendSec < rewriteSec,
-      f"append ($appendSec%.2f s) must beat the full rewrite ($rewriteSec%.2f s)")
+    // the 10% batch must write ~10% of the bytes; 1/5 leaves slack
+    // for parquet per-file overhead on the small partition files
+    require(appendBytes * 5 < rewriteBytes,
+      s"append wrote $appendBytes bytes vs rewrite $rewriteBytes — " +
+        "not batch-proportional")
     // retire both smoke indexes (the lifecycle's last verb)
     IvfIndex.delete(spark, appendPath)
     IvfIndex.delete(spark, rewritePath)
+  }
+
+  private def dirBytes(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+      else f.length()
+    walk(new java.io.File(dir))
   }
 }
