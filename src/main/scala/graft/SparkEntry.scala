@@ -366,8 +366,11 @@ object SparkEntry {
     "q_cdc_infer_fallback" -> ((s, dir) => {
       val base = CdcFeed.base(s, dir)
       val inferred = graft.operators.SchemaInfer.infer(s, base, "value_json")
+      // the presence check must match getField's CASE-INSENSITIVE
+      // resolution (spark.sql.caseSensitive=false default) — an exact
+      // contains() would null out fields whose JSON keys differ in case
       def fieldOrNull(name: String, dt: String) =
-        if (inferred.fieldNames.contains(name))
+        if (inferred.fieldNames.exists(_.equalsIgnoreCase(name)))
           from_json(col("value_json"), inferred).getField(name).cast(dt)
         else lit(null).cast(dt)
       base.select(

@@ -51,12 +51,12 @@ object IvfIndex {
     s"$base/graft_ivf_${tag}_$token"
   }
 
-  /** Train-side write: centroids + the corpus laid out cell-partitioned
-    * (one assignment pass — K plan-constant dots per row, no shuffle;
-    * the write's only exchange is the partitioned output itself). */
   /** Base-snapshot marker in the `__batch` partition column. */
   val BaseBatch = -1L
 
+  /** Train-side write: centroids + the corpus laid out cell-partitioned
+    * (one assignment pass — K plan-constant dots per row, no shuffle;
+    * the write's only exchange is the partitioned output itself). */
   def write(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Array[Double]], path: String): Unit = {
     require(centroids.nonEmpty, "IvfIndex.write needs at least one centroid")
@@ -91,9 +91,13 @@ object IvfIndex {
     * [[graft.streaming.EventTimeOps.ivfAppendStream]] passes the
     * stream's own batch id through) replaces exactly its own
     * (cell, batch) partitions instead of duplicating rows. Distinct
-    * batches MUST use distinct ids ≥ 0 ([[BaseBatch]] is reserved).
-    * Probe-after-append ≡ probe-after-full-rewrite and
-    * replay-idempotence are pinned by AnnLayoutSpec/EventTimeSpec. */
+    * batches MUST use distinct ids ≥ 0 ([[BaseBatch]] is reserved) —
+    * which for a stream means running WITH a checkpointLocation, so
+    * batch ids stay monotone across restarts (a checkpointless
+    * restart reuses id 0 for NEW data, which overwrite semantics
+    * cannot repair). Probe-after-append ≡ probe-after-full-rewrite
+    * and same-id replay-idempotence are pinned by AnnLayoutSpec; the
+    * stream face's id plumbing by EventTimeSpec's restart case. */
   def append(batch: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Array[Double]], path: String, batchId: Long): Unit = {
     require(centroids.nonEmpty, "IvfIndex.append needs at least one centroid")

@@ -80,8 +80,9 @@ object Dedup {
    * shards in order, rows by pos, IS the global pseudo-random deal;
    * the same seed reproduces it bit-for-bit, and a NEW seed
    * genuinely re-deals which docs share a shard (TrainingDataSpec
-   * asserts ≳7/8 of membership moves — an affine key moves almost
-   * none).
+   * asserts a solid majority of membership moves per seed pair —
+   * observed ~7/8, the 1−1/shards a uniform re-deal predicts; an
+   * affine key moved ~1/5).
    *
    * Scale shape: NO total-order sort — an id-only narrow projection,
    * ONE hash exchange on shard, and per-shard local sorts of

@@ -280,17 +280,21 @@ object DedupQueries {
         cachedPairs(s, dir), "doc_a", "doc_b").select("doc_id", "cluster")
       val sizes = clusters.groupBy("cluster")
         .agg(count(lit(1)).as("n_docs")).filter(col("n_docs") >= 2)
-      val tf = docs
-        .select(col("doc_id"),
+      // restrict to multi-doc clusters BEFORE tokenizing: on a
+      // mostly-unique corpus nearly every cluster is a singleton, and
+      // the size filter commutes with the per-cluster rank (both key
+      // on cluster), so exploding singleton docs' tokens through the
+      // shuffle would be pure waste
+      val multiDocs = docs.join(clusters, "doc_id").join(sizes, "cluster")
+      val tf = multiDocs
+        .select(col("cluster"), col("n_docs"),
           explode(TextAnalysis.tokens(col("text"))).as("token"))
         .filter(!col("token").isin(TextAnalysis.Stopwords: _*))
-        .join(clusters, "doc_id")
-        .groupBy("cluster", "token").agg(count(lit(1)).as("tf"))
+        .groupBy("cluster", "n_docs", "token").agg(count(lit(1)).as("tf"))
       val byCluster = Window.partitionBy("cluster")
         .orderBy(col("tf").desc, col("token"))
       tf.withColumn("rnk", row_number().over(byCluster))
         .filter(col("rnk") <= ClusterKeywordsK)
-        .join(sizes, "cluster")
         .select(col("cluster"), col("n_docs"), col("rnk"), col("token"),
           col("tf"))
         .orderBy("cluster", "rnk")
@@ -527,10 +531,10 @@ object DedupQueries {
   val SampleQuota = 20
 
   /** q_sample_shuffle: additive seed folded into the id before the
-    * LCG (change it to re-deal the order), and the output shard
-    * count — a power of two (shard = the key's high bits), at
-    * production scale sized so corpus/shards matches the training
-    * reader's preferred file size. */
+    * nonlinear key mixer (change it to re-deal the order), and the
+    * output shard count — a power of two (shard = the key's high
+    * bits), at production scale sized so corpus/shards matches the
+    * training reader's preferred file size. */
   val ShuffleSeed = 7L
   val ShuffleShards = 16
 

@@ -73,9 +73,12 @@ object Multimodal {
 
   def extractFeatures(raw: Dataset[RawAsset], dims: Int): Dataset[AssetFeatures] = {
     import raw.sparkSession.implicits._
-    // same skip-don't-crash contract as the codec: no payload, no
-    // feature row (a real encoder has nothing to embed)
-    raw.mapPartitions(_.filter(_.content != null).map { a =>
+    // same skip contract as the codec — null AND zero-byte payloads
+    // produce no feature row (a real encoder has nothing to embed,
+    // and an empty features array would crash ANSI element_at
+    // downstream); keeps decode/features membership identical
+    raw.mapPartitions(_.filter(a =>
+      a.content != null && a.content.nonEmpty).map { a =>
       AssetFeatures(a.asset_id,
         Array.tabulate(math.min(dims, a.content.length))(i =>
           (a.content(i) & 0xFF).toDouble / 255))

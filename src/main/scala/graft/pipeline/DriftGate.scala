@@ -112,9 +112,10 @@ object DriftGate {
    * if > (slack−1)·K tail tokens are overcounted past it — with
    * ε·N below the rank-K count, impossible; DriftGateSpec pins
    * head-set equality with [[cappedProfile]] on the fixture. The tail
-   * row's mass comes from total = one count() of the token stream
-   * (no shuffle at all), so the result is the same K+1-row profile,
-   * drop-in for [[cappedTvd]] and the ingest stack.
+   * row's mass needs no pass of its own — the sketch already counted
+   * the stream, so total comes from its `totalCount()` — and the
+   * result is the same K+1-row profile, drop-in for [[cappedTvd]]
+   * and the ingest stack.
    */
   def sketchProfile(corpus: DataFrame, textCol: String,
       topK: Int): (DataFrame, () => Unit) = {

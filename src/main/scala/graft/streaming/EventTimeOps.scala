@@ -326,10 +326,14 @@ object EventTimeOps {
    *
    * The stream's batch id keys the append's dynamic partition
    * overwrite, so foreachBatch's at-least-once redelivery REPLACES a
-   * replayed batch's own partitions instead of duplicating rows —
-   * the index stays probe-identical to a full rewrite across replays
-   * (EventTimeSpec). The batch is persisted around its two uses
-   * (count + append) so the reported row count is the appended one.
+   * replayed batch's own partitions instead of duplicating rows
+   * (same-id idempotence pinned in AnnLayoutSpec; the stream-restart
+   * case in EventTimeSpec). This requires the production stream to
+   * run WITH a checkpointLocation so batch ids stay monotone across
+   * restarts — a checkpointless restart redelivers id 0 with NEW
+   * data, which no overwrite discipline can repair. The batch is
+   * persisted around its two uses (count + append) so the reported
+   * row count is the appended one.
    *
    * `onAppended` receives (batchId, rows) after each append commits —
    * the hook a checkpoint/metrics pipeline keys on. No release handle:

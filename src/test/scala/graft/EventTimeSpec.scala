@@ -359,6 +359,22 @@ class EventTimeSpec extends SparkSpec {
       .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
     val (a, b) = (probed(root), probed(rewritten))
     assert(a == b && a.nonEmpty)
+
+    // stream RESTART replaying the same data: a fresh stream restarts
+    // batch ids at 0, so redelivering b1 (the original batch 0)
+    // through a new writer must leave the index unchanged — the
+    // at-least-once case the dynamic overwrite exists for. (Restart
+    // with DIFFERENT data under a reused id is unrecoverable by
+    // design; production streams run with a checkpoint.)
+    val mem2 = MemoryStream[Row](enc, spark)
+    val q2 = EventTimeOps.ivfAppendStream(mem2.toDF(), "vec_id", "embedding",
+      cents, root) { (_, _) => }.start()
+    try {
+      mem2.addData(b1.toIndexedSeq: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(s"$root/corpus").count() == emb.count(),
+      "replayed stream batch must not duplicate rows")
+    assert(probed(root) == a, "replayed stream batch must not change probes")
   }
 
   test("streaming funnel emits per-user summaries after idle timeout") {

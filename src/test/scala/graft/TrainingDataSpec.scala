@@ -141,9 +141,11 @@ class TrainingDataSpec extends SparkSpec {
     // different seeds must actually RE-DEAL shard membership (the
     // low-bit shard key failed exactly this: seed-invariant cosets)
     val pairs = for (a <- deals.keys; b <- deals.keys if a < b) yield (a, b)
+    // a uniform re-deal moves 1−1/shards = 7/8 of docs in expectation;
+    // 5/8 is the regression floor (the affine-key bug moved ~1/5)
     pairs.foreach { case (a, b) =>
       val moved = deals(a).count { case (id, s) => deals(b)(id) != s }
-      assert(moved > 100,
+      assert(moved > 250,
         s"seeds $a/$b moved only $moved of 400 docs between shards")
     }
     // non-power-of-two shard counts are rejected (high-bit split)
