@@ -119,6 +119,23 @@ object DedupQueries {
         "doc_a", "doc_b").select("doc_id", "cluster").persist()
     })
 
+  /** FULL-corpus cluster assignment (doc_id, cluster, keeper) — the
+    * other standing assignment table, shared by every query that
+    * consumes whole-corpus clustering (q_dedup_clusters,
+    * q_sample_cluster, q_text_cluster_keywords): the log-round
+    * resolve runs ONCE per (session, dir), after which each consumer
+    * pays only its own probe/aggregation — the same
+    * standing-structure unification as the signature caches. */
+  private val fullAssignCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def cachedFullAssignments(s: SparkSession, dir: String): DataFrame =
+    fullAssignCache.getOrElseUpdate((s, dir), {
+      val a = Clusters.resolve(Tables(s, dir, "documents"), "doc_id",
+        cachedPairs(s, dir), "doc_a", "doc_b").persist()
+      a.count() // materialize once; consumers share the resolved table
+      a
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy on canonicalized text; keeper = min id.
@@ -198,11 +215,10 @@ object DedupQueries {
       }).orderBy("doc_a", "doc_b")),
 
     // Connected-component cluster resolution over the LSH near-dup
-    // pairs: every doc labeled with its component's min id.
+    // pairs: every doc labeled with its component's min id (served
+    // from the shared standing assignment table).
     "q_dedup_clusters" -> ((s, dir) =>
-      Clusters.resolve(Tables(s, dir, "documents"), "doc_id",
-        cachedPairs(s, dir), "doc_a", "doc_b")
-        .orderBy("doc_id")),
+      cachedFullAssignments(s, dir).orderBy("doc_id")),
 
     // Incremental cluster MAINTENANCE: the corpus (train bucket) is
     // clustered once into a standing assignment table; the batch
@@ -246,8 +262,7 @@ object DedupQueries {
     // narrow hash filter.
     "q_sample_cluster" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val clusters = Clusters.resolve(docs, "doc_id",
-        cachedPairs(s, dir), "doc_a", "doc_b").select("doc_id", "cluster")
+      val clusters = cachedFullAssignments(s, dir).select("doc_id", "cluster")
       val sizes = clusters.groupBy("cluster").agg(count(lit(1)).as("n_c"))
       val rate = least(lit(1.0),
         lit(ClusterSampleQuota.toDouble) / col("n_c").cast("double"))
@@ -276,8 +291,7 @@ object DedupQueries {
     "q_text_cluster_keywords" -> ((s, dir) => {
       import graft.text.TextAnalysis
       val docs = Tables(s, dir, "documents")
-      val clusters = Clusters.resolve(docs, "doc_id",
-        cachedPairs(s, dir), "doc_a", "doc_b").select("doc_id", "cluster")
+      val clusters = cachedFullAssignments(s, dir).select("doc_id", "cluster")
       val sizes = clusters.groupBy("cluster")
         .agg(count(lit(1)).as("n_docs")).filter(col("n_docs") >= 2)
       // restrict to multi-doc clusters BEFORE tokenizing: on a
