@@ -23,9 +23,10 @@ object Tables {
    * session zone is at ACTION time — matching how DuckDB treats the
    * same naive column in the oracle. (A plain NTZ→LTZ cast would be
    * correct only under a UTC session zone at execution, an invariant
-   * a caller could silently break between plan build and action; the
-   * UTC pin below is still set for downstream formatting, but
-   * correctness here no longer depends on it.)
+   * a caller could silently break between plan build and action;
+   * entry points pin UTC for downstream FORMATTING, but correctness
+   * here does not depend on it, so the loader no longer mutates the
+   * session zone itself.)
    *
    * The normalization folds over TOP-LEVEL fields only: the driver
    * tables are flat (TESTDATA.md), and no nested struct/array carries
@@ -34,8 +35,14 @@ object Tables {
    * instead of downstream in a unix_micros-style consumer.
    */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // nanosAsLong is a READ-path necessity (Spark 4 refuses
+    // TIMESTAMP(NANOS) parquet without it), not a display preference,
+    // so setting it per load is correct. The session TIME ZONE is NOT
+    // set here: the normalization below is zone-independent, and a
+    // loader that silently overrode the caller's display zone on every
+    // table read would be a hidden side effect (every entry point —
+    // Verify/Bench/Smoke/specs — pins UTC itself for formatting).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.fields.foldLeft(df) { (acc, f) =>
       f.dataType match {

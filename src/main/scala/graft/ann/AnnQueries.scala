@@ -66,6 +66,34 @@ object AnnQueries {
     * centroids and query set are the RAM-resident half of an IVF
     * service, so each query run pays ONLY the probe-side pruned scan
     * + rerank. */
+  /** Scratch index paths awaiting JVM-exit retirement, drained by ONE
+    * shutdown hook (registered lazily on first use). Deletion goes
+    * through the Hadoop FS API — the same verb as [[IvfIndex.delete]]
+    * — resolved against a fresh Configuration because the
+    * SparkSession is typically already stopped inside a shutdown
+    * hook; if [[IvfIndex.scratchPath]] ever grows a non-local base,
+    * this keeps cleaning where a java.io.File delete would silently
+    * stop. */
+  private val scratchPaths =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val cleanupHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      var p = scratchPaths.poll()
+      while (p != null) {
+        try {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            .delete(hp, true)
+        } catch { case _: Throwable => () } // best-effort, like deleteQuietly
+        p = scratchPaths.poll()
+      }
+    }))
+  private def registerScratchCleanup(path: String): Unit = {
+    cleanupHookInstalled
+    scratchPaths.add(path)
+    ()
+  }
+
   private val ivfIndexCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String),
       (String, Seq[Array[Double]], Seq[(Long, Array[Double])])]
@@ -78,10 +106,11 @@ object AnnQueries {
       val path = IvfIndex.scratchPath(dir)
       // scratch indexes are session-lived: retire on JVM exit so
       // repeated harness runs never accumulate /tmp state (the
-      // standing-index release-handle discipline, at-rest edition)
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        org.apache.commons.io.FileUtils.deleteQuietly(
-          new java.io.File(path))))
+      // standing-index release-handle discipline, at-rest edition).
+      // ONE hook for the whole JVM draining a concurrent queue — a
+      // hook per cache fill would accumulate a thread per (session,
+      // dir) in a long-lived JVM.
+      registerScratchCleanup(path)
       IvfIndex.write(emb, "vec_id", "embedding", cents, path)
       // read BACK from the written index (not the in-memory trainer
       // output) so the query exercises the same load path a fresh

@@ -94,7 +94,12 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(shards > 0 && (shards & (shards - 1)) == 0,
       s"shards must be a positive power of two, got $shards")
-    val k0 = (col(idCol) + lit(seed)) % lit(2147483648L)
+    // pmod, not %: Spark's % preserves sign, so a negative doc id or
+    // seed (both public API) would yield negative keys and out-of-range
+    // shards silently. pmod lands every input in [0, 2^31) — identical
+    // to % for the non-negative ids the harness uses (the oracle
+    // mirrors the same ((x % m) + m) % m form).
+    val k0 = pmod(col(idCol) + lit(seed), lit(2147483648L))
     val m = mix31(mix31(k0))
     val key = m.bitwiseXOR(shiftright(m, 16))
     val w = Window.partitionBy(col("shard")).orderBy(col("key"), col(idCol))

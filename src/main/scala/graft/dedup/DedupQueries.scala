@@ -869,7 +869,9 @@ object DedupQueries {
 
     "q_sample_shuffle" -> s"""
       WITH k0 AS (
-        SELECT doc_id, (doc_id + $ShuffleSeed) % 2147483648 AS x
+        -- pmod form, matching the Spark side's negative-input guard
+        SELECT doc_id,
+          ((doc_id + $ShuffleSeed) % 2147483648 + 2147483648) % 2147483648 AS x
         FROM documents),
       m1 AS (SELECT doc_id,
           (xor(x, x >> 16) * 73244475) % 2147483648 AS x FROM k0),

@@ -141,10 +141,35 @@ object DriftGate {
       val candidates = toks.as[String].mapPartitions { it =>
         val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
           new java.io.ByteArrayInputStream(bc.value))
-        val seen = scala.collection.mutable.HashSet.empty[String]
-        it.foreach(seen += _)
-        seen.toSeq.map(t => (t, sk.estimateCount(t)))
-          .sortBy { case (t, e) => (-e, t) }.take(candM).iterator
+        // Per-partition memory is BOUNDED at slack·K entries — a
+        // min-heap of the locally-best (estimate, token) pairs plus a
+        // same-sized membership set — NOT the partition's distinct
+        // vocabulary (this function exists precisely because that
+        // vocabulary is too hot to materialize). The CMS estimate is a
+        // pure function of the token, so heap membership doubles as
+        // dedup: re-seeing a resident token is a no-op, re-seeing an
+        // evicted one re-loses to the same comparison. The result is
+        // exactly the local top-(slack·K) by (-estimate, token) that
+        // the former sort-all-distinct produced.
+        val worstFirst = new Ordering[(Long, String)] {
+          def compare(a: (Long, String), b: (Long, String)): Int = {
+            val c = java.lang.Long.compare(b._1, a._1) // lower estimate = worse
+            if (c != 0) c else a._2.compareTo(b._2)    // larger token = worse
+          }
+        }
+        val heap = scala.collection.mutable.PriorityQueue.empty(worstFirst)
+        val inHeap = scala.collection.mutable.HashSet.empty[String]
+        it.foreach { t =>
+          if (!inHeap.contains(t)) {
+            val e = sk.estimateCount(t)
+            if (heap.size < candM) { heap.enqueue((e, t)); inHeap += t }
+            else if (worstFirst.compare((e, t), heap.head) < 0) {
+              inHeap -= heap.dequeue()._2
+              heap.enqueue((e, t)); inHeap += t
+            }
+          }
+        }
+        heap.iterator.map { case (e, t) => (t, e) }
       }.collect()
         .groupBy(_._1).view.mapValues(_.head._2).toSeq
         .sortBy { case (t, e) => (-e, t) }.take(candM).map(_._1)

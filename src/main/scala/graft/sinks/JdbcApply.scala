@@ -459,14 +459,37 @@ object JdbcApply {
           val sql = s"INSERT INTO ${dialect.quote(t)} " +
             s"(${fields.map(dialect.quote).mkString(", ")}) " +
             s"VALUES (${fields.map(_ => "?").mkString(", ")})"
-          val ps = conn.prepareStatement(sql)
-          var pending = 0
-          it.foreach { row =>
-            fields.indices.foreach(i => ps.setObject(i + 1, jdbcValue(row.get(i))))
-            ps.addBatch(); pending += 1
-            if (pending % batchSize == 0) ps.executeBatch()
-          }
-          if (pending % batchSize != 0) { ps.executeBatch(); () }
+          // REPLAY-IDEMPOTENT: a corrupt row's Kafka coordinates
+          // (topic, partition, offset) identify it globally, so a
+          // redelivered foreachBatch (at-least-once) must REPLACE its
+          // own DLQ rows, not append duplicates — the one spot where
+          // the reference's own at-least-once path duplicates
+          // (CorruptEventWriter.java:37-114 blind-inserts). Delete-
+          // then-insert by coordinates, chunked so memory stays at
+          // batchSize rows, inside one transaction per partition so a
+          // crash between the two phases can't lose rows.
+          val delSql = s"DELETE FROM ${dialect.quote(t)} WHERE " +
+            Seq("topic", "kafka_partition", "kafka_offset")
+              .map(c => s"${dialect.quote(c)} = ?").mkString(" AND ")
+          conn.setAutoCommit(false)
+          try {
+            val ins = conn.prepareStatement(sql)
+            val del = conn.prepareStatement(delSql)
+            it.grouped(batchSize).foreach { chunk =>
+              chunk.foreach { row =>
+                (0 until 3).foreach(i => del.setObject(i + 1, jdbcValue(row.get(i))))
+                del.addBatch()
+              }
+              del.executeBatch()
+              chunk.foreach { row =>
+                fields.indices.foreach(i =>
+                  ins.setObject(i + 1, jdbcValue(row.get(i))))
+                ins.addBatch()
+              }
+              ins.executeBatch()
+            }
+            conn.commit()
+          } catch { case e: Throwable => conn.rollback(); throw e }
         } finally conn.close()
       }
     }

@@ -99,6 +99,20 @@ class JdbcStreamSpec extends SparkSpec {
     assert(rows.map(_._1) == Seq(1L, 2L))
   }
 
+  test("DLQ writes are replay-idempotent (keyed by topic/partition/offset)") {
+    // foreachBatch is at-least-once: a redelivered batch must REPLACE
+    // its own corrupt rows (delete-then-insert by Kafka coordinates),
+    // not append duplicates — the terminal DLQ count after a replay is
+    // the same 1 row, where a blind append (the reference's own
+    // CorruptEventWriter behavior) would leave 2.
+    val db = "dlqreplaydb"
+    val wire = spark.createDataFrame(
+      spark.sparkContext.parallelize(fixture), Cdc.kafkaWireSchema)
+    JdbcApply.applyBatch(CdcNormalize(wire, CdcConfig()), sinkCfg(db))
+    JdbcApply.applyBatch(CdcNormalize(wire, CdcConfig()), sinkCfg(db)) // replay
+    assertTerminal(s"jdbc:derby:memory:$db") // asserts DLQ count == 1
+  }
+
   test("PK riding only the record key routes, binds, and deletes correctly") {
     // compacted-topic shape: value payloads never repeat the PK — the
     // value schema has no ID column at all; the key supplies it. The
