@@ -66,6 +66,7 @@ object ScaleSmoke {
       "q_pipeline_curate", "q_dedup_incremental", "q_dedup_incremental_fuzzy",
       "q_dedup_incremental_simhash", "q_dedup_incremental_embed",
       "q_pipeline_ingest", "q_dedup_clusters_incremental",
+      "q_dedup_clusters_atrest",
       "q_text_vocab_drift_capped", "q_sample_cluster",
       "q_sample_shuffle", "q_dedup_semantic_trained")
     queries.foreach { name =>
@@ -375,6 +376,44 @@ object ScaleSmoke {
     }
 
     ivfAppendSmoke(spark)
+    clusterIndexSmoke(spark)
+  }
+
+  /**
+   * At-rest cluster-assignment table at 10×: the per-SNAPSHOT cost
+   * (LSH funnel + log-round component resolve + persist) vs the
+   * steady-state cost any LATER session pays (ClusterIndex.open —
+   * one assignment scan + the composed relabel broadcast). The
+   * session-RAM assignment cache re-pays the left column every
+   * session; the at-rest table makes it once-per-snapshot. Both
+   * measured on the same box in sequence, and the resolve includes
+   * shingling + banding + a multi-round component loop while the
+   * open is a single scan-and-count — the ordering is structural,
+   * not a load artifact.
+   */
+  def clusterIndexSmoke(spark: SparkSession): Unit = {
+    import graft.dedup.{ClusterIndex, Clusters, Dedup}
+    val docs = Tables(spark, OutDir, "documents")
+    val nDocs = docs.count()
+    val t0 = System.nanoTime()
+    val (pairs, release) = Dedup.nearDupPairsManaged(
+      docs, "doc_id", "text", graft.dedup.DedupQueries.LshPairsThreshold)
+    val path = ClusterIndex.scratchPath(OutDir)
+    ClusterIndex.write(
+      Clusters.resolve(docs, "doc_id", pairs, "doc_a", "doc_b")
+        .select("doc_id", "cluster"),
+      path)
+    release()
+    val resolveSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val n = ClusterIndex.open(spark, path).count()
+    val openSec = (System.nanoTime() - t1) / 1e9
+    println(f"[scale] cluster index at rest    resolve+write ${resolveSec}%6.2f s" +
+      f"  open+probe ${openSec}%6.2f s  rows=$n")
+    require(n == nDocs, s"at-rest assignment table lost rows: $n of $nDocs")
+    require(openSec < resolveSec,
+      f"open ($openSec%.2f s) did not beat re-resolve ($resolveSec%.2f s)")
+    ClusterIndex.delete(spark, path)
   }
 
   /**

@@ -66,33 +66,12 @@ object AnnQueries {
     * centroids and query set are the RAM-resident half of an IVF
     * service, so each query run pays ONLY the probe-side pruned scan
     * + rerank. */
-  /** Scratch index paths awaiting JVM-exit retirement, drained by ONE
-    * shutdown hook (registered lazily on first use). Deletion goes
-    * through the Hadoop FS API — the same verb as [[IvfIndex.delete]]
-    * — resolved against a fresh Configuration because the
-    * SparkSession is typically already stopped inside a shutdown
-    * hook; if [[IvfIndex.scratchPath]] ever grows a non-local base,
-    * this keeps cleaning where a java.io.File delete would silently
-    * stop. */
-  private val scratchPaths =
-    new java.util.concurrent.ConcurrentLinkedQueue[String]()
-  private lazy val cleanupHookInstalled: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      var p = scratchPaths.poll()
-      while (p != null) {
-        try {
-          val hp = new org.apache.hadoop.fs.Path(p)
-          hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-            .delete(hp, true)
-        } catch { case _: Throwable => () } // best-effort, like deleteQuietly
-        p = scratchPaths.poll()
-      }
-    }))
-  private def registerScratchCleanup(path: String): Unit = {
-    cleanupHookInstalled
-    scratchPaths.add(path)
-    ()
-  }
+  /** Scratch index retirement is the JVM-wide [[graft.Scratch]]
+    * lifecycle (one shutdown hook, Hadoop FS deletes), shared with
+    * the other at-rest scratch structures (the cluster-assignment
+    * table in DedupQueries). */
+  private def registerScratchCleanup(path: String): Unit =
+    graft.Scratch.registerCleanup(path)
 
   private val ivfIndexCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String),

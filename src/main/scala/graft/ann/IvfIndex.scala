@@ -44,12 +44,56 @@ object IvfIndex {
     * Callers cache the result per (session, dir), so the cost is one
     * UUID per standing index, and a production deployment would swap
     * the token for its corpus-snapshot id. */
-  def scratchPath(sourceDir: String): String = {
-    val base = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-    val tag = sourceDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    val token = java.util.UUID.randomUUID().toString.take(8)
-    s"$base/graft_ivf_${tag}_$token"
+  def scratchPath(sourceDir: String): String =
+    graft.Scratch.path("graft_ivf", sourceDir)
+
+  /** SNAPSHOT-KEYED index location — the cross-session twin of
+    * [[scratchPath]]: deterministic in (base, snapshotId), so a later
+    * session over the same corpus snapshot finds the index a prior
+    * session trained instead of retraining. `snapshotId` is the
+    * caller's corpus identity (a content fingerprint, an ingest
+    * watermark, a catalog version) — anything that changes exactly
+    * when the corpus the index serves changes. NOT registered for
+    * JVM-exit cleanup: a snapshot index outliving its builder is the
+    * point; retire it with [[delete]] when the snapshot is
+    * superseded (the retrain-and-swap loop does this). */
+  def snapshotPath(base: String, snapshotId: String): String =
+    s"$base/graft_ivf_snap_${snapshotId.replaceAll("[^A-Za-z0-9._-]", "_")}"
+
+  /** True iff BOTH halves of an index at `path` committed (parquet's
+    * `_SUCCESS` markers). [[write]] lands centroids before corpus, so
+    * a crash mid-build leaves the pair incomplete and the next
+    * [[ensure]] rebuilds it — the marker pair IS the validity
+    * protocol. */
+  def isComplete(spark: SparkSession, path: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def committed(sub: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub/_SUCCESS")
+      p.getFileSystem(conf).exists(p)
+    }
+    committed("centroids") && committed("corpus")
   }
+
+  /** OPEN-IF-VALID: reuse the complete index at `path`, else train
+    * (the by-name `train` thunk — not evaluated on the reuse path,
+    * which is the whole economy: "train once per snapshot, probe
+    * forever" now crosses the session boundary) and [[write]].
+    * Returns the resident centroid matrix either way, ready for
+    * [[probeResident]]. Callers must serialize concurrent ensures of
+    * the SAME snapshot path (production puts a build lock or a
+    * write-then-rename commit in front; two racing writers would
+    * interleave overwrites). Cross-session reuse and the
+    * not-retrained guarantee are pinned by AnnLayoutSpec's
+    * two-session case. */
+  def ensure(corpus: => DataFrame, idCol: String, vecCol: String,
+      spark: SparkSession, path: String)(
+      train: => Seq[Array[Double]]): Seq[Array[Double]] =
+    if (isComplete(spark, path)) readCentroids(spark, path)
+    else {
+      val cents = train
+      write(corpus, idCol, vecCol, cents, path)
+      readCentroids(spark, path)
+    }
 
   /** Base-snapshot marker in the `__batch` partition column. */
   val BaseBatch = -1L

@@ -1,0 +1,240 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * PERSISTED cluster-assignment table — the at-rest form of the
+ * standing (doc_id, cluster) structure that [[Clusters.resolve]]
+ * produces and [[Clusters.incrementalResolve]] maintains, with the
+ * same write / append / probe / delete lifecycle as
+ * [[graft.ann.IvfIndex]]. Separates the two costs a production dedup
+ * service must not conflate:
+ *
+ *   - RESOLVE (rare): the log-round connected-components pass over
+ *     the whole corpus — [[write]], run per corpus snapshot;
+ *   - FOLD (constant): land one batch's documents and merge the
+ *     clusters its edges touch — [[foldBatch]], per ingest batch,
+ *     batch-sized work against the resident table;
+ *   - OPEN (probe): read the composed table back — [[open]], what
+ *     every consumer (diversity sampler, cluster labeling, keeper
+ *     filters) joins against, in THIS session or any later one.
+ *
+ * A session-RAM assignment table (the pre-round-10 shape) re-runs the
+ * corpus resolve every session; at 100 TB the resolve is hours of
+ * cluster time and the fold is the only recurring cost, so the table
+ * must outlive the session that built it.
+ *
+ * Layout under `path`:
+ *   - `assignments/__batch=<b>/` — (doc_id, cluster) parquet;
+ *     `__batch = -1` is the base snapshot, each fold appends its own
+ *     `__batch = <id>` partition holding ONLY that batch's documents.
+ *     Rows are sorted by doc_id within files so point/range probes by
+ *     doc_id prune row groups via parquet footer stats (a
+ *     multi-executor warehouse would additionally bucket by doc_id
+ *     for a shuffle-free probe join).
+ *   - `relabel/__batch=<b>/` — (old_cluster, new_cluster) per fold:
+ *     the batch-sized record of which standing clusters that batch
+ *     MERGED. Appending this map instead of rewriting the corpus
+ *     table is what makes a fold O(|batch|): the corpus-sized
+ *     `assignments` files are never touched after their own batch.
+ *
+ * [[open]] composes: read every relabel map (each ≤ |batch| rows of
+ * touched clusters — KB-scale; driver-side by construction), chase
+ * the chains into one final map (labels are component-min doc ids,
+ * so chains strictly decrease — no cycles), and apply it to the
+ * assignment union with ONE broadcast join. The composed chain grows
+ * with merge count, not corpus size; [[compact]] rewrites the base
+ * and resets it (run on the retention cadence, like
+ * `CdcOps.compactSnapshotRetained`).
+ *
+ * Replay-idempotence: [[foldBatch]] writes are DYNAMIC partition
+ * overwrites keyed by `batchId`, so an at-least-once redelivery
+ * (Structured Streaming foreachBatch) replaces exactly its own
+ * partitions instead of duplicating rows — and the quotient-edge
+ * mapping excludes the batch's own ids from the standing-table
+ * lookup, so a replayed batch whose docs already landed re-derives
+ * the same labels instead of resurrecting them as singletons.
+ * Distinct batches MUST use distinct ids ≥ 0 and fold SEQUENTIALLY
+ * (each fold resolves against the table as of the previous fold);
+ * for a stream that means running WITH a checkpointLocation so batch
+ * ids stay monotone across restarts.
+ *
+ * Equivalence contract: open-after-fold ≡ [[Clusters.resolve]] on
+ * corpus ∪ batches from scratch (the [[Clusters.incrementalResolve]]
+ * theorem, now across the session boundary) — pinned by
+ * ClusterIndexSpec and the q_dedup_clusters_atrest oracle.
+ */
+object ClusterIndex {
+
+  /** Base-snapshot marker in the `__batch` partition column. */
+  val BaseBatch = -1L
+
+  /** Collision-free scratch location for the harness (see
+    * [[graft.Scratch]]); production keys by corpus-snapshot id. */
+  def scratchPath(sourceDir: String): String =
+    graft.Scratch.path("graft_clusters", sourceDir)
+
+  /** Resolve-side write: the base corpus snapshot's (doc_id, cluster)
+    * labels, plus an EMPTY relabel table (schema materialized so
+    * [[open]] never special-cases a fresh index). */
+  def write(assignments: DataFrame, path: String): Unit = {
+    assignments.select(col("doc_id"), col("cluster"))
+      .withColumn("__batch", lit(BaseBatch))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").partitionBy("__batch")
+      .parquet(s"$path/assignments")
+    emptyRelabel(assignments.sparkSession)
+      .write.mode("overwrite").partitionBy("__batch")
+      .parquet(s"$path/relabel")
+  }
+
+  private def emptyRelabel(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Long, Long)]
+      .toDF("old_cluster", "new_cluster", "__batch")
+  }
+
+  /**
+   * Incremental FOLD — the per-batch face of the standing table. The
+   * batch's near-dup edges (within-batch pairs plus batch↔corpus
+   * probe matches — the incremental funnels' outputs) map their
+   * endpoints through the resident table onto the QUOTIENT graph
+   * (each touched cluster appears as its representative), the
+   * batch-sized quotient resolves locally, and two partition-scoped
+   * writes land the result: the batch docs' labels into
+   * `assignments/__batch=batchId` and the merge map into
+   * `relabel/__batch=batchId`. Untouched corpus files are never
+   * rewritten — per-fold bytes are O(|batch|), the same
+   * append-only discipline as [[graft.ann.IvfIndex.append]].
+   *
+   * The quotient is `localCheckpoint`ed before the writes because the
+   * writes' target partitions live in the directory the quotient's
+   * lineage reads — truncation both cuts the self-overwrite cycle and
+   * pins one consistent view across the two writes.
+   *
+   * @param batchDocs new docs (idCol); ids disjoint from the corpus
+   * @param newPairs  (aCol, bCol) undirected edges touching the batch
+   */
+  def foldBatch(path: String, batchDocs: DataFrame, idCol: String,
+      newPairs: DataFrame, aCol: String, bCol: String,
+      batchId: Long): Unit = {
+    require(batchId != BaseBatch && batchId >= 0,
+      s"fold batch ids must be ≥ 0 (got $batchId; $BaseBatch is the base)")
+    val spark = batchDocs.sparkSession
+    val batchIds = batchDocs.select(col(idCol).as("doc_id"))
+    // Standing labels WITHOUT the batch's own ids: on first play the
+    // anti-join is a no-op (ids are disjoint by contract); on REPLAY
+    // it stops a batch doc's prior landing from capturing its own
+    // edge endpoints (which would re-resolve it as a singleton).
+    val asg = open(spark, path).join(batchIds, Seq("doc_id"), "left_anti")
+    val asgA = asg.select(col("doc_id").as("__a"), col("cluster").as("__ca"))
+    val asgB = asg.select(col("doc_id").as("__b"), col("cluster").as("__cb"))
+    val quotientEdges = newPairs
+      .select(col(aCol).as("__a"), col(bCol).as("__b"))
+      .join(asgA, Seq("__a"), "left")
+      .join(asgB, Seq("__b"), "left")
+      .select(coalesce(col("__ca"), col("__a")).as("qa"),
+        coalesce(col("__cb"), col("__b")).as("qb"))
+    val quotient = Clusters
+      .resolve(batchIds, "doc_id", quotientEdges, "qa", "qb")
+      .select(col("doc_id"), col("cluster"))
+      .localCheckpoint(true)
+    quotient.join(batchIds, Seq("doc_id"), "left_semi")
+      .withColumn("__batch", lit(batchId))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch")
+      .parquet(s"$path/assignments")
+    // merge map: touched corpus representatives that took a new label
+    // (batch docs are assignment rows, not relabel keys — no standing
+    // cluster ever carries a batch id, so mapping them would be dead
+    // weight in the composed chain)
+    quotient.filter(col("doc_id") =!= col("cluster"))
+      .join(batchIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as("old_cluster"), col("cluster").as("new_cluster"))
+      .withColumn("__batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch")
+      .parquet(s"$path/relabel")
+  }
+
+  /** Probe-side read: the composed (doc_id, cluster) table — base +
+    * every fold's partition, with the merge chain applied. The chain
+    * composition is driver-side over the relabel maps (bounded by
+    * total merges since the last [[compact]], each map batch-sized);
+    * the corpus-scale work is ONE broadcast join. Works from any
+    * SparkSession — this is the cross-session face. */
+  def open(spark: SparkSession, path: String): DataFrame = {
+    val asg = spark.read.parquet(s"$path/assignments")
+      .select(col("doc_id"), col("cluster"))
+    // explicit schema: a fresh index's relabel dir holds no data
+    // files (an empty partitioned write emits only _SUCCESS), so
+    // footer-based inference has nothing to read
+    val entries = spark.read
+      .schema("old_cluster LONG, new_cluster LONG, __batch LONG")
+      .parquet(s"$path/relabel")
+      .select(col("old_cluster"), col("new_cluster"), col("__batch"))
+      .collect()
+    if (entries.isEmpty) asg
+    else {
+      // chains strictly decrease (labels are component-min ids), so
+      // chasing terminates; later batches' maps extend earlier ones
+      // (old keys are never re-merged — a merged rep stops being a
+      // label the moment its map entry lands)
+      val m = entries.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def chase(x: Long): Long = {
+        var c = x
+        while (m.contains(c) && m(c) != c) c = m(c)
+        c
+      }
+      import spark.implicits._
+      val composed = m.keysIterator.map(k => (k, chase(k))).toSeq
+        .toDF("cluster", "__new")
+      asg.join(broadcast(composed), Seq("cluster"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__new"), col("cluster")).as("cluster"))
+    }
+  }
+
+  /** [[open]] plus the conventional keeper flag (cluster = min id ⇒
+    * keeper is the doc that IS its own label). */
+  def openWithKeeper(spark: SparkSession, path: String): DataFrame =
+    open(spark, path)
+      .withColumn("keeper", (col("doc_id") === col("cluster")).cast("int"))
+
+  /** Rewrite the composed table as a fresh base snapshot and reset
+    * the relabel chain — run on the retention cadence so the chain
+    * stays bounded by merges-per-cycle. Stages to a sibling temp dir
+    * then swaps (the composed read's lineage covers the directory
+    * being replaced); the delete→rename window is the same
+    * non-atomicity every path-swap on a non-transactional store has —
+    * production would version the directory and retire the old one
+    * after the swap (`compactSnapshotRetained` discipline). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val tmp = s"$path/.compact_tmp"
+    open(spark, path)
+      .withColumn("__batch", lit(BaseBatch))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").partitionBy("__batch")
+      .parquet(tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val asgPath = new org.apache.hadoop.fs.Path(s"$path/assignments")
+    fs.delete(asgPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), asgPath)
+    emptyRelabel(spark)
+      .write.mode("overwrite").partitionBy("__batch")
+      .parquet(s"$path/relabel")
+  }
+
+  /** Retire the table — the lifecycle's last verb, Hadoop FS so the
+    * path may be any Spark-reachable filesystem. */
+  def delete(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
+  }
+}

@@ -136,6 +136,34 @@ object DedupQueries {
       a
     })
 
+  /** The AT-REST cluster-assignment table (q_dedup_clusters_atrest):
+    * corpus resolve written once per (session, dir) as the base
+    * snapshot, the incremental batch folded in as partition appends —
+    * the durable twin of [[cachedCorpusAssignments]], built with the
+    * same standing funnels. Scratch-pathed for the harness
+    * (JVM-exit retirement via [[graft.Scratch]]); production keys the
+    * path by corpus-snapshot id and keeps it. */
+  private val clusterIdxCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def cachedClusterIndexPath(s: SparkSession, dir: String): String =
+    clusterIdxCache.getOrElseUpdate((s, dir), {
+      val (_, batch) = splitDocs(s, dir)
+      val path = ClusterIndex.scratchPath(dir)
+      graft.Scratch.registerCleanup(path)
+      ClusterIndex.write(cachedCorpusAssignments(s, dir), path)
+      val batchPairs = Dedup.pairsFromSignatures(
+          cachedBatchSignatures(s, dir), "batch_id", "sh_batch",
+          IncrementalFuzzyThreshold)
+        .select(col("doc_a"), col("doc_b"))
+      val crossPairs = Dedup.probeFromSignatures(
+          cachedBatchSignatures(s, dir), cachedCorpusIndex(s, dir),
+          IncrementalFuzzyThreshold)
+        .select(col("batch_id").as("doc_a"), col("corpus_id").as("doc_b"))
+      ClusterIndex.foldBatch(path, batch, "doc_id",
+        batchPairs.unionByName(crossPairs), "doc_a", "doc_b", batchId = 0L)
+      path
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: hash-groupBy on canonicalized text; keeper = min id.
@@ -248,6 +276,19 @@ object DedupQueries {
         batchPairs.unionByName(crossPairs), "doc_a", "doc_b")
         .orderBy("doc_id")
     }),
+
+    // The AT-REST form of the same maintenance loop: the corpus
+    // resolve is PERSISTED once per snapshot (ClusterIndex.write),
+    // the batch folds in as two batch-sized partition appends
+    // (foldBatch — the corpus files are never rewritten), and the
+    // answer is read BACK from disk through the composed relabel
+    // chain (openWithKeeper) — the cross-session production shape,
+    // where a later session probes what an earlier session resolved.
+    // Same oracle as the in-RAM incremental query: open-after-fold
+    // must equal the from-scratch re-cluster of corpus ∪ batch.
+    "q_dedup_clusters_atrest" -> ((s, dir) =>
+      ClusterIndex.openWithKeeper(s, cachedClusterIndexPath(s, dir))
+        .orderBy("doc_id")),
 
     // CLUSTER-BALANCED (diversity-aware) sampling: per-cluster keep
     // rate min(1, quota / cluster_size), selected by the deterministic
@@ -816,6 +857,10 @@ object DedupQueries {
     // Incremental maintenance must equal the from-scratch answer — the
     // oracle IS the full-recompute clustering over corpus ∪ batch.
     "q_dedup_clusters_incremental" -> clustersOracle,
+
+    // The at-rest fold must round-trip to the SAME from-scratch
+    // answer after the write → fold → open(compose relabels) cycle.
+    "q_dedup_clusters_atrest" -> clustersOracle,
 
     "q_sample_cluster" -> s"""WITH RECURSIVE $clusterCtes,
       asg AS (SELECT id AS doc_id, MIN(r) AS cluster FROM reach GROUP BY id),

@@ -168,6 +168,67 @@ class AnnLayoutSpec extends SparkSpec {
     IvfIndex.delete(spark, p2)
   }
 
+  test("snapshot-keyed ensure: a second session reuses without retraining") {
+    import graft.ann.IvfIndex
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables(spark, sf, "embeddings")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ivf-snap").toString
+    val path = IvfIndex.snapshotPath(base, "corpus-v1")
+    assert(IvfIndex.snapshotPath(base, "corpus-v1") == path,
+      "snapshot path must be deterministic in (base, snapshotId)")
+    assert(!IvfIndex.isComplete(spark, path))
+
+    var trainCalls = 0
+    def cents(): Seq[Array[Double]] = IvfIndex.ensure(
+      emb, "vec_id", "embedding", spark, path) {
+      trainCalls += 1
+      Similarity.trainCentroids(emb, "vec_id", "embedding", K)
+    }
+    val c1 = cents()
+    assert(trainCalls == 1 && IvfIndex.isComplete(spark, path))
+    val queries = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .toSeq
+    def probe(s: org.apache.spark.sql.SparkSession,
+        c: Seq[Array[Double]]): Seq[(Long, Long, Int)] =
+      IvfIndex.probeResident(s, path, c, queries, "vec_id", "embedding", 2, 3)
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+        .sorted
+    val firstAnswer = probe(spark, c1)
+    val filesAfterTrain = listParquetFiles(s"$path/centroids")
+    val mtimes = filesAfterTrain.map(f => f -> new java.io.File(f).lastModified)
+
+    // a SECOND session over the same snapshot: ensure must take the
+    // reuse path — the train thunk never evaluates, no centroids
+    // write happens, and the probe answers are identical
+    val session2 = spark.newSession()
+    var trained2 = false
+    val c2 = IvfIndex.ensure(
+      Tables(session2, sf, "embeddings"), "vec_id", "embedding",
+      session2, path) {
+      trained2 = true
+      fail("second session must reuse the snapshot index, not retrain")
+    }
+    assert(!trained2)
+    assert(c2.map(_.toSeq) == c1.map(_.toSeq))
+    assert(listParquetFiles(s"$path/centroids") == filesAfterTrain)
+    assert(mtimes.forall { case (f, t) =>
+      new java.io.File(f).lastModified == t }, "centroids were rewritten")
+    assert(probe(session2, c2) == firstAnswer && firstAnswer.nonEmpty)
+
+    // an index whose corpus half never committed is NOT reusable —
+    // the next ensure rebuilds instead of probing half an index
+    assert(new java.io.File(s"$path/corpus/_SUCCESS").delete())
+    assert(!IvfIndex.isComplete(spark, path))
+    val c3 = cents()
+    assert(trainCalls == 2 && IvfIndex.isComplete(spark, path))
+    assert(probe(spark, c3) == firstAnswer)
+    IvfIndex.delete(spark, path)
+  }
+
   private def listParquetFiles(dir: String): Set[String] = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)

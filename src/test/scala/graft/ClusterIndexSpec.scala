@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{ClusterIndex, Clusters}
+
+/** The at-rest cluster-assignment lifecycle: write / foldBatch /
+  * open / compact / delete. The contract is the incrementalResolve
+  * theorem carried across the SESSION boundary — open-after-fold,
+  * from any SparkSession, equals the from-scratch resolve of
+  * corpus ∪ batches — plus the replay-idempotence the partitioned
+  * layout buys. */
+class ClusterIndexSpec extends SparkSpec {
+
+  private def asMap(df: DataFrame): Map[Long, Long] =
+    df.select("doc_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def fixtureRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-clusteridx").toString
+
+  test("fold chains merges across batches and equals the from-scratch resolve") {
+    import spark.implicits._
+    val corpus = (1L to 10L).toDF("doc_id")
+    val corpusPairs = Seq((2L, 1L), (4L, 3L), (6L, 5L)).toDF("a", "b")
+    val base = Clusters.resolve(corpus, "doc_id", corpusPairs, "a", "b")
+      .select("doc_id", "cluster")
+    val path = fixtureRoot() + "/idx"
+    ClusterIndex.write(base, path)
+
+    // batch A merges standing clusters {1,2} and {3,4} through doc 100
+    val batchA = Seq(100L, 101L).toDF("doc_id")
+    val pairsA = Seq((100L, 2L), (100L, 4L)).toDF("a", "b")
+    ClusterIndex.foldBatch(path, batchA, "doc_id", pairsA, "a", "b", 0L)
+    // batch B merges the A-merged family with {5,6} — the relabel
+    // chain 3→1 then 5→1 must COMPOSE at open time
+    val batchB = Seq(200L).toDF("doc_id")
+    val pairsB = Seq((200L, 4L), (200L, 6L)).toDF("a", "b")
+    ClusterIndex.foldBatch(path, batchB, "doc_id", pairsB, "a", "b", 1L)
+
+    val expected = asMap(Clusters.resolve(
+      corpus.unionByName(batchA).unionByName(batchB), "doc_id",
+      corpusPairs.unionByName(pairsA).unionByName(pairsB), "a", "b"))
+    val got = asMap(ClusterIndex.open(spark, path))
+    assert(got == expected)
+    // the chained merge really happened: all of {1..6,100,200} → 1
+    assert(Seq(2L, 3L, 4L, 5L, 6L, 100L, 200L).forall(got(_) == 1L))
+    assert(got(101L) == 101L && got(7L) == 7L)
+
+    // keeper flag: exactly the docs that are their own label
+    val k = ClusterIndex.openWithKeeper(spark, path)
+      .filter(col("keeper") === 1).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(k == got.values.toSet)
+    ClusterIndex.delete(spark, path)
+  }
+
+  test("a second SparkSession opens the table a prior session folded") {
+    import spark.implicits._
+    val corpus = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((2L, 1L), (4L, 3L)).toDF("a", "b")
+    val path = fixtureRoot() + "/idx"
+    ClusterIndex.write(
+      Clusters.resolve(corpus, "doc_id", pairs, "a", "b")
+        .select("doc_id", "cluster"), path)
+    val batch = Seq(50L).toDF("doc_id")
+    ClusterIndex.foldBatch(path, batch, "doc_id",
+      Seq((50L, 2L), (50L, 3L)).toDF("a", "b"), "a", "b", 0L)
+    val first = asMap(ClusterIndex.open(spark, path))
+
+    // a FRESH session (own state, no RAM caches) probes the same
+    // at-rest table — the cross-session durability the session-RAM
+    // assignment cache cannot provide
+    val session2 = spark.newSession()
+    val second = asMap(ClusterIndex.open(session2, path))
+    assert(second == first)
+    assert(Seq(1L, 2L, 3L, 4L, 50L).forall(second(_) == 1L))
+    ClusterIndex.delete(spark, path)
+  }
+
+  test("replaying a fold with the same batch id leaves the table unchanged") {
+    import spark.implicits._
+    val corpus = (1L to 8L).toDF("doc_id")
+    val pairs = Seq((2L, 1L), (6L, 5L)).toDF("a", "b")
+    val path = fixtureRoot() + "/idx"
+    ClusterIndex.write(
+      Clusters.resolve(corpus, "doc_id", pairs, "a", "b")
+        .select("doc_id", "cluster"), path)
+    val batch = Seq(100L).toDF("doc_id")
+    val batchPairs = Seq((100L, 1L), (100L, 5L)).toDF("a", "b")
+    ClusterIndex.foldBatch(path, batch, "doc_id", batchPairs, "a", "b", 3L)
+    val once = asMap(ClusterIndex.open(spark, path))
+    val rowsOnce = ClusterIndex.open(spark, path).count()
+
+    // at-least-once redelivery: the SAME batch id replays against a
+    // table its first play already changed — the dynamic partition
+    // overwrite plus the batch-id endpoint guard must converge to the
+    // identical composed answer, not duplicate or re-singleton rows
+    ClusterIndex.foldBatch(path, batch, "doc_id", batchPairs, "a", "b", 3L)
+    assert(asMap(ClusterIndex.open(spark, path)) == once)
+    assert(ClusterIndex.open(spark, path).count() == rowsOnce)
+    assert(once(100L) == 1L && once(5L) == 1L && once(6L) == 1L)
+    ClusterIndex.delete(spark, path)
+  }
+
+  test("compact rewrites the base, resets the chain, and preserves the answer") {
+    import spark.implicits._
+    val corpus = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((2L, 1L), (4L, 3L)).toDF("a", "b")
+    val path = fixtureRoot() + "/idx"
+    ClusterIndex.write(
+      Clusters.resolve(corpus, "doc_id", pairs, "a", "b")
+        .select("doc_id", "cluster"), path)
+    ClusterIndex.foldBatch(path, Seq(70L).toDF("doc_id"),
+      "doc_id", Seq((70L, 2L), (70L, 4L)).toDF("a", "b"), "a", "b", 0L)
+    val before = asMap(ClusterIndex.open(spark, path))
+    assert(spark.read.parquet(s"$path/relabel").count() > 0)
+
+    ClusterIndex.compact(spark, path)
+    assert(asMap(ClusterIndex.open(spark, path)) == before)
+    // the chain is reset and the labels are baked into the base
+    // (explicit schema: the reset chain is an empty partitioned dir)
+    assert(spark.read
+      .schema("old_cluster LONG, new_cluster LONG, __batch LONG")
+      .parquet(s"$path/relabel").count() == 0)
+    val batches = spark.read.parquet(s"$path/assignments")
+      .select(col("__batch").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(batches == Seq(ClusterIndex.BaseBatch))
+    ClusterIndex.delete(spark, path)
+  }
+
+  test("q_dedup_clusters_atrest equals the in-RAM incremental answer on testdata") {
+    val sf = "/root/testdata/sf0.001"
+    val atRest = SparkEntry.queries("q_dedup_clusters_atrest")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val inRam = SparkEntry.queries("q_dedup_clusters_incremental")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(atRest.nonEmpty && atRest == inRam)
+  }
+}
