@@ -170,6 +170,19 @@ object IvfIndex {
         .select(col(idCol), col(vecCol), col("cell")),
       idCol, vecCol, threshold)
 
+  /** The RAM-resident half of a SERVED index, as one swappable unit:
+    * the at-rest path, the centroid matrix probes prune with, and the
+    * standing embedding profile the drift gate measures against (with
+    * its release handle). The retrain-and-swap loop
+    * ([[graft.streaming.EventTimeOps.ivfMaintainStream]]) holds one of
+    * these in an `AtomicReference`: probers read whatever version is
+    * current, a retrain installs the successor in one `set`, and only
+    * then is the predecessor's path retired — the
+    * `compactSnapshotRetained` swap-then-retire discipline applied to
+    * the index lifecycle. */
+  final case class Resident(path: String, centroids: Seq[Array[Double]],
+      profile: DataFrame, releaseProfile: () => Unit)
+
   /** Retire an index — the lifecycle's last verb (write / append /
     * probe / delete), the at-rest twin of the in-memory standing
     * indexes' release handles: call when the corpus snapshot this

@@ -356,6 +356,88 @@ object EventTimeOps {
         ()
       }
 
+  /**
+   * DRIFT-TRIGGERED retrain-and-swap — the full standing-index
+   * maintenance loop the [[ivfAppendStream]] scaladoc promises,
+   * wired: per micro-batch, measure embedding drift against the
+   * SERVED index's standing profile
+   * ([[graft.pipeline.DriftGate.embeddingDist]]); below the threshold
+   * the batch APPENDS to the current index (the cheap steady state —
+   * batch-proportional bytes, centroids untouched); at or above it the
+   * batch is evidence the centroid geometry no longer fits, so the
+   * loop RETRAINS on at-rest-corpus ∪ batch, writes a FULL new index
+   * at the next version's path, rebuilds the drift profile from the
+   * new at-rest corpus, swaps the [[graft.ann.IvfIndex.Resident]]
+   * handle in one atomic `set`, and only then retires the old path —
+   * probers that read the handle before the swap finish against a
+   * still-complete index only in a retained-versions deployment;
+   * here the old version is deleted immediately after the swap
+   * (single-driver harness), with the retention dial documented as
+   * the production knob (`compactSnapshotRetained` keeps N).
+   *
+   * The profile swap is what RE-ARMS the gate: after a retrain the
+   * drifted distribution IS the corpus distribution, so the next
+   * batch from the same source appends quietly instead of
+   * re-firing — the loop converges to steady state after one retrain
+   * per genuine shift (pinned in EventTimeSpec's maintain case).
+   *
+   * Versioned paths come from `pathForVersion(batchId)` — batch-id
+   * keyed, so a replayed RETRAIN batch rewrites its own version
+   * directory (mode overwrite) rather than minting garbage paths;
+   * appends inherit [[graft.ann.IvfIndex.append]]'s dynamic-overwrite
+   * idempotence. Same checkpoint requirement as every foreachBatch
+   * maintenance loop here.
+   *
+   * `onBatch` receives (batchId, drift, action) with action ∈
+   * {"append", "retrain", "empty"} — the audit trail a metrics
+   * pipeline records.
+   */
+  def ivfMaintainStream(vecs: DataFrame, idCol: String, vecCol: String,
+      handle: java.util.concurrent.atomic.AtomicReference[graft.ann.IvfIndex.Resident],
+      driftThreshold: Double, pathForVersion: Long => String,
+      k: Int, refineIters: Int = 1)(
+      onBatch: (Long, Double, String) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.ann.{IvfIndex, Similarity}
+        import graft.pipeline.DriftGate
+        batch.persist()
+        try {
+          val cur = handle.get()
+          if (batch.isEmpty) onBatch(batchId, 0.0, "empty")
+          else {
+            val drift = DriftGate.embeddingDist(cur.profile, batch, vecCol)
+            if (drift < driftThreshold) {
+              IvfIndex.append(batch, idCol, vecCol, cur.centroids,
+                cur.path, batchId)
+              onBatch(batchId, drift, "append")
+            } else {
+              val spark = batch.sparkSession
+              val corpus = spark.read.parquet(s"${cur.path}/corpus")
+                .select(col(idCol), col(vecCol))
+                .unionByName(batch.select(col(idCol), col(vecCol)))
+              val cents = Similarity.trainCentroidsDistributed(
+                corpus, idCol, vecCol, k, refineIters = refineIters)
+              val newPath = pathForVersion(batchId)
+              IvfIndex.write(corpus, idCol, vecCol, cents, newPath)
+              // profile from the NEW at-rest corpus (read back, and
+              // materialized by the persist+action inside
+              // embeddingProfile's consumer below BEFORE the old path
+              // dies — its lineage must never reference cur.path)
+              val (prof, rel) = DriftGate.embeddingProfile(
+                spark.read.parquet(s"$newPath/corpus"), vecCol)
+              prof.count()
+              handle.set(IvfIndex.Resident(newPath, cents, prof, rel))
+              cur.releaseProfile()
+              IvfIndex.delete(spark, cur.path)
+              onBatch(batchId, drift, "retrain")
+            }
+          }
+        } finally batch.unpersist()
+        ()
+      }
+
   final case class FunnelInput(user_id: Long, ts: Timestamp, event_type: String)
   final case class FunnelBuf(events: List[(Long, String)], lastTs: Long)
   final case class FunnelOut(user_id: Long, t1: Option[Long], t2: Option[Long],

@@ -377,6 +377,78 @@ class EventTimeSpec extends SparkSpec {
     assert(probed(root) == a, "replayed stream batch must not change probes")
   }
 
+  test("drift-triggered retrain-and-swap: gate fires once, then re-arms") {
+    import java.nio.file.Files
+    import java.util.concurrent.atomic.AtomicReference
+    import graft.ann.{IvfIndex, Similarity}
+    import graft.pipeline.DriftGate
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables(spark, sf, "embeddings")
+    val corpus = emb.filter(col("vec_id") < 50).select("vec_id", "embedding")
+    val root = Files.createTempDirectory("graft-ivf-maintain").toString
+    val initPath = s"$root/v_init"
+    val cents0 = Similarity.trainCentroids(corpus, "vec_id", "embedding", 4)
+    IvfIndex.write(corpus, "vec_id", "embedding", cents0, initPath)
+    val (prof0, rel0) = DriftGate.embeddingProfile(
+      spark.read.parquet(s"$initPath/corpus"), "embedding")
+    val handle = new AtomicReference(
+      IvfIndex.Resident(initPath, cents0, prof0, rel0))
+
+    // feed batches: in-distribution (append), SHIFTED encoder output
+    // (+2.0 per dim — retrain), more of the shifted distribution
+    // (append again: the swapped profile has absorbed the shift)
+    def vecsOf(df: org.apache.spark.sql.DataFrame): Seq[Row] =
+      df.select("vec_id", "embedding").collect().toSeq
+    val b1 = vecsOf(emb.filter(col("vec_id") >= 50 && col("vec_id") < 100))
+    def shifted(lo: Int, hi: Int, idOff: Long): Seq[Row] = vecsOf(
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi).select(
+        (col("vec_id") + lit(idOff)).as("vec_id"),
+        transform(col("embedding"), v => v + lit(2.0f)).as("embedding")))
+    val b2 = shifted(100, 500, 10000L)
+    val b3 = shifted(100, 200, 20000L)
+
+    val schema = StructType.fromDDL("vec_id BIGINT, embedding ARRAY<FLOAT>")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+    val mem = MemoryStream[Row](enc, spark)
+    val log = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, String)]
+    val q = EventTimeOps.ivfMaintainStream(mem.toDF(), "vec_id", "embedding",
+      handle, driftThreshold = 0.5, pathForVersion = b => s"$root/v$b",
+      k = 4) { (id, d, a) => log += ((id, d, a)) }.start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    assert(log.map(_._3) == Seq("append", "retrain", "append"),
+      s"actions were ${log.toSeq}")
+    assert(log(0)._2 < 0.5 && log(1)._2 >= 0.5 && log(2)._2 < 0.5,
+      s"drift trajectory was ${log.map(_._2)}")
+    // the swap happened: new versioned path serves, the old is retired
+    val cur = handle.get()
+    assert(cur.path == s"$root/v1", s"served path is ${cur.path}")
+    assert(!new java.io.File(initPath).exists(),
+      "old index version must be retired after the swap")
+    assert(IvfIndex.isComplete(spark, cur.path))
+    // nothing was lost across append → retrain → append
+    assert(spark.read.parquet(s"${cur.path}/corpus").count() ==
+      (50 + b1.length + b2.length + b3.length).toLong)
+    // probes answer through the swap: a drifted vector finds itself
+    val probeVec = b2.head
+    val got = IvfIndex.probeResident(spark, cur.path, cur.centroids,
+      Seq((probeVec.getLong(0),
+        probeVec.getSeq[Float](1).map(_.toDouble).toArray)),
+      "vec_id", "embedding", nprobe = 2, k = 1)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSeq
+    // b3 re-ships source vectors 100-199 under new ids, so the probe
+    // vector has an exact twin — either copy is a cosine-1.0 answer
+    assert(got.length == 1 &&
+      Set(probeVec.getLong(0), probeVec.getLong(0) + 10000L)(got.head),
+      s"drifted vector's nearest neighbor should be itself or its twin, got $got")
+    cur.releaseProfile()
+    IvfIndex.delete(spark, cur.path)
+  }
+
   test("streaming funnel emits per-user summaries after idle timeout") {
     import spark.implicits._
     import graft.streaming.EventTimeOps.{FunnelInput, FunnelOut}
