@@ -77,6 +77,75 @@ object TextNative {
     new GenericArrayData(
       ngramStrings(text, k).map(UTF8String.fromString(_): Any))
 
+  /** BMP codepoint ranges the CJK token fallback segments on:
+    * Hiragana, Katakana, CJK Ext-A, CJK Unified, Hangul syllables —
+    * kept in sync with [[graft.text.TextSql.CjkClassSql]] (the RE2
+    * mirror is built from the same bounds). */
+  private def isCjkCp(cp: Int): Boolean =
+    (cp >= 0x3040 && cp <= 0x30ff) || (cp >= 0x3400 && cp <= 0x4dbf) ||
+      (cp >= 0x4e00 && cp <= 0x9fff) || (cp >= 0xac00 && cp <= 0xd7af)
+
+  /** ASCII whitespace — the `\s` class BOTH regex engines (Java for
+    * Spark, RE2 for DuckDB) agree on; Character.isWhitespace would
+    * additionally split on U+2028/U+3000 and silently diverge from
+    * the SQL mirror. */
+  private def isWsCp(cp: Int): Boolean =
+    cp == ' '.toInt || (cp >= 0x09 && cp <= 0x0d)
+
+  /**
+   * Whitespace tokens with a character-BIGRAM fallback for runs of
+   * Han/Kana/Hangul — the standard treatment for scriptio-continua
+   * scripts in web-corpus pipelines (CC-Net-style): a spaceless CJK
+   * sentence is ~one whitespace token, which makes Jaccard dedup,
+   * vocab/drift profiles, and span coverage blind to a major corpus
+   * family; character bigrams restore sub-sentence granularity with
+   * no language model in the loop. Non-CJK runs tokenize exactly as
+   * [[graft.text.TextAnalysis.tokens]] (lower-cased, split on ASCII
+   * whitespace), so on Latin-script text the two are identical; a
+   * CJK run of length n emits its n−1 adjacent bigrams (a lone CJK
+   * char emits itself). Mixed tokens ("spark引擎") split at the
+   * script boundary — the run structure, not the whitespace, is the
+   * unit.
+   */
+  def cjkTokenStrings(text: UTF8String): Array[String] = {
+    val s = text.toLowerCase.toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (isWsCp(cp)) i += Character.charCount(cp)
+      else if (isCjkCp(cp)) {
+        val runStart = i
+        var prev = i
+        i += Character.charCount(cp)
+        var emitted = false
+        while (i < n && isCjkCp(s.codePointAt(i))) {
+          val next = i + Character.charCount(s.codePointAt(i))
+          out += s.substring(prev, next)
+          prev = i
+          i = next
+          emitted = true
+        }
+        if (!emitted) out += s.substring(runStart, i)
+      } else {
+        val runStart = i
+        var cont = true
+        while (i < n && cont) {
+          val c = s.codePointAt(i)
+          if (isWsCp(c) || isCjkCp(c)) cont = false
+          else i += Character.charCount(c)
+        }
+        out += s.substring(runStart, i)
+      }
+    }
+    out.toArray
+  }
+
+  def cjkTokens(text: UTF8String): ArrayData =
+    new GenericArrayData(
+      cjkTokenStrings(text).map(UTF8String.fromString(_): Any))
+
   private val hexChars = "0123456789abcdef".toCharArray
 
   private val Md5Local: ThreadLocal[MessageDigest] =
@@ -364,6 +433,19 @@ case class TokenShingles(child: Expression, k: Int) extends UnaryExpression {
 /** `token_ngrams(text)` → array<string> of positional k-token n-grams
   * (duplicates kept, one per start position — the multiset twin of
   * [[TokenShingles]], see TextNative.ngramStrings). */
+/** `cjk_tokens(text)` → array<string>: whitespace tokens with the
+  * character-bigram CJK fallback (see TextNative.cjkTokenStrings). */
+case class CjkTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cjk_tokens"
+  override def nullSafeEval(input: Any): Any =
+    TextNative.cjkTokens(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNative.cjkTokens($c)")
+  override protected def withNewChildInternal(newChild: Expression): CjkTokens =
+    copy(child = newChild)
+}
+
 case class TokenNgrams(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "token_ngrams"

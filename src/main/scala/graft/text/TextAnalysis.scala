@@ -42,6 +42,19 @@ object TextAnalysis {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))
 
+  /** CJK-aware tokenization: [[tokens]] semantics for Latin-script
+    * runs, character BIGRAMS for runs of Han/Kana/Hangul — a
+    * spaceless CJK document is one whitespace token, invisible to
+    * Jaccard dedup, vocab drift, and span coverage; the bigram
+    * fallback (CC-Net-style public practice) restores sub-sentence
+    * granularity. Native codegen'd expression
+    * ([[graft.functions.CjkTokens]]); exact RE2 mirror in
+    * [[TextSql.tokensCjk]] built from the same codepoint bounds. */
+  def tokensCjk(text: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftShims.{column => toCol, expression => toExpr}
+    toCol(graft.functions.CjkTokens(toExpr(text)))
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   // ---------------------------------------------------------------- quality

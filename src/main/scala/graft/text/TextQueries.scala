@@ -29,6 +29,25 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // CJK-aware token accounting: whitespace tokens with the
+    // character-bigram fallback for Han/Kana/Hangul runs
+    // (TextAnalysis.tokensCjk — the tokenizer the dedup/vocab/drift
+    // family needs before a scriptio-continua corpus is measurable).
+    // On this Latin-script testdata the CJK and whitespace counts
+    // coincide — which is itself the contract (the fallback must not
+    // perturb non-CJK text); the bigram semantics are pinned
+    // hand-computed in CjkTokensSpec.
+    "q_text_tokens_cjk" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val toks = TextAnalysis.tokensCjk(col("text"))
+      docs.select(
+        col("doc_id"),
+        size(toks).as("n_tokens_cjk"),
+        size(array_distinct(toks)).as("n_types_cjk"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens_ws"))
+        .orderBy("doc_id")
+    }),
+
     // Language ID vs the table's lang label.
     "q_text_langid" -> ((s, dir) =>
       Tables(s, dir, "documents").select(
@@ -198,6 +217,13 @@ object TextQueries {
           ${TextSql.stopwordRatio(t)} AS stopword_ratio,
           ${TextSql.meanTokenLen(t)} AS mean_token_len,
           ${TextSql.qualityScore(t)} AS quality
+        FROM documents ORDER BY doc_id""",
+
+      "q_text_tokens_cjk" -> s"""
+        SELECT doc_id,
+          len(${TextSql.tokensCjk(t)}) AS n_tokens_cjk,
+          len(list_distinct(${TextSql.tokensCjk(t)})) AS n_types_cjk,
+          ${TextSql.tokenCount(t)} AS n_tokens_ws
         FROM documents ORDER BY doc_id""",
 
       "q_text_redact" -> s"""

@@ -26,6 +26,29 @@ object TextSql {
   def bpeTokens(text: String): String =
     s"regexp_extract_all(lower($text), '[a-z0-9]+|[^a-z0-9\\s]')"
 
+  /** The CJK codepoint class of [[TextAnalysis.tokensCjk]]'s bigram
+    * fallback — Hiragana+Katakana, CJK Ext-A, CJK Unified, Hangul
+    * syllables; MUST stay in sync with TextNative.isCjkCp (the Spark
+    * side segments on the same bounds natively). */
+  val CjkClassSql: String =
+    "\\x{3040}-\\x{30ff}\\x{3400}-\\x{4dbf}\\x{4e00}-\\x{9fff}\\x{ac00}-\\x{d7af}"
+
+  /** RE2 mirror of [[TextAnalysis.tokensCjk]]: segment into CJK runs
+    * vs non-CJK non-space runs, then expand each CJK run of length n
+    * into its n−1 adjacent character bigrams (lone char → itself).
+    * `substring` and `length` are codepoint-based in both engines for
+    * these BMP ranges, so the bigram boundaries agree exactly. */
+  def tokensCjk(text: String): String = {
+    val c = CjkClassSql
+    val segs = s"regexp_extract_all(lower($text), '[$c]+|[^$c\\s]+')"
+    s"flatten(list_transform($segs, __ct -> " +
+      s"CASE WHEN regexp_matches(__ct[1], '[$c]') THEN " +
+      s"(CASE WHEN length(__ct) = 1 THEN [__ct] " +
+      s"ELSE list_transform(range(1, length(__ct)), " +
+      s"__ci -> substring(__ct, CAST(__ci AS INT), 2)) END) " +
+      s"ELSE [__ct] END))"
+  }
+
   def tokenCount(text: String): String = s"len(${tokens(text)})"
 
   def punctRatio(text: String): String =
