@@ -264,8 +264,43 @@ object ScaleSmoke {
    * vocabulary flip) must fail dq, raise (capped, lower-bound) drift,
    * and land in the quarantine table; clean batches must hit the
    * embedding index (the feed replicates corpus vectors).
+   *
+   * Runs TWICE: once with the exact top-K profile build
+   * (cappedProfile) and once with the Count-Min-selected build
+   * (sketchProfile via `sketchSelectedHead`) — the 100 TB
+   * profile-build dial exercised at 10×, with per-gate timings for
+   * both and the gate VERDICTS (dq pass/fail, dup-match counts,
+   * poisoned-batch drift alarm) required identical: the sketch build
+   * changes profile-construction cost, never what the gates decide.
    */
   def streamingIngestSmoke(spark: SparkSession): Unit = {
+    val exact = ingestSmokeRun(spark, sketchHead = false)
+    val sketch = ingestSmokeRun(spark, sketchHead = true)
+    require(exact.map(_._1) == sketch.map(_._1),
+      "dq verdicts must not depend on the profile build strategy")
+    require(exact.map(_._3) == sketch.map(_._3) &&
+      exact.map(_._4) == sketch.map(_._4),
+      "near-dup/embed-dup matches must not depend on the profile build")
+    // both builds' drift gates must fire on the poisoned batch and
+    // stay quiet relative to it elsewhere (values may differ at the
+    // margin if CMS slack admits a different rank-K tail; the ALARM
+    // may not)
+    def alarm(run: Seq[(Boolean, Double, Long, Long)]): Seq[Boolean] = {
+      val base = run.head._2
+      run.map(_._2 > base * 2 + 0.05)
+    }
+    require(alarm(exact) == alarm(sketch),
+      s"drift alarms diverged: exact=${exact.map(_._2)} sketch=${sketch.map(_._2)}")
+
+    ivfAppendSmoke(spark)
+    clusterIndexSmoke(spark)
+    shardedDealSmoke(spark)
+  }
+
+  /** One full ingest-stack pass; returns per-batch
+    * (dqPass, drift, nearDupMatches, embedDupMatches). */
+  private def ingestSmokeRun(spark: SparkSession,
+      sketchHead: Boolean): Seq[(Boolean, Double, Long, Long)] = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -308,7 +343,8 @@ object ScaleSmoke {
       threshold = 0.5,
       embed = Some(IngestStream.EmbedGate("embedding",
         bands = 3, planesPerBand = 6, dims = 64, threshold = 0.2)),
-      cappedDriftK = Some(512)) { (batch, report) =>
+      cappedDriftK = Some(512),
+      sketchSelectedHead = sketchHead) { (batch, report) =>
       reports += ((report, (System.nanoTime() - t0) / 1e9))
       if (!report.dqPass)
         batches(report.batchId) = batch.sparkSession
@@ -339,10 +375,11 @@ object ScaleSmoke {
       }
     } finally { q.stop(); release() }
 
+    val tag = if (sketchHead) "ingest/sketch" else "ingest/exact "
     reports.zipWithIndex.foreach { case ((r, sec), i) =>
       val gates = r.gateSeconds
         .map { case (g, s) => f"$g=$s%.2fs" }.mkString(" ")
-      println(f"[scale] ingest batch $i         ${sec}%8.2f s  rows=${r.rows} " +
+      println(f"[scale] $tag batch $i    ${sec}%8.2f s  rows=${r.rows} " +
         f"dq=${r.dqPass} drift=${r.drift}%.3f dups=${r.nearDupMatches} " +
         s"embdups=${r.embedDupMatches}  [$gates]")
     }
@@ -374,9 +411,40 @@ object ScaleSmoke {
       println(s"[scale] quarantined rows=$n (batch ${poisoned.batchId})")
       require(n == poisoned.rows, s"quarantine wrote $n of ${poisoned.rows}")
     }
+    reports.map(r => (r._1.dqPass, r._1.drift,
+      r._1.nearDupMatches, r._1.embedDupMatches)).toSeq
+  }
 
-    ivfAppendSmoke(spark)
-    clusterIndexSmoke(spark)
+  /**
+   * Shard-file materialization of the seeded shuffle deal at 10×:
+   * the epoch-0 layout a training reader consumes (shard dirs,
+   * pos-sorted files — Layout.writeSharded). One hash exchange +
+   * shard-local sorts; no total-order sort at any size. The
+   * assertion is structural (row conservation + a spot-checked
+   * file's pos order), the wall-clock and bytes are informational.
+   */
+  def shardedDealSmoke(spark: SparkSession): Unit = {
+    import graft.dedup.Dedup
+    import graft.sources.Layout
+    val docs = Tables(spark, OutDir, "documents")
+    val shards = 64
+    val out = s"$OutDir/epoch0_shards"
+    val t0 = System.nanoTime()
+    Layout.writeSharded(
+      Dedup.shuffleDeal(docs, "doc_id", seed = 7L, shards)
+        .select("doc_id", "shard", "pos"),
+      "shard", "pos", out)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val n = spark.read.parquet(out).count()
+    println(f"[scale] sharded deal write       ${sec}%8.2f s  rows=$n  " +
+      f"(${dirBytes(out) / 1024}%d KB, $shards shards)")
+    require(n == docs.count(), "sharded deal layout lost rows")
+    val firstShard = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).minBy(_.getName)
+    val f = firstShard.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val pos = spark.read.parquet(f.getPath).select("pos")
+      .collect().map(_.getLong(0)).toSeq
+    require(pos == pos.sorted, s"${f.getName} not pos-sorted at 10x")
   }
 
   /**

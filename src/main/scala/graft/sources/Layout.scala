@@ -63,6 +63,28 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /**
+   * Materialize a seeded shuffle deal ([[graft.dedup.Dedup.shuffleDeal]]
+   * output: id, shard, pos) as the ON-DISK layout a training reader
+   * consumes: one directory per shard (`shard=<i>/`), rows inside each
+   * shard's files sorted by `pos` — so epoch 0 IS "read shard dirs in
+   * order, stream each file" with zero runtime sorting, and a
+   * 1000-reader job maps one shard (or a contiguous file range) per
+   * reader with no coordination beyond the directory listing.
+   *
+   * Shape: ONE hash exchange on shard (each task holds whole shards),
+   * then shard-local sorts — the same no-total-order discipline as
+   * the deal itself; the sort prefix includes the shard column so
+   * rows belonging to different shards in one task stay grouped for
+   * the partitioned write. Per-file `pos` ordering is pinned in
+   * LayoutSpec; write cost at 10× in the scale smoke.
+   */
+  def writeSharded(deal: DataFrame, shardCol: String, posCol: String,
+      path: String): Unit =
+    deal.repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(posCol))
+      .write.mode("overwrite").partitionBy(shardCol).parquet(path)
+
   /** N-dimensional Morton key: each column quantile-bucketed into
     * 2^`bitsPerDim` bins so skew in any domain can't collapse the
     * grid, then the bin bits round-robin interleaved (bit i of dim k

@@ -98,6 +98,42 @@ class LayoutSpec extends SparkSpec {
     assert(key(spark.read.parquet(s"$root/z3")).sameElements(key(data3)))
   }
 
+  test("sharded shuffle-deal layout: per-file pos order, shard dirs complete") {
+    import graft.dedup.Dedup
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val shards = 8
+    val deal = Dedup.shuffleDeal(docs, "doc_id", seed = 7L, shards)
+      .select("doc_id", "shard", "pos")
+    val out = Files.createTempDirectory("graft-deal").toString + "/epoch0"
+    Layout.writeSharded(deal, "shard", "pos", out)
+
+    // every shard directory exists, and TOGETHER they hold exactly
+    // the deal (no row lost or re-dealt by the write)
+    val dirsOnDisk = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted.toSeq
+    assert(dirsOnDisk == (0 until shards).map(s => s"shard=$s").sorted)
+    val back = spark.read.parquet(out)
+      .select(col("doc_id"), col("shard").cast("long"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = deal.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(back == expected && back.nonEmpty)
+
+    // the layout's point: WITHIN each physical file, rows are already
+    // in pos order — the training reader streams files with zero
+    // runtime sorting (a single-file read preserves parquet row order)
+    for (d <- dirsOnDisk) {
+      val files = new java.io.File(s"$out/$d").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.nonEmpty, s"$d has no data files")
+      for (f <- files) {
+        val pos = spark.read.parquet(f.getPath).select("pos")
+          .collect().map(_.getLong(0)).toSeq
+        assert(pos == pos.sorted, s"${f.getName} in $d is not pos-sorted")
+      }
+    }
+  }
+
   test("layouts preserve the data exactly") {
     val key = (df: DataFrame) => df.select("id", "a", "b")
       .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].longValue)
