@@ -168,11 +168,14 @@ object ClusterIndex {
     * the corpus-scale work is ONE broadcast join. Works from any
     * SparkSession — this is the cross-session face. */
   def open(spark: SparkSession, path: String): DataFrame = {
-    val asg = spark.read.parquet(s"$path/assignments")
+    // explicit schemas on both reads: an empty partitioned write
+    // (fresh index's relabel dir, or a base snapshot of a zero-row
+    // corpus) emits only _SUCCESS, so footer-based inference has
+    // nothing to read
+    val asg = spark.read
+      .schema("doc_id LONG, cluster LONG, __batch LONG")
+      .parquet(s"$path/assignments")
       .select(col("doc_id"), col("cluster"))
-    // explicit schema: a fresh index's relabel dir holds no data
-    // files (an empty partitioned write emits only _SUCCESS), so
-    // footer-based inference has nothing to read
     val entries = spark.read
       .schema("old_cluster LONG, new_cluster LONG, __batch LONG")
       .parquet(s"$path/relabel")
