@@ -68,7 +68,8 @@ object ScaleSmoke {
       "q_pipeline_ingest", "q_dedup_clusters_incremental",
       "q_dedup_clusters_atrest",
       "q_text_vocab_drift_capped", "q_sample_cluster",
-      "q_sample_shuffle", "q_dedup_semantic_trained")
+      "q_sample_shuffle", "q_sample_token_budget",
+      "q_dedup_semantic_trained")
     queries.foreach { name =>
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, OutDir).count()

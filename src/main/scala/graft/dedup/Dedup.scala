@@ -89,19 +89,28 @@ object Dedup {
    * corpus/shards rows (the dial that keeps each sort in-memory at
    * any corpus size; size shards to the training reader's file size).
    */
+  /** The deal's per-row key as a standalone column: two [[mix31]]
+    * rounds over (id + seed), final xor-fold so the top bits are
+    * mixed, uniform over [0, 2^31). Shared by [[shuffleDeal]] and
+    * [[Sampling.tokenBudgetFill]] so "the deal order" means the SAME
+    * order everywhere a seed appears.
+    *
+    * pmod, not %: Spark's % preserves sign, so a negative doc id or
+    * seed (both public API) would yield negative keys silently. pmod
+    * lands every input in [0, 2^31) — identical to % for the
+    * non-negative ids the harness uses (the oracle mirrors the same
+    * ((x % m) + m) % m form). */
+  def shuffleKey(id: Column, seed: Long): Column = {
+    val m = mix31(mix31(pmod(id + lit(seed), lit(2147483648L))))
+    m.bitwiseXOR(shiftright(m, 16))
+  }
+
   def shuffleDeal(docs: DataFrame, idCol: String, seed: Long,
       shards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(shards > 0 && (shards & (shards - 1)) == 0,
       s"shards must be a positive power of two, got $shards")
-    // pmod, not %: Spark's % preserves sign, so a negative doc id or
-    // seed (both public API) would yield negative keys and out-of-range
-    // shards silently. pmod lands every input in [0, 2^31) — identical
-    // to % for the non-negative ids the harness uses (the oracle
-    // mirrors the same ((x % m) + m) % m form).
-    val k0 = pmod(col(idCol) + lit(seed), lit(2147483648L))
-    val m = mix31(mix31(k0))
-    val key = m.bitwiseXOR(shiftright(m, 16))
+    val key = shuffleKey(col(idCol), seed)
     val w = Window.partitionBy(col("shard")).orderBy(col("key"), col(idCol))
     docs.select(col(idCol), key.as("key"))
       .withColumn("shard", expr(s"key div ${2147483648L / shards}"))

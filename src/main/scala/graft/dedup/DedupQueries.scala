@@ -423,6 +423,23 @@ object DedupQueries {
         ShuffleSeed, ShuffleShards)
         .orderBy("doc_id")),
 
+    // Per-source TOKEN-BUDGET fill ([[Sampling.tokenBudgetFill]]):
+    // walk each source in the deal order and keep documents while the
+    // source's running token total stays within the budget — "at most
+    // B tokens per source, chosen reproducibly", the epoch-
+    // construction step between the shuffle deal and q_text_pack.
+    // Scale shape: NOT the naive one-window-per-source running sum (a
+    // dominant source would be a single task sorting half the
+    // corpus); a distributed prefix sum over fixed key-range chunks —
+    // tiny partial-agg + driver prefix + chunk-local windows — with
+    // chunks whose base offset already exceeds the budget pruned
+    // before the shuffle. Equality with the window form is pinned in
+    // SamplingSpec; the oracle states the definitive window form.
+    "q_sample_token_budget" -> ((s, dir) =>
+      Sampling.tokenBudgetFill(Tables(s, dir, "documents"),
+        "source", "doc_id", "text", ShuffleSeed, TokenBudget)
+        .orderBy("doc_id")),
+
     // MinHash estimator calibration: signature-agreement estimate vs
     // exact Jaccard (+ abs error) over the banded candidates — the
     // audit run before trusting signature-only similarity at scales
@@ -592,6 +609,11 @@ object DedupQueries {
     * training reader's preferred file size. */
   val ShuffleSeed = 7L
   val ShuffleShards = 16
+
+  /** q_sample_token_budget: per-source token budget — sized so every
+    * source truncates at the harness SFs (~25 docs · ~50 tokens per
+    * source at sf0.01), exercising the boundary chunk everywhere. */
+  val TokenBudget = 600L
 
   /** Expected docs kept per near-dup cluster (q_sample_cluster;
     * shared with its oracle). */
@@ -928,6 +950,26 @@ object DedupQueries {
                            ORDER BY key, doc_id) AS pos,
         key
       FROM k ORDER BY doc_id""",
+
+    "q_sample_token_budget" -> s"""
+      WITH k0 AS (
+        SELECT doc_id, source,
+          COALESCE(${graft.text.TextSql.tokenCount("text")}, 0) AS n_tokens,
+          ((doc_id + $ShuffleSeed) % 2147483648 + 2147483648) % 2147483648 AS x
+        FROM documents),
+      m1 AS (SELECT doc_id, source, n_tokens,
+          (xor(x, x >> 16) * 73244475) % 2147483648 AS x FROM k0),
+      m2 AS (SELECT doc_id, source, n_tokens,
+          (xor(x, x >> 16) * 73244475) % 2147483648 AS x FROM m1),
+      k AS (SELECT doc_id, source, n_tokens, xor(x, x >> 16) AS key FROM m2),
+      c AS (SELECT doc_id, source, n_tokens,
+          -- sum(BIGINT) is HUGEINT in DuckDB; pin the wire type
+          CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY key, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_tokens
+        FROM k)
+      SELECT doc_id, source, n_tokens, cum_tokens FROM c
+      WHERE cum_tokens <= $TokenBudget ORDER BY doc_id""",
 
     "q_sample_stratified" -> {
       val values = StratifiedRates

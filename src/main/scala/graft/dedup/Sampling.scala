@@ -1,0 +1,121 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Token-budget sampling — the epoch-construction step between the
+ * seeded shuffle deal ([[Dedup.shuffleDeal]]) and sequence packing
+ * (q_text_pack): walk each source's documents in the deterministic
+ * deal order and keep them while the source's running token total
+ * stays within a per-source budget. This is how a pretraining run
+ * takes "at most B tokens from each source, chosen reproducibly":
+ * the kept set is a PREFIX of the deal order (token counts are
+ * non-negative, so the running total is monotone), the same seed
+ * reproduces it bit-for-bit, and a new seed re-deals which documents
+ * make the cut.
+ *
+ * The reference semantic is a per-source running sum
+ * ([[tokenBudgetFillByWindow]]): rank by ([[Dedup.shuffleKey]], id),
+ * cumulative-sum token counts, keep rows with cumulative ≤ budget.
+ * That formulation plans ONE window partition per source — at 100 TB
+ * a dominant source (a web crawl is routinely more than half the
+ * corpus) becomes a single task sorting half the corpus, which is a
+ * scale-killer. [[tokenBudgetFill]] computes the identical answer as
+ * a distributed prefix sum (equality pinned in SamplingSpec):
+ *
+ *   1. bucket each source's rows by key range into `chunks` fixed
+ *      buckets and partial-aggregate per-(source, chunk) token
+ *      totals — the result is ≤ sources·chunks rows at ANY corpus
+ *      size, collected to the driver;
+ *   2. prefix-sum those totals per source on the driver into each
+ *      chunk's exclusive base offset, and PRUNE chunks whose base
+ *      already exceeds the budget — beyond-budget data never enters
+ *      the shuffle (with a truncating budget that is most of the
+ *      corpus);
+ *   3. broadcast-join the surviving (source, chunk, base) table and
+ *      run the running sum per (source, chunk) partition — each
+ *      window sorts ~n_source/chunks rows, so the largest sort
+ *      shrinks with the chunk dial instead of growing with the
+ *      largest source. cumulative = base + chunk-local running sum.
+ *
+ * Document token counts come from [[graft.text.TextAnalysis.tokenCount]]
+ * (whitespace tokens, DuckDB mirror in TextSql), null text counting
+ * as zero tokens.
+ */
+object Sampling {
+
+  /**
+   * Distributed per-source token-budget fill. Returns the kept rows
+   * as (idCol, srcCol, n_tokens, cum_tokens) where `cum_tokens` is
+   * the source's running total INCLUDING this row, in deal order.
+   *
+   * @param seed   deal seed ([[Dedup.shuffleKey]]); same seed ⇒ same
+   *               kept set, new seed ⇒ a genuine re-deal
+   * @param budget per-source token budget (keep while running ≤ it)
+   * @param chunks key-range buckets for the prefix-sum — the largest
+   *               single sort is ~(largest source)/chunks rows; the
+   *               driver holds ≤ sources·chunks total rows
+   */
+  def tokenBudgetFill(docs: DataFrame, srcCol: String, idCol: String,
+      textCol: String, seed: Long, budget: Long,
+      chunks: Int = 256): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    require(chunks > 0 && (chunks & (chunks - 1)) == 0,
+      s"chunks must be a positive power of two, got $chunks")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = keyed(docs, srcCol, idCol, textCol, seed)
+      .withColumn("__chunk", expr(s"__key div ${2147483648L / chunks}"))
+    val totals = base.groupBy(srcCol, "__chunk")
+      .agg(sum("n_tokens").as("__t"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // exclusive prefix per source; keep a chunk only while its base
+    // offset can still admit a row (base == budget still admits
+    // zero-token rows, whose cumulative equals the base)
+    val bases: Seq[(String, Long, Long)] = totals
+      .groupBy(_._1).iterator.flatMap { case (s, rows) =>
+        var acc = 0L
+        rows.sortBy(_._2).iterator.map { case (_, c, t) =>
+          val b = acc; acc += t; (s, c, b)
+        }.filter(_._3 <= budget)
+      }.toSeq
+    val cls = bases.toDF(srcCol, "__chunk", "__base")
+    val w = Window.partitionBy(srcCol, "__chunk")
+      .orderBy(col("__key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(cls), Seq(srcCol, "__chunk"))
+      .withColumn("cum_tokens", col("__base") + sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= budget)
+      .select(col(idCol), col(srcCol), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Reference formulation: one running-sum window per source —
+    * semantically definitive, but a single task per source (the
+    * scale-killer [[tokenBudgetFill]] exists to avoid). Used by
+    * SamplingSpec to pin the distributed form's equality. */
+  def tokenBudgetFillByWindow(docs: DataFrame, srcCol: String,
+      idCol: String, textCol: String, seed: Long,
+      budget: Long): DataFrame = {
+    val w = Window.partitionBy(srcCol)
+      .orderBy(col("__key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed(docs, srcCol, idCol, textCol, seed)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .where(col("cum_tokens") <= budget)
+      .select(col(idCol), col(srcCol), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** Shared narrow projection: id, source, token count, deal key —
+    * ~24 bytes/row regardless of document length, so everything after
+    * the scan shuffles counts, never text. */
+  private def keyed(docs: DataFrame, srcCol: String, idCol: String,
+      textCol: String, seed: Long): DataFrame =
+    docs.select(
+      col(idCol), col(srcCol),
+      coalesce(graft.text.TextAnalysis.tokenCount(col(textCol)).cast("long"),
+        lit(0L)).as("n_tokens"),
+      Dedup.shuffleKey(col(idCol), seed).as("__key"))
+}

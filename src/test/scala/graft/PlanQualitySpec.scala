@@ -227,6 +227,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(localSorts.nonEmpty, "rank sort must be shard-local")
   }
 
+  test("q_sample_token_budget: chunk-local windows, broadcast base table") {
+    val p = plan(SparkEntry.queries("q_sample_token_budget")(spark, Sf))
+    // the base-offset table broadcasts (≤ sources·chunks rows by
+    // construction) — a shuffled join here would mean the corpus is
+    // exchanging on (source, chunk) twice
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "chunk base offsets must broadcast-join")
+    // exactly two exchanges: the (source, chunk) hash for the
+    // running-sum window, and the presentation orderBy's range — the
+    // whole-source window (one task per source) must never plan
+    val ex = collectAll(p) { case e: ShuffleExchangeLike => e }
+    assert(ex.length == 2, s"expected chunk hash + presentation range, got $ex")
+    // the running sum's sort is partition-local, never global
+    val globalSorts = collectAll(p) {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(globalSorts.length <= 1, // the presentation orderBy only
+      s"unexpected global sorts:\n$p")
+  }
+
   test("q_dedup_semantic_trained: at-rest pair join, zero assignment recompute") {
     val p = plan(SparkEntry.queries("q_dedup_semantic_trained")(spark, Sf))
     // the whole point of the at-rest layout: the per-row K-dot argmax
