@@ -296,6 +296,33 @@ object ScaleSmoke {
     ivfAppendSmoke(spark)
     clusterIndexSmoke(spark)
     shardedDealSmoke(spark)
+    releaseSmoke(spark)
+  }
+
+  /**
+   * Versioned training-data release at 10×: the full composed build
+   * (curate → budget fill → deal → sharded text layout + manifest)
+   * followed by the cross-session read path. The 10× corpus is
+   * replicated, so the exact-dedup stage collapses the copies — the
+   * release's row count stays budget-bounded while the BUILD does
+   * 10× the scan/dedup work, which is the cost being timed. Open
+   * must be listing + manifest read — orders of magnitude under the
+   * build.
+   */
+  def releaseSmoke(spark: SparkSession): Unit = {
+    import graft.pipeline.Release
+    val docs = Tables(spark, OutDir, "documents")
+    val root = s"$OutDir/release"
+    val t0 = System.nanoTime()
+    Release.build(docs, root, 1, Release.Seed, Release.Budget, shards = 16)
+    val build = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val n = Release.open(spark, root).count()
+    val open = (System.nanoTime() - t1) / 1e9
+    println(f"[scale] release build v1        ${build}%8.2f s  open+count ${open}%6.2f s" +
+      f"  rows=$n  (${dirBytes(root) / 1024}%d KB)")
+    require(n > 0, "release must keep rows at 10x")
+    require(Release.manifestJson(spark, root).contains("\"version\":1"))
   }
 
   /** One full ingest-stack pass; returns per-batch

@@ -66,8 +66,15 @@ object Sampling {
       s"chunks must be a positive power of two, got $chunks")
     val spark = docs.sparkSession
     import spark.implicits._
+    // materialize the narrow projection ONCE: both passes need
+    // (id, source, n_tokens, key), and re-deriving it would scan and
+    // TOKENIZE the full corpus twice — tokenization dominates, the
+    // projection is ~tens of bytes/row (disk-backed executor storage,
+    // spread across the cluster; at 100 TB this is the difference
+    // between one text pass and two)
     val base = keyed(docs, srcCol, idCol, textCol, seed)
       .withColumn("__chunk", expr(s"__key div ${2147483648L / chunks}"))
+      .localCheckpoint(true)
     val totals = base.groupBy(srcCol, "__chunk")
       .agg(sum("n_tokens").as("__t"))
       .collect()

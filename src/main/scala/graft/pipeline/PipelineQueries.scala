@@ -28,35 +28,56 @@ import graft.text.{TextAnalysis, TextQueries, TextSql}
  */
 object PipelineQueries {
 
-  def curate(docs: DataFrame): DataFrame = {
+  /** Stages 1–3 (quality rules → exact-dedup keepers → train split)
+    * with the `source` column retained — the curated train set both
+    * [[curate]] (which packs it) and [[Release.build]] (which
+    * budget-fills and lays it out at rest) start from. */
+  def curatedTrainDocs(docs: DataFrame): DataFrame = {
     import TextAnalysis._
     // stage 1: quality rules (same flags as q_text_quality_filter)
-    val base = docs.select(col("doc_id"), col("lang"), col("text"),
-      repetitionCounts(col("text")).as("r"))
+    val base = docs.select(col("doc_id"), col("source"), col("lang"),
+      col("text"), repetitionCounts(col("text")).as("r"))
     val keep = Seq(
       col("r.n_tokens").between(MinTokens, MaxTokens),
       meanTokenLen(col("text")).between(MinMeanTokenLen, MaxMeanTokenLen),
       col("lang") =!= "en" || stopwordRatio(col("text")) >= MinStopwordRatio,
       punctRatio(col("text")) <= MaxPunctRatio,
       dupTokenFrac(col("r")) <= MaxDupTokenFrac).reduce(_ && _)
-    val kept = base.where(keep).select(col("doc_id"), col("text"))
+    val kept = base.where(keep)
+      .select(col("doc_id"), col("source"), col("text"))
     // stage 2: exact dedup — keep the min doc_id per canonical hash
     val byHash = Window.partitionBy(Dedup.exactHash(col("text")))
     val deduped = kept
       .withColumn("__keeper", col("doc_id") === min("doc_id").over(byHash))
       .where(col("__keeper")).drop("__keeper")
     // stage 3: train split (same bucket rule as q_sample_split)
-    val train = deduped
-      .where(charFingerprint(col("text")) % 100 < 80)
-    // stage 4: pack into fixed training sequences
-    packSequences(train, "doc_id", "text",
-      TextQueries.PackSeqLen, TextQueries.PackShards)
+    deduped.where(charFingerprint(col("text")) % 100 < 80)
   }
+
+  def curate(docs: DataFrame): DataFrame =
+    // stage 4: pack the curated train set into fixed sequences
+    TextAnalysis.packSequences(curatedTrainDocs(docs).drop("source"),
+      "doc_id", "text", TextQueries.PackSeqLen, TextQueries.PackShards)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_curate" -> ((s, dir) =>
       curate(Tables(s, dir, "documents"))
-        .orderBy("shard", "seq", "doc_id")))
+        .orderBy("shard", "seq", "doc_id")),
+
+    // Per-source audit of the versioned training-data RELEASE's kept
+    // set ([[Release.summary]]): curate (quality → exact-dedup keepers
+    // → train split) then cap each source at the token budget in the
+    // seeded deal order — the numbers a mixture owner signs off on
+    // before [[Release.build]] lays the release out at rest. The
+    // oracle composes the SAME stage mirrors the standalone queries
+    // pin (q_pipeline_curate's stages 1–3 + q_sample_token_budget's
+    // budget window), so the composed release set is oracle-checked
+    // end to end; the at-rest build/open/prune lifecycle around it is
+    // pinned by ReleaseSpec.
+    "q_pipeline_release" -> ((s, dir) =>
+      Release.summary(Tables(s, dir, "documents"),
+        Release.Seed, Release.Budget)
+        .orderBy("source")))
 
   def oracleSql: Map[String, String] = {
     import TextAnalysis._
@@ -104,6 +125,48 @@ object PipelineQueries {
         least(tok_end, (seq + 1) * ${TextQueries.PackSeqLen})
           - greatest(tok_start, seq * ${TextQueries.PackSeqLen})
           AS n_tokens_in_seq
-      FROM x ORDER BY shard, seq, doc_id""")
+      FROM x ORDER BY shard, seq, doc_id""",
+
+    "q_pipeline_release" -> s"""
+      WITH q AS (
+        SELECT doc_id, source, lang, text, ${TextSql.tokens(t)} AS toks
+        FROM documents),
+      kept AS (
+        SELECT doc_id, source, text FROM q
+        WHERE len(toks) BETWEEN $MinTokens AND $MaxTokens
+          AND ${TextSql.meanTokenLen(t)}
+                BETWEEN $MinMeanTokenLen AND $MaxMeanTokenLen
+          AND (lang <> 'en' OR ${TextSql.stopwordRatio(t)} >= $MinStopwordRatio)
+          AND ${TextSql.punctRatio(t)} <= $MaxPunctRatio
+          AND ${TextSql.dupTokenFrac("toks")} <= $MaxDupTokenFrac),
+      dd AS (
+        SELECT doc_id, source, text,
+          doc_id = MIN(doc_id) OVER (PARTITION BY
+            md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))
+            AS keeper
+        FROM kept),
+      train AS (
+        SELECT doc_id, source, text FROM dd
+        WHERE keeper AND ${TextSql.charPolyHash(t)} % 100 < 80),
+      k0 AS (
+        SELECT doc_id, source,
+          COALESCE(${TextSql.tokenCount(t)}, 0) AS n_tokens,
+          ((doc_id + ${Release.Seed}) % 2147483648 + 2147483648)
+            % 2147483648 AS x
+        FROM train),
+      m1 AS (SELECT doc_id, source, n_tokens,
+          (xor(x, x >> 16) * 73244475) % 2147483648 AS x FROM k0),
+      m2 AS (SELECT doc_id, source, n_tokens,
+          (xor(x, x >> 16) * 73244475) % 2147483648 AS x FROM m1),
+      k AS (SELECT doc_id, source, n_tokens, xor(x, x >> 16) AS key FROM m2),
+      c AS (SELECT doc_id, source, n_tokens,
+          CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY key, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_tokens
+        FROM k)
+      SELECT source, CAST(count(*) AS BIGINT) AS docs_kept,
+        CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+      FROM c WHERE cum_tokens <= ${Release.Budget}
+      GROUP BY source ORDER BY source""")
   }
 }

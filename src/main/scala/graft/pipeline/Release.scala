@@ -1,0 +1,204 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Dedup, Sampling}
+import graft.sources.Layout
+
+/**
+ * Versioned TRAINING-DATA RELEASE — the at-rest artifact the whole
+ * curation stack exists to produce, with the same durable-lifecycle
+ * discipline as [[graft.ann.IvfIndex]] and [[graft.dedup.ClusterIndex]]:
+ * build per corpus snapshot, open from ANY later session, prune on a
+ * retention cadence. A "release" is what a training run actually
+ * mounts: the curated, deduplicated, budget-capped document set laid
+ * out as shard-partitioned, position-sorted files (the
+ * [[Layout.writeSharded]] epoch-0 layout, text included), plus a
+ * deterministic manifest recording what went in and why.
+ *
+ * Pipeline (every stage a previously-pinned operator, composed):
+ *
+ *   1. [[PipelineQueries.curatedTrainDocs]] — quality rules →
+ *      exact-dedup keepers → train split (two shuffles);
+ *   2. [[Sampling.tokenBudgetFill]] — at most `budget` tokens per
+ *      source, chosen in the seeded deal order (distributed prefix
+ *      sum, beyond-budget chunks pruned pre-shuffle);
+ *   3. [[Dedup.shuffleDeal]] over the kept ids — reproducible global
+ *      mix, shard = key high bits (id-only, no text in the shuffle);
+ *   4. [[Layout.writeSharded]] — text joined back by doc_id and
+ *      written as `shards/shard=<i>/` files pos-sorted inside, the
+ *      zero-runtime-sort epoch layout a 1000-reader job maps 1:1.
+ *
+ * Directory layout under `root`:
+ * {{{
+ *   root/v<N>/shards/shard=<i>/  parquet (doc_id, source, n_tokens, pos, text)
+ *   root/v<N>/manifest.json      commit marker, written LAST
+ * }}}
+ *
+ * The manifest is the COMMIT MARKER: [[latestVersion]] only counts
+ * versions whose manifest exists, so a build that dies mid-write
+ * leaves an invisible partial, never a corrupt "latest" — and because
+ * every stage is deterministic in (snapshot, seed, budget, shards),
+ * rebuilding a version is replay-idempotent: same kept set, same
+ * per-source stats, same order-independent content fingerprint
+ * (xor-fold of per-row hashes; ReleaseSpec pins rebuild equality).
+ * The manifest carries no wall-clock for exactly this reason.
+ *
+ * [[prune]] applies the keep-N retention discipline
+ * (`CdcOps.compactSnapshotRetained`): delete every version strictly
+ * older than the newest `keep` committed ones — readers of the
+ * retained versions are never invalidated by a build.
+ */
+object Release {
+
+  val ManifestFile = "manifest.json"
+
+  /** Per-source seed for q_pipeline_release and the spec builds. */
+  val Seed = 11L
+
+  /** Per-source token budget — sized so sources truncate at the
+    * harness SFs after curation (~15 curated docs · ~50 tokens). */
+  val Budget = 400L
+
+  /** Shard count for the spec/smoke builds (power of two). */
+  val Shards = 8
+
+  /** The release's kept set: curated train docs capped at `budget`
+    * tokens per source in deal order — (doc_id, source, n_tokens,
+    * cum_tokens). The in-query face; [[build]] materializes it. */
+  def candidates(docs: DataFrame, seed: Long, budget: Long): DataFrame =
+    Sampling.tokenBudgetFill(PipelineQueries.curatedTrainDocs(docs),
+      "source", "doc_id", "text", seed, budget)
+
+  /** Per-source audit of the kept set (q_pipeline_release): how many
+    * documents and tokens each source actually contributes under the
+    * budget — the number a mixture owner checks before mounting. */
+  def summary(docs: DataFrame, seed: Long, budget: Long): DataFrame =
+    candidates(docs, seed, budget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs_kept"),
+        sum("n_tokens").as("tokens_kept"))
+
+  /** Build version `version` under `root`. Overwrites a partial or
+    * prior build of the SAME version (replay-idempotent); normally
+    * callers pass `latestVersion(root).getOrElse(0) + 1`. */
+  def build(docs: DataFrame, root: String, version: Int, seed: Long,
+      budget: Long, shards: Int): Unit = {
+    val spark = docs.sparkSession
+    val vdir = s"$root/v$version"
+    // a rebuild must first drop the old commit marker: if the new
+    // shard write dies midway, the version must read as uncommitted,
+    // not as "committed" with half-new files
+    deletePath(spark, s"$vdir/$ManifestFile")
+    val train = PipelineQueries.curatedTrainDocs(docs)
+    val cand = Sampling.tokenBudgetFill(train,
+      "source", "doc_id", "text", seed, budget)
+    val deal = Dedup.shuffleDeal(cand, "doc_id", seed, shards)
+    val rows = cand
+      .join(deal.select("doc_id", "shard", "pos"), Seq("doc_id"))
+      .join(train.select("doc_id", "text"), Seq("doc_id"))
+      .select("doc_id", "source", "n_tokens", "shard", "pos", "text")
+    Layout.writeSharded(rows, "shard", "pos", s"$vdir/shards")
+    // manifest from the files just written (one bounded pass; also
+    // proves the layout is readable before it is declared committed)
+    val written = spark.read.parquet(s"$vdir/shards")
+    val fp = written.agg(
+        count(lit(1)).as("rows"),
+        coalesce(sum("n_tokens"), lit(0L)).as("tokens"),
+        coalesce(expr("bit_xor(xxhash64(doc_id, text))"), lit(0L))
+          .as("fingerprint"))
+      .head()
+    val perSource = written.groupBy("source")
+      .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+      .map { case (s, d, t) =>
+        s"""{"source":"$s","docs":$d,"tokens":$t}"""
+      }
+      .mkString("[", ",", "]")
+    val manifest =
+      s"""{"version":$version,"seed":$seed,"budget":$budget,""" +
+        s""""shards":$shards,"rows":${fp.getLong(0)},""" +
+        s""""tokens":${fp.getLong(1)},"fingerprint":${fp.getLong(2)},""" +
+        s""""sources":$perSource}"""
+    writeString(spark, s"$vdir/$ManifestFile", manifest)
+  }
+
+  /** Newest COMMITTED version under `root` (manifest present), if any. */
+  def latestVersion(spark: SparkSession, root: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.matches("v\\d+") => s.drop(1).toInt }
+      .filter(v => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$root/v$v/$ManifestFile")))
+      .sorted.lastOption
+  }
+
+  /** The newest committed release's rows, from ANY session. */
+  def open(spark: SparkSession, root: String): DataFrame = {
+    val v = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed release under $root"))
+    spark.read.parquet(s"$root/v$v/shards")
+  }
+
+  /** The newest committed release's manifest JSON. */
+  def manifestJson(spark: SparkSession, root: String): String = {
+    val v = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed release under $root"))
+    readString(spark, s"$root/v$v/$ManifestFile")
+  }
+
+  /** Keep the newest `keep` committed versions; delete every version
+    * directory (committed or partial) strictly older than the oldest
+    * retained one. */
+  def prune(spark: SparkSession, root: String, keep: Int): Unit = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val all = fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .collect { case s if s.matches("v\\d+") => s.drop(1).toInt }
+      val committed = all.filter(v => fs.exists(
+        new org.apache.hadoop.fs.Path(s"$root/v$v/$ManifestFile")))
+        .sorted
+      val floor = committed.takeRight(keep).headOption.getOrElse(Int.MaxValue)
+      all.filter(_ < floor).foreach(v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/v$v"), true))
+    }
+  }
+
+  /** Retire the whole release root. */
+  def delete(spark: SparkSession, root: String): Unit =
+    deletePath(spark, root)
+
+  private def deletePath(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
+  }
+
+  private def writeString(spark: SparkSession, path: String,
+      s: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readString(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+}

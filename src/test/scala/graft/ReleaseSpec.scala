@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Release
+
+/** The versioned training-data release: build is replay-idempotent
+  * (bit-identical manifest on rebuild), the manifest is the commit
+  * marker (partial builds are invisible), open works from a second
+  * session, and prune applies keep-N retention without touching the
+  * retained versions. */
+class ReleaseSpec extends SparkSpec {
+
+  private val Src = "/root/testdata/sf0.001"
+  private def docs = Tables(spark, Src, "documents")
+
+  test("build → open: committed layout matches the in-query candidate set") {
+    val root = Files.createTempDirectory("graft-release").toString + "/rel"
+    try {
+      Release.build(docs, root, version = 1, Release.Seed, Release.Budget,
+        Release.Shards)
+      assert(Release.latestVersion(spark, root).contains(1))
+      val opened = Release.open(spark, root)
+      assert(opened.columns.toSet ==
+        Set("doc_id", "source", "n_tokens", "pos", "text", "shard"))
+      // the released rows ARE the candidate set (ids and per-source
+      // token totals), laid out — build adds layout, never changes
+      // membership
+      val cand = Release.candidates(docs, Release.Seed, Release.Budget)
+      val wantIds = cand.select("doc_id").collect().map(_.getLong(0)).toSet
+      val gotIds = opened.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(gotIds == wantIds && gotIds.nonEmpty)
+      // and the audit query agrees with what was actually written
+      val summary = Release.summary(docs, Release.Seed, Release.Budget)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val written = opened.groupBy("source")
+        .agg(count(lit(1)).as("d"), sum("n_tokens").as("t"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(written == summary)
+      // every source respects the budget in the shipped artifact
+      assert(written.forall(_._3 <= Release.Budget))
+    } finally Release.delete(spark, root)
+  }
+
+  test("rebuild of the same version is bit-identical; a new seed is not") {
+    val root = Files.createTempDirectory("graft-release").toString + "/rel"
+    try {
+      Release.build(docs, root, 1, Release.Seed, Release.Budget, Release.Shards)
+      val first = Release.manifestJson(spark, root)
+      Release.build(docs, root, 1, Release.Seed, Release.Budget, Release.Shards)
+      assert(Release.manifestJson(spark, root) == first,
+        "replaying a build must reproduce the manifest byte-for-byte")
+      Release.build(docs, root, 2, Release.Seed + 1, Release.Budget,
+        Release.Shards)
+      assert(Release.latestVersion(spark, root).contains(2))
+      assert(Release.manifestJson(spark, root) != first,
+        "a new seed must re-deal the kept set")
+    } finally Release.delete(spark, root)
+  }
+
+  test("manifest is the commit marker; prune keeps the newest N") {
+    val root = Files.createTempDirectory("graft-release").toString + "/rel"
+    try {
+      Release.build(docs, root, 1, Release.Seed, Release.Budget, Release.Shards)
+      Release.build(docs, root, 2, Release.Seed, Release.Budget, Release.Shards)
+      // a build that died before its manifest: invisible to readers
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/v3/shards"))
+      assert(Release.latestVersion(spark, root).contains(2))
+      Release.prune(spark, root, keep = 1)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/v1")),
+        "pruned version must be deleted")
+      assert(Release.latestVersion(spark, root).contains(2))
+      assert(Release.open(spark, root).count() > 0)
+    } finally Release.delete(spark, root)
+  }
+
+  test("a second session opens the release a prior session built") {
+    val root = Files.createTempDirectory("graft-release").toString + "/rel"
+    try {
+      Release.build(docs, root, 1, Release.Seed, Release.Budget, Release.Shards)
+      val session2 = spark.newSession()
+      val opened = Release.open(session2, root)
+      assert(opened.count() ==
+        Release.candidates(docs, Release.Seed, Release.Budget).count())
+      assert(Release.manifestJson(session2, root).contains("\"version\":1"))
+    } finally Release.delete(spark, root)
+  }
+}
