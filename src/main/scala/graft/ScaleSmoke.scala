@@ -69,6 +69,7 @@ object ScaleSmoke {
       "q_dedup_clusters_atrest",
       "q_text_vocab_drift_capped", "q_sample_cluster",
       "q_sample_shuffle", "q_sample_token_budget",
+      "q_pipeline_release", "q_pipeline_release_incremental",
       "q_dedup_semantic_trained")
     queries.foreach { name =>
       val t0 = System.nanoTime()
@@ -323,6 +324,34 @@ object ScaleSmoke {
       f"  rows=$n  (${dirBytes(root) / 1024}%d KB)")
     require(n > 0, "release must keep rows at 10x")
     require(Release.manifestJson(spark, root).contains("\"version\":1"))
+
+    // the incremental path: standing curated corpus (init once = the
+    // rare whole-corpus pass; folds = batch-sized), then v2 cut FROM
+    // the standing table — a budget fill over pre-counted narrow rows.
+    // The claim being measured: fold ≪ init, and the standing-table
+    // build ≪ the full build (it re-curates nothing).
+    import graft.pipeline.CuratedCorpus
+    val cc = s"$OutDir/curated_corpus"
+    val mx = docs.agg(org.apache.spark.sql.functions.max("doc_id"))
+      .head().getLong(0)
+    val (cut1, cut2) = (mx * 8 / 10, mx * 9 / 10)
+    val ti = System.nanoTime()
+    CuratedCorpus.init(docs.where(col("doc_id") < cut1), cc)
+    val init = (System.nanoTime() - ti) / 1e9
+    val tf = System.nanoTime()
+    CuratedCorpus.foldBatch(cc,
+      docs.where(col("doc_id") >= cut1 && col("doc_id") < cut2), 0L)
+    CuratedCorpus.foldBatch(cc, docs.where(col("doc_id") >= cut2), 1L)
+    val fold = (System.nanoTime() - tf) / 1e9
+    val tb = System.nanoTime()
+    Release.buildFromCorpus(spark, cc, root, 2, Release.Seed,
+      Release.Budget, shards = 16)
+    val incr = (System.nanoTime() - tb) / 1e9
+    println(f"[scale] curated corpus          init ${init}%6.2f s  2 folds ${fold}%6.2f s" +
+      f"  v2 from standing ${incr}%6.2f s")
+    require(Release.latestVersion(spark, root).contains(2))
+    require(fold < init,
+      s"two batch folds ($fold s) must undercut the corpus init ($init s)")
   }
 
   /** One full ingest-stack pass; returns per-batch

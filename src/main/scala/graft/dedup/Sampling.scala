@@ -60,19 +60,36 @@ object Sampling {
    */
   def tokenBudgetFill(docs: DataFrame, srcCol: String, idCol: String,
       textCol: String, seed: Long, budget: Long,
-      chunks: Int = 256): DataFrame = {
+      chunks: Int = 256): DataFrame =
+    fillCounted(keyed(docs, srcCol, idCol, textCol, seed),
+      srcCol, idCol, budget, chunks)
+
+  /** [[tokenBudgetFill]] over PRE-COUNTED tokens (`tokensCol`) — the
+    * face a standing curated table uses: its token counts were paid
+    * at fold time, so the budget fill never touches text at all. */
+  def tokenBudgetFillCounted(docs: DataFrame, srcCol: String,
+      idCol: String, tokensCol: String, seed: Long, budget: Long,
+      chunks: Int = 256): DataFrame =
+    fillCounted(
+      docs.select(col(idCol), col(srcCol),
+        coalesce(col(tokensCol).cast("long"), lit(0L)).as("n_tokens"),
+        Dedup.shuffleKey(col(idCol), seed).as("__key")),
+      srcCol, idCol, budget, chunks)
+
+  private def fillCounted(keyedDocs: DataFrame, srcCol: String,
+      idCol: String, budget: Long, chunks: Int): DataFrame = {
     require(budget >= 0, s"budget must be non-negative, got $budget")
     require(chunks > 0 && (chunks & (chunks - 1)) == 0,
       s"chunks must be a positive power of two, got $chunks")
-    val spark = docs.sparkSession
+    val spark = keyedDocs.sparkSession
     import spark.implicits._
     // materialize the narrow projection ONCE: both passes need
-    // (id, source, n_tokens, key), and re-deriving it would scan and
-    // TOKENIZE the full corpus twice — tokenization dominates, the
-    // projection is ~tens of bytes/row (disk-backed executor storage,
-    // spread across the cluster; at 100 TB this is the difference
-    // between one text pass and two)
-    val base = keyed(docs, srcCol, idCol, textCol, seed)
+    // (id, source, n_tokens, key), and re-deriving it would scan (and
+    // in the text-fed form, TOKENIZE) the full corpus twice —
+    // tokenization dominates, the projection is ~tens of bytes/row
+    // (disk-backed executor storage, spread across the cluster; at
+    // 100 TB this is the difference between one text pass and two)
+    val base = keyedDocs
       .withColumn("__chunk", expr(s"__key div ${2147483648L / chunks}"))
       .localCheckpoint(true)
     val totals = base.groupBy(srcCol, "__chunk")

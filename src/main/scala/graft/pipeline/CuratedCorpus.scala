@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/**
+ * STANDING curated-corpus table — the at-rest form of
+ * [[PipelineQueries.curatedTrainDocs]], maintained incrementally so a
+ * new [[Release]] version never re-curates the whole corpus. Init
+ * curates the corpus snapshot once (the rare whole-corpus pass); each
+ * arriving batch then folds in at batch-sized cost: quality rules and
+ * the train split are per-document, and cross-corpus exact dedup
+ * becomes a probe of the standing HASH table — a narrow
+ * (hash-only) anti-join that never reads standing text.
+ *
+ * Layout under `path` (ClusterIndex partition discipline):
+ * {{{
+ *   path/docs/__batch=<b>/    (doc_id, source, n_tokens, text), doc_id-sorted
+ *   path/hashes/__batch=<b>/  (h) — exact content hashes the batch landed
+ * }}}
+ * `__batch = -1` is the init snapshot; each fold appends only its own
+ * partitions. Folds are REPLAY-IDEMPOTENT: writes are dynamic
+ * partition overwrites keyed by `batchId`, and the dedup probe
+ * excludes the batch's own hash partition, so a redelivered batch
+ * re-derives the same rows instead of deduping against its prior
+ * self to nothing.
+ *
+ * Equivalence contract (pinned in ReleaseSpec): init(corpus) then
+ * foldBatch(b1)…foldBatch(bN) holds EXACTLY
+ * `curatedTrainDocs(corpus ∪ b1 ∪ … ∪ bN)` with token counts —
+ * provided batch doc ids exceed all earlier ids (the CDC/ClusterIndex
+ * monotone-id contract): the exact-dedup keeper is min-id-per-hash,
+ * so first-seen ≡ min-id exactly when ids grow monotonically. Docs
+ * sort by doc_id inside files so the budget-kept text join prunes
+ * row groups by footer stats.
+ *
+ * [[Release.buildFromCorpus]] closes the loop: versioned releases cut
+ * from this table pay the budget fill over PRE-COUNTED tokens (no
+ * tokenization, no text until the final budget-bounded layout join).
+ */
+object CuratedCorpus {
+
+  /** Init-snapshot marker in the `__batch` partition column. */
+  val BaseBatch = -1L
+
+  private val DocsSchema =
+    "doc_id LONG, source STRING, n_tokens LONG, text STRING, __batch LONG"
+
+  /** Curate the corpus snapshot and write the base partitions. */
+  def init(docs: DataFrame, path: String): Unit = {
+    val curated = withCounts(PipelineQueries.curatedTrainDocs(docs))
+      .withColumn("__batch", lit(BaseBatch))
+    curated.sortWithinPartitions("doc_id")
+      .write.mode("overwrite").partitionBy("__batch")
+      .parquet(s"$path/docs")
+    curated.select(Dedup.exactHash(col("text")).as("h"),
+        col("__batch"))
+      .distinct()
+      .write.mode("overwrite").partitionBy("__batch")
+      .parquet(s"$path/hashes")
+  }
+
+  /**
+   * Fold one batch: curate it (quality rules + within-batch exact
+   * keeper + train split — all batch-local), drop docs whose content
+   * the standing table already holds (hash anti-join; the exchange
+   * carries the batch's rows and the standing HASHES, never standing
+   * text), and land the survivors as the batch's own partitions.
+   * Batch ids must be ≥ 0, distinct, and doc ids must exceed all
+   * earlier ones (see class doc).
+   */
+  def foldBatch(path: String, batchDocs: DataFrame, batchId: Long): Unit = {
+    require(batchId != BaseBatch && batchId >= 0,
+      s"fold batch ids must be ≥ 0 (got $batchId; $BaseBatch is the base)")
+    val spark = batchDocs.sparkSession
+    val standing = spark.read.schema("h STRING, __batch LONG")
+      .parquet(s"$path/hashes")
+      .where(col("__batch") =!= batchId) // replay: never probe own landing
+      .select("h")
+    val fresh = withCounts(PipelineQueries.curatedTrainDocs(batchDocs))
+      .withColumn("h", Dedup.exactHash(col("text")))
+      .join(standing, Seq("h"), "left_anti")
+      .localCheckpoint(true) // both writes below; lineage reads the target dir
+    fresh.select(col("doc_id"), col("source"), col("n_tokens"), col("text"))
+      .withColumn("__batch", lit(batchId))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch")
+      .parquet(s"$path/docs")
+    fresh.select(col("h")).distinct()
+      .withColumn("__batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch")
+      .parquet(s"$path/hashes")
+  }
+
+  /** The composed curated table — (doc_id, source, n_tokens, text)
+    * across the base snapshot and every fold, from any session. */
+  def open(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(DocsSchema).parquet(s"$path/docs")
+      .select("doc_id", "source", "n_tokens", "text")
+
+  /** Retire the table. */
+  def delete(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
+  }
+
+  /** Attach the stored token count (same null-as-zero rule as the
+    * budget fill's text face, so the counted path is equivalent). */
+  private[pipeline] def withCounts(curated: DataFrame): DataFrame =
+    curated.select(col("doc_id"), col("source"),
+      coalesce(
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long"),
+        lit(0L)).as("n_tokens"),
+      col("text"))
+}

@@ -77,7 +77,47 @@ object PipelineQueries {
     "q_pipeline_release" -> ((s, dir) =>
       Release.summary(Tables(s, dir, "documents"),
         Release.Seed, Release.Budget)
-        .orderBy("source")))
+        .orderBy("source")),
+
+    // The INCREMENTAL path to the same release: a standing
+    // [[CuratedCorpus]] table initialized from the first 80% of the
+    // corpus (by doc id), with the remaining two 10% slices folded in
+    // as batches — batch-sized curation plus a hash-only probe of the
+    // standing table, never a re-curation — then the budget fill over
+    // the standing table's PRE-COUNTED tokens. The oracle is the SAME
+    // SQL as q_pipeline_release: init+folds ≡ curating the union
+    // corpus (min-id keeper ≡ first-seen under the monotone-id batch
+    // contract), so the incremental path must land on the identical
+    // per-source audit — the equivalence contract, driver-checked.
+    "q_pipeline_release_incremental" -> ((s, dir) => {
+      val train = CuratedCorpus.open(s, cachedCuratedCorpusPath(s, dir))
+      graft.dedup.Sampling.tokenBudgetFillCounted(train,
+          "source", "doc_id", "n_tokens", Release.Seed, Release.Budget)
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs_kept"),
+          sum("n_tokens").as("tokens_kept"))
+        .orderBy("source")
+    }))
+
+  /** Standing curated-corpus table per (session, dir): init once from
+    * the base slice, fold the two batch slices, reuse across
+    * bench/verify iterations (scratch-pathed, JVM-exit retired). */
+  private val corpusCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def cachedCuratedCorpusPath(s: SparkSession, dir: String): String =
+    corpusCache.getOrElseUpdate((s, dir), {
+      val docs = Tables(s, dir, "documents")
+      val mxRow = docs.agg(max("doc_id")).head()
+      val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+      val (t1, t2) = (mx * 8 / 10, mx * 9 / 10)
+      val path = graft.Scratch.path("graft_curated", dir)
+      graft.Scratch.registerCleanup(path)
+      CuratedCorpus.init(docs.where(col("doc_id") < t1), path)
+      CuratedCorpus.foldBatch(path,
+        docs.where(col("doc_id") >= t1 && col("doc_id") < t2), 0L)
+      CuratedCorpus.foldBatch(path, docs.where(col("doc_id") >= t2), 1L)
+      path
+    })
 
   def oracleSql: Map[String, String] = {
     import TextAnalysis._
@@ -127,7 +167,17 @@ object PipelineQueries {
           AS n_tokens_in_seq
       FROM x ORDER BY shard, seq, doc_id""",
 
-    "q_pipeline_release" -> s"""
+    // shared by q_pipeline_release AND q_pipeline_release_incremental:
+    // the incremental standing-table path must land on the identical
+    // full-corpus answer (the CuratedCorpus equivalence contract)
+    "q_pipeline_release" -> releaseOracle,
+    "q_pipeline_release_incremental" -> releaseOracle)
+  }
+
+  private lazy val releaseOracle: String = {
+    import TextAnalysis._
+    val t = "text"
+    s"""
       WITH q AS (
         SELECT doc_id, source, lang, text, ${TextSql.tokens(t)} AS toks
         FROM documents),
@@ -167,6 +217,6 @@ object PipelineQueries {
       SELECT source, CAST(count(*) AS BIGINT) AS docs_kept,
         CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
       FROM c WHERE cum_tokens <= ${Release.Budget}
-      GROUP BY source ORDER BY source""")
+      GROUP BY source ORDER BY source"""
   }
 }

@@ -80,20 +80,40 @@ object Release {
       .agg(count(lit(1)).as("docs_kept"),
         sum("n_tokens").as("tokens_kept"))
 
-  /** Build version `version` under `root`. Overwrites a partial or
-    * prior build of the SAME version (replay-idempotent); normally
-    * callers pass `latestVersion(root).getOrElse(0) + 1`. */
+  /** Build version `version` under `root` from a corpus snapshot
+    * (full curation pass). Overwrites a partial or prior build of the
+    * SAME version (replay-idempotent); normally callers pass
+    * `latestVersion(root).getOrElse(0) + 1`. */
   def build(docs: DataFrame, root: String, version: Int, seed: Long,
-      budget: Long, shards: Int): Unit = {
-    val spark = docs.sparkSession
+      budget: Long, shards: Int): Unit =
+    commitVersion(
+      CuratedCorpus.withCounts(PipelineQueries.curatedTrainDocs(docs)),
+      root, version, seed, budget, shards)
+
+  /** Build a version from a STANDING [[CuratedCorpus]] table — the
+    * incremental production path: curation and tokenization were paid
+    * at init/fold time, so this is a budget fill over pre-counted
+    * narrow rows plus the budget-bounded text layout join. Pinned
+    * equal to [[build]] over the equivalent full corpus
+    * (ReleaseSpec). */
+  def buildFromCorpus(spark: SparkSession, corpusPath: String,
+      root: String, version: Int, seed: Long, budget: Long,
+      shards: Int): Unit =
+    commitVersion(CuratedCorpus.open(spark, corpusPath),
+      root, version, seed, budget, shards)
+
+  /** The shared layout-and-commit step over a curated train table
+    * (doc_id, source, n_tokens, text). */
+  private def commitVersion(train: DataFrame, root: String, version: Int,
+      seed: Long, budget: Long, shards: Int): Unit = {
+    val spark = train.sparkSession
     val vdir = s"$root/v$version"
     // a rebuild must first drop the old commit marker: if the new
     // shard write dies midway, the version must read as uncommitted,
     // not as "committed" with half-new files
     deletePath(spark, s"$vdir/$ManifestFile")
-    val train = PipelineQueries.curatedTrainDocs(docs)
-    val cand = Sampling.tokenBudgetFill(train,
-      "source", "doc_id", "text", seed, budget)
+    val cand = Sampling.tokenBudgetFillCounted(train,
+      "source", "doc_id", "n_tokens", seed, budget)
     val deal = Dedup.shuffleDeal(cand, "doc_id", seed, shards)
     val rows = cand
       .join(deal.select("doc_id", "shard", "pos"), Seq("doc_id"))
