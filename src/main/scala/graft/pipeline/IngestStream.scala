@@ -160,6 +160,23 @@ object IngestStream {
   }
 
   /**
+   * Turnkey accept router — [[quarantine]]'s other half, closing the
+   * stream → standing-corpus → release loop: fold a passing batch
+   * into the standing [[CuratedCorpus]] at `corpusPath`. The fold is
+   * keyed by the stream's own micro-batch id, so at-least-once
+   * redelivery re-lands the batch's own partitions (CuratedCorpus's
+   * replay contract) instead of duplicating rows. The batch must
+   * carry the curation columns (`doc_id, source, lang, text`) and its
+   * doc ids must exceed all earlier ones (the monotone-id fold
+   * contract) — curation itself (quality rules, exact-dedup probe,
+   * train split) runs inside the fold, so the gates decide the
+   * batch's FATE and the fold decides each document's.
+   */
+  def acceptIntoCorpus(batch: DataFrame, report: BatchReport,
+      corpusPath: String): Unit =
+    CuratedCorpus.foldBatch(corpusPath, batch, report.batchId)
+
+  /**
    * Turnkey quarantine router: append a failing batch to
    * `quarantineDir` as parquet, stamped with the batch id and a
    * machine-readable reason, so triage reads one table instead of

@@ -224,6 +224,93 @@ class IngestStreamSpec extends SparkSpec {
     }
   }
 
+  test("accept router folds passing batches into the standing corpus end to end") {
+    import graft.pipeline.{CuratedCorpus, PipelineQueries, Release}
+    // docs that clear every curation rule: 25 distinct ~6-char tokens,
+    // no punctuation, lang != 'en' (stopword rule is en-only), and a
+    // per-doc marker so texts are exact-dedup distinct
+    val pool = Vector.tabulate(40)(i => f"word$i%02d")
+    def doc(i: Int): String =
+      (0 until 24).map(j => pool((i * 7 + j) % 40)).mkString(" ") +
+        s" marker$i"
+    def asDocs(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .withColumn("source",
+          concat(lit("s"), (col("doc_id") % 2).cast("string")))
+        .withColumn("lang", lit("de"))
+        .select("doc_id", "source", "lang", "text")
+    val corpus = asDocs(Seq.tabulate(30)(i => (i.toLong, doc(i))))
+    val cc = java.nio.file.Files
+      .createTempDirectory("graft-cc").toString + "/cc"
+    val qDir = java.nio.file.Files
+      .createTempDirectory("graft-quar").toString + "/q"
+    try {
+      CuratedCorpus.init(corpus, cc)
+      val schema = StructType.fromDDL(
+        "doc_id BIGINT, source STRING, lang STRING, text STRING")
+      implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+      val mem = MemoryStream[Row](enc, spark)
+      val rules = Seq(DqGate.Rule("text_nonempty",
+        DqGate.notSatisfied(length(trim(col("text"))) > 0)))
+      var lastAccepted: Option[IngestStream.BatchReport] = None
+      val (writer, release) = IngestStream.gated(
+        mem.toDF(), corpus, "doc_id", "text", rules, threshold = 0.99) {
+        (batch, report) =>
+          if (report.dqPass) {
+            IngestStream.acceptIntoCorpus(batch, report, cc)
+            lastAccepted = Some(report)
+          } else IngestStream.quarantine(batch, report, "dq", qDir)
+      }
+      def rowsOf(rows: Seq[(Long, String)]): Seq[Row] =
+        asDocs(rows).collect().toSeq
+      val b0 = Seq.tabulate(4)(j => (100L + j, doc(100 + j)))
+      // id 200 resubmits corpus doc 3's exact text under a fresh id —
+      // the standing-hash probe must drop it inside the fold
+      val b1 = Seq((200L, doc(3)), (201L, doc(201)), (202L, doc(202)))
+      val b2 = Seq((300L, "   "), (301L, doc(301))) // dq fail → quarantine
+      val q = writer.start()
+      try {
+        Seq(b0, b1, b2).foreach { b =>
+          mem.addData(rowsOf(b): _*); q.processAllAvailable()
+        }
+      } finally { q.stop(); release() }
+
+      // the standing table holds exactly the union curation of the
+      // corpus plus the ACCEPTED batches — the quarantined batch
+      // (including its one good doc 301: batch fate, not doc fate)
+      // contributes nothing
+      def tableRows = CuratedCorpus.open(spark, cc)
+        .select("doc_id", "source", "n_tokens")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val want = PipelineQueries
+        .curatedTrainDocs(corpus.unionByName(asDocs(b0 ++ b1)))
+        .select(col("doc_id"), col("source"),
+          coalesce(graft.text.TextAnalysis.tokenCount(col("text"))
+            .cast("long"), lit(0L)).as("n_tokens"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val got = tableRows
+      assert(got == want && got.nonEmpty)
+      assert(!got.exists(_._1 == 200L), "resubmitted content re-landed")
+      assert(spark.read.parquet(qDir)
+        .where(col("__batch_id") === lastAccepted.get.batchId + 1).count() == 2)
+
+      // at-least-once redelivery of the last accepted batch: the fold
+      // re-lands its own partitions, the table does not change
+      IngestStream.acceptIntoCorpus(asDocs(b1), lastAccepted.get, cc)
+      assert(tableRows == got)
+
+      // and a release cuts straight from the stream-fed table
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-rel").toString + "/r"
+      try {
+        Release.buildFromCorpus(spark, cc, root, 1, Release.Seed,
+          Release.Budget, Release.Shards)
+        assert(Release.latestVersion(spark, root).contains(1))
+        assert(Release.open(spark, root).count() > 0)
+      } finally Release.delete(spark, root)
+    } finally CuratedCorpus.delete(spark, cc)
+  }
+
   test("quarantine refuses a batch that already carries stamps") {
     val stamped = Seq((1L, "x", 9L, "old")).toDF(
       "doc_id", "text", "__batch_id", "__reason")
