@@ -104,6 +104,73 @@ object CuratedCorpus {
     spark.read.schema(DocsSchema).parquet(s"$path/docs")
       .select("doc_id", "source", "n_tokens", "text")
 
+  /**
+   * Compact every fold into the base snapshot: rewrite docs and
+   * hashes as single `__batch = -1` partitions in a staging dir
+   * (`path/.compact`), then swap each live dir in and prune strictly
+   * after the swap — the [[graft.operators.CdcOps.compactSnapshotRetained]]
+   * discipline on a path-rooted table. A long-lived table folds many
+   * small batch partitions; compaction restores the file count and
+   * the doc_id sort that row-group pruning in the release's text join
+   * relies on, without changing one visible row (pinned in
+   * CuratedCorpusSpec).
+   *
+   * Crash contract: the staging write completes before any live dir
+   * is touched, so a crash mid-compact never loses rows. The only
+   * non-live window is between a dir's two renames; a crashed swap is
+   * finished by calling [[compact]] (or [[recoverSwap]]) again —
+   * the recovery preamble re-lands a fully-written staging dir whose
+   * live dir is missing. Folds keep composing afterwards: a replayed
+   * ALREADY-COMPACTED batch dedups to zero against the base hash
+   * partition (which the probe never excludes), so replay idempotence
+   * survives compaction.
+   */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(spark, path)
+    val docs = open(spark, path)
+      .withColumn("__batch", lit(BaseBatch))
+    docs.sortWithinPartitions("doc_id")
+      .write.mode("overwrite").partitionBy("__batch")
+      .parquet(s"$path/.compact/docs")
+    spark.read.schema("h STRING, __batch LONG").parquet(s"$path/hashes")
+      .select("h").distinct()
+      .withColumn("__batch", lit(BaseBatch))
+      .write.mode("overwrite").partitionBy("__batch")
+      .parquet(s"$path/.compact/hashes")
+    // staging is complete — swap each live dir, then (and only then)
+    // prune the retired data
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    Seq("docs", "hashes").foreach { t =>
+      fs.rename(p(s"$path/$t"), p(s"$path/.old_$t"))
+      require(fs.rename(p(s"$path/.compact/$t"), p(s"$path/$t")),
+        s"compact swap failed for $path/$t")
+    }
+    Seq(s"$path/.old_docs", s"$path/.old_hashes", s"$path/.compact")
+      .foreach(d => fs.delete(p(d), true))
+    ()
+  }
+
+  /** Finish a crashed [[compact]] swap: for each table dir whose live
+    * location is missing but whose fully-written staging copy exists,
+    * rename the staging copy in; retired `.old_*` dirs are pruned
+    * once a live dir exists again. Safe to call on a healthy table
+    * (no-op). */
+  def recoverSwap(spark: SparkSession, path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    Seq("docs", "hashes").foreach { t =>
+      val (live, staged, old) =
+        (p(s"$path/$t"), p(s"$path/.compact/$t"), p(s"$path/.old_$t"))
+      if (!fs.exists(live) && fs.exists(staged) &&
+        fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS")))
+        require(fs.rename(staged, live), s"swap recovery failed for $live")
+      if (fs.exists(live) && fs.exists(old)) { fs.delete(old, true); () }
+    }
+  }
+
   /** Retire the table. */
   def delete(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)

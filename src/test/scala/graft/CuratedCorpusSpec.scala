@@ -101,6 +101,66 @@ class CuratedCorpusSpec extends SparkSpec {
     }
   }
 
+  test("compaction merges folds into the base without changing one visible row") {
+    val path = Files.createTempDirectory("graft-corpus").toString + "/cc"
+    try {
+      val (base, b1, b2) = slices
+      CuratedCorpus.init(base, path)
+      CuratedCorpus.foldBatch(path, b1, 0L)
+      val before = tableRows(path)
+      def batchDirs(table: String): Set[String] = {
+        val d = new java.io.File(s"$path/$table")
+        d.listFiles().filter(_.isDirectory).map(_.getName).toSet
+      }
+      assert(batchDirs("docs") == Set("__batch=-1", "__batch=0"))
+      CuratedCorpus.compact(spark, path)
+      // one visible-row-identical base partition, fold partitions gone
+      assert(tableRows(path) == before)
+      assert(batchDirs("docs") == Set("__batch=-1") &&
+        batchDirs("hashes") == Set("__batch=-1"))
+      // replaying an ALREADY-COMPACTED batch dedups to zero against
+      // the base hash partition — idempotence survives compaction
+      CuratedCorpus.foldBatch(path, b1, 0L)
+      assert(tableRows(path) == before)
+      // and new folds keep composing afterwards
+      CuratedCorpus.foldBatch(path, b2, 1L)
+      val want = PipelineQueries.curatedTrainDocs(docs)
+        .select(col("doc_id"), col("source"),
+          coalesce(graft.text.TextAnalysis.tokenCount(col("text"))
+            .cast("long"), lit(0L)).as("n_tokens"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(tableRows(path) == want)
+      // a second compact is a no-op on the visible table
+      CuratedCorpus.compact(spark, path)
+      assert(tableRows(path) == want)
+    } finally CuratedCorpus.delete(spark, path)
+  }
+
+  test("a crashed compact swap is finished by the recovery preamble") {
+    val path = Files.createTempDirectory("graft-corpus").toString + "/cc"
+    try {
+      val (base, b1, _) = slices
+      CuratedCorpus.init(base, path)
+      CuratedCorpus.foldBatch(path, b1, 0L)
+      val before = tableRows(path)
+      // simulate the one non-live crash window: staging fully written
+      // (here: the live dir itself, which carries _SUCCESS), live dir
+      // gone mid-swap
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      def p(s: String) = new org.apache.hadoop.fs.Path(s)
+      fs.mkdirs(p(s"$path/.compact"))
+      fs.rename(p(s"$path/docs"), p(s"$path/.compact/docs"))
+      intercept[Exception] { tableRows(path) } // the table IS down
+      CuratedCorpus.recoverSwap(spark, path)
+      assert(tableRows(path) == before)
+      // compact itself runs the preamble, so a re-run also heals
+      fs.rename(p(s"$path/hashes"), p(s"$path/.compact/hashes"))
+      CuratedCorpus.compact(spark, path)
+      assert(tableRows(path) == before)
+    } finally CuratedCorpus.delete(spark, path)
+  }
+
   test("a second session opens the standing table a prior session built") {
     val path = Files.createTempDirectory("graft-corpus").toString + "/cc"
     try {
