@@ -74,14 +74,7 @@ object CuratedCorpus {
   def foldBatch(path: String, batchDocs: DataFrame, batchId: Long): Unit = {
     require(batchId != BaseBatch && batchId >= 0,
       s"fold batch ids must be ≥ 0 (got $batchId; $BaseBatch is the base)")
-    val spark = batchDocs.sparkSession
-    val standing = spark.read.schema("h STRING, __batch LONG")
-      .parquet(s"$path/hashes")
-      .where(col("__batch") =!= batchId) // replay: never probe own landing
-      .select("h")
-    val fresh = withCounts(PipelineQueries.curatedTrainDocs(batchDocs))
-      .withColumn("h", Dedup.exactHash(col("text")))
-      .join(standing, Seq("h"), "left_anti")
+    val fresh = freshRows(path, batchDocs, batchId)
       .localCheckpoint(true) // both writes below; lineage reads the target dir
     fresh.select(col("doc_id"), col("source"), col("n_tokens"), col("text"))
       .withColumn("__batch", lit(batchId))
@@ -96,6 +89,23 @@ object CuratedCorpus {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch")
       .parquet(s"$path/hashes")
+  }
+
+  /** The fold's survivor set BEFORE it lands: curate the batch, then
+    * drop content the standing table already holds. The standing side
+    * of the anti-join is the HASH table only — the exchange carries
+    * the batch's rows and ~32-byte hashes, never standing text
+    * (plan-pinned in PlanQualitySpec). */
+  private[graft] def freshRows(path: String, batchDocs: DataFrame,
+      batchId: Long): DataFrame = {
+    val spark = batchDocs.sparkSession
+    val standing = spark.read.schema("h STRING, __batch LONG")
+      .parquet(s"$path/hashes")
+      .where(col("__batch") =!= batchId) // replay: never probe own landing
+      .select("h")
+    withCounts(PipelineQueries.curatedTrainDocs(batchDocs))
+      .withColumn("h", Dedup.exactHash(col("text")))
+      .join(standing, Seq("h"), "left_anti")
   }
 
   /** The composed curated table — (doc_id, source, n_tokens, text)

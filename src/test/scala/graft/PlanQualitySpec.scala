@@ -247,6 +247,58 @@ class PlanQualitySpec extends SparkSpec {
       s"unexpected global sorts:\n$p")
   }
 
+  test("q_pipeline_release_incremental: the budget fill never reads standing text") {
+    val p = plan(SparkEntry.queries("q_pipeline_release_incremental")(spark, Sf))
+    // the standing table pre-counted tokens at fold time, so the fill
+    // is narrow rows end to end: no scan — file or materialized
+    // checkpoint — may carry the text column (text is only touched by
+    // Release.build's final budget-bounded layout join, not here)
+    val fileScans = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(fileScans.forall(!_.requiredSchema.fieldNames.contains("text")),
+      s"fill must not read text: ${fileScans.map(_.requiredSchema)}")
+    val rowScans = collectAll(p) {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r
+    }
+    assert(rowScans.forall(!_.output.map(_.name).contains("text")),
+      s"checkpointed fill input must be narrow:\n$p")
+    assert((fileScans ++ rowScans).nonEmpty)
+    // q_sample_token_budget's broadcast-fill shape plus the per-source
+    // audit aggregate: chunk hash + source hash + presentation range
+    assert(collectAll(p) { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      "chunk base offsets must broadcast-join")
+    val ex = collectAll(p) { case e: ShuffleExchangeLike => e }
+    assert(ex.length == 3,
+      s"expected chunk hash + audit agg + presentation range, got $ex")
+  }
+
+  test("curated-corpus fold: the dedup probe scans hashes only, never standing docs") {
+    import graft.pipeline.CuratedCorpus
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-planpin").toString + "/cc"
+    try {
+      val docs = Tables(spark, Sf, "documents")
+      CuratedCorpus.init(docs.where(org.apache.spark.sql.functions
+        .col("doc_id") < 100), path)
+      val p = plan(CuratedCorpus.freshRows(path,
+        docs.where(org.apache.spark.sql.functions.col("doc_id") >= 100), 0L))
+      val scans = collectAll(p) {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      // exactly one scan of the standing table: its hash partitions,
+      // reading only the ~32-byte hash column — the batch's text joins
+      // against hashes, standing text stays on disk
+      val standing = scans.filter(_.relation.location.rootPaths
+        .exists(_.toString.contains("graft-planpin")))
+      assert(standing.nonEmpty, s"no standing-table scan found:\n$p")
+      assert(standing.forall(s =>
+        s.relation.location.rootPaths.forall(_.toString.contains("/hashes")) &&
+          s.requiredSchema.fieldNames.toSeq == Seq("h")),
+        s"fold probe must scan hashes(h) only: ${standing.map(_.requiredSchema)}")
+    } finally CuratedCorpus.delete(spark, path)
+  }
+
   test("q_dedup_semantic_trained: at-rest pair join, zero assignment recompute") {
     val p = plan(SparkEntry.queries("q_dedup_semantic_trained")(spark, Sf))
     // the whole point of the at-rest layout: the per-row K-dot argmax
