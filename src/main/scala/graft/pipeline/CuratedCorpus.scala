@@ -181,6 +181,22 @@ object CuratedCorpus {
     }
   }
 
+  /** Highest batch id the table currently holds ([[BaseBatch]] if
+    * only the init snapshot, or after a [[compact]] folded everything
+    * into it) — the fold watermark a [[Release]] records as lineage.
+    * A directory listing, never a data scan. */
+  def batchWatermark(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/docs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val Part = "^__batch=(-?\\d+)$".r
+    fs.listStatus(p).toSeq.filter(_.isDirectory)
+      .flatMap(_.getPath.getName match {
+        case Part(n) => Some(n.toLong)
+        case _ => None
+      })
+      .foldLeft(BaseBatch)(math.max)
+  }
+
   /** Retire the table. */
   def delete(spark: SparkSession, path: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -54,6 +54,10 @@ object Release {
 
   val ManifestFile = "manifest.json"
 
+  /** Provenance sidecar ([[buildFromCorpus]] only); never a commit
+    * marker — [[latestVersion]] ignores it. */
+  val LineageFile = "lineage.json"
+
   /** Per-source seed for q_pipeline_release and the spec builds. */
   val Seed = 11L
 
@@ -98,9 +102,31 @@ object Release {
     * (ReleaseSpec). */
   def buildFromCorpus(spark: SparkSession, corpusPath: String,
       root: String, version: Int, seed: Long, budget: Long,
-      shards: Int): Unit =
+      shards: Int): Unit = {
     commitVersion(CuratedCorpus.open(spark, corpusPath),
       root, version, seed, budget, shards)
+    // lineage SIDECAR, written after the commit marker: which standing
+    // table and which fold watermark this version was cut from — the
+    // provenance an auditor walks from a mounted release back to the
+    // corpus state. Deliberately NOT part of the manifest: the
+    // manifest stays a pure function of (snapshot, seed, budget,
+    // shards), so the incremental-≡-full bit-identity pin and rebuild
+    // determinism are unaffected by where the rows happened to live.
+    val wm = CuratedCorpus.batchWatermark(spark, corpusPath)
+    val escaped = corpusPath.replace("\\", "\\\\").replace("\"", "\\\"")
+    writeString(spark, s"$root/v$version/$LineageFile",
+      s"""{"corpus_path":"$escaped","corpus_batch":$wm}""")
+  }
+
+  /** The lineage sidecar for a committed version, when the version
+    * was cut from a standing corpus ([[buildFromCorpus]]); a full
+    * [[build]] from a raw snapshot has none. */
+  def lineageJson(spark: SparkSession, root: String,
+      version: Int): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/v$version/$LineageFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(readString(spark, p.toString)) else None
+  }
 
   /** The shared layout-and-commit step over a curated train table
     * (doc_id, source, n_tokens, text). */
@@ -110,8 +136,11 @@ object Release {
     val vdir = s"$root/v$version"
     // a rebuild must first drop the old commit marker: if the new
     // shard write dies midway, the version must read as uncommitted,
-    // not as "committed" with half-new files
+    // not as "committed" with half-new files. The lineage sidecar goes
+    // with it — a full rebuild of a formerly corpus-cut version must
+    // not inherit stale provenance.
     deletePath(spark, s"$vdir/$ManifestFile")
+    deletePath(spark, s"$vdir/$LineageFile")
     val cand = Sampling.tokenBudgetFillCounted(train,
       "source", "doc_id", "n_tokens", seed, budget)
     val deal = Dedup.shuffleDeal(cand, "doc_id", seed, shards)

@@ -94,6 +94,19 @@ class CuratedCorpusSpec extends SparkSpec {
         Release.Shards)
       assert(Release.manifestJson(spark, r2) == Release.manifestJson(spark, r1),
         "incremental and full builds must produce identical releases")
+      // lineage: the corpus-cut version records its source table and
+      // fold watermark in a sidecar; a full build has none (and the
+      // manifests above being identical proves the sidecar never
+      // leaks into the commit marker)
+      val lin = Release.lineageJson(spark, r2, 1)
+      assert(lin.exists(j => j.contains("\"corpus_batch\":1") &&
+        j.contains(cc)), s"lineage sidecar wrong: $lin")
+      assert(Release.lineageJson(spark, r1, 1).isEmpty)
+      // a full REBUILD of the corpus-cut version sheds the stale
+      // provenance with the old commit marker
+      Release.build(docs, r2, 1, Release.Seed, Release.Budget,
+        Release.Shards)
+      assert(Release.lineageJson(spark, r2, 1).isEmpty)
     } finally {
       CuratedCorpus.delete(spark, cc)
       Release.delete(spark, r1)
