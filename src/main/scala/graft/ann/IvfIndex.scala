@@ -154,6 +154,34 @@ object IvfIndex {
       .parquet(s"$path/corpus")
   }
 
+  /**
+   * Compact every append into the base snapshot: rewrite the corpus
+   * as `cell=<i>/__batch=-1` partitions only ([[graft.sources.DirSwap]]
+   * staged-swap discipline — staging completes before the live dir is
+   * touched, prune strictly after the swap, a crashed swap is healed
+   * by re-running). A long drift-free run appends one small partition
+   * per (touched cell, batch); compaction restores the file count so
+   * a probe's pruned cell scan opens one file per cell again, without
+   * changing one probe answer (AnnLayoutSpec). Centroids are
+   * untouched — compaction is a layout operation, never a retrain.
+   *
+   * Call only once the append stream's checkpoint has advanced past
+   * the folded batches: unlike the curated corpus (whose fold probe
+   * dedups re-landed content), an append REPLAYED after its batch
+   * partitions were compacted away would land its rows a second time
+   * — the checkpointed-stream contract [[append]] already requires
+   * rules this out, and it is the same settle-before-compact rule as
+   * any log compaction.
+   */
+  def compact(spark: SparkSession, path: String): Unit = {
+    graft.sources.DirSwap.recover(spark, path, Seq("corpus"))
+    spark.read.parquet(s"$path/corpus")
+      .withColumn("__batch", lit(BaseBatch))
+      .write.mode("overwrite").partitionBy("cell", "__batch")
+      .parquet(graft.sources.DirSwap.stagingDir(path, "corpus"))
+    graft.sources.DirSwap.swapStaged(spark, path, Seq("corpus"))
+  }
+
   /** The SemDeDup shadow rule over the AT-REST corpus — the production
     * composition the [[Similarity.semanticDedup]] scaladoc promises:
     * the semantic partition is the index's materialized cell layout

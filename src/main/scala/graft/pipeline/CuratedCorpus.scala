@@ -136,50 +136,24 @@ object CuratedCorpus {
    * survives compaction.
    */
   def compact(spark: SparkSession, path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverSwap(spark, path)
-    val docs = open(spark, path)
+    open(spark, path)
       .withColumn("__batch", lit(BaseBatch))
-    docs.sortWithinPartitions("doc_id")
+      .sortWithinPartitions("doc_id")
       .write.mode("overwrite").partitionBy("__batch")
-      .parquet(s"$path/.compact/docs")
+      .parquet(graft.sources.DirSwap.stagingDir(path, "docs"))
     spark.read.schema("h STRING, __batch LONG").parquet(s"$path/hashes")
       .select("h").distinct()
       .withColumn("__batch", lit(BaseBatch))
       .write.mode("overwrite").partitionBy("__batch")
-      .parquet(s"$path/.compact/hashes")
-    // staging is complete — swap each live dir, then (and only then)
-    // prune the retired data
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    Seq("docs", "hashes").foreach { t =>
-      fs.rename(p(s"$path/$t"), p(s"$path/.old_$t"))
-      require(fs.rename(p(s"$path/.compact/$t"), p(s"$path/$t")),
-        s"compact swap failed for $path/$t")
-    }
-    Seq(s"$path/.old_docs", s"$path/.old_hashes", s"$path/.compact")
-      .foreach(d => fs.delete(p(d), true))
-    ()
+      .parquet(graft.sources.DirSwap.stagingDir(path, "hashes"))
+    graft.sources.DirSwap.swapStaged(spark, path, Seq("docs", "hashes"))
   }
 
-  /** Finish a crashed [[compact]] swap: for each table dir whose live
-    * location is missing but whose fully-written staging copy exists,
-    * rename the staging copy in; retired `.old_*` dirs are pruned
-    * once a live dir exists again. Safe to call on a healthy table
-    * (no-op). */
-  def recoverSwap(spark: SparkSession, path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    Seq("docs", "hashes").foreach { t =>
-      val (live, staged, old) =
-        (p(s"$path/$t"), p(s"$path/.compact/$t"), p(s"$path/.old_$t"))
-      if (!fs.exists(live) && fs.exists(staged) &&
-        fs.exists(new org.apache.hadoop.fs.Path(staged, "_SUCCESS")))
-        require(fs.rename(staged, live), s"swap recovery failed for $live")
-      if (fs.exists(live) && fs.exists(old)) { fs.delete(old, true); () }
-    }
-  }
+  /** Finish a crashed [[compact]] swap ([[graft.sources.DirSwap.recover]]
+    * over this table's two dirs). Safe on a healthy table (no-op). */
+  def recoverSwap(spark: SparkSession, path: String): Unit =
+    graft.sources.DirSwap.recover(spark, path, Seq("docs", "hashes"))
 
   /** Highest batch id the table currently holds ([[BaseBatch]] if
     * only the init snapshot, or after a [[compact]] folded everything

@@ -139,6 +139,46 @@ class AnnLayoutSpec extends SparkSpec {
       "replayed append must leave probes unchanged")
   }
 
+  test("IvfIndex.compact folds appends into the base without changing one probe") {
+    import graft.ann.IvfIndex
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables(spark, sf, "embeddings")
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", K)
+    val queries = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .toSeq
+    val root = Files.createTempDirectory("graft-ivf-compact").toString + "/ix"
+    try {
+      IvfIndex.write(emb.filter(col("vec_id") % 10 < 8),
+        "vec_id", "embedding", cents, root)
+      IvfIndex.append(emb.filter(col("vec_id") % 10 === 8),
+        "vec_id", "embedding", cents, root, 0L)
+      IvfIndex.append(emb.filter(col("vec_id") % 10 === 9),
+        "vec_id", "embedding", cents, root, 1L)
+      def probed() =
+        IvfIndex.probe(spark, root, queries, "vec_id", "embedding", 2, 5)
+          .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      def batchDirs(): Set[String] =
+        new java.io.File(s"$root/corpus").listFiles()
+          .filter(_.isDirectory)
+          .flatMap(_.listFiles().filter(_.isDirectory).map(_.getName))
+          .toSet
+      val before = probed()
+      val total = spark.read.parquet(s"$root/corpus").count()
+      assert(batchDirs().size > 1, "appends should add batch partitions")
+      IvfIndex.compact(spark, root)
+      // base-only partitions per cell, same rows, bit-identical probes
+      assert(batchDirs() == Set("__batch=-1"))
+      assert(spark.read.parquet(s"$root/corpus").count() == total)
+      assert(probed() == before && before.nonEmpty)
+      // layout op only: centroids untouched, a second compact no-ops
+      assert(IvfIndex.readCentroids(spark, root).length == cents.length)
+      IvfIndex.compact(spark, root)
+      assert(probed() == before)
+    } finally IvfIndex.delete(spark, root)
+  }
+
   test("scratchPath: two sessions over the same dir get disjoint indexes") {
     import graft.ann.IvfIndex
     val sf = "/root/testdata/sf0.001"
