@@ -352,6 +352,36 @@ object ScaleSmoke {
     require(Release.latestVersion(spark, root).contains(2))
     require(fold < init,
       s"two batch folds ($fold s) must undercut the corpus init ($init s)")
+
+    // maintenance cadence: compaction folds the batch partitions into
+    // the base (file count drops, visible rows identical) and the v3
+    // cut from the compacted table still answers v2's audit — checked
+    // on the manifest fingerprint, a load-immune metric
+    def docFiles(): Long = {
+      val fs = new org.apache.hadoop.fs.Path(cc)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$cc/docs"), true)
+      var n = 0L
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    val filesBefore = docFiles()
+    val v2Manifest = Release.manifestJson(spark, root)
+    val tc = System.nanoTime()
+    CuratedCorpus.compact(spark, cc)
+    val compact = (System.nanoTime() - tc) / 1e9
+    Release.buildFromCorpus(spark, cc, root, 3, Release.Seed,
+      Release.Budget, shards = 16)
+    val v3Manifest = Release.manifestJson(spark, root)
+    println(f"[scale] corpus compact          ${compact}%6.2f s" +
+      f"  files ${filesBefore}%d -> ${docFiles()}%d")
+    require(docFiles() < filesBefore,
+      "compaction must shrink the table's file count at 10x")
+    def strip(m: String) = m.replaceAll("\"version\":\\d+,", "")
+    require(strip(v3Manifest) == strip(v2Manifest),
+      "a release cut from the compacted table must be bit-identical")
   }
 
   /** One full ingest-stack pass; returns per-batch
@@ -581,6 +611,25 @@ object ScaleSmoke {
     require(appendBytes * 5 < rewriteBytes,
       s"append wrote $appendBytes bytes vs rewrite $rewriteBytes — " +
         "not batch-proportional")
+    // maintenance cadence: compaction collapses the per-(cell, batch)
+    // append files back to one partition per cell — the probe-side
+    // file count the pruned scan pays — without losing a row
+    def corpusFiles(path: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      walk(new java.io.File(s"$path/corpus"))
+    }
+    val filesBefore = corpusFiles(appendPath)
+    val t2 = System.nanoTime()
+    IvfIndex.compact(spark, appendPath)
+    val compactSec = (System.nanoTime() - t2) / 1e9
+    println(f"[scale] ivf compact             ${compactSec}%6.2f s" +
+      f"  files ${filesBefore}%d -> ${corpusFiles(appendPath)}%d")
+    require(corpusFiles(appendPath) < filesBefore,
+      "ivf compaction must shrink the corpus file count")
+    require(spark.read.parquet(s"$appendPath/corpus").count() == total,
+      "ivf compaction lost rows")
     // retire both smoke indexes (the lifecycle's last verb)
     IvfIndex.delete(spark, appendPath)
     IvfIndex.delete(spark, rewritePath)

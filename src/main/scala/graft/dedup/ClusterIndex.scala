@@ -210,27 +210,24 @@ object ClusterIndex {
 
   /** Rewrite the composed table as a fresh base snapshot and reset
     * the relabel chain — run on the retention cadence so the chain
-    * stays bounded by merges-per-cycle. Stages to a sibling temp dir
-    * then swaps (the composed read's lineage covers the directory
-    * being replaced); the delete→rename window is the same
-    * non-atomicity every path-swap on a non-transactional store has —
-    * production would version the directory and retire the old one
-    * after the swap (`compactSnapshotRetained` discipline). */
+    * stays bounded by merges-per-cycle. Uses the
+    * [[graft.sources.DirSwap]] staged-swap discipline (stage fully,
+    * swap, prune strictly after; a crashed swap is healed by
+    * re-running). Even a crash BETWEEN the two dirs' swaps is benign
+    * here: compacted assignments carry terminal labels, which are
+    * never relabel keys, so a stale relabel chain applied to them
+    * chases to a no-op. */
   def compact(spark: SparkSession, path: String): Unit = {
-    val tmp = s"$path/.compact_tmp"
+    graft.sources.DirSwap.recover(spark, path, Seq("assignments", "relabel"))
     open(spark, path)
       .withColumn("__batch", lit(BaseBatch))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").partitionBy("__batch")
-      .parquet(tmp)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val asgPath = new org.apache.hadoop.fs.Path(s"$path/assignments")
-    fs.delete(asgPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), asgPath)
+      .parquet(graft.sources.DirSwap.stagingDir(path, "assignments"))
     emptyRelabel(spark)
       .write.mode("overwrite").partitionBy("__batch")
-      .parquet(s"$path/relabel")
+      .parquet(graft.sources.DirSwap.stagingDir(path, "relabel"))
+    graft.sources.DirSwap.swapStaged(spark, path, Seq("assignments", "relabel"))
   }
 
   /** Retire the table — the lifecycle's last verb, Hadoop FS so the

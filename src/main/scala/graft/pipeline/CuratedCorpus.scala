@@ -155,6 +155,36 @@ object CuratedCorpus {
   def recoverSwap(spark: SparkSession, path: String): Unit =
     graft.sources.DirSwap.recover(spark, path, Seq("docs", "hashes"))
 
+  /** Number of FOLD partitions the table currently holds (the base
+    * snapshot is not counted) — the quantity [[maintain]] bounds. A
+    * directory listing, never a data scan. */
+  def foldCount(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/docs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val Part = "^__batch=(-?\\d+)$".r
+    fs.listStatus(p).count(st => st.isDirectory &&
+      (st.getPath.getName match {
+        case Part(n) => n.toLong != BaseBatch
+        case _ => false
+      }))
+  }
+
+  /** The maintenance cadence: [[compact]] once the table has
+    * accumulated `maxFolds` fold partitions, else no-op — the bounded
+    * steady state a long-lived fold stream runs in (every `maxFolds`
+    * batches, one compaction; file count and fold-partition count
+    * never grow past the dial). Safe to run from inside the fold loop
+    * itself: unlike the IVF index, a batch REPLAYED after compaction
+    * folded it away still dedups to zero against the base hash
+    * partition, so the settle-before-compact caution does not apply
+    * here. Returns true iff it compacted. */
+  def maintain(spark: SparkSession, path: String, maxFolds: Int): Boolean = {
+    require(maxFolds >= 1, s"maxFolds must be >= 1, got $maxFolds")
+    val due = foldCount(spark, path) >= maxFolds
+    if (due) compact(spark, path)
+    due
+  }
+
   /** Highest batch id the table currently holds ([[BaseBatch]] if
     * only the init snapshot, or after a [[compact]] folded everything
     * into it) — the fold watermark a [[Release]] records as lineage.

@@ -171,10 +171,19 @@ object IngestStream {
    * contract) — curation itself (quality rules, exact-dedup probe,
    * train split) runs inside the fold, so the gates decide the
    * batch's FATE and the fold decides each document's.
+   *
+   * `maintainEvery` is the steady-state dial: after the fold, compact
+   * once the table holds that many fold partitions
+   * ([[CuratedCorpus.maintain]]) — safe mid-stream because a replayed
+   * compacted batch dedups to zero against the base hash partition,
+   * so the router stays idempotent across the compaction boundary.
    */
   def acceptIntoCorpus(batch: DataFrame, report: BatchReport,
-      corpusPath: String): Unit =
+      corpusPath: String, maintainEvery: Option[Int] = None): Unit = {
     CuratedCorpus.foldBatch(corpusPath, batch, report.batchId)
+    maintainEvery.foreach(CuratedCorpus.maintain(
+      batch.sparkSession, corpusPath, _))
+  }
 
   /**
    * Turnkey quarantine router: append a failing batch to

@@ -149,6 +149,35 @@ class CuratedCorpusSpec extends SparkSpec {
     } finally CuratedCorpus.delete(spark, path)
   }
 
+  test("maintain bounds the fold-partition count across many batches") {
+    val path = Files.createTempDirectory("graft-corpus").toString + "/cc"
+    try {
+      val mx = docs.agg(max("doc_id")).head().getLong(0)
+      // init on the first half, then six monotone-id slices folded in
+      // with the cadence dial at 2: the table must never hold more
+      // than 2 fold partitions, and compaction must never change what
+      // the union curation would hold
+      CuratedCorpus.init(docs.where(col("doc_id") < mx / 2), path)
+      val cuts = (0 to 6).map(i => mx / 2 + (mx - mx / 2) * i / 6)
+      var compactions = 0
+      cuts.sliding(2).zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+        CuratedCorpus.foldBatch(path,
+          docs.where(col("doc_id") >= lo && col("doc_id") < hi), i.toLong)
+        if (CuratedCorpus.maintain(spark, path, maxFolds = 2)) compactions += 1
+        assert(CuratedCorpus.foldCount(spark, path) <= 2)
+      }
+      assert(compactions >= 2, s"cadence never fired: $compactions")
+      assert(CuratedCorpus.foldCount(spark, path) == 0)
+      val want = PipelineQueries
+        .curatedTrainDocs(docs.where(col("doc_id") < cuts.last))
+        .select(col("doc_id"), col("source"),
+          coalesce(graft.text.TextAnalysis.tokenCount(col("text"))
+            .cast("long"), lit(0L)).as("n_tokens"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(tableRows(path) == want && want.nonEmpty)
+    } finally CuratedCorpus.delete(spark, path)
+  }
+
   test("a crashed compact swap is finished by the recovery preamble") {
     val path = Files.createTempDirectory("graft-corpus").toString + "/cc"
     try {
