@@ -137,6 +137,12 @@ object CuratedCorpus {
    */
   def compact(spark: SparkSession, path: String): Unit = {
     recoverSwap(spark, path)
+    // persist the fold watermark BEFORE the partitions that carry it
+    // collapse into the base — the release cadence keys on it, so it
+    // must be monotone across compactions (idempotent overwrite; a
+    // crash after this write and before the swap just re-records the
+    // same value on the re-run)
+    writeWatermark(spark, path, batchWatermark(spark, path))
     open(spark, path)
       .withColumn("__batch", lit(BaseBatch))
       .sortWithinPartitions("doc_id")
@@ -185,20 +191,48 @@ object CuratedCorpus {
     due
   }
 
-  /** Highest batch id the table currently holds ([[BaseBatch]] if
-    * only the init snapshot, or after a [[compact]] folded everything
-    * into it) — the fold watermark a [[Release]] records as lineage.
-    * A directory listing, never a data scan. */
+  /** Highest batch id ever folded into the table ([[BaseBatch]] if
+    * only the init snapshot) — the fold watermark a [[Release]]
+    * records as lineage and the release cadence advances on. The max
+    * of the live fold partitions and the marker [[compact]] persists
+    * (so the watermark is monotone across compactions, which collapse
+    * the partitions that would otherwise carry it). A directory
+    * listing plus one tiny file read, never a data scan. */
   def batchWatermark(spark: SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$path/docs")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val Part = "^__batch=(-?\\d+)$".r
-    fs.listStatus(p).toSeq.filter(_.isDirectory)
+    val fromDirs = fs.listStatus(p).toSeq.filter(_.isDirectory)
       .flatMap(_.getPath.getName match {
         case Part(n) => Some(n.toLong)
         case _ => None
       })
       .foldLeft(BaseBatch)(math.max)
+    math.max(fromDirs, readWatermark(spark, path))
+  }
+
+  private val WatermarkFile = "watermark.json"
+
+  private def writeWatermark(spark: SparkSession, path: String,
+      wm: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$WatermarkFile")
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true)
+    try out.write(s"""{"batch_watermark":$wm}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readWatermark(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$WatermarkFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) BaseBatch
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      "\"batch_watermark\":(-?\\d+)".r.findFirstMatchIn(s)
+        .map(_.group(1).toLong).getOrElse(BaseBatch)
+    }
   }
 
   /** Retire the table. */

@@ -118,6 +118,39 @@ object Release {
       s"""{"corpus_path":"$escaped","corpus_batch":$wm}""")
   }
 
+  /**
+   * The release CADENCE — the loop's last composition: cut the next
+   * version from the standing corpus when its fold watermark has
+   * advanced at least `everyBatches` past the newest committed
+   * version's recorded lineage, then prune to the newest `keep`.
+   * Called after every fold (or on a timer), this keeps a mounted-
+   * release set rolling forward automatically: stream → gates → fold
+   * → cadence, with nothing hand-cranked. A root whose newest version
+   * has NO lineage (a full [[build]], or no version at all) is always
+   * due — the first corpus-cut version establishes the baseline the
+   * cadence advances from. Idempotent between due points: not-due
+   * calls touch nothing but the manifest/lineage listings.
+   *
+   * @return the version cut, when one was
+   */
+  def maintainFromCorpus(spark: SparkSession, corpusPath: String,
+      root: String, seed: Long, budget: Long, shards: Int,
+      everyBatches: Long, keep: Int = 2): Option[Int] = {
+    require(everyBatches >= 1, s"everyBatches must be >= 1, got $everyBatches")
+    val wm = CuratedCorpus.batchWatermark(spark, corpusPath)
+    val latest = latestVersion(spark, root)
+    val lastWm = latest.flatMap(v => lineageJson(spark, root, v))
+      .flatMap(j => "\"corpus_batch\":(-?\\d+)".r.findFirstMatchIn(j))
+      .map(_.group(1).toLong)
+    val due = lastWm.forall(w => wm - w >= everyBatches)
+    if (due) {
+      val v = latest.getOrElse(0) + 1
+      buildFromCorpus(spark, corpusPath, root, v, seed, budget, shards)
+      prune(spark, root, keep)
+      Some(v)
+    } else None
+  }
+
   /** The lineage sidecar for a committed version, when the version
     * was cut from a standing corpus ([[buildFromCorpus]]); a full
     * [[build]] from a raw snapshot has none. */

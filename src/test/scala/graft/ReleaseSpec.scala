@@ -16,6 +16,45 @@ class ReleaseSpec extends SparkSpec {
   private val Src = "/root/testdata/sf0.001"
   private def docs = Tables(spark, Src, "documents")
 
+  test("maintainFromCorpus cuts versions on the fold-watermark cadence") {
+    import graft.pipeline.CuratedCorpus
+    val cc = Files.createTempDirectory("graft-corpus").toString + "/cc"
+    val root = Files.createTempDirectory("graft-release").toString + "/rel"
+    try {
+      val mx = docs.agg(max("doc_id")).head().getLong(0)
+      val cuts = (0 to 4).map(i => mx / 2 + (mx - mx / 2) * i / 4)
+      CuratedCorpus.init(docs.where(col("doc_id") < mx / 2), cc)
+      def maintain() = Release.maintainFromCorpus(spark, cc, root,
+        Release.Seed, Release.Budget, Release.Shards,
+        everyBatches = 2, keep = 2)
+      // an empty root is always due: v1 establishes the baseline
+      assert(maintain().contains(1))
+      // four folds at cadence 2: versions cut after folds 1 and 3 only
+      val results = cuts.sliding(2).zipWithIndex.map { case (Seq(lo, hi), i) =>
+        CuratedCorpus.foldBatch(cc,
+          docs.where(col("doc_id") >= lo && col("doc_id") < hi), i.toLong)
+        maintain()
+      }.toSeq
+      assert(results == Seq(None, Some(2), None, Some(3)),
+        s"cadence fired wrong: $results")
+      assert(Release.latestVersion(spark, root).contains(3))
+      assert(Release.lineageJson(spark, root, 3)
+        .exists(_.contains("\"corpus_batch\":3")))
+      // keep-2 retention ran with each cut
+      val dirs = new java.io.File(root).listFiles()
+        .map(_.getName).filter(_.startsWith("v")).toSet
+      assert(dirs == Set("v2", "v3"))
+      // the watermark survives compaction, so the cadence stays
+      // monotone instead of firing spuriously (or never again)
+      CuratedCorpus.compact(spark, cc)
+      assert(CuratedCorpus.batchWatermark(spark, cc) == 3L)
+      assert(maintain().isEmpty)
+    } finally {
+      CuratedCorpus.delete(spark, cc)
+      Release.delete(spark, root)
+    }
+  }
+
   test("build → open: committed layout matches the in-query candidate set") {
     val root = Files.createTempDirectory("graft-release").toString + "/rel"
     try {
