@@ -252,12 +252,21 @@ class IngestStreamSpec extends SparkSpec {
       val mem = MemoryStream[Row](enc, spark)
       val rules = Seq(DqGate.Rule("text_nonempty",
         DqGate.notSatisfied(length(trim(col("text"))) > 0)))
+      val relRoot = java.nio.file.Files
+        .createTempDirectory("graft-rel").toString + "/r"
       var lastAccepted: Option[IngestStream.BatchReport] = None
+      // the full production loop in one route: gates decide the fate,
+      // an accepted batch folds into the standing corpus, and the
+      // release cadence (every fold, here) cuts the next mounted
+      // version — nothing hand-cranked
       val (writer, release) = IngestStream.gated(
         mem.toDF(), corpus, "doc_id", "text", rules, threshold = 0.99) {
         (batch, report) =>
           if (report.dqPass) {
             IngestStream.acceptIntoCorpus(batch, report, cc)
+            Release.maintainFromCorpus(batch.sparkSession, cc, relRoot,
+              Release.Seed, Release.Budget, Release.Shards,
+              everyBatches = 1)
             lastAccepted = Some(report)
           } else IngestStream.quarantine(batch, report, "dq", qDir)
       }
@@ -299,15 +308,14 @@ class IngestStreamSpec extends SparkSpec {
       IngestStream.acceptIntoCorpus(asDocs(b1), lastAccepted.get, cc)
       assert(tableRows == got)
 
-      // and a release cuts straight from the stream-fed table
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-rel").toString + "/r"
+      // the cadence cut a version per ACCEPTED batch (the quarantined
+      // one cut nothing), each carrying its fold watermark as lineage
       try {
-        Release.buildFromCorpus(spark, cc, root, 1, Release.Seed,
-          Release.Budget, Release.Shards)
-        assert(Release.latestVersion(spark, root).contains(1))
-        assert(Release.open(spark, root).count() > 0)
-      } finally Release.delete(spark, root)
+        assert(Release.latestVersion(spark, relRoot).contains(2))
+        assert(Release.lineageJson(spark, relRoot, 2)
+          .exists(_.contains("\"corpus_batch\":1")))
+        assert(Release.open(spark, relRoot).count() > 0)
+      } finally Release.delete(spark, relRoot)
     } finally CuratedCorpus.delete(spark, cc)
   }
 
