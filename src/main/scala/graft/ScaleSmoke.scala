@@ -314,6 +314,9 @@ object ScaleSmoke {
     import graft.pipeline.Release
     val docs = Tables(spark, OutDir, "documents")
     val root = s"$OutDir/release"
+    // the smoke reuses OutDir across runs; a prior run's versions
+    // would shadow this run's v1 as "latest"
+    Release.delete(spark, root)
     val t0 = System.nanoTime()
     Release.build(docs, root, 1, Release.Seed, Release.Budget, shards = 16)
     val build = (System.nanoTime() - t0) / 1e9
@@ -347,11 +350,19 @@ object ScaleSmoke {
     Release.buildFromCorpus(spark, cc, root, 2, Release.Seed,
       Release.Budget, shards = 16)
     val incr = (System.nanoTime() - tb) / 1e9
-    println(f"[scale] curated corpus          init ${init}%6.2f s  2 folds ${fold}%6.2f s" +
-      f"  v2 from standing ${incr}%6.2f s")
+    // batch-proportionality on a LOAD-IMMUNE metric (the ivf-append
+    // precedent): the two 10% folds must land well under the 80%
+    // init's bytes — wall-clock is printed for observability but a
+    // busy box must not flip the verdict
+    val initBytes = dirBytes(s"$cc/docs/__batch=-1")
+    val foldBytes = dirBytes(s"$cc/docs/__batch=0") +
+      dirBytes(s"$cc/docs/__batch=1")
+    println(f"[scale] curated corpus          init ${init}%6.2f s " +
+      f"(${initBytes / 1024}%d KB)  2 folds ${fold}%6.2f s " +
+      f"(${foldBytes / 1024}%d KB)  v2 from standing ${incr}%6.2f s")
     require(Release.latestVersion(spark, root).contains(2))
-    require(fold < init,
-      s"two batch folds ($fold s) must undercut the corpus init ($init s)")
+    require(foldBytes * 2 < initBytes,
+      s"folds landed $foldBytes bytes vs init $initBytes — not batch-proportional")
 
     // maintenance cadence: compaction folds the batch partitions into
     // the base (file count drops, visible rows identical) and the v3

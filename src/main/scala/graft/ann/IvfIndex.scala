@@ -146,6 +146,11 @@ object IvfIndex {
       centroids: Seq[Array[Double]], path: String, batchId: Long): Unit = {
     require(centroids.nonEmpty, "IvfIndex.append needs at least one centroid")
     require(batchId != BaseBatch, s"batch id $BaseBatch is the base snapshot")
+    // heal a crashed compact swap BEFORE writing: an append that runs
+    // first (a restarted stream replaying into a half-swapped index)
+    // would recreate the corpus dir with only its own rows, and the
+    // next recovery would then prune the staged full copy
+    graft.sources.DirSwap.recover(batch.sparkSession, path, Seq("corpus"))
     Similarity.assignWithVectors(batch, idCol, vecCol, centroids)
       .withColumn("__batch", lit(batchId))
       .write.mode("overwrite")
@@ -171,16 +176,41 @@ object IvfIndex {
    * partitions were compacted away would land its rows a second time
    * — the checkpointed-stream contract [[append]] already requires
    * rules this out, and it is the same settle-before-compact rule as
-   * any log compaction.
+   * any log compaction. From INSIDE the append loop, use
+   * [[compactThrough]] with the previous batch id instead — it folds
+   * only batches the checkpoint has committed.
    */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String): Unit =
+    compactThrough(spark, path, Long.MaxValue)
+
+  /** [[compact]] bounded to SETTLED appends: fold only batches with
+    * id ≤ `throughBatch` into the base, leaving newer appends as
+    * their own partitions — the form the append stream runs from
+    * inside `foreachBatch(N)` with `throughBatch = N - 1` (those
+    * batches are checkpoint-committed, so the replay that would
+    * duplicate compacted rows can no longer occur; a replay of a
+    * LEFT-ALONE batch still overwrites its own partitions). */
+  def compactThrough(spark: SparkSession, path: String,
+      throughBatch: Long): Unit = {
     graft.sources.DirSwap.recover(spark, path, Seq("corpus"))
+    // cluster the rewrite on cell so each (cell, batch) lands as ~one
+    // file — the probe-side file count is the point of compacting
     spark.read.parquet(s"$path/corpus")
-      .withColumn("__batch", lit(BaseBatch))
+      .withColumn("__batch",
+        when(col("__batch") <= throughBatch, lit(BaseBatch))
+          .otherwise(col("__batch").cast("long")))
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell", "__batch")
       .parquet(graft.sources.DirSwap.stagingDir(path, "corpus"))
     graft.sources.DirSwap.swapStaged(spark, path, Seq("corpus"))
   }
+
+  /** Distinct append batches the corpus layout currently holds (a
+    * two-level directory listing, never a data scan) — the quantity
+    * the append stream's `compactEvery` dial bounds. */
+  def appendBatchCount(spark: SparkSession, path: String): Int =
+    graft.sources.BatchPartitions.ids(spark, s"$path/corpus", nested = true)
+      .count(_ != BaseBatch)
 
   /** The SemDeDup shadow rule over the AT-REST corpus — the production
     * composition the [[Similarity.semanticDedup]] scaladoc promises:

@@ -48,8 +48,12 @@ object CuratedCorpus {
   private val DocsSchema =
     "doc_id LONG, source STRING, n_tokens LONG, text STRING, __batch LONG"
 
-  /** Curate the corpus snapshot and write the base partitions. */
+  /** Curate the corpus snapshot and write the base partitions. Starts
+    * from a CLEAN slate: a re-init over a prior table at the same
+    * path must not inherit its fold partitions or its persisted
+    * watermark marker. */
   def init(docs: DataFrame, path: String): Unit = {
+    delete(docs.sparkSession, path)
     val curated = withCounts(PipelineQueries.curatedTrainDocs(docs))
       .withColumn("__batch", lit(BaseBatch))
     curated.sortWithinPartitions("doc_id")
@@ -74,6 +78,12 @@ object CuratedCorpus {
   def foldBatch(path: String, batchDocs: DataFrame, batchId: Long): Unit = {
     require(batchId != BaseBatch && batchId >= 0,
       s"fold batch ids must be ≥ 0 (got $batchId; $BaseBatch is the base)")
+    // heal a crashed compact swap BEFORE writing: a fold that runs
+    // first (a restarted stream replaying into a half-swapped table)
+    // would recreate the live dir with only its own rows, and the
+    // next recovery would then prune the staged full copy — silent
+    // loss of the standing table
+    recoverSwap(batchDocs.sparkSession, path)
     val fresh = freshRows(path, batchDocs, batchId)
       .localCheckpoint(true) // both writes below; lineage reads the target dir
     fresh.select(col("doc_id"), col("source"), col("n_tokens"), col("text"))
@@ -135,7 +145,8 @@ object CuratedCorpus {
    * partition (which the probe never excludes), so replay idempotence
    * survives compaction.
    */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
     recoverSwap(spark, path)
     // persist the fold watermark BEFORE the partitions that carry it
     // collapse into the base — the release cadence keys on it, so it
@@ -143,17 +154,34 @@ object CuratedCorpus {
     // crash after this write and before the swap just re-records the
     // same value on the re-run)
     writeWatermark(spark, path, batchWatermark(spark, path))
+    // target the output file count from the CURRENT table bytes (an
+    // FS summary, not a scan): compaction's whole point is restoring
+    // the file count, and a bare rewrite would re-emit one file per
+    // populated shuffle partition. Range-partitioning on doc_id keeps
+    // — in fact globalizes — the doc_id sort the release's text join
+    // prunes row groups by.
+    def files(dir: String): Int =
+      math.max(1L, (dirBytes(spark, dir) + targetFileBytes - 1)
+        / targetFileBytes).toInt
     open(spark, path)
+      .repartitionByRange(files(s"$path/docs"), col("doc_id"))
       .withColumn("__batch", lit(BaseBatch))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").partitionBy("__batch")
       .parquet(graft.sources.DirSwap.stagingDir(path, "docs"))
     spark.read.schema("h STRING, __batch LONG").parquet(s"$path/hashes")
       .select("h").distinct()
+      .repartition(files(s"$path/hashes"))
       .withColumn("__batch", lit(BaseBatch))
       .write.mode("overwrite").partitionBy("__batch")
       .parquet(graft.sources.DirSwap.stagingDir(path, "hashes"))
     graft.sources.DirSwap.swapStaged(spark, path, Seq("docs", "hashes"))
+  }
+
+  private def dirBytes(spark: SparkSession, dir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
   }
 
   /** Finish a crashed [[compact]] swap ([[graft.sources.DirSwap.recover]]
@@ -164,16 +192,9 @@ object CuratedCorpus {
   /** Number of FOLD partitions the table currently holds (the base
     * snapshot is not counted) — the quantity [[maintain]] bounds. A
     * directory listing, never a data scan. */
-  def foldCount(spark: SparkSession, path: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/docs")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val Part = "^__batch=(-?\\d+)$".r
-    fs.listStatus(p).count(st => st.isDirectory &&
-      (st.getPath.getName match {
-        case Part(n) => n.toLong != BaseBatch
-        case _ => false
-      }))
-  }
+  def foldCount(spark: SparkSession, path: String): Int =
+    graft.sources.BatchPartitions.ids(spark, s"$path/docs")
+      .count(_ != BaseBatch)
 
   /** The maintenance cadence: [[compact]] once the table has
     * accumulated `maxFolds` fold partitions, else no-op — the bounded
@@ -199,14 +220,7 @@ object CuratedCorpus {
     * the partitions that would otherwise carry it). A directory
     * listing plus one tiny file read, never a data scan. */
   def batchWatermark(spark: SparkSession, path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/docs")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val Part = "^__batch=(-?\\d+)$".r
-    val fromDirs = fs.listStatus(p).toSeq.filter(_.isDirectory)
-      .flatMap(_.getPath.getName match {
-        case Part(n) => Some(n.toLong)
-        case _ => None
-      })
+    val fromDirs = graft.sources.BatchPartitions.ids(spark, s"$path/docs")
       .foldLeft(BaseBatch)(math.max)
     math.max(fromDirs, readWatermark(spark, path))
   }

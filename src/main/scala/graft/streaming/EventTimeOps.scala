@@ -341,8 +341,11 @@ object EventTimeOps {
    * RAM-resident state.
    */
   def ivfAppendStream(vecs: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[Array[Double]], indexPath: String)(
-      onAppended: (Long, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      centroids: Seq[Array[Double]], indexPath: String,
+      compactEvery: Option[Int] = None)(
+      onAppended: (Long, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(compactEvery.forall(_ >= 1),
+      s"compactEvery must be >= 1, got $compactEvery")
     vecs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -351,10 +354,22 @@ object EventTimeOps {
           val n = batch.count()
           graft.ann.IvfIndex.append(batch, idCol, vecCol, centroids,
             indexPath, batchId)
+          // maintenance dial: once more than compactEvery append
+          // partitions have accumulated, fold the SETTLED ones
+          // (strictly before this batch — the checkpoint has
+          // committed them, so the settle-before-compact contract
+          // holds even though this batch itself may still replay)
+          compactEvery.foreach { dial =>
+            if (graft.ann.IvfIndex.appendBatchCount(
+                batch.sparkSession, indexPath) > dial)
+              graft.ann.IvfIndex.compactThrough(
+                batch.sparkSession, indexPath, batchId - 1)
+          }
           onAppended(batchId, n)
         } finally batch.unpersist()
         ()
       }
+  }
 
   /**
    * DRIFT-TRIGGERED retrain-and-swap — the full standing-index

@@ -167,6 +167,13 @@ class AnnLayoutSpec extends SparkSpec {
       val before = probed()
       val total = spark.read.parquet(s"$root/corpus").count()
       assert(batchDirs().size > 1, "appends should add batch partitions")
+      // settled-only first: batch 0 folds into the base, batch 1 (not
+      // yet checkpoint-committed in the streaming picture) keeps its
+      // own replayable partitions
+      IvfIndex.compactThrough(spark, root, 0L)
+      assert(batchDirs() == Set("__batch=-1", "__batch=1"))
+      assert(IvfIndex.appendBatchCount(spark, root) == 1)
+      assert(probed() == before)
       IvfIndex.compact(spark, root)
       // base-only partitions per cell, same rows, bit-identical probes
       assert(batchDirs() == Set("__batch=-1"))
@@ -176,6 +183,23 @@ class AnnLayoutSpec extends SparkSpec {
       assert(IvfIndex.readCentroids(spark, root).length == cents.length)
       IvfIndex.compact(spark, root)
       assert(probed() == before)
+      // heal-before-write: an append into a half-swapped index (live
+      // corpus renamed away, staged copy complete) must recover the
+      // swap first instead of recreating the dir with only its rows
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      def p(s: String) = new org.apache.hadoop.fs.Path(s)
+      fs.mkdirs(p(s"$root/.compact"))
+      fs.rename(p(s"$root/corpus"), p(s"$root/.compact/corpus"))
+      val fresh = emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+      IvfIndex.append(fresh, "vec_id", "embedding", cents, root, 2L)
+      val base = spark.read.parquet(s"$root/corpus")
+        .where(col("__batch") === IvfIndex.BaseBatch)
+      assert(base.count() == total,
+        "append into a half-swapped index lost standing rows")
+      assert(spark.read.parquet(s"$root/corpus").count() ==
+        total + fresh.count())
     } finally IvfIndex.delete(spark, root)
   }
 

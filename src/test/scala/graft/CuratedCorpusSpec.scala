@@ -203,6 +203,32 @@ class CuratedCorpusSpec extends SparkSpec {
     } finally CuratedCorpus.delete(spark, path)
   }
 
+  test("a fold into a half-swapped table heals it first — no silent loss") {
+    val path = Files.createTempDirectory("graft-corpus").toString + "/cc"
+    try {
+      val (base, b1, b2) = slices
+      CuratedCorpus.init(base, path)
+      CuratedCorpus.foldBatch(path, b1, 0L)
+      // crash window: docs staged fully, live dir already renamed
+      // away. The NEXT WRITE used to recreate the live dir with only
+      // its own rows, after which recovery would prune the staged
+      // full copy — the fold must recover before writing instead.
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      def p(s: String) = new org.apache.hadoop.fs.Path(s)
+      fs.mkdirs(p(s"$path/.compact"))
+      fs.rename(p(s"$path/docs"), p(s"$path/.compact/docs"))
+      CuratedCorpus.foldBatch(path, b2, 1L)
+      val want = PipelineQueries.curatedTrainDocs(docs)
+        .select(col("doc_id"), col("source"),
+          coalesce(graft.text.TextAnalysis.tokenCount(col("text"))
+            .cast("long"), lit(0L)).as("n_tokens"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(tableRows(path) == want && want.nonEmpty,
+        "fold into a half-swapped table lost standing rows")
+    } finally CuratedCorpus.delete(spark, path)
+  }
+
   test("a second session opens the standing table a prior session built") {
     val path = Files.createTempDirectory("graft-corpus").toString + "/cc"
     try {

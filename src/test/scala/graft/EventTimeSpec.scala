@@ -377,6 +377,48 @@ class EventTimeSpec extends SparkSpec {
     assert(probed(root) == a, "replayed stream batch must not change probes")
   }
 
+  test("ivfAppendStream compactEvery folds settled batches, bounds partitions") {
+    import java.nio.file.Files
+    import graft.ann.{IvfIndex, Similarity}
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables(spark, sf, "embeddings")
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", 8)
+    val corpus = emb.filter(col("vec_id") % 10 < 8)
+    val slices = (0 to 3).map(k => emb
+      .filter(col("vec_id") % 10 >= 8 && col("vec_id") % 4 === k)
+      .select("vec_id", "embedding").collect().toSeq)
+    assert(slices.forall(_.nonEmpty))
+    val root = Files.createTempDirectory("graft-ivf-ce").toString + "/idx"
+    try {
+      IvfIndex.write(corpus, "vec_id", "embedding", cents, root)
+      val schema = StructType.fromDDL("vec_id BIGINT, embedding ARRAY<FLOAT>")
+      implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+      val mem = MemoryStream[Row](enc, spark)
+      val q = EventTimeOps.ivfAppendStream(mem.toDF(), "vec_id", "embedding",
+        cents, root, compactEvery = Some(1)) { (_, _) => }.start()
+      try {
+        slices.foreach { s => mem.addData(s: _*); q.processAllAvailable() }
+      } finally q.stop()
+      // the dial held: every settled batch folded into the base, only
+      // the newest (still-replayable) batch keeps its own partitions
+      assert(IvfIndex.appendBatchCount(spark, root) == 1)
+      assert(spark.read.parquet(s"$root/corpus").count() == emb.count())
+      // and the maintained index answers exactly like a full rewrite
+      val rewritten = Files.createTempDirectory("graft-ivf-ce").toString + "/rw"
+      try {
+        IvfIndex.write(emb, "vec_id", "embedding", cents, rewritten)
+        val queries = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+          .select("vec_id", "embedding").collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+          .toSeq
+        def probed(p: String) = IvfIndex.probe(spark, p, queries,
+            "vec_id", "embedding", 2, 5)
+          .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+        assert(probed(root) == probed(rewritten) && probed(root).nonEmpty)
+      } finally IvfIndex.delete(spark, rewritten)
+    } finally IvfIndex.delete(spark, root)
+  }
+
   test("drift-triggered retrain-and-swap: gate fires once, then re-arms") {
     import java.nio.file.Files
     import java.util.concurrent.atomic.AtomicReference
