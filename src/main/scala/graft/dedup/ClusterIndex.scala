@@ -122,6 +122,10 @@ object ClusterIndex {
     require(batchId != BaseBatch && batchId >= 0,
       s"fold batch ids must be ≥ 0 (got $batchId; $BaseBatch is the base)")
     val spark = batchDocs.sparkSession
+    // heal a crashed compact swap first: the open() below would only
+    // fail fast on a half-swapped table (both dirs are read before
+    // any write), but a restarted fold stream should resume, not err
+    graft.sources.DirSwap.recover(spark, path, Seq("assignments", "relabel"))
     val batchIds = batchDocs.select(col(idCol).as("doc_id"))
     // Standing labels WITHOUT the batch's own ids: on first play the
     // anti-join is a no-op (ids are disjoint by contract); on REPLAY
@@ -217,9 +221,19 @@ object ClusterIndex {
     * here: compacted assignments carry terminal labels, which are
     * never relabel keys, so a stale relabel chain applied to them
     * chases to a no-op. */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
     graft.sources.DirSwap.recover(spark, path, Seq("assignments", "relabel"))
+    // byte-targeted file count (FS summary, not a scan) with a range
+    // partition on doc_id — compaction restores the file count and
+    // globalizes the probe join's doc_id clustering
+    val asgDir = new org.apache.hadoop.fs.Path(s"$path/assignments")
+    val bytes = asgDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(asgDir).getLength
+    val files = math.max(1L,
+      (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     open(spark, path)
+      .repartitionByRange(files, col("doc_id"))
       .withColumn("__batch", lit(BaseBatch))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").partitionBy("__batch")
@@ -228,6 +242,30 @@ object ClusterIndex {
       .write.mode("overwrite").partitionBy("__batch")
       .parquet(graft.sources.DirSwap.stagingDir(path, "relabel"))
     graft.sources.DirSwap.swapStaged(spark, path, Seq("assignments", "relabel"))
+  }
+
+  /** Number of FOLD partitions the table currently holds (listing
+    * only) — the quantity [[maintain]] bounds. */
+  def foldCount(spark: SparkSession, path: String): Int =
+    graft.sources.BatchPartitions.ids(spark, s"$path/assignments")
+      .count(_ != BaseBatch)
+
+  /** The maintenance cadence ([[graft.pipeline.CuratedCorpus.maintain]]
+    * discipline): [[compact]] once `maxFolds` fold partitions have
+    * accumulated, else no-op — bounds both the partition count and
+    * the driver-side relabel chain the composed [[open]] walks.
+    * Same settle-before-compact contract as
+    * [[graft.ann.IvfIndex.compact]]: run it only once the fold
+    * stream's checkpoint has passed the standing batches — a batch
+    * REPLAYED after compaction folded it away would re-land its rows
+    * as a fresh partition beside their base copies (there is no
+    * content probe here to dedup them). Returns true iff it
+    * compacted. */
+  def maintain(spark: SparkSession, path: String, maxFolds: Int): Boolean = {
+    require(maxFolds >= 1, s"maxFolds must be >= 1, got $maxFolds")
+    val due = foldCount(spark, path) >= maxFolds
+    if (due) compact(spark, path)
+    due
   }
 
   /** Retire the table — the lifecycle's last verb, Hadoop FS so the

@@ -116,6 +116,16 @@ class ClusterIndexSpec extends SparkSpec {
       "doc_id", Seq((70L, 2L), (70L, 4L)).toDF("a", "b"), "a", "b", 0L)
     val before = asMap(ClusterIndex.open(spark, path))
     assert(spark.read.parquet(s"$path/relabel").count() > 0)
+    assert(ClusterIndex.foldCount(spark, path) == 1)
+
+    // the cadence dial: not due below the threshold, compacts at it
+    assert(!ClusterIndex.maintain(spark, path, maxFolds = 2))
+    assert(ClusterIndex.maintain(spark, path, maxFolds = 1))
+    assert(ClusterIndex.foldCount(spark, path) == 0)
+    assert(asMap(ClusterIndex.open(spark, path)) == before)
+    // sized rewrite: the compacted base is a single file at this scale
+    assert(new java.io.File(s"$path/assignments/__batch=-1")
+      .listFiles().count(_.getName.endsWith(".parquet")) == 1)
 
     ClusterIndex.compact(spark, path)
     assert(asMap(ClusterIndex.open(spark, path)) == before)
