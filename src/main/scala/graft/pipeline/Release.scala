@@ -222,10 +222,48 @@ object Release {
   }
 
   /** The newest committed release's rows, from ANY session. */
-  def open(spark: SparkSession, root: String): DataFrame = {
-    val v = latestVersion(spark, root).getOrElse(
-      throw new IllegalStateException(s"no committed release under $root"))
-    spark.read.parquet(s"$root/v$v/shards")
+  def open(spark: SparkSession, root: String): DataFrame =
+    openVersion(spark, root,
+      latestVersion(spark, root).getOrElse(throw new IllegalStateException(
+        s"no committed release under $root")))
+
+  /** A SPECIFIC committed version's rows — what a training run
+    * actually mounts: the version is pinned in the run config, not
+    * "whatever is newest when a reader happens to start" (two readers
+    * of one run must never see different corpora because a build
+    * landed between their starts). */
+  def openVersion(spark: SparkSession, root: String, version: Int): DataFrame = {
+    val m = new org.apache.hadoop.fs.Path(s"$root/v$version/$ManifestFile")
+    require(m.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(m),
+      s"version $version under $root is not committed")
+    spark.read.parquet(s"$root/v$version/shards")
+  }
+
+  /**
+   * EPOCH read plan for a mounted version — the multi-epoch training
+   * story without rewriting a byte: the stored layout IS epoch 0
+   * (`Dedup.shuffleDeal` with the manifest's seed), and epoch `e`'s
+   * plan is the same nonlinear mix keyed by `seed + e`, so every
+   * epoch is a genuinely re-dealt global permutation (not an affine
+   * nudge of the last one) that any reader can recompute from the
+   * release alone — seed and shard count come from the MANIFEST, so
+   * the plan needs no side-channel config. Returns (doc_id, shard,
+   * pos): the reader joins it against [[openVersion]] (or, for epoch
+   * 0, just mounts the files — pinned identical in ReleaseSpec).
+   */
+  def epochDeal(spark: SparkSession, root: String, version: Int,
+      epoch: Int): DataFrame = {
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    val manifest = readString(spark, s"$root/v$version/$ManifestFile")
+    def field(name: String): Long =
+      ("\"" + name + "\":(-?\\d+)").r.findFirstMatchIn(manifest)
+        .map(_.group(1).toLong)
+        .getOrElse(throw new IllegalStateException(
+          s"manifest for v$version carries no $name"))
+    graft.dedup.Dedup.shuffleDeal(
+      openVersion(spark, root, version).select("doc_id"),
+      "doc_id", field("seed") + epoch, field("shards").toInt)
+      .select("doc_id", "shard", "pos")
   }
 
   /** The newest committed release's manifest JSON. */

@@ -55,6 +55,40 @@ class ReleaseSpec extends SparkSpec {
     }
   }
 
+  test("epochDeal: epoch 0 IS the stored layout; epoch e is a fresh permutation") {
+    val root = Files.createTempDirectory("graft-release").toString + "/rel"
+    try {
+      Release.build(docs, root, 1, Release.Seed, Release.Budget,
+        Release.Shards)
+      def asMap(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), col("shard").cast("long"),
+            col("pos").cast("long")).collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val stored = asMap(Release.openVersion(spark, root, 1))
+      // epoch 0 recomputes to exactly the files' layout — the reader
+      // can mount the files directly and the plan agrees
+      val e0 = asMap(Release.epochDeal(spark, root, 1, 0))
+      assert(e0 == stored && stored.nonEmpty)
+      // a later epoch is a deterministic, genuinely re-dealt
+      // permutation of the SAME id set: shard membership moves for
+      // most ids (the nonlinear mix, not an affine nudge)
+      val e1 = asMap(Release.epochDeal(spark, root, 1, 1))
+      assert(e1.keySet == stored.keySet)
+      assert(e1 == asMap(Release.epochDeal(spark, root, 1, 1)))
+      val moved = stored.count { case (id, (s, _)) => e1(id)._1 != s }
+      assert(moved * 2 > stored.size,
+        s"epoch 1 moved only $moved/${stored.size} ids across shards")
+      // version pinning: a v2 build does not change what v1 readers see
+      Release.build(docs.where(col("doc_id") % 2 === 0), root, 2,
+        Release.Seed, Release.Budget, Release.Shards)
+      assert(asMap(Release.openVersion(spark, root, 1)) == stored)
+      assert(Release.latestVersion(spark, root).contains(2))
+      intercept[IllegalArgumentException] {
+        Release.openVersion(spark, root, 9)
+      }
+    } finally Release.delete(spark, root)
+  }
+
   test("build → open: committed layout matches the in-query candidate set") {
     val root = Files.createTempDirectory("graft-release").toString + "/rel"
     try {
