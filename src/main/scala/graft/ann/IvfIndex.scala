@@ -193,6 +193,10 @@ object IvfIndex {
   def compactThrough(spark: SparkSession, path: String,
       throughBatch: Long): Unit = {
     graft.sources.DirSwap.recover(spark, path, Seq("corpus"))
+    // an index over a zero-row corpus has no partition dirs (and no
+    // footers to infer a schema from) — nothing to fold or resize
+    if (graft.sources.BatchPartitions
+        .ids(spark, s"$path/corpus", nested = true).isEmpty) return
     // cluster the rewrite on cell so each (cell, batch) lands as ~one
     // file — the probe-side file count is the point of compacting
     spark.read.parquet(s"$path/corpus")

@@ -110,7 +110,12 @@ object Sampling {
     val w = Window.partitionBy(srcCol, "__chunk")
       .orderBy(col("__key"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base.join(broadcast(cls), Seq(srcCol, "__chunk"))
+    // NULL-SAFE source equality: a null source is a valid per-source
+    // budget group (the window form partitions it like any other);
+    // a plain equi-join would silently drop every null-source row
+    base.join(broadcast(cls),
+        base(srcCol) <=> cls(srcCol) && base("__chunk") === cls("__chunk"))
+      .drop(cls(srcCol)).drop(cls("__chunk"))
       .withColumn("cum_tokens", col("__base") + sum(col("n_tokens")).over(w))
       .where(col("cum_tokens") <= budget)
       .select(col(idCol), col(srcCol), col("n_tokens"), col("cum_tokens"))

@@ -18,7 +18,11 @@ import graft.dedup.Dedup
  * Layout under `path` (ClusterIndex partition discipline):
  * {{{
  *   path/docs/__batch=<b>/    (doc_id, source, n_tokens, text), doc_id-sorted
- *   path/hashes/__batch=<b>/  (h) — exact content hashes the batch landed
+ *   path/hashes/__batch=<b>/  (h) — content hashes of the batch's stage-2
+ *                             KEEPERS, pre-train-split: an eval-split
+ *                             keeper never lands in docs but still
+ *                             asserts content identity (a later copy
+ *                             is a duplicate the union pipeline drops)
  * }}}
  * `__batch = -1` is the init snapshot; each fold appends only its own
  * partitions. Folds are REPLAY-IDEMPOTENT: writes are dynamic
@@ -51,20 +55,32 @@ object CuratedCorpus {
   /** Curate the corpus snapshot and write the base partitions. Starts
     * from a CLEAN slate: a re-init over a prior table at the same
     * path must not inherit its fold partitions or its persisted
-    * watermark marker. */
+    * watermark marker. The hash partition covers every stage-2 KEEPER
+    * (pre-split): a later copy of an eval-split keeper is still a
+    * duplicate the union pipeline would drop, so the content identity
+    * must not forget the keepers the split withheld from `docs`. The
+    * keeper set is checkpointed once — init is the rare whole-corpus
+    * pass, and the two writes below must not each re-run it. */
   def init(docs: DataFrame, path: String): Unit = {
     delete(docs.sparkSession, path)
-    val curated = withCounts(PipelineQueries.curatedTrainDocs(docs))
+    val kept = PipelineQueries.curatedKeptDocs(docs)
+      .withColumn("h", Dedup.exactHash(col("text")))
+      .localCheckpoint(true)
+    withCounts(kept.where(trainSplit))
       .withColumn("__batch", lit(BaseBatch))
-    curated.sortWithinPartitions("doc_id")
+      .sortWithinPartitions("doc_id")
       .write.mode("overwrite").partitionBy("__batch")
       .parquet(s"$path/docs")
-    curated.select(Dedup.exactHash(col("text")).as("h"),
-        col("__batch"))
-      .distinct()
+    kept.select(col("h")).distinct()
+      .withColumn("__batch", lit(BaseBatch))
       .write.mode("overwrite").partitionBy("__batch")
       .parquet(s"$path/hashes")
   }
+
+  /** The stage-3 train-split predicate (same bucket rule as
+    * q_sample_split / [[PipelineQueries.curatedTrainDocs]]). */
+  private def trainSplit: org.apache.spark.sql.Column =
+    graft.text.TextAnalysis.charFingerprint(col("text")) % 100 < 80
 
   /**
    * Fold one batch: curate it (quality rules + within-batch exact
@@ -86,7 +102,7 @@ object CuratedCorpus {
     recoverSwap(batchDocs.sparkSession, path)
     val fresh = freshRows(path, batchDocs, batchId)
       .localCheckpoint(true) // both writes below; lineage reads the target dir
-    fresh.select(col("doc_id"), col("source"), col("n_tokens"), col("text"))
+    withCounts(fresh.where(trainSplit))
       .withColumn("__batch", lit(batchId))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite")
@@ -113,7 +129,9 @@ object CuratedCorpus {
       .parquet(s"$path/hashes")
       .where(col("__batch") =!= batchId) // replay: never probe own landing
       .select("h")
-    withCounts(PipelineQueries.curatedTrainDocs(batchDocs))
+    // stage-2 KEEPERS, pre-split (see init: eval-split keepers still
+    // assert content identity); the split applies to the docs landing
+    PipelineQueries.curatedKeptDocs(batchDocs)
       .withColumn("h", Dedup.exactHash(col("text")))
       .join(standing, Seq("h"), "left_anti")
   }

@@ -32,7 +32,13 @@ object PipelineQueries {
     * with the `source` column retained — the curated train set both
     * [[curate]] (which packs it) and [[Release.build]] (which
     * budget-fills and lays it out at rest) start from. */
-  def curatedTrainDocs(docs: DataFrame): DataFrame = {
+  /** Stages 1–2 of the curation pipeline — quality rules + exact-dedup
+    * keepers, BEFORE the train split. This is the content-identity
+    * set: the standing [[CuratedCorpus]] hash table must cover every
+    * keeper (a later copy of an EVAL-split keeper is still a
+    * duplicate the union pipeline would drop), so the split lives in
+    * [[curatedTrainDocs]], not here. */
+  def curatedKeptDocs(docs: DataFrame): DataFrame = {
     import TextAnalysis._
     // stage 1: quality rules (same flags as q_text_quality_filter)
     val base = docs.select(col("doc_id"), col("source"), col("lang"),
@@ -47,11 +53,15 @@ object PipelineQueries {
       .select(col("doc_id"), col("source"), col("text"))
     // stage 2: exact dedup — keep the min doc_id per canonical hash
     val byHash = Window.partitionBy(Dedup.exactHash(col("text")))
-    val deduped = kept
+    kept
       .withColumn("__keeper", col("doc_id") === min("doc_id").over(byHash))
       .where(col("__keeper")).drop("__keeper")
+  }
+
+  def curatedTrainDocs(docs: DataFrame): DataFrame = {
+    import TextAnalysis._
     // stage 3: train split (same bucket rule as q_sample_split)
-    deduped.where(charFingerprint(col("text")) % 100 < 80)
+    curatedKeptDocs(docs).where(charFingerprint(col("text")) % 100 < 80)
   }
 
   def curate(docs: DataFrame): DataFrame =

@@ -92,7 +92,7 @@ object Release {
       budget: Long, shards: Int): Unit =
     commitVersion(
       CuratedCorpus.withCounts(PipelineQueries.curatedTrainDocs(docs)),
-      root, version, seed, budget, shards)
+      root, version, seed, budget, shards, lineage = None)
 
   /** Build a version from a STANDING [[CuratedCorpus]] table — the
     * incremental production path: curation and tokenization were paid
@@ -103,19 +103,21 @@ object Release {
   def buildFromCorpus(spark: SparkSession, corpusPath: String,
       root: String, version: Int, seed: Long, budget: Long,
       shards: Int): Unit = {
-    commitVersion(CuratedCorpus.open(spark, corpusPath),
-      root, version, seed, budget, shards)
-    // lineage SIDECAR, written after the commit marker: which standing
-    // table and which fold watermark this version was cut from — the
-    // provenance an auditor walks from a mounted release back to the
-    // corpus state. Deliberately NOT part of the manifest: the
-    // manifest stays a pure function of (snapshot, seed, budget,
-    // shards), so the incremental-≡-full bit-identity pin and rebuild
-    // determinism are unaffected by where the rows happened to live.
+    // lineage SIDECAR: which standing table and which fold watermark
+    // this version was cut from — the provenance an auditor walks
+    // from a mounted release back to the corpus state. Deliberately
+    // NOT part of the manifest (the manifest stays a pure function of
+    // (snapshot, seed, budget, shards), so the incremental-≡-full
+    // bit-identity pin and rebuild determinism are unaffected by
+    // where the rows happened to live), and written BEFORE the
+    // manifest: a committed version must never be lineage-less, or
+    // the cadence would read it as "always due" and cut a spurious
+    // version after a crash between the two writes.
     val wm = CuratedCorpus.batchWatermark(spark, corpusPath)
     val escaped = corpusPath.replace("\\", "\\\\").replace("\"", "\\\"")
-    writeString(spark, s"$root/v$version/$LineageFile",
-      s"""{"corpus_path":"$escaped","corpus_batch":$wm}""")
+    commitVersion(CuratedCorpus.open(spark, corpusPath),
+      root, version, seed, budget, shards,
+      lineage = Some(s"""{"corpus_path":"$escaped","corpus_batch":$wm}"""))
   }
 
   /**
@@ -162,9 +164,12 @@ object Release {
   }
 
   /** The shared layout-and-commit step over a curated train table
-    * (doc_id, source, n_tokens, text). */
+    * (doc_id, source, n_tokens, text). `lineage`, when present, lands
+    * strictly BEFORE the manifest — a committed version is never
+    * lineage-less. */
   private def commitVersion(train: DataFrame, root: String, version: Int,
-      seed: Long, budget: Long, shards: Int): Unit = {
+      seed: Long, budget: Long, shards: Int,
+      lineage: Option[String]): Unit = {
     val spark = train.sparkSession
     val vdir = s"$root/v$version"
     // a rebuild must first drop the old commit marker: if the new
@@ -183,8 +188,15 @@ object Release {
       .select("doc_id", "source", "n_tokens", "shard", "pos", "text")
     Layout.writeSharded(rows, "shard", "pos", s"$vdir/shards")
     // manifest from the files just written (one bounded pass; also
-    // proves the layout is readable before it is declared committed)
-    val written = spark.read.parquet(s"$vdir/shards")
+    // proves the layout is readable before it is declared committed).
+    // Explicit schema: a kept set the budget/curation emptied writes
+    // zero data files, and schema inference over only a _SUCCESS
+    // marker would abort the build instead of committing the
+    // (legitimate, visible-as-empty) version.
+    val written = spark.read
+      .schema("doc_id LONG, source STRING, n_tokens LONG, pos LONG, " +
+        "text STRING, shard INT")
+      .parquet(s"$vdir/shards")
     val fp = written.agg(
         count(lit(1)).as("rows"),
         coalesce(sum("n_tokens"), lit(0L)).as("tokens"),
@@ -205,6 +217,7 @@ object Release {
         s""""shards":$shards,"rows":${fp.getLong(0)},""" +
         s""""tokens":${fp.getLong(1)},"fingerprint":${fp.getLong(2)},""" +
         s""""sources":$perSource}"""
+    lineage.foreach(writeString(spark, s"$vdir/$LineageFile", _))
     writeString(spark, s"$vdir/$ManifestFile", manifest)
   }
 
@@ -236,7 +249,12 @@ object Release {
     val m = new org.apache.hadoop.fs.Path(s"$root/v$version/$ManifestFile")
     require(m.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(m),
       s"version $version under $root is not committed")
-    spark.read.parquet(s"$root/v$version/shards")
+    // explicit schema: a committed-but-empty version (rows:0 in its
+    // manifest) has no data files to infer from
+    spark.read
+      .schema("doc_id LONG, source STRING, n_tokens LONG, pos LONG, " +
+        "text STRING, shard INT")
+      .parquet(s"$root/v$version/shards")
   }
 
   /**

@@ -400,8 +400,14 @@ object EventTimeOps {
    * keyed, so a replayed RETRAIN batch rewrites its own version
    * directory (mode overwrite) rather than minting garbage paths;
    * appends inherit [[graft.ann.IvfIndex.append]]'s dynamic-overwrite
-   * idempotence. Same checkpoint requirement as every foreachBatch
-   * maintenance loop here.
+   * idempotence. The retrain write keeps the triggering batch OUT of
+   * the new base (prior corpus = base, batch = its own append
+   * partitions), closing the other replay window: redelivered AFTER
+   * the swap committed, the batch measures below the threshold
+   * against the new profile, takes the append branch, and overwrites
+   * its own partitions instead of duplicating rows the base already
+   * holds (pinned in EventTimeSpec). Same checkpoint requirement as
+   * every foreachBatch maintenance loop here.
    *
    * `onBatch` receives (batchId, drift, action) with action ∈
    * {"append", "retrain", "empty"} — the audit trail a metrics
@@ -429,13 +435,24 @@ object EventTimeOps {
               onBatch(batchId, drift, "append")
             } else {
               val spark = batch.sparkSession
-              val corpus = spark.read.parquet(s"${cur.path}/corpus")
+              val standing = spark.read.parquet(s"${cur.path}/corpus")
                 .select(col(idCol), col(vecCol))
+              val corpus = standing
                 .unionByName(batch.select(col(idCol), col(vecCol)))
               val cents = Similarity.trainCentroidsDistributed(
                 corpus, idCol, vecCol, k, refineIters = refineIters)
               val newPath = pathForVersion(batchId)
-              IvfIndex.write(corpus, idCol, vecCol, cents, newPath)
+              // base = the PRIOR standing corpus only; the triggering
+              // batch lands as its own __batch=batchId partitions
+              // (probe-identical to baking it in — append ≡ rewrite is
+              // pinned). This is what makes an at-least-once REPLAY of
+              // a retrain batch converge: redelivered, it measures
+              // below the threshold against the swapped profile (which
+              // absorbed the shift), takes the append branch, and
+              // overwrites its own partitions — were the batch baked
+              // into the base, that replay would duplicate every row.
+              IvfIndex.write(standing, idCol, vecCol, cents, newPath)
+              IvfIndex.append(batch, idCol, vecCol, cents, newPath, batchId)
               // profile from the NEW at-rest corpus (read back, and
               // materialized by the persist+action inside
               // embeddingProfile's consumer below BEFORE the old path

@@ -149,6 +149,47 @@ class CuratedCorpusSpec extends SparkSpec {
     } finally CuratedCorpus.delete(spark, path)
   }
 
+  test("a canonical copy of an EVAL-split keeper never re-lands (hashes are pre-split)") {
+    import graft.text.TextAnalysis.charFingerprint
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft-corpus").toString + "/cc"
+    try {
+      val (base, _, _) = slices
+      CuratedCorpus.init(base, path)
+      // keepers the train split withheld from docs — their content
+      // identity must still be standing
+      val evalKeepers = PipelineQueries.curatedKeptDocs(base)
+        .where(charFingerprint(col("text")) % 100 >= 80)
+        .select("text").limit(5).collect().map(_.getString(0)).toSeq
+      assert(evalKeepers.nonEmpty, "fixture needs an eval-split keeper")
+      // canonical-EQUAL but raw-different variants (same exactHash,
+      // different charFingerprint) under fresh monotone ids — at least
+      // one must land in the TRAIN bucket or the case proves nothing
+      val variants = evalKeepers
+        .flatMap(t => Seq(t.toUpperCase, t + "!", "  " + t))
+        .zipWithIndex.map { case (t, i) => (1000000L + i, t) }
+      val vdf = variants.toDF("doc_id", "text")
+        .withColumn("source", lit("s0")).withColumn("lang", lit("de"))
+        .select("doc_id", "source", "lang", "text")
+      assert(vdf.where(charFingerprint(col("text")) % 100 < 80).count() > 0,
+        "no canonical-equal variant fell in the train bucket")
+      CuratedCorpus.foldBatch(path, vdf, 9L)
+      // the union pipeline drops every variant at stage 2 (the eval
+      // keeper holds the min id per hash) — the standing table must
+      // agree exactly
+      val want = PipelineQueries
+        .curatedTrainDocs(base.select("doc_id", "source", "lang", "text")
+          .unionByName(vdf))
+        .select(col("doc_id"), col("source"),
+          coalesce(graft.text.TextAnalysis.tokenCount(col("text"))
+            .cast("long"), lit(0L)).as("n_tokens"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(tableRows(path) == want && want.nonEmpty)
+      assert(!tableRows(path).exists(_._1 >= 1000000L),
+        "a canonical copy of an eval-split keeper re-landed")
+    } finally CuratedCorpus.delete(spark, path)
+  }
+
   test("maintain bounds the fold-partition count across many batches") {
     val path = Files.createTempDirectory("graft-corpus").toString + "/cc"
     try {

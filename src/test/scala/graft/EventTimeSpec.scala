@@ -487,6 +487,21 @@ class EventTimeSpec extends SparkSpec {
     assert(got.length == 1 &&
       Set(probeVec.getLong(0), probeVec.getLong(0) + 10000L)(got.head),
       s"drifted vector's nearest neighbor should be itself or its twin, got $got")
+    // at-least-once REPLAY of the RETRAIN batch after the swap
+    // committed (crash between handle.set and the checkpoint): the
+    // swapped profile absorbed the shift, so the redelivered batch
+    // measures in-distribution, takes the append branch, and
+    // overwrites its own partitions — the corpus must not grow,
+    // which holds only because the retrain kept the batch OUT of the
+    // new base
+    val b2df = spark.createDataFrame(
+      spark.sparkContext.parallelize(b2), schema)
+    val total = spark.read.parquet(s"${cur.path}/corpus").count()
+    assert(DriftGate.embeddingDist(cur.profile, b2df, "embedding") < 0.5,
+      "replayed retrain batch must measure in-distribution post-swap")
+    IvfIndex.append(b2df, "vec_id", "embedding", cur.centroids, cur.path, 1L)
+    assert(spark.read.parquet(s"${cur.path}/corpus").count() == total,
+      "post-swap replay of the retrain batch must not duplicate rows")
     cur.releaseProfile()
     IvfIndex.delete(spark, cur.path)
   }

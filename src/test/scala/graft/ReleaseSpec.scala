@@ -55,6 +55,22 @@ class ReleaseSpec extends SparkSpec {
     }
   }
 
+  test("a build whose kept set is empty commits a visible, openable empty version") {
+    val root = Files.createTempDirectory("graft-release").toString + "/rel"
+    try {
+      // curation empties this corpus (zero rows in → zero kept); the
+      // build must COMMIT the empty version, not abort on schema
+      // inference over a data-less shards dir — an upstream outage
+      // that empties a snapshot should be visible as rows:0, not as a
+      // wedged partial build
+      Release.build(docs.where(lit(false)), root, 1, Release.Seed,
+        Release.Budget, Release.Shards)
+      assert(Release.latestVersion(spark, root).contains(1))
+      assert(Release.manifestJson(spark, root).contains("\"rows\":0"))
+      assert(Release.openVersion(spark, root, 1).count() == 0)
+    } finally Release.delete(spark, root)
+  }
+
   test("epochDeal: epoch 0 IS the stored layout; epoch e is a fresh permutation") {
     val root = Files.createTempDirectory("graft-release").toString + "/rel"
     try {

@@ -36,6 +36,23 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("null-source docs form their own budget group, never silently dropped") {
+    // a null source is a valid per-source group: the window form keeps
+    // it, so the distributed form must too (its chunk-offset join is
+    // null-safe — a plain equi-join would drop every such row)
+    val nulled = docs.withColumn("source",
+      when(col("doc_id") % 3 === 0, lit(null).cast("string"))
+        .otherwise(col("source")))
+    val ref = rows(Sampling.tokenBudgetFillByWindow(
+      nulled, "source", "doc_id", "text", Seed, Budget))
+    assert(ref.exists(_._2 == null), "fixture must keep null-source rows")
+    for (chunks <- Seq(1, 256)) {
+      val got = rows(Sampling.tokenBudgetFill(
+        nulled, "source", "doc_id", "text", Seed, Budget, chunks))
+      assert(got == ref, s"chunks=$chunks diverged on a null-source corpus")
+    }
+  }
+
   test("kept set is the maximal budget-bounded prefix of the deal order") {
     // unfiltered running totals in deal order, from first principles
     val all = Sampling.tokenBudgetFillByWindow(
