@@ -273,6 +273,26 @@ class PlanQualitySpec extends SparkSpec {
       s"expected chunk hash + audit agg + presentation range, got $ex")
   }
 
+  test("epochDeal scans the release id-only — an epoch plan never reads text") {
+    import graft.pipeline.Release
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-planpin").toString + "/rel"
+    try {
+      Release.build(Tables(spark, Sf, "documents"), root, 1,
+        Release.Seed, Release.Budget, Release.Shards)
+      val p = plan(Release.epochDeal(spark, root, 1, 3))
+      val scans = collectAll(p) {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      // the re-deal is pure id arithmetic over the mounted version:
+      // one scan, reading only doc_id (shard/pos/text stay on disk —
+      // "no byte rewritten" starts with "no byte read but the ids")
+      assert(scans.length == 1 &&
+        scans.head.requiredSchema.fieldNames.toSeq == Seq("doc_id"),
+        s"epoch plan must scan only doc_id: ${scans.map(_.requiredSchema)}")
+    } finally Release.delete(spark, root)
+  }
+
   test("curated-corpus fold: the dedup probe scans hashes only, never standing docs") {
     import graft.pipeline.CuratedCorpus
     val path = java.nio.file.Files
