@@ -77,10 +77,8 @@ object CuratedCorpus {
       .parquet(s"$path/hashes")
   }
 
-  /** The stage-3 train-split predicate (same bucket rule as
-    * q_sample_split / [[PipelineQueries.curatedTrainDocs]]). */
   private def trainSplit: org.apache.spark.sql.Column =
-    graft.text.TextAnalysis.charFingerprint(col("text")) % 100 < 80
+    PipelineQueries.trainSplit
 
   /**
    * Fold one batch: curate it (quality rules + within-batch exact

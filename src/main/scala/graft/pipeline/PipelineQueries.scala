@@ -28,10 +28,6 @@ import graft.text.{TextAnalysis, TextQueries, TextSql}
  */
 object PipelineQueries {
 
-  /** Stages 1–3 (quality rules → exact-dedup keepers → train split)
-    * with the `source` column retained — the curated train set both
-    * [[curate]] (which packs it) and [[Release.build]] (which
-    * budget-fills and lays it out at rest) start from. */
   /** Stages 1–2 of the curation pipeline — quality rules + exact-dedup
     * keepers, BEFORE the train split. This is the content-identity
     * set: the standing [[CuratedCorpus]] hash table must cover every
@@ -58,11 +54,19 @@ object PipelineQueries {
       .where(col("__keeper")).drop("__keeper")
   }
 
-  def curatedTrainDocs(docs: DataFrame): DataFrame = {
-    import TextAnalysis._
-    // stage 3: train split (same bucket rule as q_sample_split)
-    curatedKeptDocs(docs).where(charFingerprint(col("text")) % 100 < 80)
-  }
+  /** The stage-3 train-split predicate (same bucket rule as
+    * q_sample_split). ONE definition: [[CuratedCorpus]]'s fold path
+    * applies it too, and the fold ≡ curatedTrainDocs(union)
+    * equivalence contract depends on the two sites never diverging. */
+  def trainSplit: org.apache.spark.sql.Column =
+    TextAnalysis.charFingerprint(col("text")) % 100 < 80
+
+  /** Stages 1–3 (quality rules → exact-dedup keepers → train split)
+    * with the `source` column retained — the curated train set both
+    * [[curate]] (which packs it) and [[Release.build]] (which
+    * budget-fills and lays it out at rest) start from. */
+  def curatedTrainDocs(docs: DataFrame): DataFrame =
+    curatedKeptDocs(docs).where(trainSplit)
 
   def curate(docs: DataFrame): DataFrame =
     // stage 4: pack the curated train set into fixed sequences

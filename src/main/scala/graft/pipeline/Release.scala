@@ -203,13 +203,20 @@ object Release {
         coalesce(expr("bit_xor(xxhash64(doc_id, text))"), lit(0L))
           .as("fingerprint"))
       .head()
+    // a null source is a valid budget group (the fill keeps it), so
+    // the manifest must render it as JSON null — not crash the sort
+    // or conflate it with a source literally named "null" — and
+    // data-controlled source names must be escaped
     val perSource = written.groupBy("source")
       .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"))
       .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+      .sortBy { case (s, _, _) => (s.isEmpty, s.getOrElse("")) }
       .map { case (s, d, t) =>
-        s"""{"source":"$s","docs":$d,"tokens":$t}"""
+        val key = s.map(v => "\"" +
+          v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+          .getOrElse("null")
+        s"""{"source":$key,"docs":$d,"tokens":$t}"""
       }
       .mkString("[", ",", "]")
     val manifest =

@@ -410,8 +410,10 @@ object EventTimeOps {
    * every foreachBatch maintenance loop here.
    *
    * `onBatch` receives (batchId, drift, action) with action ∈
-   * {"append", "retrain", "empty"} — the audit trail a metrics
-   * pipeline records.
+   * {"append", "retrain", "retrain-replay", "empty"} — the audit
+   * trail a metrics pipeline records ("retrain-replay" marks a
+   * redelivered retrain batch whose version the served index already
+   * is; see the keyed-path guard).
    */
   def ivfMaintainStream(vecs: DataFrame, idCol: String, vecCol: String,
       handle: java.util.concurrent.atomic.AtomicReference[graft.ann.IvfIndex.Resident],
@@ -421,54 +423,79 @@ object EventTimeOps {
     vecs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import graft.ann.{IvfIndex, Similarity}
-        import graft.pipeline.DriftGate
         batch.persist()
-        try {
-          val cur = handle.get()
-          if (batch.isEmpty) onBatch(batchId, 0.0, "empty")
-          else {
-            val drift = DriftGate.embeddingDist(cur.profile, batch, vecCol)
-            if (drift < driftThreshold) {
-              IvfIndex.append(batch, idCol, vecCol, cur.centroids,
-                cur.path, batchId)
-              onBatch(batchId, drift, "append")
-            } else {
-              val spark = batch.sparkSession
-              val standing = spark.read.parquet(s"${cur.path}/corpus")
-                .select(col(idCol), col(vecCol))
-              val corpus = standing
-                .unionByName(batch.select(col(idCol), col(vecCol)))
-              val cents = Similarity.trainCentroidsDistributed(
-                corpus, idCol, vecCol, k, refineIters = refineIters)
-              val newPath = pathForVersion(batchId)
-              // base = the PRIOR standing corpus only; the triggering
-              // batch lands as its own __batch=batchId partitions
-              // (probe-identical to baking it in — append ≡ rewrite is
-              // pinned). This is what makes an at-least-once REPLAY of
-              // a retrain batch converge: redelivered, it measures
-              // below the threshold against the swapped profile (which
-              // absorbed the shift), takes the append branch, and
-              // overwrites its own partitions — were the batch baked
-              // into the base, that replay would duplicate every row.
-              IvfIndex.write(standing, idCol, vecCol, cents, newPath)
-              IvfIndex.append(batch, idCol, vecCol, cents, newPath, batchId)
-              // profile from the NEW at-rest corpus (read back, and
-              // materialized by the persist+action inside
-              // embeddingProfile's consumer below BEFORE the old path
-              // dies — its lineage must never reference cur.path)
-              val (prof, rel) = DriftGate.embeddingProfile(
-                spark.read.parquet(s"$newPath/corpus"), vecCol)
-              prof.count()
-              handle.set(IvfIndex.Resident(newPath, cents, prof, rel))
-              cur.releaseProfile()
-              IvfIndex.delete(spark, cur.path)
-              onBatch(batchId, drift, "retrain")
-            }
-          }
-        } finally batch.unpersist()
+        try ivfMaintainOnce(batch, batchId, idCol, vecCol, handle,
+          driftThreshold, pathForVersion, k, refineIters, onBatch)
+        finally batch.unpersist()
         ()
       }
+
+  /** One [[ivfMaintainStream]] micro-batch — package-private so the
+    * replay windows are directly testable. */
+  private[graft] def ivfMaintainOnce(batch: DataFrame, batchId: Long,
+      idCol: String, vecCol: String,
+      handle: java.util.concurrent.atomic.AtomicReference[graft.ann.IvfIndex.Resident],
+      driftThreshold: Double, pathForVersion: Long => String,
+      k: Int, refineIters: Int,
+      onBatch: (Long, Double, String) => Unit): Unit = {
+    import graft.ann.{IvfIndex, Similarity}
+    import graft.pipeline.DriftGate
+    val cur = handle.get()
+    if (batch.isEmpty) onBatch(batchId, 0.0, "empty")
+    else {
+      val drift = DriftGate.embeddingDist(cur.profile, batch, vecCol)
+      if (drift < driftThreshold) {
+        IvfIndex.append(batch, idCol, vecCol, cur.centroids,
+          cur.path, batchId)
+        onBatch(batchId, drift, "append")
+      } else if (pathForVersion(batchId) == cur.path) {
+        // the served version is KEYED BY this batch id: this batch
+        // already retrained and swapped, and is being redelivered in
+        // the window where the new profile did NOT absorb the shift
+        // (a small batch against a huge standing corpus barely moves
+        // the profile). Retraining again would write over the path
+        // `standing` is lazily reading and then delete the serving
+        // index; instead, re-land the batch's own append partitions
+        // (idempotent) and report the replay.
+        IvfIndex.append(batch, idCol, vecCol, cur.centroids,
+          cur.path, batchId)
+        onBatch(batchId, drift, "retrain-replay")
+      } else {
+        val spark = batch.sparkSession
+        val standing = spark.read.parquet(s"${cur.path}/corpus")
+          .select(col(idCol), col(vecCol))
+        val corpus = standing
+          .unionByName(batch.select(col(idCol), col(vecCol)))
+        val cents = Similarity.trainCentroidsDistributed(
+          corpus, idCol, vecCol, k, refineIters = refineIters)
+        val newPath = pathForVersion(batchId)
+        // base = the PRIOR standing corpus only; the triggering
+        // batch lands as its own __batch=batchId partitions
+        // (probe-identical to baking it in — append ≡ rewrite is
+        // pinned). This is what makes an at-least-once REPLAY of
+        // a retrain batch converge: redelivered, it measures
+        // below the threshold against the swapped profile (which
+        // absorbed the shift) and takes the append branch — or, if
+        // the profile did not absorb it, the keyed-path guard above
+        // catches it — either way it overwrites its own partitions;
+        // were the batch baked into the base, a replay would
+        // duplicate every row.
+        IvfIndex.write(standing, idCol, vecCol, cents, newPath)
+        IvfIndex.append(batch, idCol, vecCol, cents, newPath, batchId)
+        // profile from the NEW at-rest corpus (read back, and
+        // materialized by the persist+action inside
+        // embeddingProfile's consumer below BEFORE the old path
+        // dies — its lineage must never reference cur.path)
+        val (prof, rel) = DriftGate.embeddingProfile(
+          spark.read.parquet(s"$newPath/corpus"), vecCol)
+        prof.count()
+        handle.set(IvfIndex.Resident(newPath, cents, prof, rel))
+        cur.releaseProfile()
+        IvfIndex.delete(spark, cur.path)
+        onBatch(batchId, drift, "retrain")
+      }
+    }
+  }
 
   final case class FunnelInput(user_id: Long, ts: Timestamp, event_type: String)
   final case class FunnelBuf(events: List[(Long, String)], lastTs: Long)

@@ -502,6 +502,22 @@ class EventTimeSpec extends SparkSpec {
     IvfIndex.append(b2df, "vec_id", "embedding", cur.centroids, cur.path, 1L)
     assert(spark.read.parquet(s"${cur.path}/corpus").count() == total,
       "post-swap replay of the retrain batch must not duplicate rows")
+    // the OTHER post-swap replay window: the new profile did NOT
+    // absorb the shift (small batch vs huge corpus), so the replayed
+    // batch still measures over threshold — the keyed-path guard must
+    // re-land its partitions instead of retraining the live index
+    // onto itself (threshold 0 forces every batch over the gate)
+    val replayLog = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, String)]
+    EventTimeOps.ivfMaintainOnce(b2df, 1L, "vec_id", "embedding", handle,
+      driftThreshold = 0.0, pathForVersion = b => s"$root/v$b",
+      k = 4, refineIters = 1,
+      onBatch = (id, d, a) => { replayLog += ((id, d, a)); () })
+    assert(replayLog.map(_._3) == Seq("retrain-replay"),
+      s"keyed-path guard did not catch the replay: $replayLog")
+    assert(handle.get().path == s"$root/v1",
+      "guarded replay must not swap the served version")
+    assert(spark.read.parquet(s"${cur.path}/corpus").count() == total,
+      "guarded replay must not change the corpus")
     cur.releaseProfile()
     IvfIndex.delete(spark, cur.path)
   }

@@ -55,6 +55,25 @@ class ReleaseSpec extends SparkSpec {
     }
   }
 
+  test("null-source docs reach the manifest as JSON null, never a crash") {
+    val root = Files.createTempDirectory("graft-release").toString + "/rel"
+    try {
+      // a null source is a budget group like any other: the build must
+      // commit (the per-source audit sort used to NPE), render the
+      // group as JSON null — distinct from a source NAMED "null" —
+      // and land its rows in the shards
+      val nulled = docs.withColumn("source",
+        when(col("doc_id") % 3 === 0, lit(null).cast("string"))
+          .otherwise(col("source")))
+      Release.build(nulled, root, 1, Release.Seed, Release.Budget,
+        Release.Shards)
+      val m = Release.manifestJson(spark, root)
+      assert(m.contains("\"source\":null") && !m.contains("\"source\":\"null\""))
+      assert(Release.openVersion(spark, root, 1)
+        .where(col("source").isNull).count() > 0)
+    } finally Release.delete(spark, root)
+  }
+
   test("a build whose kept set is empty commits a visible, openable empty version") {
     val root = Files.createTempDirectory("graft-release").toString + "/rel"
     try {
