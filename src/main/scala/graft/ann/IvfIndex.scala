@@ -106,6 +106,16 @@ object IvfIndex {
     require(centroids.nonEmpty, "IvfIndex.write needs at least one centroid")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // invalidate FIRST when rewriting over a complete index: the two
+    // overwrites below are not atomic together, and a crash between
+    // them must leave the index reading as incomplete (so ensure()
+    // rebuilds), never as new-centroids-over-the-OLD-cell-layout with
+    // both _SUCCESS markers still standing (silently wrong pruning) —
+    // the same drop-the-commit-marker-before-rewriting rule as
+    // Release.commitVersion
+    val marker = new org.apache.hadoop.fs.Path(s"$path/corpus/_SUCCESS")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(marker, false)
     centroids.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "weights")
@@ -189,7 +199,14 @@ object IvfIndex {
     * inside `foreachBatch(N)` with `throughBatch = N - 1` (those
     * batches are checkpoint-committed, so the replay that would
     * duplicate compacted rows can no longer occur; a replay of a
-    * LEFT-ALONE batch still overwrites its own partitions). */
+    * LEFT-ALONE batch still overwrites its own partitions).
+    *
+    * Reader caveat: this rewrites the SERVED path in place — a probe
+    * whose file listing lands in the swap's brief non-live window (or
+    * across the prune) fails and should retry; a deployment that must
+    * serve probes through maintenance retains versions instead (the
+    * `Resident` swap-then-retire pattern in
+    * [[graft.streaming.EventTimeOps.ivfMaintainStream]]). */
   def compactThrough(spark: SparkSession, path: String,
       throughBatch: Long): Unit = {
     graft.sources.DirSwap.recover(spark, path, Seq("corpus"))
@@ -243,7 +260,13 @@ object IvfIndex {
     * `compactSnapshotRetained` swap-then-retire discipline applied to
     * the index lifecycle. */
   final case class Resident(path: String, centroids: Seq[Array[Double]],
-      profile: DataFrame, releaseProfile: () => Unit)
+      profile: DataFrame, releaseProfile: () => Unit,
+      builtBy: Option[Long] = None)
+
+  // `builtBy` is the maintain-loop batch id whose retrain installed
+  // this version (None for a bootstrap index): it is how the loop
+  // tells a REDELIVERED retrain batch (same id — converge via append)
+  // from a first delivery that merely collides with the served path.
 
   /** Retire an index — the lifecycle's last verb (write / append /
     * probe / delete), the at-rest twin of the in-memory standing

@@ -79,6 +79,15 @@ object ClusterIndex {
     * labels, plus an EMPTY relabel table (schema materialized so
     * [[open]] never special-cases a fresh index). */
   def write(assignments: DataFrame, path: String): Unit = {
+    // when rewriting over a prior table, drop the OLD relabel chain
+    // first: the two overwrites below are not atomic together, and a
+    // crash between them must leave [[open]] failing fast (relabel dir
+    // missing — re-run write to heal), never silently composing the
+    // stale chain over the fresh labels
+    val relabel = new org.apache.hadoop.fs.Path(s"$path/relabel")
+    relabel.getFileSystem(
+      assignments.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(relabel, true)
     assignments.select(col("doc_id"), col("cluster"))
       .withColumn("__batch", lit(BaseBatch))
       .sortWithinPartitions("doc_id")

@@ -179,9 +179,21 @@ object CuratedCorpus {
     def files(dir: String): Int =
       math.max(1L, (dirBytes(spark, dir) + targetFileBytes - 1)
         / targetFileBytes).toInt
-    open(spark, path)
+    // fold a batch's DOCS into the base only if its HASHES landed: a
+    // fold that crashed between its docs write and its hashes write
+    // must keep its docs partition, so the stream's replay overwrites
+    // it and lands the missing hashes — baking such docs into the
+    // base would let the replay's anti-join (which finds none of the
+    // batch's content standing) land them a second time. This is what
+    // makes `maintain` safe to run mid-stream without the
+    // settle-before-compact rule the content-probe-less tables need.
+    val hashLanded = graft.sources.BatchPartitions
+      .ids(spark, s"$path/hashes").toSet
+    spark.read.schema(DocsSchema).parquet(s"$path/docs")
       .repartitionByRange(files(s"$path/docs"), col("doc_id"))
-      .withColumn("__batch", lit(BaseBatch))
+      .withColumn("__batch",
+        when(col("__batch").isin(hashLanded.toSeq: _*), lit(BaseBatch))
+          .otherwise(col("__batch")))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").partitionBy("__batch")
       .parquet(graft.sources.DirSwap.stagingDir(path, "docs"))

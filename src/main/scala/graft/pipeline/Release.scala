@@ -113,6 +113,10 @@ object Release {
     // manifest: a committed version must never be lineage-less, or
     // the cadence would read it as "always due" and cut a spurious
     // version after a crash between the two writes.
+    // a release cadence on a quiesced corpus may be the FIRST entry
+    // point after a crashed compact swap — heal it rather than throw
+    // on the missing live dir until some fold happens to run
+    CuratedCorpus.recoverSwap(spark, corpusPath)
     val wm = CuratedCorpus.batchWatermark(spark, corpusPath)
     val escaped = corpusPath.replace("\\", "\\\\").replace("\"", "\\\"")
     commitVersion(CuratedCorpus.open(spark, corpusPath),
@@ -133,12 +137,20 @@ object Release {
    * cadence advances from. Idempotent between due points: not-due
    * calls touch nothing but the manifest/lineage listings.
    *
+   * ONE maintainer per root: like every standing-structure writer
+   * here ([[graft.ann.IvfIndex.ensure]], [[graft.sources.DirSwap]]),
+   * concurrent builds of the same root must be serialized by the
+   * deployment — two racing maintainers would both read
+   * `latestVersion + 1` and interleave overwrites of the same
+   * version directory.
+   *
    * @return the version cut, when one was
    */
   def maintainFromCorpus(spark: SparkSession, corpusPath: String,
       root: String, seed: Long, budget: Long, shards: Int,
       everyBatches: Long, keep: Int = 2): Option[Int] = {
     require(everyBatches >= 1, s"everyBatches must be >= 1, got $everyBatches")
+    CuratedCorpus.recoverSwap(spark, corpusPath)
     val wm = CuratedCorpus.batchWatermark(spark, corpusPath)
     val latest = latestVersion(spark, root)
     val lastWm = latest.flatMap(v => lineageJson(spark, root, v))

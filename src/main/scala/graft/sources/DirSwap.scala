@@ -19,6 +19,15 @@ import org.apache.spark.sql.SparkSession
  * staging fully written) and prunes leftovers, and is safe to run on a
  * healthy root — compaction entry points call it first, so "re-run the
  * compact" is the whole repair story.
+ *
+ * SINGLE-WRITER contract: the compactor must be the table's own
+ * fold/append loop (the in-loop `maintain`/`compactEvery` dials) or an
+ * exclusive maintainer. Staging is a point-in-time snapshot and the
+ * swap prunes the live dir it replaces, so a SECOND process landing a
+ * partition between the staging read and the swap would have that
+ * write silently destroyed — the same serialize-your-writers rule as
+ * `IvfIndex.ensure`, enforced by deployment (a lock), not by this
+ * helper.
  */
 object DirSwap {
 
@@ -41,7 +50,13 @@ object DirSwap {
         s"staging dir for $root/$t is not fully written")
     }
     tables.foreach { t =>
-      fs.rename(new Path(s"$root/$t"), new Path(s"$root/.old_$t"))
+      // a leftover .old_<t> (a prior swap that crashed post-swap,
+      // pre-prune) must go first: renaming onto an existing directory
+      // either nests the source inside it or fails — both checked
+      // renames below would then corrupt or abort the swap
+      fs.delete(new Path(s"$root/.old_$t"), true)
+      require(fs.rename(new Path(s"$root/$t"), new Path(s"$root/.old_$t")),
+        s"compact swap could not retire $root/$t")
       require(fs.rename(new Path(stagingDir(root, t)), new Path(s"$root/$t")),
         s"compact swap failed for $root/$t")
     }

@@ -448,19 +448,27 @@ object EventTimeOps {
         IvfIndex.append(batch, idCol, vecCol, cur.centroids,
           cur.path, batchId)
         onBatch(batchId, drift, "append")
-      } else if (pathForVersion(batchId) == cur.path) {
-        // the served version is KEYED BY this batch id: this batch
-        // already retrained and swapped, and is being redelivered in
-        // the window where the new profile did NOT absorb the shift
-        // (a small batch against a huge standing corpus barely moves
-        // the profile). Retraining again would write over the path
-        // `standing` is lazily reading and then delete the serving
-        // index; instead, re-land the batch's own append partitions
-        // (idempotent) and report the replay.
+      } else if (cur.builtBy.contains(batchId)) {
+        // the served version was INSTALLED BY this batch id: this
+        // batch already retrained and swapped, and is being
+        // redelivered in the window where the new profile did NOT
+        // absorb the shift (a small batch against a huge standing
+        // corpus barely moves the profile). Retraining again would
+        // write over the path `standing` is lazily reading and then
+        // delete the serving index; instead, re-land the batch's own
+        // append partitions (idempotent) and report the replay.
         IvfIndex.append(batch, idCol, vecCol, cur.centroids,
           cur.path, batchId)
         onBatch(batchId, drift, "retrain-replay")
       } else {
+        val newPath = pathForVersion(batchId)
+        // a genuine FIRST retrain must never target the serving path
+        // (write-over-read, then deleting the live index): fail fast
+        // BEFORE any training work — the caller's bootstrap path must
+        // live outside pathForVersion's range
+        require(newPath != cur.path,
+          s"pathForVersion($batchId) collides with the served path " +
+            s"$newPath — bootstrap the index outside pathForVersion's range")
         val spark = batch.sparkSession
         val standing = spark.read.parquet(s"${cur.path}/corpus")
           .select(col(idCol), col(vecCol))
@@ -468,7 +476,6 @@ object EventTimeOps {
           .unionByName(batch.select(col(idCol), col(vecCol)))
         val cents = Similarity.trainCentroidsDistributed(
           corpus, idCol, vecCol, k, refineIters = refineIters)
-        val newPath = pathForVersion(batchId)
         // base = the PRIOR standing corpus only; the triggering
         // batch lands as its own __batch=batchId partitions
         // (probe-identical to baking it in — append ≡ rewrite is
@@ -489,7 +496,8 @@ object EventTimeOps {
         val (prof, rel) = DriftGate.embeddingProfile(
           spark.read.parquet(s"$newPath/corpus"), vecCol)
         prof.count()
-        handle.set(IvfIndex.Resident(newPath, cents, prof, rel))
+        handle.set(IvfIndex.Resident(newPath, cents, prof, rel,
+          builtBy = Some(batchId)))
         cur.releaseProfile()
         IvfIndex.delete(spark, cur.path)
         onBatch(batchId, drift, "retrain")

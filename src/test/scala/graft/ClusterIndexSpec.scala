@@ -141,6 +141,34 @@ class ClusterIndexSpec extends SparkSpec {
     ClusterIndex.delete(spark, path)
   }
 
+  test("rewriting over a prior table fails fast mid-crash, never composes the stale chain") {
+    import spark.implicits._
+    val corpus = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((2L, 1L), (4L, 3L)).toDF("a", "b")
+    val path = fixtureRoot() + "/idx"
+    ClusterIndex.write(
+      Clusters.resolve(corpus, "doc_id", pairs, "a", "b")
+        .select("doc_id", "cluster"), path)
+    ClusterIndex.foldBatch(path, Seq(70L).toDF("doc_id"),
+      "doc_id", Seq((70L, 2L), (70L, 4L)).toDF("a", "b"), "a", "b", 0L)
+    assert(spark.read.parquet(s"$path/relabel").count() > 0)
+    // simulate write() crashing after it dropped the old chain: the
+    // table must fail FAST (missing relabel), not silently relabel
+    // fresh clusters through merges from the previous snapshot
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/relabel"), true)
+    intercept[Exception] { ClusterIndex.open(spark, path).collect() }
+    // re-running the write (the documented repair) heals to exactly
+    // the new snapshot's labels
+    val fresh = (1L to 8L).toDF("doc_id")
+      .withColumn("cluster", col("doc_id"))
+    ClusterIndex.write(fresh, path)
+    assert(asMap(ClusterIndex.open(spark, path)) ==
+      (1L to 8L).map(i => i -> i).toMap)
+    ClusterIndex.delete(spark, path)
+  }
+
   test("q_dedup_clusters_atrest equals the in-RAM incremental answer on testdata") {
     val sf = "/root/testdata/sf0.001"
     val atRest = SparkEntry.queries("q_dedup_clusters_atrest")(spark, sf)

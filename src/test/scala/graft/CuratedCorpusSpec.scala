@@ -219,6 +219,45 @@ class CuratedCorpusSpec extends SparkSpec {
     } finally CuratedCorpus.delete(spark, path)
   }
 
+  test("a fold that crashed before its hashes landed survives compaction; replay heals") {
+    val path = Files.createTempDirectory("graft-corpus").toString + "/cc"
+    try {
+      val (base, b1, b2) = slices
+      CuratedCorpus.init(base, path)
+      CuratedCorpus.foldBatch(path, b1, 0L) // complete fold
+      CuratedCorpus.foldBatch(path, b2, 7L)
+      // simulate the crash window between the fold's two writes: the
+      // docs partition landed, the hashes partition did not
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      def p(s: String) = new org.apache.hadoop.fs.Path(s)
+      fs.delete(p(s"$path/hashes/__batch=7"), true)
+      // a leftover retired dir from an even earlier crash must not
+      // divert the swap's renames into nesting
+      fs.mkdirs(p(s"$path/.old_docs/junk"))
+      CuratedCorpus.compact(spark, path)
+      def batchDirs(table: String): Set[String] =
+        new java.io.File(s"$path/$table").listFiles()
+          .filter(_.isDirectory).map(_.getName).toSet
+      // batch 0 folded; batch 7's docs stayed their own REPLAYABLE
+      // partition (baking them would double them on replay)
+      assert(batchDirs("docs") == Set("__batch=-1", "__batch=7"))
+      assert(batchDirs("hashes") == Set("__batch=-1"))
+      assert(!new java.io.File(s"$path/.old_docs").exists())
+      // the stream replays the crashed batch: it overwrites its own
+      // docs partition and lands the missing hashes — exactly once
+      CuratedCorpus.foldBatch(path, b2, 7L)
+      val want = PipelineQueries.curatedTrainDocs(docs)
+        .select(col("doc_id"), col("source"),
+          coalesce(graft.text.TextAnalysis.tokenCount(col("text"))
+            .cast("long"), lit(0L)).as("n_tokens"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(tableRows(path) == want)
+      assert(CuratedCorpus.open(spark, path).count() == want.size.toLong,
+        "replay after a half-landed fold duplicated rows")
+    } finally CuratedCorpus.delete(spark, path)
+  }
+
   test("a crashed compact swap is finished by the recovery preamble") {
     val path = Files.createTempDirectory("graft-corpus").toString + "/cc"
     try {

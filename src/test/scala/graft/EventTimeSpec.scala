@@ -518,6 +518,17 @@ class EventTimeSpec extends SparkSpec {
       "guarded replay must not swap the served version")
     assert(spark.read.parquet(s"${cur.path}/corpus").count() == total,
       "guarded replay must not change the corpus")
+    // a FIRST delivery that merely collides with the served path (a
+    // bootstrap index built inside pathForVersion's range) is NOT a
+    // replay: builtBy distinguishes them, and the retrain branch
+    // fails fast instead of writing over the index it is reading
+    val bootstrap = new AtomicReference(IvfIndex.Resident(
+      s"$root/v9", cur.centroids, cur.profile, () => ()))
+    intercept[IllegalArgumentException] {
+      EventTimeOps.ivfMaintainOnce(b2df, 9L, "vec_id", "embedding",
+        bootstrap, driftThreshold = 0.0, pathForVersion = b => s"$root/v$b",
+        k = 4, refineIters = 1, onBatch = (_, _, _) => ())
+    }
     cur.releaseProfile()
     IvfIndex.delete(spark, cur.path)
   }

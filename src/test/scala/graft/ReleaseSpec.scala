@@ -49,6 +49,15 @@ class ReleaseSpec extends SparkSpec {
       CuratedCorpus.compact(spark, cc)
       assert(CuratedCorpus.batchWatermark(spark, cc) == 3L)
       assert(maintain().isEmpty)
+      // a cadence waking up on a corpus whose compact crashed
+      // mid-swap heals it instead of throwing until a fold runs
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      def p(s: String) = new org.apache.hadoop.fs.Path(s)
+      fs.mkdirs(p(s"$cc/.compact"))
+      fs.rename(p(s"$cc/docs"), p(s"$cc/.compact/docs"))
+      assert(maintain().isEmpty) // recovered, still not due
+      assert(CuratedCorpus.batchWatermark(spark, cc) == 3L)
     } finally {
       CuratedCorpus.delete(spark, cc)
       Release.delete(spark, root)
