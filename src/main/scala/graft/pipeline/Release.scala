@@ -165,6 +165,20 @@ object Release {
     } else None
   }
 
+  /** The mounted EPOCH view — [[openVersion]]'s rows carrying epoch
+    * `e`'s (shard, pos) instead of the stored epoch 0's: what a
+    * training reader iterates for its e-th pass. Epoch 0 is the
+    * files themselves (zero extra work); later epochs join the
+    * id-only [[epochDeal]] plan back onto the rows — one broadcast-
+    * or hash-join on doc_id, still no byte rewritten. */
+  def openEpoch(spark: SparkSession, root: String, version: Int,
+      epoch: Int): DataFrame =
+    if (epoch == 0) openVersion(spark, root, version)
+    else openVersion(spark, root, version)
+      .drop("shard", "pos")
+      .join(epochDeal(spark, root, version, epoch), Seq("doc_id"))
+      .select("doc_id", "source", "n_tokens", "pos", "text", "shard")
+
   /** The lineage sidecar for a committed version, when the version
     * was cut from a standing corpus ([[buildFromCorpus]]); a full
     * [[build]] from a raw snapshot has none. */

@@ -122,6 +122,12 @@ class ReleaseSpec extends SparkSpec {
       val moved = stored.count { case (id, (s, _)) => e1(id)._1 != s }
       assert(moved * 2 > stored.size,
         s"epoch 1 moved only $moved/${stored.size} ids across shards")
+      // the mounted epoch view: same rows, epoch-e placement
+      val viewed = asMap(Release.openEpoch(spark, root, 1, 1))
+      assert(viewed == e1)
+      assert(Release.openEpoch(spark, root, 1, 1)
+        .columns.toSet == Release.openVersion(spark, root, 1).columns.toSet)
+      assert(asMap(Release.openEpoch(spark, root, 1, 0)) == stored)
       // version pinning: a v2 build does not change what v1 readers see
       Release.build(docs.where(col("doc_id") % 2 === 0), root, 2,
         Release.Seed, Release.Budget, Release.Shards)
