@@ -70,6 +70,16 @@ object ClusterIndex {
   /** Base-snapshot marker in the `__batch` partition column. */
   val BaseBatch = -1L
 
+  /** Swap order for [[compact]]'s staged dirs — ASSIGNMENTS strictly
+    * before RELABEL, per [[graft.sources.DirSwap]]'s prefix rule: a
+    * crash between the two swaps leaves compacted assignments
+    * (terminal labels, never relabel keys) beside the stale chain,
+    * which [[open]] chases to a no-op. The REVERSE prefix — empty
+    * relabel live beside old NON-terminal assignments — would make
+    * [[open]] silently return pre-merge labels, and recovery could
+    * not tell it apart from a healthy table. Do not reorder. */
+  private val SwapTables = Seq("assignments", "relabel")
+
   /** Collision-free scratch location for the harness (see
     * [[graft.Scratch]]); production keys by corpus-snapshot id. */
   def scratchPath(sourceDir: String): String =
@@ -134,7 +144,7 @@ object ClusterIndex {
     // heal a crashed compact swap first: the open() below would only
     // fail fast on a half-swapped table (both dirs are read before
     // any write), but a restarted fold stream should resume, not err
-    graft.sources.DirSwap.recover(spark, path, Seq("assignments", "relabel"))
+    graft.sources.DirSwap.recover(spark, path, SwapTables)
     val batchIds = batchDocs.select(col(idCol).as("doc_id"))
     // Standing labels WITHOUT the batch's own ids: on first play the
     // anti-join is a no-op (ids are disjoint by contract); on REPLAY
@@ -232,7 +242,16 @@ object ClusterIndex {
     * chases to a no-op. */
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20): Unit = {
-    graft.sources.DirSwap.recover(spark, path, Seq("assignments", "relabel"))
+    graft.sources.DirSwap.recover(spark, path, SwapTables)
+    stageCompact(spark, path, targetFileBytes)
+    graft.sources.DirSwap.swapStaged(spark, path, SwapTables)
+  }
+
+  /** [[compact]]'s staged rewrites, up to (not including) the swap —
+    * split out so the crash-matrix spec can stop between the two
+    * table swaps. */
+  private[graft] def stageCompact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
     // byte-targeted file count (FS summary, not a scan) with a range
     // partition on doc_id — compaction restores the file count and
     // globalizes the probe join's doc_id clustering
@@ -250,7 +269,6 @@ object ClusterIndex {
     emptyRelabel(spark)
       .write.mode("overwrite").partitionBy("__batch")
       .parquet(graft.sources.DirSwap.stagingDir(path, "relabel"))
-    graft.sources.DirSwap.swapStaged(spark, path, Seq("assignments", "relabel"))
   }
 
   /** Number of FOLD partitions the table currently holds (listing

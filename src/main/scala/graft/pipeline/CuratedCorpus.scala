@@ -140,6 +140,22 @@ object CuratedCorpus {
     spark.read.schema(DocsSchema).parquet(s"$path/docs")
       .select("doc_id", "source", "n_tokens", "text")
 
+  /** Swap order for [[compact]]'s staged dirs — HASHES (the
+    * content-identity table) strictly before DOCS (the rows it
+    * guards), per [[graft.sources.DirSwap]]'s prefix rule. A crash
+    * between the two swaps leaves compacted hashes beside
+    * uncompacted docs; a replaying fold's probe then finds the
+    * batch's content in the BASE hash partition (which the probe
+    * never excludes) and dedups to zero — the empty dynamic
+    * overwrite touches no partitions, so the batch's single standing
+    * docs copy survives. The REVERSE order is the round-10 crash
+    * window: compacted docs (folds collapsed) beside uncompacted
+    * hashes (fold partitions intact) makes the replay's probe — which
+    * excludes the batch's OWN hash partition — find the content
+    * nowhere standing and re-land the docs beside their base copies.
+    * Do not reorder. */
+  private val SwapTables = Seq("hashes", "docs")
+
   /**
    * Compact every fold into the base snapshot: rewrite docs and
    * hashes as single `__batch = -1` partitions in a staging dir
@@ -152,18 +168,31 @@ object CuratedCorpus {
    * CuratedCorpusSpec).
    *
    * Crash contract: the staging write completes before any live dir
-   * is touched, so a crash mid-compact never loses rows. The only
-   * non-live window is between a dir's two renames; a crashed swap is
-   * finished by calling [[compact]] (or [[recoverSwap]]) again —
-   * the recovery preamble re-lands a fully-written staging dir whose
-   * live dir is missing. Folds keep composing afterwards: a replayed
-   * ALREADY-COMPACTED batch dedups to zero against the base hash
-   * partition (which the probe never excludes), so replay idempotence
-   * survives compaction.
+   * is touched, so a crash mid-compact never loses rows. A crash
+   * inside the swap is finished by the recovery preamble of the next
+   * [[compact]]/[[foldBatch]] (or [[recoverSwap]] directly): past the
+   * swap-commit marker, recovery rolls BOTH dirs forward to their
+   * staged copies, so the mixed state never outlives the next
+   * operation — in particular a re-run compact sees consistent fold
+   * partitions and its hashes-landed guard keeps collapsing them
+   * (stranding none). Until that recovery runs, the mixed state is
+   * itself replay-safe because hashes swap FIRST (see [[SwapTables]]).
+   * Folds keep composing afterwards: a replayed ALREADY-COMPACTED
+   * batch dedups to zero against the base hash partition (which the
+   * probe never excludes), so replay idempotence survives compaction.
    */
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20): Unit = {
     recoverSwap(spark, path)
+    stageCompact(spark, path, targetFileBytes)
+    graft.sources.DirSwap.swapStaged(spark, path, SwapTables)
+  }
+
+  /** [[compact]]'s watermark persist + staged rewrites, up to (not
+    * including) the swap — split out so the crash-matrix spec can
+    * stop between the two table swaps. */
+  private[graft] def stageCompact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): Unit = {
     // persist the fold watermark BEFORE the partitions that carry it
     // collapse into the base — the release cadence keys on it, so it
     // must be monotone across compactions (idempotent overwrite; a
@@ -203,7 +232,6 @@ object CuratedCorpus {
       .withColumn("__batch", lit(BaseBatch))
       .write.mode("overwrite").partitionBy("__batch")
       .parquet(graft.sources.DirSwap.stagingDir(path, "hashes"))
-    graft.sources.DirSwap.swapStaged(spark, path, Seq("docs", "hashes"))
   }
 
   private def dirBytes(spark: SparkSession, dir: String): Long = {
@@ -215,7 +243,7 @@ object CuratedCorpus {
   /** Finish a crashed [[compact]] swap ([[graft.sources.DirSwap.recover]]
     * over this table's two dirs). Safe on a healthy table (no-op). */
   def recoverSwap(spark: SparkSession, path: String): Unit =
-    graft.sources.DirSwap.recover(spark, path, Seq("docs", "hashes"))
+    graft.sources.DirSwap.recover(spark, path, SwapTables)
 
   /** Number of FOLD partitions the table currently holds (the base
     * snapshot is not counted) — the quantity [[maintain]] bounds. A

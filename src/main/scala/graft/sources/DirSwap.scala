@@ -14,20 +14,41 @@ import org.apache.spark.sql.SparkSession
  * landed.
  *
  * Crash contract: staging completes before any live dir is touched, so
- * no crash loses rows. The only non-live window is a dir between its
- * two renames; [[recover]] finishes exactly that case (live missing,
- * staging fully written) and prunes leftovers, and is safe to run on a
- * healthy root — compaction entry points call it first, so "re-run the
- * compact" is the whole repair story.
+ * no crash loses rows. [[swapStaged]] drops a SWAP-COMMIT marker
+ * (`root/.compact/_SWAP`) after validating the staging and before the
+ * first rename, so a multi-table swap is all-or-nothing under
+ * [[recover]]: marker absent → no live dir was touched, the staging is
+ * inert and the next compaction overwrites it; marker present → the
+ * swap committed, and recover rolls every not-yet-swapped table
+ * forward from its staged copy, finishes any dir caught between its
+ * two renames, and prunes strictly after. Compaction and fold entry
+ * points call [[recover]] first, so "re-run the operation" is the
+ * whole repair story.
+ *
+ * TABLE ORDER matters to callers even so: between the crash and the
+ * next recover, READERS (and a replaying fold's probe) see a mixed
+ * state where a prefix of `tables` is compacted and the rest is not.
+ * Order `tables` so every such prefix is benign — the
+ * CONTENT-IDENTITY / dedup-probe table before the row tables it
+ * guards ([[graft.pipeline.CuratedCorpus]]: hashes before docs, so a
+ * replayed batch finds its content standing in the base and dedups to
+ * zero), and any table whose compacted form is self-sufficient before
+ * the metadata that rewrites it ([[graft.dedup.ClusterIndex]]:
+ * assignments before relabel, so the stale chain applied to terminal
+ * labels chases to a no-op). Each caller's compact scaladoc must
+ * argue its own prefix states.
  *
  * SINGLE-WRITER contract: the compactor must be the table's own
  * fold/append loop (the in-loop `maintain`/`compactEvery` dials) or an
  * exclusive maintainer. Staging is a point-in-time snapshot and the
  * swap prunes the live dir it replaces, so a SECOND process landing a
  * partition between the staging read and the swap would have that
- * write silently destroyed — the same serialize-your-writers rule as
- * `IvfIndex.ensure`, enforced by deployment (a lock), not by this
- * helper.
+ * write silently destroyed. [[graft.sources.Lease]] is the mechanical
+ * guard: maintenance entry points acquire one per table root, so a
+ * concurrent maintainer fails fast instead of destroying writes.
+ * Recover-before-stage is part of the same contract: entry points
+ * recover BEFORE writing a new staging, so no stale `.old_*` or
+ * staged dir from a prior crash survives into a fresh swap.
  */
 object DirSwap {
 
@@ -39,17 +60,37 @@ object DirSwap {
   def stagingDir(root: String, table: String): String =
     s"$root/.compact/$table"
 
+  private def swapMarker(root: String) = new Path(s"$root/.compact/_SWAP")
+
   /** Swap every staged `tables` dir in, then prune the retired dirs
     * and the staging root. Requires each staging dir to be fully
-    * written (`_SUCCESS` present). */
+    * written (`_SUCCESS` present). Order `tables` so every prefix is
+    * a benign mixed state for readers (see class doc). */
   def swapStaged(spark: SparkSession, root: String,
       tables: Seq[String]): Unit = {
+    val fs = fsOf(spark, root)
+    commitSwaps(spark, root, tables, tables.size)
+    // every swap landed — now (and only now) retire the old data (the
+    // commit marker leaves with the staging root)
+    (tables.map(t => s"$root/.old_$t") :+ s"$root/.compact")
+      .foreach(d => fs.delete(new Path(d), true))
+  }
+
+  /** The validate → mark → swap prefix of [[swapStaged]], stopping
+    * after `upTo` table swaps and never pruning — the crash-injection
+    * seam the standing tables' crash-matrix specs drive. Production
+    * code must call [[swapStaged]]. */
+  private[graft] def commitSwaps(spark: SparkSession, root: String,
+      tables: Seq[String], upTo: Int): Unit = {
     val fs = fsOf(spark, root)
     tables.foreach { t =>
       require(fs.exists(new Path(s"${stagingDir(root, t)}/_SUCCESS")),
         s"staging dir for $root/$t is not fully written")
     }
-    tables.foreach { t =>
+    // the swap's commit point: from here, recover() completes the
+    // whole multi-table swap instead of leaving a mixed state standing
+    fs.create(swapMarker(root), true).close()
+    tables.take(upTo).foreach { t =>
       // a leftover .old_<t> (a prior swap that crashed post-swap,
       // pre-prune) must go first: renaming onto an existing directory
       // either nests the source inside it or fails — both checked
@@ -60,25 +101,48 @@ object DirSwap {
       require(fs.rename(new Path(stagingDir(root, t)), new Path(s"$root/$t")),
         s"compact swap failed for $root/$t")
     }
-    // every swap landed — now (and only now) retire the old data
-    (tables.map(t => s"$root/.old_$t") :+ s"$root/.compact")
-      .foreach(d => fs.delete(new Path(d), true))
   }
 
-  /** Finish a crashed swap: for each table whose live dir is missing
-    * but whose fully-written staging copy exists, rename the staging
-    * copy in; retired `.old_*` dirs are pruned once their live dir
-    * exists again. No-op on a healthy root. */
+  /** Finish a crashed swap. Three repairs, each a no-op on a healthy
+    * root: (1) a table whose live dir is missing but whose
+    * fully-written staging copy exists gets the staging renamed in
+    * (the crash landed between that table's two renames); (2) if the
+    * swap-commit marker is present, every remaining staged table is
+    * rolled FORWARD — the swap committed, so a mixed state must not
+    * outlive recovery (a half-compacted CuratedCorpus would otherwise
+    * strand doc folds whose hash partitions already collapsed);
+    * (3) retired `.old_*` dirs are pruned once their live dir exists
+    * again. */
   def recover(spark: SparkSession, root: String,
       tables: Seq[String]): Unit = {
     val fs = fsOf(spark, root)
+    def live(t: String) = new Path(s"$root/$t")
+    def staged(t: String) = new Path(stagingDir(root, t))
+    def stagedComplete(t: String) =
+      fs.exists(new Path(staged(t), "_SUCCESS"))
     tables.foreach { t =>
-      val (live, staged, old) = (new Path(s"$root/$t"),
-        new Path(stagingDir(root, t)), new Path(s"$root/.old_$t"))
-      if (!fs.exists(live) && fs.exists(staged) &&
-        fs.exists(new Path(staged, "_SUCCESS")))
-        require(fs.rename(staged, live), s"swap recovery failed for $live")
-      if (fs.exists(live) && fs.exists(old)) { fs.delete(old, true); () }
+      if (!fs.exists(live(t)) && stagedComplete(t))
+        require(fs.rename(staged(t), live(t)),
+          s"swap recovery failed for ${live(t)}")
+    }
+    if (fs.exists(swapMarker(root))) {
+      // committed: any table still holding a complete staged copy has
+      // not swapped yet (a missing live dir was consumed above) —
+      // finish its swap exactly as swapStaged would have
+      tables.foreach { t =>
+        if (stagedComplete(t)) {
+          fs.delete(new Path(s"$root/.old_$t"), true)
+          require(fs.rename(live(t), new Path(s"$root/.old_$t")),
+            s"swap roll-forward could not retire ${live(t)}")
+          require(fs.rename(staged(t), live(t)),
+            s"swap roll-forward failed for ${live(t)}")
+        }
+      }
+      fs.delete(new Path(s"$root/.compact"), true)
+    }
+    tables.foreach { t =>
+      val old = new Path(s"$root/.old_$t")
+      if (fs.exists(live(t)) && fs.exists(old)) { fs.delete(old, true); () }
     }
   }
 }

@@ -141,6 +141,40 @@ class ClusterIndexSpec extends SparkSpec {
     ClusterIndex.delete(spark, path)
   }
 
+  test("compact crash BETWEEN the two swaps: stale chain chases to a no-op, recovery finishes") {
+    import spark.implicits._
+    val corpus = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((2L, 1L), (4L, 3L)).toDF("a", "b")
+    val path = fixtureRoot() + "/idx"
+    ClusterIndex.write(
+      Clusters.resolve(corpus, "doc_id", pairs, "a", "b")
+        .select("doc_id", "cluster"), path)
+    ClusterIndex.foldBatch(path, Seq(70L).toDF("doc_id"),
+      "doc_id", Seq((70L, 2L), (70L, 4L)).toDF("a", "b"), "a", "b", 0L)
+    val before = asMap(ClusterIndex.open(spark, path))
+    // stage the compact, then crash after the FIRST swap (assignments):
+    // the live table holds terminal labels beside the STALE chain
+    ClusterIndex.stageCompact(spark, path)
+    graft.sources.DirSwap.commitSwaps(spark, path,
+      Seq("assignments", "relabel"), upTo = 1)
+    assert(spark.read
+      .schema("old_cluster LONG, new_cluster LONG, __batch LONG")
+      .parquet(s"$path/relabel").count() > 0, "mixed-state fixture")
+    // the ORDER argument, before any recovery: compacted labels are
+    // terminal (never relabel keys), so the stale chain composes to a
+    // no-op and open() still answers correctly
+    assert(asMap(ClusterIndex.open(spark, path)) == before)
+    // the next fold's recovery preamble rolls the relabel swap forward
+    ClusterIndex.foldBatch(path, Seq(80L).toDF("doc_id"),
+      "doc_id", Seq((80L, 70L)).toDF("a", "b"), "a", "b", 1L)
+    val got = asMap(ClusterIndex.open(spark, path))
+    assert(got == before + (80L -> before(70L)))
+    // exactly one fold partition stands — the compacted base absorbed
+    // batch 0, so the chain reset really landed
+    assert(ClusterIndex.foldCount(spark, path) == 1)
+    ClusterIndex.delete(spark, path)
+  }
+
   test("rewriting over a prior table fails fast mid-crash, never composes the stale chain") {
     import spark.implicits._
     val corpus = (1L to 6L).toDF("doc_id")

@@ -283,6 +283,52 @@ class CuratedCorpusSpec extends SparkSpec {
     } finally CuratedCorpus.delete(spark, path)
   }
 
+  test("compact crash BETWEEN the two swaps: replay lands no duplicates, recovery completes the swap") {
+    val path = Files.createTempDirectory("graft-corpus").toString + "/cc"
+    try {
+      val (base, b1, b2) = slices
+      CuratedCorpus.init(base, path)
+      CuratedCorpus.foldBatch(path, b1, 0L)
+      CuratedCorpus.foldBatch(path, b2, 1L)
+      val before = tableRows(path)
+      // run compact up to the swap, then crash after the FIRST table's
+      // swap (hashes — the order the r10 verdict flagged): the live
+      // table now holds compacted hashes beside uncompacted docs
+      CuratedCorpus.stageCompact(spark, path)
+      graft.sources.DirSwap.commitSwaps(spark, path,
+        Seq("hashes", "docs"), upTo = 1)
+      def batchDirs(table: String): Set[String] =
+        new java.io.File(s"$path/$table").listFiles()
+          .filter(_.isDirectory).filterNot(_.getName.startsWith("."))
+          .map(_.getName).toSet
+      assert(batchDirs("hashes") == Set("__batch=-1"), "mixed state fixture")
+      assert(batchDirs("docs") == Set("__batch=-1", "__batch=0", "__batch=1"))
+      // the ORDER argument, before any recovery runs: a replayed
+      // already-folded batch finds its content in the BASE hash
+      // partition (the probe never excludes base) and dedups to zero —
+      // with the reverse swap order this count is b2's full size and
+      // the replay would double the batch
+      assert(CuratedCorpus.freshRows(path, b2, 1L).count() == 0L,
+        "replay probe must find the batch's content in the base hashes")
+      // the stream replays the batch: the fold's recovery preamble
+      // rolls the committed swap forward (docs compact too), then the
+      // empty overwrite touches nothing — zero duplicates
+      CuratedCorpus.foldBatch(path, b2, 1L)
+      assert(tableRows(path) == before)
+      assert(CuratedCorpus.open(spark, path).count() == before.size.toLong,
+        "replay into the mixed state duplicated rows")
+      assert(batchDirs("docs") == Set("__batch=-1"),
+        "recovery must finish the committed docs swap")
+      assert(CuratedCorpus.foldCount(spark, path) == 0)
+      // a re-run compact converges on the identical visible table
+      CuratedCorpus.compact(spark, path)
+      assert(tableRows(path) == before)
+      // and the table keeps folding afterwards
+      CuratedCorpus.foldBatch(path, b2, 1L)
+      assert(tableRows(path) == before)
+    } finally CuratedCorpus.delete(spark, path)
+  }
+
   test("a fold into a half-swapped table heals it first — no silent loss") {
     val path = Files.createTempDirectory("graft-corpus").toString + "/cc"
     try {
