@@ -79,20 +79,26 @@ object IvfIndex {
     * which is the whole economy: "train once per snapshot, probe
     * forever" now crosses the session boundary) and [[write]].
     * Returns the resident centroid matrix either way, ready for
-    * [[probeResident]]. Callers must serialize concurrent ensures of
-    * the SAME snapshot path (production puts a build lock or a
-    * write-then-rename commit in front; two racing writers would
-    * interleave overwrites). Cross-session reuse and the
-    * not-retrained guarantee are pinned by AnnLayoutSpec's
-    * two-session case. */
+    * [[probeResident]]. The build path runs under the root's
+    * [[graft.sources.Lease]]: of two racing ensures of the SAME
+    * snapshot path, one trains and one fails fast
+    * (`HeldElsewhereException`) — and a retry after the winner
+    * finishes takes the reuse path (the completeness check re-runs
+    * inside the lease). Cross-session reuse and the not-retrained
+    * guarantee are pinned by AnnLayoutSpec's two-session case. */
   def ensure(corpus: => DataFrame, idCol: String, vecCol: String,
       spark: SparkSession, path: String)(
       train: => Seq[Array[Double]]): Seq[Array[Double]] =
     if (isComplete(spark, path)) readCentroids(spark, path)
-    else {
-      val cents = train
-      write(corpus, idCol, vecCol, cents, path)
-      readCentroids(spark, path)
+    else graft.sources.Lease.withLease(spark, path) {
+      // re-check under the lease: the prior holder may have been a
+      // racing ensure that completed this same index
+      if (isComplete(spark, path)) readCentroids(spark, path)
+      else {
+        val cents = train
+        write(corpus, idCol, vecCol, cents, path)
+        readCentroids(spark, path)
+      }
     }
 
   /** Base-snapshot marker in the `__batch` partition column. */
@@ -208,23 +214,25 @@ object IvfIndex {
     * `Resident` swap-then-retire pattern in
     * [[graft.streaming.EventTimeOps.ivfMaintainStream]]). */
   def compactThrough(spark: SparkSession, path: String,
-      throughBatch: Long): Unit = {
-    graft.sources.DirSwap.recover(spark, path, Seq("corpus"))
-    // an index over a zero-row corpus has no partition dirs (and no
-    // footers to infer a schema from) — nothing to fold or resize
-    if (graft.sources.BatchPartitions
-        .ids(spark, s"$path/corpus", nested = true).isEmpty) return
-    // cluster the rewrite on cell so each (cell, batch) lands as ~one
-    // file — the probe-side file count is the point of compacting
-    spark.read.parquet(s"$path/corpus")
-      .withColumn("__batch",
-        when(col("__batch") <= throughBatch, lit(BaseBatch))
-          .otherwise(col("__batch").cast("long")))
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell", "__batch")
-      .parquet(graft.sources.DirSwap.stagingDir(path, "corpus"))
-    graft.sources.DirSwap.swapStaged(spark, path, Seq("corpus"))
-  }
+      throughBatch: Long): Unit =
+    graft.sources.Lease.withLease(spark, path) {
+      graft.sources.DirSwap.recover(spark, path, Seq("corpus"))
+      // an index over a zero-row corpus has no partition dirs (and no
+      // footers to infer a schema from) — nothing to fold or resize
+      if (graft.sources.BatchPartitions
+          .ids(spark, s"$path/corpus", nested = true).nonEmpty) {
+        // cluster the rewrite on cell so each (cell, batch) lands as
+        // ~one file — the probe-side file count is the point
+        spark.read.parquet(s"$path/corpus")
+          .withColumn("__batch",
+            when(col("__batch") <= throughBatch, lit(BaseBatch))
+              .otherwise(col("__batch").cast("long")))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell", "__batch")
+          .parquet(graft.sources.DirSwap.stagingDir(path, "corpus"))
+        graft.sources.DirSwap.swapStaged(spark, path, Seq("corpus"))
+      }
+    }
 
   /** Distinct append batches the corpus layout currently holds (a
     * two-level directory listing, never a data scan) — the quantity

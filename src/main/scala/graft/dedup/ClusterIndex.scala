@@ -241,11 +241,12 @@ object ClusterIndex {
     * never relabel keys, so a stale relabel chain applied to them
     * chases to a no-op. */
   def compact(spark: SparkSession, path: String,
-      targetFileBytes: Long = 128L << 20): Unit = {
-    graft.sources.DirSwap.recover(spark, path, SwapTables)
-    stageCompact(spark, path, targetFileBytes)
-    graft.sources.DirSwap.swapStaged(spark, path, SwapTables)
-  }
+      targetFileBytes: Long = 128L << 20): Unit =
+    graft.sources.Lease.withLease(spark, path) {
+      graft.sources.DirSwap.recover(spark, path, SwapTables)
+      stageCompact(spark, path, targetFileBytes)
+      graft.sources.DirSwap.swapStaged(spark, path, SwapTables)
+    }
 
   /** [[compact]]'s staged rewrites, up to (not including) the swap —
     * split out so the crash-matrix spec can stop between the two

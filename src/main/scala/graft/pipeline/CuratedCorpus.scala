@@ -182,11 +182,12 @@ object CuratedCorpus {
    * probe never excludes), so replay idempotence survives compaction.
    */
   def compact(spark: SparkSession, path: String,
-      targetFileBytes: Long = 128L << 20): Unit = {
-    recoverSwap(spark, path)
-    stageCompact(spark, path, targetFileBytes)
-    graft.sources.DirSwap.swapStaged(spark, path, SwapTables)
-  }
+      targetFileBytes: Long = 128L << 20): Unit =
+    graft.sources.Lease.withLease(spark, path) {
+      recoverSwap(spark, path)
+      stageCompact(spark, path, targetFileBytes)
+      graft.sources.DirSwap.swapStaged(spark, path, SwapTables)
+    }
 
   /** [[compact]]'s watermark persist + staged rewrites, up to (not
     * including) the swap — split out so the crash-matrix spec can

@@ -90,9 +90,11 @@ object Release {
     * `latestVersion(root).getOrElse(0) + 1`. */
   def build(docs: DataFrame, root: String, version: Int, seed: Long,
       budget: Long, shards: Int): Unit =
-    commitVersion(
-      CuratedCorpus.withCounts(PipelineQueries.curatedTrainDocs(docs)),
-      root, version, seed, budget, shards, lineage = None)
+    graft.sources.Lease.withLease(docs.sparkSession, root) {
+      commitVersion(
+        CuratedCorpus.withCounts(PipelineQueries.curatedTrainDocs(docs)),
+        root, version, seed, budget, shards, lineage = None)
+    }
 
   /** Build a version from a STANDING [[CuratedCorpus]] table — the
     * incremental production path: curation and tokenization were paid
@@ -102,7 +104,7 @@ object Release {
     * (ReleaseSpec). */
   def buildFromCorpus(spark: SparkSession, corpusPath: String,
       root: String, version: Int, seed: Long, budget: Long,
-      shards: Int): Unit = {
+      shards: Int): Unit = graft.sources.Lease.withLease(spark, root) {
     // lineage SIDECAR: which standing table and which fold watermark
     // this version was cut from — the provenance an auditor walks
     // from a mounted release back to the corpus state. Deliberately
@@ -137,18 +139,20 @@ object Release {
    * cadence advances from. Idempotent between due points: not-due
    * calls touch nothing but the manifest/lineage listings.
    *
-   * ONE maintainer per root: like every standing-structure writer
-   * here ([[graft.ann.IvfIndex.ensure]], [[graft.sources.DirSwap]]),
-   * concurrent builds of the same root must be serialized by the
-   * deployment — two racing maintainers would both read
-   * `latestVersion + 1` and interleave overwrites of the same
-   * version directory.
+   * ONE maintainer per root, mechanically enforced: the whole
+   * check-build-prune sequence runs under the root's
+   * [[graft.sources.Lease]], so two racing maintainers — which would
+   * both read `latestVersion + 1` and interleave overwrites of the
+   * same version directory — resolve as one winner and one fail-fast
+   * `HeldElsewhereException` (same guard as
+   * [[graft.ann.IvfIndex.ensure]] and every compact here).
    *
    * @return the version cut, when one was
    */
   def maintainFromCorpus(spark: SparkSession, corpusPath: String,
       root: String, seed: Long, budget: Long, shards: Int,
-      everyBatches: Long, keep: Int = 2): Option[Int] = {
+      everyBatches: Long, keep: Int = 2): Option[Int] =
+    graft.sources.Lease.withLease(spark, root) {
     require(everyBatches >= 1, s"everyBatches must be >= 1, got $everyBatches")
     CuratedCorpus.recoverSwap(spark, corpusPath)
     val wm = CuratedCorpus.batchWatermark(spark, corpusPath)
