@@ -187,41 +187,91 @@ object ClusterIndex {
   /** Probe-side read: the composed (doc_id, cluster) table — base +
     * every fold's partition, with the merge chain applied. The chain
     * composition is driver-side over the relabel maps (bounded by
-    * total merges since the last [[compact]], each map batch-sized);
-    * the corpus-scale work is ONE broadcast join. Works from any
-    * SparkSession — this is the cross-session face. */
+    * total merges since the last [[compact]], each map batch-sized)
+    * and MEMOIZED on the relabel dir's listing fingerprint, so a
+    * probe-heavy consumer calling open per query pays the collect
+    * once per chain change, not per call — re-entry is O(listing)
+    * like every other open here. The corpus-scale work is ONE
+    * broadcast join. Works from any SparkSession — this is the
+    * cross-session face (the cache key is the at-rest listing, not
+    * the session). */
   def open(spark: SparkSession, path: String): DataFrame = {
-    // explicit schemas on both reads: an empty partitioned write
-    // (fresh index's relabel dir, or a base snapshot of a zero-row
-    // corpus) emits only _SUCCESS, so footer-based inference has
-    // nothing to read
+    // explicit schema: an empty partitioned write (fresh index's
+    // relabel dir, or a base snapshot of a zero-row corpus) emits
+    // only _SUCCESS, so footer-based inference has nothing to read
     val asg = spark.read
       .schema("doc_id LONG, cluster LONG, __batch LONG")
       .parquet(s"$path/assignments")
       .select(col("doc_id"), col("cluster"))
-    val entries = spark.read
-      .schema("old_cluster LONG, new_cluster LONG, __batch LONG")
-      .parquet(s"$path/relabel")
-      .select(col("old_cluster"), col("new_cluster"), col("__batch"))
-      .collect()
-    if (entries.isEmpty) asg
+    val composed = composedChain(spark, path)
+    if (composed.isEmpty) asg
     else {
-      // chains strictly decrease (labels are component-min ids), so
-      // chasing terminates; later batches' maps extend earlier ones
-      // (old keys are never re-merged — a merged rep stops being a
-      // label the moment its map entry lands)
-      val m = entries.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      import spark.implicits._
+      val composedDf = composed.toDF("cluster", "__new")
+      asg.join(broadcast(composedDf), Seq("cluster"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__new"), col("cluster")).as("cluster"))
+    }
+  }
+
+  // chase-count observability hook: how many times the chain was
+  // actually collected and composed (vs served from the memo) —
+  // pinned by ClusterIndexSpec's memoization case
+  private[graft] val chainComposes =
+    new java.util.concurrent.atomic.AtomicLong
+
+  // (fingerprint → composed chain), small bounded LRU: chains are
+  // KB-scale and live paths are few, but a long-lived driver over
+  // many snapshot roots must not grow without bound
+  private val chainCache =
+    new java.util.LinkedHashMap[String, Seq[(Long, Long)]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[(Long, Long)]]): Boolean =
+        size > 32
+    }
+
+  /** The relabel dir's identity for memoization: every file's (path,
+    * length, mtime), ordered — any fold, compact, or recovery that
+    * changes the chain rewrites files and therefore the fingerprint.
+    * A directory walk, never a data scan. */
+  private def relabelFingerprint(spark: SparkSession,
+      path: String): String = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/relabel")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: org.apache.hadoop.fs.Path): Seq[String] =
+      fs.listStatus(p).sortBy(_.getPath.getName).toSeq.flatMap { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else Seq(s"${s.getPath}:${s.getLen}:${s.getModificationTime}")
+      }
+    walk(root).mkString(path + "|", ";", "")
+  }
+
+  /** The composed (old label → terminal label) chain, memoized (see
+    * [[open]]). Chains strictly decrease (labels are component-min
+    * ids), so chasing terminates; later batches' maps extend earlier
+    * ones (old keys are never re-merged — a merged rep stops being a
+    * label the moment its map entry lands). */
+  private[graft] def composedChain(spark: SparkSession,
+      path: String): Seq[(Long, Long)] = {
+    val fp = relabelFingerprint(spark, path)
+    val hit = chainCache.synchronized(Option(chainCache.get(fp)))
+    hit.getOrElse {
+      chainComposes.incrementAndGet()
+      val m = spark.read
+        .schema("old_cluster LONG, new_cluster LONG, __batch LONG")
+        .parquet(s"$path/relabel")
+        .select(col("old_cluster"), col("new_cluster"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
       def chase(x: Long): Long = {
         var c = x
         while (m.contains(c) && m(c) != c) c = m(c)
         c
       }
-      import spark.implicits._
-      val composed = m.keysIterator.map(k => (k, chase(k))).toSeq
-        .toDF("cluster", "__new")
-      asg.join(broadcast(composed), Seq("cluster"), "left")
-        .select(col("doc_id"),
-          coalesce(col("__new"), col("cluster")).as("cluster"))
+      val composed = m.keysIterator.map(k => (k, chase(k)))
+        .toSeq.sortBy(_._1)
+      chainCache.synchronized { chainCache.put(fp, composed); () }
+      composed
     }
   }
 

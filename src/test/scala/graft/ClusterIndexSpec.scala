@@ -141,6 +141,37 @@ class ClusterIndexSpec extends SparkSpec {
     ClusterIndex.delete(spark, path)
   }
 
+  test("open memoizes the composed relabel chain until a fold changes it") {
+    import spark.implicits._
+    val corpus = (1L to 8L).toDF("doc_id")
+    val pairs = Seq((2L, 1L), (4L, 3L)).toDF("a", "b")
+    val path = fixtureRoot() + "/idx"
+    ClusterIndex.write(
+      Clusters.resolve(corpus, "doc_id", pairs, "a", "b")
+        .select("doc_id", "cluster"), path)
+    ClusterIndex.foldBatch(path, Seq(70L).toDF("doc_id"),
+      "doc_id", Seq((70L, 2L), (70L, 4L)).toDF("a", "b"), "a", "b", 0L)
+    val first = asMap(ClusterIndex.open(spark, path))
+    val composesAfterFirst = ClusterIndex.chainComposes.get()
+    // probe-heavy consumer: repeated opens — and a SECOND session's
+    // open (the cache keys on the at-rest listing, not the session) —
+    // must serve the chain from the memo, no relabel collect
+    assert(asMap(ClusterIndex.open(spark, path)) == first)
+    assert(asMap(ClusterIndex.open(spark.newSession(), path)) == first)
+    assert(ClusterIndex.chainComposes.get() == composesAfterFirst,
+      "a re-open re-collected the relabel chain")
+    // a new fold rewrites the relabel dir: the fingerprint changes,
+    // the memo invalidates, and the composed answer stays right
+    ClusterIndex.foldBatch(path, Seq(80L).toDF("doc_id"),
+      "doc_id", Seq((80L, 6L), (80L, 70L)).toDF("a", "b"), "a", "b", 1L)
+    val second = asMap(ClusterIndex.open(spark, path))
+    assert(ClusterIndex.chainComposes.get() > composesAfterFirst,
+      "the changed chain must be re-composed")
+    assert(second(80L) == 1L && second(6L) == 1L && second(70L) == 1L)
+    assert(asMap(ClusterIndex.open(spark, path)) == second)
+    ClusterIndex.delete(spark, path)
+  }
+
   test("compact crash BETWEEN the two swaps: stale chain chases to a no-op, recovery finishes") {
     import spark.implicits._
     val corpus = (1L to 6L).toDF("doc_id")
