@@ -111,11 +111,44 @@ object PipelineQueries {
         .agg(count(lit(1)).as("docs_kept"),
           sum("n_tokens").as("tokens_kept"))
         .orderBy("source")
-    }))
+    }),
+
+    // Epoch-aware sequence packing over a MOUNTED release
+    // ([[Release.packEpoch]]): epoch 1's placement — the
+    // manifest-keyed re-deal, a genuinely fresh permutation — packed
+    // into fixed q_text_pack sequences from the release's PRE-COUNTED
+    // tokens. The multi-epoch training-reader plan: no text read, no
+    // byte rewritten, for any epoch (plan-pinned in PlanQualitySpec).
+    // The oracle recomputes the kept set, the epoch-1 deal (same mix
+    // arithmetic at seed+1), and the pack windows in SQL, so the
+    // whole composed read plan is oracle-checked end to end.
+    "q_pipeline_epoch_pack" -> ((s, dir) =>
+      Release.packEpoch(s, cachedReleasePath(s, dir), 1, EpochPackEpoch,
+        TextQueries.PackSeqLen)
+        .orderBy("shard", "seq", "doc_id")))
+
+  /** The epoch q_pipeline_epoch_pack exercises — NOT 0, so the query
+    * drives the epochDeal join path, not the stored files. */
+  val EpochPackEpoch = 1
 
   /** Standing curated-corpus table per (session, dir): init once from
     * the base slice, fold the two batch slices, reuse across
     * bench/verify iterations (scratch-pathed, JVM-exit retired). */
+  /** Standing committed release per (session, dir): one build,
+    * reused across bench/verify iterations (scratch-pathed, JVM-exit
+    * retired) — epoch reads are the recurring cost, the build is the
+    * per-snapshot cost. */
+  private val releaseCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def cachedReleasePath(s: SparkSession, dir: String): String =
+    releaseCache.getOrElseUpdate((s, dir), {
+      val root = graft.Scratch.path("graft_release", dir)
+      graft.Scratch.registerCleanup(root)
+      Release.build(Tables(s, dir, "documents"), root, 1,
+        Release.Seed, Release.Budget, Release.Shards)
+      root
+    })
+
   private val corpusCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def cachedCuratedCorpusPath(s: SparkSession, dir: String): String =
@@ -185,10 +218,15 @@ object PipelineQueries {
     // the incremental standing-table path must land on the identical
     // full-corpus answer (the CuratedCorpus equivalence contract)
     "q_pipeline_release" -> releaseOracle,
-    "q_pipeline_release_incremental" -> releaseOracle)
+    "q_pipeline_release_incremental" -> releaseOracle,
+    "q_pipeline_epoch_pack" -> epochPackOracle)
   }
 
-  private lazy val releaseOracle: String = {
+  /** The release's KEPT SET as shared SQL CTEs — stages 1–3 plus the
+    * seeded budget fill, ending in `keptset(doc_id, source,
+    * n_tokens)`. Both release oracles and the epoch-pack oracle build
+    * on exactly this set, so the three stay provably one pipeline. */
+  private lazy val keptSetCtes: String = {
     import TextAnalysis._
     val t = "text"
     s"""
@@ -227,10 +265,56 @@ object PipelineQueries {
           CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY key, doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
             AS cum_tokens
-        FROM k)
+        FROM k),
+      keptset AS (
+        SELECT doc_id, source, n_tokens FROM c
+        WHERE cum_tokens <= ${Release.Budget})"""
+  }
+
+  private lazy val releaseOracle: String = keptSetCtes + s"""
       SELECT source, CAST(count(*) AS BIGINT) AS docs_kept,
         CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
-      FROM c WHERE cum_tokens <= ${Release.Budget}
-      GROUP BY source ORDER BY source"""
+      FROM keptset GROUP BY source ORDER BY source"""
+
+  /** q_pipeline_epoch_pack's oracle: the kept set re-dealt at
+    * `seed + epoch` (the [[Release.epochDeal]] arithmetic — same
+    * two-round mix as the budget fill's key, shard = key high bits,
+    * pos = in-shard rank) and packed by the q_pipeline_curate pack
+    * windows, over the SAME pre-counted tokens the release stores. */
+  private lazy val epochPackOracle: String = {
+    val L = TextQueries.PackSeqLen
+    val slice = 2147483648L / Release.Shards
+    keptSetCtes + s""",
+      d0 AS (
+        SELECT doc_id, n_tokens,
+          ((doc_id + ${Release.Seed + EpochPackEpoch}) % 2147483648
+            + 2147483648) % 2147483648 AS x
+        FROM keptset),
+      d1 AS (SELECT doc_id, n_tokens,
+          (xor(x, x >> 16) * 73244475) % 2147483648 AS x FROM d0),
+      d2 AS (SELECT doc_id, n_tokens,
+          (xor(x, x >> 16) * 73244475) % 2147483648 AS x FROM d1),
+      dk AS (SELECT doc_id, n_tokens, xor(x, x >> 16) AS key FROM d2),
+      deal AS (
+        SELECT doc_id, n_tokens, key // $slice AS shard,
+          row_number() OVER (PARTITION BY key // $slice
+            ORDER BY key, doc_id) AS pos
+        FROM dk),
+      pp AS (
+        SELECT doc_id, shard, n_tokens, pos,
+          CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS tok_start
+        FROM deal WHERE n_tokens > 0),
+      pe AS (SELECT *, tok_start + n_tokens AS tok_end FROM pp),
+      px AS (
+        SELECT shard, doc_id, tok_start, tok_end,
+          unnest(range(tok_start // $L, (tok_end - 1) // $L + 1)) AS seq
+        FROM pe)
+      SELECT shard, seq, doc_id,
+        greatest(tok_start, seq * $L) - seq * $L AS seq_offset,
+        least(tok_end, (seq + 1) * $L) - greatest(tok_start, seq * $L)
+          AS n_tokens_in_seq
+      FROM px ORDER BY shard, seq, doc_id"""
   }
 }

@@ -318,7 +318,35 @@ object Release {
     graft.dedup.Dedup.shuffleDeal(
       openVersion(spark, root, version).select("doc_id"),
       "doc_id", field("seed") + epoch, field("shards").toInt)
-      .select("doc_id", "shard", "pos")
+      // the stored layout declares shard INT; the deal's key
+      // arithmetic yields LONG — one type across epochs, or a reader
+      // unioning / strictly typing epoch views breaks on epoch >= 1
+      .select(col("doc_id"), col("shard").cast("int").as("shard"),
+        col("pos"))
+  }
+
+  /** Per-epoch PACKED-SEQUENCE plan for a mounted release — the
+    * training-reader loop closed: epoch `e`'s placement
+    * ([[epochDeal]]; the stored files themselves for epoch 0) packed
+    * into fixed `seqLen`-token sequences per shard
+    * ([[graft.text.TextAnalysis.packPlaced]], the q_text_pack
+    * operator). ZERO text reads and no byte rewritten for ANY epoch:
+    * the release stores per-doc token counts, so the whole plan is
+    * (doc_id, shard, pos, n_tokens) arithmetic — an id-only scan
+    * joined id-only (plan-pinned in PlanQualitySpec). Output is the
+    * q_text_pack span shape: (shard, seq, doc_id, seq_offset,
+    * n_tokens_in_seq); the reader maps spans back onto text by
+    * doc_id, touching each shard's documents once, in pos order. */
+  def packEpoch(spark: SparkSession, root: String, version: Int,
+      epoch: Int, seqLen: Int): DataFrame = {
+    val counted = openVersion(spark, root, version)
+      .select("doc_id", "shard", "pos", "n_tokens")
+    val placed =
+      if (epoch == 0) counted
+      else counted.drop("shard", "pos")
+        .join(epochDeal(spark, root, version, epoch), Seq("doc_id"))
+    graft.text.TextAnalysis.packPlaced(placed, "doc_id", "shard", "pos",
+      "n_tokens", seqLen)
   }
 
   /** The newest committed release's manifest JSON. */

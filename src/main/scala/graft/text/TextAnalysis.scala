@@ -261,17 +261,33 @@ object TextAnalysis {
     val base = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), (col(idCol) % numShards).as("shard"),
         tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      .filter(col("n_tokens") > 0)
-    val running = Window.partitionBy("shard").orderBy(col(idCol))
+    packPlaced(base, idCol, "shard", idCol, "n_tokens", seqLen)
+  }
+
+  /** The packing core over PRE-PLACED rows — documents that already
+    * carry a shard and an in-shard order (a mounted
+    * [[graft.pipeline.Release]] epoch plan, a custom deal) plus a
+    * token count: per-shard running prefix sum in `orderCol` order,
+    * then the bounded-fan-out cut into `seqLen`-token sequences.
+    * Zero-token rows are dropped (they occupy no span).
+    * [[packSequences]] is this over (id % shards, id-order, counted
+    * text); `Release.packEpoch` is this over the stored epoch
+    * placement and PRE-COUNTED tokens — no text read at all. */
+  def packPlaced(placed: DataFrame, idCol: String, shardCol: String,
+      orderCol: String, nTokensCol: String, seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"need positive seqLen, got $seqLen")
+    val running = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val placed = base
-      .withColumn("tok_start", coalesce(sum("n_tokens").over(running), lit(0L)))
-      .withColumn("tok_end", col("tok_start") + col("n_tokens"))
-    placed
+    val spans = placed
+      .filter(col(nTokensCol) > 0)
+      .withColumn("__nt", col(nTokensCol).cast("long"))
+      .withColumn("tok_start", coalesce(sum("__nt").over(running), lit(0L)))
+      .withColumn("tok_end", col("tok_start") + col("__nt"))
+    spans
       .withColumn("seq", explode(sequence(
         expr(s"tok_start div $seqLen"),
         expr(s"(tok_end - 1) div $seqLen"))))
-      .select(col("shard"), col("seq"), col(idCol),
+      .select(col(shardCol).as("shard"), col("seq"), col(idCol),
         (greatest(col("tok_start"), col("seq") * seqLen) - col("seq") * seqLen)
           .as("seq_offset"),
         (least(col("tok_end"), (col("seq") + 1) * seqLen)

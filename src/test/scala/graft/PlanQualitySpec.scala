@@ -293,6 +293,31 @@ class PlanQualitySpec extends SparkSpec {
     } finally Release.delete(spark, root)
   }
 
+  test("packEpoch reads NO text for any epoch — spans come from pre-counted tokens") {
+    import graft.pipeline.Release
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-planpin").toString + "/rel"
+    try {
+      Release.build(Tables(spark, Sf, "documents"), root, 1,
+        Release.Seed, Release.Budget, Release.Shards)
+      for (epoch <- Seq(0, 2)) {
+        val p = plan(Release.packEpoch(spark, root, 1, epoch, 64))
+        val scans = collectAll(p) {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+        assert(scans.nonEmpty)
+        // the whole multi-epoch pack plan is (doc_id, shard, pos,
+        // n_tokens) arithmetic: the stored text column stays on disk
+        // for EVERY epoch — stronger than "text read once"
+        scans.foreach { f =>
+          val fields = f.requiredSchema.fieldNames.toSet
+          assert(fields.subsetOf(Set("doc_id", "shard", "pos", "n_tokens")),
+            s"epoch-$epoch pack scan reads $fields")
+        }
+      }
+    } finally Release.delete(spark, root)
+  }
+
   test("curated-corpus fold: the dedup probe scans hashes only, never standing docs") {
     import graft.pipeline.CuratedCorpus
     val path = java.nio.file.Files

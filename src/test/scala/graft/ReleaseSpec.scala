@@ -127,6 +127,14 @@ class ReleaseSpec extends SparkSpec {
       assert(viewed == e1)
       assert(Release.openEpoch(spark, root, 1, 1)
         .columns.toSet == Release.openVersion(spark, root, 1).columns.toSet)
+      // ONE schema across epochs (shard stays INT on the deal path):
+      // a reader unioning or strictly typing epoch views must not
+      // break between epoch 0 (the files) and epoch 1 (the re-deal).
+      // Names and types must match exactly; nullability may tighten
+      // (the deal's pos is provably non-null) — union widens that.
+      def shape(e: Int) = Release.openEpoch(spark, root, 1, e)
+        .schema.map(f => (f.name, f.dataType))
+      assert(shape(1) == shape(0))
       assert(asMap(Release.openEpoch(spark, root, 1, 0)) == stored)
       // version pinning: a v2 build does not change what v1 readers see
       Release.build(docs.where(col("doc_id") % 2 === 0), root, 2,
@@ -135,6 +143,55 @@ class ReleaseSpec extends SparkSpec {
       assert(Release.latestVersion(spark, root).contains(2))
       intercept[IllegalArgumentException] {
         Release.openVersion(spark, root, 9)
+      }
+    } finally Release.delete(spark, root)
+  }
+
+  test("packEpoch: epoch 0 packs the stored files; every epoch packs full sequences") {
+    import graft.text.TextAnalysis
+    val root = Files.createTempDirectory("graft-release").toString + "/rel"
+    val L = 64
+    try {
+      Release.build(docs, root, 1, Release.Seed, Release.Budget,
+        Release.Shards)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("shard").cast("long"), col("seq"), col("doc_id"),
+            col("seq_offset"), col("n_tokens_in_seq"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))).toSet
+      // epoch 0: the pack plan over the mounted release IS the pack
+      // of the stored layout — a reader may pack the files directly
+      val p0 = rows(Release.packEpoch(spark, root, 1, 0, L))
+      val stored = Release.openVersion(spark, root, 1)
+        .select("doc_id", "shard", "pos", "n_tokens")
+      assert(p0 == rows(TextAnalysis.packPlaced(stored,
+        "doc_id", "shard", "pos", "n_tokens", L)) && p0.nonEmpty)
+      // a later epoch: deterministic, and a genuine re-pack — the
+      // sequence spans cover each kept document's tokens exactly once
+      val p1 = rows(Release.packEpoch(spark, root, 1, 1, L))
+      assert(p1 == rows(Release.packEpoch(spark, root, 1, 1, L)))
+      assert(p1 != p0, "epoch 1 must re-deal the pack")
+      val kept = Release.openVersion(spark, root, 1)
+        .where(col("n_tokens") > 0)
+        .select("doc_id", "n_tokens").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      for (p <- Seq(p0, p1)) {
+        val perDoc = p.groupBy(_._3).map { case (id, spans) =>
+          id -> spans.toSeq.map(_._5).sum
+        }
+        assert(perDoc == kept, "spans must cover each doc's tokens once")
+        // every sequence except each shard's last is exactly full
+        val perSeq = p.groupBy(s => (s._1, s._2))
+          .map { case (k, spans) => k -> spans.toSeq.map(_._5).sum }
+        val lastSeq = p.groupBy(_._1).map { case (sh, spans) =>
+          sh -> spans.map(_._2).max
+        }
+        perSeq.foreach { case ((sh, seq), tot) =>
+          if (seq < lastSeq(sh)) assert(tot == L.toLong,
+            s"shard $sh seq $seq holds $tot tokens, want $L")
+          else assert(tot <= L.toLong && tot > 0)
+        }
       }
     } finally Release.delete(spark, root)
   }
