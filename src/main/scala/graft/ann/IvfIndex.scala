@@ -58,7 +58,57 @@ object IvfIndex {
     * point; retire it with [[delete]] when the snapshot is
     * superseded (the retrain-and-swap loop does this). */
   def snapshotPath(base: String, snapshotId: String): String =
-    s"$base/graft_ivf_snap_${snapshotId.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    s"$base/$SnapPrefix${snapshotId.replaceAll("[^A-Za-z0-9._-]", "_")}"
+
+  /** Directory-name prefix every [[snapshotPath]] index shares under
+    * its base — what [[pruneSnapshots]] enumerates. */
+  val SnapPrefix = "graft_ivf_snap_"
+
+  /**
+   * Keep-N retention for the [[snapshotPath]] family —
+   * [[graft.pipeline.Release.prune]]'s discipline applied to
+   * snapshot-keyed index roots, closing the accumulate-forever gap
+   * the drift loop's delete-on-swap shortcut leaves for deployments
+   * that RETAIN versions so in-flight probers are never raced
+   * (the production story [[graft.streaming.EventTimeOps.ivfMaintainStream]]'s
+   * scaladoc gestures at). Snapshot ids are opaque, so COMMIT order
+   * is the version order: indexes rank by their corpus `_SUCCESS`
+   * marker's time (name-tiebroken). The newest `keep` COMPLETE
+   * indexes are retained; every snapshot root strictly older than
+   * the oldest retained one — committed or partial — is deleted.
+   * Retained versions' probes are untouched (nothing under a
+   * retained root is modified); a base with no committed index
+   * deletes nothing. Runs under the BASE's [[graft.sources.Lease]]
+   * so a concurrent pruner fails fast; an in-progress `ensure` build
+   * is safe regardless — its incomplete root is newer than every
+   * retained commit, hence above the deletion floor.
+   */
+  def pruneSnapshots(spark: SparkSession, base: String, keep: Int): Unit = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    graft.sources.Lease.withLease(spark, base) {
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) {
+        val snaps = fs.listStatus(p).toSeq.filter(s =>
+          s.isDirectory && s.getPath.getName.startsWith(SnapPrefix))
+        def commitTime(s: org.apache.hadoop.fs.FileStatus): Option[Long] =
+          if (!isComplete(spark, s.getPath.toString)) None
+          else Some(fs.getFileStatus(
+            new org.apache.hadoop.fs.Path(s.getPath, "corpus/_SUCCESS"))
+            .getModificationTime)
+        def rank(s: org.apache.hadoop.fs.FileStatus): (Long, String) =
+          (commitTime(s).getOrElse(s.getModificationTime),
+            s.getPath.getName)
+        val floor = snaps.filter(s => commitTime(s).isDefined)
+          .map(rank).sorted.takeRight(keep).headOption
+        snaps.foreach { s =>
+          if (floor.exists(f => Ordering[(Long, String)].lt(rank(s), f))) {
+            fs.delete(s.getPath, true); ()
+          }
+        }
+      }
+    }
+  }
 
   /** True iff BOTH halves of an index at `path` committed (parquet's
     * `_SUCCESS` markers). [[write]] lands centroids before corpus, so

@@ -293,6 +293,65 @@ class AnnLayoutSpec extends SparkSpec {
     IvfIndex.delete(spark, path)
   }
 
+  test("pruneSnapshots keeps the newest N committed indexes; retained probes unaffected") {
+    import graft.ann.IvfIndex
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables(spark, sf, "embeddings")
+    val base = Files.createTempDirectory("graft-ivf-prune").toString
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    def path(id: String) = IvfIndex.snapshotPath(base, id)
+    // three committed snapshot indexes with a deterministic commit
+    // order (mtime ms resolution could tie three fast builds)
+    Seq("v1" -> 1000L, "v2" -> 2000L, "v3" -> 3000L).foreach {
+      case (id, t) =>
+        IvfIndex.ensure(emb, "vec_id", "embedding", spark, path(id)) {
+          Similarity.trainCentroids(emb, "vec_id", "embedding", K)
+        }
+        fs.setTimes(p(s"${path(id)}/corpus/_SUCCESS"), t, -1)
+    }
+    // a stale PARTIAL build older than everything, and a fresh one
+    // (an ensure in flight) newer than every commit
+    fs.mkdirs(p(s"${path("v0")}/centroids"))
+    fs.setTimes(p(path("v0")), 500L, -1)
+    fs.mkdirs(p(s"${path("v9")}/centroids"))
+
+    val queries = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .toSeq
+    def probe(id: String): Seq[(Long, Long, Int)] =
+      IvfIndex.probe(spark, path(id), queries, "vec_id", "embedding", 2, 3)
+        .select("query_id", "neighbor_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+        .sorted
+    val (a2, a3) = (probe("v2"), probe("v3"))
+
+    IvfIndex.pruneSnapshots(spark, base, keep = 2)
+    // oldest committed version and the stale partial are gone; the
+    // in-flight build above the floor survives
+    assert(!new java.io.File(path("v1")).exists(), "v1 must be pruned")
+    assert(!new java.io.File(path("v0")).exists(), "stale partial must go")
+    assert(new java.io.File(path("v9")).exists(), "fresh partial must stay")
+    // retained versions: still complete, probes bit-identical
+    assert(IvfIndex.isComplete(spark, path("v2")) &&
+      IvfIndex.isComplete(spark, path("v3")))
+    assert(probe("v2") == a2 && probe("v3") == a3 && a2.nonEmpty)
+    // idempotent: a re-run deletes nothing further
+    IvfIndex.pruneSnapshots(spark, base, keep = 2)
+    assert(new java.io.File(path("v2")).exists() &&
+      new java.io.File(path("v3")).exists())
+    // a base with no committed index never deletes (floor undefined)
+    val empty = Files.createTempDirectory("graft-ivf-prune").toString
+    fs.mkdirs(p(s"$empty/${IvfIndex.SnapPrefix}only/centroids"))
+    IvfIndex.pruneSnapshots(spark, empty, keep = 1)
+    assert(new java.io.File(s"$empty/${IvfIndex.SnapPrefix}only").exists())
+    fs.delete(p(base), true)
+    fs.delete(p(empty), true)
+    ()
+  }
+
   private def listParquetFiles(dir: String): Set[String] = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
