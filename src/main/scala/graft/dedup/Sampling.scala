@@ -51,6 +51,13 @@ object Sampling {
    * as (idCol, srcCol, n_tokens, cum_tokens) where `cum_tokens` is
    * the source's running total INCLUDING this row, in deal order.
    *
+   * SOURCE-CARDINALITY contract: `srcCol` is a mixture-domain key
+   * (tens to thousands of values — corpus families, crawls, buckets),
+   * NOT an arbitrary per-row attribute: the driver holds one prefix
+   * row per (source, chunk), so a per-domain/per-URL source column
+   * would collect without bound. Enforced — the prefix collect is
+   * capped at [[MaxPrefixRows]] and fails fast past it.
+   *
    * @param seed   deal seed ([[Dedup.shuffleKey]]); same seed ⇒ same
    *               kept set, new seed ⇒ a genuine re-deal
    * @param budget per-source token budget (keep while running ≤ it)
@@ -76,8 +83,14 @@ object Sampling {
         Dedup.shuffleKey(col(idCol), seed).as("__key")),
       srcCol, idCol, budget, chunks)
 
-  private def fillCounted(keyedDocs: DataFrame, srcCol: String,
-      idCol: String, budget: Long, chunks: Int): DataFrame = {
+  /** Cap on the driver-collected (source, chunk) prefix rows — ~4M
+    * rows ≈ low hundreds of MB, far beyond any mixture-domain srcCol
+    * (the contract) and far below an unbounded per-URL one. */
+  val MaxPrefixRows: Int = 1 << 22
+
+  private[graft] def fillCounted(keyedDocs: DataFrame, srcCol: String,
+      idCol: String, budget: Long, chunks: Int,
+      maxPrefixRows: Int = MaxPrefixRows): DataFrame = {
     require(budget >= 0, s"budget must be non-negative, got $budget")
     require(chunks > 0 && (chunks & (chunks - 1)) == 0,
       s"chunks must be a positive power of two, got $chunks")
@@ -92,10 +105,22 @@ object Sampling {
     val base = keyedDocs
       .withColumn("__chunk", expr(s"__key div ${2147483648L / chunks}"))
       .localCheckpoint(true)
+    // the driver holds one prefix row per (source, chunk): fine for a
+    // mixture-domain srcCol (tens to thousands of sources), unbounded
+    // for an arbitrary high-cardinality column (1M per-domain sources
+    // × 256 chunks = 256M rows) — so the collect is CAPPED and fails
+    // fast with the contract instead of silently exhausting the
+    // driver. limit(cap + 1) bounds the fetch itself; at ≤ cap rows
+    // the limited result IS the complete group set.
     val totals = base.groupBy(srcCol, "__chunk")
       .agg(sum("n_tokens").as("__t"))
+      .limit(maxPrefixRows + 1)
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    require(totals.length <= maxPrefixRows,
+      s"tokenBudgetFill collects one (source, chunk) prefix row per " +
+        s"group to the driver and found more than $maxPrefixRows: " +
+        s"srcCol must be a low-cardinality mixture key (or lower chunks)")
     // exclusive prefix per source; keep a chunk only while its base
     // offset can still admit a row (base == budget still admits
     // zero-token rows, whose cumulative equals the base)

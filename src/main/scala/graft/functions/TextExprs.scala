@@ -85,10 +85,16 @@ object TextNative {
     (cp >= 0x3040 && cp <= 0x30ff) || (cp >= 0x3400 && cp <= 0x4dbf) ||
       (cp >= 0x4e00 && cp <= 0x9fff) || (cp >= 0xac00 && cp <= 0xd7af)
 
-  /** ASCII whitespace — the `\s` class BOTH regex engines (Java for
-    * Spark, RE2 for DuckDB) agree on; Character.isWhitespace would
-    * additionally split on U+2028/U+3000 and silently diverge from
-    * the SQL mirror. */
+  /** ASCII whitespace per JAVA's `\s` — [ \t\n\x0B\f\r], matching
+    * [[graft.text.TextAnalysis.tokens]]'s split exactly (the non-CJK
+    * runs of [[cjkTokenStrings]] must tokenize identically to the
+    * base tokenizer). NOTE the deliberate one-char asymmetry with the
+    * DuckDB mirror: RE2's `\s` omits U+000B (vertical tab), so a
+    * VT-containing text diverges between engines — accepted because
+    * the base `tokens()`/`TextSql.tokens` pair carries the same
+    * asymmetry, and dropping 0x0B here would instead diverge from the
+    * base tokenizer INSIDE the engine. Character.isWhitespace would
+    * be worse still (U+2028/U+3000 splits the SQL mirror can't see). */
   private def isWsCp(cp: Int): Boolean =
     cp == ' '.toInt || (cp >= 0x09 && cp <= 0x0d)
 

@@ -85,6 +85,27 @@ class SamplingSpec extends SparkSpec {
     assert(zero.forall(_ == 0L))
   }
 
+  test("a high-cardinality source column fails fast instead of flooding the driver") {
+    // per-doc sources (the contract violation: srcCol as an arbitrary
+    // attribute, e.g. per-URL) with the cap dialed down so the guard
+    // trips at harness scale — the message must state the contract
+    val perDoc = docs.withColumn("source", concat(lit("u"), col("doc_id")))
+    val keyed = perDoc.select(
+      col("doc_id"), col("source"),
+      coalesce(graft.text.TextAnalysis.tokenCount(col("text")).cast("long"),
+        lit(0L)).as("n_tokens"),
+      graft.dedup.Dedup.shuffleKey(col("doc_id"), Seed).as("__key"))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.fillCounted(keyed, "source", "doc_id", Budget,
+        chunks = 4, maxPrefixRows = 16).collect()
+    }
+    assert(e.getMessage.contains("low-cardinality"))
+    // under the cap, the same data fills fine (the guard is a guard,
+    // not a behavior change)
+    assert(Sampling.fillCounted(keyed, "source", "doc_id", Budget,
+      chunks = 4).count() > 0)
+  }
+
   test("same seed reproduces the fill; a new seed re-deals it") {
     val a = rows(Sampling.tokenBudgetFill(
       docs, "source", "doc_id", "text", Seed, Budget))
