@@ -298,6 +298,141 @@ object ScaleSmoke {
     clusterIndexSmoke(spark)
     shardedDealSmoke(spark)
     releaseSmoke(spark)
+    composedLoopSmoke(spark)
+  }
+
+  /**
+   * THE COMPOSED PRODUCTION LOOP at 10×, maintenance firing
+   * MID-STREAM — the steady state every standing-structure scaladoc
+   * promises, run as one loop with nothing hand-cranked: a gated
+   * stream (dq + capped drift + near-dup probe) whose accept router
+   * folds each passing batch into the standing curated corpus with
+   * the compaction dial set (`acceptIntoCorpus(maintainEvery = 3)` —
+   * compactions fire INSIDE the loop) and then runs the release
+   * cadence (`maintainFromCorpus(everyBatches = 2, keep = 2)` —
+   * versions cut and pruned INSIDE the loop).
+   *
+   * Enforced claims, all on load-immune byte/row metrics:
+   *  - every fold lands batch-proportional bytes (≪ the init
+   *    snapshot), INCLUDING folds immediately after a compaction and
+   *    after a release cut — maintenance never makes the next fold
+   *    re-pay corpus-sized work;
+   *  - the fold-partition count never exceeds the dial;
+   *  - committed versions stay budget-bounded in a narrow size band
+   *    across cuts;
+   *  - the loop's final corpus equals the from-scratch curation of
+   *    everything it saw (count), across compactions and cuts.
+   */
+  def composedLoopSmoke(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types.StructType
+    import graft.pipeline.{CuratedCorpus, DqGate, IngestStream, PipelineQueries, Release}
+
+    val docs = Tables(spark, OutDir, "documents")
+      .select("doc_id", "source", "lang", "text")
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    val half = mx / 2
+    val corpus = docs.where(col("doc_id") < half)
+    val cc = s"$OutDir/loop_corpus"
+    val root = s"$OutDir/loop_release"
+    CuratedCorpus.delete(spark, cc)
+    Release.delete(spark, root)
+    val ti = System.nanoTime()
+    CuratedCorpus.init(corpus, cc)
+    val initSec = (System.nanoTime() - ti) / 1e9
+    val initBytes = dirBytes(s"$cc/docs/__batch=-1")
+
+    // monotone-id feed slices; empty-text rows stay out of the FEED
+    // (they would flip the dq gate) but are curated away from the
+    // init corpus identically, so the final-equivalence count holds
+    val nBatches = 6
+    val cuts = (0 to nBatches).map(i => half + (mx - half + 1) * i / nBatches)
+    val feedRows = (0 until nBatches).map { b =>
+      docs.where(col("doc_id") >= cuts(b) && col("doc_id") < cuts(b + 1))
+        .where(length(trim(col("text"))) > 0)
+        .collect()
+    }
+    val schema = StructType.fromDDL(
+      "doc_id BIGINT, source STRING, lang STRING, text STRING")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+    val mem = MemoryStream[Row](enc, spark)
+    // per batch: (rows, foldBytes or -1 when compacted away, folds
+    // after, compacted?, version cut, accept+cadence seconds)
+    val stats = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int, Boolean, Option[Int], Double)]
+    val (writer, release) = IngestStream.gated(
+      mem.toDF(), corpus, "doc_id", "text",
+      Seq(DqGate.Rule("text_nonempty",
+        DqGate.notSatisfied(length(trim(col("text"))) > 0))),
+      threshold = 0.5, cappedDriftK = Some(512)) { (batch, report) =>
+      require(report.dqPass, s"clean batch ${report.batchId} failed dq")
+      val t0 = System.nanoTime()
+      val foldsBefore = CuratedCorpus.foldCount(spark, cc)
+      IngestStream.acceptIntoCorpus(batch, report, cc,
+        maintainEvery = Some(3))
+      val foldsAfter = CuratedCorpus.foldCount(spark, cc)
+      val compacted = foldsAfter <= foldsBefore
+      val foldBytes =
+        if (compacted) -1L
+        else dirBytes(s"$cc/docs/__batch=${report.batchId}")
+      val cut = Release.maintainFromCorpus(spark, cc, root, Release.Seed,
+        Release.Budget, shards = 16, everyBatches = 2, keep = 2)
+      val sec = (System.nanoTime() - t0) / 1e9
+      stats += ((report.rows, foldBytes, foldsAfter, compacted, cut, sec))
+    }
+    val q = writer.start()
+    try {
+      feedRows.foreach { rows =>
+        mem.addData(rows.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally { q.stop(); release() }
+
+    stats.zipWithIndex.foreach { case ((rows, fb, folds, comp, cut, sec), i) =>
+      println(f"[scale] loop batch $i%d            ${sec}%8.2f s  rows=$rows " +
+        f"foldKB=${if (fb < 0) -1 else fb / 1024}%d folds=$folds " +
+        s"compacted=$comp cut=${cut.getOrElse(-1)}")
+    }
+    println(f"[scale] loop init                ${initSec}%8.2f s " +
+      f"(${initBytes / 1024}%d KB)")
+
+    require(stats.size == nBatches, s"expected $nBatches loop reports")
+    val compactions = stats.count(_._4)
+    val versionsCut = stats.flatMap(_._5)
+    require(compactions >= 2, s"compaction cadence fired $compactions times")
+    require(versionsCut.size >= 3, s"release cadence cut $versionsCut")
+    require(stats.forall(_._3 <= 3), "fold-partition count exceeded the dial")
+    // batch-proportional folds, ACROSS the maintenance boundaries:
+    // every measured fold is far under the init snapshot, and at
+    // least one measured fold follows a compaction and one follows a
+    // release cut — the post-maintenance fold is as cheap as any
+    val measured = stats.filter(_._2 >= 0)
+    require(measured.nonEmpty &&
+      measured.map(_._2).max * 4 < initBytes,
+      s"folds not batch-proportional: ${measured.map(_._2)} vs init $initBytes")
+    val afterComp = stats.zipWithIndex.drop(1)
+      .exists { case (s, i) => stats(i - 1)._4 && s._2 >= 0 }
+    val afterCut = stats.zipWithIndex.drop(1)
+      .exists { case (s, i) => stats(i - 1)._5.isDefined && s._2 >= 0 }
+    require(afterComp && afterCut,
+      "flatness claim must cover a post-compaction and a post-cut fold")
+    // budget-bounded versions: the retained cuts' bytes sit in a
+    // narrow band (the budget caps the kept set, so a later cut from
+    // a larger corpus is not a larger release)
+    val retained = Seq(versionsCut.max - 1, versionsCut.max)
+      .filter(_ >= 1).map(v => dirBytes(s"$root/v$v"))
+    require(retained.max <= retained.min * 3,
+      s"version sizes diverged: $retained")
+    require(Release.latestVersion(spark, root).contains(versionsCut.max))
+    // the composed loop converged on the from-scratch answer
+    val got = CuratedCorpus.open(spark, cc).count()
+    val want = PipelineQueries.curatedTrainDocs(docs).count()
+    require(got == want,
+      s"loop corpus holds $got rows; from-scratch curation holds $want")
+    println(f"[scale] loop steady state        compactions=$compactions " +
+      s"cuts=${versionsCut.mkString(",")} corpusRows=$got (≡ from-scratch)")
   }
 
   /**

@@ -60,6 +60,13 @@ object Lease {
     * operational response time. */
   val DefaultStaleAfterMs: Long = 60L * 60 * 1000
 
+  /** Grace for a lease file that EXISTS but carries no parseable
+    * record: microseconds-fresh means a racer between its create and
+    * its write (back off); older than this means a holder that
+    * crashed mid-acquire and would otherwise block the root forever
+    * (break in). */
+  val TornLeaseGraceMs: Long = 60L * 1000
+
   /** Another maintainer holds the root. Fail-fast signal — do NOT
     * retry in a loop; the holder's cadence owns the root. */
   final class HeldElsewhereException(msg: String)
@@ -153,12 +160,26 @@ object Lease {
             s"$root is being maintained by ${r.host}:${r.pid} " +
               s"(lease age ${System.currentTimeMillis - r.acquiredMs} ms, " +
               s"stale after ${r.staleAfterMs} ms) — one maintainer per root")
-        case None =>
-          // file vanished between create-failure and read: the holder
+        case None if !fs.exists(p) =>
+          // vanished between create-failure and read: the holder
           // released; one immediate retry, then defer to the winner
           if (!tryCreate())
             throw new HeldElsewhereException(
               s"$root lease contended — another maintainer is active")
+        case None =>
+          // exists but unreadable: a racer mid-write (fresh — back
+          // off) or a holder that crashed between create and write
+          // (torn forever — break in once provably old, else every
+          // future maintainer would be refused by an empty file)
+          val age = System.currentTimeMillis -
+            fs.getFileStatus(p).getModificationTime
+          if (age <= TornLeaseGraceMs)
+            throw new HeldElsewhereException(
+              s"$root lease is being written by another maintainer")
+          fs.delete(p, false)
+          if (!tryCreate())
+            throw new HeldElsewhereException(
+              s"lost the torn-lease break-in race for $root")
       }
     }
     heldRoots.get().add(root)

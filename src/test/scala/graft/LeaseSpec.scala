@@ -173,6 +173,24 @@ class LeaseSpec extends SparkSpec {
     ()
   }
 
+  test("a torn lease file (crash between create and write) breaks in after its grace") {
+    val root = Files.createTempDirectory("graft-lease").toString + "/t"
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(s"$root/${Lease.FileName}")
+    // empty lease file — the state a holder crashing between its
+    // create and its record write leaves behind
+    fs.create(p, true).close()
+    // fresh: could be a racer mid-write — refused, not broken
+    intercept[Lease.HeldElsewhereException] { Lease.acquire(spark, root) }
+    // provably old: without a break-in path this would block the
+    // root FOREVER (no record means no stale window to expire)
+    fs.setTimes(p, System.currentTimeMillis - 2 * Lease.TornLeaseGraceMs, -1)
+    Lease.acquire(spark, root).release()
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    ()
+  }
+
   test("withLease is re-entrant per thread: composed entry points share the outer lease") {
     val root = Files.createTempDirectory("graft-lease").toString + "/t"
     val got = Lease.withLease(spark, root) {
