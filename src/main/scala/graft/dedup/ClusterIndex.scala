@@ -292,17 +292,47 @@ object ClusterIndex {
     * chases to a no-op. */
   def compact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20): Unit =
+    compactThrough(spark, path, Long.MaxValue, targetFileBytes)
+
+  /**
+   * [[compact]] bounded to SETTLED folds — the
+   * [[graft.ann.IvfIndex.compactThrough]] discipline, which is what
+   * makes maintenance safe to run from INSIDE the fold stream: fold
+   * only batches with id ≤ `throughBatch` into the base, leaving
+   * newer folds' assignment partitions AND their relabel maps
+   * standing, so a replay of a left-alone batch still overwrites its
+   * own partitions with identical content (there is no content probe
+   * here to dedup a replayed-after-compaction batch, hence the
+   * settled bound). From `foreachBatch(N)`, call with
+   * `throughBatch = N - 1`.
+   *
+   * Why the split is sound: a fold's rows carry labels AS OF its own
+   * batch, so a relabel map only ever applies to partitions written
+   * BEFORE it — all strictly older batches. Baking the settled chain
+   * (entries with batch ≤ `throughBatch`) into the settled rows
+   * therefore touches every row those entries can reach, and the
+   * kept unsettled maps compose over the new base at [[open]] exactly
+   * as they did over the old partitions (their keys are labels that
+   * existed when they were written — terminal as of their own fold).
+   * Pinned: ClusterIndexSpec's settled-compaction case replays a
+   * left-alone batch across the compaction and the composed table is
+   * unchanged.
+   */
+  def compactThrough(spark: SparkSession, path: String,
+      throughBatch: Long, targetFileBytes: Long = 128L << 20): Unit =
     graft.sources.Lease.withLease(spark, path) {
       graft.sources.DirSwap.recover(spark, path, SwapTables)
-      stageCompact(spark, path, targetFileBytes)
+      stageCompact(spark, path, throughBatch, targetFileBytes)
       graft.sources.DirSwap.swapStaged(spark, path, SwapTables)
     }
 
-  /** [[compact]]'s staged rewrites, up to (not including) the swap —
-    * split out so the crash-matrix spec can stop between the two
-    * table swaps. */
+  /** [[compactThrough]]'s staged rewrites, up to (not including) the
+    * swap — split out so the crash-matrix spec can stop between the
+    * two table swaps. */
   private[graft] def stageCompact(spark: SparkSession, path: String,
+      throughBatch: Long = Long.MaxValue,
       targetFileBytes: Long = 128L << 20): Unit = {
+    val settled = col("__batch") <= throughBatch // BaseBatch ≤ any
     // byte-targeted file count (FS summary, not a scan) with a range
     // partition on doc_id — compaction restores the file count and
     // globalizes the probe join's doc_id clustering
@@ -311,13 +341,41 @@ object ClusterIndex {
       .getContentSummary(asgDir).getLength
     val files = math.max(1L,
       (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    open(spark, path)
+    // the SETTLED chain only — unsettled maps stay standing and keep
+    // composing over the new base at open (see scaladoc)
+    val relabel = spark.read
+      .schema("old_cluster LONG, new_cluster LONG, __batch LONG")
+      .parquet(s"$path/relabel")
+    val m = relabel.where(settled)
+      .select(col("old_cluster"), col("new_cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def chase(x: Long): Long = {
+      var c = x
+      while (m.contains(c) && m(c) != c) c = m(c)
+      c
+    }
+    import spark.implicits._
+    val composed = m.keysIterator.map(k => (k, chase(k))).toSeq
+      .toDF("cluster", "__new")
+    val asg = spark.read
+      .schema("doc_id LONG, cluster LONG, __batch LONG")
+      .parquet(s"$path/assignments")
+    asg.join(broadcast(composed), Seq("cluster"), "left")
+      .select(col("doc_id"),
+        // the settled chain applies to settled rows only; unsettled
+        // rows were written after every settled merge and already
+        // carry its labels
+        when(settled, coalesce(col("__new"), col("cluster")))
+          .otherwise(col("cluster")).as("cluster"),
+        when(settled, lit(BaseBatch)).otherwise(col("__batch"))
+          .as("__batch"))
       .repartitionByRange(files, col("doc_id"))
-      .withColumn("__batch", lit(BaseBatch))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").partitionBy("__batch")
       .parquet(graft.sources.DirSwap.stagingDir(path, "assignments"))
-    emptyRelabel(spark)
+    // unsettled maps kept verbatim; a fully-settled compact stages an
+    // empty partitioned dir, which open() reads via explicit schema
+    relabel.where(!settled)
       .write.mode("overwrite").partitionBy("__batch")
       .parquet(graft.sources.DirSwap.stagingDir(path, "relabel"))
   }
@@ -337,12 +395,31 @@ object ClusterIndex {
     * stream's checkpoint has passed the standing batches — a batch
     * REPLAYED after compaction folded it away would re-land its rows
     * as a fresh partition beside their base copies (there is no
-    * content probe here to dedup them). Returns true iff it
-    * compacted. */
+    * content probe here to dedup them). From INSIDE the fold loop,
+    * use [[maintainThrough]] with the previous batch id instead.
+    * Returns true iff it compacted. */
   def maintain(spark: SparkSession, path: String, maxFolds: Int): Boolean = {
     require(maxFolds >= 1, s"maxFolds must be >= 1, got $maxFolds")
     val due = foldCount(spark, path) >= maxFolds
     if (due) compact(spark, path)
+    due
+  }
+
+  /** [[maintain]] bounded to SETTLED folds — the in-loop cadence:
+    * from `foreachBatch(N)` call with `throughBatch = N - 1`, so
+    * only checkpoint-committed batches fold into the base and a
+    * replay of the current batch still overwrites its own standing
+    * partitions. Counts ONLY settled fold partitions against the
+    * dial (unsettled ones cannot be folded yet, so they must not
+    * trigger a compaction that cannot shrink them). Returns true iff
+    * it compacted. */
+  def maintainThrough(spark: SparkSession, path: String, maxFolds: Int,
+      throughBatch: Long): Boolean = {
+    require(maxFolds >= 1, s"maxFolds must be >= 1, got $maxFolds")
+    val due = graft.sources.BatchPartitions
+      .ids(spark, s"$path/assignments")
+      .count(b => b != BaseBatch && b <= throughBatch) >= maxFolds
+    if (due) compactThrough(spark, path, throughBatch)
     due
   }
 

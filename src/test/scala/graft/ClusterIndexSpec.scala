@@ -141,6 +141,58 @@ class ClusterIndexSpec extends SparkSpec {
     ClusterIndex.delete(spark, path)
   }
 
+  test("compactThrough folds only settled batches; a replayed left-alone batch converges") {
+    import spark.implicits._
+    val corpus = (1L to 10L).toDF("doc_id")
+    val pairs = Seq((2L, 1L), (4L, 3L), (6L, 5L)).toDF("a", "b")
+    val path = fixtureRoot() + "/idx"
+    ClusterIndex.write(
+      Clusters.resolve(corpus, "doc_id", pairs, "a", "b")
+        .select("doc_id", "cluster"), path)
+    // batch 0 (settled) merges {1,2}+{3,4}; batch 1 (in flight)
+    // merges the result with {5,6} — ITS map keys the batch-0
+    // terminal label, the cross-boundary composition under test
+    ClusterIndex.foldBatch(path, Seq(100L).toDF("doc_id"),
+      "doc_id", Seq((100L, 2L), (100L, 4L)).toDF("a", "b"), "a", "b", 0L)
+    val pairs1 = Seq((200L, 4L), (200L, 6L)).toDF("a", "b")
+    ClusterIndex.foldBatch(path, Seq(200L).toDF("doc_id"),
+      "doc_id", pairs1, "a", "b", 1L)
+    val before = asMap(ClusterIndex.open(spark, path))
+    assert(before(200L) == 1L && before(6L) == 1L)
+
+    // in-loop cadence from foreachBatch(2): only batch 0 is settled —
+    // one settled fold < dial 2 means not due; dial 1 compacts
+    assert(!ClusterIndex.maintainThrough(spark, path, maxFolds = 2,
+      throughBatch = 1L - 1))
+    assert(ClusterIndex.maintainThrough(spark, path, maxFolds = 1,
+      throughBatch = 1L - 1))
+    def batchDirs(table: String): Set[String] =
+      new java.io.File(s"$path/$table").listFiles()
+        .filter(_.isDirectory).filterNot(_.getName.startsWith("."))
+        .map(_.getName).toSet
+    // batch 0 folded into the base; batch 1's partitions still stand
+    assert(batchDirs("assignments") == Set("__batch=-1", "__batch=1"))
+    assert(batchDirs("relabel").contains("__batch=1") &&
+      !batchDirs("relabel").contains("__batch=0"))
+    // the composed answer is untouched: batch 1's kept map applies
+    // over the settled base exactly as it did over the partitions
+    assert(asMap(ClusterIndex.open(spark, path)) == before)
+
+    // the capability the settled bound buys: REPLAYING the left-alone
+    // batch across the compaction converges (its overwrite re-lands
+    // identical content against the unchanged settled labels)
+    ClusterIndex.foldBatch(path, Seq(200L).toDF("doc_id"),
+      "doc_id", pairs1, "a", "b", 1L)
+    assert(asMap(ClusterIndex.open(spark, path)) == before)
+    assert(ClusterIndex.open(spark, path).count() == before.size.toLong)
+
+    // once batch 1 settles, the full compact bakes everything
+    ClusterIndex.compact(spark, path)
+    assert(asMap(ClusterIndex.open(spark, path)) == before)
+    assert(batchDirs("assignments") == Set("__batch=-1"))
+    ClusterIndex.delete(spark, path)
+  }
+
   test("open memoizes the composed relabel chain until a fold changes it") {
     import spark.implicits._
     val corpus = (1L to 8L).toDF("doc_id")
