@@ -369,11 +369,9 @@ object ScaleSmoke {
       threshold = 0.5, cappedDriftK = Some(512)) { (batch, report) =>
       require(report.dqPass, s"clean batch ${report.batchId} failed dq")
       val t0 = System.nanoTime()
-      val foldsBefore = CuratedCorpus.foldCount(spark, cc)
-      IngestStream.acceptIntoCorpus(batch, report, cc,
+      val compacted = IngestStream.acceptIntoCorpus(batch, report, cc,
         maintainEvery = Some(3))
       val foldsAfter = CuratedCorpus.foldCount(spark, cc)
-      val compacted = foldsAfter <= foldsBefore
       val foldBytes =
         if (compacted) -1L
         else dirBytes(s"$cc/docs/__batch=${report.batchId}")

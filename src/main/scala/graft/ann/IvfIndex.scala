@@ -72,16 +72,21 @@ object IvfIndex {
    * that RETAIN versions so in-flight probers are never raced
    * (the production story [[graft.streaming.EventTimeOps.ivfMaintainStream]]'s
    * scaladoc gestures at). Snapshot ids are opaque, so COMMIT order
-   * is the version order: indexes rank by their corpus `_SUCCESS`
-   * marker's time (name-tiebroken). The newest `keep` COMPLETE
-   * indexes are retained; every snapshot root strictly older than
-   * the oldest retained one — committed or partial — is deleted.
-   * Retained versions' probes are untouched (nothing under a
-   * retained root is modified); a base with no committed index
-   * deletes nothing. Runs under the BASE's [[graft.sources.Lease]]
-   * so a concurrent pruner fails fast; an in-progress `ensure` build
-   * is safe regardless — its incomplete root is newer than every
-   * retained commit, hence above the deletion floor.
+   * is the version order: indexes rank by their CENTROIDS `_SUCCESS`
+   * marker's time (name-tiebroken) — centroids are written once per
+   * build and never touched by appends or compactions, whereas the
+   * corpus marker is rewritten by every append job, which would make
+   * the rank last-write order and retire a newer commit over a
+   * recently-appended older one. The newest `keep` COMPLETE indexes
+   * are retained; every snapshot root strictly older than the oldest
+   * retained one — committed or partial — is deleted, EXCEPT a root
+   * whose lease names a live owner (an `ensure` mid-train: its dir
+   * mtime is older than any commit landing during the train, so
+   * liveness, not age, is what protects it). Retained versions'
+   * probes are untouched (nothing under a retained root is
+   * modified); a base with no committed index deletes nothing. Runs
+   * under the BASE's [[graft.sources.Lease]] so a concurrent pruner
+   * fails fast.
    */
   def pruneSnapshots(spark: SparkSession, base: String, keep: Int): Unit = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
@@ -94,7 +99,7 @@ object IvfIndex {
         def commitTime(s: org.apache.hadoop.fs.FileStatus): Option[Long] =
           if (!isComplete(spark, s.getPath.toString)) None
           else Some(fs.getFileStatus(
-            new org.apache.hadoop.fs.Path(s.getPath, "corpus/_SUCCESS"))
+            new org.apache.hadoop.fs.Path(s.getPath, "centroids/_SUCCESS"))
             .getModificationTime)
         def rank(s: org.apache.hadoop.fs.FileStatus): (Long, String) =
           (commitTime(s).getOrElse(s.getModificationTime),
@@ -102,7 +107,8 @@ object IvfIndex {
         val floor = snaps.filter(s => commitTime(s).isDefined)
           .map(rank).sorted.takeRight(keep).headOption
         snaps.foreach { s =>
-          if (floor.exists(f => Ordering[(Long, String)].lt(rank(s), f))) {
+          if (floor.exists(f => Ordering[(Long, String)].lt(rank(s), f)) &&
+            !graft.sources.Lease.heldByLiveOwner(spark, s.getPath.toString)) {
             fs.delete(s.getPath, true); ()
           }
         }

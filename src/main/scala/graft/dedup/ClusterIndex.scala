@@ -246,30 +246,36 @@ object ClusterIndex {
     walk(root).mkString(path + "|", ";", "")
   }
 
-  /** The composed (old label → terminal label) chain, memoized (see
-    * [[open]]). Chains strictly decrease (labels are component-min
-    * ids), so chasing terminates; later batches' maps extend earlier
-    * ones (old keys are never re-merged — a merged rep stops being a
+  /** Compose raw (old → new) relabel entries into their terminal
+    * map — ONE implementation for the probe path and the compaction
+    * path. Chains strictly decrease (labels are component-min ids),
+    * so chasing terminates; later batches' maps extend earlier ones
+    * (old keys are never re-merged — a merged rep stops being a
     * label the moment its map entry lands). */
+  private def composeEntries(entries: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val m = entries.toMap
+    def chase(x: Long): Long = {
+      var c = x
+      while (m.contains(c) && m(c) != c) c = m(c)
+      c
+    }
+    m.keysIterator.map(k => (k, chase(k))).toSeq.sortBy(_._1)
+  }
+
+  /** The composed (old label → terminal label) chain, memoized (see
+    * [[open]]). */
   private[graft] def composedChain(spark: SparkSession,
       path: String): Seq[(Long, Long)] = {
     val fp = relabelFingerprint(spark, path)
     val hit = chainCache.synchronized(Option(chainCache.get(fp)))
     hit.getOrElse {
       chainComposes.incrementAndGet()
-      val m = spark.read
+      val composed = composeEntries(spark.read
         .schema("old_cluster LONG, new_cluster LONG, __batch LONG")
         .parquet(s"$path/relabel")
         .select(col("old_cluster"), col("new_cluster"))
         .collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      def chase(x: Long): Long = {
-        var c = x
-        while (m.contains(c) && m(c) != c) c = m(c)
-        c
-      }
-      val composed = m.keysIterator.map(k => (k, chase(k)))
-        .toSeq.sortBy(_._1)
+        .map(r => r.getLong(0) -> r.getLong(1)))
       chainCache.synchronized { chainCache.put(fp, composed); () }
       composed
     }
@@ -346,16 +352,10 @@ object ClusterIndex {
     val relabel = spark.read
       .schema("old_cluster LONG, new_cluster LONG, __batch LONG")
       .parquet(s"$path/relabel")
-    val m = relabel.where(settled)
-      .select(col("old_cluster"), col("new_cluster"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    def chase(x: Long): Long = {
-      var c = x
-      while (m.contains(c) && m(c) != c) c = m(c)
-      c
-    }
     import spark.implicits._
-    val composed = m.keysIterator.map(k => (k, chase(k))).toSeq
+    val composed = composeEntries(relabel.where(settled)
+      .select(col("old_cluster"), col("new_cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)))
       .toDF("cluster", "__new")
     val asg = spark.read
       .schema("doc_id LONG, cluster LONG, __batch LONG")

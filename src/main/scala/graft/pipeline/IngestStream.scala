@@ -177,11 +177,17 @@ object IngestStream {
    * ([[CuratedCorpus.maintain]]) — safe mid-stream because a replayed
    * compacted batch dedups to zero against the base hash partition,
    * so the router stays idempotent across the compaction boundary.
+   *
+   * @return true iff the maintenance cadence compacted (always false
+   *         without `maintainEvery`) — the exact signal an operator's
+   *         metrics (and the 10× loop smoke) record, instead of
+   *         inferring a compaction from fold counts, which a batch
+   *         that dedups to zero would mimic
    */
   def acceptIntoCorpus(batch: DataFrame, report: BatchReport,
-      corpusPath: String, maintainEvery: Option[Int] = None): Unit = {
+      corpusPath: String, maintainEvery: Option[Int] = None): Boolean = {
     CuratedCorpus.foldBatch(corpusPath, batch, report.batchId)
-    maintainEvery.foreach(CuratedCorpus.maintain(
+    maintainEvery.exists(CuratedCorpus.maintain(
       batch.sparkSession, corpusPath, _))
   }
 

@@ -131,9 +131,6 @@ object PipelineQueries {
     * drives the epochDeal join path, not the stored files. */
   val EpochPackEpoch = 1
 
-  /** Standing curated-corpus table per (session, dir): init once from
-    * the base slice, fold the two batch slices, reuse across
-    * bench/verify iterations (scratch-pathed, JVM-exit retired). */
   /** Standing committed release per (session, dir): one build,
     * reused across bench/verify iterations (scratch-pathed, JVM-exit
     * retired) — epoch reads are the recurring cost, the build is the
@@ -149,6 +146,9 @@ object PipelineQueries {
       root
     })
 
+  /** Standing curated-corpus table per (session, dir): init once from
+    * the base slice, fold the two batch slices, reuse across
+    * bench/verify iterations (scratch-pathed, JVM-exit retired). */
   private val corpusCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
   private def cachedCuratedCorpusPath(s: SparkSession, dir: String): String =

@@ -117,8 +117,16 @@ object Release {
     // version after a crash between the two writes.
     // a release cadence on a quiesced corpus may be the FIRST entry
     // point after a crashed compact swap — heal it rather than throw
-    // on the missing live dir until some fold happens to run
-    CuratedCorpus.recoverSwap(spark, corpusPath)
+    // on the missing live dir until some fold happens to run. The
+    // recovery MUTATES the corpus root, so it runs under the CORPUS
+    // lease (not just this builder's release-root lease): recover's
+    // marker-based roll-forward is armed for a live compact's whole
+    // swap window, and racing it against the corpus's own maintainer
+    // would interleave renames. Lease order is release-root → corpus
+    // root, and nothing acquires them in reverse, so no deadlock.
+    graft.sources.Lease.withLease(spark, corpusPath) {
+      CuratedCorpus.recoverSwap(spark, corpusPath)
+    }
     val wm = CuratedCorpus.batchWatermark(spark, corpusPath)
     val escaped = corpusPath.replace("\\", "\\\\").replace("\"", "\\\"")
     commitVersion(CuratedCorpus.open(spark, corpusPath),
@@ -154,7 +162,11 @@ object Release {
       everyBatches: Long, keep: Int = 2): Option[Int] =
     graft.sources.Lease.withLease(spark, root) {
     require(everyBatches >= 1, s"everyBatches must be >= 1, got $everyBatches")
-    CuratedCorpus.recoverSwap(spark, corpusPath)
+    // corpus-root lease for the corpus-mutating recovery — see
+    // buildFromCorpus (same race, same lease order)
+    graft.sources.Lease.withLease(spark, corpusPath) {
+      CuratedCorpus.recoverSwap(spark, corpusPath)
+    }
     val wm = CuratedCorpus.batchWatermark(spark, corpusPath)
     val latest = latestVersion(spark, root)
     val lastWm = latest.flatMap(v => lineageJson(spark, root, v))

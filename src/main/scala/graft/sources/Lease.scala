@@ -103,6 +103,37 @@ object Lease {
     try java.net.InetAddress.getLocalHost.getHostName
     catch { case _: Exception => "unknown-host" }
 
+  /** Hostnames that do NOT identify a machine: two containers both
+    * reporting one of these must never conclude "same host, pid
+    * dead" about each other — only the stale window may break their
+    * leases. (Two DISTINCT machines sharing a real hostname remain a
+    * deployment caveat; the stale window is the backstop.) */
+  private def confidentHost(h: String): Boolean =
+    h.nonEmpty && h != "unknown-host" && h != "localhost" &&
+      h != "localhost.localdomain"
+
+  private def breakable(r: Record): Boolean = {
+    val holder = ProcessHandle.of(r.pid)
+    val deadHere = confidentHost(r.host) && r.host == localHost &&
+      !(holder.isPresent && holder.get.isAlive)
+    deadHere || System.currentTimeMillis - r.acquiredMs > r.staleAfterMs
+  }
+
+  /** True iff `root`'s lease file names an owner still live by the
+    * break-in rules — the check a SCANNER (e.g. snapshot retention)
+    * uses to leave an in-flight build's root alone without acquiring
+    * anything. A torn-fresh file (racer mid-write) counts as live. */
+  def heldByLiveOwner(spark: SparkSession, root: String): Boolean = {
+    val p = leasePath(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readRecord(spark, root) match {
+      case Some(r) => !breakable(r)
+      case None => fs.exists(p) &&
+        System.currentTimeMillis -
+          fs.getFileStatus(p).getModificationTime <= TornLeaseGraceMs
+    }
+  }
+
   private def readRecord(spark: SparkSession,
       root: String): Option[Record] = {
     val p = leasePath(root)
@@ -142,12 +173,6 @@ object Lease {
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
-    def breakable(r: Record): Boolean = {
-      val holder = ProcessHandle.of(r.pid)
-      val deadHere = r.host == localHost &&
-        !(holder.isPresent && holder.get.isAlive)
-      deadHere || System.currentTimeMillis - r.acquiredMs > r.staleAfterMs
-    }
     if (!tryCreate()) {
       readRecord(spark, root) match {
         case Some(r) if breakable(r) =>

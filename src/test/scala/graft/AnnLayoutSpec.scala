@@ -303,19 +303,28 @@ class AnnLayoutSpec extends SparkSpec {
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     def path(id: String) = IvfIndex.snapshotPath(base, id)
     // three committed snapshot indexes with a deterministic commit
-    // order (mtime ms resolution could tie three fast builds)
+    // order (mtime ms resolution could tie three fast builds); the
+    // rank marker is CENTROIDS' (append-immune) — the corpus marker
+    // is rewritten by every append, so an appended-to old index must
+    // not outrank a newer commit
     Seq("v1" -> 1000L, "v2" -> 2000L, "v3" -> 3000L).foreach {
       case (id, t) =>
         IvfIndex.ensure(emb, "vec_id", "embedding", spark, path(id)) {
           Similarity.trainCentroids(emb, "vec_id", "embedding", K)
         }
-        fs.setTimes(p(s"${path(id)}/corpus/_SUCCESS"), t, -1)
+        fs.setTimes(p(s"${path(id)}/centroids/_SUCCESS"), t, -1)
     }
-    // a stale PARTIAL build older than everything, and a fresh one
-    // (an ensure in flight) newer than every commit
+    // v1 takes a fresh APPEND (rewriting its corpus marker) — rank
+    // must not move
+    IvfIndex.append(emb.limit(5), "vec_id", "embedding",
+      IvfIndex.readCentroids(spark, path("v1")), path("v1"), 0L)
+    // a stale PARTIAL build older than everything, and an ensure
+    // mid-train: its root mtime is OLDER than every commit (dirs are
+    // created at acquire time), so only its live lease protects it
     fs.mkdirs(p(s"${path("v0")}/centroids"))
     fs.setTimes(p(path("v0")), 500L, -1)
-    fs.mkdirs(p(s"${path("v9")}/centroids"))
+    val inFlight = graft.sources.Lease.acquire(spark, path("v9"))
+    fs.setTimes(p(path("v9")), 400L, -1)
 
     val queries = emb.filter(col("vec_id") < 4).orderBy("vec_id")
       .select("vec_id", "embedding").collect()
@@ -329,11 +338,14 @@ class AnnLayoutSpec extends SparkSpec {
     val (a2, a3) = (probe("v2"), probe("v3"))
 
     IvfIndex.pruneSnapshots(spark, base, keep = 2)
-    // oldest committed version and the stale partial are gone; the
-    // in-flight build above the floor survives
+    // oldest committed version (despite its fresher corpus marker)
+    // and the stale partial are gone; the mid-train build survives
+    // on lease liveness alone
     assert(!new java.io.File(path("v1")).exists(), "v1 must be pruned")
     assert(!new java.io.File(path("v0")).exists(), "stale partial must go")
-    assert(new java.io.File(path("v9")).exists(), "fresh partial must stay")
+    assert(new java.io.File(path("v9")).exists(),
+      "a live-leased in-flight build must never be pruned")
+    inFlight.release()
     // retained versions: still complete, probes bit-identical
     assert(IvfIndex.isComplete(spark, path("v2")) &&
       IvfIndex.isComplete(spark, path("v3")))
