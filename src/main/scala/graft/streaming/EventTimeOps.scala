@@ -572,6 +572,90 @@ object EventTimeOps {
   }
 
   /**
+   * Streaming fold face of the standing CLUSTER-ASSIGNMENT table —
+   * the [[graft.dedup.ClusterIndex]] twin of [[ivfAppendStream]],
+   * closing the stream-face symmetry: every standing structure now
+   * has one (curated corpus → `IngestStream.acceptIntoCorpus`, IVF →
+   * [[ivfAppendStream]]/[[ivfMaintainStream]], clusters → here).
+   * Per micro-batch: sign the batch, derive its near-dup edges —
+   * within-batch banded pairs plus probes of the RESIDENT signature
+   * index — fold them with the stream's own batch id
+   * ([[graft.dedup.ClusterIndex.foldBatch]]; replay overwrites the
+   * batch's partitions), then extend the resident index with the
+   * batch's signatures so LATER batches see cross-batch near-dups,
+   * not just batch↔corpus ones. `maintainEvery` is the in-loop
+   * compaction dial (settled-only,
+   * [[graft.dedup.ClusterIndex.maintainThrough]] at `batchId - 1`).
+   *
+   * The resident index is session state; the cluster table is what
+   * survives. For exact RESTART recovery, pass `corpus` as the
+   * STANDING corpus the batches also fold into (e.g.
+   * `CuratedCorpus.open`): the start-of-session index then already
+   * covers every previously folded document, and the in-session
+   * extension only saves re-signing it per batch. A REPLAYED batch id
+   * skips the extension (its signatures are already resident); its
+   * own signatures showing up among the probe matches is harmless —
+   * self-edges and batch-internal edges resolve to the same labels.
+   * Retired index versions are dropped by reference (the context
+   * cleaner reclaims their blocks); the returned handle releases the
+   * current one. The at-rest table must exist before the stream
+   * starts ([[graft.dedup.ClusterIndex.write]] — the per-snapshot
+   * resolve). Same checkpointLocation requirement as every
+   * foreachBatch maintenance loop here.
+   *
+   * `onBatch` receives (batchId, rows, compacted).
+   */
+  def clusterFoldStream(docs: DataFrame, idCol: String, textCol: String,
+      corpus: DataFrame, indexPath: String, threshold: Double,
+      maintainEvery: Option[Int] = None)(
+      onBatch: (Long, Long, Boolean) => Unit)
+      : (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row], () => Unit) = {
+    import graft.dedup.{ClusterIndex, Dedup}
+    require(maintainEvery.forall(_ >= 1),
+      s"maintainEvery must be >= 1, got $maintainEvery")
+    val resident = new java.util.concurrent.atomic.AtomicReference(
+      Dedup.corpusNearDupIndex(corpus, idCol, textCol))
+    val folded = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.persist()
+        try {
+          val n = batch.count()
+          val (idx, releaseIdx) = resident.get()
+          val (sig, releaseSig) = Dedup.batchSignatures(batch, idCol, textCol)
+          try {
+            val within = Dedup.pairsFromSignatures(sig, "batch_id",
+                "sh_batch", threshold)
+              .select(col("doc_a"), col("doc_b"))
+            val cross = Dedup.probeFromSignatures(sig, idx, threshold)
+              .select(col("batch_id").as("doc_a"),
+                col("corpus_id").as("doc_b"))
+            ClusterIndex.foldBatch(indexPath, batch, idCol,
+              within.unionByName(cross), "doc_a", "doc_b", batchId)
+            if (folded.add(batchId)) {
+              // first delivery: the batch's signatures join the
+              // resident index; the checkpoint truncates the
+              // otherwise batch-deep union lineage
+              val extended = idx.unionByName(
+                sig.select(col("batch_id").as("corpus_id"),
+                  col("sh_batch").as("sh_corpus"), col("sig")))
+                .localCheckpoint(true)
+              resident.set((extended, () => { extended.unpersist(); () }))
+              releaseIdx()
+            }
+          } finally releaseSig()
+          val compacted = maintainEvery.exists(dial =>
+            ClusterIndex.maintainThrough(batch.sparkSession, indexPath,
+              dial, batchId - 1))
+          onBatch(batchId, n, compacted)
+        } finally batch.unpersist()
+        ()
+      }
+    (writer, () => { resident.get()._2(); () })
+  }
+
+  /**
    * Watermarked stream-stream interval join: pair each left event with
    * the right events satisfying `condition` whose timestamp falls in
    * the trailing window `[leftTs − lookback, leftTs]` — the streaming

@@ -321,6 +321,61 @@ class EventTimeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("clusterFoldStream: folds batches, sees cross-batch dups, compacts in-loop") {
+    import graft.dedup.{ClusterIndex, Clusters, Dedup}
+    import spark.implicits._
+    val A = "alpha beta gamma delta epsilon zeta eta theta"
+    val B = "one two three four five six seven eight"
+    val C = "red orange yellow green blue indigo violet pink"
+    val D = "new dog cat fish bird horse cow sheep"
+    val corpus = Seq((1L, A), (2L, A), (3L, B), (4L, C)).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-clusterstream").toString + "/idx"
+    def resolveAll(docs: org.apache.spark.sql.DataFrame) =
+      Clusters.resolve(docs, "doc_id",
+        Dedup.nearDupPairs(docs, "doc_id", "text", 0.9)
+          .select("doc_a", "doc_b"), "doc_a", "doc_b")
+        .select("doc_id", "cluster")
+    ClusterIndex.write(resolveAll(corpus), path)
+
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+    val mem = MemoryStream[Row](enc, spark)
+    val reports = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Boolean)]
+    val (writer, release) = EventTimeOps.clusterFoldStream(
+      mem.toDF(), "doc_id", "text", corpus, path, threshold = 0.9,
+      maintainEvery = Some(1)) { (id, n, comp) => reports += ((id, n, comp)) }
+    val q = writer.start()
+    try {
+      // batch 0: a duplicate of corpus content plus NEW content D
+      mem.addData(Row(10L, A), Row(11L, D))
+      q.processAllAvailable()
+      // batch 1: a duplicate of BATCH 0's D — visible only through
+      // the resident index the stream extended (the corpus never saw
+      // D), the cross-batch case a static index misses
+      mem.addData(Row(20L, D))
+      q.processAllAvailable()
+    } finally { q.stop(); release() }
+
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = asMap(ClusterIndex.open(spark, path))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L,
+      10L -> 1L, 11L -> 11L, 20L -> 11L))
+    // ≡ the from-scratch resolve of everything the stream ever saw —
+    // the incremental theorem through the STREAM face
+    val union = corpus.unionByName(
+      Seq((10L, A), (11L, D), (20L, D)).toDF("doc_id", "text"))
+    assert(got == asMap(resolveAll(union)))
+    // the settled-only cadence: batch 0 had no settled fold yet;
+    // batch 1 compacted fold 0 mid-stream
+    assert(reports.toSeq == Seq((0L, 2L, false), (1L, 1L, true)))
+    assert(ClusterIndex.foldCount(spark, path) == 1)
+    ClusterIndex.delete(spark, path)
+  }
+
   test("streaming IVF append: probes see each appended batch; ≡ full rewrite") {
     import java.nio.file.Files
     import graft.ann.{IvfIndex, Similarity}
