@@ -414,18 +414,29 @@ object EventTimeOps {
    * trail a metrics pipeline records ("retrain-replay" marks a
    * redelivered retrain batch whose version the served index already
    * is; see the keyed-path guard).
+   *
+   * `retainIn = Some((base, keep))` is the RETAINED-VERSIONS dial:
+   * instead of deleting the superseded path immediately after the
+   * swap (the single-driver default — a prober mid-read would race
+   * the delete), the loop runs
+   * [[graft.ann.IvfIndex.pruneSnapshots]](base, keep) so the last
+   * `keep` committed versions stand and in-flight probers finish
+   * against a still-complete index. Requires `pathForVersion` (and
+   * the bootstrap path) to mint [[graft.ann.IvfIndex.snapshotPath]]
+   * children of `base` — that is what the pruner enumerates.
    */
   def ivfMaintainStream(vecs: DataFrame, idCol: String, vecCol: String,
       handle: java.util.concurrent.atomic.AtomicReference[graft.ann.IvfIndex.Resident],
       driftThreshold: Double, pathForVersion: Long => String,
-      k: Int, refineIters: Int = 1)(
+      k: Int, refineIters: Int = 1,
+      retainIn: Option[(String, Int)] = None)(
       onBatch: (Long, Double, String) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try ivfMaintainOnce(batch, batchId, idCol, vecCol, handle,
-          driftThreshold, pathForVersion, k, refineIters, onBatch)
+          driftThreshold, pathForVersion, k, refineIters, retainIn, onBatch)
         finally batch.unpersist()
         ()
       }
@@ -437,6 +448,7 @@ object EventTimeOps {
       handle: java.util.concurrent.atomic.AtomicReference[graft.ann.IvfIndex.Resident],
       driftThreshold: Double, pathForVersion: Long => String,
       k: Int, refineIters: Int,
+      retainIn: Option[(String, Int)],
       onBatch: (Long, Double, String) => Unit): Unit = {
     import graft.ann.{IvfIndex, Similarity}
     import graft.pipeline.DriftGate
@@ -499,7 +511,14 @@ object EventTimeOps {
         handle.set(IvfIndex.Resident(newPath, cents, prof, rel,
           builtBy = Some(batchId)))
         cur.releaseProfile()
-        IvfIndex.delete(spark, cur.path)
+        retainIn match {
+          // retained-versions deployment: the superseded path stays
+          // until it ages out of keep-N, so probers that resolved the
+          // handle pre-swap finish against a complete index
+          case Some((base, keep)) => IvfIndex.pruneSnapshots(spark, base, keep)
+          // single-driver default: retire immediately
+          case None => IvfIndex.delete(spark, cur.path)
+        }
         onBatch(batchId, drift, "retrain")
       }
     }

@@ -565,7 +565,7 @@ class EventTimeSpec extends SparkSpec {
     val replayLog = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, String)]
     EventTimeOps.ivfMaintainOnce(b2df, 1L, "vec_id", "embedding", handle,
       driftThreshold = 0.0, pathForVersion = b => s"$root/v$b",
-      k = 4, refineIters = 1,
+      k = 4, refineIters = 1, retainIn = None,
       onBatch = (id, d, a) => { replayLog += ((id, d, a)); () })
     assert(replayLog.map(_._3) == Seq("retrain-replay"),
       s"keyed-path guard did not catch the replay: $replayLog")
@@ -582,10 +582,60 @@ class EventTimeSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       EventTimeOps.ivfMaintainOnce(b2df, 9L, "vec_id", "embedding",
         bootstrap, driftThreshold = 0.0, pathForVersion = b => s"$root/v$b",
-        k = 4, refineIters = 1, onBatch = (_, _, _) => ())
+        k = 4, refineIters = 1, retainIn = None, onBatch = (_, _, _) => ())
     }
     cur.releaseProfile()
     IvfIndex.delete(spark, cur.path)
+  }
+
+  test("retained-versions maintenance: superseded indexes stand until keep-N prunes them") {
+    import java.nio.file.Files
+    import java.util.concurrent.atomic.AtomicReference
+    import graft.ann.{IvfIndex, Similarity}
+    import graft.pipeline.DriftGate
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables(spark, sf, "embeddings")
+    val corpus = emb.filter(col("vec_id") < 50).select("vec_id", "embedding")
+    val base = Files.createTempDirectory("graft-ivf-retain").toString
+    def vPath(b: Long) = IvfIndex.snapshotPath(base, s"v$b")
+    val boot = IvfIndex.snapshotPath(base, "boot")
+    val cents0 = Similarity.trainCentroids(corpus, "vec_id", "embedding", 4)
+    IvfIndex.write(corpus, "vec_id", "embedding", cents0, boot)
+    val (prof0, rel0) = DriftGate.embeddingProfile(
+      spark.read.parquet(s"$boot/corpus"), "embedding")
+    val handle = new AtomicReference(
+      IvfIndex.Resident(boot, cents0, prof0, rel0))
+    def batchAt(idOff: Long) = emb
+      .filter(col("vec_id") >= 50 && col("vec_id") < 80)
+      .select((col("vec_id") + lit(idOff)).as("vec_id"), col("embedding"))
+    def maintain(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      EventTimeOps.ivfMaintainOnce(df, id, "vec_id", "embedding", handle,
+        driftThreshold = 0.0, pathForVersion = vPath, // every batch retrains
+        k = 4, refineIters = 1, retainIn = Some((base, 2)),
+        onBatch = (_, _, _) => ())
+
+    maintain(batchAt(1000L), 1L)
+    // the swap happened, but the SUPERSEDED version still stands —
+    // a prober that resolved the handle pre-swap finishes against a
+    // complete index instead of racing a delete
+    assert(handle.get().path == vPath(1L))
+    assert(IvfIndex.isComplete(spark, boot),
+      "keep-2 must retain the superseded bootstrap index")
+    assert(spark.read.parquet(s"$boot/corpus").count() == 50L)
+
+    maintain(batchAt(2000L), 3L)
+    // a second retrain ages the bootstrap out of keep-2; the
+    // immediately-prior version (what in-flight probers may hold)
+    // is still complete
+    assert(handle.get().path == vPath(3L))
+    assert(!new java.io.File(boot).exists(), "bootstrap must age out")
+    assert(IvfIndex.isComplete(spark, vPath(1L)))
+    assert(IvfIndex.isComplete(spark, vPath(3L)))
+    handle.get().releaseProfile()
+    org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(base), true)
+    ()
   }
 
   test("streaming funnel emits per-user summaries after idle timeout") {
