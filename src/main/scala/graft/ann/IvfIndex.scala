@@ -164,7 +164,16 @@ object IvfIndex {
     * (one assignment pass — K plan-constant dots per row, no shuffle;
     * the write's only exchange is the partitioned output itself). */
   def write(corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: Seq[Array[Double]], path: String): Unit = {
+      centroids: Seq[Array[Double]], path: String): Unit =
+    // the build verb rewrites both halves — same per-root lease as
+    // every maintenance entry point (re-entrant under ensure and the
+    // retrain loop's thread), so racing writers fail fast
+    graft.sources.Lease.withLease(corpus.sparkSession, path) {
+      writeUnguarded(corpus, idCol, vecCol, centroids, path)
+    }
+
+  private def writeUnguarded(corpus: DataFrame, idCol: String,
+      vecCol: String, centroids: Seq[Array[Double]], path: String): Unit = {
     require(centroids.nonEmpty, "IvfIndex.write needs at least one centroid")
     val spark = corpus.sparkSession
     import spark.implicits._

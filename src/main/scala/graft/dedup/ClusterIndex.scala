@@ -88,25 +88,29 @@ object ClusterIndex {
   /** Resolve-side write: the base corpus snapshot's (doc_id, cluster)
     * labels, plus an EMPTY relabel table (schema materialized so
     * [[open]] never special-cases a fresh index). */
-  def write(assignments: DataFrame, path: String): Unit = {
-    // when rewriting over a prior table, drop the OLD relabel chain
-    // first: the two overwrites below are not atomic together, and a
-    // crash between them must leave [[open]] failing fast (relabel dir
-    // missing — re-run write to heal), never silently composing the
-    // stale chain over the fresh labels
-    val relabel = new org.apache.hadoop.fs.Path(s"$path/relabel")
-    relabel.getFileSystem(
-      assignments.sparkSession.sparkContext.hadoopConfiguration)
-      .delete(relabel, true)
-    assignments.select(col("doc_id"), col("cluster"))
-      .withColumn("__batch", lit(BaseBatch))
-      .sortWithinPartitions("doc_id")
-      .write.mode("overwrite").partitionBy("__batch")
-      .parquet(s"$path/assignments")
-    emptyRelabel(assignments.sparkSession)
-      .write.mode("overwrite").partitionBy("__batch")
-      .parquet(s"$path/relabel")
-  }
+  def write(assignments: DataFrame, path: String): Unit =
+    // the build verb rewrites the whole table — same per-root lease
+    // as every maintenance entry point (re-entrant under a composed
+    // caller), so a resolve racing a fold loop fails fast
+    graft.sources.Lease.withLease(assignments.sparkSession, path) {
+      // when rewriting over a prior table, drop the OLD relabel chain
+      // first: the two overwrites below are not atomic together, and a
+      // crash between them must leave [[open]] failing fast (relabel
+      // dir missing — re-run write to heal), never silently composing
+      // the stale chain over the fresh labels
+      val relabel = new org.apache.hadoop.fs.Path(s"$path/relabel")
+      relabel.getFileSystem(
+        assignments.sparkSession.sparkContext.hadoopConfiguration)
+        .delete(relabel, true)
+      assignments.select(col("doc_id"), col("cluster"))
+        .withColumn("__batch", lit(BaseBatch))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").partitionBy("__batch")
+        .parquet(s"$path/assignments")
+      emptyRelabel(assignments.sparkSession)
+        .write.mode("overwrite").partitionBy("__batch")
+        .parquet(s"$path/relabel")
+    }
 
   private def emptyRelabel(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -61,21 +61,33 @@ object CuratedCorpus {
     * must not forget the keepers the split withheld from `docs`. The
     * keeper set is checkpointed once — init is the rare whole-corpus
     * pass, and the two writes below must not each re-run it. */
-  def init(docs: DataFrame, path: String): Unit = {
-    delete(docs.sparkSession, path)
-    val kept = PipelineQueries.curatedKeptDocs(docs)
-      .withColumn("h", Dedup.exactHash(col("text")))
-      .localCheckpoint(true)
-    withCounts(kept.where(trainSplit))
-      .withColumn("__batch", lit(BaseBatch))
-      .sortWithinPartitions("doc_id")
-      .write.mode("overwrite").partitionBy("__batch")
-      .parquet(s"$path/docs")
-    kept.select(col("h")).distinct()
-      .withColumn("__batch", lit(BaseBatch))
-      .write.mode("overwrite").partitionBy("__batch")
-      .parquet(s"$path/hashes")
-  }
+  def init(docs: DataFrame, path: String): Unit =
+    // the build verb is as destructive as a compact (delete + two
+    // rewrites) — same per-root lease as every maintenance entry
+    // point, so racing an init against a fold loop fails fast
+    graft.sources.Lease.withLease(docs.sparkSession, path) {
+      // clean slate WITHOUT dropping the root (the held lease lives
+      // there): table dirs, the persisted watermark, and any staged
+      // or retired compaction state
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
+      Seq("docs", "hashes", WatermarkFile, ".compact",
+        ".old_docs", ".old_hashes")
+        .foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
+      val kept = PipelineQueries.curatedKeptDocs(docs)
+        .withColumn("h", Dedup.exactHash(col("text")))
+        .localCheckpoint(true)
+      withCounts(kept.where(trainSplit))
+        .withColumn("__batch", lit(BaseBatch))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").partitionBy("__batch")
+        .parquet(s"$path/docs")
+      kept.select(col("h")).distinct()
+        .withColumn("__batch", lit(BaseBatch))
+        .write.mode("overwrite").partitionBy("__batch")
+        .parquet(s"$path/hashes")
+    }
 
   private def trainSplit: org.apache.spark.sql.Column =
     PipelineQueries.trainSplit

@@ -376,6 +376,57 @@ class EventTimeSpec extends SparkSpec {
     ClusterIndex.delete(spark, path)
   }
 
+  test("clusterFoldStream restart: a standing-corpus index covers folded docs; replay converges") {
+    import graft.dedup.{ClusterIndex, Clusters, Dedup}
+    import spark.implicits._
+    val A = "alpha beta gamma delta epsilon zeta eta theta"
+    val B = "one two three four five six seven eight"
+    val D = "new dog cat fish bird horse cow sheep"
+    val corpus = Seq((1L, A), (2L, B)).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-clusterrestart").toString + "/idx"
+    def resolveAll(docs: org.apache.spark.sql.DataFrame) =
+      Clusters.resolve(docs, "doc_id",
+        Dedup.nearDupPairs(docs, "doc_id", "text", 0.9)
+          .select("doc_a", "doc_b"), "doc_a", "doc_b")
+        .select("doc_id", "cluster")
+    ClusterIndex.write(resolveAll(corpus), path)
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+
+    def runStream(indexCorpus: org.apache.spark.sql.DataFrame,
+        batches: Seq[Seq[Row]]): Unit = {
+      val mem = MemoryStream[Row](enc, spark)
+      val (writer, release) = EventTimeOps.clusterFoldStream(
+        mem.toDF(), "doc_id", "text", indexCorpus, path,
+        threshold = 0.9) { (_, _, _) => () }
+      val q = writer.start()
+      try batches.foreach { rows =>
+        mem.addData(rows: _*); q.processAllAvailable()
+      } finally { q.stop(); release() }
+    }
+    // session 1 folds batch 0 (new content D), then dies
+    runStream(corpus, Seq(Seq(Row(10L, D))))
+    // RESTART: resident state is gone. The documented recovery —
+    // build the index over the STANDING corpus (which the folds also
+    // landed in, i.e. CuratedCorpus.open in production) — plus the
+    // crash-window redelivery of batch 0 under its own id, then new
+    // batch 1 whose content near-dups the SESSION-1 fold
+    val standing = corpus.unionByName(Seq((10L, D)).toDF("doc_id", "text"))
+    runStream(standing, Seq(Seq(Row(10L, D)), Seq(Row(20L, D))))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "cluster").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = asMap(ClusterIndex.open(spark, path))
+    assert(got == Map(1L -> 1L, 2L -> 2L, 10L -> 10L, 20L -> 10L),
+      s"cross-SESSION near-dup must merge: $got")
+    assert(ClusterIndex.open(spark, path).count() == 4L,
+      "the replayed batch must not duplicate rows across the restart")
+    assert(got == asMap(resolveAll(
+      standing.unionByName(Seq((20L, D)).toDF("doc_id", "text")))))
+    ClusterIndex.delete(spark, path)
+  }
+
   test("streaming IVF append: probes see each appended batch; ≡ full rewrite") {
     import java.nio.file.Files
     import graft.ann.{IvfIndex, Similarity}
