@@ -790,6 +790,31 @@ object Dedup {
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))
   }
 
+  /** [[probeFromSignatures]] against an AT-REST signature table
+    * ([[SignatureIndex.open]]) instead of the session-RAM index: the
+    * candidate step reads only the stored fixed-width signatures (no
+    * corpus text touched, nothing re-signed — the restart economy the
+    * at-rest table exists for), and the exact-Jaccard verify joins
+    * only the CANDIDATES' ids back onto the corpus text and shingles
+    * those rows alone. `corpusText` must cover every id the signature
+    * table holds (the standing corpus the folds also land in — e.g.
+    * `CuratedCorpus.open`): a missing id silently drops its candidate
+    * pairs (inner join). Output and verdicts are identical to the
+    * in-RAM probe (SignatureIndexSpec pins equality). */
+  def probeAtRestSignatures(batchSig: DataFrame, atRestSigs: DataFrame,
+      corpusText: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val idx = atRestSigs.select(col("doc_id").as("corpus_id"), col("sig"))
+    val cand = bandCandidates(batchSig, "batch_id", Some((idx, "corpus_id")))
+    cand
+      .join(batchSig.select(col("batch_id"), col("sh_batch")), "batch_id")
+      .join(corpusText.select(col(idCol).as("corpus_id"),
+        shingles(col(textCol)).as("sh_corpus")), "corpus_id")
+      .withColumn("jaccard", jaccard(col("sh_batch"), col("sh_corpus")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /**
    * INCREMENTAL exact dedup — the production shape: dedup an incoming
    * batch against the corpus already ingested WITHOUT re-deduping the

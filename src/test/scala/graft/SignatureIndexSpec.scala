@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{ClusterIndex, Clusters, Dedup, DedupQueries, SignatureIndex}
+
+/** The at-rest signature table: probing it must equal probing the
+  * session-RAM band index (same candidates, same verdicts), folds
+  * must be replay-idempotent and settle-only compactable, and the
+  * composed cross-session loop — probe, fold edges, fold signatures,
+  * then a LATER session probes the folded content — must work with
+  * nothing re-signed. */
+class SignatureIndexSpec extends SparkSpec {
+
+  private val Src = "/root/testdata/sf0.001"
+  private val T = DedupQueries.IncrementalFuzzyThreshold
+
+  private def fixtureRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-sigidx").toString
+
+  private def pairs(df: DataFrame): Set[(Long, Long, Double)] =
+    df.select("batch_id", "corpus_id", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("at-rest probe ≡ the session-RAM index probe, before and after compaction") {
+    val docs = Tables(spark, Src, "documents")
+    val bucket = graft.text.TextAnalysis.charFingerprint(col("text")) % 100
+    val corpus = docs.filter(bucket < 80)
+    val batch = docs.filter(bucket >= 80)
+    val (corpusIdx, relIdx) = Dedup.corpusNearDupIndex(corpus, "doc_id", "text")
+    val (batchSig, relSig) = Dedup.batchSignatures(batch, "doc_id", "text")
+    val path = fixtureRoot() + "/sigs"
+    try {
+      val inRam = pairs(Dedup.probeFromSignatures(batchSig, corpusIdx, T))
+      assert(inRam.nonEmpty, "fixture needs cross-probe matches")
+      SignatureIndex.write(corpus, "doc_id", "text", path)
+      def atRest(s: org.apache.spark.sql.SparkSession) =
+        pairs(Dedup.probeAtRestSignatures(batchSig,
+          SignatureIndex.open(s, path), corpus, "doc_id", "text", T))
+      assert(atRest(spark) == inRam)
+      // a second session probes the same table — nothing re-signed
+      assert(atRest(spark.newSession()) == inRam)
+      // folds land batch-sized partitions; replay overwrites its own
+      val half = batch.filter(col("doc_id") % 2 === 0)
+      SignatureIndex.foldBatch(path, half, "doc_id", "text", 0L)
+      val rows = SignatureIndex.open(spark, path).count()
+      SignatureIndex.foldBatch(path, half, "doc_id", "text", 0L)
+      assert(SignatureIndex.open(spark, path).count() == rows,
+        "replayed fold duplicated signature rows")
+      // settled-only compaction: fold 0 bakes in, probe unchanged
+      assert(SignatureIndex.foldCount(spark, path) == 1)
+      assert(SignatureIndex.maintainThrough(spark, path, maxFolds = 1,
+        throughBatch = 0L))
+      assert(SignatureIndex.foldCount(spark, path) == 0)
+      assert(SignatureIndex.open(spark, path).count() == rows)
+      // the folded half now answers probes too (it is part of the
+      // standing content) — and the original corpus-only pairs are
+      // still produced verbatim
+      val after = pairs(Dedup.probeAtRestSignatures(batchSig,
+        SignatureIndex.open(spark, path),
+        corpus.unionByName(half), "doc_id", "text", T))
+      assert(inRam.subsetOf(after))
+    } finally {
+      relIdx(); relSig()
+      SignatureIndex.delete(spark, path)
+    }
+  }
+
+  test("cross-session fold loop: a later session sees folded content without re-signing") {
+    import spark.implicits._
+    val A = "alpha beta gamma delta epsilon zeta eta theta"
+    val B = "one two three four five six seven eight"
+    val D = "new dog cat fish bird horse cow sheep"
+    val corpus = Seq((1L, A), (2L, B)).toDF("doc_id", "text")
+    val root = fixtureRoot()
+    val sigs = s"$root/sigs"
+    val clusters = s"$root/clusters"
+    try {
+      SignatureIndex.write(corpus, "doc_id", "text", sigs)
+      ClusterIndex.write(
+        Clusters.resolve(corpus, "doc_id",
+          Dedup.nearDupPairs(corpus, "doc_id", "text", 0.9)
+            .select("doc_a", "doc_b"), "doc_a", "doc_b")
+          .select("doc_id", "cluster"), clusters)
+      // SESSION 1: batch 0 brings NEW content D — no matches, folds
+      // its docs into the cluster table and its sigs into the index
+      val b0 = Seq((10L, D)).toDF("doc_id", "text")
+      val (sig0, rel0) = Dedup.batchSignatures(b0, "doc_id", "text")
+      val e0 = Dedup.probeAtRestSignatures(sig0,
+        SignatureIndex.open(spark, sigs), corpus, "doc_id", "text", 0.9)
+      ClusterIndex.foldBatch(clusters, b0, "doc_id",
+        e0.select(col("batch_id").as("doc_a"), col("corpus_id").as("doc_b")),
+        "doc_a", "doc_b", 0L)
+      SignatureIndex.foldBatch(sigs, b0, "doc_id", "text", 0L)
+      rel0()
+
+      // SESSION 2 (fresh session, no RAM state): batch 1 duplicates
+      // SESSION 1's content. Its match comes from the AT-REST
+      // signatures — the standing corpus text is only consulted for
+      // the candidate's verify join, nothing is re-signed.
+      val s2 = spark.newSession()
+      import s2.implicits._
+      val standingText = Seq((1L, A), (2L, B), (10L, D))
+        .toDF("doc_id", "text")
+      val b1 = Seq((20L, D)).toDF("doc_id", "text")
+      val (sig1, rel1) = Dedup.batchSignatures(b1, "doc_id", "text")
+      val e1 = Dedup.probeAtRestSignatures(sig1,
+        SignatureIndex.open(s2, sigs), standingText, "doc_id", "text", 0.9)
+      assert(pairs(e1).map(p => (p._1, p._2)) == Set((20L, 10L)),
+        "the cross-session near-dup must surface from the at-rest sigs")
+      ClusterIndex.foldBatch(clusters, b1, "doc_id",
+        e1.select(col("batch_id").as("doc_a"), col("corpus_id").as("doc_b")),
+        "doc_a", "doc_b", 1L)
+      SignatureIndex.foldBatch(sigs, b1, "doc_id", "text", 1L)
+      rel1()
+      val got = ClusterIndex.open(s2, clusters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 1L, 2L -> 2L, 10L -> 10L, 20L -> 10L))
+    } finally {
+      SignatureIndex.delete(spark, sigs)
+      ClusterIndex.delete(spark, clusters)
+    }
+  }
+}
