@@ -102,6 +102,24 @@ object CuratedCorpus {
    * earlier ones (see class doc).
    */
   def foldBatch(path: String, batchDocs: DataFrame, batchId: Long): Unit = {
+    foldBatchReturning(path, batchDocs, batchId)
+    ()
+  }
+
+  /** [[foldBatch]] that RETURNS the batch's landed TRAIN survivors —
+    * (doc_id, source, n_tokens, text), exactly the rows the fold
+    * wrote to `docs/__batch=batchId`. This is the seam the composed
+    * accept router needs: the sibling standing indexes (signatures,
+    * cluster assignments) must index exactly the CURATED documents,
+    * and the survivor set is only known inside the fold (quality
+    * rules + hash probe + train split). The frame is checkpointed, so
+    * downstream folds read a pinned view, not a replan. On REPLAY the
+    * same survivors re-derive (the fold's own contract), so
+    * downstream folds keyed by the same batch id stay idempotent; a
+    * replay of an ALREADY-COMPACTED batch returns empty, and empty
+    * dynamic overwrites downstream touch nothing. */
+  def foldBatchReturning(path: String, batchDocs: DataFrame,
+      batchId: Long): DataFrame = {
     require(batchId != BaseBatch && batchId >= 0,
       s"fold batch ids must be ≥ 0 (got $batchId; $BaseBatch is the base)")
     // heal a crashed compact swap BEFORE writing: a fold that runs
@@ -112,7 +130,8 @@ object CuratedCorpus {
     recoverSwap(batchDocs.sparkSession, path)
     val fresh = freshRows(path, batchDocs, batchId)
       .localCheckpoint(true) // both writes below; lineage reads the target dir
-    withCounts(fresh.where(trainSplit))
+    val train = withCounts(fresh.where(trainSplit))
+    train
       .withColumn("__batch", lit(batchId))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite")
@@ -125,6 +144,7 @@ object CuratedCorpus {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch")
       .parquet(s"$path/hashes")
+    train
   }
 
   /** The fold's survivor set BEFORE it lands: curate the batch, then

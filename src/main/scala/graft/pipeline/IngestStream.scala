@@ -192,6 +192,66 @@ object IngestStream {
   }
 
   /**
+   * The FULLY-INDEXED accept router — [[acceptIntoCorpus]] plus the
+   * sibling standing indexes, kept in LOCKSTEP with the corpus: fold
+   * the passing batch into the curated table, then index EXACTLY the
+   * landed TRAIN survivors — their minhash signatures into the
+   * at-rest [[graft.dedup.SignatureIndex]] and their near-dup cluster
+   * labels into the [[graft.dedup.ClusterIndex]] (edges =
+   * within-survivor banded pairs + probes of the at-rest signatures,
+   * text-verified against the standing corpus). Documents curation
+   * drops never enter any index, so every index answers for the
+   * curated corpus and nothing else.
+   *
+   * Replay: the fold re-derives the same survivors (CuratedCorpus's
+   * contract), so the downstream folds — keyed by the same batch
+   * id — overwrite their own partitions; a replayed
+   * ALREADY-COMPACTED batch's survivors are empty and the empty
+   * overwrites touch nothing. The probe seeing the batch's own
+   * prior signatures on replay only adds self/within-batch edges,
+   * which resolve to the same labels. Bootstrap: the three tables
+   * must exist (init / [[graft.dedup.SignatureIndex.write]] /
+   * [[graft.dedup.ClusterIndex.write]] over the curated snapshot —
+   * the per-snapshot builds).
+   *
+   * `maintainEvery` drives all three cadences: corpus compaction
+   * (replay-safe mid-stream) and the two indexes' settled-only
+   * `maintainThrough(batchId − 1)`.
+   *
+   * @return true iff any of the three maintenance cadences compacted
+   */
+  def acceptIntoCorpusIndexed(batch: DataFrame, report: BatchReport,
+      corpusPath: String, sigPath: String, clusterPath: String,
+      threshold: Double, maintainEvery: Option[Int] = None): Boolean = {
+    import graft.dedup.{ClusterIndex, SignatureIndex}
+    val spark = batch.sparkSession
+    val survivors = CuratedCorpus.foldBatchReturning(
+      corpusPath, batch, report.batchId)
+    val (sig, releaseSig) = Dedup.batchSignatures(survivors, "doc_id", "text")
+    try {
+      val within = Dedup.pairsFromSignatures(sig, "batch_id", "sh_batch",
+          threshold)
+        .select(col("doc_a"), col("doc_b"))
+      val cross = Dedup.probeAtRestSignatures(sig,
+          SignatureIndex.open(spark, sigPath),
+          CuratedCorpus.open(spark, corpusPath), "doc_id", "text", threshold)
+        .select(col("batch_id").as("doc_a"), col("corpus_id").as("doc_b"))
+      ClusterIndex.foldBatch(clusterPath, survivors, "doc_id",
+        within.unionByName(cross), "doc_a", "doc_b", report.batchId)
+      SignatureIndex.foldBatch(sigPath, survivors, "doc_id", "text",
+        report.batchId)
+    } finally releaseSig()
+    val compactedCorpus = maintainEvery.exists(
+      CuratedCorpus.maintain(spark, corpusPath, _))
+    val compactedSig = maintainEvery.exists(d =>
+      SignatureIndex.maintainThrough(spark, sigPath, d, report.batchId - 1))
+    val compactedCluster = maintainEvery.exists(d =>
+      ClusterIndex.maintainThrough(spark, clusterPath, d,
+        report.batchId - 1))
+    compactedCorpus | compactedSig | compactedCluster
+  }
+
+  /**
    * Turnkey quarantine router: append a failing batch to
    * `quarantineDir` as parquet, stamped with the batch id and a
    * machine-readable reason, so triage reads one table instead of

@@ -319,6 +319,82 @@ class IngestStreamSpec extends SparkSpec {
     } finally CuratedCorpus.delete(spark, cc)
   }
 
+  test("indexed accept router keeps corpus, signature, and cluster tables in lockstep") {
+    import graft.dedup.{ClusterIndex, Clusters, Dedup, DedupQueries, SignatureIndex}
+    import graft.pipeline.{CuratedCorpus, PipelineQueries}
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    val (t1, t2) = (mx * 8 / 10, mx * 9 / 10)
+    val (base, b1, b2) = (
+      docs.where(col("doc_id") < t1),
+      docs.where(col("doc_id") >= t1 && col("doc_id") < t2),
+      docs.where(col("doc_id") >= t2))
+    val T = DedupQueries.IncrementalFuzzyThreshold
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-indexed-accept").toString
+    val (cc, sigs, clusters) = (s"$root/cc", s"$root/sigs", s"$root/clusters")
+    try {
+      // per-snapshot bootstrap: curated base + both indexes over it
+      CuratedCorpus.init(base, cc)
+      val curatedBase = CuratedCorpus.open(spark, cc)
+      SignatureIndex.write(curatedBase, "doc_id", "text", sigs)
+      ClusterIndex.write(
+        Clusters.resolve(curatedBase, "doc_id",
+          Dedup.nearDupPairs(curatedBase, "doc_id", "text", T)
+            .select("doc_a", "doc_b"), "doc_a", "doc_b")
+          .select("doc_id", "cluster"), clusters)
+
+      def accept(b: org.apache.spark.sql.DataFrame, id: Long): Boolean =
+        IngestStream.acceptIntoCorpusIndexed(b,
+          IngestStream.BatchReport(id, b.count(), Nil, 0.0, 0L), cc, sigs,
+          clusters, T, maintainEvery = Some(1))
+      // dial 1: the corpus compacts every batch (replay-safe); the
+      // indexes compact their SETTLED folds — at batch 1 that is
+      // exactly fold 0, the settled-only discipline mid-loop
+      assert(accept(b1, 0L))
+      val compacted = accept(b2, 1L)
+
+      // LOCKSTEP: each index covers exactly the curated corpus's ids
+      val corpusIds = CuratedCorpus.open(spark, cc)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(corpusIds.nonEmpty)
+      assert(SignatureIndex.open(spark, sigs)
+        .select("doc_id").collect().map(_.getLong(0)).toSet == corpusIds)
+      val got = ClusterIndex.open(spark, clusters).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.keySet == corpusIds)
+      // labels ≡ the from-scratch resolve over the curated union
+      val curatedAll = PipelineQueries.curatedTrainDocs(docs)
+      val want = Clusters.resolve(curatedAll, "doc_id",
+          Dedup.nearDupPairs(curatedAll, "doc_id", "text", T)
+            .select("doc_a", "doc_b"), "doc_a", "doc_b")
+        .select("doc_id", "cluster").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want)
+      // the shared dial compacted: corpus fully, the indexes through
+      // their settled fold (batch 1's own partitions must stand —
+      // it can still replay)
+      assert(compacted)
+      assert(CuratedCorpus.foldCount(spark, cc) == 0)
+      assert(SignatureIndex.foldCount(spark, sigs) == 1)
+      assert(ClusterIndex.foldCount(spark, clusters) == 1)
+
+      // replay of the last batch: survivors re-derive (or dedup to
+      // zero post-compaction) and every table is unchanged
+      val sigRows = SignatureIndex.open(spark, sigs).count()
+      assert(!accept(b2, 1L))
+      assert(CuratedCorpus.open(spark, cc)
+        .select("doc_id").collect().map(_.getLong(0)).toSet == corpusIds)
+      assert(SignatureIndex.open(spark, sigs).count() == sigRows)
+      assert(ClusterIndex.open(spark, clusters).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap == got)
+    } finally {
+      CuratedCorpus.delete(spark, cc)
+      SignatureIndex.delete(spark, sigs)
+      ClusterIndex.delete(spark, clusters)
+    }
+  }
+
   test("quarantine refuses a batch that already carries stamps") {
     val stamped = Seq((1L, "x", 9L, "old")).toDF(
       "doc_id", "text", "__batch_id", "__reason")
