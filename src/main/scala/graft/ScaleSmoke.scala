@@ -305,12 +305,14 @@ object ScaleSmoke {
    * THE COMPOSED PRODUCTION LOOP at 10×, maintenance firing
    * MID-STREAM — the steady state every standing-structure scaladoc
    * promises, run as one loop with nothing hand-cranked: a gated
-   * stream (dq + capped drift + near-dup probe) whose accept router
-   * folds each passing batch into the standing curated corpus with
-   * the compaction dial set (`acceptIntoCorpus(maintainEvery = 3)` —
-   * compactions fire INSIDE the loop) and then runs the release
-   * cadence (`maintainFromCorpus(everyBatches = 2, keep = 2)` —
-   * versions cut and pruned INSIDE the loop).
+   * stream (dq + capped drift + near-dup probe) whose INDEXED accept
+   * router folds each passing batch into the standing curated corpus
+   * AND its sibling indexes — at-rest signatures and cluster labels
+   * over exactly the curation survivors — with one compaction dial
+   * (`acceptIntoCorpusIndexed(maintainEvery = 3)` — corpus and
+   * settled-index compactions fire INSIDE the loop) and then runs
+   * the release cadence (`maintainFromCorpus(everyBatches = 2,
+   * keep = 2)` — versions cut and pruned INSIDE the loop).
    *
    * Enforced claims, all on load-immune byte/row metrics:
    *  - every fold lands batch-proportional bytes (≪ the init
@@ -321,7 +323,9 @@ object ScaleSmoke {
    *  - committed versions stay budget-bounded in a narrow size band
    *    across cuts;
    *  - the loop's final corpus equals the from-scratch curation of
-   *    everything it saw (count), across compactions and cuts.
+   *    everything it saw (count), across compactions and cuts;
+   *  - the signature and cluster tables stay in ID LOCKSTEP with the
+   *    corpus across every maintenance boundary.
    */
   def composedLoopSmoke(spark: SparkSession): Unit = {
     import org.apache.spark.sql.Row
@@ -336,11 +340,25 @@ object ScaleSmoke {
     val half = mx / 2
     val corpus = docs.where(col("doc_id") < half)
     val cc = s"$OutDir/loop_corpus"
+    val sigs = s"$OutDir/loop_sigs"
+    val clusters = s"$OutDir/loop_clusters"
     val root = s"$OutDir/loop_release"
     CuratedCorpus.delete(spark, cc)
+    graft.dedup.SignatureIndex.delete(spark, sigs)
+    graft.dedup.ClusterIndex.delete(spark, clusters)
     Release.delete(spark, root)
     val ti = System.nanoTime()
     CuratedCorpus.init(corpus, cc)
+    // per-snapshot index bootstrap over the curated base — the rare
+    // whole-corpus pass the folds amortize away
+    val curatedBase = CuratedCorpus.open(spark, cc)
+    graft.dedup.SignatureIndex.write(curatedBase, "doc_id", "text", sigs)
+    graft.dedup.ClusterIndex.write(
+      graft.dedup.Clusters.resolve(curatedBase, "doc_id",
+        graft.dedup.Dedup.nearDupPairs(curatedBase, "doc_id", "text",
+          graft.dedup.DedupQueries.LshPairsThreshold)
+          .select("doc_a", "doc_b"), "doc_a", "doc_b")
+        .select("doc_id", "cluster"), clusters)
     val initSec = (System.nanoTime() - ti) / 1e9
     val initBytes = dirBytes(s"$cc/docs/__batch=-1")
 
@@ -369,12 +387,16 @@ object ScaleSmoke {
       threshold = 0.5, cappedDriftK = Some(512)) { (batch, report) =>
       require(report.dqPass, s"clean batch ${report.batchId} failed dq")
       val t0 = System.nanoTime()
-      val compacted = IngestStream.acceptIntoCorpus(batch, report, cc,
+      val compacted = IngestStream.acceptIntoCorpusIndexed(batch, report,
+        cc, sigs, clusters, graft.dedup.DedupQueries.LshPairsThreshold,
         maintainEvery = Some(3))
       val foldsAfter = CuratedCorpus.foldCount(spark, cc)
-      val foldBytes =
-        if (compacted) -1L
-        else dirBytes(s"$cc/docs/__batch=${report.batchId}")
+      // measure the batch's own docs partition if it still stands —
+      // an INDEX compaction (also reported via `compacted`) must not
+      // hide the corpus fold's byte metric; only the corpus
+      // compaction folding the partition away does (bytes = 0)
+      val fb = dirBytes(s"$cc/docs/__batch=${report.batchId}")
+      val foldBytes = if (fb == 0) -1L else fb
       val cut = Release.maintainFromCorpus(spark, cc, root, Release.Seed,
         Release.Budget, shards = 16, everyBatches = 2, keep = 2)
       val sec = (System.nanoTime() - t0) / 1e9
@@ -429,8 +451,21 @@ object ScaleSmoke {
     val want = PipelineQueries.curatedTrainDocs(docs).count()
     require(got == want,
       s"loop corpus holds $got rows; from-scratch curation holds $want")
+    // and the sibling indexes stayed in ID LOCKSTEP with the corpus
+    // across every compaction and cut
+    val corpusIds = CuratedCorpus.open(spark, cc)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sigIds = graft.dedup.SignatureIndex.open(spark, sigs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val clusterIds = graft.dedup.ClusterIndex.open(spark, clusters)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    require(sigIds == corpusIds,
+      s"signature index drifted: ${sigIds.size} vs ${corpusIds.size} ids")
+    require(clusterIds == corpusIds,
+      s"cluster index drifted: ${clusterIds.size} vs ${corpusIds.size} ids")
     println(f"[scale] loop steady state        compactions=$compactions " +
-      s"cuts=${versionsCut.mkString(",")} corpusRows=$got (≡ from-scratch)")
+      s"cuts=${versionsCut.mkString(",")} corpusRows=$got (≡ from-scratch; " +
+      "sig+cluster indexes in id lockstep)")
   }
 
   /**
