@@ -351,14 +351,8 @@ object ScaleSmoke {
     CuratedCorpus.init(corpus, cc)
     // per-snapshot index bootstrap over the curated base — the rare
     // whole-corpus pass the folds amortize away
-    val curatedBase = CuratedCorpus.open(spark, cc)
-    graft.dedup.SignatureIndex.write(curatedBase, "doc_id", "text", sigs)
-    graft.dedup.ClusterIndex.write(
-      graft.dedup.Clusters.resolve(curatedBase, "doc_id",
-        graft.dedup.Dedup.nearDupPairs(curatedBase, "doc_id", "text",
-          graft.dedup.DedupQueries.LshPairsThreshold)
-          .select("doc_a", "doc_b"), "doc_a", "doc_b")
-        .select("doc_id", "cluster"), clusters)
+    IngestStream.bootstrapIndexes(spark, cc, sigs, clusters,
+      graft.dedup.DedupQueries.LshPairsThreshold)
     val initSec = (System.nanoTime() - ti) / 1e9
     val initBytes = dirBytes(s"$cc/docs/__batch=-1")
 

@@ -177,6 +177,15 @@ object IvfIndex {
     require(centroids.nonEmpty, "IvfIndex.write needs at least one centroid")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // clear STALE COMPACTION STAGING before rewriting: a compact that
+    // crashed pre-swap leaves .compact + _SWAP behind, and the next
+    // append's recover would otherwise swap the pre-crash corpus in
+    // UNDER the new centroids — both markers standing, silently wrong
+    // cell pruning
+    val rootFs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq(".compact", ".old_corpus").foreach(d =>
+      rootFs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
     // invalidate FIRST when rewriting over a complete index: the two
     // overwrites below are not atomic together, and a crash between
     // them must leave the index reading as incomplete (so ensure()

@@ -93,15 +93,21 @@ object ClusterIndex {
     // as every maintenance entry point (re-entrant under a composed
     // caller), so a resolve racing a fold loop fails fast
     graft.sources.Lease.withLease(assignments.sparkSession, path) {
-      // when rewriting over a prior table, drop the OLD relabel chain
-      // first: the two overwrites below are not atomic together, and a
-      // crash between them must leave [[open]] failing fast (relabel
-      // dir missing — re-run write to heal), never silently composing
-      // the stale chain over the fresh labels
-      val relabel = new org.apache.hadoop.fs.Path(s"$path/relabel")
-      relabel.getFileSystem(
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
         assignments.sparkSession.sparkContext.hadoopConfiguration)
-        .delete(relabel, true)
+      // a rewrite must first clear any STALE COMPACTION STAGING: a
+      // compact that crashed pre-swap leaves .compact + _SWAP behind,
+      // and the next fold's recover would otherwise roll the
+      // pre-crash tables forward OVER the fresh resolve — silently
+      // resurrecting the old labels
+      Seq(".compact", ".old_assignments", ".old_relabel").foreach(d =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
+      // and drop the OLD relabel chain before the two overwrites: they
+      // are not atomic together, and a crash between them must leave
+      // [[open]] failing fast (relabel dir missing — re-run write to
+      // heal), never silently composing the stale chain over the
+      // fresh labels
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/relabel"), true)
       assignments.select(col("doc_id"), col("cluster"))
         .withColumn("__batch", lit(BaseBatch))
         .sortWithinPartitions("doc_id")

@@ -806,10 +806,16 @@ object Dedup {
       threshold: Double): DataFrame = {
     val idx = atRestSigs.select(col("doc_id").as("corpus_id"), col("sig"))
     val cand = bandCandidates(batchSig, "batch_id", Some((idx, "corpus_id")))
+    // join the candidates onto the RAW text first, then shingle the
+    // joined rows: shingling below the join would tokenize the whole
+    // corpus per probe — the exact cost the at-rest table amortizes
+    // away (and Catalyst never pushes a computed projection through
+    // a join, so the order here IS the plan order)
     cand
       .join(batchSig.select(col("batch_id"), col("sh_batch")), "batch_id")
       .join(corpusText.select(col(idCol).as("corpus_id"),
-        shingles(col(textCol)).as("sh_corpus")), "corpus_id")
+        col(textCol).as("__text")), "corpus_id")
+      .withColumn("sh_corpus", shingles(col("__text")))
       .withColumn("jaccard", jaccard(col("sh_batch"), col("sh_corpus")))
       .filter(col("jaccard") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("jaccard"))

@@ -70,13 +70,21 @@ object SignatureIndex {
     * bytes, replay-idempotent (dynamic overwrite keyed by the
     * stream's batch id; ids ≥ 0, distinct per batch). */
   def foldBatch(path: String, batchDocs: DataFrame, idCol: String,
-      textCol: String, batchId: Long): Unit = {
+      textCol: String, batchId: Long): Unit =
+    foldBatchSigned(path, signed(batchDocs, idCol, textCol), batchId)
+
+  /** [[foldBatch]] over ALREADY-COMPUTED signatures (doc_id, sig) —
+    * the face a router that signed the batch for its own probe uses,
+    * so the tokenize+shingle+digest work is paid once per batch, not
+    * once per consumer. */
+  def foldBatchSigned(path: String, batchSigs: DataFrame,
+      batchId: Long): Unit = {
     require(batchId != BaseBatch && batchId >= 0,
       s"fold batch ids must be ≥ 0 (got $batchId; $BaseBatch is the base)")
     // heal a crashed compact swap before writing (the shared
     // write-path preamble — see CuratedCorpus.foldBatch)
-    graft.sources.DirSwap.recover(batchDocs.sparkSession, path, SwapTables)
-    signed(batchDocs, idCol, textCol)
+    recoverSwap(batchSigs.sparkSession, path)
+    batchSigs.select(col("doc_id"), col("sig"))
       .withColumn("__batch", lit(batchId))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite")
@@ -84,6 +92,14 @@ object SignatureIndex {
       .partitionBy("__batch")
       .parquet(s"$path/sigs")
   }
+
+  /** Finish a crashed [[compactThrough]] swap — what a READER-FIRST
+    * consumer (a router that probes before it folds) must run before
+    * [[open]], or a crash inside the swap window leaves the live dir
+    * missing and every retry fails before the fold's own recovery
+    * can run. Safe on a healthy table (no-op). */
+  def recoverSwap(spark: SparkSession, path: String): Unit =
+    graft.sources.DirSwap.recover(spark, path, SwapTables)
 
   private def signed(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =

@@ -225,6 +225,11 @@ object IngestStream {
       threshold: Double, maintainEvery: Option[Int] = None): Boolean = {
     import graft.dedup.{ClusterIndex, SignatureIndex}
     val spark = batch.sparkSession
+    // the signature root is READ below before its own fold's recovery
+    // would run — heal a crashed compaction swap first, or a restart
+    // into the swap window fails on the missing live dir forever
+    // (the corpus and cluster roots recover inside their folds)
+    SignatureIndex.recoverSwap(spark, sigPath)
     val survivors = CuratedCorpus.foldBatchReturning(
       corpusPath, batch, report.batchId)
     val (sig, releaseSig) = Dedup.batchSignatures(survivors, "doc_id", "text")
@@ -238,7 +243,10 @@ object IngestStream {
         .select(col("batch_id").as("doc_a"), col("corpus_id").as("doc_b"))
       ClusterIndex.foldBatch(clusterPath, survivors, "doc_id",
         within.unionByName(cross), "doc_a", "doc_b", report.batchId)
-      SignatureIndex.foldBatch(sigPath, survivors, "doc_id", "text",
+      // the probe's signatures ARE the fold's rows — land them
+      // without re-signing the survivors
+      SignatureIndex.foldBatchSigned(sigPath,
+        sig.select(col("batch_id").as("doc_id"), col("sig")),
         report.batchId)
     } finally releaseSig()
     val compactedCorpus = maintainEvery.exists(
@@ -249,6 +257,28 @@ object IngestStream {
       ClusterIndex.maintainThrough(spark, clusterPath, d,
         report.batchId - 1))
     compactedCorpus | compactedSig | compactedCluster
+  }
+
+  /** [[acceptIntoCorpusIndexed]]'s PER-SNAPSHOT bootstrap, as one
+    * callable verb: given an initialized [[CuratedCorpus]], build the
+    * sibling signature and cluster tables over exactly its curated
+    * documents (the rare whole-corpus pass the per-batch folds then
+    * amortize away). The resolve's signature cache is released before
+    * returning — a bootstrap must not leave a corpus-sized frame
+    * pinned in block storage for the loop that follows. */
+  def bootstrapIndexes(spark: org.apache.spark.sql.SparkSession,
+      corpusPath: String, sigPath: String, clusterPath: String,
+      threshold: Double): Unit = {
+    import graft.dedup.{ClusterIndex, Clusters, SignatureIndex}
+    val curated = CuratedCorpus.open(spark, corpusPath)
+    SignatureIndex.write(curated, "doc_id", "text", sigPath)
+    val (pairs, release) = Dedup.nearDupPairsManaged(
+      curated, "doc_id", "text", threshold)
+    try ClusterIndex.write(
+      Clusters.resolve(curated, "doc_id",
+        pairs.select("doc_a", "doc_b"), "doc_a", "doc_b")
+        .select("doc_id", "cluster"), clusterPath)
+    finally release()
   }
 
   /**

@@ -421,7 +421,9 @@ object EventTimeOps {
    * the delete), the loop runs
    * [[graft.ann.IvfIndex.pruneSnapshots]](base, keep) so the last
    * `keep` committed versions stand and in-flight probers finish
-   * against a still-complete index. Requires `pathForVersion` (and
+   * against a still-complete index. `keep` must be ≥ 2 — keep 1
+   * would retire the just-superseded serving version immediately,
+   * which is `retainIn = None`'s job. Requires `pathForVersion` (and
    * the bootstrap path) to mint [[graft.ann.IvfIndex.snapshotPath]]
    * children of `base` — that is what the pruner enumerates.
    */
@@ -452,6 +454,14 @@ object EventTimeOps {
       onBatch: (Long, Double, String) => Unit): Unit = {
     import graft.ann.{IvfIndex, Similarity}
     import graft.pipeline.DriftGate
+    // keep = 1 would retain ONLY the new version — deleting the
+    // just-superseded serving index immediately, i.e. exactly the
+    // prober/delete race retained mode exists to close; callers who
+    // want delete-on-swap say so with retainIn = None
+    require(retainIn.forall(_._2 >= 2),
+      s"retainIn keep must be >= 2 (got $retainIn): keep = 1 deletes " +
+        "the just-superseded serving version — use retainIn = None " +
+        "for delete-on-swap")
     val cur = handle.get()
     if (batch.isEmpty) onBatch(batchId, 0.0, "empty")
     else {
@@ -632,8 +642,16 @@ object EventTimeOps {
     import graft.dedup.{ClusterIndex, Dedup}
     require(maintainEvery.forall(_ >= 1),
       s"maintainEvery must be >= 1, got $maintainEvery")
-    val resident = new java.util.concurrent.atomic.AtomicReference(
-      Dedup.corpusNearDupIndex(corpus, idCol, textCol))
+    // the corpus half of the resident index stays persisted for the
+    // whole session; each batch contributes a CHECKPOINTED leaf of
+    // its own size, lazily unioned in — re-checkpointing the whole
+    // extended index per batch would copy O(|corpus|) every batch in
+    // a loop whose point is batch-sized work (retired leaves are
+    // reclaimed by reference when the stream ends)
+    val (corpusIdx, releaseCorpus) =
+      Dedup.corpusNearDupIndex(corpus, idCol, textCol)
+    val resident =
+      new java.util.concurrent.atomic.AtomicReference[DataFrame](corpusIdx)
     val folded = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
     val writer = docs.writeStream
       .outputMode("append")
@@ -641,7 +659,7 @@ object EventTimeOps {
         batch.persist()
         try {
           val n = batch.count()
-          val (idx, releaseIdx) = resident.get()
+          val idx = resident.get()
           val (sig, releaseSig) = Dedup.batchSignatures(batch, idCol, textCol)
           try {
             val within = Dedup.pairsFromSignatures(sig, "batch_id",
@@ -654,14 +672,12 @@ object EventTimeOps {
               within.unionByName(cross), "doc_a", "doc_b", batchId)
             if (folded.add(batchId)) {
               // first delivery: the batch's signatures join the
-              // resident index; the checkpoint truncates the
-              // otherwise batch-deep union lineage
-              val extended = idx.unionByName(
-                sig.select(col("batch_id").as("corpus_id"),
-                  col("sh_batch").as("sh_corpus"), col("sig")))
+              // resident index as a batch-sized checkpointed leaf
+              val leaf = sig
+                .select(col("batch_id").as("corpus_id"),
+                  col("sh_batch").as("sh_corpus"), col("sig"))
                 .localCheckpoint(true)
-              resident.set((extended, () => { extended.unpersist(); () }))
-              releaseIdx()
+              resident.set(idx.unionByName(leaf))
             }
           } finally releaseSig()
           val compacted = maintainEvery.exists(dial =>
@@ -671,7 +687,7 @@ object EventTimeOps {
         } finally batch.unpersist()
         ()
       }
-    (writer, () => { resident.get()._2(); () })
+    (writer, releaseCorpus)
   }
 
   /**

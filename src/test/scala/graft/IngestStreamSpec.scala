@@ -336,13 +336,7 @@ class IngestStreamSpec extends SparkSpec {
     try {
       // per-snapshot bootstrap: curated base + both indexes over it
       CuratedCorpus.init(base, cc)
-      val curatedBase = CuratedCorpus.open(spark, cc)
-      SignatureIndex.write(curatedBase, "doc_id", "text", sigs)
-      ClusterIndex.write(
-        Clusters.resolve(curatedBase, "doc_id",
-          Dedup.nearDupPairs(curatedBase, "doc_id", "text", T)
-            .select("doc_a", "doc_b"), "doc_a", "doc_b")
-          .select("doc_id", "cluster"), clusters)
+      IngestStream.bootstrapIndexes(spark, cc, sigs, clusters, T)
 
       def accept(b: org.apache.spark.sql.DataFrame, id: Long): Boolean =
         IngestStream.acceptIntoCorpusIndexed(b,
