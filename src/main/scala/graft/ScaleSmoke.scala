@@ -60,6 +60,9 @@ object ScaleSmoke {
     embX.write.mode(SaveMode.Overwrite).parquet(s"$OutDir/embeddings.parquet")
     println(s"[scale] synthesized ${nDocs * Copies} docs / ${nVecs * Copies} vecs at $OutDir")
 
+    // fast lane for iterating on one smoke: `runMain graft.ScaleSmoke probe`
+    if (args.contains("probe")) { probeReadSmoke(spark); spark.stop(); return }
+
     val queries = Seq(
       "q_dedup_embed_cos", "q_dedup_lsh_pairs", "q_dedup_clusters",
       "q_dedup_ngram_jaccard", "q_ann_knn_graph", "q_text_pack",
@@ -299,6 +302,98 @@ object ScaleSmoke {
     shardedDealSmoke(spark)
     releaseSmoke(spark)
     composedLoopSmoke(spark)
+    probeReadSmoke(spark)
+  }
+
+  /**
+   * At-rest probe-read boundedness (the r11 scale finding): the
+   * [[graft.dedup.SignatureIndex.probe]] contract says per-batch
+   * reads are ∝ batch + matches, NOT corpus. Proof shape: probe the
+   * SAME batch against a 1× corpus and a 10× corpus whose growth is
+   * entirely NOVEL documents (so the matched set is identical at both
+   * scales — any read growth would be pure corpus-proportionality),
+   * and measure the probe's two reads by scan-operator output rows
+   * (load-immune, the LayoutSpec metric):
+   *  - the candidate scan of the band_key-sorted `bands` table —
+   *    page-granular skipping, so a fixed key set reads a fixed
+   *    number of small pages at any corpus size;
+   *  - the verify scan of the doc_id-sorted corpus text — file/
+   *    row-group-granular skipping, so a fixed candidate set reads a
+   *    fixed number of files when files stay corpus-proportional.
+   * Enforced: identical matches, both reads within 4× across the 10×
+   * growth, and both a small fraction of their 10× tables.
+   */
+  def probeReadSmoke(spark: SparkSession): Unit = {
+    import graft.dedup.{Dedup, SignatureIndex}
+    import graft.sources.{Layout, PointReads}
+    val base = spark.read.parquet(s"$OutDir/documents.parquet")
+      .select("doc_id", "text").where(length(trim(col("text"))) > 0)
+    val nBase = Tables(spark, "/root/testdata/sf0.1", "documents").count()
+    val corpus1 = base.where(col("doc_id") < nBase)
+    def soup(ids: org.apache.spark.sql.DataFrame, tag: String) =
+      ids.select((col("id") + lit(90000000L)).as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(11)), i =>
+          md5(concat(lit(tag), col("id").cast("string"), lit("_"),
+            i.cast("string")))), " ").as("text"))
+    // 10× growth = novel synthetic docs: they match nothing, so the
+    // probe's TRUE answer is scale-invariant by construction
+    val corpus10 = corpus1.unionByName(
+      soup(spark.range(9L * nBase).toDF("id"), "fill"))
+    // the batch: 6 novel docs + 2 verbatim near-dups of corpus docs
+    val dups = corpus1.orderBy("doc_id").limit(2)
+      .select((col("doc_id") + 91000000L).as("doc_id"), col("text"))
+    val batch = soup(spark.range(6).toDF("id"), "probe").unionByName(dups)
+    val (batchSig, relSig) = Dedup.batchSignatures(batch, "doc_id", "text")
+    try {
+      val keys = Dedup.bandRows(batchSig, "batch_id")
+        .select("band_key").distinct().collect().map(_.getString(0)).toSeq
+
+      def measure(tag: String, corpus: org.apache.spark.sql.DataFrame)
+          : (Long, Long, Long, Long, Long) = {
+        val root = s"$OutDir/probe_$tag"
+        SignatureIndex.delete(spark, root)
+        val idx = s"$root/idx"
+        val tp = s"$root/text"
+        SignatureIndex.write(corpus, "doc_id", "text", idx)
+        val rows = corpus.count()
+        // files corpus-proportional (constant rows per file), the
+        // CuratedCorpus discipline scaled down to smoke size
+        Layout.writeRangeSorted(corpus, "doc_id",
+          math.max(1L, rows / 700L).toInt, tp)
+        val text = spark.read.parquet(tp)
+        val t0 = System.nanoTime()
+        val matches = SignatureIndex.probe(batchSig, idx, text,
+          "doc_id", "text", 0.9).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val bands = SignatureIndex.openBands(spark, idx)
+        val bandTotal = bands.count()
+        val bandRead = Layout.scanOutputRows(
+          bands.filter(PointReads.keyedFilter(col("band_key"), keys)))
+        val candIds = bands
+          .filter(PointReads.keyedFilter(col("band_key"), keys))
+          .join(broadcast(Dedup.bandRows(batchSig, "batch_id")), "band_key")
+          .select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
+        val textRead = if (candIds.isEmpty) 0L else Layout.scanOutputRows(
+          text.filter(PointReads.keyedFilter(col("doc_id"), candIds)))
+        println(f"[scale] probe reads $tag%-4s        ${sec}%8.2f s  " +
+          f"matches=$matches bands=$bandRead/$bandTotal text=$textRead/$rows")
+        (matches, bandRead, bandTotal, textRead, rows)
+      }
+      val (m1, b1, _, t1, _) = measure("1x", corpus1)
+      val (m10, b10, bt10, t10, r10) = measure("10x", corpus10)
+      require(m10 == m1 && m1 >= 2,
+        s"matched set must be scale-invariant here: $m1 vs $m10")
+      require(b10 <= b1 * 4,
+        s"band read grew with the corpus: $b1 -> $b10 under 10x growth")
+      require(t10 <= math.max(t1, 1L) * 4,
+        s"text read grew with the corpus: $t1 -> $t10 under 10x growth")
+      require(b10 * 3 <= bt10,
+        s"band read $b10 of $bt10 rows is not a point read")
+      require(t10 * 3 <= r10,
+        s"text read $t10 of $r10 rows is not a point read")
+      println(s"[scale] probe reads flat under 10x novel growth " +
+        s"(bands $b1->$b10, text $t1->$t10, matches $m1)")
+    } finally relSig()
   }
 
   /**

@@ -208,7 +208,7 @@ object Dedup {
    * (empty sets), so drop them before banding. Lives here exactly
    * ONCE so no funnel variant can drift out of it.
    */
-  private def bandRows(sigFrame: DataFrame, idName: String): DataFrame =
+  private[graft] def bandRows(sigFrame: DataFrame, idName: String): DataFrame =
     sigFrame
       .filter(element_at(col("sig"), 1).isNotNull)
       .select(col(idName), explode(bandKeys(col("sig"))).as("band_key"))

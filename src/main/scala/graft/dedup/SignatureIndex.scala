@@ -18,21 +18,45 @@ import org.apache.spark.sql.functions._
  * batch-bounded, and a doc_id-sorted corpus layout or a runtime
  * bloom filter bounds the text read at cluster scale).
  *
- * Layout under `path`: `sigs/__batch=<b>/` with (doc_id, sig),
- * doc_id-sorted inside files; `__batch = -1` is the corpus snapshot,
- * each fold appends its own partition. Folds are REPLAY-IDEMPOTENT
- * (batch-keyed dynamic partition overwrite). Signatures are
- * per-document facts — duplicate rows would only waste candidate
- * work, never change a verdict (banding dedups candidates) — but
- * compaction still folds SETTLED batches only
- * ([[compactThrough]], the [[graft.ann.IvfIndex.compactThrough]]
- * discipline), so a replay after compaction overwrites its own
- * standing partition instead of re-landing beside base copies.
+ * Layout under `path`:
+ * {{{
+ *   sigs/__batch=<b>/   (doc_id, sig), doc_id-sorted inside files
+ *   bands/__batch=<b>/  (band_key, doc_id), band_key-sorted inside
+ *                       files, small pages — the PRE-EXPLODED LSH
+ *                       band rows of the same signatures
+ * }}}
+ * `__batch = -1` is the corpus snapshot, each fold appends its own
+ * partitions. Folds are REPLAY-IDEMPOTENT (batch-keyed dynamic
+ * partition overwrite). Signatures are per-document facts —
+ * duplicate rows would only waste candidate work, never change a
+ * verdict (banding dedups candidates) — but compaction still folds
+ * SETTLED batches only ([[compactThrough]], the
+ * [[graft.ann.IvfIndex.compactThrough]] discipline), so a replay
+ * after compaction overwrites its own standing partition instead of
+ * re-landing beside base copies.
  *
- * Probe equality with the in-RAM index and the composed
- * cross-session loop (probe → fold edges → fold signatures → a LATER
- * SESSION probes the folded content without re-signing anything) are
- * pinned in SignatureIndexSpec.
+ * ==Probe-read contract==
+ * [[probe]] reads `O(|batch|)` bytes per call, NOT `O(|corpus|)` —
+ * the bound every at-rest index probe here must honor (the
+ * embedding twin inherits it by construction):
+ *  - candidates come from the `bands` table via
+ *    [[graft.sources.PointReads.keyedFilter]] over the batch's
+ *    band keys — band_key-sorted small pages mean the scan reads
+ *    ≈ `|batch| · numBands · PageRowLimit` rows wherever no page
+ *    holds a probe key, independent of corpus size;
+ *  - the exact-Jaccard verify reads only the CANDIDATE ids' text:
+ *    candidate (batch_id, corpus_id) pairs are batch-bounded and
+ *    collected (capped), and the ids push the same point filter
+ *    into the corpus text scan, whose doc_id-sorted layout
+ *    (CuratedCorpus's write discipline) prunes its row groups.
+ * Above the driver cap the probe falls back to the scan-shaped
+ * [[Dedup.probeAtRestSignatures]] plan — same output, the cap only
+ * picks which side pays. Probe ≡ in-RAM equality, the composed
+ * cross-session loop (probe → fold edges → fold signatures → a
+ * LATER SESSION probes the folded content without re-signing
+ * anything), and the pruned-read bound are pinned in
+ * SignatureIndexSpec; read flatness under 10× corpus growth in the
+ * scale smoke.
  */
 object SignatureIndex {
 
@@ -40,7 +64,8 @@ object SignatureIndex {
   val BaseBatch = -1L
 
   private val Schema = "doc_id LONG, sig ARRAY<STRING>, __batch LONG"
-  private val SwapTables = Seq("sigs")
+  private val BandsSchema = "band_key STRING, doc_id LONG, __batch LONG"
+  private val SwapTables = Seq("sigs", "bands")
 
   /** Collision-free scratch location for the harness (see
     * [[graft.Scratch]]); production keys by corpus-snapshot id. */
@@ -57,14 +82,53 @@ object SignatureIndex {
       // there)
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
-      Seq("sigs", ".compact", ".old_sigs").foreach(d =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
+      Seq("sigs", "bands", ".compact", ".old_sigs", ".old_bands")
+        .foreach(d =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
       signed(docs, idCol, textCol)
         .withColumn("__batch", lit(BaseBatch))
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite").partitionBy("__batch")
         .parquet(s"$path/sigs")
+      // band rows derive from the JUST-WRITTEN fixed-width sigs —
+      // the corpus text is tokenized exactly once, above
+      val spark = docs.sparkSession
+      writeBands(
+        bandsOf(spark.read.schema(Schema).parquet(s"$path/sigs"))
+          .withColumn("__batch", lit(BaseBatch)),
+        s"$path/bands", bandFileCount(spark, s"$path/sigs"))
     }
+
+  /** (band_key, doc_id) rows of a (doc_id, sig, …) frame — the
+    * degenerate-doc guard rides in [[Dedup.bandRows]]. */
+  private def bandsOf(sigFrame: DataFrame): DataFrame =
+    Dedup.bandRows(sigFrame, "doc_id")
+      .select(col("band_key"), col("doc_id"))
+
+  /** Range-sorted, small-paged bands write — the
+    * [[graft.sources.PointReads]] layout contract. */
+  private def writeBands(bands: DataFrame, dir: String,
+      files: Int): Unit =
+    bands
+      .repartitionByRange(files, col("band_key"))
+      // __batch prefix keeps the partitioned writer from re-sorting
+      // (Layout.writeSharded discipline); within a partition value
+      // the files stay band_key-sorted
+      .sortWithinPartitions("__batch", "band_key")
+      .write.mode("overwrite")
+      .option("parquet.page.row.count.limit",
+        graft.sources.PointReads.PageRowLimit.toString)
+      .partitionBy("__batch")
+      .parquet(dir)
+
+  /** Bands-table target file count, sized off the sibling sigs dir
+    * (bands rows are ≈ sigs rows × numBands but narrower). */
+  private def bandFileCount(spark: SparkSession, sigsDir: String): Int = {
+    val dir = new org.apache.hadoop.fs.Path(sigsDir)
+    val bytes = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(dir).getLength
+    math.max(1L, (bytes + (64L << 20) - 1) / (64L << 20)).toInt
+  }
 
   /** Fold one batch's signatures as its own partition — batch-sized
     * bytes, replay-idempotent (dynamic overwrite keyed by the
@@ -84,13 +148,23 @@ object SignatureIndex {
     // heal a crashed compact swap before writing (the shared
     // write-path preamble — see CuratedCorpus.foldBatch)
     recoverSwap(batchSigs.sparkSession, path)
-    batchSigs.select(col("doc_id"), col("sig"))
+    val sigRows = batchSigs.select(col("doc_id"), col("sig"))
+    sigRows
       .withColumn("__batch", lit(batchId))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch")
       .parquet(s"$path/sigs")
+    bandsOf(sigRows)
+      .withColumn("__batch", lit(batchId))
+      .sortWithinPartitions("band_key")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("parquet.page.row.count.limit",
+        graft.sources.PointReads.PageRowLimit.toString)
+      .partitionBy("__batch")
+      .parquet(s"$path/bands")
   }
 
   /** Finish a crashed [[compactThrough]] swap — what a READER-FIRST
@@ -108,10 +182,89 @@ object SignatureIndex {
 
   /** The composed signature table — (doc_id, sig) across the base
     * and every fold, from any session. Feed to
-    * [[Dedup.probeAtRestSignatures]]. */
+    * [[Dedup.probeAtRestSignatures]]; the production probe is
+    * [[probe]] (bounded reads — see the class doc's contract). */
   def open(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(Schema).parquet(s"$path/sigs")
       .select("doc_id", "sig")
+
+  /** The composed (band_key, doc_id) band table — [[probe]]'s
+    * candidate source; exposed for the fsck/diagnostic face. */
+  def openBands(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(BandsSchema).parquet(s"$path/bands")
+      .select("band_key", "doc_id")
+
+  /**
+   * The PRODUCTION probe — batch signatures against the at-rest
+   * table, honoring the class doc's probe-read contract: candidate
+   * generation point-reads the band_key-sorted `bands` table with
+   * the batch's own band keys, and the exact-Jaccard verify
+   * point-reads only the candidate ids' text out of `corpusText`
+   * (doc_id-sorted — CuratedCorpus's write discipline). Output ≡
+   * [[Dedup.probeAtRestSignatures]] ≡ the in-RAM probe
+   * (SignatureIndexSpec pins all three): (batch_id, corpus_id,
+   * jaccard), one row per matching pair.
+   *
+   * Driver cost per call: the batch's distinct band keys plus the
+   * candidate (batch_id, corpus_id) pairs, both capped at `cap`
+   * ([[graft.sources.PointReads.MaxKeys]]); above either cap the
+   * call falls back to the scan-shaped plan — same rows, the cap
+   * only picks which side pays (a batch that large is no longer a
+   * micro-batch and amortizes the scan it forces).
+   *
+   * `batchSig` is a [[Dedup.batchSignatures]] frame (batch_id,
+   * sh_batch, sig); `corpusText` must cover every id the signature
+   * table holds — a missing id silently drops its candidate pairs
+   * (inner join), exactly like the fallback plan.
+   */
+  def probe(batchSig: DataFrame, path: String, corpusText: DataFrame,
+      idCol: String, textCol: String, threshold: Double,
+      cap: Int = graft.sources.PointReads.MaxKeys): DataFrame = {
+    import graft.sources.PointReads
+    val spark = batchSig.sparkSession
+    val batchBands = Dedup.bandRows(batchSig, "batch_id")
+    PointReads.distinctKeys(batchBands, "band_key", cap) match {
+      case None =>
+        Dedup.probeAtRestSignatures(batchSig, open(spark, path),
+          corpusText, idCol, textCol, threshold)
+      case Some(keys) =>
+        // candidates: point-read matching band pages, resolve to
+        // (batch_id, corpus_id) — batch-bounded by construction
+        // (banding dedups multi-band collisions via the distinct)
+        val cand = openBands(spark, path)
+          .filter(PointReads.keyedFilter(col("band_key"), keys))
+          .join(broadcast(batchBands), "band_key")
+          .select(col("batch_id"), col("doc_id").as("corpus_id"))
+          .distinct()
+          .limit(cap + 1)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        if (cand.length > cap)
+          Dedup.probeAtRestSignatures(batchSig, open(spark, path),
+            corpusText, idCol, textCol, threshold)
+        else if (cand.isEmpty)
+          batchSig.select(col("batch_id"),
+            col("batch_id").as("corpus_id"),
+            lit(0.0).as("jaccard")).limit(0)
+        else {
+          import spark.implicits._
+          val ids = cand.map(_._2).distinct.toSeq
+          val text = corpusText
+            .filter(PointReads.keyedFilter(col(idCol), ids))
+            .select(col(idCol).as("corpus_id"),
+              col(textCol).as("__text"))
+          broadcast(cand.toSeq.toDF("batch_id", "corpus_id"))
+            .join(batchSig.select(col("batch_id"), col("sh_batch")),
+              "batch_id")
+            .join(text, "corpus_id")
+            .withColumn("sh_corpus", Dedup.shingles(col("__text")))
+            .withColumn("jaccard",
+              Dedup.jaccard(col("sh_batch"), col("sh_corpus")))
+            .filter(col("jaccard") >= threshold)
+            .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+        }
+    }
+  }
 
   /** Fold every SETTLED batch (id ≤ `throughBatch`) into the base —
     * restores the probe-side file count; from `foreachBatch(N)` call
@@ -134,6 +287,15 @@ object SignatureIndex {
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite").partitionBy("__batch")
         .parquet(graft.sources.DirSwap.stagingDir(path, "sigs"))
+      // both tables stage before either swaps; a crash mid-swap is
+      // rolled fully forward by the _SWAP marker (DirSwap.recover),
+      // and either mixed prefix is content-identical anyway —
+      // compaction relabels partitions, it never changes rows
+      writeBands(
+        spark.read.schema(BandsSchema).parquet(s"$path/bands")
+          .withColumn("__batch",
+            when(settled, lit(BaseBatch)).otherwise(col("__batch"))),
+        graft.sources.DirSwap.stagingDir(path, "bands"), files)
       graft.sources.DirSwap.swapStaged(spark, path, SwapTables)
     }
 

@@ -237,8 +237,7 @@ object IngestStream {
       val within = Dedup.pairsFromSignatures(sig, "batch_id", "sh_batch",
           threshold)
         .select(col("doc_a"), col("doc_b"))
-      val cross = Dedup.probeAtRestSignatures(sig,
-          SignatureIndex.open(spark, sigPath),
+      val cross = SignatureIndex.probe(sig, sigPath,
           CuratedCorpus.open(spark, corpusPath), "doc_id", "text", threshold)
         .select(col("batch_id").as("doc_a"), col("corpus_id").as("doc_b"))
       ClusterIndex.foldBatch(clusterPath, survivors, "doc_id",

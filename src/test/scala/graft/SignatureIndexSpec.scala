@@ -39,6 +39,12 @@ class SignatureIndexSpec extends SparkSpec {
         pairs(Dedup.probeAtRestSignatures(batchSig,
           SignatureIndex.open(s, path), corpus, "doc_id", "text", T))
       assert(atRest(spark) == inRam)
+      // the PRODUCTION point-read probe: same pairs, same verdicts
+      assert(pairs(SignatureIndex.probe(batchSig, path, corpus,
+        "doc_id", "text", T)) == inRam)
+      // and its above-cap fallback path
+      assert(pairs(SignatureIndex.probe(batchSig, path, corpus,
+        "doc_id", "text", T, cap = 1)) == inRam)
       // a second session probes the same table — nothing re-signed
       assert(atRest(spark.newSession()) == inRam)
       // folds land batch-sized partitions; replay overwrites its own
@@ -61,9 +67,64 @@ class SignatureIndexSpec extends SparkSpec {
         SignatureIndex.open(spark, path),
         corpus.unionByName(half), "doc_id", "text", T))
       assert(inRam.subsetOf(after))
+      // point-read probe equality holds across folds + compaction too
+      assert(pairs(SignatureIndex.probe(batchSig, path,
+        corpus.unionByName(half), "doc_id", "text", T)) == after)
     } finally {
       relIdx(); relSig()
       SignatureIndex.delete(spark, path)
+    }
+  }
+
+  test("probe reads are batch-bounded: band and text scans prune to point reads") {
+    import graft.sources.{Layout, PointReads}
+    // 10k unique-text docs — big enough that a 3-doc probe's pages
+    // are a small fraction of the table
+    val corpus = spark.range(10000).select(col("id").as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(7)), i =>
+        md5(concat(col("id").cast("string"), lit("_"), i.cast("string")))),
+        " ").as("text"))
+    val root = fixtureRoot()
+    val path = s"$root/sigs"
+    val textDir = s"$root/text"
+    // the standing text the verify reads: doc_id-sorted parquet, the
+    // CuratedCorpus write discipline the probe-read contract names
+    Layout.writeRangeSorted(corpus, "doc_id", 16, textDir)
+    val corpusText = spark.read.parquet(textDir)
+    val dup = corpus.filter(col("doc_id").isin(5L, 9995L))
+      .select((col("doc_id") + 20000L).as("doc_id"), col("text"))
+    val batch = dup.unionByName(
+      spark.range(1).select(lit(30000L).as("doc_id"),
+        lit("novel words that match no standing document here")
+          .as("text")))
+    val (batchSig, relSig) = Dedup.batchSignatures(batch, "doc_id", "text")
+    try {
+      SignatureIndex.write(corpus, "doc_id", "text", path)
+      val got = pairs(SignatureIndex.probe(batchSig, path, corpusText,
+        "doc_id", "text", 0.9))
+      assert(got.map(p => (p._1, p._2)) == Set((20005L, 5L), (29995L, 9995L)))
+      assert(got == pairs(Dedup.probeAtRestSignatures(batchSig,
+        SignatureIndex.open(spark, path), corpusText, "doc_id", "text", 0.9)))
+      // band-table point read: the probe's candidate scan must emit a
+      // small fraction of the table's rows (page-granular skipping on
+      // the sorted layout) where a full scan emits all of them
+      val bands = SignatureIndex.openBands(spark, path)
+      val total = Layout.scanOutputRows(bands.filter(col("doc_id") >= 0))
+      val keys = Dedup.bandRows(batchSig, "batch_id")
+        .select("band_key").distinct().collect().map(_.getString(0)).toSeq
+      val pruned = Layout.scanOutputRows(
+        bands.filter(PointReads.keyedFilter(col("band_key"), keys)))
+      assert(total == 40000L, s"fixture drifted: $total band rows")
+      assert(pruned <= total / 4,
+        s"candidate scan read $pruned of $total band rows — not a point read")
+      // text point read: the verify touches the candidates' pages only
+      val textPruned = Layout.scanOutputRows(corpusText.filter(
+        PointReads.keyedFilter(col("doc_id"), Seq(5L, 9995L))))
+      assert(textPruned <= 10000L / 4,
+        s"verify text scan read $textPruned of 10000 rows — not a point read")
+    } finally {
+      relSig()
+      SignatureIndex.delete(spark, root)
     }
   }
 
