@@ -605,89 +605,95 @@ object EventTimeOps {
    * the [[graft.dedup.ClusterIndex]] twin of [[ivfAppendStream]],
    * closing the stream-face symmetry: every standing structure now
    * has one (curated corpus → `IngestStream.acceptIntoCorpus`, IVF →
-   * [[ivfAppendStream]]/[[ivfMaintainStream]], clusters → here).
-   * Per micro-batch: sign the batch, derive its near-dup edges —
-   * within-batch banded pairs plus probes of the RESIDENT signature
-   * index — fold them with the stream's own batch id
-   * ([[graft.dedup.ClusterIndex.foldBatch]]; replay overwrites the
-   * batch's partitions), then extend the resident index with the
-   * batch's signatures so LATER batches see cross-batch near-dups,
-   * not just batch↔corpus ones. `maintainEvery` is the in-loop
-   * compaction dial (settled-only,
-   * [[graft.dedup.ClusterIndex.maintainThrough]] at `batchId - 1`).
+   * [[ivfAppendStream]]/[[ivfMaintainStream]], clusters → here) —
+   * backed ENTIRELY by at-rest tables, no resident session state.
+   * Per micro-batch: sign the batch ONCE, derive its near-dup
+   * edges — within-batch banded pairs plus a BOUNDED probe of the
+   * at-rest [[graft.dedup.SignatureIndex]]
+   * ([[graft.dedup.SignatureIndex.probe]]: candidates point-read
+   * from the band table, the exact-Jaccard verify point-reads only
+   * the candidates' text out of the [[graft.pipeline.DocStore]]) —
+   * fold the labels ([[graft.dedup.ClusterIndex.foldBatch]]; replay
+   * overwrites the batch's partitions), then land the batch's text
+   * and signatures in the same at-rest tables, so LATER batches —
+   * and later SESSIONS — see cross-batch near-dups through the
+   * TABLES, not through session RAM. The restart story is "open the
+   * tables": nothing re-signed, nothing rebuilt, and the per-batch
+   * plan has CONSTANT depth — the prior resident union-of-leaves
+   * grew one checkpointed plan leaf per batch; the spec now pins
+   * zero persisted-RDD growth across batches. The store is PLAIN
+   * (every labeled document lands, duplicates included — labels
+   * describe duplicates) — a curating store would drop exactly the
+   * rows the labels answer for.
    *
-   * The resident index is session state; the cluster table is what
-   * survives. For exact RESTART recovery, pass `corpus` as the
-   * STANDING corpus the batches also fold into (e.g.
-   * `CuratedCorpus.open`): the start-of-session index then already
-   * covers every previously folded document, and the in-session
-   * extension only saves re-signing it per batch. A REPLAYED batch id
-   * skips the extension (its signatures are already resident); its
-   * own signatures showing up among the probe matches is harmless —
-   * self-edges and batch-internal edges resolve to the same labels.
-   * Retired index versions are dropped by reference (the context
-   * cleaner reclaims their blocks); the returned handle releases the
-   * current one. The at-rest table must exist before the stream
-   * starts ([[graft.dedup.ClusterIndex.write]] — the per-snapshot
-   * resolve). Same checkpointLocation requirement as every
-   * foreachBatch maintenance loop here.
+   * Bootstrap: the three tables must exist before the stream starts
+   * — [[graft.pipeline.DocStore.write]] /
+   * [[graft.dedup.SignatureIndex.write]] /
+   * [[graft.dedup.ClusterIndex.write]] over the standing corpus (the
+   * per-snapshot builds). Replay: every fold is batch-keyed and
+   * idempotent; the probe seeing the batch's own prior signatures on
+   * redelivery only adds self/within-batch edges, which resolve to
+   * the same labels. The text/signature folds land AFTER the probe:
+   * a first delivery's candidates are corpus+earlier ids only, and a
+   * redelivery's own text is already at rest from the prior
+   * delivery, so the verify always finds its candidates' text.
+   * `maintainEvery` drives all three settled-only cadences
+   * (`maintainThrough(batchId − 1)`). Same checkpointLocation
+   * requirement as every foreachBatch maintenance loop here.
    *
    * `onBatch` receives (batchId, rows, compacted).
    */
   def clusterFoldStream(docs: DataFrame, idCol: String, textCol: String,
-      corpus: DataFrame, indexPath: String, threshold: Double,
-      maintainEvery: Option[Int] = None)(
+      docsPath: String, sigPath: String, clusterPath: String,
+      threshold: Double, maintainEvery: Option[Int] = None)(
       onBatch: (Long, Long, Boolean) => Unit)
-      : (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row], () => Unit) = {
-    import graft.dedup.{ClusterIndex, Dedup}
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.dedup.{ClusterIndex, Dedup, SignatureIndex}
+    import graft.pipeline.DocStore
     require(maintainEvery.forall(_ >= 1),
       s"maintainEvery must be >= 1, got $maintainEvery")
-    // the corpus half of the resident index stays persisted for the
-    // whole session; each batch contributes a CHECKPOINTED leaf of
-    // its own size, lazily unioned in — re-checkpointing the whole
-    // extended index per batch would copy O(|corpus|) every batch in
-    // a loop whose point is batch-sized work (retired leaves are
-    // reclaimed by reference when the stream ends)
-    val (corpusIdx, releaseCorpus) =
-      Dedup.corpusNearDupIndex(corpus, idCol, textCol)
-    val resident =
-      new java.util.concurrent.atomic.AtomicReference[DataFrame](corpusIdx)
-    val folded = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
-    val writer = docs.writeStream
+    docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try {
           val n = batch.count()
-          val idx = resident.get()
+          val spark = batch.sparkSession
+          // reader-first recovery: both tables are READ below before
+          // their own folds' preambles run
+          SignatureIndex.recoverSwap(spark, sigPath)
+          DocStore.recoverSwap(spark, docsPath)
           val (sig, releaseSig) = Dedup.batchSignatures(batch, idCol, textCol)
           try {
             val within = Dedup.pairsFromSignatures(sig, "batch_id",
                 "sh_batch", threshold)
               .select(col("doc_a"), col("doc_b"))
-            val cross = Dedup.probeFromSignatures(sig, idx, threshold)
+            val cross = SignatureIndex.probe(sig, sigPath,
+                DocStore.open(spark, docsPath), "doc_id", "text", threshold)
               .select(col("batch_id").as("doc_a"),
                 col("corpus_id").as("doc_b"))
-            ClusterIndex.foldBatch(indexPath, batch, idCol,
+            ClusterIndex.foldBatch(clusterPath, batch, idCol,
               within.unionByName(cross), "doc_a", "doc_b", batchId)
-            if (folded.add(batchId)) {
-              // first delivery: the batch's signatures join the
-              // resident index as a batch-sized checkpointed leaf
-              val leaf = sig
-                .select(col("batch_id").as("corpus_id"),
-                  col("sh_batch").as("sh_corpus"), col("sig"))
-                .localCheckpoint(true)
-              resident.set(idx.unionByName(leaf))
-            }
+            DocStore.foldBatch(docsPath, batch, idCol, textCol, batchId)
+            // the probe's signatures ARE the fold's rows — land them
+            // without re-signing the batch
+            SignatureIndex.foldBatchSigned(sigPath,
+              sig.select(col("batch_id").as("doc_id"), col("sig")),
+              batchId)
           } finally releaseSig()
-          val compacted = maintainEvery.exists(dial =>
-            ClusterIndex.maintainThrough(batch.sparkSession, indexPath,
-              dial, batchId - 1))
-          onBatch(batchId, n, compacted)
+          val compactedCluster = maintainEvery.exists(d =>
+            ClusterIndex.maintainThrough(spark, clusterPath, d,
+              batchId - 1))
+          val compactedSig = maintainEvery.exists(d =>
+            SignatureIndex.maintainThrough(spark, sigPath, d,
+              batchId - 1))
+          val compactedDocs = maintainEvery.exists(d =>
+            DocStore.maintainThrough(spark, docsPath, d, batchId - 1))
+          onBatch(batchId, n,
+            compactedCluster | compactedSig | compactedDocs)
         } finally batch.unpersist()
         ()
       }
-    (writer, releaseCorpus)
   }
 
   /**

@@ -322,46 +322,60 @@ class EventTimeSpec extends SparkSpec {
   }
 
   test("clusterFoldStream: folds batches, sees cross-batch dups, compacts in-loop") {
-    import graft.dedup.{ClusterIndex, Clusters, Dedup}
+    import graft.dedup.{ClusterIndex, Clusters, Dedup, SignatureIndex}
+    import graft.pipeline.DocStore
     import spark.implicits._
     val A = "alpha beta gamma delta epsilon zeta eta theta"
     val B = "one two three four five six seven eight"
     val C = "red orange yellow green blue indigo violet pink"
     val D = "new dog cat fish bird horse cow sheep"
     val corpus = Seq((1L, A), (2L, A), (3L, B), (4L, C)).toDF("doc_id", "text")
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-clusterstream").toString + "/idx"
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-clusterstream").toString
+    val docsPath = s"$root/docs"
+    val sigPath = s"$root/sigs"
+    val clusterPath = s"$root/clusters"
     def resolveAll(docs: org.apache.spark.sql.DataFrame) =
       Clusters.resolve(docs, "doc_id",
         Dedup.nearDupPairs(docs, "doc_id", "text", 0.9)
           .select("doc_a", "doc_b"), "doc_a", "doc_b")
         .select("doc_id", "cluster")
-    ClusterIndex.write(resolveAll(corpus), path)
+    DocStore.write(corpus, "doc_id", "text", docsPath)
+    SignatureIndex.write(corpus, "doc_id", "text", sigPath)
+    ClusterIndex.write(resolveAll(corpus), clusterPath)
 
     val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
     val mem = MemoryStream[Row](enc, spark)
     val reports = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Boolean)]
-    val (writer, release) = EventTimeOps.clusterFoldStream(
-      mem.toDF(), "doc_id", "text", corpus, path, threshold = 0.9,
+    // flat-memory pin: the at-rest-backed loop must leave NO growing
+    // resident state (the prior design checkpointed one plan leaf per
+    // batch and held a corpus-sized persisted index for the session)
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.size
+    val writer = EventTimeOps.clusterFoldStream(
+      mem.toDF(), "doc_id", "text", docsPath, sigPath, clusterPath,
+      threshold = 0.9,
       maintainEvery = Some(1)) { (id, n, comp) => reports += ((id, n, comp)) }
     val q = writer.start()
     try {
       // batch 0: a duplicate of corpus content plus NEW content D
       mem.addData(Row(10L, A), Row(11L, D))
       q.processAllAvailable()
-      // batch 1: a duplicate of BATCH 0's D — visible only through
-      // the resident index the stream extended (the corpus never saw
-      // D), the cross-batch case a static index misses
+      // batch 1: a duplicate of BATCH 0's D — the corpus never saw D,
+      // so this edge is visible only through the at-rest tables the
+      // stream folded batch 0 into (the cross-batch case a static
+      // snapshot index misses)
       mem.addData(Row(20L, D))
       q.processAllAvailable()
-    } finally { q.stop(); release() }
+    } finally q.stop()
+    assert(spark.sparkContext.getPersistentRDDs.size <= persistedBefore,
+      "at-rest-backed stream must not accumulate persisted state")
 
     def asMap(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id", "cluster").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val got = asMap(ClusterIndex.open(spark, path))
+    val got = asMap(ClusterIndex.open(spark, clusterPath))
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L,
       10L -> 1L, 11L -> 11L, 20L -> 11L))
     // ≡ the from-scratch resolve of everything the stream ever saw —
@@ -372,59 +386,70 @@ class EventTimeSpec extends SparkSpec {
     // the settled-only cadence: batch 0 had no settled fold yet;
     // batch 1 compacted fold 0 mid-stream
     assert(reports.toSeq == Seq((0L, 2L, false), (1L, 1L, true)))
-    assert(ClusterIndex.foldCount(spark, path) == 1)
-    ClusterIndex.delete(spark, path)
+    assert(ClusterIndex.foldCount(spark, clusterPath) == 1)
+    // the sibling stores folded and compacted in the same loop: every
+    // labeled doc's text and signature is at rest
+    assert(DocStore.open(spark, docsPath).count() == 7L)
+    assert(SignatureIndex.open(spark, sigPath).count() == 7L)
+    ClusterIndex.delete(spark, root)
   }
 
-  test("clusterFoldStream restart: a standing-corpus index covers folded docs; replay converges") {
-    import graft.dedup.{ClusterIndex, Clusters, Dedup}
+  test("clusterFoldStream restart: reopen the tables, nothing re-signed; replay converges") {
+    import graft.dedup.{ClusterIndex, Clusters, Dedup, SignatureIndex}
+    import graft.pipeline.DocStore
     import spark.implicits._
     val A = "alpha beta gamma delta epsilon zeta eta theta"
     val B = "one two three four five six seven eight"
     val D = "new dog cat fish bird horse cow sheep"
     val corpus = Seq((1L, A), (2L, B)).toDF("doc_id", "text")
-    val path = java.nio.file.Files
-      .createTempDirectory("graft-clusterrestart").toString + "/idx"
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-clusterrestart").toString
+    val docsPath = s"$root/docs"
+    val sigPath = s"$root/sigs"
+    val clusterPath = s"$root/clusters"
     def resolveAll(docs: org.apache.spark.sql.DataFrame) =
       Clusters.resolve(docs, "doc_id",
         Dedup.nearDupPairs(docs, "doc_id", "text", 0.9)
           .select("doc_a", "doc_b"), "doc_a", "doc_b")
         .select("doc_id", "cluster")
-    ClusterIndex.write(resolveAll(corpus), path)
+    DocStore.write(corpus, "doc_id", "text", docsPath)
+    SignatureIndex.write(corpus, "doc_id", "text", sigPath)
+    ClusterIndex.write(resolveAll(corpus), clusterPath)
     val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
 
-    def runStream(indexCorpus: org.apache.spark.sql.DataFrame,
-        batches: Seq[Seq[Row]]): Unit = {
+    def runStream(batches: Seq[Seq[Row]]): Unit = {
       val mem = MemoryStream[Row](enc, spark)
-      val (writer, release) = EventTimeOps.clusterFoldStream(
-        mem.toDF(), "doc_id", "text", indexCorpus, path,
+      val writer = EventTimeOps.clusterFoldStream(
+        mem.toDF(), "doc_id", "text", docsPath, sigPath, clusterPath,
         threshold = 0.9) { (_, _, _) => () }
       val q = writer.start()
       try batches.foreach { rows =>
         mem.addData(rows: _*); q.processAllAvailable()
-      } finally { q.stop(); release() }
+      } finally q.stop()
     }
     // session 1 folds batch 0 (new content D), then dies
-    runStream(corpus, Seq(Seq(Row(10L, D))))
-    // RESTART: resident state is gone. The documented recovery —
-    // build the index over the STANDING corpus (which the folds also
-    // landed in, i.e. CuratedCorpus.open in production) — plus the
+    runStream(Seq(Seq(Row(10L, D))))
+    // RESTART: no resident state existed, so recovery is just "open
+    // the tables" — no corpus argument, nothing re-signed. The
     // crash-window redelivery of batch 0 under its own id, then new
-    // batch 1 whose content near-dups the SESSION-1 fold
-    val standing = corpus.unionByName(Seq((10L, D)).toDF("doc_id", "text"))
-    runStream(standing, Seq(Seq(Row(10L, D)), Seq(Row(20L, D))))
+    // batch 1 whose content near-dups the SESSION-1 fold: the edge
+    // comes from the at-rest tables batch 0 landed in
+    runStream(Seq(Seq(Row(10L, D)), Seq(Row(20L, D))))
     def asMap(df: org.apache.spark.sql.DataFrame) =
       df.select("doc_id", "cluster").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val got = asMap(ClusterIndex.open(spark, path))
+    val got = asMap(ClusterIndex.open(spark, clusterPath))
     assert(got == Map(1L -> 1L, 2L -> 2L, 10L -> 10L, 20L -> 10L),
       s"cross-SESSION near-dup must merge: $got")
-    assert(ClusterIndex.open(spark, path).count() == 4L,
+    assert(ClusterIndex.open(spark, clusterPath).count() == 4L,
       "the replayed batch must not duplicate rows across the restart")
-    assert(got == asMap(resolveAll(
-      standing.unionByName(Seq((20L, D)).toDF("doc_id", "text")))))
-    ClusterIndex.delete(spark, path)
+    assert(got == asMap(resolveAll(corpus.unionByName(
+      Seq((10L, D), (20L, D)).toDF("doc_id", "text")))))
+    // the replayed batch overwrote its own store partitions too
+    assert(DocStore.open(spark, docsPath).count() == 4L)
+    assert(SignatureIndex.open(spark, sigPath).count() == 4L)
+    ClusterIndex.delete(spark, root)
   }
 
   test("streaming IVF append: probes see each appended batch; ≡ full rewrite") {
