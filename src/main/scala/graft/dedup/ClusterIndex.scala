@@ -68,7 +68,17 @@ import org.apache.spark.sql.functions._
 object ClusterIndex {
 
   /** Base-snapshot marker in the `__batch` partition column. */
-  val BaseBatch = -1L
+  val BaseBatch: Long = graft.sources.StandingStore.BaseBatch
+
+  // Shared lifecycle mechanics (sorted batch-partition writes, staged
+  // swaps, listing-only counters) come from the store; the CUSTOM
+  // parts — quotient folds and settled-chain baking — stay here.
+  private def store(path: String) = new graft.sources.StandingStore(path,
+    Seq(
+      graft.sources.TableSpec("assignments",
+        "doc_id LONG, cluster LONG, __batch LONG", Seq("doc_id")),
+      graft.sources.TableSpec("relabel",
+        "old_cluster LONG, new_cluster LONG, __batch LONG", Nil)))
 
   /** Swap order for [[compact]]'s staged dirs — ASSIGNMENTS strictly
     * before RELABEL, per [[graft.sources.DirSwap]]'s prefix rule: a
@@ -88,40 +98,29 @@ object ClusterIndex {
   /** Resolve-side write: the base corpus snapshot's (doc_id, cluster)
     * labels, plus an EMPTY relabel table (schema materialized so
     * [[open]] never special-cases a fresh index). */
-  def write(assignments: DataFrame, path: String): Unit =
+  def write(assignments: DataFrame, path: String): Unit = {
     // the build verb rewrites the whole table — same per-root lease
     // as every maintenance entry point (re-entrant under a composed
-    // caller), so a resolve racing a fold loop fails fast
-    graft.sources.Lease.withLease(assignments.sparkSession, path) {
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-        assignments.sparkSession.sparkContext.hadoopConfiguration)
-      // a rewrite must first clear any STALE COMPACTION STAGING: a
-      // compact that crashed pre-swap leaves .compact + _SWAP behind,
-      // and the next fold's recover would otherwise roll the
-      // pre-crash tables forward OVER the fresh resolve — silently
-      // resurrecting the old labels
-      Seq(".compact", ".old_assignments", ".old_relabel").foreach(d =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
-      // and drop the OLD relabel chain before the two overwrites: they
-      // are not atomic together, and a crash between them must leave
-      // [[open]] failing fast (relabel dir missing — re-run write to
-      // heal), never silently composing the stale chain over the
-      // fresh labels
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/relabel"), true)
-      assignments.select(col("doc_id"), col("cluster"))
-        .withColumn("__batch", lit(BaseBatch))
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite").partitionBy("__batch")
-        .parquet(s"$path/assignments")
-      emptyRelabel(assignments.sparkSession)
-        .write.mode("overwrite").partitionBy("__batch")
-        .parquet(s"$path/relabel")
+    // caller), so a resolve racing a fold loop fails fast. The
+    // store's clear-for-rewrite drops stale compaction staging FIRST
+    // (a crashed pre-swap compact left .compact + _SWAP behind, and
+    // the next fold's recover would otherwise roll the pre-crash
+    // tables forward OVER the fresh resolve) and then every live dir,
+    // so a crash between the two rewrites below leaves [[open]]
+    // failing fast on the missing dir — never silently composing a
+    // stale chain over fresh labels.
+    val s = store(path)
+    s.withLease(assignments.sparkSession) {
+      s.clearForRewrite(assignments.sparkSession)
+      s.landBase(assignments.select(col("doc_id"), col("cluster")),
+        "assignments")
+      s.landBase(emptyRelabel(assignments.sparkSession), "relabel")
     }
+  }
 
   private def emptyRelabel(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Seq.empty[(Long, Long, Long)]
-      .toDF("old_cluster", "new_cluster", "__batch")
+    Seq.empty[(Long, Long)].toDF("old_cluster", "new_cluster")
   }
 
   /**
@@ -151,10 +150,11 @@ object ClusterIndex {
     require(batchId != BaseBatch && batchId >= 0,
       s"fold batch ids must be ≥ 0 (got $batchId; $BaseBatch is the base)")
     val spark = batchDocs.sparkSession
+    val s = store(path)
     // heal a crashed compact swap first: the open() below would only
     // fail fast on a half-swapped table (both dirs are read before
     // any write), but a restarted fold stream should resume, not err
-    graft.sources.DirSwap.recover(spark, path, SwapTables)
+    s.recoverSwap(spark)
     val batchIds = batchDocs.select(col(idCol).as("doc_id"))
     // Standing labels WITHOUT the batch's own ids: on first play the
     // anti-join is a no-op (ids are disjoint by contract); on REPLAY
@@ -173,25 +173,29 @@ object ClusterIndex {
       .resolve(batchIds, "doc_id", quotientEdges, "qa", "qb")
       .select(col("doc_id"), col("cluster"))
       .localCheckpoint(true)
-    quotient.join(batchIds, Seq("doc_id"), "left_semi")
-      .withColumn("__batch", lit(batchId))
-      .sortWithinPartitions("doc_id")
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__batch")
-      .parquet(s"$path/assignments")
-    // merge map: touched corpus representatives that took a new label
-    // (batch docs are assignment rows, not relabel keys — no standing
-    // cluster ever carries a batch id, so mapping them would be dead
-    // weight in the composed chain)
-    quotient.filter(col("doc_id") =!= col("cluster"))
-      .join(batchIds, Seq("doc_id"), "left_anti")
-      .select(col("doc_id").as("old_cluster"), col("cluster").as("new_cluster"))
-      .withColumn("__batch", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__batch")
-      .parquet(s"$path/relabel")
+    try {
+      s.landFold(quotient.join(batchIds, Seq("doc_id"), "left_semi"),
+        "assignments", batchId)
+      // merge map: touched corpus representatives that took a new
+      // label (batch docs are assignment rows, not relabel keys — no
+      // standing cluster ever carries a batch id, so mapping them
+      // would be dead weight in the composed chain)
+      s.landFold(quotient.filter(col("doc_id") =!= col("cluster"))
+        .join(batchIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id").as("old_cluster"),
+          col("cluster").as("new_cluster")),
+        "relabel", batchId)
+    } finally {
+      // drop the checkpoint's blocks deterministically: a long-lived
+      // fold loop must not pin one batch-sized RDD per fold until the
+      // context cleaner happens to GC it (the stream face's
+      // flat-memory pin counts on folds leaving nothing resident)
+      quotient.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.unpersist(false)
+      }
+      ()
+    }
   }
 
   /** Probe-side read: the composed (doc_id, cluster) table — base +
@@ -206,13 +210,11 @@ object ClusterIndex {
     * cross-session face (the cache key is the at-rest listing, not
     * the session). */
   def open(spark: SparkSession, path: String): DataFrame = {
-    // explicit schema: an empty partitioned write (fresh index's
-    // relabel dir, or a base snapshot of a zero-row corpus) emits
-    // only _SUCCESS, so footer-based inference has nothing to read
-    val asg = spark.read
-      .schema("doc_id LONG, cluster LONG, __batch LONG")
-      .parquet(s"$path/assignments")
-      .select(col("doc_id"), col("cluster"))
+    // explicit schema (the store's): an empty partitioned write
+    // (fresh index's relabel dir, or a base snapshot of a zero-row
+    // corpus) emits only _SUCCESS, so footer-based inference has
+    // nothing to read
+    val asg = store(path).open(spark, "assignments")
     val composed = composedChain(spark, path)
     if (composed.isEmpty) asg
     else {
@@ -280,10 +282,7 @@ object ClusterIndex {
     val hit = chainCache.synchronized(Option(chainCache.get(fp)))
     hit.getOrElse {
       chainComposes.incrementAndGet()
-      val composed = composeEntries(spark.read
-        .schema("old_cluster LONG, new_cluster LONG, __batch LONG")
-        .parquet(s"$path/relabel")
-        .select(col("old_cluster"), col("new_cluster"))
+      val composed = composeEntries(store(path).open(spark, "relabel")
         .collect()
         .map(r => r.getLong(0) -> r.getLong(1)))
       chainCache.synchronized { chainCache.put(fp, composed); () }
@@ -335,12 +334,14 @@ object ClusterIndex {
    * unchanged.
    */
   def compactThrough(spark: SparkSession, path: String,
-      throughBatch: Long, targetFileBytes: Long = 128L << 20): Unit =
-    graft.sources.Lease.withLease(spark, path) {
-      graft.sources.DirSwap.recover(spark, path, SwapTables)
+      throughBatch: Long, targetFileBytes: Long = 128L << 20): Unit = {
+    val s = store(path)
+    s.withLease(spark) {
+      s.recoverSwap(spark)
       stageCompact(spark, path, throughBatch, targetFileBytes)
       graft.sources.DirSwap.swapStaged(spark, path, SwapTables)
     }
+  }
 
   /** [[compactThrough]]'s staged rewrites, up to (not including) the
     * swap — split out so the crash-matrix spec can stop between the
@@ -348,53 +349,42 @@ object ClusterIndex {
   private[graft] def stageCompact(spark: SparkSession, path: String,
       throughBatch: Long = Long.MaxValue,
       targetFileBytes: Long = 128L << 20): Unit = {
+    val s = store(path)
     val settled = col("__batch") <= throughBatch // BaseBatch ≤ any
     // byte-targeted file count (FS summary, not a scan) with a range
     // partition on doc_id — compaction restores the file count and
     // globalizes the probe join's doc_id clustering
-    val asgDir = new org.apache.hadoop.fs.Path(s"$path/assignments")
-    val bytes = asgDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getContentSummary(asgDir).getLength
-    val files = math.max(1L,
-      (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val files = s.fileCount(spark, "assignments",
+      Some(targetFileBytes))
     // the SETTLED chain only — unsettled maps stay standing and keep
     // composing over the new base at open (see scaladoc)
-    val relabel = spark.read
-      .schema("old_cluster LONG, new_cluster LONG, __batch LONG")
-      .parquet(s"$path/relabel")
+    val relabel = s.openRaw(spark, "relabel")
     import spark.implicits._
     val composed = composeEntries(relabel.where(settled)
       .select(col("old_cluster"), col("new_cluster"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)))
       .toDF("cluster", "__new")
-    val asg = spark.read
-      .schema("doc_id LONG, cluster LONG, __batch LONG")
-      .parquet(s"$path/assignments")
-    asg.join(broadcast(composed), Seq("cluster"), "left")
-      .select(col("doc_id"),
-        // the settled chain applies to settled rows only; unsettled
-        // rows were written after every settled merge and already
-        // carry its labels
-        when(settled, coalesce(col("__new"), col("cluster")))
-          .otherwise(col("cluster")).as("cluster"),
-        when(settled, lit(BaseBatch)).otherwise(col("__batch"))
-          .as("__batch"))
-      .repartitionByRange(files, col("doc_id"))
-      .sortWithinPartitions("doc_id")
-      .write.mode("overwrite").partitionBy("__batch")
-      .parquet(graft.sources.DirSwap.stagingDir(path, "assignments"))
+    s.landStaging(
+      s.openRaw(spark, "assignments")
+        .join(broadcast(composed), Seq("cluster"), "left")
+        .select(col("doc_id"),
+          // the settled chain applies to settled rows only; unsettled
+          // rows were written after every settled merge and already
+          // carry its labels
+          when(settled, coalesce(col("__new"), col("cluster")))
+            .otherwise(col("cluster")).as("cluster"),
+          when(settled, lit(BaseBatch)).otherwise(col("__batch"))
+            .as("__batch")),
+      "assignments", files)
     // unsettled maps kept verbatim; a fully-settled compact stages an
     // empty partitioned dir, which open() reads via explicit schema
-    relabel.where(!settled)
-      .write.mode("overwrite").partitionBy("__batch")
-      .parquet(graft.sources.DirSwap.stagingDir(path, "relabel"))
+    s.landStaging(relabel.where(!settled), "relabel", 1)
   }
 
   /** Number of FOLD partitions the table currently holds (listing
     * only) — the quantity [[maintain]] bounds. */
   def foldCount(spark: SparkSession, path: String): Int =
-    graft.sources.BatchPartitions.ids(spark, s"$path/assignments")
-      .count(_ != BaseBatch)
+    store(path).foldCount(spark)
 
   /** The maintenance cadence ([[graft.pipeline.CuratedCorpus.maintain]]
     * discipline): [[compact]] once `maxFolds` fold partitions have
@@ -424,20 +414,12 @@ object ClusterIndex {
     * trigger a compaction that cannot shrink them). Returns true iff
     * it compacted. */
   def maintainThrough(spark: SparkSession, path: String, maxFolds: Int,
-      throughBatch: Long): Boolean = {
-    require(maxFolds >= 1, s"maxFolds must be >= 1, got $maxFolds")
-    val due = graft.sources.BatchPartitions
-      .ids(spark, s"$path/assignments")
-      .count(b => b != BaseBatch && b <= throughBatch) >= maxFolds
-    if (due) compactThrough(spark, path, throughBatch)
-    due
-  }
+      throughBatch: Long): Boolean =
+    store(path).maintainThrough(spark, maxFolds, throughBatch)(
+      compactThrough(spark, path, _))
 
   /** Retire the table — the lifecycle's last verb, Hadoop FS so the
     * path may be any Spark-reachable filesystem. */
-  def delete(spark: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    ()
-  }
+  def delete(spark: SparkSession, path: String): Unit =
+    store(path).delete(spark)
 }

@@ -3,20 +3,19 @@ package graft.dedup
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.sources.{PointReads, StandingStore, TableSpec}
+
 /**
  * PERSISTED minhash-signature table — the durable twin of the
  * session-RAM band index ([[Dedup.corpusNearDupIndex]]) every
- * incremental near-dup consumer probes, with the same standing
- * lifecycle as [[ClusterIndex]] / [[graft.ann.IvfIndex]]. What it
- * buys at 100 TB: a RESTARTED fold/ingest loop loads fixed-width
+ * incremental near-dup consumer probes, built on the shared
+ * [[graft.sources.StandingStore]] lifecycle (leased build verbs,
+ * batch-keyed replay-idempotent folds, staged-swap compaction). What
+ * it buys at 100 TB: a RESTARTED fold/ingest loop loads fixed-width
  * signature rows (NumHashes strings per doc) instead of re-signing
  * the corpus — tokenize + shingle + minhash over every document is
  * the dominant restart cost, and it is exactly the work this table
- * makes once-per-document instead of once-per-session. The
- * exact-Jaccard verify then joins ONLY candidate ids back onto the
- * corpus text ([[Dedup.probeAtRestSignatures]] — candidates are
- * batch-bounded, and a doc_id-sorted corpus layout or a runtime
- * bloom filter bounds the text read at cluster scale).
+ * makes once-per-document instead of once-per-session.
  *
  * Layout under `path`:
  * {{{
@@ -56,16 +55,25 @@ import org.apache.spark.sql.functions._
  * LATER SESSION probes the folded content without re-signing
  * anything), and the pruned-read bound are pinned in
  * SignatureIndexSpec; read flatness under 10× corpus growth in the
- * scale smoke.
+ * scale smoke. The band_key sortedness the bound rests on holds for
+ * FOLD partitions too, not just the compacted base: every store
+ * write sorts by `(__batch, band_key)`, so the partitioned writer
+ * never injects its own order (the StandingStore write rule).
  */
 object SignatureIndex {
 
   /** Base-snapshot marker in the `__batch` partition column. */
-  val BaseBatch = -1L
+  val BaseBatch: Long = StandingStore.BaseBatch
 
-  private val Schema = "doc_id LONG, sig ARRAY<STRING>, __batch LONG"
-  private val BandsSchema = "band_key STRING, doc_id LONG, __batch LONG"
-  private val SwapTables = Seq("sigs", "bands")
+  private def store(path: String) = new StandingStore(path, Seq(
+    TableSpec("sigs", "doc_id LONG, sig ARRAY<STRING>, __batch LONG",
+      Seq("doc_id")),
+    // bands rows are ≈ sigs rows × numBands but narrower: size their
+    // files off the sibling sigs dir at a smaller target — ONE sizing
+    // rule for the base write and every compaction
+    TableSpec("bands", "band_key STRING, doc_id LONG, __batch LONG",
+      Seq("band_key"), pageRowLimit = Some(PointReads.PageRowLimit),
+      targetFileBytes = 64L << 20, sizeFrom = Some("sigs"))))
 
   /** Collision-free scratch location for the harness (see
     * [[graft.Scratch]]); production keys by corpus-snapshot id. */
@@ -76,59 +84,25 @@ object SignatureIndex {
     * base partition. Runs under the root's lease (the build verb,
     * like every standing structure here). */
   def write(docs: DataFrame, idCol: String, textCol: String,
-      path: String): Unit =
-    graft.sources.Lease.withLease(docs.sparkSession, path) {
-      // clean slate without dropping the root (the held lease lives
-      // there)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
-      Seq("sigs", "bands", ".compact", ".old_sigs", ".old_bands")
-        .foreach(d =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
-      signed(docs, idCol, textCol)
-        .withColumn("__batch", lit(BaseBatch))
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite").partitionBy("__batch")
-        .parquet(s"$path/sigs")
-      // band rows derive from the JUST-WRITTEN fixed-width sigs —
-      // the corpus text is tokenized exactly once, above
-      val spark = docs.sparkSession
-      writeBands(
-        bandsOf(spark.read.schema(Schema).parquet(s"$path/sigs"))
-          .withColumn("__batch", lit(BaseBatch)),
-        s"$path/bands", bandFileCount(spark, s"$path/sigs"))
+      path: String): Unit = {
+    val s = store(path)
+    val spark = docs.sparkSession
+    s.withLease(spark) {
+      s.clearForRewrite(spark)
+      s.landBase(signed(docs, idCol, textCol), "sigs")
+      // band rows derive from the JUST-WRITTEN fixed-width sigs — the
+      // corpus text is tokenized exactly once, above; range-partition
+      // so the base is globally band_key-sorted from birth
+      s.landBase(bandsOf(s.open(spark, "sigs")), "bands",
+        rangeFiles = Some(s.fileCount(spark, "bands")))
     }
+  }
 
   /** (band_key, doc_id) rows of a (doc_id, sig, …) frame — the
     * degenerate-doc guard rides in [[Dedup.bandRows]]. */
   private def bandsOf(sigFrame: DataFrame): DataFrame =
     Dedup.bandRows(sigFrame, "doc_id")
       .select(col("band_key"), col("doc_id"))
-
-  /** Range-sorted, small-paged bands write — the
-    * [[graft.sources.PointReads]] layout contract. */
-  private def writeBands(bands: DataFrame, dir: String,
-      files: Int): Unit =
-    bands
-      .repartitionByRange(files, col("band_key"))
-      // __batch prefix keeps the partitioned writer from re-sorting
-      // (Layout.writeSharded discipline); within a partition value
-      // the files stay band_key-sorted
-      .sortWithinPartitions("__batch", "band_key")
-      .write.mode("overwrite")
-      .option("parquet.page.row.count.limit",
-        graft.sources.PointReads.PageRowLimit.toString)
-      .partitionBy("__batch")
-      .parquet(dir)
-
-  /** Bands-table target file count, sized off the sibling sigs dir
-    * (bands rows are ≈ sigs rows × numBands but narrower). */
-  private def bandFileCount(spark: SparkSession, sigsDir: String): Int = {
-    val dir = new org.apache.hadoop.fs.Path(sigsDir)
-    val bytes = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getContentSummary(dir).getLength
-    math.max(1L, (bytes + (64L << 20) - 1) / (64L << 20)).toInt
-  }
 
   /** Fold one batch's signatures as its own partition — batch-sized
     * bytes, replay-idempotent (dynamic overwrite keyed by the
@@ -143,28 +117,13 @@ object SignatureIndex {
     * once per consumer. */
   def foldBatchSigned(path: String, batchSigs: DataFrame,
       batchId: Long): Unit = {
-    require(batchId != BaseBatch && batchId >= 0,
-      s"fold batch ids must be ≥ 0 (got $batchId; $BaseBatch is the base)")
+    val s = store(path)
     // heal a crashed compact swap before writing (the shared
     // write-path preamble — see CuratedCorpus.foldBatch)
-    recoverSwap(batchSigs.sparkSession, path)
+    s.recoverSwap(batchSigs.sparkSession)
     val sigRows = batchSigs.select(col("doc_id"), col("sig"))
-    sigRows
-      .withColumn("__batch", lit(batchId))
-      .sortWithinPartitions("doc_id")
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__batch")
-      .parquet(s"$path/sigs")
-    bandsOf(sigRows)
-      .withColumn("__batch", lit(batchId))
-      .sortWithinPartitions("band_key")
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .option("parquet.page.row.count.limit",
-        graft.sources.PointReads.PageRowLimit.toString)
-      .partitionBy("__batch")
-      .parquet(s"$path/bands")
+    s.landFold(sigRows, "sigs", batchId)
+    s.landFold(bandsOf(sigRows), "bands", batchId)
   }
 
   /** Finish a crashed [[compactThrough]] swap — what a READER-FIRST
@@ -173,7 +132,7 @@ object SignatureIndex {
     * missing and every retry fails before the fold's own recovery
     * can run. Safe on a healthy table (no-op). */
   def recoverSwap(spark: SparkSession, path: String): Unit =
-    graft.sources.DirSwap.recover(spark, path, SwapTables)
+    store(path).recoverSwap(spark)
 
   private def signed(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
@@ -185,14 +144,12 @@ object SignatureIndex {
     * [[Dedup.probeAtRestSignatures]]; the production probe is
     * [[probe]] (bounded reads — see the class doc's contract). */
   def open(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(Schema).parquet(s"$path/sigs")
-      .select("doc_id", "sig")
+    store(path).open(spark, "sigs")
 
   /** The composed (band_key, doc_id) band table — [[probe]]'s
     * candidate source; exposed for the fsck/diagnostic face. */
   def openBands(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(BandsSchema).parquet(s"$path/bands")
-      .select("band_key", "doc_id")
+    store(path).open(spark, "bands")
 
   /**
    * The PRODUCTION probe — batch signatures against the at-rest
@@ -219,8 +176,7 @@ object SignatureIndex {
    */
   def probe(batchSig: DataFrame, path: String, corpusText: DataFrame,
       idCol: String, textCol: String, threshold: Double,
-      cap: Int = graft.sources.PointReads.MaxKeys): DataFrame = {
-    import graft.sources.PointReads
+      cap: Int = PointReads.MaxKeys): DataFrame = {
     val spark = batchSig.sparkSession
     val batchBands = Dedup.bandRows(batchSig, "batch_id")
     PointReads.distinctKeys(batchBands, "band_key", cap) match {
@@ -269,35 +225,15 @@ object SignatureIndex {
   /** Fold every SETTLED batch (id ≤ `throughBatch`) into the base —
     * restores the probe-side file count; from `foreachBatch(N)` call
     * with `throughBatch = N - 1` so a replay of the current batch
-    * still overwrites its own standing partition. */
+    * still overwrites its own standing partition. The store's default
+    * compaction applies (signature folds are plain rows); both tables
+    * stage before either swaps, and either mixed prefix is
+    * content-identical anyway — compaction relabels partitions, it
+    * never changes rows. */
   def compactThrough(spark: SparkSession, path: String,
       throughBatch: Long, targetFileBytes: Long = 128L << 20): Unit =
-    graft.sources.Lease.withLease(spark, path) {
-      graft.sources.DirSwap.recover(spark, path, SwapTables)
-      val dir = new org.apache.hadoop.fs.Path(s"$path/sigs")
-      val bytes = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .getContentSummary(dir).getLength
-      val files = math.max(1L,
-        (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-      val settled = col("__batch") <= throughBatch
-      spark.read.schema(Schema).parquet(s"$path/sigs")
-        .withColumn("__batch",
-          when(settled, lit(BaseBatch)).otherwise(col("__batch")))
-        .repartitionByRange(files, col("doc_id"))
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite").partitionBy("__batch")
-        .parquet(graft.sources.DirSwap.stagingDir(path, "sigs"))
-      // both tables stage before either swaps; a crash mid-swap is
-      // rolled fully forward by the _SWAP marker (DirSwap.recover),
-      // and either mixed prefix is content-identical anyway —
-      // compaction relabels partitions, it never changes rows
-      writeBands(
-        spark.read.schema(BandsSchema).parquet(s"$path/bands")
-          .withColumn("__batch",
-            when(settled, lit(BaseBatch)).otherwise(col("__batch"))),
-        graft.sources.DirSwap.stagingDir(path, "bands"), files)
-      graft.sources.DirSwap.swapStaged(spark, path, SwapTables)
-    }
+    store(path).compactThrough(spark, throughBatch,
+      Map("sigs" -> targetFileBytes))
 
   /** Compact everything — run only once the fold stream settled. */
   def compact(spark: SparkSession, path: String): Unit =
@@ -305,25 +241,16 @@ object SignatureIndex {
 
   /** Fold partitions currently standing (listing only). */
   def foldCount(spark: SparkSession, path: String): Int =
-    graft.sources.BatchPartitions.ids(spark, s"$path/sigs")
-      .count(_ != BaseBatch)
+    store(path).foldCount(spark)
 
   /** The in-loop cadence: compact settled folds once `maxFolds` of
     * them have accumulated ([[ClusterIndex.maintainThrough]]
     * discipline). Returns true iff it compacted. */
   def maintainThrough(spark: SparkSession, path: String, maxFolds: Int,
-      throughBatch: Long): Boolean = {
-    require(maxFolds >= 1, s"maxFolds must be >= 1, got $maxFolds")
-    val due = graft.sources.BatchPartitions.ids(spark, s"$path/sigs")
-      .count(b => b != BaseBatch && b <= throughBatch) >= maxFolds
-    if (due) compactThrough(spark, path, throughBatch)
-    due
-  }
+      throughBatch: Long): Boolean =
+    store(path).maintainThrough(spark, maxFolds, throughBatch)()
 
   /** Retire the table. */
-  def delete(spark: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    ()
-  }
+  def delete(spark: SparkSession, path: String): Unit =
+    store(path).delete(spark)
 }

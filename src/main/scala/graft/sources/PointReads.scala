@@ -43,10 +43,19 @@ import org.apache.spark.sql.functions._
  */
 object PointReads {
 
-  /** Cap on driver-collected probe keys (~64k literals ≈ a few MB of
-    * plan — planner-safe; far above any micro-batch's band-key or
-    * candidate-id count). */
-  val MaxKeys: Int = 1 << 16
+  /** Cap on driver-collected probe keys — a MEASURED planner-cost
+    * cutover, not a correctness bound: the filter costs ~1.5 ms/key
+    * of driver-side analysis + codegen + pushdown translation
+    * (measured on this box: 2k keys ≈ 1 s, 4k ≈ 3 s, 16k ≈ 22 s,
+    * 64k ≈ 100 s, linear), and past a few seconds that SERIAL driver
+    * time loses to the distributed scan the point read avoids — the
+    * scan parallelizes, the planner does not. 4096 keys ≈ 3 s of
+    * driver work per probe, comfortably under a micro-batch cadence,
+    * and covers a ~1k-document batch at typical band counts; a batch
+    * large enough to overflow it is no longer a micro-batch and
+    * amortizes the scan it falls back to. PointReadsSpec exercises
+    * the filter AT this cap end to end. */
+  val MaxKeys: Int = 4096
 
   /** Page row limit for NARROW sorted index tables (band keys,
     * candidate ids): 40-byte rows never hit the 1 MB page-size flush,

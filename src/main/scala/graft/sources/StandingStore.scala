@@ -1,0 +1,249 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Spec of one sub-table under a standing-structure root.
+ *
+ * @param name            directory name under the root
+ * @param schema          DDL for the at-rest rows INCLUDING the
+ *                        `__batch LONG` partition column (explicit
+ *                        schema keeps zero-row partitioned dirs
+ *                        readable — no footers to infer from)
+ * @param sortCols        in-file sort columns — the layout half of the
+ *                        point-read contract ([[PointReads]]): footer
+ *                        stats prune probes by `sortCols.head`
+ * @param pageRowLimit    `parquet.page.row.count.limit` for NARROW
+ *                        point-probed tables ([[PointReads.PageRowLimit]])
+ * @param targetFileBytes compaction file-sizing target
+ * @param sizeFrom        sibling table whose dir bytes drive this
+ *                        table's file count — for a table DERIVED from
+ *                        a sibling (band rows from signatures) whose
+ *                        own pre-compaction listing over-counts
+ */
+final case class TableSpec(
+    name: String,
+    schema: String,
+    sortCols: Seq[String],
+    pageRowLimit: Option[Int] = None,
+    targetFileBytes: Long = 128L << 20,
+    sizeFrom: Option[String] = None)
+
+/**
+ * The SHARED single-root standing-table lifecycle — one implementation
+ * of the discipline every at-rest structure here follows
+ * ([[graft.pipeline.DocStore]], [[graft.dedup.SignatureIndex]],
+ * [[graft.dedup.ClusterIndex]], [[graft.pipeline.CuratedCorpus]]),
+ * instead of a per-structure copy kept in lockstep by convention:
+ *
+ *   - layout: `root/<table>/__batch=<b>/` per [[TableSpec]];
+ *     `__batch = `[[StandingStore.BaseBatch]] is the base snapshot,
+ *     each fold appends its own partition;
+ *   - folds are REPLAY-IDEMPOTENT: batch-keyed dynamic partition
+ *     overwrite, so an at-least-once redelivery re-lands exactly its
+ *     own partitions;
+ *   - compaction relabels SETTLED folds (id ≤ `throughBatch`) into the
+ *     base and stages-then-swaps via [[DirSwap]] under the root's
+ *     [[Lease]]; batch-id listing verbs ([[foldCount]],
+ *     [[maintainThrough]]'s due check) are O(listing) at any size;
+ *   - EVERY write sorts by `__batch +: sortCols`: the partitioned
+ *     writer's required ordering is the partition columns, and a write
+ *     sorted by the data columns alone would have the writer inject
+ *     its own UNSTABLE `__batch` sort — silently destroying the
+ *     in-file key order the point-read contract depends on wherever a
+ *     partition holds mixed batch values (a bounded-compaction
+ *     staging always does). The prefix satisfies the requirement, so
+ *     no sort is injected and files stay `sortCols`-ordered.
+ *
+ * Custom stores compose these verbs: a pure row store
+ * ([[graft.pipeline.DocStore]]) is a thin column-renaming wrapper; a
+ * store with derived tables or custom compaction semantics
+ * ([[graft.dedup.SignatureIndex]]'s sig→band derivation,
+ * [[graft.dedup.ClusterIndex]]'s settled-chain baking) keeps its own
+ * fold/compact bodies but builds them from [[landBase]] /
+ * [[landFold]] / [[landStaging]] / [[fileCount]] so the write
+ * discipline cannot drift.
+ */
+final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
+  import StandingStore.BaseBatch
+
+  require(tables.nonEmpty, "a standing store needs at least one table")
+  tables.foreach(t => require(t.schema.contains("__batch"),
+    s"table ${t.name}'s schema must carry the __batch partition column"))
+
+  private val byName = tables.map(t => t.name -> t).toMap
+  private def spec(name: String): TableSpec =
+    byName.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"unknown table '$name' (have ${tables.map(_.name).mkString(", ")})"))
+
+  /** Live directory of `table`. */
+  def dir(table: String): String = s"$root/${spec(table).name}"
+
+  private def fsOf(spark: SparkSession) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Run `body` holding the root's single-writer lease (re-entrant
+    * under a composed caller — [[Lease.withLease]]). */
+  def withLease[A](spark: SparkSession)(body: => A): A =
+    Lease.withLease(spark, root)(body)
+
+  /** Clear every live dir plus any compaction staging/retired dirs —
+    * the build-verb preamble. Never drops the root itself: the held
+    * lease lives there, and a rewrite that deleted it would release
+    * its own exclusion. Clearing staging FIRST matters: a compact
+    * that crashed pre-swap left `.compact` + `_SWAP` behind, and a
+    * later fold's recover would otherwise roll the pre-crash tables
+    * forward OVER the fresh rewrite. */
+  def clearForRewrite(spark: SparkSession): Unit = {
+    val fs = fsOf(spark)
+    (Seq(s"$root/.compact") ++
+      tables.flatMap(t => Seq(s"$root/${t.name}", s"$root/.old_${t.name}")))
+      .foreach(d => fs.delete(new Path(d), true))
+  }
+
+  /** Finish a crashed compaction swap — the reader-first preamble
+    * every consumer that READS before its own fold's recovery would
+    * run must call ([[DirSwap.recover]]). No-op on a healthy root. */
+  def recoverSwap(spark: SparkSession): Unit =
+    DirSwap.recover(spark, root, tables.map(_.name))
+
+  private def sorted(df: DataFrame, t: TableSpec): DataFrame =
+    df.sortWithinPartitions(("__batch" +: t.sortCols).map(col): _*)
+
+  private def paged(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row],
+      t: TableSpec) =
+    t.pageRowLimit.fold(w)(n =>
+      w.option("parquet.page.row.count.limit", n.toString))
+
+  /** Land `df` as the base snapshot of `table` (static overwrite).
+    * `rangeFiles` range-partitions by `sortCols.head` first — the
+    * globally-sorted layout a point-probed table wants from birth. */
+  def landBase(df: DataFrame, table: String,
+      rangeFiles: Option[Int] = None): Unit = {
+    val t = spec(table)
+    val base = df.withColumn("__batch", lit(BaseBatch))
+    val shaped = rangeFiles.fold(base)(n =>
+      base.repartitionByRange(n, col(t.sortCols.head)))
+    paged(sorted(shaped, t).write.mode("overwrite"), t)
+      .partitionBy("__batch").parquet(dir(table))
+  }
+
+  /** Land one batch of `table` as its own partition — batch-sized
+    * bytes, replay-idempotent (dynamic overwrite keyed by `batchId`). */
+  def landFold(df: DataFrame, table: String, batchId: Long): Unit = {
+    val t = spec(table)
+    require(batchId != BaseBatch && batchId >= 0,
+      s"fold batch ids must be ≥ 0 (got $batchId; $BaseBatch is the base)")
+    paged(sorted(df.withColumn("__batch", lit(batchId)), t)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic"), t)
+      .partitionBy("__batch").parquet(dir(table))
+  }
+
+  /** Write `df` (already carrying final `__batch` values) as `table`'s
+    * compaction staging, range-partitioned into `files` by
+    * `sortCols.head` — [[DirSwap.swapStaged]] then swaps it live. */
+  def landStaging(df: DataFrame, table: String, files: Int): Unit = {
+    val t = spec(table)
+    val shaped =
+      if (t.sortCols.nonEmpty) df.repartitionByRange(files, col(t.sortCols.head))
+      else df.repartition(files)
+    paged(sorted(shaped, t).write.mode("overwrite"), t)
+      .partitionBy("__batch").parquet(DirSwap.stagingDir(root, table))
+  }
+
+  /** Raw schema'd read of `table` including `__batch`. */
+  def openRaw(spark: SparkSession, table: String): DataFrame =
+    spark.read.schema(spec(table).schema).parquet(dir(table))
+
+  /** The composed rows of `table` across the base and every fold. */
+  def open(spark: SparkSession, table: String): DataFrame =
+    openRaw(spark, table).drop("__batch")
+
+  /** Compaction file count for `table`: the sizing dir's bytes (an FS
+    * summary, not a scan) over the spec's target (or the caller's
+    * override — the public sizing dial). */
+  def fileCount(spark: SparkSession, table: String,
+      targetBytesOverride: Option[Long] = None): Int =
+    fileCountVia(spark, targetBytesOverride
+      .fold(spec(table))(n => spec(table).copy(targetFileBytes = n)))
+
+  /** Fold partitions currently standing (listing only; counted on the
+    * first table — folds land in lockstep across a root's tables). */
+  def foldCount(spark: SparkSession): Int =
+    BatchPartitions.ids(spark, dir(tables.head.name)).count(_ != BaseBatch)
+
+  /** SETTLED fold partitions (id ≤ `throughBatch`) standing. */
+  def settledFoldCount(spark: SparkSession, throughBatch: Long): Int =
+    BatchPartitions.ids(spark, dir(tables.head.name))
+      .count(b => b != BaseBatch && b <= throughBatch)
+
+  /**
+   * The DEFAULT compaction — correct for any store whose folds are
+   * plain rows (no cross-fold metadata to bake): relabel every settled
+   * fold's rows into the base, restore file counts and the global
+   * `sortCols.head` clustering, stage fully, swap under the lease.
+   * Unsettled folds' partitions survive verbatim, so a replay of a
+   * left-alone batch still overwrites its own partitions. Stores with
+   * derived compaction semantics write their own body from
+   * [[landStaging]] + [[fileCount]].
+   *
+   * @param sizeOverrides per-table `targetFileBytes` overrides (the
+   *                      caller-facing sizing dial)
+   */
+  def compactThrough(spark: SparkSession, throughBatch: Long,
+      sizeOverrides: Map[String, Long] = Map.empty): Unit =
+    withLease(spark) {
+      recoverSwap(spark)
+      val settled = col("__batch") <= throughBatch // BaseBatch ≤ any
+      // size every table BEFORE staging: a sizeFrom sibling's live dir
+      // must still be the pre-compaction one
+      val files = tables.map { t =>
+        val overridden = sizeOverrides.get(t.name)
+          .fold(t)(n => t.copy(targetFileBytes = n))
+        t.name -> fileCountVia(spark, overridden)
+      }.toMap
+      tables.foreach { t =>
+        landStaging(
+          openRaw(spark, t.name).withColumn("__batch",
+            when(settled, lit(BaseBatch)).otherwise(col("__batch"))),
+          t.name, files(t.name))
+      }
+      DirSwap.swapStaged(spark, root, tables.map(_.name))
+    }
+
+  private def fileCountVia(spark: SparkSession, t: TableSpec): Int = {
+    val d = new Path(s"$root/${t.sizeFrom.getOrElse(t.name)}")
+    val bytes = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(d).getLength
+    math.max(1L, (bytes + t.targetFileBytes - 1) / t.targetFileBytes).toInt
+  }
+
+  /** In-loop cadence: run `compact` (defaulting to
+    * [[compactThrough]]) once `maxFolds` SETTLED folds stand. From
+    * `foreachBatch(N)` call with `throughBatch = N - 1`. Returns true
+    * iff it compacted. */
+  def maintainThrough(spark: SparkSession, maxFolds: Int,
+      throughBatch: Long)(
+      compact: Long => Unit = compactThrough(spark, _)): Boolean = {
+    require(maxFolds >= 1, s"maxFolds must be >= 1, got $maxFolds")
+    val due = settledFoldCount(spark, throughBatch) >= maxFolds
+    if (due) compact(throughBatch)
+    due
+  }
+
+  /** Retire the root. */
+  def delete(spark: SparkSession): Unit = {
+    val p = new Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ()
+  }
+}
+
+object StandingStore {
+  /** Base-snapshot marker in the `__batch` partition column. */
+  val BaseBatch = -1L
+}

@@ -122,6 +122,27 @@ class SignatureIndexSpec extends SparkSpec {
         PointReads.keyedFilter(col("doc_id"), Seq(5L, 9995L))))
       assert(textPruned <= 10000L / 4,
         s"verify text scan read $textPruned of 10000 rows — not a point read")
+      // the bound must hold inside STANDING FOLD PARTITIONS too: the
+      // fold's band files are (__batch, band_key)-sorted by the
+      // store's write rule — a fold sorted by band_key alone would
+      // have the partitioned writer inject its own UNSTABLE __batch
+      // sort and silently defeat page skipping until the next
+      // compaction. A fold large enough to hold many pages must add
+      // only a page-granular slice of itself to the probe's read.
+      val more = spark.range(10000, 30000).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(7)), i =>
+          md5(concat(lit("fold_"), col("id").cast("string"), lit("_"),
+            i.cast("string")))), " ").as("text"))
+      SignatureIndex.foldBatch(path, more, "doc_id", "text", 0L)
+      val bands2 = SignatureIndex.openBands(spark, path)
+      val foldRows = 80000L
+      val total2 = Layout.scanOutputRows(bands2.filter(col("doc_id") >= 0))
+      assert(total2 == total + foldRows, s"fixture drifted: $total2 band rows")
+      val pruned2 = Layout.scanOutputRows(
+        bands2.filter(PointReads.keyedFilter(col("band_key"), keys)))
+      assert(pruned2 - pruned <= foldRows / 4,
+        s"the standing fold added ${pruned2 - pruned} rows to the probe's " +
+          s"read (fold holds $foldRows) — fold files are not band_key-paged")
     } finally {
       relSig()
       SignatureIndex.delete(spark, root)
