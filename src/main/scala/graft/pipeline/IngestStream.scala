@@ -50,9 +50,9 @@ object IngestStream {
 
   /** Embedding-side near-dup gate: when the feed carries an embedding
     * column, each batch also probes the corpus's standing banded-LSH
-    * index (`Similarity.corpusEmbedIndex`) — the increasingly-default
-    * production gate for semantic duplicates that share no shingles.
-    * `threshold` is the exact-cosine floor for a match. */
+    * index — the increasingly-default production gate for semantic
+    * duplicates that share no shingles. `threshold` is the
+    * exact-cosine floor for a match. */
   final case class EmbedGate(vecCol: String, bands: Int, planesPerBand: Int,
       dims: Int, threshold: Double)
 
@@ -178,6 +178,13 @@ object IngestStream {
    * compacted batch dedups to zero against the base hash partition,
    * so the router stays idempotent across the compaction boundary.
    *
+   * A lease refusal inside the maintenance cadence — an ad-hoc
+   * maintainer holding the root — SKIPS the tick instead of killing
+   * the stream ([[graft.sources.Lease.cadence]]): the fold itself is
+   * unleased and unconditional, so no batch is ever lost, and the
+   * cadence retries next batch; the refusal surfaces through
+   * `onMaintenanceSkipped`.
+   *
    * @return true iff the maintenance cadence compacted (always false
    *         without `maintainEvery`) — the exact signal an operator's
    *         metrics (and the 10× loop smoke) record, instead of
@@ -185,11 +192,24 @@ object IngestStream {
    *         that dedups to zero would mimic
    */
   def acceptIntoCorpus(batch: DataFrame, report: BatchReport,
-      corpusPath: String, maintainEvery: Option[Int] = None): Boolean = {
+      corpusPath: String, maintainEvery: Option[Int] = None,
+      onMaintenanceSkipped: String => Unit = _ => ()): Boolean = {
     CuratedCorpus.foldBatch(corpusPath, batch, report.batchId)
-    maintainEvery.exists(CuratedCorpus.maintain(
-      batch.sparkSession, corpusPath, _))
+    maintainEvery.exists(d =>
+      tolerated(onMaintenanceSkipped)(CuratedCorpus.maintain(
+        batch.sparkSession, corpusPath, d)))
   }
+
+  /** [[graft.sources.Lease.cadence]] with the routers' skip policy:
+    * a refusal surfaces through the callback and counts as "did not
+    * compact" — the stream keeps folding, the cadence retries next
+    * batch. */
+  private def tolerated(onSkipped: String => Unit)(
+      body: => Boolean): Boolean =
+    graft.sources.Lease.cadence(body) match {
+      case Right(r) => r
+      case Left(msg) => onSkipped(msg); false
+    }
 
   /**
    * The FULLY-INDEXED accept router — [[acceptIntoCorpus]] plus the
@@ -214,15 +234,19 @@ object IngestStream {
    * [[graft.dedup.ClusterIndex.write]] over the curated snapshot —
    * the per-snapshot builds).
    *
-   * `maintainEvery` drives all three cadences: corpus compaction
-   * (replay-safe mid-stream) and the two indexes' settled-only
-   * `maintainThrough(batchId − 1)`.
+   * `maintainEvery` drives all the cadences: corpus compaction
+   * (replay-safe mid-stream) and the indexes' settled-only
+   * `maintainThrough(batchId − 1)`. Each cadence tolerates a lease
+   * refusal independently ([[acceptIntoCorpus]]'s skip policy — the
+   * roots have separate leases, and an ad-hoc maintainer on one must
+   * not stall the others' cadences or the stream).
    *
-   * @return true iff any of the three maintenance cadences compacted
+   * @return true iff any maintenance cadence compacted
    */
   def acceptIntoCorpusIndexed(batch: DataFrame, report: BatchReport,
       corpusPath: String, sigPath: String, clusterPath: String,
-      threshold: Double, maintainEvery: Option[Int] = None): Boolean = {
+      threshold: Double, maintainEvery: Option[Int] = None,
+      onMaintenanceSkipped: String => Unit = _ => ()): Boolean = {
     import graft.dedup.{ClusterIndex, SignatureIndex}
     val spark = batch.sparkSession
     // the signature root is READ below before its own fold's recovery
@@ -248,13 +272,16 @@ object IngestStream {
         sig.select(col("batch_id").as("doc_id"), col("sig")),
         report.batchId)
     } finally releaseSig()
-    val compactedCorpus = maintainEvery.exists(
-      CuratedCorpus.maintain(spark, corpusPath, _))
+    def skip(body: => Boolean): Boolean =
+      tolerated(onMaintenanceSkipped)(body)
+    val compactedCorpus = maintainEvery.exists(d =>
+      skip(CuratedCorpus.maintain(spark, corpusPath, d)))
     val compactedSig = maintainEvery.exists(d =>
-      SignatureIndex.maintainThrough(spark, sigPath, d, report.batchId - 1))
+      skip(SignatureIndex.maintainThrough(spark, sigPath, d,
+        report.batchId - 1)))
     val compactedCluster = maintainEvery.exists(d =>
-      ClusterIndex.maintainThrough(spark, clusterPath, d,
-        report.batchId - 1))
+      skip(ClusterIndex.maintainThrough(spark, clusterPath, d,
+        report.batchId - 1)))
     compactedCorpus | compactedSig | compactedCluster
   }
 
@@ -281,12 +308,17 @@ object IngestStream {
   }
 
   /**
-   * Turnkey quarantine router: append a failing batch to
+   * Turnkey quarantine router: land a failing batch in
    * `quarantineDir` as parquet, stamped with the batch id and a
    * machine-readable reason, so triage reads one table instead of
-   * logs. Idempotent under micro-batch redelivery IF the caller keeps
-   * batchId in the path semantics downstream dedup keys on (batch_id,
-   * doc identity) — the stamp columns make that join possible.
+   * logs. The batch id is the PARTITION key and the write is a
+   * dynamic partition overwrite — the same replay discipline as every
+   * standing fold here — so an at-least-once redelivery replaces
+   * exactly its own `__batch_id=<id>/` partition instead of
+   * appending a second copy. Triage reads through [[openQuarantine]]
+   * (LWW per document across batches); completed triage retires
+   * partitions with [[pruneQuarantine]] — without retention the
+   * quarantine is the one table in the loop that grows forever.
    */
   def quarantine(batch: DataFrame, report: BatchReport, reason: String,
       quarantineDir: String): Unit = {
@@ -298,8 +330,59 @@ object IngestStream {
       "batch already carries quarantine stamps (__batch_id/__reason); " +
         "drop or rename them before re-quarantining")
     batch
-      .withColumn("__batch_id", lit(report.batchId))
       .withColumn("__reason", lit(reason))
-      .write.mode("append").parquet(quarantineDir)
+      .withColumn("__batch_id", lit(report.batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch_id")
+      .parquet(quarantineDir)
+  }
+
+  /** The TRIAGE read of a quarantine table: one row per document —
+    * a document quarantined by several batches (resubmitted content
+    * failing again) surfaces once, under its LATEST batch's stamp
+    * (last-write-wins on `idCol` by `__batch_id`; within one batch a
+    * duplicated id keeps one row arbitrarily — they are copies of the
+    * same submission). Within-batch redelivery is already single-copy
+    * at the storage layer ([[quarantine]]'s partition overwrite).
+    * `__batch_id` reads back as LONG regardless of the width the
+    * partition-directory inference picked. */
+  def openQuarantine(spark: org.apache.spark.sql.SparkSession,
+      quarantineDir: String, idCol: String): DataFrame = {
+    val all = spark.read.parquet(quarantineDir)
+      .withColumn("__batch_id", col("__batch_id").cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("__batch_id").desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Quarantine retention — the [[graft.pipeline.Release]] keep/prune
+    * discipline on the triage table: drop every `__batch_id=<b>`
+    * partition with `b <= throughBatch` (the caller's
+    * triage-completed watermark). Listing-only (no data read), so the
+    * verb costs O(partitions) at any scale. Returns the batch ids
+    * pruned. */
+  def pruneQuarantine(spark: org.apache.spark.sql.SparkSession,
+      quarantineDir: String, throughBatch: Long): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(quarantineDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val Part = "^__batch_id=(-?\\d+)$".r
+      fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .flatMap(_.getPath.getName match {
+          case Part(n) => Some(n.toLong)
+          case _ => None
+        })
+        .filter(_ <= throughBatch)
+        .sorted
+        .map { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$quarantineDir/__batch_id=$b"), true)
+          b
+        }
+    }
   }
 }

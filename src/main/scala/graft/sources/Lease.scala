@@ -211,6 +211,23 @@ object Lease {
     new Held(spark, root, token)
   }
 
+  /**
+   * Run an IN-LOOP MAINTENANCE CADENCE tolerating a concurrent
+   * maintainer: [[HeldElsewhereException]] is fail-fast by design for
+   * a standalone maintenance JOB (the holder's cadence owns the
+   * root), but a cadence riding inside a production stream's
+   * `foreachBatch` must not let an ad-hoc compact against its root
+   * abort the stream — the right unit to fail is the tick, not the
+   * query. Returns `Right(result)` or `Left(refusalMessage)`; the
+   * caller skips the tick, surfaces the message, and retries next
+   * batch. The FOLD must stay OUTSIDE this wrapper: folds are
+   * replay-idempotent and unleased by design, so they never refuse —
+   * wrapping one would only hide a real failure.
+   */
+  def cadence[A](body: => A): Either[String, A] =
+    try Right(body)
+    catch { case e: HeldElsewhereException => Left(e.getMessage) }
+
   /** Run `body` holding the root's lease, releasing on every exit
     * path. Re-entrant per thread: if THIS thread already holds the
     * root (an outer entry point on the same structure), the body runs

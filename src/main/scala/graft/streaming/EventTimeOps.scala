@@ -338,11 +338,14 @@ object EventTimeOps {
    * `onAppended` receives (batchId, rows) after each append commits —
    * the hook a checkpoint/metrics pipeline keys on. No release handle:
    * the index lives at rest, and the centroid matrix is the caller's
-   * RAM-resident state.
+   * RAM-resident state. A lease refusal inside the compaction cadence
+   * skips the tick (surfaced via `onMaintenanceSkipped`, retried next
+   * batch) — the unleased append always lands.
    */
   def ivfAppendStream(vecs: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Array[Double]], indexPath: String,
-      compactEvery: Option[Int] = None)(
+      compactEvery: Option[Int] = None,
+      onMaintenanceSkipped: String => Unit = _ => ())(
       onAppended: (Long, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(compactEvery.forall(_ >= 1),
       s"compactEvery must be >= 1, got $compactEvery")
@@ -362,8 +365,10 @@ object EventTimeOps {
           compactEvery.foreach { dial =>
             if (graft.ann.IvfIndex.appendBatchCount(
                 batch.sparkSession, indexPath) > dial)
-              graft.ann.IvfIndex.compactThrough(
-                batch.sparkSession, indexPath, batchId - 1)
+              graft.sources.Lease.cadence(
+                graft.ann.IvfIndex.compactThrough(
+                  batch.sparkSession, indexPath, batchId - 1))
+                .left.foreach(onMaintenanceSkipped)
           }
           onAppended(batchId, n)
         } finally batch.unpersist()
@@ -410,10 +415,15 @@ object EventTimeOps {
    * every foreachBatch maintenance loop here.
    *
    * `onBatch` receives (batchId, drift, action) with action ∈
-   * {"append", "retrain", "retrain-replay", "empty"} — the audit
-   * trail a metrics pipeline records ("retrain-replay" marks a
-   * redelivered retrain batch whose version the served index already
-   * is; see the keyed-path guard).
+   * {"append", "retrain", "retrain-replay", "retrain-skipped",
+   * "empty"} — the audit trail a metrics pipeline records
+   * ("retrain-replay" marks a redelivered retrain batch whose version
+   * the served index already is — see the keyed-path guard;
+   * "retrain-skipped" a retrain whose version write was lease-refused
+   * by an ad-hoc maintainer, with the batch landed in the SERVED
+   * index's append lane instead and the refusal surfaced via
+   * `onMaintenanceSkipped` — the stream survives, the next drifting
+   * batch retries at its own version path).
    *
    * `retainIn = Some((base, keep))` is the RETAINED-VERSIONS dial:
    * instead of deleting the superseded path immediately after the
@@ -431,14 +441,16 @@ object EventTimeOps {
       handle: java.util.concurrent.atomic.AtomicReference[graft.ann.IvfIndex.Resident],
       driftThreshold: Double, pathForVersion: Long => String,
       k: Int, refineIters: Int = 1,
-      retainIn: Option[(String, Int)] = None)(
+      retainIn: Option[(String, Int)] = None,
+      onMaintenanceSkipped: String => Unit = _ => ())(
       onBatch: (Long, Double, String) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.persist()
         try ivfMaintainOnce(batch, batchId, idCol, vecCol, handle,
-          driftThreshold, pathForVersion, k, refineIters, retainIn, onBatch)
+          driftThreshold, pathForVersion, k, refineIters, retainIn, onBatch,
+          onMaintenanceSkipped)
         finally batch.unpersist()
         ()
       }
@@ -451,7 +463,8 @@ object EventTimeOps {
       driftThreshold: Double, pathForVersion: Long => String,
       k: Int, refineIters: Int,
       retainIn: Option[(String, Int)],
-      onBatch: (Long, Double, String) => Unit): Unit = {
+      onBatch: (Long, Double, String) => Unit,
+      onMaintenanceSkipped: String => Unit = _ => ()): Unit = {
     import graft.ann.{IvfIndex, Similarity}
     import graft.pipeline.DriftGate
     // keep = 1 would retain ONLY the new version — deleting the
@@ -509,7 +522,27 @@ object EventTimeOps {
         // catches it — either way it overwrites its own partitions;
         // were the batch baked into the base, a replay would
         // duplicate every row.
-        IvfIndex.write(standing, idCol, vecCol, cents, newPath)
+        //
+        // The version write is the retrain's one LEASED verb: a
+        // refusal (an ad-hoc maintainer holds the new version's
+        // root) must skip the retrain — not kill the stream — so
+        // the batch falls back to the append lane against the
+        // SERVED index (unleased, idempotent; its rows are in the
+        // corpus either way) and the next drifting batch retries
+        // the retrain at its own version path. The trained
+        // centroids are discarded on refusal — rare by
+        // construction, and the alternative (holding them for a
+        // later batch) would train on stale membership.
+        graft.sources.Lease.cadence(
+          IvfIndex.write(standing, idCol, vecCol, cents, newPath)) match {
+          case Left(msg) =>
+            IvfIndex.append(batch, idCol, vecCol, cur.centroids,
+              cur.path, batchId)
+            onMaintenanceSkipped(msg)
+            onBatch(batchId, drift, "retrain-skipped")
+            return
+          case Right(_) => ()
+        }
         IvfIndex.append(batch, idCol, vecCol, cents, newPath, batchId)
         // profile from the NEW at-rest corpus (read back, and
         // materialized by the persist+action inside
@@ -639,19 +672,30 @@ object EventTimeOps {
    * delivery, so the verify always finds its candidates' text.
    * `maintainEvery` drives all three settled-only cadences
    * (`maintainThrough(batchId − 1)`). Same checkpointLocation
-   * requirement as every foreachBatch maintenance loop here.
+   * requirement as every foreachBatch maintenance loop here. A lease
+   * refusal inside any cadence (an ad-hoc maintainer on that root)
+   * skips THAT tick and surfaces through `onMaintenanceSkipped` —
+   * the folds are unleased and unconditional, so the stream keeps
+   * landing batches and the cadence retries next batch
+   * ([[graft.sources.Lease.cadence]]).
    *
    * `onBatch` receives (batchId, rows, compacted).
    */
   def clusterFoldStream(docs: DataFrame, idCol: String, textCol: String,
       docsPath: String, sigPath: String, clusterPath: String,
-      threshold: Double, maintainEvery: Option[Int] = None)(
+      threshold: Double, maintainEvery: Option[Int] = None,
+      onMaintenanceSkipped: String => Unit = _ => ())(
       onBatch: (Long, Long, Boolean) => Unit)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.dedup.{ClusterIndex, Dedup, SignatureIndex}
     import graft.pipeline.DocStore
     require(maintainEvery.forall(_ >= 1),
       s"maintainEvery must be >= 1, got $maintainEvery")
+    def skip(body: => Boolean): Boolean =
+      graft.sources.Lease.cadence(body) match {
+        case Right(r) => r
+        case Left(msg) => onMaintenanceSkipped(msg); false
+      }
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -682,13 +726,14 @@ object EventTimeOps {
               batchId)
           } finally releaseSig()
           val compactedCluster = maintainEvery.exists(d =>
-            ClusterIndex.maintainThrough(spark, clusterPath, d,
-              batchId - 1))
+            skip(ClusterIndex.maintainThrough(spark, clusterPath, d,
+              batchId - 1)))
           val compactedSig = maintainEvery.exists(d =>
-            SignatureIndex.maintainThrough(spark, sigPath, d,
-              batchId - 1))
+            skip(SignatureIndex.maintainThrough(spark, sigPath, d,
+              batchId - 1)))
           val compactedDocs = maintainEvery.exists(d =>
-            DocStore.maintainThrough(spark, docsPath, d, batchId - 1))
+            skip(DocStore.maintainThrough(spark, docsPath, d,
+              batchId - 1)))
           onBatch(batchId, n,
             compactedCluster | compactedSig | compactedDocs)
         } finally batch.unpersist()

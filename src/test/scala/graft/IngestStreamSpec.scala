@@ -66,15 +66,36 @@ class IngestStreamSpec extends SparkSpec {
     assert(bad.nearDupMatches >= 1L, "near-copy of corpus doc not flagged")
     assert(bad.drift > clean.drift, "vocab flip did not raise drift")
 
-    // quarantine writer: the bad batch lands stamped and re-readable
+    // quarantine writer: the bad batch lands stamped, re-readable, and
+    // REPLAY-IDEMPOTENT — a redelivery overwrites its own partition
     val qDir = java.nio.file.Files.createTempDirectory("graft-quar").toString + "/q"
     val badBatch = Seq((201L, "   ")).toDF("doc_id", "text")
     IngestStream.quarantine(badBatch, bad, "dq:text_nonempty", qDir)
-    val quarantined = spark.read.parquet(qDir)
-    assert(quarantined.count() == 1L)
-    val row = quarantined.head()
+    IngestStream.quarantine(badBatch, bad, "dq:text_nonempty", qDir)
+    assert(spark.read.parquet(qDir).count() == 1L,
+      "redelivered quarantined batch must read back single-copy")
+    val row = IngestStream.openQuarantine(spark, qDir, "doc_id").head()
     assert(row.getAs[Long]("__batch_id") == bad.batchId &&
       row.getAs[String]("__reason") == "dq:text_nonempty")
+    // the same DOC re-failing under a LATER batch: both partitions
+    // stand, but triage sees the doc once, under the latest stamp
+    val again = IngestStream.BatchReport(bad.batchId + 1, 1L, Nil, 0.0, 0L)
+    IngestStream.quarantine(badBatch, again, "dq:again", qDir)
+    assert(spark.read.parquet(qDir).count() == 2L)
+    val lww = IngestStream.openQuarantine(spark, qDir, "doc_id").collect()
+    assert(lww.length == 1 &&
+      lww.head.getAs[Long]("__batch_id") == again.batchId &&
+      lww.head.getAs[String]("__reason") == "dq:again",
+      s"triage must LWW to the latest stamp: ${lww.toSeq}")
+    // retention: triage completed through the first batch prunes its
+    // partition (listing-only) and leaves the later one standing
+    assert(IngestStream.pruneQuarantine(spark, qDir, bad.batchId) ==
+      Seq(bad.batchId))
+    assert(spark.read.parquet(qDir).agg(
+      min(col("__batch_id").cast("long"))).head().getLong(0) ==
+      again.batchId)
+    assert(IngestStream.pruneQuarantine(spark, qDir, bad.batchId).isEmpty,
+      "pruning past the watermark must be a no-op")
   }
 
   test("ingest stack gates on the embedding index when configured") {
