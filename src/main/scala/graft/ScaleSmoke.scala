@@ -60,8 +60,13 @@ object ScaleSmoke {
     embX.write.mode(SaveMode.Overwrite).parquet(s"$OutDir/embeddings.parquet")
     println(s"[scale] synthesized ${nDocs * Copies} docs / ${nVecs * Copies} vecs at $OutDir")
 
-    // fast lane for iterating on one smoke: `runMain graft.ScaleSmoke probe`
-    if (args.contains("probe")) { probeReadSmoke(spark); spark.stop(); return }
+    // fast lanes for iterating on one smoke:
+    // `runMain graft.ScaleSmoke probe` / `... loop`
+    if (args.contains("probe")) {
+      probeReadSmoke(spark); embedProbeReadSmoke(spark)
+      spark.stop(); return
+    }
+    if (args.contains("loop")) { composedLoopSmoke(spark); spark.stop(); return }
 
     val queries = Seq(
       "q_dedup_embed_cos", "q_dedup_lsh_pairs", "q_dedup_clusters",
@@ -303,6 +308,7 @@ object ScaleSmoke {
     releaseSmoke(spark)
     composedLoopSmoke(spark)
     probeReadSmoke(spark)
+    embedProbeReadSmoke(spark)
   }
 
   /**
@@ -397,6 +403,108 @@ object ScaleSmoke {
   }
 
   /**
+   * The EMBED twin of [[probeReadSmoke]]: [[graft.ann.EmbedIndex]]'s
+   * probe reads are ∝ the PROBED BUCKETS' content, never the corpus —
+   * growth that hashes into other buckets adds zero read. The proof
+   * shape differs from the text smoke for an honest reason: minhash
+   * band keys are effectively 2^128-unique, so novel TEXT never
+   * collides with a probe's keys, but the shared LCG hyperplane
+   * family saturates (its weights are an arithmetic progression, so
+   * past ~10 informative planes random vectors concentrate into
+   * ~2^10 effective buckets) — truly random vector growth WOULD
+   * enlarge the probed buckets themselves. The smoke therefore grows
+   * the corpus with vectors that provably hash OUTSIDE the batch's
+   * buckets (first-component-dominated, one sign pattern per band —
+   * asserted disjoint from the probe keys) and pins that the probe's
+   * bucket-page and candidate-vector reads stay FLAT while the table
+   * grows 10×; the LSH statistics themselves are the
+   * adaptivePlanes/band dials' concern, spec'd with the in-RAM index.
+   */
+  def embedProbeReadSmoke(spark: SparkSession): Unit = {
+    import graft.ann.{EmbedIndex, Similarity}
+    import graft.sources.{Layout, PointReads}
+    val dims = 16
+    val p = EmbedIndex.Params(bands = 2, planesPerBand = 12, dims = dims)
+    def vecsOf(ids: org.apache.spark.sql.DataFrame, salt: Int) =
+      ids.select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dims - 1)), j =>
+          (pmod(hash(col("id"), lit(salt), j), lit(1000)).cast("double")
+            / 500.0 - 1.0).cast("float")).as("embedding"))
+    // growth vectors: first component dominates, so every one lands
+    // in the single sign-pattern bucket of each band — away from the
+    // batch's buckets (asserted below)
+    def soup(ids: org.apache.spark.sql.DataFrame) =
+      ids.select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dims - 1)), j =>
+          when(j === 0, lit(50.0f)).otherwise(
+            (pmod(hash(col("id"), j), lit(1000)).cast("double") / 500.0
+              - 1.0).cast("float"))).as("embedding"))
+    val content = vecsOf(spark.range(20000).toDF("id"), 0)
+    val corpus1 = content.unionByName(
+      soup(spark.range(20000, 100000).toDF("id")))
+    val corpus10 = content.unionByName(
+      soup(spark.range(20000, 1000000).toDF("id")))
+    // the batch: 6 novel vectors + 2 scaled copies of content vectors
+    val batch = vecsOf(spark.range(6).toDF("id"), 2)
+      .select((col("vec_id") + 91000000L).as("vec_id"), col("embedding"))
+      .unionByName(content.where(col("vec_id").isin(7L, 19990L))
+        .select((col("vec_id") + 92000000L).as("vec_id"),
+          transform(col("embedding"), v => v * lit(2.0f)).as("embedding")))
+    def keysOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      (0 until p.bands).flatMap { b =>
+        df.select(Similarity.lshBucket(col("embedding"),
+            p.planesPerBand, p.dims, b * p.planesPerBand).as("bucket"))
+          .distinct().collect().map(_.getLong(0) + b.toLong * (1L << 40))
+      }.distinct
+    val bkeys = keysOf(batch)
+    val soupKeys = keysOf(soup(spark.range(20000, 20004).toDF("id")))
+    require(soupKeys.size == p.bands && !soupKeys.exists(bkeys.contains),
+      s"fixture drifted: growth buckets $soupKeys overlap probe keys")
+
+    def measure(tag: String, corpus: org.apache.spark.sql.DataFrame)
+        : (Long, Long, Long, Long, Long) = {
+      val root = s"$OutDir/eprobe_$tag"
+      EmbedIndex.delete(spark, root)
+      EmbedIndex.write(corpus, "vec_id", "embedding", root, p)
+      val rows = corpus.count()
+      val t0 = System.nanoTime()
+      val matches = EmbedIndex.probe(batch, root, "vec_id", "embedding",
+        0.999).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val buckets = EmbedIndex.openBuckets(spark, root)
+      val bucketTotal = buckets.count()
+      val bucketRead = Layout.scanOutputRows(
+        buckets.filter(PointReads.keyedFilter(col("bkey"),
+          bkeys.map(_.asInstanceOf[Any]))))
+      val candIds = buckets
+        .filter(PointReads.keyedFilter(col("bkey"),
+          bkeys.map(_.asInstanceOf[Any])))
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSeq
+      val vecRead = if (candIds.isEmpty) 0L else Layout.scanOutputRows(
+        EmbedIndex.open(spark, root).filter(
+          PointReads.keyedFilter(col("doc_id"), candIds)))
+      println(f"[scale] embed probe reads $tag%-4s  ${sec}%8.2f s  " +
+        f"matches=$matches cands=${candIds.size} " +
+        f"buckets=$bucketRead/$bucketTotal vecs=$vecRead/$rows")
+      (matches, bucketRead, bucketTotal, vecRead, rows)
+    }
+    val (m1, b1, _, v1, _) = measure("1x", corpus1)
+    val (m10, b10, bt10, v10, r10) = measure("10x", corpus10)
+    require(m10 == m1 && m1 >= 2,
+      s"matched set must be scale-invariant here: $m1 vs $m10")
+    require(b10 <= math.max(b1, 1L) * 4,
+      s"bucket read grew with the table: $b1 -> $b10 under 10x growth")
+    require(v10 <= math.max(v1, 1L) * 4,
+      s"vector read grew with the table: $v1 -> $v10 under 10x growth")
+    require(b10 * 3 <= bt10,
+      s"bucket read $b10 of $bt10 rows is not a point read")
+    require(v10 * 3 <= r10,
+      s"vector read $v10 of $r10 rows is not a point read")
+    println(s"[scale] embed probe reads flat under 10x off-bucket growth " +
+      s"(buckets $b1->$b10, vecs $v1->$v10, matches $m1)")
+  }
+
+  /**
    * THE COMPOSED PRODUCTION LOOP at 10×, maintenance firing
    * MID-STREAM — the steady state every standing-structure scaladoc
    * promises, run as one loop with nothing hand-cranked: a gated
@@ -419,35 +527,62 @@ object ScaleSmoke {
    *    across cuts;
    *  - the loop's final corpus equals the from-scratch curation of
    *    everything it saw (count), across compactions and cuts;
-   *  - the signature and cluster tables stay in ID LOCKSTEP with the
-   *    corpus across every maintenance boundary.
+   *  - the signature, cluster, AND embedding tables stay in ID
+   *    LOCKSTEP with the corpus across every maintenance boundary.
+   *
+   * The embed gate runs ON and AT REST: the feed carries a vector
+   * column, every batch probes the standing [[graft.ann.EmbedIndex]]
+   * (the gate's corpus argument never carries vectors, so nothing
+   * CAN re-hash the corpus), and the router folds the survivors'
+   * vectors into the same table on the shared cadence. These batches
+   * are deliberately far past the point-read key cap, so the gate
+   * exercises the documented above-cap scan fallback; the bounded
+   * point-read path is pinned at micro-batch size in EmbedIndexSpec
+   * and at 10× in [[embedProbeReadSmoke]].
    */
   def composedLoopSmoke(spark: SparkSession): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.types.StructType
+    import graft.ann.EmbedIndex
     import graft.pipeline.{CuratedCorpus, DqGate, IngestStream, PipelineQueries, Release}
 
+    // deterministic zero-mean embeddings ride the feed — the embed
+    // gate's production shape (hash-based: unique per (id, dim))
+    val dims = 16
+    val embParams = EmbedIndex.Params(bands = 2, planesPerBand = 16,
+      dims = dims)
     val docs = Tables(spark, OutDir, "documents")
       .select("doc_id", "source", "lang", "text")
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(dims - 1)), j =>
+          (pmod(hash(col("doc_id"), j), lit(1000)).cast("double") / 500.0
+            - 1.0).cast("float")))
     val mx = docs.agg(max("doc_id")).head().getLong(0)
     val half = mx / 2
-    val corpus = docs.where(col("doc_id") < half)
+    val corpus = docs.where(col("doc_id") < half).drop("embedding")
     val cc = s"$OutDir/loop_corpus"
     val sigs = s"$OutDir/loop_sigs"
     val clusters = s"$OutDir/loop_clusters"
+    val emb = s"$OutDir/loop_emb"
     val root = s"$OutDir/loop_release"
     CuratedCorpus.delete(spark, cc)
     graft.dedup.SignatureIndex.delete(spark, sigs)
     graft.dedup.ClusterIndex.delete(spark, clusters)
+    EmbedIndex.delete(spark, emb)
     Release.delete(spark, root)
     val ti = System.nanoTime()
     CuratedCorpus.init(corpus, cc)
     // per-snapshot index bootstrap over the curated base — the rare
-    // whole-corpus pass the folds amortize away
+    // whole-corpus pass the folds amortize away; the embed twin's
+    // base is the curated ids' vectors
     IngestStream.bootstrapIndexes(spark, cc, sigs, clusters,
       graft.dedup.DedupQueries.LshPairsThreshold)
+    EmbedIndex.write(
+      CuratedCorpus.open(spark, cc).select("doc_id")
+        .join(docs.select("doc_id", "embedding"), "doc_id"),
+      "doc_id", "embedding", emb, embParams)
     val initSec = (System.nanoTime() - ti) / 1e9
     val initBytes = dirBytes(s"$cc/docs/__batch=-1")
 
@@ -461,8 +596,8 @@ object ScaleSmoke {
         .where(length(trim(col("text"))) > 0)
         .collect()
     }
-    val schema = StructType.fromDDL(
-      "doc_id BIGINT, source STRING, lang STRING, text STRING")
+    val schema = StructType.fromDDL("doc_id BIGINT, source STRING, " +
+      "lang STRING, text STRING, embedding ARRAY<FLOAT>")
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
     val mem = MemoryStream[Row](enc, spark)
     // per batch: (rows, foldBytes or -1 when compacted away, folds
@@ -473,12 +608,16 @@ object ScaleSmoke {
       mem.toDF(), corpus, "doc_id", "text",
       Seq(DqGate.Rule("text_nonempty",
         DqGate.notSatisfied(length(trim(col("text"))) > 0))),
-      threshold = 0.5, cappedDriftK = Some(512)) { (batch, report) =>
+      threshold = 0.5,
+      embed = Some(IngestStream.EmbedGate("embedding", embParams.bands,
+        embParams.planesPerBand, embParams.dims, threshold = 0.999,
+        atRestPath = Some(emb))),
+      cappedDriftK = Some(512)) { (batch, report) =>
       require(report.dqPass, s"clean batch ${report.batchId} failed dq")
       val t0 = System.nanoTime()
       val compacted = IngestStream.acceptIntoCorpusIndexed(batch, report,
         cc, sigs, clusters, graft.dedup.DedupQueries.LshPairsThreshold,
-        maintainEvery = Some(3))
+        maintainEvery = Some(3), embed = Some((emb, "embedding")))
       val foldsAfter = CuratedCorpus.foldCount(spark, cc)
       // measure the batch's own docs partition if it still stands —
       // an INDEX compaction (also reported via `compacted`) must not
@@ -548,13 +687,17 @@ object ScaleSmoke {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val clusterIds = graft.dedup.ClusterIndex.open(spark, clusters)
       .select("doc_id").collect().map(_.getLong(0)).toSet
+    val embIds = EmbedIndex.open(spark, emb)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
     require(sigIds == corpusIds,
       s"signature index drifted: ${sigIds.size} vs ${corpusIds.size} ids")
     require(clusterIds == corpusIds,
       s"cluster index drifted: ${clusterIds.size} vs ${corpusIds.size} ids")
+    require(embIds == corpusIds,
+      s"embed index drifted: ${embIds.size} vs ${corpusIds.size} ids")
     println(f"[scale] loop steady state        compactions=$compactions " +
       s"cuts=${versionsCut.mkString(",")} corpusRows=$got (≡ from-scratch; " +
-      "sig+cluster indexes in id lockstep)")
+      "sig+cluster+embed indexes in id lockstep)")
   }
 
   /**

@@ -1,0 +1,304 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{PointReads, StandingStore, TableSpec}
+
+/**
+ * PERSISTED banded-LSH embedding index — the EMBEDDING twin of
+ * [[graft.dedup.SignatureIndex]], closing the one restart asymmetry
+ * the at-rest family had: the text lane's signatures survive the
+ * session, but an embed-gated loop probing the session-RAM
+ * [[Similarity.corpusEmbedIndex]] re-hashes every corpus embedding on
+ * restart — exactly the once-per-document work this table makes
+ * durable. Built on the shared [[graft.sources.StandingStore]]
+ * lifecycle (leased build verbs, batch-keyed replay-idempotent folds,
+ * settled-only staged-swap compaction), and honoring the
+ * [[graft.dedup.SignatureIndex]] probe-read contract by construction:
+ *
+ * Layout under `path`:
+ * {{{
+ *   _params.json        (bands, planesPerBand, dims) — the LSH family
+ *                       is part of the table's identity; a probe with
+ *                       different planes would hash into garbage, so
+ *                       consumers READ the family instead of repeating it
+ *   vecs/__batch=<b>/   (doc_id, v), doc_id-sorted inside files — the
+ *                       verify side (candidate vectors point-read here)
+ *   buckets/__batch=<b>/ (bkey, doc_id), bkey-sorted, small pages —
+ *                       bkey packs (band, bucket) into one LONG
+ * }}}
+ *
+ * [[probe]] reads the PROBED BUCKETS' pages, never the corpus:
+ * candidates come from point reads of the matching bucket pages
+ * ([[graft.sources.PointReads.keyedFilter]] over the batch's ≤
+ * |batch|·bands bucket keys), and the exact-cosine verify point-reads
+ * only the candidate ids' vectors — so the per-call read is
+ * `O(|batch| · bucket occupancy)`. Bucket occupancy is the LSH
+ * dials' job ([[Similarity.adaptivePlanes]]): the shared LCG plane
+ * family saturates near ~2^10 effective buckets (its weights are an
+ * arithmetic progression), so the per-bucket row count — hence the
+ * probe's read — grows once a corpus outruns the family's
+ * resolution; shard such a corpus across band sets or roots. Above
+ * either driver cap the call falls back to the scan-shaped
+ * [[probeAtRest]] — same rows, the cap only picks which side pays.
+ * Probe ≡ the in-RAM [[Similarity.probeEmbedIndex]] and the
+ * cross-session fold loop are pinned in EmbedIndexSpec; read
+ * flatness under 10× off-bucket growth in the scale smoke.
+ */
+object EmbedIndex {
+
+  /** Base-snapshot marker in the `__batch` partition column. */
+  val BaseBatch: Long = StandingStore.BaseBatch
+
+  /** The LSH family a table was built with — persisted at write,
+    * read back by every probe ([[readParams]]). */
+  final case class Params(bands: Int, planesPerBand: Int, dims: Int) {
+    require(bands >= 1 && planesPerBand >= 1 && dims >= 1,
+      s"invalid LSH family: bands=$bands planes=$planesPerBand dims=$dims")
+    require(planesPerBand <= 40,
+      s"planesPerBand=$planesPerBand overflows the packed bucket key " +
+        "(band·2^40 + bucket)")
+  }
+
+  private def store(path: String) = new StandingStore(path, Seq(
+    // vecs carries the page-row limit too: at small dims a vector row
+    // is tens of bytes, and parquet's byte-based page flush would put
+    // the whole table in one page — no page left to skip. At large
+    // dims the byte flush wins first and the limit is inert.
+    TableSpec("vecs", "doc_id LONG, v ARRAY<FLOAT>, __batch LONG",
+      Seq("doc_id"), pageRowLimit = Some(PointReads.PageRowLimit)),
+    // bucket rows are ≈ vecs rows × bands but narrow (two LONGs):
+    // size their files off the sibling vecs dir at a smaller target
+    TableSpec("buckets", "bkey LONG, doc_id LONG, __batch LONG",
+      Seq("bkey"), pageRowLimit = Some(PointReads.PageRowLimit),
+      targetFileBytes = 64L << 20, sizeFrom = Some("vecs"))))
+
+  /** Collision-free scratch location for the harness. */
+  def scratchPath(sourceDir: String): String =
+    graft.Scratch.path("graft_embidx", sourceDir)
+
+  // ------------------------------------------------------ params sidecar
+
+  private def paramsFile(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_params.json")
+
+  private def writeParams(spark: SparkSession, path: String,
+      p: Params): Unit = {
+    val f = paramsFile(path)
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(f, true)
+    try out.write(
+      (s"""{"bands":${p.bands},"planes_per_band":${p.planesPerBand},""" +
+        s""""dims":${p.dims}}""").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The LSH family the table at `path` was built with. */
+  def readParams(spark: SparkSession, path: String): Params = {
+    val f = paramsFile(path)
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buf = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
+    val in = fs.open(f)
+    try in.readFully(0, buf) finally in.close()
+    val json = new String(buf, "UTF-8")
+    def num(k: String): Int =
+      s""""$k":\\s*(\\d+)""".r.findFirstMatchIn(json)
+        .map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(
+          s"$f holds no '$k' — not an EmbedIndex root?"))
+    Params(num("bands"), num("planes_per_band"), num("dims"))
+  }
+
+  // ------------------------------------------------------- bucket rows
+
+  /** Pack (band, bucket) into one LONG point-read key. */
+  private def packedKey(band: Column, bucket: Column): Column =
+    band.cast("long") * lit(1L << 40) + bucket
+
+  /** (idName, v, bkey) rows of the banded LSH assignment — the same
+    * family as [[Similarity.corpusEmbedIndex]] (band b's planes are
+    * globally indexed [b·r, (b+1)·r) in the shared LCG). Null vectors
+    * are dropped up front — every one would land in bucket 0 of every
+    * band, the degenerate mega-bucket. */
+  private def bucketRows(df: DataFrame, idCol: String, vecCol: String,
+      idName: String, p: Params): DataFrame =
+    df.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as(idName),
+        col(vecCol).cast("array<float>").as("v"),
+        posexplode(array((0 until p.bands).map(b =>
+          Similarity.lshBucket(col(vecCol), p.planesPerBand, p.dims,
+            b * p.planesPerBand)): _*))
+          .as(Seq("band", "bucket")))
+      .select(col(idName), col("v"),
+        packedKey(col("band"), col("bucket")).as("bkey"))
+
+  // ---------------------------------------------------------- lifecycle
+
+  /** Corpus-snapshot write: hash every embedding once, land the base
+    * partitions and the params sidecar. Leased (the build verb). */
+  def write(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, params: Params): Unit = {
+    val s = store(path)
+    val spark = corpus.sparkSession
+    s.withLease(spark) {
+      s.clearForRewrite(spark)
+      writeParams(spark, path, params)
+      // vectors normalize to array<float> at the boundary — the
+      // at-rest dtype is part of the table's identity, whatever
+      // width the caller's frame carried
+      s.landBase(corpus.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("doc_id"),
+          col(vecCol).cast("array<float>").as("v")), "vecs")
+      // bucket rows derive from the JUST-WRITTEN vectors — each
+      // embedding is hashed exactly once; range-partition so the base
+      // is globally bkey-sorted from birth
+      s.landBase(
+        bucketRows(s.open(spark, "vecs"), "doc_id", "v", "doc_id", params)
+          .select(col("bkey"), col("doc_id")),
+        "buckets", rangeFiles = Some(s.fileCount(spark, "buckets")))
+    }
+  }
+
+  /** Fold one batch's embeddings as their own partitions —
+    * batch-sized bytes, replay-idempotent (dynamic overwrite keyed by
+    * the stream's batch id). */
+  def foldBatch(path: String, batchDocs: DataFrame, idCol: String,
+      vecCol: String, batchId: Long): Unit = {
+    val s = store(path)
+    val spark = batchDocs.sparkSession
+    s.recoverSwap(spark)
+    val p = readParams(spark, path)
+    val vecs = batchDocs.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        col(vecCol).cast("array<float>").as("v"))
+    s.landFold(vecs, "vecs", batchId)
+    s.landFold(bucketRows(vecs, "doc_id", "v", "doc_id", p)
+      .select(col("bkey"), col("doc_id")), "buckets", batchId)
+  }
+
+  /** Finish a crashed [[compactThrough]] swap — the reader-first
+    * preamble a probe-before-fold consumer runs. No-op when healthy. */
+  def recoverSwap(spark: SparkSession, path: String): Unit =
+    store(path).recoverSwap(spark)
+
+  /** The composed (doc_id, v) table — base + every fold. */
+  def open(spark: SparkSession, path: String): DataFrame =
+    store(path).open(spark, "vecs")
+
+  /** The composed (bkey, doc_id) bucket table — [[probe]]'s candidate
+    * source; exposed for the fsck/diagnostic face. */
+  def openBuckets(spark: SparkSession, path: String): DataFrame =
+    store(path).open(spark, "buckets")
+
+  // --------------------------------------------------------------- probe
+
+  /**
+   * The PRODUCTION probe — one batch of embeddings against the
+   * at-rest table: candidates point-read from the bkey-sorted bucket
+   * pages, the exact-cosine verify point-reads only the candidate
+   * ids' vectors. Output ≡ [[Similarity.probeEmbedIndex]] against the
+   * same content (EmbedIndexSpec pins it): (batch_id, corpus_id, cos),
+   * one row per matching pair, cosine ≥ `threshold`, rounded to 6.
+   *
+   * Driver cost per call: the batch's distinct bucket keys
+   * (≤ |batch|·bands) plus the candidate pairs, both capped at `cap`;
+   * above either cap the call falls back to [[probeAtRest]] — same
+   * rows, the cap only picks which side pays.
+   */
+  def probe(batch: DataFrame, path: String, idCol: String,
+      vecCol: String, threshold: Double,
+      cap: Int = PointReads.MaxKeys): DataFrame = {
+    val spark = batch.sparkSession
+    val p = readParams(spark, path)
+    val b = bucketRows(batch, idCol, vecCol, "batch_id", p)
+    PointReads.distinctKeys(b.select("bkey"), "bkey", cap) match {
+      case None => probeAtRest(batch, path, idCol, vecCol, threshold)
+      case Some(keys) =>
+        val cand = openBuckets(spark, path)
+          .filter(PointReads.keyedFilter(col("bkey"), keys))
+          .join(broadcast(b.select(col("bkey"), col("batch_id"))), "bkey")
+          .select(col("batch_id"), col("doc_id").as("corpus_id"))
+          .distinct()
+          .limit(cap + 1)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        if (cand.length > cap)
+          probeAtRest(batch, path, idCol, vecCol, threshold)
+        else if (cand.isEmpty)
+          batch.select(col(idCol).as("batch_id"),
+            col(idCol).as("corpus_id"), lit(0.0).as("cos")).limit(0)
+        else {
+          import spark.implicits._
+          val ids = cand.map(_._2).distinct.toSeq
+          val vecs = open(spark, path)
+            .filter(PointReads.keyedFilter(col("doc_id"), ids))
+            .select(col("doc_id").as("corpus_id"), col("v").as("__vc"))
+          broadcast(cand.toSeq.toDF("batch_id", "corpus_id"))
+            .join(batch.filter(col(vecCol).isNotNull)
+              .select(col(idCol).as("batch_id"),
+                col(vecCol).cast("array<float>").as("__vb")), "batch_id")
+            .join(vecs, "corpus_id")
+            .withColumn("cos", Similarity.cosine(col("__vb"), col("__vc")))
+            .filter(col("cos") >= threshold)
+            .select(col("batch_id"), col("corpus_id"),
+              round(col("cos"), 6).as("cos"))
+        }
+    }
+  }
+
+  /** The scan-shaped probe — [[probe]]'s above-cap fallback and the
+    * oracle-friendly plan: batch bucket rows equi-join the WHOLE
+    * bucket table, vectors join back, exact cosine verifies. Same
+    * output as [[probe]]; reads O(|corpus|) per call. */
+  def probeAtRest(batch: DataFrame, path: String, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val p = readParams(spark, path)
+    val b = bucketRows(batch, idCol, vecCol, "batch_id", p)
+    val cand = openBuckets(spark, path)
+      .join(b.select(col("bkey"), col("batch_id")), "bkey")
+      .select(col("batch_id"), col("doc_id").as("corpus_id"))
+      .distinct()
+    cand
+      .join(batch.filter(col(vecCol).isNotNull)
+        .select(col(idCol).as("batch_id"),
+          col(vecCol).cast("array<float>").as("__vb")),
+        "batch_id")
+      .join(open(spark, path)
+        .select(col("doc_id").as("corpus_id"), col("v").as("__vc")),
+        "corpus_id")
+      .withColumn("cos", Similarity.cosine(col("__vb"), col("__vc")))
+      .filter(col("cos") >= threshold)
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("cos"), 6).as("cos"))
+  }
+
+  // ---------------------------------------------------------- maintenance
+
+  /** Fold every SETTLED batch (id ≤ `throughBatch`) into the base —
+    * the store's default compaction (embedding rows are plain facts);
+    * from `foreachBatch(N)` call with `throughBatch = N - 1`. */
+  def compactThrough(spark: SparkSession, path: String,
+      throughBatch: Long, targetFileBytes: Long = 128L << 20): Unit =
+    store(path).compactThrough(spark, throughBatch,
+      Map("vecs" -> targetFileBytes))
+
+  /** Compact everything — run only once the fold stream settled. */
+  def compact(spark: SparkSession, path: String): Unit =
+    compactThrough(spark, path, Long.MaxValue)
+
+  /** Fold partitions currently standing (listing only). */
+  def foldCount(spark: SparkSession, path: String): Int =
+    store(path).foldCount(spark)
+
+  /** The in-loop cadence: compact settled folds once `maxFolds` stand.
+    * Returns true iff it compacted. */
+  def maintainThrough(spark: SparkSession, path: String, maxFolds: Int,
+      throughBatch: Long): Boolean =
+    store(path).maintainThrough(spark, maxFolds, throughBatch)()
+
+  /** Retire the table. */
+  def delete(spark: SparkSession, path: String): Unit =
+    store(path).delete(spark)
+}

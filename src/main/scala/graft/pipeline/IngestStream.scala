@@ -52,9 +52,15 @@ object IngestStream {
     * column, each batch also probes the corpus's standing banded-LSH
     * index — the increasingly-default production gate for semantic
     * duplicates that share no shingles. `threshold` is the
-    * exact-cosine floor for a match. */
+    * exact-cosine floor for a match. With `atRestPath` unset the gate
+    * builds and probes the session-RAM `Similarity.corpusEmbedIndex`
+    * (hashing every corpus embedding once per SESSION); set it to a
+    * [[graft.ann.EmbedIndex]] root and the gate probes the AT-REST
+    * table instead — bounded point reads, nothing re-hashed on
+    * restart, and (bands, planesPerBand, dims) are validated against
+    * the table's persisted LSH family at build time. */
   final case class EmbedGate(vecCol: String, bands: Int, planesPerBand: Int,
-      dims: Int, threshold: Double)
+      dims: Int, threshold: Double, atRestPath: Option[String] = None)
 
   /**
    * @param rules     row-level dq rules over the batch's columns
@@ -101,11 +107,24 @@ object IngestStream {
     require(!names.contains(uniqueName),
       s"rule name '$uniqueName' is reserved for the injected uniqueness rule")
     // a missing embedding column must fail HERE, not inside the first
-    // micro-batch (same build-time contract as the rule names)
+    // micro-batch (same build-time contract as the rule names); an
+    // at-rest gate validates its LSH family against the table's
+    // persisted params the same way — probing with foreign planes
+    // would hash into garbage silently
     embed.foreach { e =>
-      require(corpus.columns.contains(e.vecCol) &&
-        docs.schema.fieldNames.contains(e.vecCol),
-        s"embed gate needs column '${e.vecCol}' on both corpus and feed")
+      require(docs.schema.fieldNames.contains(e.vecCol),
+        s"embed gate needs column '${e.vecCol}' on the feed")
+      e.atRestPath match {
+        case None =>
+          require(corpus.columns.contains(e.vecCol),
+            s"embed gate needs column '${e.vecCol}' on the corpus")
+        case Some(p) =>
+          val params = graft.ann.EmbedIndex.readParams(docs.sparkSession, p)
+          require(params ==
+            graft.ann.EmbedIndex.Params(e.bands, e.planesPerBand, e.dims),
+            s"embed gate family (${e.bands},${e.planesPerBand},${e.dims}) " +
+              s"does not match the at-rest table's $params at $p")
+      }
     }
     require(!sketchSelectedHead || cappedDriftK.isDefined,
       "sketchSelectedHead is a cappedDriftK build strategy; set cappedDriftK")
@@ -120,7 +139,7 @@ object IngestStream {
       case None => b => DriftGate.tvd(profile, b, textCol)
     }
     val (index, releaseIndex) = Dedup.corpusNearDupIndex(corpus, idCol, textCol)
-    val embedIdx = embed.map { e =>
+    val embedIdx = embed.filter(_.atRestPath.isEmpty).map { e =>
       graft.ann.Similarity.corpusEmbedIndex(corpus, idCol, e.vecCol,
         e.bands, e.planesPerBand, e.dims)
     }
@@ -142,11 +161,21 @@ object IngestStream {
               batch, index, idCol, textCol, threshold)
             try matches.count() finally releaseBatch()
           }
-          val (nEmb, sEmb) = timed(
-            embed.zip(embedIdx).map { case (e, (idx, _)) =>
-              graft.ann.Similarity.probeEmbedIndex(batch, idx, idCol,
-                e.vecCol, e.bands, e.planesPerBand, e.dims, e.threshold).count()
-            }.getOrElse(0L))
+          val (nEmb, sEmb) = timed(embed.map { e =>
+            e.atRestPath match {
+              case Some(p) =>
+                // reader-first recovery: the gate reads the table
+                // before any fold's own preamble would heal a
+                // crashed compaction swap
+                graft.ann.EmbedIndex.recoverSwap(batch.sparkSession, p)
+                graft.ann.EmbedIndex.probe(batch, p, idCol, e.vecCol,
+                  e.threshold).count()
+              case None =>
+                graft.ann.Similarity.probeEmbedIndex(batch,
+                  embedIdx.get._1, idCol, e.vecCol, e.bands,
+                  e.planesPerBand, e.dims, e.threshold).count()
+            }
+          }.getOrElse(0L))
           val gates = Seq("dq" -> sDq, "drift" -> sDrift, "text" -> sText) ++
             (if (embed.isDefined) Seq("embed" -> sEmb) else Nil)
           route(batch, BatchReport(batchId, batch.count(), dq, drift, nDup,
@@ -241,12 +270,21 @@ object IngestStream {
    * roots have separate leases, and an ad-hoc maintainer on one must
    * not stall the others' cadences or the stream).
    *
+   * `embed = Some((embedPath, vecCol))` adds the EMBEDDING lane: the
+   * survivors' vectors (joined back from the batch by doc_id — the
+   * curated fold keeps text columns only) fold into the at-rest
+   * [[graft.ann.EmbedIndex]] in the same id lockstep, on the same
+   * cadence, so an embed-gated loop restarts by OPENING the table
+   * instead of re-hashing the corpus ([[EmbedGate.atRestPath]] is the
+   * probe side of the same arc). The batch must then carry `vecCol`.
+   *
    * @return true iff any maintenance cadence compacted
    */
   def acceptIntoCorpusIndexed(batch: DataFrame, report: BatchReport,
       corpusPath: String, sigPath: String, clusterPath: String,
       threshold: Double, maintainEvery: Option[Int] = None,
-      onMaintenanceSkipped: String => Unit = _ => ()): Boolean = {
+      onMaintenanceSkipped: String => Unit = _ => (),
+      embed: Option[(String, String)] = None): Boolean = {
     import graft.dedup.{ClusterIndex, SignatureIndex}
     val spark = batch.sparkSession
     // the signature root is READ below before its own fold's recovery
@@ -271,6 +309,15 @@ object IngestStream {
       SignatureIndex.foldBatchSigned(sigPath,
         sig.select(col("batch_id").as("doc_id"), col("sig")),
         report.batchId)
+      // embed lane: exactly the landed survivors' vectors, joined
+      // back from the batch (the curated fold carries text columns
+      // only) — same id lockstep, same batch-keyed replay contract
+      embed.foreach { case (embedPath, vecCol) =>
+        graft.ann.EmbedIndex.foldBatch(embedPath,
+          batch.join(survivors.select("doc_id"), Seq("doc_id"),
+            "left_semi").select(col("doc_id"), col(vecCol)),
+          "doc_id", vecCol, report.batchId)
+      }
     } finally releaseSig()
     def skip(body: => Boolean): Boolean =
       tolerated(onMaintenanceSkipped)(body)
@@ -282,7 +329,12 @@ object IngestStream {
     val compactedCluster = maintainEvery.exists(d =>
       skip(ClusterIndex.maintainThrough(spark, clusterPath, d,
         report.batchId - 1)))
-    compactedCorpus | compactedSig | compactedCluster
+    val compactedEmbed = embed.exists { case (embedPath, _) =>
+      maintainEvery.exists(d => skip(
+        graft.ann.EmbedIndex.maintainThrough(spark, embedPath, d,
+          report.batchId - 1)))
+    }
+    compactedCorpus | compactedSig | compactedCluster | compactedEmbed
   }
 
   /** [[acceptIntoCorpusIndexed]]'s PER-SNAPSHOT bootstrap, as one

@@ -1,0 +1,271 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ann.{EmbedIndex, Similarity}
+
+/** The at-rest embedding index: probing it must equal probing the
+  * session-RAM banded-LSH index (same candidates, same cosines),
+  * folds must be replay-idempotent and settle-only compactable, the
+  * probe must read batch-bounded bytes, and a LATER session must see
+  * folded content with nothing re-hashed — the text lane's
+  * SignatureIndex contract, inherited by its embedding twin. */
+class EmbedIndexSpec extends SparkSpec {
+
+  private val Src = "/root/testdata/sf0.001"
+  private val P = EmbedIndex.Params(bands = 2, planesPerBand = 4, dims = 64)
+
+  private def fixtureRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-embidx").toString
+
+  private def pairs(df: DataFrame): Set[(Long, Long, Double)] =
+    df.select("batch_id", "corpus_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("at-rest probe ≡ the session-RAM index probe, before and after compaction") {
+    val emb = Tables(spark, Src, "embeddings")
+    val corpus = emb.filter(col("vec_id") < 400)
+      .select("vec_id", "embedding")
+    // scaled copies of corpus vectors under fresh ids: same LSH
+    // buckets (scaling preserves projection signs), cosine exactly 1
+    val batch = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"), v => v * lit(2.0f)).as("embedding"))
+    val path = fixtureRoot() + "/emb"
+    val (idx, relIdx) = Similarity.corpusEmbedIndex(corpus, "vec_id",
+      "embedding", P.bands, P.planesPerBand, P.dims)
+    try {
+      val inRam = pairs(Similarity.probeEmbedIndex(batch, idx, "vec_id",
+        "embedding", P.bands, P.planesPerBand, P.dims, 0.9))
+      assert(inRam.size >= 20, "fixture needs the 20 scaled-copy matches")
+      EmbedIndex.write(corpus, "vec_id", "embedding", path, P)
+      assert(EmbedIndex.readParams(spark, path) == P)
+      // the production point-read probe, its scan-shaped fallback,
+      // and the above-cap cutover all produce the in-RAM pairs
+      assert(pairs(EmbedIndex.probe(batch, path, "vec_id", "embedding",
+        0.9)) == inRam)
+      assert(pairs(EmbedIndex.probeAtRest(batch, path, "vec_id",
+        "embedding", 0.9)) == inRam)
+      assert(pairs(EmbedIndex.probe(batch, path, "vec_id", "embedding",
+        0.9, cap = 1)) == inRam)
+      // folds land batch-sized partitions; replay overwrites its own
+      val half = batch.filter(col("vec_id") % 2 === 0)
+      EmbedIndex.foldBatch(path, half, "vec_id", "embedding", 0L)
+      val rows = EmbedIndex.open(spark, path).count()
+      EmbedIndex.foldBatch(path, half, "vec_id", "embedding", 0L)
+      assert(EmbedIndex.open(spark, path).count() == rows,
+        "replayed fold duplicated vector rows")
+      // settled-only compaction bakes fold 0 in; probes unchanged and
+      // the folded content now answers probes too
+      assert(EmbedIndex.foldCount(spark, path) == 1)
+      assert(EmbedIndex.maintainThrough(spark, path, maxFolds = 1,
+        throughBatch = 0L))
+      assert(EmbedIndex.foldCount(spark, path) == 0)
+      assert(EmbedIndex.open(spark, path).count() == rows)
+      val after = pairs(EmbedIndex.probe(batch, path, "vec_id",
+        "embedding", 0.9))
+      assert(inRam.subsetOf(after))
+      assert(after.exists(x => x._1 == 10002L && x._2 == 10002L),
+        "a folded copy must self-match on later probes")
+      assert(after == pairs(EmbedIndex.probeAtRest(batch, path, "vec_id",
+        "embedding", 0.9)))
+    } finally {
+      relIdx()
+      EmbedIndex.delete(spark, path)
+    }
+  }
+
+  test("probe reads are batch-bounded: bucket and vector scans prune to point reads") {
+    import graft.sources.{Layout, PointReads}
+    // 10k deterministic zero-mean vectors, 256 buckets per band — the
+    // probe's read is bounded by its candidate BUCKETS' page slices
+    // (that is the LSH probe's inherent read), so the bucket count
+    // must keep buckets small relative to the table, exactly what
+    // adaptivePlanes does in production
+    val dims = 8
+    val p = EmbedIndex.Params(bands = 2, planesPerBand = 8, dims = dims)
+    // hash-based components: unique per (id, dim) — a modular formula
+    // would repeat whole vectors on a short id period and drown the
+    // probe in accidental exact duplicates
+    val corpus = spark.range(10000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dims - 1)), j =>
+        (pmod(hash(col("id"), j), lit(1000)).cast("double") / 500.0 - 1.0)
+          .cast("float"))
+        .as("embedding"))
+    val root = fixtureRoot()
+    val path = s"$root/emb"
+    val batch = corpus.filter(col("vec_id").isin(7L, 9993L))
+      .select((col("vec_id") + 20000L).as("vec_id"),
+        transform(col("embedding"), v => v * lit(3.0f)).as("embedding"))
+    try {
+      EmbedIndex.write(corpus, "vec_id", "embedding", path, p)
+      val got = pairs(EmbedIndex.probe(batch, path, "vec_id",
+        "embedding", 0.999))
+      assert(got.map(x => (x._1, x._2)) == Set((20007L, 7L), (29993L, 9993L)),
+        s"scaled copies must match exactly themselves: $got")
+      assert(got == pairs(EmbedIndex.probeAtRest(batch, path, "vec_id",
+        "embedding", 0.999)))
+      // bucket-table point read: candidates scan a small fraction —
+      // the probe keys are the batch's own (band, bucket) pairs,
+      // re-derived here so the scan is measurable in isolation
+      val buckets = EmbedIndex.openBuckets(spark, path)
+      val total = Layout.scanOutputRows(buckets.filter(col("doc_id") >= 0))
+      assert(total == 20000L, s"fixture drifted: $total bucket rows")
+      val bkeys: Seq[Any] = (0 until p.bands).flatMap { b =>
+        corpus.filter(col("vec_id").isin(7L, 9993L))
+          .select(Similarity.lshBucket(col("embedding"), p.planesPerBand,
+            p.dims, b * p.planesPerBand).as("bucket"))
+          .collect().map(_.getLong(0) + b.toLong * (1L << 40))
+      }.distinct
+      val pruned = Layout.scanOutputRows(
+        buckets.filter(PointReads.keyedFilter(col("bkey"), bkeys)))
+      assert(pruned <= total / 4,
+        s"candidate scan read $pruned of $total bucket rows — not a point read")
+      // vector point read: the verify touches the candidates' pages only
+      val vecsPruned = Layout.scanOutputRows(
+        EmbedIndex.open(spark, path).filter(
+          PointReads.keyedFilter(col("doc_id"), Seq(7L, 9993L))))
+      assert(vecsPruned <= 10000L / 4,
+        s"verify vector scan read $vecsPruned of 10000 rows — not a point read")
+    } finally EmbedIndex.delete(spark, root)
+  }
+
+  test("cross-session fold loop: a later session probes folded vectors, nothing re-hashed") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val novel = Seq((10L, Seq(0f, 0f, 1f, 1f))).toDF("vec_id", "embedding")
+    val p = EmbedIndex.Params(bands = 2, planesPerBand = 4, dims = 4)
+    val root = fixtureRoot()
+    val path = s"$root/emb"
+    try {
+      EmbedIndex.write(corpus, "vec_id", "embedding", path, p)
+      // SESSION 1: batch 0 brings a NEW direction — no matches, folds
+      assert(pairs(EmbedIndex.probe(novel, path, "vec_id", "embedding",
+        0.9)).isEmpty)
+      EmbedIndex.foldBatch(path, novel, "vec_id", "embedding", 0L)
+      // SESSION 2 (fresh session, no RAM state): a scaled copy of the
+      // folded direction matches THROUGH the at-rest table
+      val s2 = spark.newSession()
+      import s2.implicits._
+      val copy = Seq((20L, Seq(0f, 0f, 2f, 2f))).toDF("vec_id", "embedding")
+      val got = pairs(EmbedIndex.probe(copy, path, "vec_id", "embedding", 0.9))
+      assert(got.map(x => (x._1, x._2)) == Set((20L, 10L)),
+        s"the cross-session embed near-dup must surface from the table: $got")
+    } finally EmbedIndex.delete(spark, root)
+  }
+
+  test("indexed accept router folds survivors' vectors into the embed lane in lockstep") {
+    import graft.dedup.{DedupQueries, SignatureIndex, ClusterIndex}
+    import graft.pipeline.{CuratedCorpus, IngestStream}
+    val p = EmbedIndex.Params(bands = 2, planesPerBand = 6, dims = 8)
+    // documents plus a deterministic embedding column — the feed shape
+    // an embed-gated pipeline carries
+    val docs = Tables(spark, Src, "documents").withColumn("embedding",
+      transform(sequence(lit(0), lit(7)), j =>
+        (pmod(hash(col("doc_id"), j), lit(1000)).cast("double") / 500.0
+          - 1.0).cast("float")))
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    val (t1, t2) = (mx * 8 / 10, mx * 9 / 10)
+    val base = docs.where(col("doc_id") < t1)
+    val b1 = docs.where(col("doc_id") >= t1 && col("doc_id") < t2)
+    val b2 = docs.where(col("doc_id") >= t2)
+    val T = DedupQueries.IncrementalFuzzyThreshold
+    val root = fixtureRoot()
+    val (cc, sigs, clusters, emb) =
+      (s"$root/cc", s"$root/sigs", s"$root/clusters", s"$root/emb")
+    try {
+      CuratedCorpus.init(base, cc)
+      IngestStream.bootstrapIndexes(spark, cc, sigs, clusters, T)
+      // the embed twin's bootstrap: the curated ids' vectors
+      EmbedIndex.write(
+        CuratedCorpus.open(spark, cc).select("doc_id")
+          .join(docs.select("doc_id", "embedding"), "doc_id"),
+        "doc_id", "embedding", emb, p)
+      def accept(b: DataFrame, id: Long): Boolean =
+        IngestStream.acceptIntoCorpusIndexed(b,
+          IngestStream.BatchReport(id, b.count(), Nil, 0.0, 0L), cc, sigs,
+          clusters, T, maintainEvery = Some(1),
+          embed = Some((emb, "embedding")))
+      accept(b1, 0L)
+      accept(b2, 1L)
+      // LOCKSTEP: the embed lane covers exactly the curated ids, like
+      // its sibling indexes
+      val corpusIds = CuratedCorpus.open(spark, cc)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(corpusIds.nonEmpty)
+      assert(EmbedIndex.open(spark, emb)
+        .select("doc_id").collect().map(_.getLong(0)).toSet == corpusIds)
+      // the shared dial compacted the embed lane's settled fold too
+      assert(EmbedIndex.foldCount(spark, emb) == 1)
+      // replay: the embed fold overwrites its own partitions
+      val rows = EmbedIndex.open(spark, emb).count()
+      accept(b2, 1L)
+      assert(EmbedIndex.open(spark, emb).count() == rows,
+        "replayed embed fold duplicated vector rows")
+    } finally {
+      CuratedCorpus.delete(spark, cc)
+      SignatureIndex.delete(spark, sigs)
+      ClusterIndex.delete(spark, clusters)
+      EmbedIndex.delete(spark, emb)
+    }
+  }
+
+  test("gated stack probes the at-rest embed index: restart re-hashes nothing; family mismatch fails fast") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.types.StructType
+    import graft.pipeline.IngestStream
+    import spark.implicits._
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    def sentence(i: Int): String =
+      (0 until 8).map(j => words((i * 3 + j * (1 + i % 7)) % 10))
+        .mkString(" ") + s" tail$i"
+    val corpus = Seq.tabulate(10)(i =>
+      (i.toLong, sentence(i), Seq(1f, 0f, 0f, 0f)))
+      .toDF("doc_id", "text", "embedding")
+    val p = EmbedIndex.Params(bands = 2, planesPerBand = 4, dims = 4)
+    val root = fixtureRoot()
+    val path = s"$root/emb"
+    EmbedIndex.write(corpus, "doc_id", "embedding", path, p)
+    val gate = IngestStream.EmbedGate("embedding", p.bands,
+      p.planesPerBand, p.dims, threshold = 0.9, atRestPath = Some(path))
+    val schema = StructType.fromDDL(
+      "doc_id BIGINT, text STRING, embedding ARRAY<FLOAT>")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+    val mem = MemoryStream[Row](enc, spark)
+    val reports = scala.collection.mutable
+      .ArrayBuffer[IngestStream.BatchReport]()
+    // corpus WITHOUT the embedding column: at-rest mode must not need
+    // it — the in-RAM mode would fail this build outright (its
+    // corpusEmbedIndex reads the column), which is the proof nothing
+    // re-hashes the corpus on a restart
+    val (writer, release) = IngestStream.gated(
+      mem.toDF(), corpus.drop("embedding"), "doc_id", "text", Nil,
+      threshold = 0.99, embed = Some(gate)) { (_, r) => reports += r }
+    val q = writer.start()
+    try {
+      // a scaled copy of corpus direction e0 → embed match; an
+      // orthogonal vector → none
+      mem.addData(
+        Row(100L, "completely novel words here", Seq(3f, 0f, 0f, 0f)),
+        Row(101L, "other fresh content now", Seq(0f, 0f, 0f, 1f)))
+      q.processAllAvailable()
+    } finally { q.stop(); release() }
+    assert(reports.size == 1 && reports.head.embedDupMatches == 10L,
+      s"the scaled copy must match all 10 corpus vectors: $reports")
+    assert(reports.head.gateSeconds.exists(_._1 == "embed"))
+    // a gate declaring a different LSH family than the table's
+    // persisted params must fail at BUILD time, not mid-stream
+    intercept[IllegalArgumentException] {
+      IngestStream.gated(mem.toDF(), corpus.drop("embedding"), "doc_id",
+        "text", Nil, threshold = 0.99,
+        embed = Some(gate.copy(planesPerBand = 8))) { (_, _) => () }
+    }
+    EmbedIndex.delete(spark, root)
+  }
+}
