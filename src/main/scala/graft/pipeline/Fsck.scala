@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{BatchPartitions, DirSwap, Lease}
+
+/**
+ * AT-REST consistency check of the composed standing structures — the
+ * callable form of the invariants the 10× loop smoke asserts in-loop:
+ * one verb that cross-checks the corpus and its sibling indexes' id
+ * sets, their standing fold partitions, and each root's crash state
+ * (staged compactions, swap markers, retired dirs, leases), and
+ * REPORTS instead of healing. Healing stays where it lives — each
+ * structure's own `recoverSwap`/fold preamble — because an fsck that
+ * mutated state could destroy the evidence an operator is diagnosing.
+ *
+ * Reading the findings:
+ *  - `staging-inert`: a compaction staged but never committed
+ *    (crashed pre-swap) — harmless; the next maintenance overwrites it;
+ *  - `swap-committed`: a multi-table swap committed but did not
+ *    finish — the next `recoverSwap`/fold ROLLS IT FORWARD; readers
+ *    meanwhile see the (benign, by swap-order contract) mixed prefix;
+ *  - `missing-live` / `orphan-old`: a table dir caught between its two
+ *    renames / a retired copy never pruned — both heal on recover;
+ *  - `lease-held`: a LIVE maintainer owns the root right now (only
+ *    informational — expected under a running loop);
+ *  - `lease-stale`: a lease file with no live owner (crashed holder or
+ *    torn write) — the next maintainer breaks in by Lease's rules;
+ *  - `id-drift`: the indexes no longer answer for exactly the corpus's
+ *    documents — the one finding with no self-healing path (rebuild
+ *    the drifted index from the corpus snapshot);
+ *  - `fold-skew`: the settled-discipline indexes hold different fold
+ *    partitions — usually benign (a lease-refused cadence skipped one
+ *    root's compaction; it catches up next tick), but persistent skew
+ *    under a quiet stream means a wedged maintainer.
+ *
+ * Cost shape: crash-state and fold checks are directory listings; the
+ * id cross-check is ONE distributed aggregation over the tables' id
+ * columns (narrow scans, a single shuffle, driver result bounded by
+ * the number of membership combinations — never the ids themselves).
+ */
+object Fsck {
+
+  /** One observation; `kind` is the stable machine key. */
+  final case class Finding(root: String, kind: String, detail: String)
+
+  /** Crash-state scan of ONE standing root holding `tables` —
+    * listing-only, generic over every store here. */
+  def scanRoot(spark: SparkSession, root: String,
+      tables: Seq[String]): Seq[Finding] = {
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def exists(p: String) = fs.exists(new Path(p))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Finding]
+    if (exists(s"$root/.compact")) {
+      if (exists(s"$root/.compact/_SWAP"))
+        out += Finding(root, "swap-committed",
+          "swap marker present — recoverSwap will roll the remaining " +
+            s"tables forward (staged: ${tables.filter(t =>
+              exists(DirSwap.stagingDir(root, t) + "/_SUCCESS"))
+              .mkString(", ")})")
+      else
+        out += Finding(root, "staging-inert",
+          "a compaction staged but never committed; the next " +
+            "maintenance overwrites it")
+    }
+    tables.foreach { t =>
+      if (!exists(s"$root/$t"))
+        out += Finding(root, "missing-live", s"table dir '$t' is absent")
+      if (exists(s"$root/.old_$t"))
+        out += Finding(root, "orphan-old",
+          s"retired dir '.old_$t' was never pruned")
+    }
+    if (exists(s"$root/${Lease.FileName}")) {
+      if (Lease.heldByLiveOwner(spark, root))
+        out += Finding(root, "lease-held",
+          "a live maintainer owns this root (informational)")
+      else
+        out += Finding(root, "lease-stale",
+          "lease file with no live owner — the next maintainer breaks in")
+    }
+    out.toSeq
+  }
+
+  /** Standing FOLD partition ids of a root's lead table (listing). */
+  private def foldIds(spark: SparkSession, dir: String): Set[Long] =
+    BatchPartitions.ids(spark, dir)
+      .filter(_ != graft.sources.StandingStore.BaseBatch).toSet
+
+  /**
+   * The composed check over a corpus and its sibling indexes: crash
+   * state per root, settled-fold skew between the indexes, and the id
+   * cross-check (every index answers for exactly the corpus's ids).
+   * `embedPath` joins the trio when the loop runs the embed lane.
+   * Returns every finding; empty means healthy.
+   */
+  def check(spark: SparkSession, corpusPath: String, sigPath: String,
+      clusterPath: String, embedPath: Option[String] = None): Seq[Finding] = {
+    val roots = Seq(
+      (corpusPath, Seq("hashes", "docs")),
+      (sigPath, Seq("sigs", "bands")),
+      (clusterPath, Seq("assignments", "relabel"))) ++
+      embedPath.map(p => (p, Seq("vecs", "buckets")))
+    val crash = roots.flatMap { case (r, ts) => scanRoot(spark, r, ts) }
+    // if any live dir is missing, the data checks below would throw on
+    // the unreadable root — the crash findings ARE the report
+    if (crash.exists(_.kind == "missing-live")) return crash
+
+    // settled-discipline indexes share one cadence dial: their fold
+    // partitions should match (a lease-skipped cadence shows benign
+    // skew until its next tick — see the class doc)
+    val folds = Seq(
+      (sigPath, foldIds(spark, s"$sigPath/sigs")),
+      (clusterPath, foldIds(spark, s"$clusterPath/assignments"))) ++
+      embedPath.map(p => (p, foldIds(spark, s"$p/vecs")))
+    val skew =
+      if (folds.map(_._2).distinct.size > 1)
+        Seq(Finding(corpusPath, "fold-skew",
+          folds.map { case (r, ids) =>
+            s"$r: ${ids.toSeq.sorted.mkString("[", ",", "]")}"
+          }.mkString("; ")))
+      else Seq.empty
+
+    // id cross-check: one distributed aggregation — each table's ids
+    // tagged with a bit, per-id membership mask aggregated, and only
+    // the (mask, count) combinations reach the driver
+    val members: Seq[(String, Int, DataFrame)] = Seq(
+      ("corpus", 1, CuratedCorpus.open(spark, corpusPath).select("doc_id")),
+      ("sigs", 2, graft.dedup.SignatureIndex.open(spark, sigPath)
+        .select("doc_id")),
+      ("clusters", 4, graft.dedup.ClusterIndex.open(spark, clusterPath)
+        .select("doc_id"))) ++
+      embedPath.map(p => ("embed", 8,
+        graft.ann.EmbedIndex.open(spark, p).select("doc_id")))
+    val full = members.map(_._2).sum
+    val tagged = members.map { case (_, bit, df) =>
+      df.select(col("doc_id"), lit(bit).as("__m"))
+    }.reduce(_ unionByName _)
+    val drift = tagged.groupBy("doc_id")
+      .agg(sum(col("__m")).as("mask"))
+      .where(col("mask") =!= full)
+      .groupBy("mask").count()
+      .collect()
+      .map { r =>
+        val mask = r.getLong(0)
+        val in = members.filter(m => (mask & m._2) != 0).map(_._1)
+        val outOf = members.filter(m => (mask & m._2) == 0).map(_._1)
+        Finding(corpusPath, "id-drift",
+          s"${r.getLong(1)} ids present in ${in.mkString("+")} " +
+            s"but missing from ${outOf.mkString("+")}")
+      }.toSeq
+    crash ++ skew ++ drift
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.ann.EmbedIndex
+import graft.dedup.{DedupQueries, SignatureIndex, ClusterIndex}
+import graft.pipeline.{CuratedCorpus, Fsck, IngestStream}
+
+/** The at-rest fsck verb: a healthy corpus+indexes trio reports
+  * clean, and every injected inconsistency class surfaces as its
+  * named finding — reported, never healed (the evidence an operator
+  * diagnoses must survive the diagnosis). */
+class FsckSpec extends SparkSpec {
+
+  test("fsck: healthy roots report clean; each injected inconsistency is named") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("embedding",
+        transform(sequence(lit(0), lit(7)), j =>
+          (pmod(hash(col("doc_id"), j), lit(1000)).cast("double") / 500.0
+            - 1.0).cast("float")))
+    val T = DedupQueries.IncrementalFuzzyThreshold
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-fsck").toString
+    val (cc, sigs, clusters, emb) =
+      (s"$root/cc", s"$root/sigs", s"$root/clusters", s"$root/emb")
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def kinds(): Seq[(String, String)] =
+      Fsck.check(spark, cc, sigs, clusters, Some(emb))
+        .map(f => (f.kind, f.root))
+    try {
+      CuratedCorpus.init(docs.drop("embedding"), cc)
+      IngestStream.bootstrapIndexes(spark, cc, sigs, clusters, T)
+      EmbedIndex.write(
+        CuratedCorpus.open(spark, cc).select("doc_id")
+          .join(docs.select("doc_id", "embedding"), "doc_id"),
+        "doc_id", "embedding", emb, EmbedIndex.Params(2, 6, 8))
+      assert(kinds().isEmpty, s"healthy trio must report clean: ${kinds()}")
+
+      // staged-but-uncommitted compaction
+      fs.mkdirs(new Path(s"$sigs/.compact/sigs"))
+      assert(kinds() == Seq(("staging-inert", sigs)))
+      // committed swap marker: the mixed state recover rolls forward
+      fs.create(new Path(s"$sigs/.compact/_SWAP"), true).close()
+      assert(kinds() == Seq(("swap-committed", sigs)))
+      fs.delete(new Path(s"$sigs/.compact"), true)
+
+      // retired dir never pruned
+      fs.mkdirs(new Path(s"$cc/.old_docs"))
+      assert(kinds() == Seq(("orphan-old", cc)))
+      fs.delete(new Path(s"$cc/.old_docs"), true)
+
+      // live table dir caught between its two renames: the crash
+      // findings ARE the report (data checks would throw on the hole)
+      fs.rename(new Path(s"$clusters/assignments"),
+        new Path(s"$clusters/hidden"))
+      assert(kinds() == Seq(("missing-live", clusters)))
+      fs.rename(new Path(s"$clusters/hidden"),
+        new Path(s"$clusters/assignments"))
+
+      // a lease whose record is past its stale window: dead holder
+      val lease = fs.create(new Path(s"$emb/.lease"), true)
+      try lease.write(
+        (s"""{"token":"t","host":"nowhere","pid":1,""" +
+          s""""acquired_ms":${System.currentTimeMillis - 7200000L},""" +
+          """"stale_after_ms":3600000}""").getBytes("UTF-8"))
+      finally lease.close()
+      assert(kinds() == Seq(("lease-stale", emb)))
+      fs.delete(new Path(s"$emb/.lease"), false)
+
+      // a LIVE holder (another maintainer's thread) is informational
+      val held = new java.util.concurrent.atomic.AtomicReference[
+        graft.sources.Lease.Held]
+      val t = new Thread(() =>
+        held.set(graft.sources.Lease.acquire(spark, emb)))
+      t.start(); t.join()
+      assert(kinds() == Seq(("lease-held", emb)))
+      val t2 = new Thread(() => held.get().release())
+      t2.start(); t2.join()
+
+      // an index folding content the corpus never landed: id drift,
+      // and (one dial, one fold set) the settled-fold skew rides along
+      import spark.implicits._
+      SignatureIndex.foldBatch(sigs,
+        Seq((999999L, "words the corpus never saw at all"))
+          .toDF("doc_id", "text"), "doc_id", "text", 5L)
+      val drifted = Fsck.check(spark, cc, sigs, clusters, Some(emb))
+      assert(drifted.map(_.kind).sorted == Seq("fold-skew", "id-drift"),
+        s"expected drift + skew: $drifted")
+      assert(drifted.find(_.kind == "id-drift").get.detail
+        .contains("present in sigs but missing from corpus+clusters+embed"))
+      fs.delete(new Path(s"$sigs/sigs/__batch=5"), true)
+      fs.delete(new Path(s"$sigs/bands/__batch=5"), true)
+      assert(kinds().isEmpty, "report must be clean after the injections heal")
+    } finally {
+      fs.delete(new Path(root), true)
+      ()
+    }
+  }
+}
