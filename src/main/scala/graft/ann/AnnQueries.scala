@@ -106,6 +106,53 @@ object AnnQueries {
           .filter(col("vec_id") % 10 < EmbDriftBatchBucket),
         "vec_id", "embedding", NearDupBands, NearDupBandPlanes, Dims)._1)
 
+  /** Shared oracle of q_dedup_incremental_embed AND its at-rest twin
+    * q_dedup_embed_atrest (probe ≡ in-RAM is the twin's contract, so
+    * one SQL restatement verifies both). */
+  private lazy val incrementalEmbedOracle: String = {
+    val bandJoins = (0 until NearDupBands).map(b =>
+      s"""SELECT x.id AS batch_id, y.id AS corpus_id
+          FROM b x JOIN b y ON x.bk$b = y.bk$b
+          WHERE x.is_batch AND NOT y.is_batch""")
+      .mkString(" UNION ")
+    val bkCols = (0 until NearDupBands)
+      .map(b => s"${bucketBandSql("embedding", b, NearDupBandPlanes)} AS bk$b")
+      .mkString(", ")
+    s"""
+    WITH b AS (
+      SELECT vec_id AS id, (vec_id % 10 >= $EmbDriftBatchBucket) AS is_batch,
+             embedding AS v, $bkCols
+      FROM embeddings WHERE embedding IS NOT NULL),
+    cand AS ($bandJoins),
+    j AS (
+      SELECT batch_id, corpus_id, ${cosineSql("xa.v", "yb.v")} AS cos
+      FROM cand
+      JOIN b xa ON xa.id = cand.batch_id
+      JOIN b yb ON yb.id = cand.corpus_id)
+    SELECT batch_id, corpus_id, round(cos, 6) AS cos
+    FROM j WHERE cos >= $NearDupThreshold
+    ORDER BY batch_id, corpus_id"""
+  }
+
+  /** The AT-REST twin of [[cachedEmbedIndex]]: the same corpus slice
+    * persisted as a [[graft.ann.EmbedIndex]] once per (session,
+    * sf-dir) — q_dedup_embed_atrest probes the table instead of the
+    * session-RAM index and must produce the identical pairs (same
+    * oracle as q_dedup_incremental_embed). */
+  private val embedAtRestCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def cachedEmbedAtRest(s: SparkSession, dir: String): String =
+    embedAtRestCache.getOrElseUpdate((s, dir), {
+      val path = EmbedIndex.scratchPath(dir)
+      registerScratchCleanup(path)
+      EmbedIndex.write(
+        Tables(s, dir, "embeddings")
+          .filter(col("vec_id") % 10 < EmbDriftBatchBucket),
+        "vec_id", "embedding", path,
+        EmbedIndex.Params(NearDupBands, NearDupBandPlanes, Dims))
+      path
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact brute-force cosine top-k: broadcast query set, one corpus pass.
@@ -269,6 +316,19 @@ object AnnQueries {
           .filter(col("vec_id") % 10 >= EmbDriftBatchBucket),
         cachedEmbedIndex(s, dir),
         "vec_id", "embedding", NearDupBands, NearDupBandPlanes, Dims,
+        NearDupThreshold)
+        .orderBy("batch_id", "corpus_id")),
+
+    // The same probe against the AT-REST embedding index
+    // (graft.ann.EmbedIndex): candidates point-read from the packed
+    // bucket table, the cosine verify point-reads the candidates'
+    // vectors — the restartable production form of the incremental
+    // embed gate. Identical pairs, identical oracle.
+    "q_dedup_embed_atrest" -> ((s, dir) =>
+      EmbedIndex.probe(
+        Tables(s, dir, "embeddings")
+          .filter(col("vec_id") % 10 >= EmbDriftBatchBucket),
+        cachedEmbedAtRest(s, dir), "vec_id", "embedding",
         NearDupThreshold)
         .orderBy("batch_id", "corpus_id")),
 
@@ -583,30 +643,12 @@ object AnnQueries {
     // Same banded construction as q_dedup_embed_cos_banded, probed
     // ACROSS the corpus/batch split instead of within the corpus
     // (UNION dedups multi-band collisions like the Spark distinct).
-    "q_dedup_incremental_embed" -> {
-      val bandJoins = (0 until NearDupBands).map(b =>
-        s"""SELECT x.id AS batch_id, y.id AS corpus_id
-            FROM b x JOIN b y ON x.bk$b = y.bk$b
-            WHERE x.is_batch AND NOT y.is_batch""")
-        .mkString(" UNION ")
-      val bkCols = (0 until NearDupBands)
-        .map(b => s"${bucketBandSql("embedding", b, NearDupBandPlanes)} AS bk$b")
-        .mkString(", ")
-      s"""
-      WITH b AS (
-        SELECT vec_id AS id, (vec_id % 10 >= $EmbDriftBatchBucket) AS is_batch,
-               embedding AS v, $bkCols
-        FROM embeddings WHERE embedding IS NOT NULL),
-      cand AS ($bandJoins),
-      j AS (
-        SELECT batch_id, corpus_id, ${cosineSql("xa.v", "yb.v")} AS cos
-        FROM cand
-        JOIN b xa ON xa.id = cand.batch_id
-        JOIN b yb ON yb.id = cand.corpus_id)
-      SELECT batch_id, corpus_id, round(cos, 6) AS cos
-      FROM j WHERE cos >= $NearDupThreshold
-      ORDER BY batch_id, corpus_id"""
-    },
+    "q_dedup_incremental_embed" -> incrementalEmbedOracle,
+
+    // The at-rest probe is output-identical by contract
+    // (EmbedIndexSpec pins probe ≡ in-RAM) — one oracle serves both,
+    // so the driver verifies the equivalence end to end.
+    "q_dedup_embed_atrest" -> incrementalEmbedOracle,
 
     // Assignment CTE identical to q_ann_assign's; the dedup rule is
     // the upper-triangular within-cell pair filter restated
