@@ -243,6 +243,10 @@ object EmbedIndex {
             .filter(col("cos") >= threshold)
             .select(col("batch_id"), col("corpus_id"),
               round(col("cos"), 6).as("cos"))
+            // one row per pair even when the batch carries duplicate
+            // ids — the in-RAM probe's trailing distinct, which the
+            // Output-≡ contract obliges both paths to share
+            .distinct()
         }
     }
   }
@@ -272,6 +276,7 @@ object EmbedIndex {
       .filter(col("cos") >= threshold)
       .select(col("batch_id"), col("corpus_id"),
         round(col("cos"), 6).as("cos"))
+      .distinct()
   }
 
   // ---------------------------------------------------------- maintenance

@@ -135,8 +135,12 @@ object Fsck {
       embedPath.map(p => ("embed", 8,
         graft.ann.EmbedIndex.open(spark, p).select("doc_id")))
     val full = members.map(_._2).sum
+    // distinct per table BEFORE tagging: fsck diagnoses corrupted
+    // state, and a duplicated id inside one table would add its bit
+    // twice — corrupting the mask into another table's bit (or into
+    // `full`, hiding genuine drift)
     val tagged = members.map { case (_, bit, df) =>
-      df.select(col("doc_id"), lit(bit).as("__m"))
+      df.distinct().select(col("doc_id"), lit(bit).as("__m"))
     }.reduce(_ unionByName _)
     val drift = tagged.groupBy("doc_id")
       .agg(sum(col("__m")).as("mask"))

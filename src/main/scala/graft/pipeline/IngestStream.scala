@@ -225,20 +225,9 @@ object IngestStream {
       onMaintenanceSkipped: String => Unit = _ => ()): Boolean = {
     CuratedCorpus.foldBatch(corpusPath, batch, report.batchId)
     maintainEvery.exists(d =>
-      tolerated(onMaintenanceSkipped)(CuratedCorpus.maintain(
-        batch.sparkSession, corpusPath, d)))
+      graft.sources.Lease.cadenceOrSkip(onMaintenanceSkipped)(
+        CuratedCorpus.maintain(batch.sparkSession, corpusPath, d)))
   }
-
-  /** [[graft.sources.Lease.cadence]] with the routers' skip policy:
-    * a refusal surfaces through the callback and counts as "did not
-    * compact" — the stream keeps folding, the cadence retries next
-    * batch. */
-  private def tolerated(onSkipped: String => Unit)(
-      body: => Boolean): Boolean =
-    graft.sources.Lease.cadence(body) match {
-      case Right(r) => r
-      case Left(msg) => onSkipped(msg); false
-    }
 
   /**
    * The FULLY-INDEXED accept router — [[acceptIntoCorpus]] plus the
@@ -320,7 +309,7 @@ object IngestStream {
       }
     } finally releaseSig()
     def skip(body: => Boolean): Boolean =
-      tolerated(onMaintenanceSkipped)(body)
+      graft.sources.Lease.cadenceOrSkip(onMaintenanceSkipped)(body)
     val compactedCorpus = maintainEvery.exists(d =>
       skip(CuratedCorpus.maintain(spark, corpusPath, d)))
     val compactedSig = maintainEvery.exists(d =>
@@ -363,14 +352,19 @@ object IngestStream {
    * Turnkey quarantine router: land a failing batch in
    * `quarantineDir` as parquet, stamped with the batch id and a
    * machine-readable reason, so triage reads one table instead of
-   * logs. The batch id is the PARTITION key and the write is a
+   * logs. (batch id, reason) is the PARTITION key and the write is a
    * dynamic partition overwrite — the same replay discipline as every
    * standing fold here — so an at-least-once redelivery replaces
-   * exactly its own `__batch_id=<id>/` partition instead of
-   * appending a second copy. Triage reads through [[openQuarantine]]
-   * (LWW per document across batches); completed triage retires
-   * partitions with [[pruneQuarantine]] — without retention the
-   * quarantine is the one table in the loop that grows forever.
+   * exactly its own `__batch_id=<id>/__reason=<r>/` partition instead
+   * of appending a second copy, while a route that quarantines
+   * DIFFERENT slices of one batch under different reasons (dq rows
+   * here, drift rows there) keeps both: only an identical
+   * (batch, reason) redelivery overwrites. Keep `reason` a short
+   * machine key — it is a directory name. Triage reads through
+   * [[openQuarantine]] (LWW per document across batches); completed
+   * triage retires batch partitions with [[pruneQuarantine]] —
+   * without retention the quarantine is the one table in the loop
+   * that grows forever.
    */
   def quarantine(batch: DataFrame, report: BatchReport, reason: String,
       quarantineDir: String): Unit = {
@@ -382,42 +376,16 @@ object IngestStream {
       "batch already carries quarantine stamps (__batch_id/__reason); " +
         "drop or rename them before re-quarantining")
     batch
-      .withColumn("__reason", lit(reason))
       .withColumn("__batch_id", lit(report.batchId))
+      .withColumn("__reason", lit(reason))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__batch_id")
+      .partitionBy("__batch_id", "__reason")
       .parquet(quarantineDir)
   }
 
-  /** The TRIAGE read of a quarantine table: one row per document —
-    * a document quarantined by several batches (resubmitted content
-    * failing again) surfaces once, under its LATEST batch's stamp
-    * (last-write-wins on `idCol` by `__batch_id`; within one batch a
-    * duplicated id keeps one row arbitrarily — they are copies of the
-    * same submission). Within-batch redelivery is already single-copy
-    * at the storage layer ([[quarantine]]'s partition overwrite).
-    * `__batch_id` reads back as LONG regardless of the width the
-    * partition-directory inference picked. */
-  def openQuarantine(spark: org.apache.spark.sql.SparkSession,
-      quarantineDir: String, idCol: String): DataFrame = {
-    val all = spark.read.parquet(quarantineDir)
-      .withColumn("__batch_id", col("__batch_id").cast("long"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(col("__batch_id").desc)
-    all.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
-  }
-
-  /** Quarantine retention — the [[graft.pipeline.Release]] keep/prune
-    * discipline on the triage table: drop every `__batch_id=<b>`
-    * partition with `b <= throughBatch` (the caller's
-    * triage-completed watermark). Listing-only (no data read), so the
-    * verb costs O(partitions) at any scale. Returns the batch ids
-    * pruned. */
-  def pruneQuarantine(spark: org.apache.spark.sql.SparkSession,
-      quarantineDir: String, throughBatch: Long): Seq[Long] = {
+  private def quarantineBatchIds(spark: org.apache.spark.sql.SparkSession,
+      quarantineDir: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(quarantineDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
@@ -428,13 +396,57 @@ object IngestStream {
           case Part(n) => Some(n.toLong)
           case _ => None
         })
-        .filter(_ <= throughBatch)
-        .sorted
-        .map { b =>
-          fs.delete(new org.apache.hadoop.fs.Path(
-            s"$quarantineDir/__batch_id=$b"), true)
-          b
-        }
     }
+  }
+
+  /** The TRIAGE read of a quarantine table: one row per document —
+    * a document quarantined by several batches (resubmitted content
+    * failing again) surfaces once, under its LATEST batch's stamp
+    * (last-write-wins on `idCol` by `__batch_id`; ties within one
+    * batch keep one row arbitrarily — they are copies of the same
+    * submission). Within-(batch, reason) redelivery is already
+    * single-copy at the storage layer ([[quarantine]]'s partition
+    * overwrite). `__batch_id` reads back as LONG regardless of the
+    * width the partition-directory inference picked. A missing or
+    * fully-drained quarantine reads back as the EMPTY zero-column
+    * frame (there is no schema to synthesize without data) — check
+    * `isEmpty` before selecting columns. */
+  def openQuarantine(spark: org.apache.spark.sql.SparkSession,
+      quarantineDir: String, idCol: String): DataFrame =
+    if (quarantineBatchIds(spark, quarantineDir).isEmpty)
+      spark.emptyDataFrame
+    else {
+      val all = spark.read.parquet(quarantineDir)
+        .withColumn("__batch_id", col("__batch_id").cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol))
+        .orderBy(col("__batch_id").desc)
+      all.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
+
+  /** Quarantine retention — the [[graft.pipeline.Release]] keep/prune
+    * discipline on the triage table: drop every `__batch_id=<b>`
+    * partition with `b <= throughBatch` (the caller's
+    * triage-completed watermark); a prune that drains the LAST
+    * partition retires the directory itself, so the table's absent
+    * and drained states read identically ([[openQuarantine]]'s empty
+    * contract). Listing-only (no data read), so the verb costs
+    * O(partitions) at any scale. Returns the batch ids pruned. */
+  def pruneQuarantine(spark: org.apache.spark.sql.SparkSession,
+      quarantineDir: String, throughBatch: Long): Seq[Long] = {
+    val fs = new org.apache.hadoop.fs.Path(quarantineDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pruned = quarantineBatchIds(spark, quarantineDir)
+      .filter(_ <= throughBatch)
+      .sorted
+      .map { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$quarantineDir/__batch_id=$b"), true)
+        b
+      }
+    if (pruned.nonEmpty && quarantineBatchIds(spark, quarantineDir).isEmpty)
+      fs.delete(new org.apache.hadoop.fs.Path(quarantineDir), true)
+    pruned
   }
 }

@@ -228,6 +228,16 @@ object Lease {
     try Right(body)
     catch { case e: HeldElsewhereException => Left(e.getMessage) }
 
+  /** [[cadence]] with the stream routers' shared skip policy: a
+    * refusal surfaces through `onRefused` and counts as "did not
+    * compact" — one implementation, so the policy cannot drift
+    * between routers. */
+  def cadenceOrSkip(onRefused: String => Unit)(body: => Boolean): Boolean =
+    cadence(body) match {
+      case Right(r) => r
+      case Left(msg) => onRefused(msg); false
+    }
+
   /** Run `body` holding the root's lease, releasing on every exit
     * path. Re-entrant per thread: if THIS thread already holds the
     * root (an outer entry point on the same structure), the body runs

@@ -365,10 +365,11 @@ object EventTimeOps {
           compactEvery.foreach { dial =>
             if (graft.ann.IvfIndex.appendBatchCount(
                 batch.sparkSession, indexPath) > dial)
-              graft.sources.Lease.cadence(
+              graft.sources.Lease.cadenceOrSkip(onMaintenanceSkipped) {
                 graft.ann.IvfIndex.compactThrough(
-                  batch.sparkSession, indexPath, batchId - 1))
-                .left.foreach(onMaintenanceSkipped)
+                  batch.sparkSession, indexPath, batchId - 1)
+                true
+              }
           }
           onAppended(batchId, n)
         } finally batch.unpersist()
@@ -505,7 +506,15 @@ object EventTimeOps {
           s"pathForVersion($batchId) collides with the served path " +
             s"$newPath — bootstrap the index outside pathForVersion's range")
         val spark = batch.sparkSession
+        // exclude THIS batch id's partitions from the standing base:
+        // a prior delivery whose retrain was lease-skipped landed the
+        // batch in the served index's append lane, and a replayed
+        // retrain reading it back would bake those rows into the new
+        // base AND re-append them below — every batch row duplicated,
+        // uncompactably. First deliveries have no such partition, so
+        // the filter is a partition-pruned no-op.
         val standing = spark.read.parquet(s"${cur.path}/corpus")
+          .where(col("__batch") =!= batchId)
           .select(col(idCol), col(vecCol))
         val corpus = standing
           .unionByName(batch.select(col(idCol), col(vecCol)))
@@ -692,10 +701,7 @@ object EventTimeOps {
     require(maintainEvery.forall(_ >= 1),
       s"maintainEvery must be >= 1, got $maintainEvery")
     def skip(body: => Boolean): Boolean =
-      graft.sources.Lease.cadence(body) match {
-        case Right(r) => r
-        case Left(msg) => onMaintenanceSkipped(msg); false
-      }
+      graft.sources.Lease.cadenceOrSkip(onMaintenanceSkipped)(body)
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

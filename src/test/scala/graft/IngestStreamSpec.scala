@@ -77,18 +77,25 @@ class IngestStreamSpec extends SparkSpec {
     val row = IngestStream.openQuarantine(spark, qDir, "doc_id").head()
     assert(row.getAs[Long]("__batch_id") == bad.batchId &&
       row.getAs[String]("__reason") == "dq:text_nonempty")
-    // the same DOC re-failing under a LATER batch: both partitions
+    // a second SLICE of the same batch under another reason must
+    // coexist (only an identical (batch, reason) redelivery
+    // overwrites), and replay that slice stays single-copy too
+    IngestStream.quarantine(badBatch, bad, "dq:second", qDir)
+    IngestStream.quarantine(badBatch, bad, "dq:second", qDir)
+    assert(spark.read.parquet(qDir).count() == 2L,
+      "two reasons of one batch must both stand")
+    // the same DOC re-failing under a LATER batch: all partitions
     // stand, but triage sees the doc once, under the latest stamp
     val again = IngestStream.BatchReport(bad.batchId + 1, 1L, Nil, 0.0, 0L)
     IngestStream.quarantine(badBatch, again, "dq:again", qDir)
-    assert(spark.read.parquet(qDir).count() == 2L)
+    assert(spark.read.parquet(qDir).count() == 3L)
     val lww = IngestStream.openQuarantine(spark, qDir, "doc_id").collect()
     assert(lww.length == 1 &&
       lww.head.getAs[Long]("__batch_id") == again.batchId &&
       lww.head.getAs[String]("__reason") == "dq:again",
       s"triage must LWW to the latest stamp: ${lww.toSeq}")
     // retention: triage completed through the first batch prunes its
-    // partition (listing-only) and leaves the later one standing
+    // whole partition (both reasons, listing-only), leaves the later
     assert(IngestStream.pruneQuarantine(spark, qDir, bad.batchId) ==
       Seq(bad.batchId))
     assert(spark.read.parquet(qDir).agg(
@@ -96,6 +103,15 @@ class IngestStreamSpec extends SparkSpec {
       again.batchId)
     assert(IngestStream.pruneQuarantine(spark, qDir, bad.batchId).isEmpty,
       "pruning past the watermark must be a no-op")
+    // draining the LAST partition retires the table; the drained and
+    // absent states read identically as the empty frame
+    assert(IngestStream.pruneQuarantine(spark, qDir, again.batchId) ==
+      Seq(again.batchId))
+    assert(IngestStream.openQuarantine(spark, qDir, "doc_id").isEmpty,
+      "a drained quarantine must read back empty, not throw")
+    // and a later failure starts a fresh table in the same place
+    IngestStream.quarantine(badBatch, again, "dq:late", qDir)
+    assert(IngestStream.openQuarantine(spark, qDir, "doc_id").count() == 1L)
   }
 
   test("ingest stack gates on the embedding index when configured") {

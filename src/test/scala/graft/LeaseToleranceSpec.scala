@@ -200,14 +200,28 @@ class LeaseToleranceSpec extends SparkSpec {
         "a skipped retrain must not swap the served version")
       assert(spark.read.parquet(s"$boot/corpus").count() == 80L,
         "the skipped batch must land in the served index's append lane")
-      // released: the next drifting batch retrains at its own path
+      // released, the SKIPPED batch is REDELIVERED (at-least-once):
+      // the retrain must exclude the batch's own append partition
+      // from the standing base, or every one of its rows would land
+      // twice — baked into the new base AND re-appended under its id
       release()
-      maintain(batchAt(2000L), 2L)
+      maintain(batchAt(1000L), 1L)
       assert(log.map(_._3) == Seq("retrain-skipped", "retrain"))
+      assert(handle.get().path == vPath(1L) &&
+        IvfIndex.isComplete(spark, vPath(1L)))
+      val v1 = spark.read.parquet(s"${vPath(1L)}/corpus")
+      assert(v1.count() == 80L &&
+        v1.select("vec_id").distinct().count() == 80L,
+        "a replayed skipped retrain must not duplicate the batch's rows")
+      // and the loop continues: the next drifting batch retrains on a
+      // base that carries the replayed batch exactly once
+      maintain(batchAt(2000L), 2L)
+      assert(log.map(_._3) ==
+        Seq("retrain-skipped", "retrain", "retrain"))
       assert(handle.get().path == vPath(2L) &&
         IvfIndex.isComplete(spark, vPath(2L)))
       assert(spark.read.parquet(s"${vPath(2L)}/corpus").count() == 110L,
-        "the retrain base must carry the skipped batch's appended rows")
+        "the retrain base must carry the earlier batches exactly once")
     } finally {
       handle.get().releaseProfile()
       IvfIndex.delete(spark, base)
