@@ -695,9 +695,14 @@ object ScaleSmoke {
       s"cluster index drifted: ${clusterIds.size} vs ${corpusIds.size} ids")
     require(embIds == corpusIds,
       s"embed index drifted: ${embIds.size} vs ${corpusIds.size} ids")
+    // the at-rest fsck verb agrees: the loop's final state is clean
+    // by the same invariants, checked from OUTSIDE the loop
+    val findings = graft.pipeline.Fsck.check(spark, cc, sigs, clusters,
+      Some(emb))
+    require(findings.isEmpty, s"fsck findings on the loop's tables: $findings")
     println(f"[scale] loop steady state        compactions=$compactions " +
       s"cuts=${versionsCut.mkString(",")} corpusRows=$got (≡ from-scratch; " +
-      "sig+cluster+embed indexes in id lockstep)")
+      "sig+cluster+embed indexes in id lockstep; fsck clean)")
   }
 
   /**

@@ -47,10 +47,19 @@ import graft.dedup.Dedup
 object CuratedCorpus {
 
   /** Init-snapshot marker in the `__batch` partition column. */
-  val BaseBatch = -1L
+  val BaseBatch: Long = graft.sources.StandingStore.BaseBatch
 
   private val DocsSchema =
     "doc_id LONG, source STRING, n_tokens LONG, text STRING, __batch LONG"
+
+  // Shared lifecycle mechanics through the store — tables in SWAP
+  // order (hashes strictly before docs; see the compact scaladoc).
+  // The CUSTOM parts stay here: the curation fold, the hashes-landed
+  // compaction guard, and the persisted fold watermark.
+  private def store(path: String) = new graft.sources.StandingStore(path,
+    Seq(
+      graft.sources.TableSpec("hashes", "h STRING, __batch LONG", Nil),
+      graft.sources.TableSpec("docs", DocsSchema, Seq("doc_id"))))
 
   /** Curate the corpus snapshot and write the base partitions. Starts
     * from a CLEAN slate: a re-init over a prior table at the same
@@ -61,33 +70,26 @@ object CuratedCorpus {
     * must not forget the keepers the split withheld from `docs`. The
     * keeper set is checkpointed once — init is the rare whole-corpus
     * pass, and the two writes below must not each re-run it. */
-  def init(docs: DataFrame, path: String): Unit =
+  def init(docs: DataFrame, path: String): Unit = {
     // the build verb is as destructive as a compact (delete + two
     // rewrites) — same per-root lease as every maintenance entry
     // point, so racing an init against a fold loop fails fast
-    graft.sources.Lease.withLease(docs.sparkSession, path) {
+    val s = store(path)
+    s.withLease(docs.sparkSession) {
       // clean slate WITHOUT dropping the root (the held lease lives
-      // there): table dirs, the persisted watermark, and any staged
-      // or retired compaction state
-      val fs = new org.apache.hadoop.fs.Path(path)
+      // there): table dirs and compaction state via the store, plus
+      // this table's persisted watermark
+      s.clearForRewrite(docs.sparkSession)
+      new org.apache.hadoop.fs.Path(s"$path/$WatermarkFile")
         .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
-      Seq("docs", "hashes", WatermarkFile, ".compact",
-        ".old_docs", ".old_hashes")
-        .foreach(d =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
+        .delete(new org.apache.hadoop.fs.Path(s"$path/$WatermarkFile"), false)
       val kept = PipelineQueries.curatedKeptDocs(docs)
         .withColumn("h", Dedup.exactHash(col("text")))
         .localCheckpoint(true)
-      withCounts(kept.where(trainSplit))
-        .withColumn("__batch", lit(BaseBatch))
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite").partitionBy("__batch")
-        .parquet(s"$path/docs")
-      kept.select(col("h")).distinct()
-        .withColumn("__batch", lit(BaseBatch))
-        .write.mode("overwrite").partitionBy("__batch")
-        .parquet(s"$path/hashes")
+      s.landBase(withCounts(kept.where(trainSplit)), "docs")
+      s.landBase(kept.select(col("h")).distinct(), "hashes")
     }
+  }
 
   private def trainSplit: org.apache.spark.sql.Column =
     PipelineQueries.trainSplit
@@ -128,22 +130,12 @@ object CuratedCorpus {
     // next recovery would then prune the staged full copy — silent
     // loss of the standing table
     recoverSwap(batchDocs.sparkSession, path)
+    val s = store(path)
     val fresh = freshRows(path, batchDocs, batchId)
       .localCheckpoint(true) // both writes below; lineage reads the target dir
     val train = withCounts(fresh.where(trainSplit))
-    train
-      .withColumn("__batch", lit(batchId))
-      .sortWithinPartitions("doc_id")
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__batch")
-      .parquet(s"$path/docs")
-    fresh.select(col("h")).distinct()
-      .withColumn("__batch", lit(batchId))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__batch")
-      .parquet(s"$path/hashes")
+    s.landFold(train, "docs", batchId)
+    s.landFold(fresh.select(col("h")).distinct(), "hashes", batchId)
     train
   }
 
@@ -169,8 +161,7 @@ object CuratedCorpus {
   /** The composed curated table — (doc_id, source, n_tokens, text)
     * across the base snapshot and every fold, from any session. */
   def open(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(DocsSchema).parquet(s"$path/docs")
-      .select("doc_id", "source", "n_tokens", "text")
+    store(path).open(spark, "docs")
 
   /** Swap order for [[compact]]'s staged dirs — HASHES (the
     * content-identity table) strictly before DOCS (the rows it
@@ -214,33 +205,27 @@ object CuratedCorpus {
    * probe never excludes), so replay idempotence survives compaction.
    */
   def compact(spark: SparkSession, path: String,
-      targetFileBytes: Long = 128L << 20): Unit =
-    graft.sources.Lease.withLease(spark, path) {
-      recoverSwap(spark, path)
+      targetFileBytes: Long = 128L << 20): Unit = {
+    val s = store(path)
+    s.withLease(spark) {
+      s.recoverSwap(spark)
       stageCompact(spark, path, targetFileBytes)
       graft.sources.DirSwap.swapStaged(spark, path, SwapTables)
     }
+  }
 
   /** [[compact]]'s watermark persist + staged rewrites, up to (not
     * including) the swap — split out so the crash-matrix spec can
     * stop between the two table swaps. */
   private[graft] def stageCompact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20): Unit = {
+    val s = store(path)
     // persist the fold watermark BEFORE the partitions that carry it
     // collapse into the base — the release cadence keys on it, so it
     // must be monotone across compactions (idempotent overwrite; a
     // crash after this write and before the swap just re-records the
     // same value on the re-run)
     writeWatermark(spark, path, batchWatermark(spark, path))
-    // target the output file count from the CURRENT table bytes (an
-    // FS summary, not a scan): compaction's whole point is restoring
-    // the file count, and a bare rewrite would re-emit one file per
-    // populated shuffle partition. Range-partitioning on doc_id keeps
-    // — in fact globalizes — the doc_id sort the release's text join
-    // prunes row groups by.
-    def files(dir: String): Int =
-      math.max(1L, (dirBytes(spark, dir) + targetFileBytes - 1)
-        / targetFileBytes).toInt
     // fold a batch's DOCS into the base only if its HASHES landed: a
     // fold that crashed between its docs write and its hashes write
     // must keep its docs partition, so the stream's replay overwrites
@@ -249,38 +234,34 @@ object CuratedCorpus {
     // batch's content standing) land them a second time. This is what
     // makes `maintain` safe to run mid-stream without the
     // settle-before-compact rule the content-probe-less tables need.
+    // File counts and the staged writes (range on doc_id, the
+    // (__batch, doc_id) sort that keeps files key-ordered even where
+    // a staging partition mixes batch values) are the store's.
     val hashLanded = graft.sources.BatchPartitions
       .ids(spark, s"$path/hashes").toSet
-    spark.read.schema(DocsSchema).parquet(s"$path/docs")
-      .repartitionByRange(files(s"$path/docs"), col("doc_id"))
-      .withColumn("__batch",
-        when(col("__batch").isin(hashLanded.toSeq: _*), lit(BaseBatch))
-          .otherwise(col("__batch")))
-      .sortWithinPartitions("doc_id")
-      .write.mode("overwrite").partitionBy("__batch")
-      .parquet(graft.sources.DirSwap.stagingDir(path, "docs"))
-    spark.read.schema("h STRING, __batch LONG").parquet(s"$path/hashes")
-      .select("h").distinct()
-      .repartition(files(s"$path/hashes"))
-      .withColumn("__batch", lit(BaseBatch))
-      .write.mode("overwrite").partitionBy("__batch")
-      .parquet(graft.sources.DirSwap.stagingDir(path, "hashes"))
-  }
-
-  private def dirBytes(spark: SparkSession, dir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    s.landStaging(
+      s.openRaw(spark, "docs")
+        .withColumn("__batch",
+          when(col("__batch").isin(hashLanded.toSeq: _*), lit(BaseBatch))
+            .otherwise(col("__batch"))),
+      "docs", s.fileCount(spark, "docs", Some(targetFileBytes)))
+    s.landStaging(
+      s.openRaw(spark, "hashes")
+        .select("h").distinct()
+        .withColumn("__batch", lit(BaseBatch)),
+      "hashes", s.fileCount(spark, "hashes", Some(targetFileBytes)))
   }
 
   /** Finish a crashed [[compact]] swap ([[graft.sources.DirSwap.recover]]
     * over this table's two dirs). Safe on a healthy table (no-op). */
   def recoverSwap(spark: SparkSession, path: String): Unit =
-    graft.sources.DirSwap.recover(spark, path, SwapTables)
+    store(path).recoverSwap(spark)
 
   /** Number of FOLD partitions the table currently holds (the base
     * snapshot is not counted) — the quantity [[maintain]] bounds. A
-    * directory listing, never a data scan. */
+    * directory listing, never a data scan. Counted on DOCS (not the
+    * store's lead table): a fold that crashed between its two writes
+    * has docs standing without hashes, and the dial should see it. */
   def foldCount(spark: SparkSession, path: String): Int =
     graft.sources.BatchPartitions.ids(spark, s"$path/docs")
       .count(_ != BaseBatch)
@@ -339,11 +320,8 @@ object CuratedCorpus {
   }
 
   /** Retire the table. */
-  def delete(spark: SparkSession, path: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    ()
-  }
+  def delete(spark: SparkSession, path: String): Unit =
+    store(path).delete(spark)
 
   /** Attach the stored token count (same null-as-zero rule as the
     * budget fill's text face, so the counted path is equivalent). */
