@@ -52,14 +52,18 @@ object CuratedCorpus {
   private val DocsSchema =
     "doc_id LONG, source STRING, n_tokens LONG, text STRING, __batch LONG"
 
-  // Shared lifecycle mechanics through the store — tables in SWAP
-  // order (hashes strictly before docs; see the compact scaladoc).
-  // The CUSTOM parts stay here: the curation fold, the hashes-landed
+  // Shared lifecycle mechanics through the store. The spec order IS
+  // the swap order (hashes strictly before docs — the [[SwapTables]]
+  // scaladoc argues why; both compact's swap and the store's crash
+  // recovery derive from THIS list, so they cannot diverge). The
+  // CUSTOM parts stay here: the curation fold, the hashes-landed
   // compaction guard, and the persisted fold watermark.
-  private def store(path: String) = new graft.sources.StandingStore(path,
-    Seq(
-      graft.sources.TableSpec("hashes", "h STRING, __batch LONG", Nil),
-      graft.sources.TableSpec("docs", DocsSchema, Seq("doc_id"))))
+  private val Tables = Seq(
+    graft.sources.TableSpec("hashes", "h STRING, __batch LONG", Nil),
+    graft.sources.TableSpec("docs", DocsSchema, Seq("doc_id")))
+
+  private def store(path: String) =
+    new graft.sources.StandingStore(path, Tables)
 
   /** Curate the corpus snapshot and write the base partitions. Starts
     * from a CLEAN slate: a re-init over a prior table at the same
@@ -176,8 +180,9 @@ object CuratedCorpus {
     * hashes (fold partitions intact) makes the replay's probe — which
     * excludes the batch's OWN hash partition — find the content
     * nowhere standing and re-land the docs beside their base copies.
-    * Do not reorder. */
-  private val SwapTables = Seq("hashes", "docs")
+    * Do not reorder — and it cannot drift: this list derives from
+    * [[Tables]], the same order the store's crash recovery uses. */
+  private val SwapTables = Tables.map(_.name)
 
   /**
    * Compact every fold into the base snapshot: rewrite docs and

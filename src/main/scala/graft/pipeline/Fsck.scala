@@ -28,6 +28,11 @@ import graft.sources.{BatchPartitions, DirSwap, Lease}
  *    informational — expected under a running loop);
  *  - `lease-stale`: a lease file with no live owner (crashed holder or
  *    torn write) — the next maintainer breaks in by Lease's rules;
+ *  - `dup-ids`: one table holds the same id more than once — the
+ *    replay-duplication corruption the batch-keyed overwrite
+ *    discipline exists to prevent; like id-drift, no self-healing
+ *    path (recompact after removing the offending partitions, or
+ *    rebuild from the corpus snapshot);
  *  - `id-drift`: the indexes no longer answer for exactly the corpus's
  *    documents — the one finding with no self-healing path (rebuild
  *    the drifted index from the corpus snapshot);
@@ -123,9 +128,14 @@ object Fsck {
           }.mkString("; ")))
       else Seq.empty
 
-    // id cross-check: one distributed aggregation — each table's ids
-    // tagged with a bit, per-id membership mask aggregated, and only
-    // the (mask, count) combinations reach the driver
+    // id cross-check: one distributed aggregation chain — each
+    // table's ids tagged with a bit, copies per (id, table) counted
+    // (a duplicated id inside one table is its own corruption class:
+    // the replay-duplication failure the overwrite discipline exists
+    // to prevent — it must be REPORTED, and must not corrupt the
+    // membership mask into another table's bit), then the per-id
+    // membership mask aggregated; only (table, dup counts) and
+    // (mask, count) combinations reach the driver
     val members: Seq[(String, Int, DataFrame)] = Seq(
       ("corpus", 1, CuratedCorpus.open(spark, corpusPath).select("doc_id")),
       ("sigs", 2, graft.dedup.SignatureIndex.open(spark, sigPath)
@@ -135,26 +145,39 @@ object Fsck {
       embedPath.map(p => ("embed", 8,
         graft.ann.EmbedIndex.open(spark, p).select("doc_id")))
     val full = members.map(_._2).sum
-    // distinct per table BEFORE tagging: fsck diagnoses corrupted
-    // state, and a duplicated id inside one table would add its bit
-    // twice — corrupting the mask into another table's bit (or into
-    // `full`, hiding genuine drift)
+    val byName = members.map(m => m._2 -> m._1).toMap
     val tagged = members.map { case (_, bit, df) =>
-      df.distinct().select(col("doc_id"), lit(bit).as("__m"))
+      df.select(col("doc_id"), lit(bit).as("__m"))
     }.reduce(_ unionByName _)
-    val drift = tagged.groupBy("doc_id")
-      .agg(sum(col("__m")).as("mask"))
-      .where(col("mask") =!= full)
-      .groupBy("mask").count()
-      .collect()
-      .map { r =>
-        val mask = r.getLong(0)
-        val in = members.filter(m => (mask & m._2) != 0).map(_._1)
-        val outOf = members.filter(m => (mask & m._2) == 0).map(_._1)
-        Finding(corpusPath, "id-drift",
-          s"${r.getLong(1)} ids present in ${in.mkString("+")} " +
-            s"but missing from ${outOf.mkString("+")}")
-      }.toSeq
-    crash ++ skew ++ drift
+    val perTable = tagged.groupBy("doc_id", "__m")
+      .agg(count(lit(1)).as("__n"))
+      .persist()
+    try {
+      val dups = perTable.where(col("__n") > 1)
+        .groupBy("__m")
+        .agg(count(lit(1)).as("ids"), sum(col("__n") - 1).as("extra"))
+        .collect()
+        .map(r => Finding(corpusPath, "dup-ids",
+          s"${r.getLong(1)} ids in ${byName(r.getInt(0))} carry " +
+            s"${r.getLong(2)} extra copies"))
+        .toSeq
+      val drift = perTable.groupBy("doc_id")
+        .agg(sum(col("__m")).as("mask"))
+        .where(col("mask") =!= full)
+        .groupBy("mask").count()
+        .collect()
+        .map { r =>
+          val mask = r.getLong(0)
+          val in = members.filter(m => (mask & m._2) != 0).map(_._1)
+          val outOf = members.filter(m => (mask & m._2) == 0).map(_._1)
+          Finding(corpusPath, "id-drift",
+            s"${r.getLong(1)} ids present in ${in.mkString("+")} " +
+              s"but missing from ${outOf.mkString("+")}")
+        }.toSeq
+      crash ++ skew ++ dups ++ drift
+    } finally {
+      perTable.unpersist()
+      ()
+    }
   }
 }

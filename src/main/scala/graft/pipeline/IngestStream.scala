@@ -359,8 +359,13 @@ object IngestStream {
    * of appending a second copy, while a route that quarantines
    * DIFFERENT slices of one batch under different reasons (dq rows
    * here, drift rows there) keeps both: only an identical
-   * (batch, reason) redelivery overwrites. Keep `reason` a short
-   * machine key — it is a directory name. Triage reads through
+   * (batch, reason) redelivery overwrites. Keep `reason` a short,
+   * STABLE machine key — it is a directory name, and it is part of
+   * the replay identity: a redelivery quarantined under a renamed
+   * reason lands beside the stale partition instead of replacing it
+   * (triage still reads single-copy — [[openQuarantine]]'s LWW — and
+   * [[pruneQuarantine]] retires both), so rename rule keys between
+   * runs, not mid-stream. Triage reads through
    * [[openQuarantine]] (LWW per document across batches); completed
    * triage retires batch partitions with [[pruneQuarantine]] —
    * without retention the quarantine is the one table in the loop
@@ -402,15 +407,16 @@ object IngestStream {
   /** The TRIAGE read of a quarantine table: one row per document —
     * a document quarantined by several batches (resubmitted content
     * failing again) surfaces once, under its LATEST batch's stamp
-    * (last-write-wins on `idCol` by `__batch_id`; ties within one
-    * batch keep one row arbitrarily — they are copies of the same
-    * submission). Within-(batch, reason) redelivery is already
-    * single-copy at the storage layer ([[quarantine]]'s partition
-    * overwrite). `__batch_id` reads back as LONG regardless of the
-    * width the partition-directory inference picked. A missing or
-    * fully-drained quarantine reads back as the EMPTY zero-column
-    * frame (there is no schema to synthesize without data) — check
-    * `isEmpty` before selecting columns. */
+    * (last-write-wins on `idCol` by `__batch_id`, ties broken by the
+    * first `__reason` in sort order so a doc in two of one batch's
+    * slices reads back DETERMINISTICALLY). Within-(batch, reason)
+    * redelivery is already single-copy at the storage layer
+    * ([[quarantine]]'s partition overwrite). The stamps read back as
+    * LONG / STRING regardless of what partition-directory inference
+    * guessed (a reason of "404" must not come back as an int). A
+    * missing or fully-drained quarantine reads back as the EMPTY
+    * zero-column frame (there is no schema to synthesize without
+    * data) — check `isEmpty` before selecting columns. */
   def openQuarantine(spark: org.apache.spark.sql.SparkSession,
       quarantineDir: String, idCol: String): DataFrame =
     if (quarantineBatchIds(spark, quarantineDir).isEmpty)
@@ -418,9 +424,10 @@ object IngestStream {
     else {
       val all = spark.read.parquet(quarantineDir)
         .withColumn("__batch_id", col("__batch_id").cast("long"))
+        .withColumn("__reason", col("__reason").cast("string"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(idCol))
-        .orderBy(col("__batch_id").desc)
+        .orderBy(col("__batch_id").desc, col("__reason").asc)
       all.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
     }

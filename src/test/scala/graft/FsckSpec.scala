@@ -93,6 +93,27 @@ class FsckSpec extends SparkSpec {
       fs.delete(new Path(s"$sigs/sigs/__batch=5"), true)
       fs.delete(new Path(s"$sigs/bands/__batch=5"), true)
       assert(kinds().isEmpty, "report must be clean after the injections heal")
+
+      // an id DOUBLE-LANDED inside one table — the replay-duplication
+      // corruption the overwrite discipline prevents — must surface
+      // as its own finding (and must NOT corrupt the membership mask
+      // into a phantom drift of another table)
+      val someId = CuratedCorpus.open(spark, cc)
+        .select("doc_id").head().getLong(0)
+      val dupDoc = Seq((someId, "copy of standing content one"))
+        .toDF("doc_id", "text")
+      SignatureIndex.foldBatch(sigs, dupDoc, "doc_id", "text", 6L)
+      SignatureIndex.foldBatch(sigs, dupDoc, "doc_id", "text", 7L)
+      val dup = Fsck.check(spark, cc, sigs, clusters, Some(emb))
+      assert(dup.map(_.kind).sorted == Seq("dup-ids", "fold-skew"),
+        s"expected duplicate + skew, no phantom drift: $dup")
+      assert(dup.find(_.kind == "dup-ids").get.detail
+        .contains("1 ids in sigs carry 2 extra copies"), s"$dup")
+      Seq(6L, 7L).foreach { b =>
+        fs.delete(new Path(s"$sigs/sigs/__batch=$b"), true)
+        fs.delete(new Path(s"$sigs/bands/__batch=$b"), true)
+      }
+      assert(kinds().isEmpty, "report must be clean after the dup heals")
     } finally {
       fs.delete(new Path(root), true)
       ()
