@@ -125,7 +125,18 @@ object PipelineQueries {
     "q_pipeline_epoch_pack" -> ((s, dir) =>
       Release.packEpoch(s, cachedReleasePath(s, dir), 1, EpochPackEpoch,
         TextQueries.PackSeqLen)
-        .orderBy("shard", "seq", "doc_id")))
+        .orderBy("shard", "seq", "doc_id")),
+
+    // The quarantine TRIAGE read: deterministic failure slices land
+    // under their (batch, reason) partitions (idempotent overwrites),
+    // and openQuarantine LWW-surfaces each doc once — latest batch,
+    // reason tie-break — which the oracle restates as one window.
+    "q_pipeline_quarantine" -> ((s, dir) =>
+      IngestStream.openQuarantine(s, cachedQuarantinePath(s, dir),
+        "doc_id")
+        .select(col("doc_id"), col("__batch_id").as("q_batch"),
+          col("__reason").as("q_reason"))
+        .orderBy("doc_id")))
 
   /** The epoch q_pipeline_epoch_pack exercises — NOT 0, so the query
     * drives the epochDeal join path, not the stored files. */
@@ -163,6 +174,33 @@ object PipelineQueries {
       CuratedCorpus.foldBatch(path,
         docs.where(col("doc_id") >= t1 && col("doc_id") < t2), 0L)
       CuratedCorpus.foldBatch(path, docs.where(col("doc_id") >= t2), 1L)
+      path
+    })
+
+  /** Standing quarantine table per (session, dir): deterministic
+    * slices land under their (batch, reason) partition keys — the
+    * writes are idempotent dynamic overwrites, so re-entry re-lands
+    * identical partitions. Shapes exercised: two same-batch slices
+    * under different reasons, a later-batch resubmission (LWW picks
+    * the newer stamp), and a same-batch same-doc two-reason tie
+    * (deterministic reason tie-break). */
+  private val quarCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def cachedQuarantinePath(s: SparkSession, dir: String): String =
+    quarCache.getOrElseUpdate((s, dir), {
+      val docs = Tables(s, dir, "documents")
+        .select("doc_id", "source", "text")
+      val path = graft.Scratch.path("graft_quarantine", dir)
+      graft.Scratch.registerCleanup(path)
+      def rep(id: Long) = IngestStream.BatchReport(id, 0L, Nil, 0.0, 0L)
+      IngestStream.quarantine(docs.where(col("doc_id") % 10 === 3),
+        rep(1L), "dq", path)
+      IngestStream.quarantine(docs.where(col("doc_id") % 10 === 7),
+        rep(1L), "drift", path)
+      IngestStream.quarantine(docs.where(col("doc_id") % 20 === 3),
+        rep(2L), "resubmit", path)
+      IngestStream.quarantine(docs.where(col("doc_id") % 20 === 3),
+        rep(2L), "audit", path)
       path
     })
 
@@ -219,7 +257,25 @@ object PipelineQueries {
     // full-corpus answer (the CuratedCorpus equivalence contract)
     "q_pipeline_release" -> releaseOracle,
     "q_pipeline_release_incremental" -> releaseOracle,
-    "q_pipeline_epoch_pack" -> epochPackOracle)
+    "q_pipeline_epoch_pack" -> epochPackOracle,
+
+    "q_pipeline_quarantine" -> s"""
+      WITH q AS (
+        SELECT doc_id, 1 AS q_batch, 'dq' AS q_reason
+        FROM documents WHERE doc_id % 10 = 3
+        UNION ALL
+        SELECT doc_id, 1, 'drift' FROM documents WHERE doc_id % 10 = 7
+        UNION ALL
+        SELECT doc_id, 2, 'resubmit' FROM documents WHERE doc_id % 20 = 3
+        UNION ALL
+        SELECT doc_id, 2, 'audit' FROM documents WHERE doc_id % 20 = 3),
+      r AS (
+        SELECT doc_id, q_batch, q_reason,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY q_batch DESC, q_reason ASC) AS rn
+        FROM q)
+      SELECT doc_id, q_batch, q_reason FROM r WHERE rn = 1
+      ORDER BY doc_id""")
   }
 
   /** The release's KEPT SET as shared SQL CTEs — stages 1–3 plus the

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{StandingStore, TableSpec}
+
+/** Direct pins on the shared standing-table lifecycle the wrapper
+  * structures (DocStore, SignatureIndex, ClusterIndex, CuratedCorpus,
+  * EmbedIndex) all compose: fold guards, listing-only counters,
+  * sizing (own-dir, sizeFrom sibling, caller override), and the
+  * settled-only default compaction. */
+class StandingStoreSpec extends SparkSpec {
+
+  test("store verbs: guards, counters, sizing, settled-only compaction") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-store").toString
+    val s = new StandingStore(root, Seq(
+      TableSpec("a", "k LONG, v LONG, __batch LONG", Seq("k")),
+      // b sizes its files off sibling a's dir at a tiny target, the
+      // bands-off-sigs discipline
+      TableSpec("b", "k LONG, __batch LONG", Seq("k"),
+        targetFileBytes = 1024L, sizeFrom = Some("a"))))
+    def rows(lo: Long, hi: Long) =
+      spark.range(lo, hi).select(col("id").as("k"), (col("id") * 2).as("v"))
+    s.landBase(rows(0, 1000), "a")
+    s.landBase(rows(0, 1000).select("k"), "b")
+    s.landFold(rows(1000, 1100), "a", 0L)
+    s.landFold(rows(1000, 1100).select("k"), "b", 0L)
+    s.landFold(rows(1100, 1200), "a", 1L)
+    s.landFold(rows(1100, 1200).select("k"), "b", 1L)
+    assert(s.foldCount(spark) == 2)
+    assert(s.settledFoldCount(spark, 0L) == 1)
+    // replay overwrites its own partition, never appends beside it
+    s.landFold(rows(1000, 1100), "a", 0L)
+    assert(s.open(spark, "a").count() == 1200L)
+    // guards: the base marker is not a fold id; unknown tables refuse
+    intercept[IllegalArgumentException] {
+      s.landFold(rows(0, 1), "a", StandingStore.BaseBatch)
+    }
+    intercept[IllegalArgumentException] { s.open(spark, "zzz") }
+    // sizing: a sizes off its own dir at the default target (1 file
+    // at fixture scale); b's count derives from A's bytes over B's
+    // tiny target; a caller override rescales without a new spec
+    val aBytes = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/a")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    }
+    assert(s.fileCount(spark, "a") == 1)
+    assert(s.fileCount(spark, "b") == ((aBytes + 1023) / 1024).toInt)
+    assert(s.fileCount(spark, "b") > 1, "fixture must exercise sizing")
+    assert(s.fileCount(spark, "a", Some(1024L)) ==
+      s.fileCount(spark, "b"))
+    // settled-only default compaction: fold 0 bakes in, fold 1 stands,
+    // no row lost; the due-check counts only settled folds
+    s.compactThrough(spark, 0L)
+    assert(s.foldCount(spark) == 1)
+    assert(s.open(spark, "a").count() == 1200L &&
+      s.open(spark, "b").count() == 1200L)
+    assert(!s.maintainThrough(spark, 1, 0L)(),
+      "no settled fold may trigger the cadence")
+    assert(s.maintainThrough(spark, 1, 1L)())
+    assert(s.foldCount(spark) == 0)
+    assert(s.open(spark, "a").count() == 1200L)
+    s.delete(spark)
+  }
+}
