@@ -131,12 +131,21 @@ object PipelineQueries {
     // under their (batch, reason) partitions (idempotent overwrites),
     // and openQuarantine LWW-surfaces each doc once — latest batch,
     // reason tie-break — which the oracle restates as one window.
-    "q_pipeline_quarantine" -> ((s, dir) =>
-      IngestStream.openQuarantine(s, cachedQuarantinePath(s, dir),
-        "doc_id")
-        .select(col("doc_id"), col("__batch_id").as("q_batch"),
+    "q_pipeline_quarantine" -> ((s, dir) => {
+      val q = IngestStream.openQuarantine(s,
+        cachedQuarantinePath(s, dir), "doc_id")
+      // a zero-row corpus quarantines nothing, and a never-written
+      // table reads back as the zero-COLUMN empty frame by contract —
+      // the query's answer is the typed empty result
+      if (q.columns.isEmpty) {
+        import s.implicits._
+        Seq.empty[(Long, Long, String)]
+          .toDF("doc_id", "q_batch", "q_reason")
+      } else
+        q.select(col("doc_id"), col("__batch_id").as("q_batch"),
           col("__reason").as("q_reason"))
-        .orderBy("doc_id")))
+          .orderBy("doc_id")
+    }))
 
   /** The epoch q_pipeline_epoch_pack exercises — NOT 0, so the query
     * drives the epochDeal join path, not the stored files. */
