@@ -67,12 +67,14 @@ object EmbedIndex {
     // the whole table in one page — no page left to skip. At large
     // dims the byte flush wins first and the limit is inert.
     TableSpec("vecs", "doc_id LONG, v ARRAY<FLOAT>, __batch LONG",
-      Seq("doc_id"), pageRowLimit = Some(PointReads.PageRowLimit)),
+      Seq("doc_id"), pageRowLimit = Some(PointReads.PageRowLimit),
+      retractCol = Some("doc_id")),
     // bucket rows are ≈ vecs rows × bands but narrow (two LONGs):
     // size their files off the sibling vecs dir at a smaller target
     TableSpec("buckets", "bkey LONG, doc_id LONG, __batch LONG",
       Seq("bkey"), pageRowLimit = Some(PointReads.PageRowLimit),
-      targetFileBytes = 64L << 20, sizeFrom = Some("vecs"))))
+      targetFileBytes = 64L << 20, sizeFrom = Some("vecs"),
+      retractCol = Some("doc_id"))))
 
   /** Collision-free scratch location for the harness. */
   def scratchPath(sourceDir: String): String =
@@ -181,6 +183,18 @@ object EmbedIndex {
     * preamble a probe-before-fold consumer runs. No-op when healthy. */
   def recoverSwap(spark: SparkSession, path: String): Unit =
     store(path).recoverSwap(spark)
+
+  /** Retract documents by id — O(ids) tombstone write; [[open]] /
+    * [[openBuckets]] filter immediately (the verify leg joins [[open]],
+    * so [[probe]] stops matching the ids at once), the next compaction
+    * purges vec and bucket rows physically
+    * ([[graft.sources.StandingStore.retract]]'s contract). */
+  def retract(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String, batchId: Long): Unit = {
+    val s = store(path)
+    s.recoverSwap(spark)
+    s.retract(ids, idCol, batchId)
+  }
 
   /** The composed (doc_id, v) table — base + every fold. */
   def open(spark: SparkSession, path: String): DataFrame =

@@ -76,7 +76,8 @@ object ClusterIndex {
   private def store(path: String) = new graft.sources.StandingStore(path,
     Seq(
       graft.sources.TableSpec("assignments",
-        "doc_id LONG, cluster LONG, __batch LONG", Seq("doc_id")),
+        "doc_id LONG, cluster LONG, __batch LONG", Seq("doc_id"),
+        retractCol = Some("doc_id")),
       graft.sources.TableSpec("relabel",
         "old_cluster LONG, new_cluster LONG, __batch LONG", Nil)))
 
@@ -291,10 +292,28 @@ object ClusterIndex {
   }
 
   /** [[open]] plus the conventional keeper flag (cluster = min id ⇒
-    * keeper is the doc that IS its own label). */
+    * keeper is the doc that IS its own label). NOTE after a
+    * [[retract]]: the keeper doc of a multi-member cluster may itself
+    * be retracted, leaving a cluster whose surviving members carry a
+    * label no row answers for — labels are opaque ids and outlive
+    * their namesake; a keeper-dependent consumer re-elects
+    * min(doc_id) per cluster over the surviving rows. */
   def openWithKeeper(spark: SparkSession, path: String): DataFrame =
     open(spark, path)
       .withColumn("keeper", (col("doc_id") === col("cluster")).cast("int"))
+
+  /** Retract documents by id — O(ids) tombstone write; [[open]]
+    * filters the assignment rows immediately, the next compaction
+    * purges them physically. The relabel chain is untouched: its
+    * entries map CLUSTER labels (component-min ids), which remain
+    * valid opaque labels even when their namesake doc is retracted
+    * (see [[openWithKeeper]]'s note). */
+  def retract(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String, batchId: Long): Unit = {
+    val s = store(path)
+    s.recoverSwap(spark)
+    s.retract(ids, idCol, batchId)
+  }
 
   /** Rewrite the composed table as a fresh base snapshot and reset
     * the relabel chain — run on the retention cadence so the chain
@@ -340,6 +359,10 @@ object ClusterIndex {
       s.recoverSwap(spark)
       stageCompact(spark, path, throughBatch, targetFileBytes)
       graft.sources.DirSwap.swapStaged(spark, path, SwapTables)
+      // retraction epilogue: the staging purged tombstoned rows, so
+      // settled tombstones clear strictly after the swap commits (the
+      // store's .old-prune discipline)
+      s.clearRetractionsThrough(spark, throughBatch)
     }
   }
 
@@ -365,7 +388,7 @@ object ClusterIndex {
       .collect().map(r => r.getLong(0) -> r.getLong(1)))
       .toDF("cluster", "__new")
     s.landStaging(
-      s.openRaw(spark, "assignments")
+      s.applyRetractions(spark, s.openRaw(spark, "assignments"), "doc_id")
         .join(broadcast(composed), Seq("cluster"), "left")
         .select(col("doc_id"),
           // the settled chain applies to settled rows only; unsettled

@@ -67,13 +67,14 @@ object SignatureIndex {
 
   private def store(path: String) = new StandingStore(path, Seq(
     TableSpec("sigs", "doc_id LONG, sig ARRAY<STRING>, __batch LONG",
-      Seq("doc_id")),
+      Seq("doc_id"), retractCol = Some("doc_id")),
     // bands rows are ≈ sigs rows × numBands but narrower: size their
     // files off the sibling sigs dir at a smaller target — ONE sizing
     // rule for the base write and every compaction
     TableSpec("bands", "band_key STRING, doc_id LONG, __batch LONG",
       Seq("band_key"), pageRowLimit = Some(PointReads.PageRowLimit),
-      targetFileBytes = 64L << 20, sizeFrom = Some("sigs"))))
+      targetFileBytes = 64L << 20, sizeFrom = Some("sigs"),
+      retractCol = Some("doc_id"))))
 
   /** Collision-free scratch location for the harness (see
     * [[graft.Scratch]]); production keys by corpus-snapshot id. */
@@ -133,6 +134,17 @@ object SignatureIndex {
     * can run. Safe on a healthy table (no-op). */
   def recoverSwap(spark: SparkSession, path: String): Unit =
     store(path).recoverSwap(spark)
+
+  /** Retract documents by id — O(ids) tombstone write; [[open]] /
+    * [[openBands]] filter immediately (so [[probe]] stops surfacing
+    * the ids as candidates), the next compaction purges the sig and
+    * band rows physically ([[graft.sources.StandingStore.retract]]). */
+  def retract(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String, batchId: Long): Unit = {
+    val s = store(path)
+    s.recoverSwap(spark)
+    s.retract(ids, idCol, batchId)
+  }
 
   private def signed(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =

@@ -60,7 +60,8 @@ object CuratedCorpus {
   // compaction guard, and the persisted fold watermark.
   private val Tables = Seq(
     graft.sources.TableSpec("hashes", "h STRING, __batch LONG", Nil),
-    graft.sources.TableSpec("docs", DocsSchema, Seq("doc_id")))
+    graft.sources.TableSpec("docs", DocsSchema, Seq("doc_id"),
+      retractCol = Some("doc_id")))
 
   private def store(path: String) =
     new graft.sources.StandingStore(path, Tables)
@@ -163,9 +164,45 @@ object CuratedCorpus {
   }
 
   /** The composed curated table — (doc_id, source, n_tokens, text)
-    * across the base snapshot and every fold, from any session. */
+    * across the base snapshot and every fold, from any session, with
+    * standing retractions applied (the store's tombstone filter — a
+    * listing-guarded no-op when none stand). */
   def open(spark: SparkSession, path: String): DataFrame =
     store(path).open(spark, "docs")
+
+  /**
+   * Retract documents — the row-level delete this table was missing:
+   * at 100 TB a delete must cost O(ids), so [[retract]] lands a
+   * tombstone partition (`tombs/__batch=<batchId>/`, batch-keyed and
+   * replay-idempotent like every fold), [[open]] anti-joins it
+   * immediately, and the next [[compact]] purges the doc rows
+   * physically and clears the applied tombstones.
+   *
+   * The content HASHES are retained deliberately — the SUPPRESSION
+   * contract, and it is load-bearing twice over:
+   *  - resubmitted identical content (any doc id) still dedups to
+   *    zero, so a retraction is not silently undone by the next crawl
+   *    of the same page;
+   *  - a REPLAY of the retracted doc's own origin batch — the
+   *    at-least-once case — probes the standing hashes, finds its
+   *    content, and re-lands nothing: hash retention is what makes
+   *    "purge + clear tombstone" safe against resurrection, where a
+   *    content-probe-less table needs the settled-batch bound instead
+   *    ([[graft.sources.StandingStore.compactThrough]]).
+   * Truly forgetting the content (hash included) is a different verb
+   * with different replay semantics; this one deletes the DOCUMENT
+   * and keeps the one-way content fingerprint.
+   *
+   * `batchId` rides the fold clock (in-loop: the stream's batch id;
+   * ad-hoc: the current [[batchWatermark]]), and the ids must already
+   * stand — the causal order a delete request implies.
+   */
+  def retract(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String, batchId: Long): Unit = {
+    val s = store(path)
+    s.recoverSwap(spark)
+    s.retract(ids, idCol, batchId)
+  }
 
   /** Swap order for [[compact]]'s staged dirs — HASHES (the
     * content-identity table) strictly before DOCS (the rows it
@@ -216,6 +253,18 @@ object CuratedCorpus {
       s.recoverSwap(spark)
       stageCompact(spark, path, targetFileBytes)
       graft.sources.DirSwap.swapStaged(spark, path, SwapTables)
+      // retraction epilogue — strictly after the swap commits. Clear
+      // ONLY when every docs fold collapsed: a fold that crashed
+      // between its docs and hashes writes keeps its docs partition
+      // (the hashes-landed guard above), and a replay of THAT batch
+      // finds its content nowhere standing and re-lands it — so a
+      // tombstone targeting it must stay until the replay healed the
+      // hashes and a later compact collapsed the fold. Every other
+      // batch's resurrection path is closed by hash retention (see
+      // [[retract]]), so the guard is the rare-crash case only; until
+      // it clears, the standing tombstones keep filtering reads.
+      if (foldCount(spark, path) == 0)
+        s.clearRetractionsThrough(spark, Long.MaxValue)
     }
   }
 
@@ -244,8 +293,11 @@ object CuratedCorpus {
     // a staging partition mixes batch values) are the store's.
     val hashLanded = graft.sources.BatchPartitions
       .ids(spark, s"$path/hashes").toSet
+    // standing retractions purge here (rows anti-joined out of the
+    // staged copy); the hashes below stay whole — the suppression
+    // contract [[retract]] argues
     s.landStaging(
-      s.openRaw(spark, "docs")
+      s.applyRetractions(spark, s.openRaw(spark, "docs"), "doc_id")
         .withColumn("__batch",
           when(col("__batch").isin(hashLanded.toSeq: _*), lit(BaseBatch))
             .otherwise(col("__batch"))),

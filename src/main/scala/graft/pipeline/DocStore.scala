@@ -32,7 +32,7 @@ object DocStore {
 
   private def store(path: String) = new StandingStore(path, Seq(
     TableSpec("docs", "doc_id LONG, text STRING, __batch LONG",
-      Seq("doc_id"))))
+      Seq("doc_id"), retractCol = Some("doc_id"))))
 
   /** Collision-free scratch location for the harness. */
   def scratchPath(sourceDir: String): String =
@@ -64,6 +64,16 @@ object DocStore {
     * No-op on a healthy table. */
   def recoverSwap(spark: SparkSession, path: String): Unit =
     store(path).recoverSwap(spark)
+
+  /** Retract documents by id — O(ids) tombstone write; [[open]]
+    * filters immediately, [[compactThrough]] purges physically
+    * ([[graft.sources.StandingStore.retract]]'s contract). */
+  def retract(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String, batchId: Long): Unit = {
+    val s = store(path)
+    s.recoverSwap(spark)
+    s.retract(ids, idCol, batchId)
+  }
 
   /** The composed (doc_id, text) table across the base and every
     * fold, from any session. */

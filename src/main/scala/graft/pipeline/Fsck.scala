@@ -35,7 +35,15 @@ import graft.sources.{BatchPartitions, DirSwap, Lease}
  *    rebuild from the corpus snapshot);
  *  - `id-drift`: the indexes no longer answer for exactly the corpus's
  *    documents — the one finding with no self-healing path (rebuild
- *    the drifted index from the corpus snapshot);
+ *    the drifted index from the corpus snapshot). One id-drift shape
+ *    IS self-healing: a composed retraction
+ *    ([[IngestStream.retractDocs]]) torn mid-way leaves the
+ *    not-yet-tombstoned roots over-answering until the redelivery
+ *    lands the remaining tombstones — `tombs-standing` on a strict
+ *    subset of the roots is the tell;
+ *  - `tombs-standing`: unpurged retraction partitions under a root —
+ *    informational (reads filter them; the root's next compaction
+ *    purges and clears);
  *  - `fold-skew`: the settled-discipline indexes hold different fold
  *    partitions — usually benign (a lease-refused cadence skipped one
  *    root's compaction; it catches up next tick), but persistent skew
@@ -85,6 +93,14 @@ object Fsck {
       else
         out += Finding(root, "lease-stale",
           "lease file with no live owner — the next maintainer breaks in")
+    }
+    if (exists(s"$root/${graft.sources.StandingStore.TombsDir}")) {
+      val ids = BatchPartitions.ids(spark,
+        s"$root/${graft.sources.StandingStore.TombsDir}")
+      out += Finding(root, "tombs-standing",
+        "unpurged retraction partitions " +
+          s"${ids.sorted.mkString("[", ",", "]")} — reads filter them; " +
+          "the next compaction purges and clears (informational)")
     }
     out.toSeq
   }

@@ -326,6 +326,46 @@ object IngestStream {
     compactedCorpus | compactedSig | compactedCluster | compactedEmbed
   }
 
+  /**
+   * The composed RETRACTION — [[acceptIntoCorpusIndexed]]'s inverse,
+   * keeping the same id-lockstep: land the ids' tombstones at the
+   * corpus root and every sibling index root, so all four structures
+   * stop answering for the documents at once. Each leg is an O(ids)
+   * tombstone write ([[CuratedCorpus.retract]] /
+   * [[graft.dedup.SignatureIndex.retract]] /
+   * [[graft.dedup.ClusterIndex.retract]] /
+   * [[graft.ann.EmbedIndex.retract]]) — no data table is rewritten;
+   * reads filter immediately and each root's own compaction cadence
+   * purges physically.
+   *
+   * Order: corpus FIRST. A crash after the corpus leg leaves indexes
+   * over-answering — benign, because every probe's verify leg joins a
+   * corpus-filtered read (candidates for a retracted id vanish at
+   * verify), and [[Fsck.check]] reports the torn state as `id-drift`
+   * until the redelivery heals it (each leg is replay-idempotent).
+   * The REVERSE tear — indexes silenced while the doc still stands —
+   * would let a near-duplicate of a still-standing document through
+   * the gates, so that order is wrong; do not flip it.
+   *
+   * Retraction semantics at the gate: the corpus's content HASH is
+   * retained (exact resubmission stays suppressed —
+   * [[CuratedCorpus.retract]]), but a NEAR-duplicate of retracted
+   * content re-enters, which is what deletion means.
+   *
+   * `batchId` rides the shared fold clock (in-loop: the stream's
+   * batch id; ad-hoc: the corpus [[CuratedCorpus.batchWatermark]]).
+   */
+  def retractDocs(spark: org.apache.spark.sql.SparkSession,
+      ids: DataFrame, idCol: String, batchId: Long, corpusPath: String,
+      sigPath: String, clusterPath: String,
+      embedPath: Option[String] = None): Unit = {
+    CuratedCorpus.retract(spark, corpusPath, ids, idCol, batchId)
+    graft.dedup.SignatureIndex.retract(spark, sigPath, ids, idCol, batchId)
+    graft.dedup.ClusterIndex.retract(spark, clusterPath, ids, idCol, batchId)
+    embedPath.foreach(p =>
+      graft.ann.EmbedIndex.retract(spark, p, ids, idCol, batchId))
+  }
+
   /** [[acceptIntoCorpusIndexed]]'s PER-SNAPSHOT bootstrap, as one
     * callable verb: given an initialized [[CuratedCorpus]], build the
     * sibling signature and cluster tables over exactly its curated

@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
  *                        table's file count — for a table DERIVED from
  *                        a sibling (band rows from signatures) whose
  *                        own pre-compaction listing over-counts
+ * @param retractCol      document-identity column retraction applies
+ *                        to: [[StandingStore.open]] anti-joins this
+ *                        column against the root's standing tombstones
+ *                        and compaction purges matching rows; `None`
+ *                        opts the table out (content-identity tables —
+ *                        a curated corpus's hash table — RETAIN their
+ *                        rows deliberately, see
+ *                        [[graft.pipeline.CuratedCorpus]]'s
+ *                        suppression contract)
  */
 final case class TableSpec(
     name: String,
@@ -29,7 +38,8 @@ final case class TableSpec(
     sortCols: Seq[String],
     pageRowLimit: Option[Int] = None,
     targetFileBytes: Long = 128L << 20,
-    sizeFrom: Option[String] = None)
+    sizeFrom: Option[String] = None,
+    retractCol: Option[String] = None)
 
 /**
  * The SHARED single-root standing-table lifecycle — one implementation
@@ -55,7 +65,22 @@ final case class TableSpec(
  *     in-file key order the point-read contract depends on wherever a
  *     partition holds mixed batch values (a bounded-compaction
  *     staging always does). The prefix satisfies the requirement, so
- *     no sort is injected and files stay `sortCols`-ordered.
+ *     no sort is injected and files stay `sortCols`-ordered;
+ *   - RETRACTION (row-level delete) never rewrites data: [[retract]]
+ *     lands the ids as a tombstone partition (`tombs/__batch=<b>/`,
+ *     O(ids) bytes — at 100 TB a delete must not cost a table
+ *     rewrite), [[open]] anti-joins standing tombstones out of every
+ *     [[TableSpec.retractCol]] table (the tombstone side is
+ *     compaction-bounded and broadcasts), and [[compactThrough]]
+ *     PURGES matching rows physically, then clears the settled
+ *     tombstone partitions strictly after the swap commits — the
+ *     `.old`-prune discipline, so a crash between swap and clear just
+ *     leaves idempotent filters standing. Tombstone batch ids live on
+ *     the SAME monotone clock as fold ids, and a retraction's targets
+ *     must already stand (tomb batch id ≥ the targets' fold batch
+ *     ids — the causal order a delete request implies): that is what
+ *     makes clearing a SETTLED tombstone safe, because its targets
+ *     were settled with it and a settled fold is never replayed.
  *
  * Custom stores compose these verbs: a pure row store
  * ([[graft.pipeline.DocStore]]) is a thin column-renaming wrapper; a
@@ -72,6 +97,8 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
   require(tables.nonEmpty, "a standing store needs at least one table")
   tables.foreach(t => require(t.schema.contains("__batch"),
     s"table ${t.name}'s schema must carry the __batch partition column"))
+  require(!tables.exists(_.name == StandingStore.TombsDir),
+    s"'${StandingStore.TombsDir}' is the retraction dir, not a table name")
 
   private val byName = tables.map(t => t.name -> t).toMap
   private def spec(name: String): TableSpec =
@@ -99,7 +126,7 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
     * forward OVER the fresh rewrite. */
   def clearForRewrite(spark: SparkSession): Unit = {
     val fs = fsOf(spark)
-    (Seq(s"$root/.compact") ++
+    (Seq(s"$root/.compact", tombsDir) ++
       tables.flatMap(t => Seq(s"$root/${t.name}", s"$root/.old_${t.name}")))
       .foreach(d => fs.delete(new Path(d), true))
   }
@@ -159,9 +186,90 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
   def openRaw(spark: SparkSession, table: String): DataFrame =
     spark.read.schema(spec(table).schema).parquet(dir(table))
 
-  /** The composed rows of `table` across the base and every fold. */
-  def open(spark: SparkSession, table: String): DataFrame =
-    openRaw(spark, table).drop("__batch")
+  /** The composed rows of `table` across the base and every fold,
+    * with standing retractions applied when the table opted in
+    * ([[TableSpec.retractCol]]). With no tombstones standing — the
+    * post-compaction steady state — the plan is byte-identical to the
+    * raw read: the guard is a directory listing, so retraction costs
+    * nothing until a retraction exists. */
+  def open(spark: SparkSession, table: String): DataFrame = {
+    val composed = openRaw(spark, table).drop("__batch")
+    spec(table).retractCol match {
+      case Some(c) => applyRetractions(spark, composed, c)
+      case None => composed
+    }
+  }
+
+  // ---------------------------------------------------------- retraction
+
+  private def tombsDir: String = s"$root/${StandingStore.TombsDir}"
+
+  /**
+   * Land one retraction batch — the ids to delete, as the root's
+   * `tombs/__batch=<batchId>/` partition. O(ids) bytes: the data
+   * tables are NOT touched (readers filter via [[open]]; the next
+   * compaction purges physically). Replay-idempotent like every fold
+   * here (batch-keyed dynamic partition overwrite). Contract: the ids
+   * must already stand (the causal order — `batchId` ≥ their fold
+   * batch ids, on the same monotone clock; in-loop that is the
+   * stream's own batch id, ad-hoc the latest committed one); ids are
+   * read through `idCol` and stored as LONG.
+   */
+  def retract(ids: DataFrame, idCol: String, batchId: Long): Unit = {
+    require(tables.exists(_.retractCol.nonEmpty),
+      s"no table of $root opted into retraction (TableSpec.retractCol)")
+    require(batchId != BaseBatch && batchId >= 0,
+      s"retraction batch ids must be ≥ 0 (got $batchId)")
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .withColumn("__batch", lit(batchId))
+      .sortWithinPartitions("__batch", "id")
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(tombsDir)
+  }
+
+  /** Standing tombstone partitions (listing only; empty = no
+    * retraction standing — the steady state). */
+  def retractionBatchIds(spark: SparkSession): Seq[Long] = {
+    val p = new Path(tombsDir)
+    if (!fsOf(spark).exists(p)) Seq.empty
+    else BatchPartitions.ids(spark, tombsDir)
+  }
+
+  /** The standing retracted ids — `(id)`, distinct across tombstone
+    * partitions. Empty-safe only when a partition stands; guard with
+    * [[retractionBatchIds]]. */
+  def openRetractions(spark: SparkSession): DataFrame =
+    spark.read.schema("id LONG, __batch LONG").parquet(tombsDir)
+      .select("id").distinct()
+
+  /** Anti-join `df` against the standing tombstones on `idCol` — a
+    * no-op (and plan-identical) when none stand. The tombstone side is
+    * bounded by the compaction cadence (settled tombstones clear at
+    * every compaction), so Catalyst's size estimate broadcasts it;
+    * no hint, so a rare mass retraction larger than the broadcast
+    * threshold degrades to a shuffle join instead of an OOM. */
+  def applyRetractions(spark: SparkSession, df: DataFrame,
+      idCol: String): DataFrame =
+    if (retractionBatchIds(spark).isEmpty) df
+    else df.join(openRetractions(spark).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
+  /** Drop SETTLED tombstone partitions (id ≤ `throughBatch`) — called
+    * strictly AFTER a purging compaction's swap commits (the
+    * `.old`-prune discipline: a crash before the clear leaves
+    * idempotent filters standing, never a resurrection). Retires the
+    * dir itself when the last partition drains, so absent and drained
+    * read identically. */
+  def clearRetractionsThrough(spark: SparkSession,
+      throughBatch: Long): Unit = {
+    val fs = fsOf(spark)
+    retractionBatchIds(spark).filter(_ <= throughBatch).foreach(b =>
+      fs.delete(new Path(s"$tombsDir/__batch=$b"), true))
+    if (retractionBatchIds(spark).isEmpty)
+      fs.delete(new Path(tombsDir), true)
+    ()
+  }
 
   /** Compaction file count for `table`: the sizing dir's bytes (an FS
     * summary, not a scan) over the spec's target (or the caller's
@@ -191,6 +299,13 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
    * derived compaction semantics write their own body from
    * [[landStaging]] + [[fileCount]].
    *
+   * Standing retractions PURGE here: every [[TableSpec.retractCol]]
+   * table stages with tombstoned rows anti-joined out (all standing
+   * tombstones — purging with an unsettled one is safe because its
+   * partition survives the clear and readers keep filtering until the
+   * next compaction), and the settled tombstone partitions clear
+   * strictly after the swap commits.
+   *
    * @param sizeOverrides per-table `targetFileBytes` overrides (the
    *                      caller-facing sizing dial)
    */
@@ -207,12 +322,15 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
         t.name -> fileCountVia(spark, overridden)
       }.toMap
       tables.foreach { t =>
+        val purged = t.retractCol.fold(openRaw(spark, t.name))(c =>
+          applyRetractions(spark, openRaw(spark, t.name), c))
         landStaging(
-          openRaw(spark, t.name).withColumn("__batch",
+          purged.withColumn("__batch",
             when(settled, lit(BaseBatch)).otherwise(col("__batch"))),
           t.name, files(t.name))
       }
       DirSwap.swapStaged(spark, root, tables.map(_.name))
+      clearRetractionsThrough(spark, throughBatch)
     }
 
   private def fileCountVia(spark: SparkSession, t: TableSpec): Int = {
@@ -246,4 +364,7 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
 object StandingStore {
   /** Base-snapshot marker in the `__batch` partition column. */
   val BaseBatch = -1L
+
+  /** Retraction (tombstone) directory name under a store's root. */
+  val TombsDir = "tombs"
 }

@@ -258,6 +258,89 @@ class CuratedCorpusSpec extends SparkSpec {
     } finally CuratedCorpus.delete(spark, path)
   }
 
+  test("retract: reads filter at once, compaction purges, suppression holds") {
+    val path = Files.createTempDirectory("graft-corpus").toString + "/cc"
+    try {
+      val (base, b1, b2) = slices
+      CuratedCorpus.init(base, path)
+      CuratedCorpus.foldBatch(path, b1, 0L)
+      CuratedCorpus.foldBatch(path, b2, 1L)
+      val all = tableRows(path)
+      // one standing doc from the base snapshot, one from fold 1 —
+      // retraction must reach both layouts
+      val mx = docs.agg(max("doc_id")).head().getLong(0)
+      val open0 = CuratedCorpus.open(spark, path)
+      val baseId = open0.where(col("doc_id") < mx * 8 / 10)
+        .agg(min("doc_id")).head().getLong(0)
+      val foldId = open0.where(col("doc_id") >= mx * 9 / 10)
+        .agg(min("doc_id")).head().getLong(0)
+      import spark.implicits._
+      CuratedCorpus.retract(spark, path,
+        Seq(baseId, foldId).toDF("doc_id"), "doc_id", 1L)
+      val want = all.filterNot(r => r._1 == baseId || r._1 == foldId)
+      assert(tableRows(path) == want, "reads must filter immediately")
+      // logical until compaction: the doc rows still stand on disk
+      def rawDead = spark.read.parquet(s"$path/docs")
+        .where(col("doc_id").isin(baseId, foldId)).count()
+      assert(rawDead == 2L, "retract must not rewrite data")
+      CuratedCorpus.compact(spark, path)
+      assert(rawDead == 0L, "compaction must purge physically")
+      assert(!new java.io.File(s"$path/tombs").exists(),
+        "applied tombstones must clear")
+      assert(tableRows(path) == want)
+      // SUPPRESSION: the retracted documents' CONTENT resubmitted
+      // under fresh ids still dedups to zero (hashes were retained)
+      val resubmit = docs.where(col("doc_id").isin(baseId, foldId))
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      CuratedCorpus.foldBatch(path, resubmit, 2L)
+      assert(tableRows(path) == want,
+        "hash retention must keep retracted content suppressed")
+      // NON-RESURRECTION: the origin batch replayed after purge+clear
+      // dedups to zero against the retained hashes
+      CuratedCorpus.foldBatch(path, b2, 1L)
+      assert(tableRows(path) == want,
+        "an origin-batch replay must not resurrect a retracted doc")
+    } finally CuratedCorpus.delete(spark, path)
+  }
+
+  test("a tombstone outlives compaction while its target's fold is half-landed") {
+    val path = Files.createTempDirectory("graft-corpus").toString + "/cc"
+    try {
+      val (base, b1, b2) = slices
+      CuratedCorpus.init(base, path)
+      CuratedCorpus.foldBatch(path, b1, 0L)
+      CuratedCorpus.foldBatch(path, b2, 7L)
+      val mx = docs.agg(max("doc_id")).head().getLong(0)
+      val tgt = CuratedCorpus.open(spark, path)
+        .where(col("doc_id") >= mx * 9 / 10)
+        .agg(min("doc_id")).head().getLong(0)
+      // crash window: batch 7's docs landed, its hashes did not — the
+      // batch stays replayable, so its tombstone must NOT clear (a
+      // cleared tombstone plus a replay would resurrect the doc)
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/hashes/__batch=7"), true)
+      import spark.implicits._
+      CuratedCorpus.retract(spark, path, Seq(tgt).toDF("doc_id"),
+        "doc_id", 7L)
+      CuratedCorpus.compact(spark, path)
+      assert(new java.io.File(s"$path/tombs").exists(),
+        "tombstone must survive while its target's fold is replayable")
+      assert(CuratedCorpus.open(spark, path)
+        .where(col("doc_id") === tgt).count() == 0L)
+      // the replay heals the fold and re-lands the doc row — the
+      // standing tombstone keeps filtering it
+      CuratedCorpus.foldBatch(path, b2, 7L)
+      assert(CuratedCorpus.open(spark, path)
+        .where(col("doc_id") === tgt).count() == 0L)
+      // with every fold whole, the next compact purges and clears
+      CuratedCorpus.compact(spark, path)
+      assert(!new java.io.File(s"$path/tombs").exists())
+      assert(spark.read.parquet(s"$path/docs")
+        .where(col("doc_id") === tgt).count() == 0L)
+    } finally CuratedCorpus.delete(spark, path)
+  }
+
   test("a crashed compact swap is finished by the recovery preamble") {
     val path = Files.createTempDirectory("graft-corpus").toString + "/cc"
     try {

@@ -64,4 +64,70 @@ class StandingStoreSpec extends SparkSpec {
     assert(s.open(spark, "a").count() == 1200L)
     s.delete(spark)
   }
+
+  test("retraction: O(ids) tombstones, filtered reads, purging compaction") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-store-retract").toString
+    val s = new StandingStore(root, Seq(
+      TableSpec("a", "k LONG, v LONG, __batch LONG", Seq("k"),
+        retractCol = Some("k")),
+      // exempt sibling — the hashes/relabel shape: retraction must
+      // never touch it
+      TableSpec("b", "k LONG, __batch LONG", Seq("k"))))
+    def rows(lo: Long, hi: Long) =
+      spark.range(lo, hi).select(col("id").as("k"), (col("id") * 2).as("v"))
+    s.landBase(rows(0, 100), "a")
+    s.landBase(rows(0, 100).select("k"), "b")
+    s.landFold(rows(100, 110), "a", 0L)
+    s.landFold(rows(100, 110).select("k"), "b", 0L)
+
+    // no tombstones standing: open is plan-identical to the raw read
+    // (the steady state costs nothing)
+    assert(!s.open(spark, "a").queryExecution.executedPlan.toString
+      .contains("Join"))
+
+    // retract ids spanning base and fold; reads filter at once, the
+    // data dirs are untouched (logical delete), the exempt sibling
+    // keeps every row, and the filter side BROADCASTS
+    val dead = spark.range(0, 200, 7).select(col("id").as("k"))
+    s.retract(dead, "k", 0L)
+    val openA = s.open(spark, "a")
+    assert(openA.count() == 110L - 16L) // multiples of 7 in [0,110)
+    assert(openA.where(col("k") % 7 === 0).count() == 0L)
+    assert(s.openRaw(spark, "a").count() == 110L, "retract rewrites no data")
+    assert(s.open(spark, "b").count() == 110L, "exempt table untouched")
+    val plan = openA.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti") && plan.contains("BroadcastHashJoin"),
+      s"tombstone filter must broadcast:\n$plan")
+    // replay of the retraction overwrites its own partition
+    s.retract(dead, "k", 0L)
+    assert(s.retractionBatchIds(spark) == Seq(0L))
+    assert(s.open(spark, "a").count() == 94L)
+
+    // a second, UNSETTLED retraction (batch 1): compacting through 0
+    // purges every standing tombstone's rows physically but clears
+    // only the settled partition; reads keep filtering via batch 1
+    s.retract(spark.range(1, 2).select(col("id").as("k")), "k", 1L)
+    s.compactThrough(spark, 0L)
+    assert(s.openRaw(spark, "a").count() == 93L, "purge is physical")
+    assert(s.retractionBatchIds(spark) == Seq(1L),
+      "settled tombstone cleared, unsettled kept")
+    assert(s.open(spark, "a").where(col("k") === 1).count() == 0L)
+    // clearing the last partition retires the dir: absent ≡ drained,
+    // and open returns to the join-free steady-state plan
+    s.compactThrough(spark, 1L)
+    assert(s.retractionBatchIds(spark).isEmpty)
+    assert(!new org.apache.hadoop.fs.Path(s"$root/tombs")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(s"$root/tombs")))
+    assert(!s.open(spark, "a").queryExecution.executedPlan.toString
+      .contains("Join"))
+    assert(s.open(spark, "a").count() == 93L)
+
+    // a store with no retractable table refuses the verb
+    val bare = new StandingStore(root + "_bare", Seq(
+      TableSpec("a", "k LONG, __batch LONG", Seq("k"))))
+    intercept[IllegalArgumentException] { bare.retract(dead, "k", 0L) }
+    s.delete(spark)
+  }
 }
