@@ -145,7 +145,24 @@ object PipelineQueries {
         q.select(col("doc_id"), col("__batch_id").as("q_batch"),
           col("__reason").as("q_reason"))
           .orderBy("doc_id")
-    }))
+    }),
+
+    // The RETRACTION read: a standing corpus (init + two folds) with a
+    // deterministic id slice retracted, compacted (physical purge +
+    // settled-tombstone clear), then attacked by BOTH resurrection
+    // paths — the retracted CONTENT resubmitted under fresh ids, and
+    // an at-least-once replay of a retracted doc's own origin batch —
+    // each suppressed by the retained content hashes
+    // ([[CuratedCorpus.retract]]'s suppression contract). The oracle
+    // states where all of that must land: the stage-1–3 train set
+    // minus exactly the retracted ids. Tombstone mechanics
+    // (O(ids) writes, broadcast filter, crash windows) are pinned in
+    // StandingStoreSpec/CuratedCorpusSpec; THIS row pins the composed
+    // end state against SQL.
+    "q_pipeline_retract" -> ((s, dir) =>
+      CuratedCorpus.open(s, cachedRetractedCorpusPath(s, dir))
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")))
 
   /** The epoch q_pipeline_epoch_pack exercises — NOT 0, so the query
     * drives the epochDeal join path, not the stored files. */
@@ -182,6 +199,50 @@ object PipelineQueries {
       CuratedCorpus.init(docs.where(col("doc_id") < t1), path)
       CuratedCorpus.foldBatch(path,
         docs.where(col("doc_id") >= t1 && col("doc_id") < t2), 0L)
+      CuratedCorpus.foldBatch(path, docs.where(col("doc_id") >= t2), 1L)
+      path
+    })
+
+  /** Standing RETRACTED corpus per (session, dir): the
+    * [[cachedCuratedCorpusPath]] build (its own copy — retraction
+    * mutates the table, and the release-incremental query keeps
+    * reading the pristine one), then the q_pipeline_retract
+    * scenario: retract the standing docs with `doc_id % 7 = 3`
+    * (spanning the base snapshot and both folds), compact — the
+    * purge + clear path, so the query reads a table where the
+    * tombstones are GONE and suppression alone carries the
+    * contract — and fold both resurrection attempts. */
+  private val retractCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+  private def cachedRetractedCorpusPath(s: SparkSession, dir: String): String =
+    retractCache.getOrElseUpdate((s, dir), {
+      val docs = Tables(s, dir, "documents")
+      val mxRow = docs.agg(max("doc_id")).head()
+      val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+      val (t1, t2) = (mx * 8 / 10, mx * 9 / 10)
+      val path = graft.Scratch.path("graft_retracted", dir)
+      graft.Scratch.registerCleanup(path)
+      CuratedCorpus.init(docs.where(col("doc_id") < t1), path)
+      CuratedCorpus.foldBatch(path,
+        docs.where(col("doc_id") >= t1 && col("doc_id") < t2), 0L)
+      CuratedCorpus.foldBatch(path, docs.where(col("doc_id") >= t2), 1L)
+      // retract STANDING ids (the causal contract: a delete request
+      // names documents the table answers for), on the fold clock's
+      // current watermark
+      CuratedCorpus.retract(s, path,
+        CuratedCorpus.open(s, path).where(col("doc_id") % 7 === 3)
+          .select("doc_id"),
+        "doc_id", 1L)
+      CuratedCorpus.compact(s, path)
+      // resurrection attempt 1: the retracted docs' CONTENT under
+      // fresh (monotone) ids — retained hashes suppress every row
+      CuratedCorpus.foldBatch(path,
+        docs.where(col("doc_id") % 7 === 3)
+          .withColumn("doc_id", col("doc_id") + lit(mx + 1)),
+        2L)
+      // resurrection attempt 2: an origin batch redelivered AFTER the
+      // purge collapsed it — content probes the retained hashes,
+      // re-lands nothing
       CuratedCorpus.foldBatch(path, docs.where(col("doc_id") >= t2), 1L)
       path
     })
@@ -284,14 +345,24 @@ object PipelineQueries {
             ORDER BY q_batch DESC, q_reason ASC) AS rn
         FROM q)
       SELECT doc_id, q_batch, q_reason FROM r WHERE rn = 1
-      ORDER BY doc_id""")
+      ORDER BY doc_id""",
+
+    // init + folds + retract + compact + both resurrection attempts
+    // must land on exactly: the stage-1–3 train set minus the
+    // retracted ids (token counts as stored — the same expression the
+    // release oracles count with)
+    "q_pipeline_retract" -> (trainCtes + s"""
+      SELECT doc_id, source,
+        COALESCE(${TextSql.tokenCount("text")}, 0) AS n_tokens
+      FROM train WHERE doc_id % 7 <> 3
+      ORDER BY doc_id"""))
   }
 
-  /** The release's KEPT SET as shared SQL CTEs — stages 1–3 plus the
-    * seeded budget fill, ending in `keptset(doc_id, source,
-    * n_tokens)`. Both release oracles and the epoch-pack oracle build
-    * on exactly this set, so the three stay provably one pipeline. */
-  private lazy val keptSetCtes: String = {
+  /** Stages 1–3 of the pipeline as shared SQL CTEs, ending in
+    * `train(doc_id, source, text)` — the standing [[CuratedCorpus]]
+    * doc set. The retract oracle reads it directly; [[keptSetCtes]]
+    * extends it with the seeded budget fill. */
+  private lazy val trainCtes: String = {
     import TextAnalysis._
     val t = "text"
     s"""
@@ -314,7 +385,16 @@ object PipelineQueries {
         FROM kept),
       train AS (
         SELECT doc_id, source, text FROM dd
-        WHERE keeper AND ${TextSql.charPolyHash(t)} % 100 < 80),
+        WHERE keeper AND ${TextSql.charPolyHash(t)} % 100 < 80)"""
+  }
+
+  /** The release's KEPT SET as shared SQL CTEs — stages 1–3 plus the
+    * seeded budget fill, ending in `keptset(doc_id, source,
+    * n_tokens)`. Both release oracles and the epoch-pack oracle build
+    * on exactly this set, so the three stay provably one pipeline. */
+  private lazy val keptSetCtes: String = {
+    val t = "text"
+    trainCtes + s""",
       k0 AS (
         SELECT doc_id, source,
           COALESCE(${TextSql.tokenCount(t)}, 0) AS n_tokens,
