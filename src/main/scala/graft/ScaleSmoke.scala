@@ -703,6 +703,74 @@ object ScaleSmoke {
     println(f"[scale] loop steady state        compactions=$compactions " +
       s"cuts=${versionsCut.mkString(",")} corpusRows=$got (≡ from-scratch; " +
       "sig+cluster+embed indexes in id lockstep; fsck clean)")
+
+    // ---- the composed DELETE at 10×: retraction is the loop's last
+    // production verb. Claims, all on load-immune byte/row metrics:
+    //  - retractDocs writes O(ids) tombstones and NOT ONE data byte
+    //    (every data dir byte-identical across the call);
+    //  - all four structures stop answering for the ids AT ONCE
+    //    (id lockstep of the delete);
+    //  - fsck sees exactly the informational tombs-standing state;
+    //  - each root's own compaction purges physically, clears the
+    //    tombstones, and the final state is from-scratch-minus-
+    //    retracted with lockstep and a clean fsck again.
+    import graft.dedup.{ClusterIndex, SignatureIndex}
+    val dataDirs = Seq(s"$cc/docs", s"$cc/hashes", s"$sigs/sigs",
+      s"$sigs/bands", s"$clusters/assignments", s"$clusters/relabel",
+      s"$emb/vecs", s"$emb/buckets")
+    val bytesBefore = dataDirs.map(d => d -> dirBytes(d)).toMap
+    val retractIds = corpusIds.filter(_ % 5 == 0)
+    require(retractIds.nonEmpty && retractIds.size * 3 < corpusIds.size)
+    val tr = System.nanoTime()
+    IngestStream.retractDocs(spark,
+      CuratedCorpus.open(spark, cc).where(col("doc_id") % 5 === 0)
+        .select("doc_id"),
+      "doc_id", CuratedCorpus.batchWatermark(spark, cc),
+      cc, sigs, clusters, Some(emb))
+    val retractSec = (System.nanoTime() - tr) / 1e9
+    dataDirs.foreach(d => require(dirBytes(d) == bytesBefore(d),
+      s"retraction rewrote data under $d"))
+    val tombBytes = Seq(cc, sigs, clusters, emb)
+      .map(r => dirBytes(s"$r/tombs"))
+    require(tombBytes.forall(_ > 0), s"tombstones must stand: $tombBytes")
+    val expected = corpusIds -- retractIds
+    def idsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    require(idsOf(CuratedCorpus.open(spark, cc)) == expected &&
+      idsOf(SignatureIndex.open(spark, sigs)) == expected &&
+      idsOf(ClusterIndex.open(spark, clusters)) == expected &&
+      idsOf(EmbedIndex.open(spark, emb)) == expected,
+      "retraction must silence all four structures at once")
+    val tombFindings = graft.pipeline.Fsck.check(spark, cc, sigs, clusters,
+      Some(emb))
+    require(tombFindings.size == 4 &&
+      tombFindings.forall(_.kind == "tombs-standing") &&
+      tombFindings.map(_.root).toSet == Set(cc, sigs, clusters, emb),
+      s"fsck must report exactly the four standing tombstones: $tombFindings")
+    // each root's own cadence purges + clears
+    val tp = System.nanoTime()
+    CuratedCorpus.compact(spark, cc)
+    SignatureIndex.compact(spark, sigs)
+    ClusterIndex.compact(spark, clusters)
+    EmbedIndex.compact(spark, emb)
+    val purgeSec = (System.nanoTime() - tp) / 1e9
+    Seq(cc, sigs, clusters, emb).foreach(r =>
+      require(dirBytes(s"$r/tombs") == 0, s"tombstones must clear under $r"))
+    val rawDead = Seq(s"$cc/docs", s"$sigs/sigs", s"$clusters/assignments",
+      s"$emb/vecs").map(d => spark.read.parquet(d)
+        .where(col("doc_id") % 5 === 0).count())
+    require(rawDead.forall(_ == 0L), s"purge must be physical: $rawDead")
+    require(idsOf(CuratedCorpus.open(spark, cc)) == expected &&
+      idsOf(SignatureIndex.open(spark, sigs)) == expected &&
+      idsOf(ClusterIndex.open(spark, clusters)) == expected &&
+      idsOf(EmbedIndex.open(spark, emb)) == expected,
+      "purge must preserve the retracted end state")
+    require(graft.pipeline.Fsck.check(spark, cc, sigs, clusters,
+      Some(emb)).isEmpty, "fsck must be clean after the purge")
+    println(f"[scale] loop composed retract    ${retractSec}%8.2f s " +
+      f"purge ${purgeSec}%6.2f s  ids=${retractIds.size} " +
+      s"tombKB=${tombBytes.map(_ / 1024).mkString(",")} " +
+      "(zero data bytes written; 4-way lockstep; physical purge; fsck clean)")
   }
 
   /**

@@ -426,6 +426,76 @@ class IngestStreamSpec extends SparkSpec {
     }
   }
 
+  test("composed retraction: torn after the corpus leg, fsck tells, redelivery heals") {
+    import graft.dedup.{ClusterIndex, DedupQueries, SignatureIndex}
+    import graft.pipeline.{CuratedCorpus, Fsck}
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    val t1 = mx * 8 / 10
+    val T = DedupQueries.IncrementalFuzzyThreshold
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-retract-heal").toString
+    val (cc, sigs, clusters) = (s"$root/cc", s"$root/sigs", s"$root/clusters")
+    try {
+      CuratedCorpus.init(docs.where(col("doc_id") < t1), cc)
+      IngestStream.bootstrapIndexes(spark, cc, sigs, clusters, T)
+      val b1 = docs.where(col("doc_id") >= t1)
+      IngestStream.acceptIntoCorpusIndexed(b1,
+        IngestStream.BatchReport(0L, b1.count(), Nil, 0.0, 0L), cc, sigs,
+        clusters, T)
+      def idsOf(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id").collect().map(_.getLong(0)).toSet
+      val corpusIds = idsOf(CuratedCorpus.open(spark, cc))
+      val dead = corpusIds.filter(_ % 3 == 0)
+      assert(dead.nonEmpty && dead.size < corpusIds.size)
+      val deadDf = CuratedCorpus.open(spark, cc)
+        .where(col("doc_id") % 3 === 0).select("doc_id")
+      val wm = CuratedCorpus.batchWatermark(spark, cc)
+
+      // TORN: crash right after retractDocs's first (corpus) leg —
+      // the corpus is silenced, the indexes over-answer
+      CuratedCorpus.retract(spark, cc, deadDf, "doc_id", wm)
+      assert(idsOf(CuratedCorpus.open(spark, cc)) == corpusIds -- dead)
+      assert(idsOf(SignatureIndex.open(spark, sigs)) == corpusIds)
+      // fsck's documented tell: tombs-standing on a strict subset of
+      // the roots, plus the id-drift the torn run caused
+      val torn = Fsck.check(spark, cc, sigs, clusters)
+      assert(torn.filter(_.kind == "tombs-standing").map(_.root) == Seq(cc))
+      val drift = torn.filter(_.kind == "id-drift")
+      assert(drift.size == 1 &&
+        drift.head.detail.contains(s"${dead.size} ids") &&
+        drift.head.detail.contains("missing from corpus"), s"$torn")
+      assert(torn.size == 2, s"$torn")
+
+      // REDELIVERY of the composed verb (every leg replay-idempotent):
+      // all structures silenced at once, drift gone, tombs on every root
+      IngestStream.retractDocs(spark, deadDf, "doc_id", wm, cc, sigs,
+        clusters)
+      val expected = corpusIds -- dead
+      assert(idsOf(CuratedCorpus.open(spark, cc)) == expected)
+      assert(idsOf(SignatureIndex.open(spark, sigs)) == expected)
+      assert(idsOf(ClusterIndex.open(spark, clusters)) == expected)
+      val healed = Fsck.check(spark, cc, sigs, clusters)
+      assert(healed.forall(_.kind == "tombs-standing") &&
+        healed.map(_.root).toSet == Set(cc, sigs, clusters), s"$healed")
+
+      // each root's own compaction purges physically and clears
+      CuratedCorpus.compact(spark, cc)
+      SignatureIndex.compact(spark, sigs)
+      ClusterIndex.compact(spark, clusters)
+      assert(Fsck.check(spark, cc, sigs, clusters).isEmpty)
+      Seq(s"$cc/docs", s"$sigs/sigs", s"$clusters/assignments").foreach(d =>
+        assert(spark.read.parquet(d).where(col("doc_id") % 3 === 0)
+          .count() == 0L, s"unpurged rows under $d"))
+      assert(idsOf(CuratedCorpus.open(spark, cc)) == expected)
+      assert(idsOf(ClusterIndex.open(spark, clusters)) == expected)
+    } finally {
+      CuratedCorpus.delete(spark, cc)
+      SignatureIndex.delete(spark, sigs)
+      ClusterIndex.delete(spark, clusters)
+    }
+  }
+
   test("quarantine refuses a batch that already carries stamps") {
     val stamped = Seq((1L, "x", 9L, "old")).toDF(
       "doc_id", "text", "__batch_id", "__reason")
