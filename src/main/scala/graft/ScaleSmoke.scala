@@ -604,6 +604,9 @@ object ScaleSmoke {
     // after, compacted?, version cut, accept+cadence seconds)
     val stats = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Int, Boolean, Option[Int], Double)]
+    // ids deleted mid-stream (batch 1) — the loop must converge on
+    // from-scratch-minus-these with its own cadences doing the purge
+    val midRetracted = scala.collection.mutable.Set.empty[Long]
     val (writer, release) = IngestStream.gated(
       mem.toDF(), corpus, "doc_id", "text",
       Seq(DqGate.Rule("text_nonempty",
@@ -629,6 +632,23 @@ object ScaleSmoke {
         Release.Budget, shards = 16, everyBatches = 2, keep = 2)
       val sec = (System.nanoTime() - t0) / 1e9
       stats += ((report.rows, foldBytes, foldsAfter, compacted, cut, sec))
+      // a delete request arrives MID-STREAM at batch 1: retract every
+      // 9th standing doc across all four structures, on the loop's own
+      // fold clock. The tombstones land between live folds; the LOOP'S
+      // OWN maintenance cadences — the corpus compaction at batch 2,
+      // the indexes' settled compactThrough(2) at batch 3 — must purge
+      // and clear them with nothing hand-cranked, while four more
+      // batches fold through the filtered reads. Asserted after the
+      // stream ends.
+      if (report.batchId == 1L) {
+        midRetracted ++= CuratedCorpus.open(spark, cc)
+          .where(col("doc_id") % 9 === 0)
+          .select("doc_id").collect().map(_.getLong(0))
+        IngestStream.retractDocs(spark,
+          CuratedCorpus.open(spark, cc).where(col("doc_id") % 9 === 0)
+            .select("doc_id"),
+          "doc_id", report.batchId, cc, sigs, clusters, Some(emb))
+      }
     }
     val q = writer.start()
     try {
@@ -674,15 +694,28 @@ object ScaleSmoke {
     require(retained.max <= retained.min * 3,
       s"version sizes diverged: $retained")
     require(Release.latestVersion(spark, root).contains(versionsCut.max))
-    // the composed loop converged on the from-scratch answer
+    // the mid-stream delete's tombstones were purged AND cleared by
+    // the loop's own cadences — no operator step, no standing filter
+    require(midRetracted.nonEmpty, "the batch-1 retraction found no targets")
+    Seq(cc, sigs, clusters, emb).foreach(r =>
+      require(dirBytes(s"$r/tombs") == 0,
+        s"in-loop maintenance left tombstones standing under $r"))
+    // the composed loop converged on the from-scratch answer minus
+    // exactly the mid-stream delete (retained hashes keep later exact
+    // copies of retracted content suppressed in BOTH paths, so the
+    // subtraction is exact)
     val got = CuratedCorpus.open(spark, cc).count()
-    val want = PipelineQueries.curatedTrainDocs(docs).count()
+    val want = PipelineQueries.curatedTrainDocs(docs).count() -
+      midRetracted.size
     require(got == want,
-      s"loop corpus holds $got rows; from-scratch curation holds $want")
+      s"loop corpus holds $got rows; from-scratch minus the " +
+        s"${midRetracted.size} mid-stream deletes holds $want")
     // and the sibling indexes stayed in ID LOCKSTEP with the corpus
     // across every compaction and cut
     val corpusIds = CuratedCorpus.open(spark, cc)
       .select("doc_id").collect().map(_.getLong(0)).toSet
+    require(midRetracted.forall(!corpusIds.contains(_)),
+      "a mid-stream-retracted doc resurfaced in the corpus")
     val sigIds = graft.dedup.SignatureIndex.open(spark, sigs)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val clusterIds = graft.dedup.ClusterIndex.open(spark, clusters)
@@ -701,8 +734,10 @@ object ScaleSmoke {
       Some(emb))
     require(findings.isEmpty, s"fsck findings on the loop's tables: $findings")
     println(f"[scale] loop steady state        compactions=$compactions " +
-      s"cuts=${versionsCut.mkString(",")} corpusRows=$got (≡ from-scratch; " +
-      "sig+cluster+embed indexes in id lockstep; fsck clean)")
+      s"cuts=${versionsCut.mkString(",")} corpusRows=$got " +
+      s"(≡ from-scratch minus ${midRetracted.size} mid-stream deletes, " +
+      "purged+cleared by the loop's own cadences; sig+cluster+embed " +
+      "indexes in id lockstep; fsck clean)")
 
     // ---- the composed DELETE at 10×: retraction is the loop's last
     // production verb. Claims, all on load-immune byte/row metrics:
