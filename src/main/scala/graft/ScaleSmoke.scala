@@ -645,8 +645,8 @@ object ScaleSmoke {
           .where(col("doc_id") % 9 === 0)
           .select("doc_id").collect().map(_.getLong(0))
         IngestStream.retractDocs(spark,
-          CuratedCorpus.open(spark, cc).where(col("doc_id") % 9 === 0)
-            .select("doc_id"),
+          spark.createDataFrame(midRetracted.toSeq.sorted.map(Tuple1(_)))
+            .toDF("doc_id"),
           "doc_id", report.batchId, cc, sigs, clusters, Some(emb))
       }
     }
@@ -694,6 +694,21 @@ object ScaleSmoke {
     require(retained.max <= retained.min * 3,
       s"version sizes diverged: $retained")
     require(Release.latestVersion(spark, root).contains(versionsCut.max))
+    // DELETION COMPLETENESS through the release lane: every version
+    // cut after the batch-1 retraction excludes the deleted docs, and
+    // keep-N retention has pruned the one pre-retraction cut — so no
+    // retracted byte survives anywhere under the release root either.
+    // (The production deletion story: retract → the cadence's next
+    // cut excludes → retention retires the last version that held it.)
+    require(dirBytes(s"$root/v1") == 0,
+      "the pre-retraction release version must be pruned")
+    Seq(versionsCut.max - 1, versionsCut.max).foreach { v =>
+      val held = Release.openVersion(spark, root, v)
+        .where(col("doc_id") % 9 === 0).select("doc_id")
+        .collect().map(_.getLong(0)).filter(midRetracted.contains)
+      require(held.isEmpty,
+        s"release v$v still holds ${held.length} retracted docs")
+    }
     // the mid-stream delete's tombstones were purged AND cleared by
     // the loop's own cadences — no operator step, no standing filter
     require(midRetracted.nonEmpty, "the batch-1 retraction found no targets")
@@ -758,8 +773,8 @@ object ScaleSmoke {
     require(retractIds.nonEmpty && retractIds.size * 3 < corpusIds.size)
     val tr = System.nanoTime()
     IngestStream.retractDocs(spark,
-      CuratedCorpus.open(spark, cc).where(col("doc_id") % 5 === 0)
-        .select("doc_id"),
+      spark.createDataFrame(retractIds.toSeq.sorted.map(Tuple1(_)))
+        .toDF("doc_id"),
       "doc_id", CuratedCorpus.batchWatermark(spark, cc),
       cc, sigs, clusters, Some(emb))
     val retractSec = (System.nanoTime() - tr) / 1e9

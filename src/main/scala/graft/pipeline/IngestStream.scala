@@ -359,11 +359,29 @@ object IngestStream {
       ids: DataFrame, idCol: String, batchId: Long, corpusPath: String,
       sigPath: String, clusterPath: String,
       embedPath: Option[String] = None): Unit = {
-    CuratedCorpus.retract(spark, corpusPath, ids, idCol, batchId)
-    graft.dedup.SignatureIndex.retract(spark, sigPath, ids, idCol, batchId)
-    graft.dedup.ClusterIndex.retract(spark, clusterPath, ids, idCol, batchId)
-    embedPath.foreach(p =>
-      graft.ann.EmbedIndex.retract(spark, p, ids, idCol, batchId))
+    // pin the id set ONCE before the first leg: `ids` is commonly
+    // derived from the corpus's own filtered read, and the corpus
+    // leg's tombstone write would change what that plan evaluates to
+    // on the later legs (filter it — a redelivery after a torn run
+    // would heal NOTHING because the healed corpus yields an empty id
+    // set — or invalidate its pinned file listing mid-verb). The four
+    // legs must delete ONE consistent set, evaluated ONCE.
+    val pinned = ids
+      .select(org.apache.spark.sql.functions.col(idCol).cast("long")
+        .as(idCol))
+      .distinct().localCheckpoint(true)
+    try {
+      CuratedCorpus.retract(spark, corpusPath, pinned, idCol, batchId)
+      graft.dedup.SignatureIndex.retract(spark, sigPath, pinned, idCol,
+        batchId)
+      graft.dedup.ClusterIndex.retract(spark, clusterPath, pinned, idCol,
+        batchId)
+      embedPath.foreach(p =>
+        graft.ann.EmbedIndex.retract(spark, p, pinned, idCol, batchId))
+    } finally {
+      pinned.unpersist()
+      ()
+    }
   }
 
   /** [[acceptIntoCorpusIndexed]]'s PER-SNAPSHOT bootstrap, as one

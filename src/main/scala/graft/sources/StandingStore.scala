@@ -209,23 +209,55 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
    * `tombs/__batch=<batchId>/` partition. O(ids) bytes: the data
    * tables are NOT touched (readers filter via [[open]]; the next
    * compaction purges physically). Replay-idempotent like every fold
-   * here (batch-keyed dynamic partition overwrite). Contract: the ids
-   * must already stand (the causal order — `batchId` ≥ their fold
-   * batch ids, on the same monotone clock; in-loop that is the
-   * stream's own batch id, ad-hoc the latest committed one); ids are
-   * read through `idCol` and stored as LONG.
+   * here (batch-keyed dynamic partition overwrite). The causal
+   * contract — the ids must already stand, so `batchId` ≥ their fold
+   * batch ids on the same monotone clock (in-loop: the stream's own
+   * batch id; ad-hoc: the latest committed one) — is ENFORCED against
+   * the standing fold listing: a tombstone dated before a standing
+   * fold would count as settled while its targets' fold is still
+   * replayable, and [[compactThrough]]'s purge-then-clear would turn
+   * the next redelivery into a permanent, fsck-invisible
+   * resurrection. Ids are read through `idCol` and stored as LONG.
+   *
+   * Runs under the root's lease: [[compactThrough]] clears settled
+   * tombstones strictly after staging PURGED copies, and a tombstone
+   * landing between its staging read and its clear would be cleared
+   * without its rows ever purged — the delete would silently vanish.
+   * The lease serializes the two verbs (per-thread re-entrant, so an
+   * in-loop retract inside a maintenance-holding callback still
+   * proceeds); a refusal surfaces loudly — a delete request must
+   * never be silently skipped.
    */
   def retract(ids: DataFrame, idCol: String, batchId: Long): Unit = {
     require(tables.exists(_.retractCol.nonEmpty),
       s"no table of $root opted into retraction (TableSpec.retractCol)")
     require(batchId != BaseBatch && batchId >= 0,
       s"retraction batch ids must be ≥ 0 (got $batchId)")
-    ids.select(col(idCol).cast("long").as("id")).distinct()
-      .withColumn("__batch", lit(batchId))
-      .sortWithinPartitions("__batch", "id")
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("__batch").parquet(tombsDir)
+    val spark = ids.sparkSession
+    val late = tables.filter(_.retractCol.nonEmpty)
+      .filter(t => fsOf(spark).exists(new Path(dir(t.name))))
+      .flatMap(t => BatchPartitions.ids(spark, dir(t.name)))
+      .filter(b => b != BaseBatch && b > batchId)
+    require(late.isEmpty,
+      s"retraction batch $batchId predates standing folds " +
+        s"${late.distinct.sorted.mkString("[", ",", "]")} of $root — " +
+        "date deletes on the fold clock's current watermark")
+    // pin BEFORE writing: `ids` is commonly derived from [[open]] of
+    // this very root, and the tombstone overwrite below would filter
+    // (or, on a redelivery, invalidate the pinned file listing of)
+    // that plan mid-verb
+    val pinned = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint(true)
+    try withLease(spark) {
+      pinned.withColumn("__batch", lit(batchId))
+        .sortWithinPartitions("__batch", "id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch").parquet(tombsDir)
+    } finally {
+      pinned.unpersist()
+      ()
+    }
   }
 
   /** Standing tombstone partitions (listing only; empty = no
@@ -252,8 +284,11 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
   def applyRetractions(spark: SparkSession, df: DataFrame,
       idCol: String): DataFrame =
     if (retractionBatchIds(spark).isEmpty) df
-    else df.join(openRetractions(spark).select(col("id").as(idCol)),
-      Seq(idCol), "left_anti")
+    else antiJoinTombs(df, idCol, openRetractions(spark))
+
+  private def antiJoinTombs(df: DataFrame, idCol: String,
+      tombs: DataFrame): DataFrame =
+    df.join(tombs.select(col("id").as(idCol)), Seq(idCol), "left_anti")
 
   /** Drop SETTLED tombstone partitions (id ≤ `throughBatch`) — called
     * strictly AFTER a purging compaction's swap commits (the
@@ -264,9 +299,10 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
   def clearRetractionsThrough(spark: SparkSession,
       throughBatch: Long): Unit = {
     val fs = fsOf(spark)
-    retractionBatchIds(spark).filter(_ <= throughBatch).foreach(b =>
+    val standing = retractionBatchIds(spark) // ONE listing: [[retract]]
+    standing.filter(_ <= throughBatch).foreach(b => // is lease-serialized
       fs.delete(new Path(s"$tombsDir/__batch=$b"), true))
-    if (retractionBatchIds(spark).isEmpty)
+    if (standing.nonEmpty && standing.forall(_ <= throughBatch))
       fs.delete(new Path(tombsDir), true)
     ()
   }
@@ -321,16 +357,35 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
           .fold(t)(n => t.copy(targetFileBytes = n))
         t.name -> fileCountVia(spark, overridden)
       }.toMap
-      tables.foreach { t =>
-        val purged = t.retractCol.fold(openRaw(spark, t.name))(c =>
-          applyRetractions(spark, openRaw(spark, t.name), c))
-        landStaging(
-          purged.withColumn("__batch",
-            when(settled, lit(BaseBatch)).otherwise(col("__batch"))),
-          t.name, files(t.name))
+      // ONE tombstone listing + ONE materialized id frame for every
+      // table's purge and for the clear below (listings dominate
+      // maintenance cost on object stores, and [[retract]]'s lease
+      // makes this snapshot authoritative for the whole compaction)
+      val tombBatches = retractionBatchIds(spark)
+      val tombs =
+        if (tombBatches.isEmpty) None
+        else Some(openRetractions(spark).localCheckpoint(true))
+      try {
+        tables.foreach { t =>
+          val purged = (t.retractCol, tombs) match {
+            case (Some(c), Some(tf)) => antiJoinTombs(openRaw(spark, t.name), c, tf)
+            case _ => openRaw(spark, t.name)
+          }
+          landStaging(
+            purged.withColumn("__batch",
+              when(settled, lit(BaseBatch)).otherwise(col("__batch"))),
+            t.name, files(t.name))
+        }
+        DirSwap.swapStaged(spark, root, tables.map(_.name))
+        val fs = fsOf(spark)
+        tombBatches.filter(_ <= throughBatch).foreach(b =>
+          fs.delete(new Path(s"$tombsDir/__batch=$b"), true))
+        if (tombBatches.nonEmpty && tombBatches.forall(_ <= throughBatch))
+          fs.delete(new Path(tombsDir), true)
+      } finally {
+        tombs.foreach(_.unpersist())
+        ()
       }
-      DirSwap.swapStaged(spark, root, tables.map(_.name))
-      clearRetractionsThrough(spark, throughBatch)
     }
 
   private def fileCountVia(spark: SparkSession, t: TableSpec): Int = {

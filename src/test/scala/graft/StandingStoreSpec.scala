@@ -124,6 +124,33 @@ class StandingStoreSpec extends SparkSpec {
       .contains("Join"))
     assert(s.open(spark, "a").count() == 93L)
 
+    // CAUSAL BOUND: a tombstone dated before a standing fold is
+    // refused — it would clear as "settled" while its targets' fold is
+    // still replayable, turning the next redelivery into a silent
+    // resurrection. At the fold clock's watermark it is accepted.
+    s.landFold(rows(200, 210), "a", 5L)
+    s.landFold(rows(200, 210).select("k"), "b", 5L)
+    intercept[IllegalArgumentException] { s.retract(dead, "k", 2L) }
+    s.retract(dead, "k", 5L)
+    // dead's ids (0..196 step 7) were already purged; the new fold's
+    // ids (200..209) are untouched by the standing tombstone
+    assert(s.open(spark, "a").count() == 103L)
+
+    // a concurrent maintainer's lease refuses the verb LOUDLY — a
+    // delete must never silently race a compaction's staging-to-clear
+    // window (and must never be silently skipped)
+    val heldRef =
+      new java.util.concurrent.atomic.AtomicReference[graft.sources.Lease.Held]
+    val t = new Thread(() =>
+      heldRef.set(graft.sources.Lease.acquire(spark, root)))
+    t.start(); t.join()
+    intercept[graft.sources.Lease.HeldElsewhereException] {
+      s.retract(dead, "k", 5L)
+    }
+    val t2 = new Thread(() => heldRef.get().release())
+    t2.start(); t2.join()
+    s.retract(dead, "k", 5L) // released: the delete proceeds
+
     // a store with no retractable table refuses the verb
     val bare = new StandingStore(root + "_bare", Seq(
       TableSpec("a", "k LONG, __batch LONG", Seq("k"))))
