@@ -184,8 +184,12 @@ object IvfIndex {
     // cell pruning
     val rootFs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq(".compact", ".old_corpus").foreach(d =>
-      rootFs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
+    // standing tombstones target the OLD corpus layout; a full
+    // rewrite replaces it wholesale (the caller's corpus is the
+    // post-retraction truth), so they clear with it
+    Seq(".compact", ".old_corpus", graft.sources.Retractions.Dir)
+      .foreach(d =>
+        rootFs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
     // invalidate FIRST when rewriting over a complete index: the two
     // overwrites below are not atomic together, and a crash between
     // them must leave the index reading as incomplete (so ensure()
@@ -250,6 +254,38 @@ object IvfIndex {
   }
 
   /**
+   * Retract documents from the SERVED index by id — O(ids) tombstone
+   * write ([[graft.sources.Retractions]] discipline): [[probe]] /
+   * [[probeResident]] / [[semanticDedup]] stop answering for the ids
+   * at once (a listing-guarded anti-join — plan-identical in the
+   * steady state), and the next [[compactThrough]] purges the cell
+   * rows physically. A [[write]]-time full rebuild clears standing
+   * tombstones with the layout they target (the caller's corpus is
+   * the post-retraction truth — in the composed pipeline, the curated
+   * table [[graft.pipeline.IngestStream.retractDocs]] already
+   * filtered). `batchId` rides the append clock and must not predate
+   * a standing append (same causal bound as every standing structure:
+   * a tombstone counted settled while its targets' append is still
+   * replayable would purge-then-clear into a resurrection).
+   */
+  def retract(spark: SparkSession, path: String, ids: DataFrame,
+      idCol: String, batchId: Long): Unit = {
+    require(batchId != BaseBatch && batchId >= 0,
+      s"retraction batch ids must be ≥ 0 (got $batchId)")
+    graft.sources.DirSwap.recover(spark, path, Seq("corpus"))
+    val late = graft.sources.BatchPartitions
+      .ids(spark, s"$path/corpus", nested = true)
+      .filter(b => b != BaseBatch && b > batchId)
+    require(late.isEmpty,
+      s"retraction batch $batchId predates standing appends " +
+        s"${late.sorted.mkString("[", ",", "]")} of $path — " +
+        "date deletes on the append clock's current watermark")
+    graft.sources.Lease.withLease(spark, path) {
+      graft.sources.Retractions.land(ids, idCol, batchId, path)
+    }
+  }
+
+  /**
    * Compact every append into the base snapshot: rewrite the corpus
    * as `cell=<i>/__batch=-1` partitions only ([[graft.sources.DirSwap]]
    * staged-swap discipline — staging completes before the live dir is
@@ -259,6 +295,13 @@ object IvfIndex {
    * a probe's pruned cell scan opens one file per cell again, without
    * changing one probe answer (AnnLayoutSpec). Centroids are
    * untouched — compaction is a layout operation, never a retrain.
+   *
+   * Standing retractions PURGE here when the caller names the
+   * corpus's id column (`retractIdCol` — the layout stores
+   * caller-named columns, so the purge join needs the name); the
+   * settled tombstones then clear strictly after the swap. With
+   * tombstones standing and NO id column given, compaction REFUSES
+   * rather than silently clearing unpurged deletes.
    *
    * Call only once the append stream's checkpoint has advanced past
    * the folded batches: unlike the curated corpus (whose fold probe
@@ -270,8 +313,9 @@ object IvfIndex {
    * [[compactThrough]] with the previous batch id instead — it folds
    * only batches the checkpoint has committed.
    */
-  def compact(spark: SparkSession, path: String): Unit =
-    compactThrough(spark, path, Long.MaxValue)
+  def compact(spark: SparkSession, path: String,
+      retractIdCol: Option[String] = None): Unit =
+    compactThrough(spark, path, Long.MaxValue, retractIdCol)
 
   /** [[compact]] bounded to SETTLED appends: fold only batches with
     * id ≤ `throughBatch` into the base, leaving newer appends as
@@ -288,16 +332,27 @@ object IvfIndex {
     * `Resident` swap-then-retire pattern in
     * [[graft.streaming.EventTimeOps.ivfMaintainStream]]). */
   def compactThrough(spark: SparkSession, path: String,
-      throughBatch: Long): Unit =
+      throughBatch: Long, retractIdCol: Option[String] = None): Unit =
     graft.sources.Lease.withLease(spark, path) {
       graft.sources.DirSwap.recover(spark, path, Seq("corpus"))
+      val tombBatches = graft.sources.Retractions.batchIds(spark, path)
+      require(tombBatches.isEmpty || retractIdCol.nonEmpty,
+        s"tombstones stand under $path but compactThrough was not told " +
+          "the corpus id column (retractIdCol) — refusing to clear " +
+          "unpurged deletes")
       // an index over a zero-row corpus has no partition dirs (and no
       // footers to infer a schema from) — nothing to fold or resize
       if (graft.sources.BatchPartitions
           .ids(spark, s"$path/corpus", nested = true).nonEmpty) {
+        val purged = (retractIdCol, tombBatches.isEmpty) match {
+          case (Some(c), false) => graft.sources.Retractions.antiJoin(
+            spark.read.parquet(s"$path/corpus"), c,
+            graft.sources.Retractions.open(spark, path))
+          case _ => spark.read.parquet(s"$path/corpus")
+        }
         // cluster the rewrite on cell so each (cell, batch) lands as
         // ~one file — the probe-side file count is the point
-        spark.read.parquet(s"$path/corpus")
+        purged
           .withColumn("__batch",
             when(col("__batch") <= throughBatch, lit(BaseBatch))
               .otherwise(col("__batch").cast("long")))
@@ -306,6 +361,8 @@ object IvfIndex {
           .parquet(graft.sources.DirSwap.stagingDir(path, "corpus"))
         graft.sources.DirSwap.swapStaged(spark, path, Seq("corpus"))
       }
+      graft.sources.Retractions.clearThrough(spark, path, throughBatch,
+        standing = Some(tombBatches))
     }
 
   /** Distinct append batches the corpus layout currently holds (a
@@ -326,9 +383,11 @@ object IvfIndex {
   def semanticDedup(spark: SparkSession, path: String,
       idCol: String, vecCol: String, threshold: Double): DataFrame =
     Similarity.semanticDedupAssigned(
-      spark.read.parquet(s"$path/corpus")
-        .filter(col(vecCol).isNotNull)
-        .select(col(idCol), col(vecCol), col("cell")),
+      graft.sources.Retractions(spark, path,
+        spark.read.parquet(s"$path/corpus")
+          .filter(col(vecCol).isNotNull)
+          .select(col(idCol), col(vecCol), col("cell")),
+        idCol),
       idCol, vecCol, threshold)
 
   /** The RAM-resident half of a SERVED index, as one swappable unit:
@@ -388,8 +447,14 @@ object IvfIndex {
   def probeResident(spark: SparkSession, path: String,
       centroids: Seq[Array[Double]], queries: Seq[(Long, Array[Double])],
       idCol: String, vecCol: String, nprobe: Int, k: Int): DataFrame = {
-    val assigned = spark.read.parquet(s"$path/corpus")
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"), col("cell"))
+    // standing retractions filter the candidate side at once (a
+    // listing-guarded no-op in the steady state) — a deleted doc must
+    // never be served as a neighbor between the delete and the purge
+    val assigned = graft.sources.Retractions(spark, path,
+      spark.read.parquet(s"$path/corpus")
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+          col("cell")),
+      "neighbor_id")
     Similarity.ivfTopKAssigned(assigned, queries, centroids, nprobe, k)
   }
 }

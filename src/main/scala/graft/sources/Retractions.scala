@@ -1,0 +1,109 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * ROOT-LEVEL retraction (tombstone) mechanics — ONE implementation of
+ * the row-level-delete discipline every standing structure here
+ * shares, whatever its table layout (the [[StandingStore]]'s flat
+ * `table/__batch=<b>` tables, [[graft.ann.IvfIndex]]'s nested
+ * `corpus/cell=<i>/__batch=<b>` cells):
+ *
+ *  - a delete at 100 TB must not rewrite a table, so [[land]] writes
+ *    the ids as the root's `tombs/__batch=<batchId>/` partition —
+ *    O(ids) bytes, batch-keyed dynamic overwrite (replay-idempotent
+ *    like every fold);
+ *  - readers [[apply]] the standing tombstones as an anti-join — a
+ *    listing-guarded no-op in the steady state, and the tombstone
+ *    side is compaction-bounded so Catalyst broadcasts it (no hint:
+ *    a rare mass retraction past the threshold degrades to a shuffle
+ *    join instead of an OOM);
+ *  - the owner's compaction purges matching rows physically, then
+ *    [[clearThrough]] drops the SETTLED tombstone partitions strictly
+ *    after its swap commits (the `.old`-prune discipline — a crash
+ *    before the clear leaves idempotent filters, never a
+ *    resurrection).
+ *
+ * POLICY stays with the owning store — the lease, the causal
+ * batch-id bound against ITS fold listing, which tables opt in, when
+ * clearing is safe — this object owns only the shared mechanics, so
+ * the discipline cannot drift between structures (the same
+ * one-implementation rule as [[BatchPartitions]] and [[DirSwap]]).
+ */
+object Retractions {
+
+  /** Retraction (tombstone) directory name under a structure's root. */
+  val Dir = "tombs"
+
+  private def dirOf(root: String) = s"$root/$Dir"
+
+  private def fsOf(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Land one retraction batch — O(ids) bytes, batch-keyed dynamic
+    * overwrite. PINS `ids` (localCheckpoint) before writing: the
+    * frame is commonly derived from the owning structure's own
+    * filtered read, which this write would filter (or, on a
+    * redelivery, whose pinned file listing it would invalidate)
+    * mid-verb. Callers hold their root's lease and have validated
+    * their causal bound. */
+  def land(ids: DataFrame, idCol: String, batchId: Long,
+      root: String): Unit = {
+    val pinned = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint(true)
+    try {
+      pinned.withColumn("__batch", lit(batchId))
+        .sortWithinPartitions("__batch", "id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("__batch").parquet(dirOf(root))
+    } finally {
+      pinned.unpersist()
+      ()
+    }
+  }
+
+  /** Standing tombstone partitions (listing only; empty = none — the
+    * steady state). */
+  def batchIds(spark: SparkSession, root: String): Seq[Long] = {
+    val p = new Path(dirOf(root))
+    if (!fsOf(spark, root).exists(p)) Seq.empty
+    else BatchPartitions.ids(spark, dirOf(root))
+  }
+
+  /** The standing retracted ids — `(id)`, distinct across tombstone
+    * partitions. Empty-safe only when a partition stands; guard with
+    * [[batchIds]]. */
+  def open(spark: SparkSession, root: String): DataFrame =
+    spark.read.schema("id LONG, __batch LONG").parquet(dirOf(root))
+      .select("id").distinct()
+
+  /** Anti-join `df` against a tombstone id frame on `idCol`. */
+  def antiJoin(df: DataFrame, idCol: String, tombs: DataFrame): DataFrame =
+    df.join(tombs.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+
+  /** [[antiJoin]] against the root's standing tombstones — a no-op
+    * (and plan-identical) when none stand. */
+  def apply(spark: SparkSession, root: String, df: DataFrame,
+      idCol: String): DataFrame =
+    if (batchIds(spark, root).isEmpty) df
+    else antiJoin(df, idCol, open(spark, root))
+
+  /** Drop SETTLED tombstone partitions (id ≤ `throughBatch`) — called
+    * strictly AFTER a purging compaction's swap commits. Retires the
+    * dir itself when the last partition drains, so absent and drained
+    * read identically. One listing (callers lease-serialize
+    * [[land]]); pass `standing` when the caller already listed. */
+  def clearThrough(spark: SparkSession, root: String, throughBatch: Long,
+      standing: Option[Seq[Long]] = None): Unit = {
+    val fs = fsOf(spark, root)
+    val ids = standing.getOrElse(batchIds(spark, root))
+    ids.filter(_ <= throughBatch).foreach(b =>
+      fs.delete(new Path(s"${dirOf(root)}/__batch=$b"), true))
+    if (ids.nonEmpty && ids.forall(_ <= throughBatch))
+      fs.delete(new Path(dirOf(root)), true)
+    ()
+  }
+}

@@ -242,38 +242,21 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
       s"retraction batch $batchId predates standing folds " +
         s"${late.distinct.sorted.mkString("[", ",", "]")} of $root — " +
         "date deletes on the fold clock's current watermark")
-    // pin BEFORE writing: `ids` is commonly derived from [[open]] of
-    // this very root, and the tombstone overwrite below would filter
-    // (or, on a redelivery, invalidate the pinned file listing of)
-    // that plan mid-verb
-    val pinned = ids.select(col(idCol).cast("long").as("id")).distinct()
-      .localCheckpoint(true)
-    try withLease(spark) {
-      pinned.withColumn("__batch", lit(batchId))
-        .sortWithinPartitions("__batch", "id")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("__batch").parquet(tombsDir)
-    } finally {
-      pinned.unpersist()
-      ()
+    withLease(spark) {
+      Retractions.land(ids, idCol, batchId, root)
     }
   }
 
   /** Standing tombstone partitions (listing only; empty = no
     * retraction standing — the steady state). */
-  def retractionBatchIds(spark: SparkSession): Seq[Long] = {
-    val p = new Path(tombsDir)
-    if (!fsOf(spark).exists(p)) Seq.empty
-    else BatchPartitions.ids(spark, tombsDir)
-  }
+  def retractionBatchIds(spark: SparkSession): Seq[Long] =
+    Retractions.batchIds(spark, root)
 
   /** The standing retracted ids — `(id)`, distinct across tombstone
     * partitions. Empty-safe only when a partition stands; guard with
     * [[retractionBatchIds]]. */
   def openRetractions(spark: SparkSession): DataFrame =
-    spark.read.schema("id LONG, __batch LONG").parquet(tombsDir)
-      .select("id").distinct()
+    Retractions.open(spark, root)
 
   /** Anti-join `df` against the standing tombstones on `idCol` — a
     * no-op (and plan-identical) when none stand. The tombstone side is
@@ -283,12 +266,7 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
     * threshold degrades to a shuffle join instead of an OOM. */
   def applyRetractions(spark: SparkSession, df: DataFrame,
       idCol: String): DataFrame =
-    if (retractionBatchIds(spark).isEmpty) df
-    else antiJoinTombs(df, idCol, openRetractions(spark))
-
-  private def antiJoinTombs(df: DataFrame, idCol: String,
-      tombs: DataFrame): DataFrame =
-    df.join(tombs.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+    Retractions(spark, root, df, idCol)
 
   /** Drop SETTLED tombstone partitions (id ≤ `throughBatch`) — called
     * strictly AFTER a purging compaction's swap commits (the
@@ -297,15 +275,8 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
     * dir itself when the last partition drains, so absent and drained
     * read identically. */
   def clearRetractionsThrough(spark: SparkSession,
-      throughBatch: Long): Unit = {
-    val fs = fsOf(spark)
-    val standing = retractionBatchIds(spark) // ONE listing: [[retract]]
-    standing.filter(_ <= throughBatch).foreach(b => // is lease-serialized
-      fs.delete(new Path(s"$tombsDir/__batch=$b"), true))
-    if (standing.nonEmpty && standing.forall(_ <= throughBatch))
-      fs.delete(new Path(tombsDir), true)
-    ()
-  }
+      throughBatch: Long): Unit =
+    Retractions.clearThrough(spark, root, throughBatch)
 
   /** Compaction file count for `table`: the sizing dir's bytes (an FS
     * summary, not a scan) over the spec's target (or the caller's
@@ -368,7 +339,8 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
       try {
         tables.foreach { t =>
           val purged = (t.retractCol, tombs) match {
-            case (Some(c), Some(tf)) => antiJoinTombs(openRaw(spark, t.name), c, tf)
+            case (Some(c), Some(tf)) =>
+              Retractions.antiJoin(openRaw(spark, t.name), c, tf)
             case _ => openRaw(spark, t.name)
           }
           landStaging(
@@ -377,11 +349,8 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
             t.name, files(t.name))
         }
         DirSwap.swapStaged(spark, root, tables.map(_.name))
-        val fs = fsOf(spark)
-        tombBatches.filter(_ <= throughBatch).foreach(b =>
-          fs.delete(new Path(s"$tombsDir/__batch=$b"), true))
-        if (tombBatches.nonEmpty && tombBatches.forall(_ <= throughBatch))
-          fs.delete(new Path(tombsDir), true)
+        Retractions.clearThrough(spark, root, throughBatch,
+          standing = Some(tombBatches))
       } finally {
         tombs.foreach(_.unpersist())
         ()
@@ -421,5 +390,5 @@ object StandingStore {
   val BaseBatch = -1L
 
   /** Retraction (tombstone) directory name under a store's root. */
-  val TombsDir = "tombs"
+  val TombsDir: String = Retractions.Dir
 }

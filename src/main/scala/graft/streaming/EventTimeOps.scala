@@ -367,7 +367,8 @@ object EventTimeOps {
                 batch.sparkSession, indexPath) > dial)
               graft.sources.Lease.cadenceOrSkip(onMaintenanceSkipped) {
                 graft.ann.IvfIndex.compactThrough(
-                  batch.sparkSession, indexPath, batchId - 1)
+                  batch.sparkSession, indexPath, batchId - 1,
+                  retractIdCol = Some(idCol))
                 true
               }
           }

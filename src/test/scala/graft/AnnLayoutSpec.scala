@@ -364,6 +364,82 @@ class AnnLayoutSpec extends SparkSpec {
     ()
   }
 
+  test("IvfIndex.retract: served probes silence at once, purge is settled-only, rebuild clears") {
+    import graft.ann.IvfIndex
+    val sf = "/root/testdata/sf0.001"
+    val emb = Tables(spark, sf, "embeddings")
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", K)
+    val queries = emb.filter(col("vec_id") < 4).orderBy("vec_id")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .toSeq
+    val root = Files.createTempDirectory("graft-ivf-retract").toString + "/ix"
+    try {
+      IvfIndex.write(emb.filter(col("vec_id") % 10 < 8),
+        "vec_id", "embedding", cents, root)
+      IvfIndex.append(emb.filter(col("vec_id") % 10 === 8),
+        "vec_id", "embedding", cents, root, 0L)
+      IvfIndex.append(emb.filter(col("vec_id") % 10 === 9),
+        "vec_id", "embedding", cents, root, 1L)
+      def probed() =
+        IvfIndex.probe(spark, root, queries, "vec_id", "embedding", 2, 5)
+          .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+      def servedDead(ids: Set[Long]): Long =
+        IvfIndex.probe(spark, root, queries, "vec_id", "embedding", 2, 5)
+          .where(col("neighbor_id").isin(ids.toSeq: _*)).count()
+      val before = probed()
+      // delete exactly what is being SERVED: the current top-1
+      // neighbors — the strongest served-path claim
+      val dead = IvfIndex
+        .probe(spark, root, queries, "vec_id", "embedding", 2, 1)
+        .select(col("neighbor_id").as("vec_id")).distinct()
+      val deadIds = dead.collect().map(_.getLong(0)).toSet
+      assert(deadIds.nonEmpty)
+      val rawCount = spark.read.parquet(s"$root/corpus").count()
+      IvfIndex.retract(spark, root, dead, "vec_id", 1L)
+      // probes stop serving the ids AT ONCE, still k-deep (backfilled
+      // from the remaining candidates), and no data file was touched
+      assert(servedDead(deadIds) == 0L)
+      assert(probed().size == before.size && before.nonEmpty)
+      assert(spark.read.parquet(s"$root/corpus").count() == rawCount,
+        "retract must not rewrite the corpus layout")
+      val after = probed()
+      // causal bound: a delete dated before a standing append is
+      // refused (it would clear as settled while its targets' append
+      // is still replayable)
+      intercept[IllegalArgumentException] {
+        IvfIndex.retract(spark, root, dead, "vec_id", 0L)
+      }
+      // compaction refuses to run blind while tombstones stand
+      intercept[IllegalArgumentException] {
+        IvfIndex.compactThrough(spark, root, 0L)
+      }
+      // settled-only: folding through batch 0 purges physically, but
+      // the batch-1 tombstone (and its read filter) outlives the swap
+      IvfIndex.compactThrough(spark, root, 0L, retractIdCol = Some("vec_id"))
+      assert(spark.read.parquet(s"$root/corpus")
+        .where(col("vec_id").isin(deadIds.toSeq: _*)).count() == 0L,
+        "purge must be physical")
+      assert(new java.io.File(s"$root/tombs").exists,
+        "an unsettled tombstone must survive the compaction")
+      assert(probed() == after)
+      // through the tombstone's own batch: cleared, dir retired,
+      // probes bit-stable across the purge
+      IvfIndex.compact(spark, root, retractIdCol = Some("vec_id"))
+      assert(!new java.io.File(s"$root/tombs").exists)
+      assert(probed() == after)
+      // a full rebuild supersedes the layout standing tombstones
+      // target — they clear with it (the caller's corpus is the
+      // post-retraction truth)
+      IvfIndex.retract(spark, root,
+        emb.filter(col("vec_id") === deadIds.head).select("vec_id"),
+        "vec_id", 2L)
+      IvfIndex.write(emb, "vec_id", "embedding", cents, root)
+      assert(!new java.io.File(s"$root/tombs").exists,
+        "a rebuild must clear the tombstones it supersedes")
+    } finally IvfIndex.delete(spark, root)
+  }
+
   private def listParquetFiles(dir: String): Set[String] = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
