@@ -184,12 +184,8 @@ object IvfIndex {
     // cell pruning
     val rootFs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // standing tombstones target the OLD corpus layout; a full
-    // rewrite replaces it wholesale (the caller's corpus is the
-    // post-retraction truth), so they clear with it
-    Seq(".compact", ".old_corpus", graft.sources.Retractions.Dir)
-      .foreach(d =>
-        rootFs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
+    Seq(".compact", ".old_corpus").foreach(d =>
+      rootFs.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true))
     // invalidate FIRST when rewriting over a complete index: the two
     // overwrites below are not atomic together, and a crash between
     // them must leave the index reading as incomplete (so ensure()
@@ -209,6 +205,15 @@ object IvfIndex {
       .withColumn("__batch", lit(BaseBatch))
       .write.mode("overwrite").partitionBy("cell", "__batch")
       .parquet(s"$path/corpus")
+    // standing tombstones target the layout the rewrite just
+    // superseded (the caller's corpus is the post-retraction truth) —
+    // clear them strictly AFTER the new corpus commits: a crash
+    // before this leaves idempotent filters standing, whereas
+    // clearing first would let a crash re-serve retracted ids from
+    // the still-complete OLD index with nothing left to filter them
+    rootFs.delete(new org.apache.hadoop.fs.Path(
+      s"$path/${graft.sources.Retractions.Dir}"), true)
+    ()
   }
 
   /** Incremental cell APPEND — the per-batch face of the standing
@@ -272,15 +277,19 @@ object IvfIndex {
       idCol: String, batchId: Long): Unit = {
     require(batchId != BaseBatch && batchId >= 0,
       s"retraction batch ids must be ≥ 0 (got $batchId)")
-    graft.sources.DirSwap.recover(spark, path, Seq("corpus"))
-    val late = graft.sources.BatchPartitions
-      .ids(spark, s"$path/corpus", nested = true)
-      .filter(b => b != BaseBatch && b > batchId)
-    require(late.isEmpty,
-      s"retraction batch $batchId predates standing appends " +
-        s"${late.sorted.mkString("[", ",", "]")} of $path — " +
-        "date deletes on the append clock's current watermark")
+    // recover + the causal listing run INSIDE the lease: an unleased
+    // recover racing a lease-holding compaction mid-swap would have
+    // both sides renaming the same dirs, and the listing could read a
+    // half-swapped layout
     graft.sources.Lease.withLease(spark, path) {
+      graft.sources.DirSwap.recover(spark, path, Seq("corpus"))
+      val late = graft.sources.BatchPartitions
+        .ids(spark, s"$path/corpus", nested = true)
+        .filter(b => b != BaseBatch && b > batchId)
+      require(late.isEmpty,
+        s"retraction batch $batchId predates standing appends " +
+          s"${late.sorted.mkString("[", ",", "]")} of $path — " +
+          "date deletes on the append clock's current watermark")
       graft.sources.Retractions.land(ids, idCol, batchId, path)
     }
   }
@@ -350,6 +359,17 @@ object IvfIndex {
             graft.sources.Retractions.open(spark, path))
           case _ => spark.read.parquet(s"$path/corpus")
         }
+        // a purge that empties the corpus would install a dir with no
+        // data files — schema-less reads of the index would then fail
+        // (no footers to infer from). Deleting EVERY served document
+        // is an index-retirement decision, not a compaction side
+        // effect: refuse, leaving the data and the tombstone filters
+        // standing (reads stay correct; retire with delete() or
+        // rebuild with write() from the post-retraction corpus).
+        require(tombBatches.isEmpty || !purged.isEmpty,
+          s"retraction empties the index at $path — retire it with " +
+            "delete() or rebuild it with write(); compaction refuses " +
+            "to install an unreadable zero-row corpus")
         // cluster the rewrite on cell so each (cell, batch) lands as
         // ~one file — the probe-side file count is the point
         purged

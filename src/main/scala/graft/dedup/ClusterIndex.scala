@@ -310,9 +310,7 @@ object ClusterIndex {
     * (see [[openWithKeeper]]'s note). */
   def retract(spark: SparkSession, path: String, ids: DataFrame,
       idCol: String, batchId: Long): Unit = {
-    val s = store(path)
-    s.recoverSwap(spark)
-    s.retract(ids, idCol, batchId)
+    store(path).retract(ids, idCol, batchId)
   }
 
   /** Rewrite the composed table as a fresh base snapshot and reset

@@ -141,9 +141,7 @@ object SignatureIndex {
     * band rows physically ([[graft.sources.StandingStore.retract]]). */
   def retract(spark: SparkSession, path: String, ids: DataFrame,
       idCol: String, batchId: Long): Unit = {
-    val s = store(path)
-    s.recoverSwap(spark)
-    s.retract(ids, idCol, batchId)
+    store(path).retract(ids, idCol, batchId)
   }
 
   private def signed(docs: DataFrame, idCol: String,

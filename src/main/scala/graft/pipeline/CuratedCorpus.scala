@@ -199,9 +199,7 @@ object CuratedCorpus {
    */
   def retract(spark: SparkSession, path: String, ids: DataFrame,
       idCol: String, batchId: Long): Unit = {
-    val s = store(path)
-    s.recoverSwap(spark)
-    s.retract(ids, idCol, batchId)
+    store(path).retract(ids, idCol, batchId)
   }
 
   /** Swap order for [[compact]]'s staged dirs — HASHES (the

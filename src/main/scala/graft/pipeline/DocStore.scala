@@ -70,9 +70,7 @@ object DocStore {
     * ([[graft.sources.StandingStore.retract]]'s contract). */
   def retract(spark: SparkSession, path: String, ids: DataFrame,
       idCol: String, batchId: Long): Unit = {
-    val s = store(path)
-    s.recoverSwap(spark)
-    s.retract(ids, idCol, batchId)
+    store(path).retract(ids, idCol, batchId)
   }
 
   /** The composed (doc_id, text) table across the base and every

@@ -31,6 +31,17 @@ import org.apache.spark.sql.functions._
  * clearing is safe — this object owns only the shared mechanics, so
  * the discipline cannot drift between structures (the same
  * one-implementation rule as [[BatchPartitions]] and [[DirSwap]]).
+ *
+ * Matching is by ID ALONE, which is correct under the repo-wide
+ * MONOTONE-ID contract every standing structure already requires
+ * (batch doc ids exceed all earlier ids — see
+ * [[graft.pipeline.CuratedCorpus]]'s class doc): an id is never
+ * reused, so a row carrying a tombstoned id is by construction the
+ * retracted document (or its replay), never a causally-later one — a
+ * re-added document is a NEW document with a new id. Batch-aware
+ * filtering (row batch ≤ tombstone batch) would be both unnecessary
+ * under that contract and ill-defined across compaction, which
+ * relabels surviving rows to the base batch.
  */
 object Retractions {
 

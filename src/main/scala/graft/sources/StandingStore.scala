@@ -234,15 +234,19 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
     require(batchId != BaseBatch && batchId >= 0,
       s"retraction batch ids must be ≥ 0 (got $batchId)")
     val spark = ids.sparkSession
-    val late = tables.filter(_.retractCol.nonEmpty)
-      .filter(t => fsOf(spark).exists(new Path(dir(t.name))))
-      .flatMap(t => BatchPartitions.ids(spark, dir(t.name)))
-      .filter(b => b != BaseBatch && b > batchId)
-    require(late.isEmpty,
-      s"retraction batch $batchId predates standing folds " +
-        s"${late.distinct.sorted.mkString("[", ",", "]")} of $root — " +
-        "date deletes on the fold clock's current watermark")
+    // recover + the causal listing run INSIDE the lease: an unleased
+    // listing racing a lease-holding compaction mid-swap could read a
+    // half-swapped layout
     withLease(spark) {
+      recoverSwap(spark)
+      val late = tables.filter(_.retractCol.nonEmpty)
+        .filter(t => fsOf(spark).exists(new Path(dir(t.name))))
+        .flatMap(t => BatchPartitions.ids(spark, dir(t.name)))
+        .filter(b => b != BaseBatch && b > batchId)
+      require(late.isEmpty,
+        s"retraction batch $batchId predates standing folds " +
+          s"${late.distinct.sorted.mkString("[", ",", "]")} of $root — " +
+          "date deletes on the fold clock's current watermark")
       Retractions.land(ids, idCol, batchId, root)
     }
   }

@@ -514,9 +514,16 @@ object EventTimeOps {
         // base AND re-append them below — every batch row duplicated,
         // uncompactably. First deliveries have no such partition, so
         // the filter is a partition-pruned no-op.
-        val standing = spark.read.parquet(s"${cur.path}/corpus")
-          .where(col("__batch") =!= batchId)
-          .select(col(idCol), col(vecCol))
+        // standing retractions filter here too: the retrain's rebuild
+        // is "the caller's corpus is the post-retraction truth"
+        // (IvfIndex.write's contract) — a raw read would bake
+        // retracted docs into the new version and retire the
+        // tombstones that guarded them with the old path
+        val standing = graft.sources.Retractions(spark, cur.path,
+          spark.read.parquet(s"${cur.path}/corpus")
+            .where(col("__batch") =!= batchId)
+            .select(col(idCol), col(vecCol)),
+          idCol)
         val corpus = standing
           .unionByName(batch.select(col(idCol), col(vecCol)))
         val cents = Similarity.trainCentroidsDistributed(

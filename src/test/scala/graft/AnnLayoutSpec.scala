@@ -437,6 +437,18 @@ class AnnLayoutSpec extends SparkSpec {
       IvfIndex.write(emb, "vec_id", "embedding", cents, root)
       assert(!new java.io.File(s"$root/tombs").exists,
         "a rebuild must clear the tombstones it supersedes")
+      // deleting EVERY served doc is index retirement, not a
+      // compaction side effect: the purge refuses to install an
+      // unreadable zero-row corpus, and reads stay correct (empty)
+      // off the standing filters
+      IvfIndex.retract(spark, root, emb.select("vec_id"), "vec_id", 0L)
+      intercept[IllegalArgumentException] {
+        IvfIndex.compact(spark, root, retractIdCol = Some("vec_id"))
+      }
+      assert(IvfIndex.probe(spark, root, queries, "vec_id", "embedding",
+        2, 5).isEmpty)
+      assert(spark.read.parquet(s"$root/corpus").count() == emb.count(),
+        "the refused compaction must leave the data standing")
     } finally IvfIndex.delete(spark, root)
   }
 

@@ -660,8 +660,42 @@ class EventTimeSpec extends SparkSpec {
         bootstrap, driftThreshold = 0.0, pathForVersion = b => s"$root/v$b",
         k = 4, refineIters = 1, retainIn = None, onBatch = (_, _, _) => ())
     }
-    cur.releaseProfile()
-    IvfIndex.delete(spark, cur.path)
+    // RETRACTION THROUGH THE RETRAIN: a doc retracted from the served
+    // index must not be baked into the next version — the rebuild
+    // reads the post-retraction truth, and the tombstone that guarded
+    // the doc retires with the superseded path, not before
+    val deadId = probeVec.getLong(0)
+    // dated at the append clock's watermark (the stream's batch 2
+    // landed last on v1)
+    IvfIndex.retract(spark, handle.get().path,
+      spark.createDataFrame(Seq(Tuple1(deadId))).toDF("vec_id"),
+      "vec_id", 2L)
+    assert(IvfIndex.probeResident(spark, handle.get().path,
+      handle.get().centroids,
+      Seq((probeVec.getLong(0),
+        probeVec.getSeq[Float](1).map(_.toDouble).toArray)),
+      "vec_id", "embedding", nprobe = 2, k = 5)
+      .where(col("neighbor_id") === deadId).count() == 0L,
+      "the served index must stop returning the retracted doc at once")
+    val preRetrain = spark.read.parquet(s"${handle.get().path}/corpus")
+      .count()
+    val b4df = spark.createDataFrame(
+      spark.sparkContext.parallelize(shifted(200, 300, 30000L)), schema)
+    EventTimeOps.ivfMaintainOnce(b4df, 3L, "vec_id", "embedding", handle,
+      driftThreshold = 0.0, pathForVersion = b => s"$root/v$b",
+      k = 4, refineIters = 1, retainIn = None, onBatch = (_, _, _) => ())
+    val v2 = handle.get()
+    assert(v2.path == s"$root/v3", s"retrain must swap, got ${v2.path}")
+    assert(spark.read.parquet(s"${v2.path}/corpus")
+      .where(col("vec_id") === deadId).count() == 0L,
+      "a retracted doc must not be baked into the retrained version")
+    assert(spark.read.parquet(s"${v2.path}/corpus").count() ==
+      preRetrain - 1L + b4df.count(),
+      "the retrained version holds the filtered standing set + batch")
+    assert(!new java.io.File(s"${v2.path}/tombs").exists(),
+      "the rebuilt version needs no tombstones — it IS the truth")
+    v2.releaseProfile()
+    IvfIndex.delete(spark, v2.path)
   }
 
   test("retained-versions maintenance: superseded indexes stand until keep-N prunes them") {
