@@ -327,6 +327,44 @@ object IngestStream {
   }
 
   /**
+   * [[acceptIntoCorpusIndexed]] for a feed that carries DELETE
+   * requests alongside new documents — the CDC-sink shape of the
+   * curated corpus: rows where `deleteCol` is true name standing
+   * documents to retract (by doc_id, like everything this router
+   * keys); the rest fold as usual. ONE clock: both verbs ride the
+   * stream's own batch id, so the retraction's causal bound holds by
+   * construction — the fold lands first, making `report.batchId` the
+   * newest standing fold. Under the repo-wide monotone-id contract a
+   * delete names an OLDER id than any same-batch addition, and
+   * deletes of never-standing or already-retracted ids are no-ops
+   * (the anti-join misses), so an at-least-once redelivery replays
+   * both halves idempotently (a replayed batch is the newest
+   * processed one, so its tombstone date still clears the standing
+   * folds — the same checkpointed-stream argument as [[retractDocs]]).
+   * Delete rows carry no curate-able content and never enter any
+   * gate or index — they are instructions, not documents.
+   *
+   * @return true iff any maintenance cadence compacted
+   */
+  def acceptIntoCorpusIndexedWithDeletes(batch: DataFrame,
+      report: BatchReport, deleteCol: String, corpusPath: String,
+      sigPath: String, clusterPath: String, threshold: Double,
+      maintainEvery: Option[Int] = None,
+      onMaintenanceSkipped: String => Unit = _ => (),
+      embed: Option[(String, String)] = None): Boolean = {
+    val spark = batch.sparkSession
+    val compacted = acceptIntoCorpusIndexed(
+      batch.where(!col(deleteCol)).drop(deleteCol), report, corpusPath,
+      sigPath, clusterPath, threshold, maintainEvery,
+      onMaintenanceSkipped, embed)
+    val dels = batch.where(col(deleteCol)).select("doc_id")
+    if (!dels.isEmpty)
+      retractDocs(spark, dels, "doc_id", report.batchId, corpusPath,
+        sigPath, clusterPath, embed.map(_._1))
+    compacted
+  }
+
+  /**
    * The composed RETRACTION — [[acceptIntoCorpusIndexed]]'s inverse,
    * keeping the same id-lockstep: land the ids' tombstones at the
    * corpus root and every sibling index root, so all four structures

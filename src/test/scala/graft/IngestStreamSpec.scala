@@ -426,6 +426,68 @@ class IngestStreamSpec extends SparkSpec {
     }
   }
 
+  test("delete-tagged feed: a mixed batch folds its adds and retracts its deletes on one clock") {
+    import graft.dedup.{ClusterIndex, DedupQueries, SignatureIndex}
+    import graft.pipeline.{CuratedCorpus, Fsck, PipelineQueries}
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    val (t1, t2) = (mx * 8 / 10, mx * 9 / 10)
+    val T = DedupQueries.IncrementalFuzzyThreshold
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-del-feed").toString
+    val (cc, sigs, clusters) = (s"$root/cc", s"$root/sigs", s"$root/clusters")
+    def tag(df: org.apache.spark.sql.DataFrame, del: Boolean) =
+      df.withColumn("__del", lit(del))
+    def rep(id: Long, df: org.apache.spark.sql.DataFrame) =
+      IngestStream.BatchReport(id, df.count(), Nil, 0.0, 0L)
+    def idsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    try {
+      CuratedCorpus.init(docs.where(col("doc_id") < t1), cc)
+      IngestStream.bootstrapIndexes(spark, cc, sigs, clusters, T)
+      val b1 = tag(docs.where(col("doc_id") >= t1 && col("doc_id") < t2),
+        del = false)
+      IngestStream.acceptIntoCorpusIndexedWithDeletes(b1, rep(0L, b1),
+        "__del", cc, sigs, clusters, T)
+      val ids0 = idsOf(CuratedCorpus.open(spark, cc))
+      val dead = ids0.filter(_ % 4 == 0)
+      assert(dead.nonEmpty && dead.size < ids0.size)
+      // the mixed batch: new docs plus delete instructions naming
+      // standing (strictly older — monotone ids) documents
+      val mixed = tag(docs.where(col("doc_id") >= t2), del = false)
+        .unionByName(
+          tag(docs.where(col("doc_id").isin(dead.toSeq: _*)), del = true))
+      IngestStream.acceptIntoCorpusIndexedWithDeletes(mixed,
+        rep(1L, mixed), "__del", cc, sigs, clusters, T)
+      val expected =
+        idsOf(PipelineQueries.curatedTrainDocs(docs)) -- dead
+      assert(idsOf(CuratedCorpus.open(spark, cc)) == expected,
+        "adds folded, deletes retracted — one batch, one clock")
+      assert(idsOf(SignatureIndex.open(spark, sigs)) == expected)
+      assert(idsOf(ClusterIndex.open(spark, clusters)) == expected)
+      // the delete half landed as standing tombstones on every root
+      val f = Fsck.check(spark, cc, sigs, clusters)
+      assert(f.forall(_.kind == "tombs-standing") &&
+        f.map(_.root).toSet == Set(cc, sigs, clusters), s"$f")
+      // at-least-once redelivery of the MIXED batch replays both
+      // halves idempotently
+      IngestStream.acceptIntoCorpusIndexedWithDeletes(mixed,
+        rep(1L, mixed), "__del", cc, sigs, clusters, T)
+      assert(idsOf(CuratedCorpus.open(spark, cc)) == expected)
+      assert(idsOf(SignatureIndex.open(spark, sigs)) == expected)
+      // each root's compaction purges and clears; the end state holds
+      CuratedCorpus.compact(spark, cc)
+      SignatureIndex.compact(spark, sigs)
+      ClusterIndex.compact(spark, clusters)
+      assert(Fsck.check(spark, cc, sigs, clusters).isEmpty)
+      assert(idsOf(CuratedCorpus.open(spark, cc)) == expected)
+    } finally {
+      CuratedCorpus.delete(spark, cc)
+      SignatureIndex.delete(spark, sigs)
+      ClusterIndex.delete(spark, clusters)
+    }
+  }
+
   test("composed retraction: torn after the corpus leg, fsck tells, redelivery heals") {
     import graft.dedup.{ClusterIndex, DedupQueries, SignatureIndex}
     import graft.pipeline.{CuratedCorpus, Fsck}
