@@ -1164,6 +1164,9 @@ object ScaleSmoke {
       "ivf compaction must shrink the corpus file count")
     require(spark.read.parquet(s"$appendPath/corpus").count() == total,
       "ivf compaction lost rows")
+    // the at-rest fsck verb agrees from OUTSIDE the loop
+    val ivfFindings = graft.pipeline.Fsck.checkIvf(spark, appendPath)
+    require(ivfFindings.isEmpty, s"ivf fsck findings: $ivfFindings")
     // retire both smoke indexes (the lifecycle's last verb)
     IvfIndex.delete(spark, appendPath)
     IvfIndex.delete(spark, rewritePath)

@@ -105,6 +105,35 @@ object Fsck {
     out.toSeq
   }
 
+  /** [[scanRoot]] for a SERVED IVF index root
+    * ([[graft.ann.IvfIndex]] layout: centroids + cell-partitioned
+    * corpus + tombs) plus the marker-pair validity that store's
+    * `ensure` keys on: `incomplete-build` means the
+    * centroids/corpus `_SUCCESS` pair does not both stand — a
+    * crashed (or in-flight, see `lease-held`) build; `ensure`
+    * rebuilds it. */
+  def checkIvf(spark: SparkSession, path: String): Seq[Finding] = {
+    val crash = scanRoot(spark, path, Seq("corpus"))
+    if (graft.ann.IvfIndex.isComplete(spark, path)) crash
+    else crash :+ Finding(path, "incomplete-build",
+      "the centroids/corpus _SUCCESS pair does not both stand — a " +
+        "crashed build (or one in flight, if lease-held); ensure() " +
+        "rebuilds it")
+  }
+
+  /** [[checkIvf]] over every snapshot root under a
+    * [[graft.ann.IvfIndex.snapshotPath]] base — the keep-N retention
+    * family, checked from outside the retrain loop. */
+  def checkIvfBase(spark: SparkSession, base: String): Seq[Finding] = {
+    val p = new Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith(graft.ann.IvfIndex.SnapPrefix))
+      .flatMap(s => checkIvf(spark, s.getPath.toString))
+  }
+
   /** Standing FOLD partition ids of a root's lead table (listing). */
   private def foldIds(spark: SparkSession, dir: String): Set[Long] =
     BatchPartitions.ids(spark, dir)

@@ -119,4 +119,36 @@ class FsckSpec extends SparkSpec {
       ()
     }
   }
+
+  test("fsck covers served IVF roots: clean, tombs-standing, incomplete-build") {
+    import graft.ann.{IvfIndex, Similarity}
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding", 4)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-fsck-ivf").toString
+    val snap = IvfIndex.snapshotPath(base, "s1")
+    val fs = new Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    try {
+      IvfIndex.write(emb, "vec_id", "embedding", cents, snap)
+      assert(Fsck.checkIvf(spark, snap).isEmpty, "a committed index is clean")
+      assert(Fsck.checkIvfBase(spark, base).isEmpty)
+      // a standing retraction is the informational tombs report
+      IvfIndex.retract(spark, snap,
+        emb.where(col("vec_id") === 0L).select("vec_id"), "vec_id", 0L)
+      assert(Fsck.checkIvf(spark, snap).map(_.kind) == Seq("tombs-standing"))
+      IvfIndex.compact(spark, snap, retractIdCol = Some("vec_id"))
+      assert(Fsck.checkIvf(spark, snap).isEmpty)
+      // a crashed build (marker pair torn) is named, and the base
+      // scan finds it without being told the snapshot's name
+      fs.delete(new Path(s"$snap/corpus/_SUCCESS"), false)
+      assert(Fsck.checkIvf(spark, snap).map(_.kind) ==
+        Seq("incomplete-build"))
+      assert(Fsck.checkIvfBase(spark, base).map(_.kind) ==
+        Seq("incomplete-build"))
+    } finally {
+      fs.delete(new Path(base), true)
+      ()
+    }
+  }
 }
