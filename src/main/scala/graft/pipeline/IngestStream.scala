@@ -344,6 +344,16 @@ object IngestStream {
    * Delete rows carry no curate-able content and never enter any
    * gate or index — they are instructions, not documents.
    *
+   * Lease refusals: the fold's MAINTENANCE cadences skip and retry
+   * next batch as always ([[acceptIntoCorpusIndexed]]'s policy), but
+   * a refusal inside the RETRACTION legs fails the batch LOUDLY —
+   * deliberately not `cadenceOrSkip`, because a delete must never be
+   * silently skipped. The failed batch is redelivered (at-least-once),
+   * and the partial application it may leave behind is exactly the
+   * torn state [[retractDocs]] documents: fsck tells, the redelivery
+   * heals every leg idempotently — pinned in IngestStreamSpec's
+   * held-root case.
+   *
    * @return true iff any maintenance cadence compacted
    */
   def acceptIntoCorpusIndexedWithDeletes(batch: DataFrame,

@@ -488,6 +488,71 @@ class IngestStreamSpec extends SparkSpec {
     }
   }
 
+  test("a held root fails the delete batch loudly; the redelivery heals the tear") {
+    import java.util.concurrent.atomic.AtomicReference
+    import graft.dedup.{ClusterIndex, DedupQueries, SignatureIndex}
+    import graft.pipeline.{CuratedCorpus, Fsck}
+    import graft.sources.Lease
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    val t1 = mx * 8 / 10
+    val T = DedupQueries.IncrementalFuzzyThreshold
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-del-held").toString
+    val (cc, sigs, clusters) = (s"$root/cc", s"$root/sigs", s"$root/clusters")
+    def idsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    try {
+      CuratedCorpus.init(docs.where(col("doc_id") < t1), cc)
+      IngestStream.bootstrapIndexes(spark, cc, sigs, clusters, T)
+      val b1 = docs.where(col("doc_id") >= t1).withColumn("__del", lit(false))
+      IngestStream.acceptIntoCorpusIndexedWithDeletes(b1,
+        IngestStream.BatchReport(0L, b1.count(), Nil, 0.0, 0L),
+        "__del", cc, sigs, clusters, T)
+      val ids0 = idsOf(CuratedCorpus.open(spark, cc))
+      val dead = ids0.filter(_ % 6 == 0)
+      val mixed = docs.where(col("doc_id").isin(dead.toSeq: _*))
+        .withColumn("__del", lit(true))
+      // an AD-HOC maintainer holds the SIGNATURE root (from another
+      // thread — a genuine external holder): the delete batch must
+      // fail LOUDLY mid-verb (a delete is never silently skipped),
+      // leaving the documented torn state
+      val held = new AtomicReference[Lease.Held]
+      val t = new Thread(() => held.set(Lease.acquire(spark, sigs)))
+      t.start(); t.join()
+      intercept[Lease.HeldElsewhereException] {
+        IngestStream.acceptIntoCorpusIndexedWithDeletes(mixed,
+          IngestStream.BatchReport(1L, mixed.count(), Nil, 0.0, 0L),
+          "__del", cc, sigs, clusters, T)
+      }
+      val t2 = new Thread(() => held.get().release())
+      t2.start(); t2.join()
+      // the tear: corpus silenced, signature root untouched — fsck's
+      // tombs-standing-subset tell
+      assert(idsOf(CuratedCorpus.open(spark, cc)) == ids0 -- dead)
+      assert(idsOf(SignatureIndex.open(spark, sigs)) == ids0)
+      val torn = Fsck.check(spark, cc, sigs, clusters)
+      assert(torn.exists(_.kind == "id-drift") &&
+        torn.filter(_.kind == "tombs-standing").map(_.root) == Seq(cc),
+        s"$torn")
+      // the REDELIVERED batch (at-least-once is the retry) heals
+      // every leg idempotently
+      IngestStream.acceptIntoCorpusIndexedWithDeletes(mixed,
+        IngestStream.BatchReport(1L, mixed.count(), Nil, 0.0, 0L),
+        "__del", cc, sigs, clusters, T)
+      val expected = ids0 -- dead
+      assert(idsOf(CuratedCorpus.open(spark, cc)) == expected)
+      assert(idsOf(SignatureIndex.open(spark, sigs)) == expected)
+      assert(idsOf(ClusterIndex.open(spark, clusters)) == expected)
+      assert(Fsck.check(spark, cc, sigs, clusters)
+        .forall(_.kind == "tombs-standing"))
+    } finally {
+      CuratedCorpus.delete(spark, cc)
+      SignatureIndex.delete(spark, sigs)
+      ClusterIndex.delete(spark, clusters)
+    }
+  }
+
   test("composed retraction: torn after the corpus leg, fsck tells, redelivery heals") {
     import graft.dedup.{ClusterIndex, DedupQueries, SignatureIndex}
     import graft.pipeline.{CuratedCorpus, Fsck}
