@@ -88,14 +88,26 @@ object IvfIndex {
    * under the BASE's [[graft.sources.Lease]] so a concurrent pruner
    * fails fast.
    */
+  /** Snapshot roots under `base` — the [[snapshotPath]] family, the
+    * ONE place its directory layout is known (retention and fsck both
+    * enumerate through here, so the layout cannot drift between
+    * them). */
+  def listSnapshots(spark: SparkSession,
+      base: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith(SnapPrefix))
+  }
+
   def pruneSnapshots(spark: SparkSession, base: String, keep: Int): Unit = {
     require(keep >= 1, s"keep must be >= 1, got $keep")
     graft.sources.Lease.withLease(spark, base) {
       val p = new org.apache.hadoop.fs.Path(base)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) {
-        val snaps = fs.listStatus(p).toSeq.filter(s =>
-          s.isDirectory && s.getPath.getName.startsWith(SnapPrefix))
+        val snaps = listSnapshots(spark, base)
         def commitTime(s: org.apache.hadoop.fs.FileStatus): Option[Long] =
           if (!isComplete(spark, s.getPath.toString)) None
           else Some(fs.getFileStatus(

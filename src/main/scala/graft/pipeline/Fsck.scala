@@ -114,7 +114,13 @@ object Fsck {
     * rebuilds it. */
   def checkIvf(spark: SparkSession, path: String): Seq[Finding] = {
     val crash = scanRoot(spark, path, Seq("corpus"))
-    if (graft.ann.IvfIndex.isComplete(spark, path)) crash
+    // a torn-but-COMMITTED compaction swap also reads as an
+    // incomplete marker pair, but its remedy is the free roll-forward
+    // (the next append/retract/compact's recover), NOT a rebuild —
+    // advising ensure() there would discard the staged corpus and pay
+    // a retrain, so the swap finding stands alone
+    if (graft.ann.IvfIndex.isComplete(spark, path) ||
+      crash.exists(_.kind == "swap-committed")) crash
     else crash :+ Finding(path, "incomplete-build",
       "the centroids/corpus _SUCCESS pair does not both stand — a " +
         "crashed build (or one in flight, if lease-held); ensure() " +
@@ -124,15 +130,9 @@ object Fsck {
   /** [[checkIvf]] over every snapshot root under a
     * [[graft.ann.IvfIndex.snapshotPath]] base — the keep-N retention
     * family, checked from outside the retrain loop. */
-  def checkIvfBase(spark: SparkSession, base: String): Seq[Finding] = {
-    val p = new Path(base)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith(graft.ann.IvfIndex.SnapPrefix))
+  def checkIvfBase(spark: SparkSession, base: String): Seq[Finding] =
+    graft.ann.IvfIndex.listSnapshots(spark, base)
       .flatMap(s => checkIvf(spark, s.getPath.toString))
-  }
 
   /** Standing FOLD partition ids of a root's lead table (listing). */
   private def foldIds(spark: SparkSession, dir: String): Set[Long] =

@@ -341,8 +341,14 @@ object IngestStream {
    * both halves idempotently (a replayed batch is the newest
    * processed one, so its tombstone date still clears the standing
    * folds — the same checkpointed-stream argument as [[retractDocs]]).
-   * Delete rows carry no curate-able content and never enter any
-   * gate or index — they are instructions, not documents.
+   * Delete rows never enter the CORPUS or an INDEX — they are
+   * instructions, not documents. They are filtered HERE, below the
+   * gates: a caller composing this router with [[gated]] must either
+   * split instruction rows out before the stack (dq/drift/near-dup
+   * run over the whole micro-batch, and an instruction row carrying
+   * null text would flip a not-null rule and skew the drift TVD) or
+   * write its gate rules instruction-aware. NULL delete flags read as
+   * "not a delete".
    *
    * Lease refusals: the fold's MAINTENANCE cadences skip and retry
    * next batch as always ([[acceptIntoCorpusIndexed]]'s policy), but
@@ -363,11 +369,21 @@ object IngestStream {
       onMaintenanceSkipped: String => Unit = _ => (),
       embed: Option[(String, String)] = None): Boolean = {
     val spark = batch.sparkSession
-    val compacted = acceptIntoCorpusIndexed(
-      batch.where(!col(deleteCol)).drop(deleteCol), report, corpusPath,
-      sigPath, clusterPath, threshold, maintainEvery,
-      onMaintenanceSkipped, embed)
-    val dels = batch.where(col(deleteCol)).select("doc_id")
+    // NULL flags read as "not a delete" (the common sink shape stamps
+    // TRUE on deletes only) — under raw three-valued logic a NULL row
+    // would silently vanish from BOTH halves
+    val flag = coalesce(col(deleteCol), lit(false))
+    val adds = batch.where(!flag).drop(deleteCol)
+    // a pure-delete batch (a GDPR erasure sweep) skips the whole
+    // index-fold job chain — an empty fold overwrites nothing, so
+    // skipping it is replay-identical; the maintenance tick defers
+    // one batch
+    val compacted =
+      if (adds.isEmpty) false
+      else acceptIntoCorpusIndexed(adds, report, corpusPath,
+        sigPath, clusterPath, threshold, maintainEvery,
+        onMaintenanceSkipped, embed)
+    val dels = batch.where(flag).select("doc_id")
     if (!dels.isEmpty)
       retractDocs(spark, dels, "doc_id", report.batchId, corpusPath,
         sigPath, clusterPath, embed.map(_._1))

@@ -146,6 +146,16 @@ class FsckSpec extends SparkSpec {
         Seq("incomplete-build"))
       assert(Fsck.checkIvfBase(spark, base).map(_.kind) ==
         Seq("incomplete-build"))
+      // but a torn-yet-COMMITTED compaction swap also tears the
+      // marker pair, and ITS remedy is the free roll-forward — the
+      // wrong-remedy incomplete-build must stand down for it
+      fs.mkdirs(new Path(s"$snap/.compact"))
+      fs.create(new Path(s"$snap/.compact/_SWAP")).close()
+      assert(Fsck.checkIvf(spark, snap).map(_.kind) ==
+        Seq("swap-committed"))
+      fs.delete(new Path(s"$snap/.compact"), true)
+      assert(Fsck.checkIvf(spark, snap).map(_.kind) ==
+        Seq("incomplete-build"))
     } finally {
       fs.delete(new Path(base), true)
       ()

@@ -453,8 +453,12 @@ class IngestStreamSpec extends SparkSpec {
       val dead = ids0.filter(_ % 4 == 0)
       assert(dead.nonEmpty && dead.size < ids0.size)
       // the mixed batch: new docs plus delete instructions naming
-      // standing (strictly older — monotone ids) documents
-      val mixed = tag(docs.where(col("doc_id") >= t2), del = false)
+      // standing (strictly older — monotone ids) documents. The adds
+      // carry NULL flags — the common sink shape stamps TRUE on
+      // deletes only, and a NULL must read as "not a delete" (raw
+      // three-valued logic would drop the row from BOTH halves)
+      val mixed = docs.where(col("doc_id") >= t2)
+        .withColumn("__del", lit(null).cast("boolean"))
         .unionByName(
           tag(docs.where(col("doc_id").isin(dead.toSeq: _*)), del = true))
       IngestStream.acceptIntoCorpusIndexedWithDeletes(mixed,
