@@ -273,6 +273,22 @@ class PlanQualitySpec extends SparkSpec {
       s"expected chunk hash + audit agg + presentation range, got $ex")
   }
 
+  test("q_pipeline_retract: the post-delete read scans no text and joins nothing") {
+    val p = plan(SparkEntry.queries("q_pipeline_retract")(spark, Sf))
+    // the query projects (doc_id, source, n_tokens): text — 99% of
+    // the table's bytes at 100 TB — must be pruned at the scan
+    val scans = collectAll(p) {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty &&
+      scans.forall(!_.requiredSchema.fieldNames.contains("text")),
+      s"retract read must prune text: ${scans.map(_.requiredSchema)}")
+    // post-compaction steady state: the applied tombstones cleared, so
+    // the retraction filter is a listing-guarded no-op — the plan must
+    // be join-free (retraction costs nothing once purged)
+    assert(!p.toString.contains("Join"), s"steady state must be join-free:\n$p")
+  }
+
   test("epochDeal scans the release id-only — an epoch plan never reads text") {
     import graft.pipeline.Release
     val root = java.nio.file.Files
