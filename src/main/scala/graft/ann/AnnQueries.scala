@@ -109,7 +109,20 @@ object AnnQueries {
   /** Shared oracle of q_dedup_incremental_embed AND its at-rest twin
     * q_dedup_embed_atrest (probe ≡ in-RAM is the twin's contract, so
     * one SQL restatement verifies both). */
-  private lazy val incrementalEmbedOracle: String = {
+  private lazy val incrementalEmbedOracle: String =
+    embedProbeOracle(s"vec_id % 10 >= $EmbDriftBatchBucket", "TRUE")
+
+  /** The bounded POINT-READ path's oracle: a micro-batch (0.2% of
+    * ids, disjoint from the at-rest corpus slice by construction:
+    * `% 500 = 499` ⇒ `% 10 = 9` ≥ the corpus cutoff) probed against
+    * the same at-rest table — the members predicate restricts the
+    * SQL restatement to exactly (corpus slice ∪ batch). */
+  private lazy val embedAtRestPointOracle: String =
+    embedProbeOracle("vec_id % 500 = 499",
+      s"vec_id % 10 < $EmbDriftBatchBucket OR vec_id % 500 = 499")
+
+  private def embedProbeOracle(batchSql: String,
+      memberSql: String): String = {
     val bandJoins = (0 until NearDupBands).map(b =>
       s"""SELECT x.id AS batch_id, y.id AS corpus_id
           FROM b x JOIN b y ON x.bk$b = y.bk$b
@@ -120,9 +133,10 @@ object AnnQueries {
       .mkString(", ")
     s"""
     WITH b AS (
-      SELECT vec_id AS id, (vec_id % 10 >= $EmbDriftBatchBucket) AS is_batch,
+      SELECT vec_id AS id, ($batchSql) AS is_batch,
              embedding AS v, $bkCols
-      FROM embeddings WHERE embedding IS NOT NULL),
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND ($memberSql)),
     cand AS ($bandJoins),
     j AS (
       SELECT batch_id, corpus_id, ${cosineSql("xa.v", "yb.v")} AS cos
@@ -328,6 +342,21 @@ object AnnQueries {
       EmbedIndex.probe(
         Tables(s, dir, "embeddings")
           .filter(col("vec_id") % 10 >= EmbDriftBatchBucket),
+        cachedEmbedAtRest(s, dir), "vec_id", "embedding",
+        NearDupThreshold)
+        .orderBy("batch_id", "corpus_id")),
+
+    // The BOUNDED path of the same probe — a MICRO-batch (0.2% of
+    // ids, well under the point-read key cap at every sf), so the
+    // bench carries the scale path's latency, not just the documented
+    // oversized-batch scan fallback the query above exercises:
+    // candidates point-read from the packed bucket table, the verify
+    // point-reads the candidates' vectors, and the per-key driver
+    // codegen cost (PointReads' measured ~1.5 ms/key cutover) stays
+    // micro-batch-sized.
+    "q_dedup_embed_atrest_point" -> ((s, dir) =>
+      EmbedIndex.probe(
+        Tables(s, dir, "embeddings").filter(col("vec_id") % 500 === 499),
         cachedEmbedAtRest(s, dir), "vec_id", "embedding",
         NearDupThreshold)
         .orderBy("batch_id", "corpus_id")),
@@ -649,6 +678,7 @@ object AnnQueries {
     // (EmbedIndexSpec pins probe ≡ in-RAM) — one oracle serves both,
     // so the driver verifies the equivalence end to end.
     "q_dedup_embed_atrest" -> incrementalEmbedOracle,
+    "q_dedup_embed_atrest_point" -> embedAtRestPointOracle,
 
     // Assignment CTE identical to q_ann_assign's; the dedup rule is
     // the upper-triangular within-cell pair filter restated
