@@ -92,7 +92,8 @@ object IngestStream {
   def gated(docs: DataFrame, corpus: DataFrame, idCol: String,
       textCol: String, rules: Seq[DqGate.Rule], threshold: Double,
       embed: Option[EmbedGate] = None, cappedDriftK: Option[Int] = None,
-      sketchSelectedHead: Boolean = false)(
+      sketchSelectedHead: Boolean = false,
+      instructions: Option[org.apache.spark.sql.Column] = None)(
       route: (DataFrame, BatchReport) => Unit)
       : (DataStreamWriter[Row], () => Unit) = {
     // every rule-name problem must surface at BUILD time, not as a
@@ -153,12 +154,25 @@ object IngestStream {
           (r, (System.nanoTime() - t0) / 1e9)
         }
         try {
-          val (dq, sDq) = timed(DqGate.collectVerdicts(batch, rules,
+          // INSTRUCTION rows (a delete-tagged feed's flagged rows —
+          // NULL reads as not-an-instruction) bypass every gate:
+          // dq/drift/text/embed measure the DOCUMENT rows only, and
+          // the routed batch arrives whole for an instruction-aware
+          // router (acceptIntoCorpusIndexedWithDeletes). This is the
+          // stream-level split that router's contract requires — a
+          // caller cannot split below this foreachBatch.
+          val docRows = instructions
+            .fold(batch)(i => batch.where(!coalesce(i, lit(false))))
+          // an all-instructions batch has no document distribution to
+          // measure — drift over zero rows is degenerate, not drifted
+          lazy val noDocs = instructions.isDefined && docRows.isEmpty
+          val (dq, sDq) = timed(DqGate.collectVerdicts(docRows, rules,
             uniqueKey = Some((uniqueName, idCol))))
-          val (drift, sDrift) = timed(measureDrift(batch))
+          val (drift, sDrift) = timed(
+            if (noDocs) 0.0 else measureDrift(docRows))
           val (nDup, sText) = timed {
             val (matches, releaseBatch) = Dedup.probeNearDupIndex(
-              batch, index, idCol, textCol, threshold)
+              docRows, index, idCol, textCol, threshold)
             try matches.count() finally releaseBatch()
           }
           val (nEmb, sEmb) = timed(embed.map { e =>
@@ -168,10 +182,10 @@ object IngestStream {
                 // before any fold's own preamble would heal a
                 // crashed compaction swap
                 graft.ann.EmbedIndex.recoverSwap(batch.sparkSession, p)
-                graft.ann.EmbedIndex.probe(batch, p, idCol, e.vecCol,
+                graft.ann.EmbedIndex.probe(docRows, p, idCol, e.vecCol,
                   e.threshold).count()
               case None =>
-                graft.ann.Similarity.probeEmbedIndex(batch,
+                graft.ann.Similarity.probeEmbedIndex(docRows,
                   embedIdx.get._1, idCol, e.vecCol, e.bands,
                   e.planesPerBand, e.dims, e.threshold).count()
             }
@@ -342,12 +356,12 @@ object IngestStream {
    * processed one, so its tombstone date still clears the standing
    * folds — the same checkpointed-stream argument as [[retractDocs]]).
    * Delete rows never enter the CORPUS or an INDEX — they are
-   * instructions, not documents. They are filtered HERE, below the
-   * gates: a caller composing this router with [[gated]] must either
-   * split instruction rows out before the stack (dq/drift/near-dup
-   * run over the whole micro-batch, and an instruction row carrying
-   * null text would flip a not-null rule and skew the drift TVD) or
-   * write its gate rules instruction-aware. NULL delete flags read as
+   * instructions, not documents. A caller composing this router with
+   * [[gated]] passes the same flag as the stack's `instructions`
+   * column, so dq/drift/near-dup measure the DOCUMENT rows only (an
+   * instruction row carrying null text would otherwise flip a
+   * not-null rule and skew the drift TVD) while the routed batch
+   * arrives whole for this router to split. NULL delete flags read as
    * "not a delete".
    *
    * Lease refusals: the fold's MAINTENANCE cadences skip and retry

@@ -492,6 +492,90 @@ class IngestStreamSpec extends SparkSpec {
     }
   }
 
+  test("instruction rows bypass the gates: a delete-tagged stream deletes without tripping dq") {
+    import graft.dedup.{DedupQueries, SignatureIndex, ClusterIndex}
+    import graft.pipeline.{CuratedCorpus, PipelineQueries}
+    val pool = Vector.tabulate(40)(i => f"word$i%02d")
+    def doc(i: Int): String =
+      (0 until 24).map(j => pool((i * 7 + j) % 40)).mkString(" ") +
+        s" marker$i"
+    def asDocs(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .withColumn("source",
+          concat(lit("s"), (col("doc_id") % 2).cast("string")))
+        .withColumn("lang", lit("de"))
+        .select("doc_id", "source", "lang", "text")
+    val corpus = asDocs(Seq.tabulate(30)(i => (i.toLong, doc(i))))
+    val T = DedupQueries.IncrementalFuzzyThreshold
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-instr").toString
+    val (cc, sigs, clusters) = (s"$root/cc", s"$root/sigs", s"$root/clusters")
+    try {
+      CuratedCorpus.init(corpus, cc)
+      IngestStream.bootstrapIndexes(spark, cc, sigs, clusters, T)
+      def idsOf(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id").collect().map(_.getLong(0)).toSet
+      val dead = idsOf(CuratedCorpus.open(spark, cc)).toSeq.sorted.take(2)
+      assert(dead.size == 2)
+
+      val schema = StructType.fromDDL("doc_id BIGINT, source STRING, " +
+        "lang STRING, text STRING, __del BOOLEAN")
+      implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
+      val mem = MemoryStream[Row](enc, spark)
+      // the rule NULL-text instruction rows would flip: notSatisfied
+      // counts a NULL predicate as a violation, so WITHOUT the
+      // instructions bypass every mixed batch below quarantines
+      val rules = Seq(DqGate.Rule("text_nonempty",
+        DqGate.notSatisfied(length(trim(col("text"))) > 0)))
+      val reports = scala.collection.mutable.ArrayBuffer
+        .empty[IngestStream.BatchReport]
+      val (writer, release) = IngestStream.gated(
+        mem.toDF(), corpus, "doc_id", "text", rules, threshold = 0.99,
+        instructions = Some(col("__del"))) { (batch, report) =>
+        require(report.dqPass,
+          s"instruction rows leaked into the dq gate: ${report.dq}")
+        IngestStream.acceptIntoCorpusIndexedWithDeletes(batch, report,
+          "__del", cc, sigs, clusters, T)
+        reports += report
+      }
+      // document rows ride the common sink shape (flag NULL — only
+      // deletes are stamped); instruction rows carry NULL text
+      def docRows(rows: Seq[(Long, String)]): Seq[Row] =
+        asDocs(rows).withColumn("__del", lit(null).cast("boolean"))
+          .collect().toSeq
+      def delRows(ids: Seq[Long]): Seq[Row] = ids.map(id =>
+        Row(id, "s0", "de", null, java.lang.Boolean.TRUE))
+      val b0 = Seq.tabulate(3)(j => (100L + j, doc(100 + j)))
+      val adds1 = Seq((200L, doc(200)), (201L, doc(201)))
+      val q = writer.start()
+      try {
+        mem.addData(docRows(b0): _*); q.processAllAvailable()
+        // the MIXED batch: new docs plus delete instructions naming
+        // standing curated docs
+        mem.addData(docRows(adds1) ++ delRows(dead): _*)
+        q.processAllAvailable()
+        // an ALL-instructions batch (a GDPR sweep): gates measure zero
+        // document rows — degenerate drift reads 0, dq passes
+        val dead2 = idsOf(CuratedCorpus.open(spark, cc)).toSeq.sorted
+          .takeRight(1)
+        mem.addData(delRows(dead2): _*); q.processAllAvailable()
+        val want = idsOf(PipelineQueries.curatedTrainDocs(
+          corpus.unionByName(asDocs(b0 ++ adds1)))) --
+          dead -- dead2
+        assert(idsOf(CuratedCorpus.open(spark, cc)) == want)
+        assert(idsOf(SignatureIndex.open(spark, sigs)) == want)
+        assert(idsOf(ClusterIndex.open(spark, clusters)) == want)
+        assert(reports.size == 3 && reports.forall(_.dqPass))
+        assert(reports.last.drift == 0.0,
+          s"all-instructions drift must read 0, got ${reports.last.drift}")
+      } finally { q.stop(); release() }
+    } finally {
+      CuratedCorpus.delete(spark, cc)
+      SignatureIndex.delete(spark, sigs)
+      ClusterIndex.delete(spark, clusters)
+    }
+  }
+
   test("a held root fails the delete batch loudly; the redelivery heals the tear") {
     import java.util.concurrent.atomic.AtomicReference
     import graft.dedup.{ClusterIndex, DedupQueries, SignatureIndex}
