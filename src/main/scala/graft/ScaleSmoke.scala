@@ -594,18 +594,20 @@ object ScaleSmoke {
     val feedRows = (0 until nBatches).map { b =>
       docs.where(col("doc_id") >= cuts(b) && col("doc_id") < cuts(b + 1))
         .where(length(trim(col("text"))) > 0)
+        .withColumn("__del", lit(null).cast("boolean"))
         .collect()
     }
     val schema = StructType.fromDDL("doc_id BIGINT, source STRING, " +
-      "lang STRING, text STRING, embedding ARRAY<FLOAT>")
+      "lang STRING, text STRING, embedding ARRAY<FLOAT>, __del BOOLEAN")
     implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(schema)
     val mem = MemoryStream[Row](enc, spark)
     // per batch: (rows, foldBytes or -1 when compacted away, folds
     // after, compacted?, version cut, accept+cadence seconds)
     val stats = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Int, Boolean, Option[Int], Double)]
-    // ids deleted mid-stream (batch 1) — the loop must converge on
-    // from-scratch-minus-these with its own cadences doing the purge
+    // ids deleted mid-stream (the all-instruction feed batch after
+    // doc batch 1) — the loop must converge on from-scratch-minus-
+    // these with its own cadences doing the purge
     val midRetracted = scala.collection.mutable.Set.empty[Long]
     val (writer, release) = IngestStream.gated(
       mem.toDF(), corpus, "doc_id", "text",
@@ -615,10 +617,12 @@ object ScaleSmoke {
       embed = Some(IngestStream.EmbedGate("embedding", embParams.bands,
         embParams.planesPerBand, embParams.dims, threshold = 0.999,
         atRestPath = Some(emb))),
-      cappedDriftK = Some(512)) { (batch, report) =>
+      cappedDriftK = Some(512),
+      instructions = Some(col("__del"))) { (batch, report) =>
       require(report.dqPass, s"clean batch ${report.batchId} failed dq")
       val t0 = System.nanoTime()
-      val compacted = IngestStream.acceptIntoCorpusIndexed(batch, report,
+      val compacted = IngestStream.acceptIntoCorpusIndexedWithDeletes(
+        batch, report, "__del",
         cc, sigs, clusters, graft.dedup.DedupQueries.LshPairsThreshold,
         maintainEvery = Some(3), embed = Some((emb, "embedding")))
       val foldsAfter = CuratedCorpus.foldCount(spark, cc)
@@ -632,29 +636,32 @@ object ScaleSmoke {
         Release.Budget, shards = 16, everyBatches = 2, keep = 2)
       val sec = (System.nanoTime() - t0) / 1e9
       stats += ((report.rows, foldBytes, foldsAfter, compacted, cut, sec))
-      // a delete request arrives MID-STREAM at batch 1: retract every
-      // 9th standing doc across all four structures, on the loop's own
-      // fold clock. The tombstones land between live folds; the LOOP'S
-      // OWN maintenance cadences — the corpus compaction at batch 2,
-      // the indexes' settled compactThrough(2) at batch 3 — must purge
-      // and clear them with nothing hand-cranked, while four more
-      // batches fold through the filtered reads. Asserted after the
-      // stream ends.
-      if (report.batchId == 1L) {
-        midRetracted ++= CuratedCorpus.open(spark, cc)
-          .where(col("doc_id") % 9 === 0)
-          .select("doc_id").collect().map(_.getLong(0))
-        IngestStream.retractDocs(spark,
-          spark.createDataFrame(midRetracted.toSeq.sorted.map(Tuple1(_)))
-            .toDF("doc_id"),
-          "doc_id", report.batchId, cc, sigs, clusters, Some(emb))
-      }
     }
     val q = writer.start()
     try {
-      feedRows.foreach { rows =>
+      feedRows.zipWithIndex.foreach { case (rows, i) =>
         mem.addData(rows.toIndexedSeq: _*)
         q.processAllAvailable()
+        if (i == 1) {
+          // a delete request arrives MID-STREAM, THROUGH THE FEED: an
+          // all-instruction batch (stream batch 2) naming every 9th
+          // standing doc — the production shape end to end: the
+          // instructions bypass the gates, the delete lane retracts
+          // across all four structures on the stream's own clock, and
+          // the LOOP'S OWN maintenance cadences (the corpus compaction
+          // at the third doc batch, the indexes' settled
+          // compactThrough at the fourth) purge and clear the
+          // tombstones with nothing hand-cranked, while four more doc
+          // batches fold through the filtered reads. Asserted after
+          // the stream ends.
+          midRetracted ++= CuratedCorpus.open(spark, cc)
+            .where(col("doc_id") % 9 === 0)
+            .select("doc_id").collect().map(_.getLong(0))
+          mem.addData(midRetracted.toSeq.sorted.map(id =>
+            org.apache.spark.sql.Row(id, null, null, null, null,
+              java.lang.Boolean.TRUE)): _*)
+          q.processAllAvailable()
+        }
       }
     } finally { q.stop(); release() }
 
@@ -666,7 +673,8 @@ object ScaleSmoke {
     println(f"[scale] loop init                ${initSec}%8.2f s " +
       f"(${initBytes / 1024}%d KB)")
 
-    require(stats.size == nBatches, s"expected $nBatches loop reports")
+    require(stats.size == nBatches + 1, // +1: the all-instruction delete batch
+      s"expected ${nBatches + 1} loop reports, got ${stats.size}")
     val compactions = stats.count(_._4)
     val versionsCut = stats.flatMap(_._5)
     require(compactions >= 2, s"compaction cadence fired $compactions times")
