@@ -371,26 +371,41 @@ object IvfIndex {
             graft.sources.Retractions.open(spark, path))
           case _ => spark.read.parquet(s"$path/corpus")
         }
-        // a purge that empties the corpus would install a dir with no
-        // data files — schema-less reads of the index would then fail
-        // (no footers to infer from). Deleting EVERY served document
-        // is an index-retirement decision, not a compaction side
-        // effect: refuse, leaving the data and the tombstone filters
-        // standing (reads stay correct; retire with delete() or
-        // rebuild with write() from the post-retraction corpus).
-        require(tombBatches.isEmpty || !purged.isEmpty,
-          s"retraction empties the index at $path — retire it with " +
-            "delete() or rebuild it with write(); compaction refuses " +
-            "to install an unreadable zero-row corpus")
         // cluster the rewrite on cell so each (cell, batch) lands as
         // ~one file — the probe-side file count is the point
+        val staging = graft.sources.DirSwap.stagingDir(path, "corpus")
         purged
           .withColumn("__batch",
             when(col("__batch") <= throughBatch, lit(BaseBatch))
               .otherwise(col("__batch").cast("long")))
           .repartition(col("cell"))
           .write.mode("overwrite").partitionBy("cell", "__batch")
-          .parquet(graft.sources.DirSwap.stagingDir(path, "corpus"))
+          .parquet(staging)
+        // a purge that empties the corpus would install a dir with no
+        // data files — schema-less reads of the index would then fail
+        // (no footers to infer from). Deleting EVERY served document
+        // is an index-retirement decision, not a compaction side
+        // effect: refuse, leaving the data and the tombstone filters
+        // standing (reads stay correct; retire with delete() or
+        // rebuild with write() from the post-retraction corpus). The
+        // guard is a LISTING of the staged dir — zero surviving rows
+        // leave no cell=* partition under it — so the anti-joined
+        // corpus is scanned exactly once (the staged write), not once
+        // more for an emptiness probe while tombstones stand.
+        val stagingPath = new org.apache.hadoop.fs.Path(staging)
+        val fs = stagingPath
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val stagedEmpty = !fs.listStatus(stagingPath).exists(st =>
+          st.isDirectory && st.getPath.getName.startsWith("cell="))
+        if (stagedEmpty) {
+          // abort: drop the inert staging (no _SWAP marker was set,
+          // so nothing would have rolled it forward anyway)
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/.compact"), true)
+          throw new IllegalArgumentException(
+            s"retraction empties the index at $path — retire it with " +
+              "delete() or rebuild it with write(); compaction refuses " +
+              "to install an unreadable zero-row corpus")
+        }
         graft.sources.DirSwap.swapStaged(spark, path, Seq("corpus"))
       }
       graft.sources.Retractions.clearThrough(spark, path, throughBatch,

@@ -124,9 +124,17 @@ object CuratedCorpus {
     * same survivors re-derive (the fold's own contract), so
     * downstream folds keyed by the same batch id stay idempotent; a
     * replay of an ALREADY-COMPACTED batch returns empty, and empty
-    * dynamic overwrites downstream touch nothing. */
+    * dynamic overwrites downstream touch nothing.
+    *
+    * `excludeHashes` (a frame of `h`) carves named content hashes out
+    * of the suppression probe — the delete-tagged router's CDC-upsert
+    * seam ([[standingContentHashes]]): a batch that deletes a doc and
+    * re-adds byte-identical content must land the re-add, which the
+    * doomed copy's retained hash would otherwise suppress. Replay
+    * stays intact because the exclusion re-derives from the RAW
+    * standing docs on redelivery (see [[standingContentHashes]]). */
   def foldBatchReturning(path: String, batchDocs: DataFrame,
-      batchId: Long): DataFrame = {
+      batchId: Long, excludeHashes: Option[DataFrame] = None): DataFrame = {
     require(batchId != BaseBatch && batchId >= 0,
       s"fold batch ids must be ≥ 0 (got $batchId; $BaseBatch is the base)")
     // heal a crashed compact swap BEFORE writing: a fold that runs
@@ -136,7 +144,7 @@ object CuratedCorpus {
     // loss of the standing table
     recoverSwap(batchDocs.sparkSession, path)
     val s = store(path)
-    val fresh = freshRows(path, batchDocs, batchId)
+    val fresh = freshRows(path, batchDocs, batchId, excludeHashes)
       .localCheckpoint(true) // both writes below; lineage reads the target dir
     val train = withCounts(fresh.where(trainSplit))
     s.landFold(train, "docs", batchId)
@@ -150,18 +158,43 @@ object CuratedCorpus {
     * the batch's rows and ~32-byte hashes, never standing text
     * (plan-pinned in PlanQualitySpec). */
   private[graft] def freshRows(path: String, batchDocs: DataFrame,
-      batchId: Long): DataFrame = {
+      batchId: Long, excludeHashes: Option[DataFrame] = None): DataFrame = {
     val spark = batchDocs.sparkSession
-    val standing = spark.read.schema("h STRING, __batch LONG")
+    val standing0 = spark.read.schema("h STRING, __batch LONG")
       .parquet(s"$path/hashes")
       .where(col("__batch") =!= batchId) // replay: never probe own landing
       .select("h")
+    val standing = excludeHashes.fold(standing0)(ex =>
+      standing0.join(ex.select(col("h")), Seq("h"), "left_anti"))
     // stage-2 KEEPERS, pre-split (see init: eval-split keepers still
     // assert content identity); the split applies to the docs landing
     PipelineQueries.curatedKeptDocs(batchDocs)
       .withColumn("h", Dedup.exactHash(col("text")))
       .join(standing, Seq("h"), "left_anti")
   }
+
+  /** Content hashes of the STANDING docs named by `ids` — the
+    * [[foldBatchReturning]] exclusion frame for the CDC-UPSERT shape
+    * (one batch deletes a doc and re-adds byte-identical content
+    * under a new id): without it the adds fold first, the retained
+    * hash of the doomed copy suppresses the re-add, and the delete
+    * then retracts the only standing copy — the document is
+    * permanently lost. Read RAW (tombstone-filter-free) on purpose:
+    * on a redelivery the delete's tombstone already stands, and a
+    * filtered read would derive an EMPTY exclusion — suppressing the
+    * re-add on the replay only, a loss only the second delivery
+    * suffers. The raw rows stand until a compaction purges them, by
+    * which point the batch is settled and its replays fold to empty
+    * overwrites (the landed re-add lives in the base). Bounded cost:
+    * `ids` is batch-sized and broadcasts into the semi-join, and the
+    * text read prunes row groups by doc_id footer stats (the docs
+    * layout is doc_id-sorted). */
+  def standingContentHashes(spark: SparkSession, path: String,
+      ids: DataFrame, idCol: String): DataFrame =
+    store(path).openRaw(spark, "docs")
+      .join(ids.select(col(idCol).cast("long").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .select(Dedup.exactHash(col("text")).as("h")).distinct()
 
   /** The composed curated table — (doc_id, source, n_tokens, text)
     * across the base snapshot and every fold, from any session, with

@@ -180,7 +180,8 @@ object IngestStream {
               case Some(p) =>
                 // reader-first recovery: the gate reads the table
                 // before any fold's own preamble would heal a
-                // crashed compaction swap
+                // crashed compaction swap (defers to a LIVE leased
+                // maintainer's in-flight swap — DirSwap.recover)
                 graft.ann.EmbedIndex.recoverSwap(batch.sparkSession, p)
                 graft.ann.EmbedIndex.probe(docRows, p, idCol, e.vecCol,
                   e.threshold).count()
@@ -287,7 +288,22 @@ object IngestStream {
       corpusPath: String, sigPath: String, clusterPath: String,
       threshold: Double, maintainEvery: Option[Int] = None,
       onMaintenanceSkipped: String => Unit = _ => (),
-      embed: Option[(String, String)] = None): Boolean = {
+      embed: Option[(String, String)] = None): Boolean =
+    acceptIndexed(batch, report, corpusPath, sigPath, clusterPath,
+      threshold, maintainEvery, onMaintenanceSkipped, embed,
+      excludeHashes = None)
+
+  /** [[acceptIntoCorpusIndexed]]'s body, plus the fold's
+    * content-hash exclusion seam the delete-tagged router feeds
+    * ([[CuratedCorpus.standingContentHashes]] — the CDC-upsert
+    * carve-out). Not public: an exclusion only makes sense paired
+    * with the delete leg that retracts the excluded content. */
+  private def acceptIndexed(batch: DataFrame, report: BatchReport,
+      corpusPath: String, sigPath: String, clusterPath: String,
+      threshold: Double, maintainEvery: Option[Int],
+      onMaintenanceSkipped: String => Unit,
+      embed: Option[(String, String)],
+      excludeHashes: Option[DataFrame]): Boolean = {
     import graft.dedup.{ClusterIndex, SignatureIndex}
     val spark = batch.sparkSession
     // the signature root is READ below before its own fold's recovery
@@ -296,7 +312,7 @@ object IngestStream {
     // (the corpus and cluster roots recover inside their folds)
     SignatureIndex.recoverSwap(spark, sigPath)
     val survivors = CuratedCorpus.foldBatchReturning(
-      corpusPath, batch, report.batchId)
+      corpusPath, batch, report.batchId, excludeHashes)
     val (sig, releaseSig) = Dedup.batchSignatures(survivors, "doc_id", "text")
     try {
       val within = Dedup.pairsFromSignatures(sig, "batch_id", "sh_batch",
@@ -355,6 +371,13 @@ object IngestStream {
    * both halves idempotently (a replayed batch is the newest
    * processed one, so its tombstone date still clears the standing
    * folds — the same checkpointed-stream argument as [[retractDocs]]).
+   * The CDC-UPSERT shape — one batch deletes a doc and re-adds
+   * byte-identical content under a new id — lands the re-add: the
+   * delete targets' standing content hashes are carved out of the
+   * fold's suppression probe
+   * ([[CuratedCorpus.standingContentHashes]]), so the retained-hash
+   * contract suppresses RESUBMISSIONS of deleted content, never the
+   * replacement travelling with its own delete.
    * Delete rows never enter the CORPUS or an INDEX — they are
    * instructions, not documents. A caller composing this router with
    * [[gated]] passes the same flag as the stack's `instructions`
@@ -388,17 +411,31 @@ object IngestStream {
     // would silently vanish from BOTH halves
     val flag = coalesce(col(deleteCol), lit(false))
     val adds = batch.where(!flag).drop(deleteCol)
+    val dels = batch.where(flag).select("doc_id")
+    val hasDels = !dels.isEmpty
+    // CDC-UPSERT carve-out: the adds fold FIRST (the causal clock),
+    // so a batch that deletes a doc and re-adds byte-identical
+    // content would have the doomed copy's retained hash suppress the
+    // re-add — and the delete then retracts the only standing copy, a
+    // permanent loss. Exclude the delete targets' standing content
+    // hashes from the fold's suppression probe; the exclusion
+    // re-derives identically on a redelivery (raw read —
+    // [[CuratedCorpus.standingContentHashes]] argues the replay
+    // windows).
+    val excl = if (hasDels)
+      Some(CuratedCorpus.standingContentHashes(spark, corpusPath,
+        dels, "doc_id"))
+    else None
     // a pure-delete batch (a GDPR erasure sweep) skips the whole
     // index-fold job chain — an empty fold overwrites nothing, so
     // skipping it is replay-identical; the maintenance tick defers
     // one batch
     val compacted =
       if (adds.isEmpty) false
-      else acceptIntoCorpusIndexed(adds, report, corpusPath,
+      else acceptIndexed(adds, report, corpusPath,
         sigPath, clusterPath, threshold, maintainEvery,
-        onMaintenanceSkipped, embed)
-    val dels = batch.where(flag).select("doc_id")
-    if (!dels.isEmpty)
+        onMaintenanceSkipped, embed, excl)
+    if (hasDels)
       retractDocs(spark, dels, "doc_id", report.batchId, corpusPath,
         sigPath, clusterPath, embed.map(_._1))
     compacted
@@ -495,7 +532,15 @@ object IngestStream {
    * of appending a second copy, while a route that quarantines
    * DIFFERENT slices of one batch under different reasons (dq rows
    * here, drift rows there) keeps both: only an identical
-   * (batch, reason) redelivery overwrites. Keep `reason` a short,
+   * (batch, reason) redelivery overwrites. The flip side is a HARD
+   * CONTRACT: within one delivery of a batch, call this at most ONCE
+   * per reason — a second same-(batch, reason) call is
+   * indistinguishable from a redelivery at the storage layer and
+   * REPLACES the first call's rows. A route that quarantines one
+   * failing slice in chunks must union the chunks (or key each chunk
+   * into its own reason) before calling; there is no storage-level
+   * accumulate that would not also break replay single-copy. Keep
+   * `reason` a short,
    * STABLE machine key — it is a directory name, and it is part of
    * the replay identity: a redelivery quarantined under a renamed
    * reason lands beside the stale partition instead of replacing it

@@ -112,9 +112,27 @@ object DirSwap {
     * outlive recovery (a half-compacted CuratedCorpus would otherwise
     * strand doc folds whose hash partitions already collapsed);
     * (3) retired `.old_*` dirs are pruned once their live dir exists
-    * again. */
+    * again.
+    *
+    * Repair is for the DEAD. A `_SWAP` marker under a root whose
+    * [[Lease]] names a LIVE owner is a healthy IN-FLIGHT swap — the
+    * owner is between its marker drop and its prune — and is
+    * indistinguishable on disk from a crash. A concurrent "repair"
+    * would race the owner's renames over the same dirs (the
+    * interleaving that consumes the staging and then retires the
+    * freshly-installed live dir leaves the root with NO live copy —
+    * a wedged table, not a failed compact). So recover SKIPS, whole,
+    * when a live foreign owner holds the root, unless this thread is
+    * that owner (the recover-before-stage preamble every leased
+    * maintainer runs). Crashed holders read as not-live by the
+    * lease's break-in rules (dead pid on this host immediately, the
+    * stale window elsewhere), so a genuine crash is repaired by the
+    * next caller the moment its lease is breakable — the same wait a
+    * successor maintainer already accepts to acquire the root. */
   def recover(spark: SparkSession, root: String,
       tables: Seq[String]): Unit = {
+    if (!Lease.heldByThisThread(root) && Lease.heldByLiveOwner(spark, root))
+      return
     val fs = fsOf(spark, root)
     def live(t: String) = new Path(s"$root/$t")
     def staged(t: String) = new Path(stagingDir(root, t))

@@ -119,6 +119,14 @@ object Lease {
     deadHere || System.currentTimeMillis - r.acquiredMs > r.staleAfterMs
   }
 
+  /** True iff THIS thread holds `root`'s lease — the re-entrancy
+    * ledger's public face, for a verb that must behave differently
+    * under its own lease than beside someone else's
+    * ([[DirSwap.recover]] repairs under its caller's lease but defers
+    * to a live foreign owner). */
+  def heldByThisThread(root: String): Boolean =
+    heldRoots.get().contains(root)
+
   /** True iff `root`'s lease file names an owner still live by the
     * break-in rules — the check a SCANNER (e.g. snapshot retention)
     * uses to leave an in-flight build's root alone without acquiring

@@ -59,10 +59,26 @@ object Retractions {
     * filtered read, which this write would filter (or, on a
     * redelivery, whose pinned file listing it would invalidate)
     * mid-verb. Callers hold their root's lease and have validated
-    * their causal bound. */
+    * their causal bound.
+    *
+    * Ids are stored as LONG (the repo-wide monotone-id clock), and
+    * the cast is GUARDED: a null or non-numeric id would store a NULL
+    * the anti-join can never match — the delete would silently no-op,
+    * the one failure mode a retraction must not have — so such a row
+    * fails the verb loudly instead (the guard rides the same
+    * projection as the pin; no extra scan). `try_cast` keeps the
+    * guard's behavior independent of the session's ANSI mode — under
+    * `ansi=false` a plain cast would be the silent NULL this guard
+    * exists to catch. */
   def land(ids: DataFrame, idCol: String, batchId: Long,
       root: String): Unit = {
-    val pinned = ids.select(col(idCol).cast("long").as("id")).distinct()
+    val src = col(idCol)
+    val guarded = when(src.isNull.or(src.try_cast("long").isNull),
+      raise_error(concat(
+        lit(s"retraction id ('$idCol') must cast to a non-null LONG, got: "),
+        coalesce(src.cast("string"), lit("NULL")))))
+      .otherwise(src.try_cast("long"))
+    val pinned = ids.select(guarded.as("id")).distinct()
       .localCheckpoint(true)
     try {
       pinned.withColumn("__batch", lit(batchId))

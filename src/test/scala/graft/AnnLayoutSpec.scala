@@ -449,6 +449,11 @@ class AnnLayoutSpec extends SparkSpec {
         2, 5).isEmpty)
       assert(spark.read.parquet(s"$root/corpus").count() == emb.count(),
         "the refused compaction must leave the data standing")
+      // the emptiness guard is the STAGED dir's listing (one corpus
+      // scan total, not a second emptiness probe); a refusal drops
+      // the inert staging instead of leaving it to confuse fsck
+      assert(!new java.io.File(s"$root/.compact").exists,
+        "the refused compaction must clean up its staging")
     } finally IvfIndex.delete(spark, root)
   }
 

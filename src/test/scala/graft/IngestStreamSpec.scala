@@ -77,6 +77,17 @@ class IngestStreamSpec extends SparkSpec {
     val row = IngestStream.openQuarantine(spark, qDir, "doc_id").head()
     assert(row.getAs[Long]("__batch_id") == bad.batchId &&
       row.getAs[String]("__reason") == "dq:text_nonempty")
+    // the flip side of replay single-copy (the quarantine scaladoc's
+    // hard contract): a second same-(batch, reason) call with a
+    // DIFFERENT frame is indistinguishable from a redelivery and
+    // REPLACES the first call's rows — slices of one batch must be
+    // unioned before calling, or keyed into their own reasons
+    IngestStream.quarantine(Seq((202L, "x")).toDF("doc_id", "text"),
+      bad, "dq:text_nonempty", qDir)
+    assert(spark.read.parquet(qDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(202L),
+      "same-(batch, reason) re-call must replace, not accumulate")
+    IngestStream.quarantine(badBatch, bad, "dq:text_nonempty", qDir)
     // a second SLICE of the same batch under another reason must
     // coexist (only an identical (batch, reason) redelivery
     // overwrites), and replay that slice stays single-copy too
@@ -485,6 +496,82 @@ class IngestStreamSpec extends SparkSpec {
       ClusterIndex.compact(spark, clusters)
       assert(Fsck.check(spark, cc, sigs, clusters).isEmpty)
       assert(idsOf(CuratedCorpus.open(spark, cc)) == expected)
+    } finally {
+      CuratedCorpus.delete(spark, cc)
+      SignatureIndex.delete(spark, sigs)
+      ClusterIndex.delete(spark, clusters)
+    }
+  }
+
+  test("CDC upsert: same-batch delete + byte-identical re-add lands the replacement") {
+    import graft.dedup.{ClusterIndex, DedupQueries, SignatureIndex}
+    import graft.pipeline.CuratedCorpus
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    val t1 = mx * 9 / 10
+    val T = DedupQueries.IncrementalFuzzyThreshold
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-upsert").toString
+    val (cc, sigs, clusters) = (s"$root/cc", s"$root/sigs", s"$root/clusters")
+    def idsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    def runBatch(b: org.apache.spark.sql.DataFrame, id: Long) =
+      IngestStream.acceptIntoCorpusIndexedWithDeletes(b,
+        IngestStream.BatchReport(id, b.count(), Nil, 0.0, 0L),
+        "__del", cc, sigs, clusters, T)
+    try {
+      CuratedCorpus.init(docs.where(col("doc_id") < t1), cc)
+      IngestStream.bootstrapIndexes(spark, cc, sigs, clusters, T)
+      val ids0 = idsOf(CuratedCorpus.open(spark, cc))
+      val x = ids0.min // any standing train doc
+      // the upsert batch: delete x, re-add x's EXACT bytes under a new
+      // id (same text → same train bucket, so the replacement is a
+      // train doc exactly like the original). Without the carve-out
+      // the adds fold first, x's retained hash suppresses the re-add,
+      // and the delete then retracts the only standing copy — lost.
+      val newId = mx + 1001
+      val readd = docs.where(col("doc_id") === x)
+        .withColumn("doc_id", lit(newId))
+        .withColumn("__del", lit(null).cast("boolean"))
+      val upsert = readd.unionByName(
+        docs.where(col("doc_id") === x).withColumn("__del", lit(true)))
+      runBatch(upsert, 0L)
+      val want = ids0 - x + newId
+      assert(idsOf(CuratedCorpus.open(spark, cc)) == want,
+        "the replacement must land; the original must retract")
+      val texts = CuratedCorpus.open(spark, cc)
+        .where(col("doc_id").isin(x, newId))
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val xText = docs.where(col("doc_id") === x)
+        .select("text").head().getString(0)
+      assert(texts == Map(newId -> xText), s"stood: ${texts.keySet}")
+      assert(idsOf(SignatureIndex.open(spark, sigs)) == want &&
+        idsOf(ClusterIndex.open(spark, clusters)) == want,
+        "the indexes must answer for the replacement in lockstep")
+      // at-least-once REDELIVERY, pre-compaction: the exclusion
+      // re-derives from the RAW standing docs (x's rows stand until a
+      // purge), so the replay re-lands the re-add instead of
+      // suppressing it against x's retained hash
+      runBatch(upsert, 0L)
+      assert(idsOf(CuratedCorpus.open(spark, cc)) == want,
+        "redelivery must not lose the replacement")
+      // compaction purges x physically; a POST-compaction replay folds
+      // to an empty overwrite (the replacement lives in the base) —
+      // the settled-batch argument in standingContentHashes's scaladoc
+      CuratedCorpus.compact(spark, cc)
+      runBatch(upsert, 0L)
+      assert(idsOf(CuratedCorpus.open(spark, cc)) == want,
+        "a replayed already-compacted upsert must touch nothing")
+      // the retained-hash contract is UNTOUCHED for resubmissions that
+      // do not travel with their own delete: the same content under
+      // yet another id, no delete leg, stays suppressed
+      val resubmit = docs.where(col("doc_id") === x)
+        .withColumn("doc_id", lit(mx + 2002))
+        .withColumn("__del", lit(null).cast("boolean"))
+      runBatch(resubmit, 1L)
+      assert(idsOf(CuratedCorpus.open(spark, cc)) == want,
+        "a bare resubmission of deleted content must stay suppressed")
     } finally {
       CuratedCorpus.delete(spark, cc)
       SignatureIndex.delete(spark, sigs)

@@ -227,4 +227,61 @@ class LeaseToleranceSpec extends SparkSpec {
       IvfIndex.delete(spark, base)
     }
   }
+
+  test("DirSwap.recover defers to a LIVE leased owner's in-flight swap") {
+    import graft.sources.{DirSwap, StandingStore, TableSpec}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-recover-live").toString + "/t"
+    val s = new StandingStore(root, Seq(
+      TableSpec("a", "k LONG, __batch LONG", Seq("k"))))
+    s.landBase(spark.range(0, 10).select(col("id").as("k")), "a")
+    // freeze a swap at its commit point: staging written, marker
+    // dropped, NO rename run yet — on disk this is exactly what a
+    // healthy lease-holding compaction looks like mid-swap
+    def stageMidSwap(rows: Long): Unit = {
+      s.landStaging(spark.range(0, rows).select(col("id").as("k"),
+        lit(StandingStore.BaseBatch).as("__batch")), "a", 1)
+      DirSwap.commitSwaps(spark, root, Seq("a"), 0)
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def markerStands = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/.compact/_SWAP"))
+
+    // 1. a LIVE foreign owner holds the root: a reader/fold preamble's
+    //    recover must not touch it — racing the owner's renames over
+    //    the same dirs can consume the staging and then retire the
+    //    freshly-installed live dir (a wedged root, no live copy)
+    stageMidSwap(20L)
+    val release = holdElsewhere(root)
+    s.recoverSwap(spark)
+    assert(markerStands, "recover must defer to the live owner")
+    assert(s.open(spark, "a").count() == 10L, "live table untouched")
+    // 2. released: the marker is now a genuine crash remnant — repair
+    release()
+    s.recoverSwap(spark)
+    assert(!markerStands)
+    assert(s.open(spark, "a").count() == 20L, "committed swap rolls forward")
+
+    // 3. the owner's OWN recover-before-stage preamble proceeds under
+    //    its lease (per-thread re-entrancy)
+    stageMidSwap(30L)
+    graft.sources.Lease.withLease(spark, root) { s.recoverSwap(spark) }
+    assert(!markerStands && s.open(spark, "a").count() == 30L)
+
+    // 4. a BREAKABLE lease (stale window elapsed) is a crashed owner,
+    //    not a live one: recover repairs right through it
+    stageMidSwap(40L)
+    val lease = new org.apache.hadoop.fs.Path(s"$root/.lease")
+    val out = fs.create(lease, true)
+    out.write((s"""{"token":"t","host":"gone-host","pid":1,""" +
+      s""""acquired_ms":${System.currentTimeMillis - 10L * 3600 * 1000},""" +
+      s""""stale_after_ms":${60L * 60 * 1000}}""").getBytes("UTF-8"))
+    out.close()
+    s.recoverSwap(spark)
+    assert(!markerStands && s.open(spark, "a").count() == 40L,
+      "a stale holder must not block crash repair")
+    fs.delete(lease, false)
+    s.delete(spark)
+  }
 }

@@ -155,6 +155,22 @@ class StandingStoreSpec extends SparkSpec {
     val bare = new StandingStore(root + "_bare", Seq(
       TableSpec("a", "k LONG, __batch LONG", Seq("k"))))
     intercept[IllegalArgumentException] { bare.retract(dead, "k", 0L) }
+
+    // id cast guard: a null or non-numeric id would store a NULL the
+    // anti-join can never match — the delete would silently NO-OP, so
+    // the verb must fail loudly instead. Numeric strings cast fine.
+    import spark.implicits._
+    def loud(body: => Unit): Unit = {
+      val e = intercept[Exception] { body }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(t => t.getMessage != null &&
+        t.getMessage.contains("retraction id")), s"wrong failure: $e")
+    }
+    loud { s.retract(Seq("7", "abc").toDF("k"), "k", 5L) }
+    loud { s.retract(Seq(Some(7L), None).toDF("k"), "k", 5L) }
+    s.retract(Seq("7", "14").toDF("k"), "k", 5L) // numeric strings land
+    assert(s.open(spark, "a").where(col("k").isin(7L, 14L)).count() == 0L)
     s.delete(spark)
   }
 }
