@@ -799,6 +799,13 @@ object ScaleSmoke {
       idsOf(ClusterIndex.open(spark, clusters)) == expected &&
       idsOf(EmbedIndex.open(spark, emb)) == expected,
       "retraction must silence all four structures at once")
+    // the lockstep VIEW answers the same sets from ONE shared
+    // watermark — the consistent-read face over the live
+    // tombstones-standing state, embed leg included, at 10×
+    val lv = IngestStream.lockstepView(spark, cc, sigs, clusters, Some(emb))
+    require(Seq(lv.docs, lv.signatures, lv.clusters, lv.vectors.get)
+      .forall(df => idsOf(df) == expected),
+      s"lockstepView legs disagree at watermark ${lv.watermark}")
     val tombFindings = graft.pipeline.Fsck.check(spark, cc, sigs, clusters,
       Some(emb))
     require(tombFindings.size == 4 &&

@@ -198,6 +198,19 @@ object EmbedIndex {
   def open(spark: SparkSession, path: String): DataFrame =
     store(path).open(spark, "vecs")
 
+  /** [[open]] AS OF fold batch `throughBatch`
+    * ([[graft.sources.StandingStore.openAt]]'s contract) — the
+    * embedding leg of a cross-root consistent read
+    * ([[graft.pipeline.IngestStream.lockstepView]]). */
+  def openAt(spark: SparkSession, path: String,
+      throughBatch: Long): DataFrame =
+    store(path).openAt(spark, "vecs", throughBatch)
+
+  /** Highest batch id ever folded (the store's shared verb — monotone
+    * across compactions via the persisted marker). */
+  def batchWatermark(spark: SparkSession, path: String): Long =
+    store(path).batchWatermark(spark)
+
   /** The composed (bkey, doc_id) bucket table — [[probe]]'s candidate
     * source; exposed for the fsck/diagnostic face. */
   def openBuckets(spark: SparkSession, path: String): DataFrame =

@@ -291,6 +291,51 @@ object ClusterIndex {
     }
   }
 
+  /** [[open]] AS OF fold batch `throughBatch` — the cluster leg of a
+    * cross-root consistent read
+    * ([[graft.pipeline.IngestStream.lockstepView]]): assignment rows
+    * from the base plus folds ≤ `throughBatch`
+    * ([[graft.sources.StandingStore.openAt]]'s partition-pruned
+    * bound, collapse-floor guard, retractions-in-full), with the
+    * relabel chain composed from entries of batch ≤ `throughBatch`
+    * ONLY — an unsettled merge recorded by a later batch must not
+    * relabel a view that excludes that batch's rows. Sound for the
+    * same reason the settled compaction is: a map entry applies only
+    * to rows written strictly before it, so the ≤-bound chain reaches
+    * every row the view includes and no entry the view's clock has
+    * not seen. Not memoized (the full-chain [[open]] memo keys on the
+    * relabel listing alone; a bounded chain would need (listing,
+    * bound) keys for an occasional read — collect the batch-sized
+    * maps instead). */
+  def openAt(spark: SparkSession, path: String,
+      throughBatch: Long): DataFrame = {
+    val asg = store(path).openAt(spark, "assignments", throughBatch)
+    val composed = composeEntries(store(path).openRaw(spark, "relabel")
+      .where(col("__batch") <= throughBatch)
+      .select(col("old_cluster"), col("new_cluster"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1)))
+    if (composed.isEmpty) asg
+    else {
+      import spark.implicits._
+      val composedDf = composed.toDF("cluster", "__new")
+      asg.join(broadcast(composedDf), Seq("cluster"), "left")
+        .select(col("doc_id"),
+          coalesce(col("__new"), col("cluster")).as("cluster"))
+    }
+  }
+
+  /** Highest batch id ever folded (the store's shared verb — monotone
+    * across compactions via the persisted marker). */
+  def batchWatermark(spark: SparkSession, path: String): Long =
+    store(path).batchWatermark(spark)
+
+  /** Finish a crashed compaction swap — the reader-first preamble
+    * ([[graft.dedup.SignatureIndex.recoverSwap]] rationale). No-op on
+    * a healthy table; defers to a LIVE leased maintainer. */
+  def recoverSwap(spark: SparkSession, path: String): Unit =
+    store(path).recoverSwap(spark)
+
   /** [[open]] plus the conventional keeper flag (cluster = min id ⇒
     * keeper is the doc that IS its own label). NOTE after a
     * [[retract]]: the keeper doc of a multi-member cluster may itself
@@ -355,6 +400,10 @@ object ClusterIndex {
     val s = store(path)
     s.withLease(spark) {
       s.recoverSwap(spark)
+      // persist the fold clock + openAt floor BEFORE the partitions
+      // carrying them collapse (the store's compactThrough discipline;
+      // this custom body must keep it itself)
+      s.persistFoldWatermark(spark, throughBatch)
       stageCompact(spark, path, throughBatch, targetFileBytes)
       graft.sources.DirSwap.swapStaged(spark, path, SwapTables)
       // retraction epilogue: the staging purged tombstoned rows, so

@@ -156,6 +156,19 @@ object SignatureIndex {
   def open(spark: SparkSession, path: String): DataFrame =
     store(path).open(spark, "sigs")
 
+  /** [[open]] AS OF fold batch `throughBatch`
+    * ([[graft.sources.StandingStore.openAt]]'s contract) — the
+    * signature leg of a cross-root consistent read
+    * ([[graft.pipeline.IngestStream.lockstepView]]). */
+  def openAt(spark: SparkSession, path: String,
+      throughBatch: Long): DataFrame =
+    store(path).openAt(spark, "sigs", throughBatch)
+
+  /** Highest batch id ever folded (the store's shared verb — monotone
+    * across compactions via the persisted marker). */
+  def batchWatermark(spark: SparkSession, path: String): Long =
+    store(path).batchWatermark(spark)
+
   /** The composed (band_key, doc_id) band table — [[probe]]'s
     * candidate source; exposed for the fsck/diagnostic face. */
   def openBands(spark: SparkSession, path: String): DataFrame =

@@ -82,12 +82,9 @@ object CuratedCorpus {
     val s = store(path)
     s.withLease(docs.sparkSession) {
       // clean slate WITHOUT dropping the root (the held lease lives
-      // there): table dirs and compaction state via the store, plus
-      // this table's persisted watermark
+      // there): table dirs, compaction state, and the persisted
+      // watermark marker, all via the store
       s.clearForRewrite(docs.sparkSession)
-      new org.apache.hadoop.fs.Path(s"$path/$WatermarkFile")
-        .getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(s"$path/$WatermarkFile"), false)
       val kept = PipelineQueries.curatedKeptDocs(docs)
         .withColumn("h", Dedup.exactHash(col("text")))
         .localCheckpoint(true)
@@ -203,6 +200,15 @@ object CuratedCorpus {
   def open(spark: SparkSession, path: String): DataFrame =
     store(path).open(spark, "docs")
 
+  /** [[open]] AS OF fold batch `throughBatch`
+    * ([[graft.sources.StandingStore.openAt]]'s contract: partition-
+    * pruned bound, collapse-floor guard, retractions apply in full) —
+    * the corpus leg of a cross-root consistent read
+    * ([[IngestStream.lockstepView]]). */
+  def openAt(spark: SparkSession, path: String,
+      throughBatch: Long): DataFrame =
+    store(path).openAt(spark, "docs", throughBatch)
+
   /**
    * Retract documents — the row-level delete this table was missing:
    * at 100 TB a delete must cost O(ids), so [[retract]] lands a
@@ -309,8 +315,9 @@ object CuratedCorpus {
     // collapse into the base — the release cadence keys on it, so it
     // must be monotone across compactions (idempotent overwrite; a
     // crash after this write and before the swap just re-records the
-    // same value on the re-run)
-    writeWatermark(spark, path, batchWatermark(spark, path))
+    // same value on the re-run). This compact collapses every
+    // hash-landed fold, so the openAt floor rides the full watermark.
+    s.persistFoldWatermark(spark, Long.MaxValue)
     // fold a batch's DOCS into the base only if its HASHES landed: a
     // fold that crashed between its docs write and its hashes write
     // must keep its docs partition, so the stream's replay overwrites
@@ -372,40 +379,13 @@ object CuratedCorpus {
 
   /** Highest batch id ever folded into the table ([[BaseBatch]] if
     * only the init snapshot) — the fold watermark a [[Release]]
-    * records as lineage and the release cadence advances on. The max
-    * of the live fold partitions and the marker [[compact]] persists
-    * (so the watermark is monotone across compactions, which collapse
-    * the partitions that would otherwise carry it). A directory
-    * listing plus one tiny file read, never a data scan. */
-  def batchWatermark(spark: SparkSession, path: String): Long = {
-    val fromDirs = graft.sources.BatchPartitions.ids(spark, s"$path/docs")
-      .foldLeft(BaseBatch)(math.max)
-    math.max(fromDirs, readWatermark(spark, path))
-  }
-
-  private val WatermarkFile = "watermark.json"
-
-  private def writeWatermark(spark: SparkSession, path: String,
-      wm: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/$WatermarkFile")
-    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .create(p, true)
-    try out.write(s"""{"batch_watermark":$wm}""".getBytes("UTF-8"))
-    finally out.close()
-  }
-
-  private def readWatermark(spark: SparkSession, path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/$WatermarkFile")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) BaseBatch
-    else {
-      val in = fs.open(p)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      "\"batch_watermark\":(-?\\d+)".r.findFirstMatchIn(s)
-        .map(_.group(1).toLong).getOrElse(BaseBatch)
-    }
-  }
+    * records as lineage and the release cadence advances on. The
+    * store's shared verb: max of the live fold partitions and the
+    * marker [[compact]] persists (so the watermark is monotone across
+    * compactions, which collapse the partitions that would otherwise
+    * carry it). A directory listing plus one tiny file read. */
+  def batchWatermark(spark: SparkSession, path: String): Long =
+    store(path).batchWatermark(spark)
 
   /** Retire the table. */
   def delete(spark: SparkSession, path: String): Unit =

@@ -78,6 +78,17 @@ object DocStore {
   def open(spark: SparkSession, path: String): DataFrame =
     store(path).open(spark, "docs")
 
+  /** [[open]] AS OF fold batch `throughBatch`
+    * ([[graft.sources.StandingStore.openAt]]'s contract). */
+  def openAt(spark: SparkSession, path: String,
+      throughBatch: Long): DataFrame =
+    store(path).openAt(spark, "docs", throughBatch)
+
+  /** Highest batch id ever folded (the store's shared verb — monotone
+    * across compactions via the persisted marker). */
+  def batchWatermark(spark: SparkSession, path: String): Long =
+    store(path).batchWatermark(spark)
+
   /** Fold every SETTLED batch (id ≤ `throughBatch`) into the base,
     * restoring file count and the global doc_id sort the point-read
     * contract wants. */

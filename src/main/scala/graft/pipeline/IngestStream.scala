@@ -521,6 +521,81 @@ object IngestStream {
     finally release()
   }
 
+  /** One consistent cross-root read — [[lockstepView]]'s result: the
+    * shared fold watermark the legs are pinned to, and each standing
+    * structure opened AS OF it. Every leg answers for exactly the
+    * curated documents folded through `watermark` (minus standing
+    * retractions), whatever the live loop is doing to the roots. */
+  final case class LockstepView(watermark: Long, docs: DataFrame,
+      signatures: DataFrame, clusters: DataFrame,
+      vectors: Option[DataFrame])
+
+  /**
+   * A CONSISTENT snapshot read across the composed loop's standing
+   * roots — the read-side twin of [[acceptIntoCorpusIndexed]]'s
+   * id-lockstep write contract. A consumer opening the four tables
+   * independently while the loop runs can catch a batch BETWEEN two
+   * of its folds (the corpus answering for documents the indexes have
+   * not indexed yet — the router folds corpus → clusters → signatures
+   * → embeddings in sequence); a release cut, an audit, or a training
+   * mount must not see that tear. This verb pins all legs to ONE fold
+   * watermark instead:
+   *
+   *  - `w` = the MIN of the roots' persisted-marker-backed
+   *    [[graft.sources.StandingStore.batchWatermark]]s — the newest
+   *    batch every root has folded;
+   *  - each leg opens AS OF `w` (`openAt`: base + folds ≤ w, a
+   *    partition filter — excluded folds' files are never read);
+   *    batches the roots' compactions collapsed are always ≤ `w`,
+   *    because the router collapses a batch only after every sibling
+   *    folded it (openAt's collapse-floor guard enforces it);
+   *  - retractions: each leg filters its OWN standing tombstones
+   *    (openAt), and the CORPUS's standing tombstones mask the three
+   *    index legs too — a [[retractDocs]] torn after its corpus-first
+   *    leg (the at-least-once window fsck reports as id-drift) would
+   *    otherwise leave the indexes answering for ids the corpus view
+   *    already dropped. One bounded broadcast side, listing-guarded:
+   *    with no corpus tombstones standing the masks are no-ops.
+   *
+   * The view is a set of PLANS over the dirs as listed now — the
+   * consistency is of the id sets, not a filesystem freeze: a reader
+   * racing a compaction's brief swap window can still fail and should
+   * retry (the standing tables' documented reader caveat; a serving
+   * deployment retains versions instead). A root that stops folding
+   * (a torn batch that never heals) pins `w` — [[Fsck.check]]'s
+   * fold-skew finding names it.
+   *
+   * Reader-first recovery runs per root (deferring to a LIVE leased
+   * maintainer — [[graft.sources.DirSwap.recover]]), so a view taken
+   * right after a crash does not fail on a half-swapped root.
+   */
+  def lockstepView(spark: org.apache.spark.sql.SparkSession,
+      corpusPath: String, sigPath: String, clusterPath: String,
+      embedPath: Option[String] = None): LockstepView = {
+    import graft.dedup.{ClusterIndex, SignatureIndex}
+    CuratedCorpus.recoverSwap(spark, corpusPath)
+    SignatureIndex.recoverSwap(spark, sigPath)
+    graft.dedup.ClusterIndex.recoverSwap(spark, clusterPath)
+    embedPath.foreach(graft.ann.EmbedIndex.recoverSwap(spark, _))
+    val w = (Seq(
+      CuratedCorpus.batchWatermark(spark, corpusPath),
+      SignatureIndex.batchWatermark(spark, sigPath),
+      ClusterIndex.batchWatermark(spark, clusterPath)) ++
+      embedPath.map(graft.ann.EmbedIndex.batchWatermark(spark, _))).min
+    // the corpus's standing tombstones mask every index leg (the
+    // torn-retraction window); listing-guarded no-op in steady state
+    val tombs =
+      if (graft.sources.Retractions.batchIds(spark, corpusPath).isEmpty) None
+      else Some(graft.sources.Retractions.open(spark, corpusPath))
+    def mask(df: DataFrame): DataFrame =
+      tombs.fold(df)(t => graft.sources.Retractions.antiJoin(df, "doc_id", t))
+    LockstepView(w,
+      CuratedCorpus.openAt(spark, corpusPath, w),
+      mask(SignatureIndex.openAt(spark, sigPath, w)),
+      mask(ClusterIndex.openAt(spark, clusterPath, w)),
+      embedPath.map(p => mask(graft.ann.EmbedIndex.openAt(spark, p, w))))
+  }
+
   /**
    * Turnkey quarantine router: land a failing batch in
    * `quarantineDir` as parquet, stamped with the batch id and a

@@ -162,7 +162,32 @@ object PipelineQueries {
     "q_pipeline_retract" -> ((s, dir) =>
       CuratedCorpus.open(s, cachedRetractedCorpusPath(s, dir))
         .select("doc_id", "source", "n_tokens")
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // The CONSISTENT cross-root read ([[IngestStream.lockstepView]])
+    // over a DELIBERATELY torn loop: the corpus is a fold AND a
+    // retraction leg ahead of its sibling indexes (the two tear
+    // shapes a consumer racing the live router can catch). The view
+    // pins every leg to the shared watermark and masks the corpus's
+    // standing tombstones over the index legs, so the answer is the
+    // train set THROUGH the slowest root's clock minus every
+    // retracted id — which the oracle states in SQL. The full outer
+    // joins make each leg load-bearing: an id leaking into (or
+    // missing from) any leg surfaces as a null-attribute or
+    // zero-flag row and fails the hash.
+    "q_pipeline_lockstep" -> ((s, dir) => {
+      val (cc, sigs, clusters) = cachedLockstepRoots(s, dir)
+      val v = IngestStream.lockstepView(s, cc, sigs, clusters)
+      v.docs.select(col("doc_id"), col("source"), col("n_tokens"))
+        .join(v.signatures.select(col("doc_id"), lit(1L).as("sig_leg")),
+          Seq("doc_id"), "full")
+        .join(v.clusters.select(col("doc_id"), lit(1L).as("cluster_leg")),
+          Seq("doc_id"), "full")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          coalesce(col("sig_leg"), lit(0L)).as("sig_leg"),
+          coalesce(col("cluster_leg"), lit(0L)).as("cluster_leg"))
+        .orderBy("doc_id")
+    }))
 
   /** The epoch q_pipeline_epoch_pack exercises — NOT 0, so the query
     * drives the epochDeal join path, not the stored files. */
@@ -245,6 +270,44 @@ object PipelineQueries {
       // re-lands nothing
       CuratedCorpus.foldBatch(path, docs.where(col("doc_id") >= t2), 1L)
       path
+    })
+
+  /** Standing TORN loop per (session, dir) — q_pipeline_lockstep's
+    * fixture: corpus + signature + cluster roots built through batch 0
+    * by the composed router, then torn TWICE the way a crash inside
+    * the router tears them — batch 1 folded into the corpus only (the
+    * mid-router window), and a retraction landed on the corpus only
+    * (the corpus-first delete order's window). Left torn on purpose:
+    * the query reads THROUGH the tears. */
+  private val lockstepCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (String, String, String)]
+  private def cachedLockstepRoots(s: SparkSession,
+      dir: String): (String, String, String) =
+    lockstepCache.getOrElseUpdate((s, dir), {
+      val docs = Tables(s, dir, "documents")
+      val mxRow = docs.agg(max("doc_id")).head()
+      val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
+      val (t1, t2) = (mx * 8 / 10, mx * 9 / 10)
+      val root = graft.Scratch.path("graft_lockstep", dir)
+      graft.Scratch.registerCleanup(root)
+      val (cc, sigs, clusters) =
+        (s"$root/cc", s"$root/sigs", s"$root/clusters")
+      val T = graft.dedup.DedupQueries.IncrementalFuzzyThreshold
+      CuratedCorpus.init(docs.where(col("doc_id") < t1), cc)
+      IngestStream.bootstrapIndexes(s, cc, sigs, clusters, T)
+      val b0 = docs.where(col("doc_id") >= t1 && col("doc_id") < t2)
+      IngestStream.acceptIntoCorpusIndexed(b0,
+        IngestStream.BatchReport(0L, b0.count(), Nil, 0.0, 0L),
+        cc, sigs, clusters, T)
+      // tear 1: the corpus folds batch 1, no index has
+      CuratedCorpus.foldBatch(cc, docs.where(col("doc_id") >= t2), 1L)
+      // tear 2: the corpus-first retraction leg only (ids standing,
+      // dated on the fold clock's watermark)
+      CuratedCorpus.retract(s, cc,
+        CuratedCorpus.open(s, cc).where(col("doc_id") % 7 === 2)
+          .select("doc_id"),
+        "doc_id", 1L)
+      (cc, sigs, clusters)
     })
 
   /** Standing quarantine table per (session, dir): deterministic
@@ -355,6 +418,21 @@ object PipelineQueries {
       SELECT doc_id, source,
         COALESCE(${TextSql.tokenCount("text")}, 0) AS n_tokens
       FROM train WHERE doc_id % 7 <> 3
+      ORDER BY doc_id"""),
+
+    // the lockstep view over the torn loop: the train set THROUGH the
+    // slowest root's watermark (batch 0 — docs below the t2 slice;
+    // curating the slice ≡ slicing the curated set, because the
+    // min-id exact-dedup keeper of a doc below t2 is itself below t2)
+    // minus EVERY retracted id (tombstones apply in full), every
+    // surviving id answered by all three legs
+    "q_pipeline_lockstep" -> (trainCtes + s"""
+      SELECT doc_id, source,
+        COALESCE(${TextSql.tokenCount("text")}, 0) AS n_tokens,
+        CAST(1 AS BIGINT) AS sig_leg, CAST(1 AS BIGINT) AS cluster_leg
+      FROM train
+      WHERE doc_id < (SELECT max(doc_id) * 9 // 10 FROM documents)
+        AND doc_id % 7 <> 2
       ORDER BY doc_id"""))
   }
 

@@ -126,7 +126,8 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
     * forward OVER the fresh rewrite. */
   def clearForRewrite(spark: SparkSession): Unit = {
     val fs = fsOf(spark)
-    (Seq(s"$root/.compact", tombsDir) ++
+    (Seq(s"$root/.compact", tombsDir,
+      s"$root/${StandingStore.WatermarkFile}") ++
       tables.flatMap(t => Seq(s"$root/${t.name}", s"$root/.old_${t.name}")))
       .foreach(d => fs.delete(new Path(d), true))
   }
@@ -197,6 +198,104 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
     spec(table).retractCol match {
       case Some(c) => applyRetractions(spark, composed, c)
       case None => composed
+    }
+  }
+
+  /** [[open]] AS OF fold batch `throughBatch`: the base plus only the
+    * folds with id ≤ `throughBatch` — the snapshot face a
+    * cross-structure consistent read pins several roots of one loop
+    * to ([[graft.pipeline.IngestStream.lockstepView]]). The bound is
+    * a PARTITION filter on `__batch`, so the excluded folds' files
+    * are never read (plan-pinned in PlanQualitySpec).
+    *
+    * `throughBatch` must be ≥ [[compactedThrough]]: a batch collapsed
+    * into the base cannot be re-excluded, so a bound below the
+    * collapse floor would silently INCLUDE rows it claims to cut —
+    * refused instead. The lockstep router satisfies the floor by
+    * construction (it only collapses batches already folded into
+    * every sibling root, so the roots' min watermark is never below
+    * any root's floor).
+    *
+    * Standing retractions apply IN FULL, even tombstones dated after
+    * `throughBatch`: a snapshot read must never resurrect a deleted
+    * row, so the safe direction is to over-filter (GDPR semantics
+    * dominate as-of semantics). */
+  def openAt(spark: SparkSession, table: String,
+      throughBatch: Long): DataFrame = {
+    val floor = compactedThrough(spark)
+    require(throughBatch >= floor,
+      s"openAt($throughBatch) is below $root's collapse floor ($floor) — " +
+        "those folds are already in the base and cannot be re-excluded")
+    val composed = openRaw(spark, table)
+      .where(col("__batch") <= throughBatch).drop("__batch")
+    spec(table).retractCol match {
+      case Some(c) => applyRetractions(spark, composed, c)
+      case None => composed
+    }
+  }
+
+  // ------------------------------------------------------ fold watermark
+
+  /** Highest batch id ever folded into the store ([[BaseBatch]] if
+    * only the base stands): the max of the live fold listings across
+    * every table and the marker [[persistFoldWatermark]] writes before
+    * a compaction collapses the partitions that would otherwise carry
+    * it — so the watermark is MONOTONE across compactions. A directory
+    * listing plus one tiny file read, never a data scan. */
+  def batchWatermark(spark: SparkSession): Long = {
+    val fs = fsOf(spark)
+    val fromDirs = tables.iterator
+      .map(t => dir(t.name))
+      .filter(d => fs.exists(new Path(d)))
+      .flatMap(d => BatchPartitions.ids(spark, d))
+      .foldLeft(BaseBatch)(math.max)
+    math.max(fromDirs, readWatermarkMarker(spark)._1)
+  }
+
+  /** Highest batch id ever COLLAPSED into the base — [[openAt]]'s
+    * floor ([[BaseBatch]] if never compacted, or on a root compacted
+    * only before this marker existed — such a root reads every
+    * `openAt` bound as above-floor, the one caveat of retrofitting). */
+  def compactedThrough(spark: SparkSession): Long =
+    readWatermarkMarker(spark)._2
+
+  /** Persist the fold watermark and the collapse floor — every
+    * compaction body calls this BEFORE staging ([[compactThrough]]
+    * does; custom bodies — [[graft.dedup.ClusterIndex]]'s, the
+    * curated corpus's — call it themselves), so both survive the
+    * collapse of the partitions that carried them. Idempotent
+    * overwrite; a crash between this write and the swap merely
+    * re-records the same watermark (and a conservatively-high floor,
+    * which only ever REFUSES an `openAt`, never mis-serves one). */
+  def persistFoldWatermark(spark: SparkSession,
+      collapseThrough: Long): Unit = {
+    val wm = batchWatermark(spark)
+    val floor = math.max(math.min(collapseThrough, wm),
+      readWatermarkMarker(spark)._2)
+    val p = new Path(s"$root/${StandingStore.WatermarkFile}")
+    val out = fsOf(spark).create(p, true)
+    try out.write(
+      (s"""{"batch_watermark":$wm,""" +
+        s""""compacted_through":$floor}""").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** (watermark, collapse floor) from the marker — (BaseBatch,
+    * BaseBatch) when absent; a legacy marker without the floor key
+    * reads the floor AS the watermark (conservative: refuses bounds
+    * the marker cannot vouch for). */
+  private def readWatermarkMarker(spark: SparkSession): (Long, Long) = {
+    val p = new Path(s"$root/${StandingStore.WatermarkFile}")
+    val fs = fsOf(spark)
+    if (!fs.exists(p)) (BaseBatch, BaseBatch)
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      def num(k: String) = ("\"" + k + "\":(-?\\d+)").r
+        .findFirstMatchIn(s).map(_.group(1).toLong)
+      val wm = num("batch_watermark").getOrElse(BaseBatch)
+      (wm, num("compacted_through").getOrElse(wm))
     }
   }
 
@@ -324,6 +423,9 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
       sizeOverrides: Map[String, Long] = Map.empty): Unit =
     withLease(spark) {
       recoverSwap(spark)
+      // persist the fold clock BEFORE the partitions carrying it
+      // collapse (and the openAt floor with it)
+      persistFoldWatermark(spark, throughBatch)
       val settled = col("__batch") <= throughBatch // BaseBatch ≤ any
       // size every table BEFORE staging: a sizeFrom sibling's live dir
       // must still be the pre-compaction one
@@ -395,4 +497,9 @@ object StandingStore {
 
   /** Retraction (tombstone) directory name under a store's root. */
   val TombsDir: String = Retractions.Dir
+
+  /** Fold-watermark marker file name under a store's root (the name
+    * the curated corpus has persisted since its watermark predates
+    * the shared store — existing roots keep reading). */
+  val WatermarkFile = "watermark.json"
 }

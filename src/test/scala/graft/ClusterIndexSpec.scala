@@ -56,6 +56,42 @@ class ClusterIndexSpec extends SparkSpec {
     ClusterIndex.delete(spark, path)
   }
 
+  test("openAt pins the as-of view: later folds' rows AND relabel maps are both excluded") {
+    import spark.implicits._
+    val corpus = (1L to 10L).toDF("doc_id")
+    val corpusPairs = Seq((2L, 1L), (4L, 3L), (6L, 5L)).toDF("a", "b")
+    val base = Clusters.resolve(corpus, "doc_id", corpusPairs, "a", "b")
+      .select("doc_id", "cluster")
+    val path = fixtureRoot() + "/idx"
+    ClusterIndex.write(base, path)
+    ClusterIndex.foldBatch(path, Seq(100L).toDF("doc_id"),
+      "doc_id", Seq((100L, 2L), (100L, 4L)).toDF("a", "b"), "a", "b", 0L)
+    val asOf0 = asMap(ClusterIndex.open(spark, path))
+    // batch 1 merges the family with {5,6}: its relabel entry maps a
+    // label batch-0 rows CARRY (3→1 composed), so a view at batch 0
+    // that applied the full chain would relabel rows its own clock
+    // has not seen merged — the chain must bound with the rows
+    ClusterIndex.foldBatch(path, Seq(200L).toDF("doc_id"),
+      "doc_id", Seq((200L, 4L), (200L, 6L)).toDF("a", "b"), "a", "b", 1L)
+    assert(asMap(ClusterIndex.openAt(spark, path, 0L)) == asOf0,
+      "openAt(0) must equal what open() answered before batch 1")
+    assert(asMap(ClusterIndex.openAt(spark, path, 1L)) ==
+      asMap(ClusterIndex.open(spark, path)),
+      "openAt at the watermark must equal the live open")
+    assert(asMap(ClusterIndex.openAt(spark, path,
+      graft.sources.StandingStore.BaseBatch)) == asMap(base),
+      "openAt at the base must equal the snapshot as written")
+    // the collapse floor travels through the custom compact body
+    ClusterIndex.compactThrough(spark, path, 0L)
+    assert(ClusterIndex.batchWatermark(spark, path) == 1L)
+    intercept[IllegalArgumentException] {
+      ClusterIndex.openAt(spark, path, graft.sources.StandingStore.BaseBatch)
+    }
+    assert(asMap(ClusterIndex.openAt(spark, path, 0L)) == asOf0,
+      "the as-of view must survive its folds' collapse into the base")
+    ClusterIndex.delete(spark, path)
+  }
+
   test("a second SparkSession opens the table a prior session folded") {
     import spark.implicits._
     val corpus = (1L to 6L).toDF("doc_id")

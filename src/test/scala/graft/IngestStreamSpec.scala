@@ -503,6 +503,96 @@ class IngestStreamSpec extends SparkSpec {
     }
   }
 
+  test("lockstepView: one watermark pins every leg — mid-router and torn-retraction tears never show") {
+    import graft.dedup.{ClusterIndex, DedupQueries, SignatureIndex}
+    import graft.pipeline.CuratedCorpus
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    val (t1, t2) = (mx * 8 / 10, mx * 9 / 10)
+    val T = DedupQueries.IncrementalFuzzyThreshold
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-lockstep").toString
+    val (cc, sigs, clusters) = (s"$root/cc", s"$root/sigs", s"$root/clusters")
+    def idsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    def view() = IngestStream.lockstepView(spark, cc, sigs, clusters)
+    def lockstep(v: IngestStream.LockstepView): Set[Long] = {
+      val ids = idsOf(v.docs)
+      assert(idsOf(v.signatures) == ids && idsOf(v.clusters) == ids,
+        s"legs disagree at watermark ${v.watermark}")
+      ids
+    }
+    def accept(b: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      IngestStream.acceptIntoCorpusIndexed(b,
+        IngestStream.BatchReport(id, b.count(), Nil, 0.0, 0L),
+        cc, sigs, clusters, T)
+      ()
+    }
+    try {
+      CuratedCorpus.init(docs.where(col("doc_id") < t1), cc)
+      IngestStream.bootstrapIndexes(spark, cc, sigs, clusters, T)
+      val v0 = view()
+      assert(v0.watermark == CuratedCorpus.BaseBatch)
+      val ids0 = lockstep(v0)
+      accept(docs.where(col("doc_id") >= t1 && col("doc_id") < t2), 0L)
+      val v1 = view()
+      assert(v1.watermark == 0L)
+      val ids1 = lockstep(v1)
+      assert(ids0.subsetOf(ids1) && ids1 != ids0)
+      // MID-ROUTER TEAR: the corpus folds batch 1 but no index has —
+      // exactly what a consumer racing the router's fold sequence
+      // sees. The view pins to the min watermark (0) and excludes the
+      // half-folded batch from the corpus leg too.
+      val b1 = docs.where(col("doc_id") >= t2)
+      val survivors1 = CuratedCorpus.foldBatchReturning(cc, b1, 1L)
+      assert(!survivors1.isEmpty, "fixture: batch 1 must land docs")
+      val torn = view()
+      assert(torn.watermark == 0L,
+        "the view must pin to the slowest root's watermark")
+      assert(lockstep(torn) == ids1,
+        "a half-folded batch must not show in any leg")
+      assert(idsOf(CuratedCorpus.open(spark, cc)) != ids1,
+        "fixture: the live corpus IS ahead of the view")
+      // heal: the full router replays batch 1 idempotently
+      accept(b1, 1L)
+      val v2 = view()
+      assert(v2.watermark == 1L)
+      val ids2 = lockstep(v2)
+      assert(ids1.subsetOf(ids2) && ids2 != ids1)
+      // TORN RETRACTION: the corpus-first delete leg lands, the index
+      // legs have not (the at-least-once window fsck reports as
+      // id-drift). The corpus's standing tombstones mask the index
+      // legs, so the view never answers for half-deleted ids.
+      val dead = ids2.filter(_ % 5 == 0)
+      assert(dead.nonEmpty)
+      import spark.implicits._
+      CuratedCorpus.retract(spark, cc,
+        dead.toSeq.toDF("doc_id"), "doc_id", 1L)
+      assert(idsOf(SignatureIndex.open(spark, sigs))
+        .exists(dead.contains), "fixture: the sig root IS torn")
+      val vTorn = view()
+      assert(lockstep(vTorn) == ids2 -- dead,
+        "half-deleted ids must not show in any leg")
+      // heal the tear (the composed verb replays every leg), then
+      // compact every root: the watermark must survive the collapse
+      // (persisted markers) and the view must hold steady
+      IngestStream.retractDocs(spark, dead.toSeq.toDF("doc_id"),
+        "doc_id", 1L, cc, sigs, clusters)
+      assert(lockstep(view()) == ids2 -- dead)
+      CuratedCorpus.compact(spark, cc)
+      SignatureIndex.compactThrough(spark, sigs, 1L)
+      ClusterIndex.compactThrough(spark, clusters, 1L)
+      val vEnd = view()
+      assert(vEnd.watermark == 1L,
+        "the watermark must survive a full collapse on every root")
+      assert(lockstep(vEnd) == ids2 -- dead)
+    } finally {
+      CuratedCorpus.delete(spark, cc)
+      SignatureIndex.delete(spark, sigs)
+      ClusterIndex.delete(spark, clusters)
+    }
+  }
+
   test("CDC upsert: same-batch delete + byte-identical re-add lands the replacement") {
     import graft.dedup.{ClusterIndex, DedupQueries, SignatureIndex}
     import graft.pipeline.CuratedCorpus

@@ -273,6 +273,42 @@ class PlanQualitySpec extends SparkSpec {
       s"expected chunk hash + audit agg + presentation range, got $ex")
   }
 
+  test("openAt: the batch bound is a partition filter — excluded folds' files are never read") {
+    import graft.sources.{StandingStore, TableSpec}
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-openat-pin").toString + "/t"
+    val s = new StandingStore(root, Seq(
+      TableSpec("a", "k LONG, __batch LONG", Seq("k"))))
+    s.landBase(spark.range(0, 100).select(col("id").as("k")), "a")
+    s.landFold(spark.range(100, 200).select(col("id").as("k")), "a", 0L)
+    s.landFold(spark.range(200, 300).select(col("id").as("k")), "a", 1L)
+    def filesRead(df: DataFrame): Long = {
+      // drive THIS df's own QueryExecution (count() would plan and
+      // execute a separate aggregate, leaving these metrics at zero)
+      assert(df.collect().length >= 0)
+      // post-execution metrics live on the FINAL adaptive plan, not
+      // the initial one the structural pins elsewhere assert on
+      val executed = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      collectAll(executed) {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+    }
+    val all = filesRead(s.open(spark, "a"))
+    val bounded = filesRead(s.openAt(spark, "a", 0L))
+    assert(all >= 3, s"fixture: expected >=3 files live, read $all")
+    assert(bounded < all,
+      s"openAt must prune the excluded fold's files ($bounded vs $all)")
+    // and the bound costs no join — same steady-state plan as open
+    assert(!s.openAt(spark, "a", 0L).queryExecution.executedPlan
+      .toString.contains("Join"))
+    s.delete(spark)
+  }
+
   test("q_pipeline_retract: the post-delete read scans no text and joins nothing") {
     val p = plan(SparkEntry.queries("q_pipeline_retract")(spark, Sf))
     // the query projects (doc_id, source, n_tokens): text — 99% of

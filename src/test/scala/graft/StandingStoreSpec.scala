@@ -173,4 +173,57 @@ class StandingStoreSpec extends SparkSpec {
     assert(s.open(spark, "a").where(col("k").isin(7L, 14L)).count() == 0L)
     s.delete(spark)
   }
+
+  test("fold watermark persists across compactions; openAt bounds, guards the floor, never resurrects") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-store-wm").toString + "/t"
+    val s = new StandingStore(root, Seq(
+      TableSpec("a", "k LONG, v LONG, __batch LONG", Seq("k"),
+        retractCol = Some("k"))))
+    def rows(lo: Long, hi: Long) =
+      spark.range(lo, hi).select(col("id").as("k"), (col("id") * 2).as("v"))
+    s.landBase(rows(0, 100), "a")
+    assert(s.batchWatermark(spark) == StandingStore.BaseBatch &&
+      s.compactedThrough(spark) == StandingStore.BaseBatch)
+    s.landFold(rows(100, 110), "a", 0L)
+    s.landFold(rows(110, 120), "a", 1L)
+    s.landFold(rows(120, 130), "a", 2L)
+    assert(s.batchWatermark(spark) == 2L)
+    // openAt: base + folds ≤ w, a PARTITION bound
+    assert(s.openAt(spark, "a", StandingStore.BaseBatch).count() == 100L)
+    assert(s.openAt(spark, "a", 0L).count() == 110L)
+    assert(s.openAt(spark, "a", 1L).count() == 120L)
+    // compaction persists clock + floor BEFORE collapsing: the
+    // watermark survives, bounds below the floor refuse (the collapsed
+    // folds cannot be re-excluded — refusing beats silently including)
+    s.compactThrough(spark, 1L)
+    assert(s.batchWatermark(spark) == 2L,
+      "the watermark must survive its folds' collapse")
+    assert(s.compactedThrough(spark) == 1L)
+    assert(s.openAt(spark, "a", 1L).count() == 120L)
+    assert(s.openAt(spark, "a", 2L).count() == 130L)
+    intercept[IllegalArgumentException] { s.openAt(spark, "a", 0L) }
+    // a FULL collapse: the marker alone carries the clock
+    s.compactThrough(spark, Long.MaxValue)
+    assert(s.foldCount(spark) == 0 && s.batchWatermark(spark) == 2L)
+    assert(s.compactedThrough(spark) == 2L,
+      "the floor rides the watermark, not Long.MaxValue")
+    // retractions apply IN FULL, even tombstones dated past the
+    // bound: a snapshot must never resurrect a deleted row
+    s.landFold(rows(130, 140), "a", 3L)
+    s.retract(spark.range(0, 1).select(lit(5L).as("k"))
+      .unionByName(spark.range(0, 1).select(lit(135L).as("k"))), "k", 3L)
+    val v2 = s.openAt(spark, "a", 2L)
+    assert(v2.count() == 129L &&
+      v2.where(col("k") === 5L).count() == 0L,
+      "a later-dated tombstone must still filter the earlier view")
+    assert(s.openAt(spark, "a", 3L).count() == 138L)
+    // a rebuild resets the clock with the tables
+    s.withLease(spark) { s.clearForRewrite(spark) }
+    s.landBase(rows(0, 10), "a")
+    assert(s.batchWatermark(spark) == StandingStore.BaseBatch &&
+      s.compactedThrough(spark) == StandingStore.BaseBatch,
+      "clearForRewrite must reset the persisted watermark")
+    s.delete(spark)
+  }
 }
