@@ -563,7 +563,13 @@ object IngestStream {
    * retry (the standing tables' documented reader caveat; a serving
    * deployment retains versions instead). A root that stops folding
    * (a torn batch that never heals) pins `w` — [[Fsck.check]]'s
-   * fold-skew finding names it.
+   * fold-skew finding names it — and if a sibling's compaction then
+   * collapses PAST the pinned `w`, the view fails LOUDLY on that
+   * root's collapse floor (openAt's guard) rather than serving a
+   * bound it cannot verify. The embedding leg answers for the view's
+   * docs THAT CARRY vectors (null-vector docs are never indexed —
+   * [[graft.ann.EmbedIndex]]'s contract), so its id set is a subset
+   * exactly where vectors were absent.
    *
    * Reader-first recovery runs per root (deferring to a LIVE leased
    * maintainer — [[graft.sources.DirSwap.recover]]), so a view taken
