@@ -105,17 +105,23 @@ object Dedup {
     m.bitwiseXOR(shiftright(m, 16))
   }
 
+  /** `carry` columns ride the deal unchanged (same rows, same
+    * placement — the key is a function of the id alone): the seam
+    * that lets a caller holding per-doc attributes (a release's
+    * pre-counted tokens) deal WITHOUT a re-join against its own
+    * source — at scale that join is two exchanges and two sorts the
+    * carried column makes free. */
   def shuffleDeal(docs: DataFrame, idCol: String, seed: Long,
-      shards: Int): DataFrame = {
+      shards: Int, carry: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(shards > 0 && (shards & (shards - 1)) == 0,
       s"shards must be a positive power of two, got $shards")
     val key = shuffleKey(col(idCol), seed)
     val w = Window.partitionBy(col("shard")).orderBy(col("key"), col(idCol))
-    docs.select(col(idCol), key.as("key"))
+    docs.select(col(idCol) +: carry.map(col) :+ key.as("key"): _*)
       .withColumn("shard", expr(s"key div ${2147483648L / shards}"))
       .withColumn("pos", row_number().over(w).cast("long"))
-      .select(idCol, "shard", "pos", "key")
+      .select(Seq(idCol, "shard", "pos", "key") ++ carry map col: _*)
   }
 
   /**

@@ -321,20 +321,24 @@ object Release {
   def epochDeal(spark: SparkSession, root: String, version: Int,
       epoch: Int): DataFrame = {
     require(epoch >= 0, s"epoch must be >= 0, got $epoch")
-    val manifest = readString(spark, s"$root/v$version/$ManifestFile")
-    def field(name: String): Long =
-      ("\"" + name + "\":(-?\\d+)").r.findFirstMatchIn(manifest)
-        .map(_.group(1).toLong)
-        .getOrElse(throw new IllegalStateException(
-          s"manifest for v$version carries no $name"))
     graft.dedup.Dedup.shuffleDeal(
       openVersion(spark, root, version).select("doc_id"),
-      "doc_id", field("seed") + epoch, field("shards").toInt)
+      "doc_id", manifestField(spark, root, version, "seed") + epoch,
+      manifestField(spark, root, version, "shards").toInt)
       // the stored layout declares shard INT; the deal's key
       // arithmetic yields LONG — one type across epochs, or a reader
       // unioning / strictly typing epoch views breaks on epoch >= 1
       .select(col("doc_id"), col("shard").cast("int").as("shard"),
         col("pos"))
+  }
+
+  private def manifestField(spark: SparkSession, root: String,
+      version: Int, name: String): Long = {
+    val manifest = readString(spark, s"$root/v$version/$ManifestFile")
+    ("\"" + name + "\":(-?\\d+)").r.findFirstMatchIn(manifest)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(
+        s"manifest for v$version carries no $name"))
   }
 
   /** Per-epoch PACKED-SEQUENCE plan for a mounted release — the
@@ -348,15 +352,28 @@ object Release {
     * joined id-only (plan-pinned in PlanQualitySpec). Output is the
     * q_text_pack span shape: (shard, seq, doc_id, seq_offset,
     * n_tokens_in_seq); the reader maps spans back onto text by
-    * doc_id, touching each shard's documents once, in pos order. */
+    * doc_id, touching each shard's documents once, in pos order.
+    *
+    * For epoch ≥ 1 the token counts ride the re-deal itself
+    * ([[graft.dedup.Dedup.shuffleDeal]]'s carry seam) instead of
+    * joining [[epochDeal]] back against the stored counts — the deal
+    * places by id arithmetic alone, so carrying `n_tokens` through
+    * it yields row-identical placement while cutting the plan from
+    * two scans + a doc_id-keyed join (two exchanges, two sorts) to
+    * ONE scan feeding the shard window directly (plan-pinned). */
   def packEpoch(spark: SparkSession, root: String, version: Int,
       epoch: Int, seqLen: Int): DataFrame = {
     val counted = openVersion(spark, root, version)
       .select("doc_id", "shard", "pos", "n_tokens")
     val placed =
       if (epoch == 0) counted
-      else counted.drop("shard", "pos")
-        .join(epochDeal(spark, root, version, epoch), Seq("doc_id"))
+      else graft.dedup.Dedup.shuffleDeal(
+        counted.drop("shard", "pos"), "doc_id",
+        manifestField(spark, root, version, "seed") + epoch,
+        manifestField(spark, root, version, "shards").toInt,
+        carry = Seq("n_tokens"))
+        .select(col("doc_id"), col("shard").cast("int").as("shard"),
+          col("pos"), col("n_tokens"))
     graft.text.TextAnalysis.packPlaced(placed, "doc_id", "shard", "pos",
       "n_tokens", seqLen)
   }

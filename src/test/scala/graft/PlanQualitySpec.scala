@@ -366,6 +366,13 @@ class PlanQualitySpec extends SparkSpec {
           assert(fields.subsetOf(Set("doc_id", "shard", "pos", "n_tokens")),
             s"epoch-$epoch pack scan reads $fields")
         }
+        // the counts ride the re-deal (shuffleDeal's carry): ONE scan
+        // of the release, no doc_id-keyed self-join — at 100 TB the
+        // join this replaces is two exchanges and two sorts
+        assert(scans.length == 1,
+          s"epoch-$epoch pack must scan the release once, got ${scans.length}")
+        assert(!p.toString.contains("Join"),
+          s"epoch-$epoch pack must not self-join the release:\n$p")
       }
     } finally Release.delete(spark, root)
   }
