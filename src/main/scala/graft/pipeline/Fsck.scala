@@ -47,7 +47,21 @@ import graft.sources.{BatchPartitions, DirSwap, Lease}
  *  - `fold-skew`: the settled-discipline indexes hold different fold
  *    partitions — usually benign (a lease-refused cadence skipped one
  *    root's compaction; it catches up next tick), but persistent skew
- *    under a quiet stream means a wedged maintainer.
+ *    under a quiet stream means a wedged maintainer;
+ *  - `watermark-skew`: the roots' fold watermarks (listing ∨
+ *    persisted marker) disagree — a batch landed in a prefix of the
+ *    roots (the mid-router crash window); the at-least-once
+ *    redelivery heals it. A root whose folds can legitimately land
+ *    empty (an embed lane over sparse vectors) shows skew until its
+ *    next non-empty fold;
+ *  - `floor-breach`: a root's collapse floor is PAST the slowest
+ *    root's watermark — a compaction collapsed batches a sibling
+ *    never folded, so a lockstep view
+ *    ([[IngestStream.lockstepView]]) refuses loudly at that root's
+ *    `openAt` until the lagging root folds past the floor (the
+ *    redelivery again). Persistent breach under a quiet stream means
+ *    the lagging root's batch is never coming — rebuild it from the
+ *    corpus.
  *
  * Cost shape: crash-state and fold checks are directory listings; the
  * id cross-check is ONE distributed aggregation over the tables' id
@@ -173,6 +187,33 @@ object Fsck {
           }.mkString("; ")))
       else Seq.empty
 
+    // fold-clock findings: per-root watermark (fold listing ∨ the
+    // marker compactions persist) and collapse floor — listings plus
+    // one tiny file read per root, never a data scan
+    val clocks = (Seq(
+      (corpusPath, s"$corpusPath/docs"),
+      (sigPath, s"$sigPath/sigs"),
+      (clusterPath, s"$clusterPath/assignments")) ++
+      embedPath.map(p => (p, s"$p/vecs")))
+      .map { case (r, d) =>
+        val (wm, floor) =
+          graft.sources.StandingStore.readWatermarkMarker(spark, r)
+        (r, (foldIds(spark, d) + wm).max, floor)
+      }
+    val minWm = clocks.map(_._2).min
+    val wmSkew =
+      if (clocks.map(_._2).distinct.size > 1)
+        Seq(Finding(corpusPath, "watermark-skew",
+          clocks.map { case (r, wm, _) => s"$r: $wm" }.mkString("; ") +
+            " — a batch landed in a prefix of the roots; redelivery heals"))
+      else Seq.empty
+    val floorBreach = clocks.filter(_._3 > minWm).map { case (r, _, fl) =>
+      Finding(r, "floor-breach",
+        s"collapse floor $fl is past the slowest root's watermark " +
+          s"$minWm — a lockstep view refuses this root's openAt until " +
+          "the lagging root folds past the floor")
+    }
+
     // id cross-check: one distributed aggregation chain — each
     // table's ids tagged with a bit, copies per (id, table) counted
     // (a duplicated id inside one table is its own corruption class:
@@ -219,7 +260,7 @@ object Fsck {
             s"${r.getLong(1)} ids present in ${in.mkString("+")} " +
               s"but missing from ${outOf.mkString("+")}")
         }.toSeq
-      crash ++ skew ++ dups ++ drift
+      crash ++ skew ++ wmSkew ++ floorBreach ++ dups ++ drift
     } finally {
       perTable.unpersist()
       ()

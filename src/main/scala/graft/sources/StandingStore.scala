@@ -280,24 +280,8 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
     finally out.close()
   }
 
-  /** (watermark, collapse floor) from the marker — (BaseBatch,
-    * BaseBatch) when absent; a legacy marker without the floor key
-    * reads the floor AS the watermark (conservative: refuses bounds
-    * the marker cannot vouch for). */
-  private def readWatermarkMarker(spark: SparkSession): (Long, Long) = {
-    val p = new Path(s"$root/${StandingStore.WatermarkFile}")
-    val fs = fsOf(spark)
-    if (!fs.exists(p)) (BaseBatch, BaseBatch)
-    else {
-      val in = fs.open(p)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      def num(k: String) = ("\"" + k + "\":(-?\\d+)").r
-        .findFirstMatchIn(s).map(_.group(1).toLong)
-      val wm = num("batch_watermark").getOrElse(BaseBatch)
-      (wm, num("compacted_through").getOrElse(wm))
-    }
-  }
+  private def readWatermarkMarker(spark: SparkSession): (Long, Long) =
+    StandingStore.readWatermarkMarker(spark, root)
 
   // ---------------------------------------------------------- retraction
 
@@ -502,4 +486,25 @@ object StandingStore {
     * the curated corpus has persisted since its watermark predates
     * the shared store — existing roots keep reading). */
   val WatermarkFile = "watermark.json"
+
+  /** (watermark, collapse floor) from any store root's marker —
+    * (BaseBatch, BaseBatch) when absent; a legacy marker without the
+    * floor key reads the floor AS the watermark (conservative:
+    * refuses bounds the marker cannot vouch for). Shared at the
+    * object so report-only tooling ([[graft.pipeline.Fsck]]) reads
+    * the clock without constructing the store. */
+  def readWatermarkMarker(spark: SparkSession, root: String): (Long, Long) = {
+    val p = new Path(s"$root/$WatermarkFile")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) (BaseBatch, BaseBatch)
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      def num(k: String) = ("\"" + k + "\":(-?\\d+)").r
+        .findFirstMatchIn(s).map(_.group(1).toLong)
+      val wm = num("batch_watermark").getOrElse(BaseBatch)
+      (wm, num("compacted_through").getOrElse(wm))
+    }
+  }
 }

@@ -86,8 +86,9 @@ class FsckSpec extends SparkSpec {
         Seq((999999L, "words the corpus never saw at all"))
           .toDF("doc_id", "text"), "doc_id", "text", 5L)
       val drifted = Fsck.check(spark, cc, sigs, clusters, Some(emb))
-      assert(drifted.map(_.kind).sorted == Seq("fold-skew", "id-drift"),
-        s"expected drift + skew: $drifted")
+      assert(drifted.map(_.kind).sorted ==
+        Seq("fold-skew", "id-drift", "watermark-skew"),
+        s"expected drift + both skews: $drifted")
       assert(drifted.find(_.kind == "id-drift").get.detail
         .contains("present in sigs but missing from corpus+clusters+embed"))
       fs.delete(new Path(s"$sigs/sigs/__batch=5"), true)
@@ -105,8 +106,9 @@ class FsckSpec extends SparkSpec {
       SignatureIndex.foldBatch(sigs, dupDoc, "doc_id", "text", 6L)
       SignatureIndex.foldBatch(sigs, dupDoc, "doc_id", "text", 7L)
       val dup = Fsck.check(spark, cc, sigs, clusters, Some(emb))
-      assert(dup.map(_.kind).sorted == Seq("dup-ids", "fold-skew"),
-        s"expected duplicate + skew, no phantom drift: $dup")
+      assert(dup.map(_.kind).sorted ==
+        Seq("dup-ids", "fold-skew", "watermark-skew"),
+        s"expected duplicate + both skews, no phantom drift: $dup")
       assert(dup.find(_.kind == "dup-ids").get.detail
         .contains("1 ids in sigs carry 2 extra copies"), s"$dup")
       Seq(6L, 7L).foreach { b =>
@@ -114,6 +116,28 @@ class FsckSpec extends SparkSpec {
         fs.delete(new Path(s"$sigs/bands/__batch=$b"), true)
       }
       assert(kinds().isEmpty, "report must be clean after the dup heals")
+
+      // fold-clock findings in isolation, via the persisted marker —
+      // the "∨ marker" half of the watermark definition. A corpus
+      // clock ahead of its siblings (the mid-router crash window, as
+      // the marker would record it post-compaction):
+      def writeMarker(json: String): Unit = {
+        val out = fs.create(new Path(
+          s"$cc/${graft.sources.StandingStore.WatermarkFile}"), true)
+        try out.write(json.getBytes("UTF-8")) finally out.close()
+      }
+      writeMarker("""{"batch_watermark":0,"compacted_through":-1}""")
+      assert(kinds() == Seq(("watermark-skew", cc)),
+        s"marker-carried watermark must skew: ${kinds()}")
+      // a collapse floor past the slowest sibling's watermark: the
+      // state a lockstep view refuses loudly on (openAt's floor)
+      writeMarker("""{"batch_watermark":0,"compacted_through":0}""")
+      assert(kinds().sorted ==
+        Seq(("floor-breach", cc), ("watermark-skew", cc)),
+        s"floor past the slowest watermark must breach: ${kinds()}")
+      fs.delete(new Path(
+        s"$cc/${graft.sources.StandingStore.WatermarkFile}"), false)
+      assert(kinds().isEmpty, "report must be clean after the clock heals")
     } finally {
       fs.delete(new Path(root), true)
       ()
