@@ -169,7 +169,7 @@ object EmbedIndex {
       vecCol: String, batchId: Long): Unit = {
     val s = store(path)
     val spark = batchDocs.sparkSession
-    s.recoverSwap(spark)
+    s.recoverSwapForWrite(spark)
     val p = readParams(spark, path)
     val vecs = batchDocs.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("doc_id"),

@@ -260,8 +260,10 @@ object IvfIndex {
     // heal a crashed compact swap BEFORE writing: an append that runs
     // first (a restarted stream replaying into a half-swapped index)
     // would recreate the corpus dir with only its own rows, and the
-    // next recovery would then prune the staged full copy
-    graft.sources.DirSwap.recover(batch.sparkSession, path, Seq("corpus"))
+    // next recovery would then prune the staged full copy. The WRITE
+    // form: refuses under a live foreign owner's pending swap
+    graft.sources.DirSwap.recoverOrRefuseWrites(batch.sparkSession, path,
+      Seq("corpus"))
     Similarity.assignWithVectors(batch, idCol, vecCol, centroids)
       .withColumn("__batch", lit(batchId))
       .write.mode("overwrite")

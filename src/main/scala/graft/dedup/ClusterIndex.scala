@@ -154,8 +154,10 @@ object ClusterIndex {
     val s = store(path)
     // heal a crashed compact swap first: the open() below would only
     // fail fast on a half-swapped table (both dirs are read before
-    // any write), but a restarted fold stream should resume, not err
-    s.recoverSwap(spark)
+    // any write), but a restarted fold stream should resume, not err.
+    // The WRITE form: refuses under a live foreign owner's pending
+    // swap (rows landed meanwhile would be discarded by roll-forward)
+    s.recoverSwapForWrite(spark)
     val batchIds = batchDocs.select(col(idCol).as("doc_id"))
     // Standing labels WITHOUT the batch's own ids: on first play the
     // anti-join is a no-op (ids are disjoint by contract); on REPLAY

@@ -119,9 +119,10 @@ object SignatureIndex {
   def foldBatchSigned(path: String, batchSigs: DataFrame,
       batchId: Long): Unit = {
     val s = store(path)
-    // heal a crashed compact swap before writing (the shared
+    // heal a crashed compact swap before writing — the WRITE form:
+    // refuses under a live foreign owner's pending swap (the shared
     // write-path preamble — see CuratedCorpus.foldBatch)
-    s.recoverSwap(batchSigs.sparkSession)
+    s.recoverSwapForWrite(batchSigs.sparkSession)
     val sigRows = batchSigs.select(col("doc_id"), col("sig"))
     s.landFold(sigRows, "sigs", batchId)
     s.landFold(bandsOf(sigRows), "bands", batchId)

@@ -138,9 +138,11 @@ object CuratedCorpus {
     // first (a restarted stream replaying into a half-swapped table)
     // would recreate the live dir with only its own rows, and the
     // next recovery would then prune the staged full copy — silent
-    // loss of the standing table
-    recoverSwap(batchDocs.sparkSession, path)
+    // loss of the standing table. The WRITE form: under a live
+    // foreign owner's pending swap it refuses instead of landing
+    // rows the roll-forward would discard
     val s = store(path)
+    s.recoverSwapForWrite(batchDocs.sparkSession)
     val fresh = freshRows(path, batchDocs, batchId, excludeHashes)
       .localCheckpoint(true) // both writes below; lineage reads the target dir
     val train = withCounts(fresh.where(trainSplit))
@@ -311,13 +313,6 @@ object CuratedCorpus {
   private[graft] def stageCompact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20): Unit = {
     val s = store(path)
-    // persist the fold watermark BEFORE the partitions that carry it
-    // collapse into the base — the release cadence keys on it, so it
-    // must be monotone across compactions (idempotent overwrite; a
-    // crash after this write and before the swap just re-records the
-    // same value on the re-run). This compact collapses every
-    // hash-landed fold, so the openAt floor rides the full watermark.
-    s.persistFoldWatermark(spark, Long.MaxValue)
     // fold a batch's DOCS into the base only if its HASHES landed: a
     // fold that crashed between its docs write and its hashes write
     // must keep its docs partition, so the stream's replay overwrites
@@ -331,6 +326,20 @@ object CuratedCorpus {
     // a staging partition mixes batch values) are the store's.
     val hashLanded = graft.sources.BatchPartitions
       .ids(spark, s"$path/hashes").toSet
+    // persist the fold watermark BEFORE the partitions that carry it
+    // collapse into the base — the release cadence keys on it, so it
+    // must be monotone across compactions (idempotent overwrite; a
+    // crash after this write and before the swap just re-records the
+    // same value on the re-run). The openAt FLOOR rides the highest
+    // batch this compact actually collapses — the hash-landed ones —
+    // NOT the full watermark: a fold torn between its docs and hashes
+    // writes keeps its docs partition standing (the guard below), so
+    // bounds below its id remain exactly servable and must not be
+    // refused (a lockstep view pinned by a slower sibling reads
+    // through exactly that window).
+    s.persistFoldWatermark(spark,
+      hashLanded.filter(_ != BaseBatch)
+        .foldLeft(BaseBatch)(math.max))
     // standing retractions purge here (rows anti-joined out of the
     // staged copy); the hashes below stay whole — the suppression
     // contract [[retract]] argues

@@ -54,7 +54,7 @@ object DocStore {
   def foldBatch(path: String, batchDocs: DataFrame, idCol: String,
       textCol: String, batchId: Long): Unit = {
     val s = store(path)
-    s.recoverSwap(batchDocs.sparkSession)
+    s.recoverSwapForWrite(batchDocs.sparkSession)
     s.landFold(batchDocs.select(col(idCol).as("doc_id"),
       col(textCol).as("text")), "docs", batchId)
   }

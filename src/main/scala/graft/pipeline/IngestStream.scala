@@ -338,20 +338,38 @@ object IngestStream {
           "doc_id", vecCol, report.batchId)
       }
     } finally releaseSig()
+    maintainAll(spark, corpusPath, sigPath, clusterPath,
+      embed.map(_._1), maintainEvery, onMaintenanceSkipped,
+      report.batchId)
+  }
+
+  /** The indexed routers' shared maintenance pass — each root's
+    * cadence, each tolerating a lease refusal independently
+    * ([[graft.sources.Lease.cadenceOrSkip]]). Split from the fold so
+    * the delete-tagged router can order it AFTER its retraction legs:
+    * a compaction collapsing the just-landed fold BEFORE the batch's
+    * own deletes landed would, on a delete-leg failure + redelivery,
+    * let the upsert carve-out re-land a re-add beside its
+    * already-collapsed copy — the fold partition must stay replayable
+    * until the whole batch (deletes included) has applied. */
+  private def maintainAll(spark: org.apache.spark.sql.SparkSession,
+      corpusPath: String, sigPath: String, clusterPath: String,
+      embedPath: Option[String], maintainEvery: Option[Int],
+      onMaintenanceSkipped: String => Unit, batchId: Long): Boolean = {
+    import graft.dedup.{ClusterIndex, SignatureIndex}
     def skip(body: => Boolean): Boolean =
       graft.sources.Lease.cadenceOrSkip(onMaintenanceSkipped)(body)
     val compactedCorpus = maintainEvery.exists(d =>
       skip(CuratedCorpus.maintain(spark, corpusPath, d)))
     val compactedSig = maintainEvery.exists(d =>
       skip(SignatureIndex.maintainThrough(spark, sigPath, d,
-        report.batchId - 1)))
+        batchId - 1)))
     val compactedCluster = maintainEvery.exists(d =>
       skip(ClusterIndex.maintainThrough(spark, clusterPath, d,
-        report.batchId - 1)))
-    val compactedEmbed = embed.exists { case (embedPath, _) =>
+        batchId - 1)))
+    val compactedEmbed = embedPath.exists { p =>
       maintainEvery.exists(d => skip(
-        graft.ann.EmbedIndex.maintainThrough(spark, embedPath, d,
-          report.batchId - 1)))
+        graft.ann.EmbedIndex.maintainThrough(spark, p, d, batchId - 1)))
     }
     compactedCorpus | compactedSig | compactedCluster | compactedEmbed
   }
@@ -387,11 +405,13 @@ object IngestStream {
    * arrives whole for this router to split. NULL delete flags read as
    * "not a delete".
    *
-   * Lease refusals: the fold's MAINTENANCE cadences skip and retry
-   * next batch as always ([[acceptIntoCorpusIndexed]]'s policy), but
-   * a refusal inside the RETRACTION legs fails the batch LOUDLY —
-   * deliberately not `cadenceOrSkip`, because a delete must never be
-   * silently skipped. The failed batch is redelivered (at-least-once),
+   * Lease refusals: the MAINTENANCE cadences — ordered strictly
+   * AFTER the retraction legs, so a compaction never collapses a
+   * fold whose own deletes have not applied ([[maintainAll]]) — skip
+   * and retry next batch as always ([[acceptIntoCorpusIndexed]]'s
+   * policy), but a refusal inside the RETRACTION legs fails the
+   * batch LOUDLY — deliberately not `cadenceOrSkip`, because a
+   * delete must never be silently skipped. The failed batch is redelivered (at-least-once),
    * and the partial application it may leave behind is exactly the
    * torn state [[retractDocs]] documents: fsck tells, the redelivery
    * heals every leg idempotently — pinned in IngestStreamSpec's
@@ -428,17 +448,24 @@ object IngestStream {
     else None
     // a pure-delete batch (a GDPR erasure sweep) skips the whole
     // index-fold job chain — an empty fold overwrites nothing, so
-    // skipping it is replay-identical; the maintenance tick defers
-    // one batch
-    val compacted =
-      if (adds.isEmpty) false
-      else acceptIndexed(adds, report, corpusPath,
-        sigPath, clusterPath, threshold, maintainEvery,
+    // skipping it is replay-identical. MAINTENANCE runs strictly
+    // AFTER the retraction legs ([[maintainAll]]'s ordering
+    // rationale): a compaction collapsing this batch's fold before
+    // its own deletes landed would, on a delete-leg failure +
+    // redelivery, re-land the upsert carve-out's re-add beside its
+    // already-collapsed copy — the fold must stay replayable until
+    // the whole batch applied. A delete-leg failure therefore also
+    // defers the tick to the redelivery, which is the point.
+    if (!adds.isEmpty)
+      acceptIndexed(adds, report, corpusPath,
+        sigPath, clusterPath, threshold, None,
         onMaintenanceSkipped, embed, excl)
     if (hasDels)
       retractDocs(spark, dels, "doc_id", report.batchId, corpusPath,
         sigPath, clusterPath, embed.map(_._1))
-    compacted
+    maintainAll(spark, corpusPath, sigPath, clusterPath,
+      embed.map(_._1), maintainEvery, onMaintenanceSkipped,
+      report.batchId)
   }
 
   /**

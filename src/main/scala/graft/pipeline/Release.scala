@@ -321,10 +321,10 @@ object Release {
   def epochDeal(spark: SparkSession, root: String, version: Int,
       epoch: Int): DataFrame = {
     require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    val (seed, shards) = dealParams(spark, root, version)
     graft.dedup.Dedup.shuffleDeal(
       openVersion(spark, root, version).select("doc_id"),
-      "doc_id", manifestField(spark, root, version, "seed") + epoch,
-      manifestField(spark, root, version, "shards").toInt)
+      "doc_id", seed + epoch, shards)
       // the stored layout declares shard INT; the deal's key
       // arithmetic yields LONG — one type across epochs, or a reader
       // unioning / strictly typing epoch views breaks on epoch >= 1
@@ -332,13 +332,16 @@ object Release {
         col("pos"))
   }
 
-  private def manifestField(spark: SparkSession, root: String,
-      version: Int, name: String): Long = {
+  /** (seed, shards) of a committed version — ONE manifest read. */
+  private def dealParams(spark: SparkSession, root: String,
+      version: Int): (Long, Int) = {
     val manifest = readString(spark, s"$root/v$version/$ManifestFile")
-    ("\"" + name + "\":(-?\\d+)").r.findFirstMatchIn(manifest)
-      .map(_.group(1).toLong)
-      .getOrElse(throw new IllegalStateException(
-        s"manifest for v$version carries no $name"))
+    def field(name: String): Long =
+      ("\"" + name + "\":(-?\\d+)").r.findFirstMatchIn(manifest)
+        .map(_.group(1).toLong)
+        .getOrElse(throw new IllegalStateException(
+          s"manifest for v$version carries no $name"))
+    (field("seed"), field("shards").toInt)
   }
 
   /** Per-epoch PACKED-SEQUENCE plan for a mounted release — the
@@ -367,13 +370,14 @@ object Release {
       .select("doc_id", "shard", "pos", "n_tokens")
     val placed =
       if (epoch == 0) counted
-      else graft.dedup.Dedup.shuffleDeal(
-        counted.drop("shard", "pos"), "doc_id",
-        manifestField(spark, root, version, "seed") + epoch,
-        manifestField(spark, root, version, "shards").toInt,
-        carry = Seq("n_tokens"))
-        .select(col("doc_id"), col("shard").cast("int").as("shard"),
-          col("pos"), col("n_tokens"))
+      else {
+        val (seed, shards) = dealParams(spark, root, version)
+        graft.dedup.Dedup.shuffleDeal(
+          counted.drop("shard", "pos"), "doc_id", seed + epoch, shards,
+          carry = Seq("n_tokens"))
+          .select(col("doc_id"), col("shard").cast("int").as("shard"),
+            col("pos"), col("n_tokens"))
+      }
     graft.text.TextAnalysis.packPlaced(placed, "doc_id", "shard", "pos",
       "n_tokens", seqLen)
   }

@@ -133,6 +133,41 @@ object DirSwap {
       tables: Seq[String]): Unit = {
     if (!Lease.heldByThisThread(root) && Lease.heldByLiveOwner(spark, root))
       return
+    recoverUnconditionally(spark, root, tables)
+  }
+
+  /** [[recover]] for a WRITE preamble — a fold about to land a
+    * partition. A READER tolerates deferring repair to a live foreign
+    * owner (mixed swap states are benign to read, by the table-order
+    * contract), but a WRITER must not land rows into a root whose
+    * COMMITTED swap is still pending: the eventual roll-forward —
+    * the owner's own completion, or the repair after its lease
+    * breaks — replaces the live dirs with staged copies that predate
+    * the write, silently DISCARDING it (and the stream's checkpoint
+    * may already have committed the batch: permanent loss, not a
+    * retry). So when repair is deferred and the root shows a
+    * committed-swap state (`_SWAP` marker, or a missing live dir
+    * beside a complete staged copy), this THROWS instead of
+    * returning — the batch fails loudly and the at-least-once
+    * redelivery retries after the owner finishes (marker gone) or
+    * crashes into breakability (repair runs). A pre-commit staging
+    * with no marker stays writable: nothing rolls it forward, the
+    * next maintenance overwrites it. */
+  def recoverOrRefuseWrites(spark: SparkSession, root: String,
+      tables: Seq[String]): Unit =
+    if (!Lease.heldByThisThread(root) && Lease.heldByLiveOwner(spark, root)) {
+      val fs = fsOf(spark, root)
+      val pending = fs.exists(swapMarker(root)) || tables.exists(t =>
+        !fs.exists(new Path(s"$root/$t")) &&
+          fs.exists(new Path(s"${stagingDir(root, t)}/_SUCCESS")))
+      if (pending) throw new IllegalStateException(
+        s"$root has a committed swap pending under a live foreign lease — " +
+          "refusing to land writes the roll-forward would discard; " +
+          "redeliver once the owner finishes (or its lease breaks)")
+    } else recoverUnconditionally(spark, root, tables)
+
+  private def recoverUnconditionally(spark: SparkSession, root: String,
+      tables: Seq[String]): Unit = {
     val fs = fsOf(spark, root)
     def live(t: String) = new Path(s"$root/$t")
     def staged(t: String) = new Path(stagingDir(root, t))

@@ -69,15 +69,27 @@ object Retractions {
     * projection as the pin; no extra scan). `try_cast` keeps the
     * guard's behavior independent of the session's ANSI mode — under
     * `ansi=false` a plain cast would be the silent NULL this guard
-    * exists to catch. */
+    * exists to catch. Fractional ids (a JSON-parsed delete feed
+    * arriving as DOUBLE) are held to LOSSLESSNESS too: `7.9`
+    * truncating to `7` would delete the WRONG document, so the value
+    * must round-trip the narrowing exactly. */
   def land(ids: DataFrame, idCol: String, batchId: Long,
       root: String): Unit = {
     val src = col(idCol)
-    val guarded = when(src.isNull.or(src.try_cast("long").isNull),
+    val narrowed = src.try_cast("long")
+    import org.apache.spark.sql.types._
+    val lossless = ids.schema(idCol).dataType match {
+      case DoubleType | FloatType | _: DecimalType =>
+        narrowed.cast(ids.schema(idCol).dataType) === src
+      case _ => lit(true)
+    }
+    val guarded = when(
+      src.isNull.or(narrowed.isNull).or(!lossless),
       raise_error(concat(
-        lit(s"retraction id ('$idCol') must cast to a non-null LONG, got: "),
+        lit(s"retraction id ('$idCol') must cast losslessly to a " +
+          "non-null LONG, got: "),
         coalesce(src.cast("string"), lit("NULL")))))
-      .otherwise(src.try_cast("long"))
+      .otherwise(narrowed)
     val pinned = ids.select(guarded.as("id")).distinct()
       .localCheckpoint(true)
     try {

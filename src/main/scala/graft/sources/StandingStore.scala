@@ -138,6 +138,13 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
   def recoverSwap(spark: SparkSession): Unit =
     DirSwap.recover(spark, root, tables.map(_.name))
 
+  /** [[recoverSwap]] for a FOLD preamble — refuses to proceed (throws)
+    * when a committed swap is pending under a live foreign lease,
+    * because rows landed meanwhile would be discarded by the
+    * roll-forward ([[DirSwap.recoverOrRefuseWrites]]). */
+  def recoverSwapForWrite(spark: SparkSession): Unit =
+    DirSwap.recoverOrRefuseWrites(spark, root, tables.map(_.name))
+
   private def sorted(df: DataFrame, t: TableSpec): DataFrame =
     df.sortWithinPartitions(("__batch" +: t.sortCols).map(col): _*)
 
@@ -160,7 +167,24 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
   }
 
   /** Land one batch of `table` as its own partition — batch-sized
-    * bytes, replay-idempotent (dynamic overwrite keyed by `batchId`). */
+    * bytes, replay-idempotent (dynamic overwrite keyed by `batchId`).
+    *
+    * A ZERO-ROW fold that ADVANCES the clock still lands: the dynamic
+    * overwrite writes no partition for an empty frame, so a NEW
+    * batch's directory is created explicitly (listings + `mkdirs`,
+    * no Spark action) — the fold clock must advance whether or not
+    * the batch carried rows for this table (an embed lane folding a
+    * batch of null vectors, a batch whose survivors all dedup away).
+    * Without it the root's watermark stalls behind its siblings', and
+    * a consumer pinning the min watermark ([[graft.pipeline
+    * .IngestStream.lockstepView]]) is stuck — or, once a sibling
+    * compacts past the stall, refused — in a perfectly healthy loop.
+    * Forward-only: a REPLAYED old batch folding empty (its rows
+    * already collapsed into the base) recreates nothing, so the
+    * replay-after-compaction contract ("the empty overwrite touches
+    * nothing") holds exactly as before. Empty partition dirs read
+    * fine here: every open supplies the spec's explicit schema, and a
+    * replay that DOES carry rows overwrites into the same partition. */
   def landFold(df: DataFrame, table: String, batchId: Long): Unit = {
     val t = spec(table)
     require(batchId != BaseBatch && batchId >= 0,
@@ -169,6 +193,12 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic"), t)
       .partitionBy("__batch").parquet(dir(table))
+    val part = new Path(s"${dir(table)}/__batch=$batchId")
+    val fs = fsOf(df.sparkSession)
+    if (!fs.exists(part) && batchId > batchWatermark(df.sparkSession)) {
+      fs.mkdirs(part)
+      ()
+    }
   }
 
   /** Write `df` (already carrying final `__batch` values) as `table`'s

@@ -244,6 +244,19 @@ class CuratedCorpusSpec extends SparkSpec {
       assert(batchDirs("docs") == Set("__batch=-1", "__batch=7"))
       assert(batchDirs("hashes") == Set("__batch=-1"))
       assert(!new java.io.File(s"$path/.old_docs").exists())
+      // the openAt FLOOR rides the highest batch this compact actually
+      // COLLAPSED (0 — the hash-landed fold), not the full watermark
+      // (7): the torn batch's docs partition still stands, so bounds
+      // below it stay exactly servable — a lockstep view pinned by a
+      // slower sibling reads through this very window
+      assert(graft.sources.StandingStore
+        .readWatermarkMarker(spark, path) == ((7L, 0L)),
+        "watermark rides the docs listing; the floor rides the collapse")
+      val b2Ids = b2.select("doc_id").collect().map(_.getLong(0)).toSet
+      val ids0 = CuratedCorpus.openAt(spark, path, 0L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids0.nonEmpty && ids0.intersect(b2Ids).isEmpty,
+        "openAt(0) must serve, excluding the torn batch's docs")
       // the stream replays the crashed batch: it overwrites its own
       // docs partition and lands the missing hashes — exactly once
       CuratedCorpus.foldBatch(path, b2, 7L)

@@ -662,6 +662,48 @@ class IngestStreamSpec extends SparkSpec {
       runBatch(resubmit, 1L)
       assert(idsOf(CuratedCorpus.open(spark, cc)) == want,
         "a bare resubmission of deleted content must stay suppressed")
+
+      // MAINTENANCE ORDERING: the cadence runs strictly AFTER the
+      // retraction legs. With an in-batch dial of 1 and a held sig
+      // root, the delete leg fails loudly — and the corpus fold must
+      // STILL be standing (un-compacted), or the redelivery's upsert
+      // carve-out would re-land the re-add beside its already-
+      // collapsed copy and duplicate the document.
+      val newId2 = mx + 3003
+      val upsert2 = docs.where(col("doc_id") === x)
+        .withColumn("doc_id", lit(newId2))
+        .withColumn("__del", lit(null).cast("boolean"))
+        .unionByName(docs.where(col("doc_id") === x)
+          .withColumn("doc_id", lit(newId))
+          .withColumn("__del", lit(true)))
+      val held = new java.util.concurrent.atomic.AtomicReference[
+        graft.sources.Lease.Held]
+      val t = new Thread(() =>
+        held.set(graft.sources.Lease.acquire(spark, sigs)))
+      t.start(); t.join()
+      intercept[graft.sources.Lease.HeldElsewhereException] {
+        IngestStream.acceptIntoCorpusIndexedWithDeletes(upsert2,
+          IngestStream.BatchReport(2L, upsert2.count(), Nil, 0.0, 0L),
+          "__del", cc, sigs, clusters, T, maintainEvery = Some(1))
+      }
+      assert(CuratedCorpus.foldCount(spark, cc) > 0,
+        "a failed delete leg must leave the batch's fold un-compacted " +
+          "(maintenance is ordered after the deletes)")
+      val t2 = new Thread(() => held.get().release())
+      t2.start(); t2.join()
+      // the redelivery heals every leg AND runs the deferred
+      // maintenance; the replacement lands exactly once
+      IngestStream.acceptIntoCorpusIndexedWithDeletes(upsert2,
+        IngestStream.BatchReport(2L, upsert2.count(), Nil, 0.0, 0L),
+        "__del", cc, sigs, clusters, T, maintainEvery = Some(1))
+      val want2 = want - newId + newId2
+      val finalIds = idsOf(CuratedCorpus.open(spark, cc))
+      assert(finalIds == want2,
+        s"redelivered held-root upsert must converge")
+      assert(CuratedCorpus.open(spark, cc).count() == want2.size.toLong,
+        "the redelivered re-add must not duplicate")
+      assert(idsOf(SignatureIndex.open(spark, sigs)) == want2 &&
+        idsOf(ClusterIndex.open(spark, clusters)) == want2)
     } finally {
       CuratedCorpus.delete(spark, cc)
       SignatureIndex.delete(spark, sigs)

@@ -282,6 +282,29 @@ class LeaseToleranceSpec extends SparkSpec {
     assert(!markerStands && s.open(spark, "a").count() == 40L,
       "a stale holder must not block crash repair")
     fs.delete(lease, false)
+
+    // 5. the WRITE form: a fold preamble must not defer-and-write
+    //    into a pending committed swap — the roll-forward would
+    //    replace the live dirs with staged copies that predate (and
+    //    so discard) the fold. Refuses while the owner's lease is
+    //    live; repairs the moment it is not.
+    stageMidSwap(50L)
+    val release2 = holdElsewhere(root)
+    s.recoverSwap(spark) // readers still defer silently
+    assert(markerStands)
+    val refusal = intercept[IllegalStateException] {
+      s.recoverSwapForWrite(spark)
+    }
+    assert(refusal.getMessage.contains("pending"), s"$refusal")
+    // a healthy held root (no swap state) stays writable: the refusal
+    // keys on the pending swap, not the lease alone
+    release2()
+    s.recoverSwapForWrite(spark)
+    assert(!markerStands && s.open(spark, "a").count() == 50L,
+      "the write form must repair once no live owner holds the root")
+    val release3 = holdElsewhere(root)
+    s.recoverSwapForWrite(spark) // no marker, no staging: no refusal
+    release3()
     s.delete(spark)
   }
 }

@@ -169,8 +169,13 @@ class StandingStoreSpec extends SparkSpec {
     }
     loud { s.retract(Seq("7", "abc").toDF("k"), "k", 5L) }
     loud { s.retract(Seq(Some(7L), None).toDF("k"), "k", 5L) }
+    // fractional ids must be LOSSLESS, not truncated: 7.9 silently
+    // becoming 7 would delete the wrong document
+    loud { s.retract(Seq(7.9d).toDF("k"), "k", 5L) }
+    s.retract(Seq(21.0d).toDF("k"), "k", 5L) // integral doubles land
     s.retract(Seq("7", "14").toDF("k"), "k", 5L) // numeric strings land
-    assert(s.open(spark, "a").where(col("k").isin(7L, 14L)).count() == 0L)
+    assert(s.open(spark, "a").where(col("k").isin(7L, 14L, 21L))
+      .count() == 0L)
     s.delete(spark)
   }
 
@@ -224,6 +229,25 @@ class StandingStoreSpec extends SparkSpec {
     assert(s.batchWatermark(spark) == StandingStore.BaseBatch &&
       s.compactedThrough(spark) == StandingStore.BaseBatch,
       "clearForRewrite must reset the persisted watermark")
+
+    // a ZERO-ROW fold that ADVANCES the clock still lands (an empty
+    // partition dir): the watermark must move whether or not the
+    // batch carried rows for this table, or a min-watermark consumer
+    // (lockstepView) stalls behind a healthy root — while a REPLAYED
+    // old batch folding empty recreates nothing (forward-only; the
+    // replay-after-compaction contract)
+    s.landFold(rows(0, 0), "a", 0L)
+    assert(s.foldCount(spark) == 1 && s.batchWatermark(spark) == 0L,
+      "an empty fold on a new batch must advance the clock")
+    assert(s.open(spark, "a").count() == 10L,
+      "an empty fold adds no rows")
+    s.landFold(rows(100, 110), "a", 1L)
+    s.compactThrough(spark, Long.MaxValue)
+    assert(s.foldCount(spark) == 0)
+    s.landFold(rows(0, 0), "a", 1L) // replay of a compacted batch
+    assert(s.foldCount(spark) == 0,
+      "a replayed compacted batch folding empty must recreate nothing")
+    assert(s.batchWatermark(spark) == 1L)
     s.delete(spark)
   }
 }
