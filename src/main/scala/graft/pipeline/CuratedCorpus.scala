@@ -191,7 +191,10 @@ object CuratedCorpus {
   def standingContentHashes(spark: SparkSession, path: String,
       ids: DataFrame, idCol: String): DataFrame =
     store(path).openRaw(spark, "docs")
-      .join(ids.select(col(idCol).cast("long").as("doc_id")),
+      // the guarded narrowing: a truncated fractional id would key
+      // the carve-out on the WRONG document's content
+      .join(ids.select(graft.sources.Retractions
+        .losslessLongId(ids, idCol).as("doc_id")),
         Seq("doc_id"), "left_semi")
       .select(Dedup.exactHash(col("text")).as("h")).distinct()
 

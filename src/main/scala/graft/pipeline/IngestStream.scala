@@ -507,9 +507,12 @@ object IngestStream {
     // on the later legs (filter it — a redelivery after a torn run
     // would heal NOTHING because the healed corpus yields an empty id
     // set — or invalidate its pinned file listing mid-verb). The four
-    // legs must delete ONE consistent set, evaluated ONCE.
+    // legs must delete ONE consistent set, evaluated ONCE. The
+    // narrowing is the GUARDED one (Retractions.losslessLongId) — a
+    // plain cast here would truncate a fractional id into the wrong
+    // document before any leg's own guard could refuse it.
     val pinned = ids
-      .select(org.apache.spark.sql.functions.col(idCol).cast("long")
+      .select(graft.sources.Retractions.losslessLongId(ids, idCol)
         .as(idCol))
       .distinct().localCheckpoint(true)
     try {

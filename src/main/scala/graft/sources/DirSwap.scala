@@ -150,20 +150,27 @@ object DirSwap {
     * beside a complete staged copy), this THROWS instead of
     * returning — the batch fails loudly and the at-least-once
     * redelivery retries after the owner finishes (marker gone) or
-    * crashes into breakability (repair runs). A pre-commit staging
-    * with no marker stays writable: nothing rolls it forward, the
-    * next maintenance overwrites it. */
+    * crashes into breakability (repair runs). A COMPLETE staging
+    * under the live owner refuses too, marker or not: the owner's
+    * swap is imminent and its staging read predates the write. What
+    * this cannot detect is the owner still READING (nothing staged
+    * yet) — that window is governed by the class doc's single-writer
+    * contract (the compactor must BE the fold loop, or exclusive);
+    * these refusals are defense-in-depth for the detectable states,
+    * not a license to run ad-hoc compactions against a live fold
+    * loop. */
   def recoverOrRefuseWrites(spark: SparkSession, root: String,
       tables: Seq[String]): Unit =
     if (!Lease.heldByThisThread(root) && Lease.heldByLiveOwner(spark, root)) {
       val fs = fsOf(spark, root)
       val pending = fs.exists(swapMarker(root)) || tables.exists(t =>
-        !fs.exists(new Path(s"$root/$t")) &&
+        !fs.exists(new Path(s"$root/$t")) ||
           fs.exists(new Path(s"${stagingDir(root, t)}/_SUCCESS")))
       if (pending) throw new IllegalStateException(
-        s"$root has a committed swap pending under a live foreign lease — " +
-          "refusing to land writes the roll-forward would discard; " +
-          "redeliver once the owner finishes (or its lease breaks)")
+        s"$root has a swap pending (committed, staged, or mid-rename) " +
+          "under a live foreign lease — refusing to land writes the " +
+          "swap would discard; redeliver once the owner finishes (or " +
+          "its lease breaks)")
     } else recoverUnconditionally(spark, root, tables)
 
   private def recoverUnconditionally(spark: SparkSession, root: String,

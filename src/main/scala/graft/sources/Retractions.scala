@@ -75,22 +75,7 @@ object Retractions {
     * must round-trip the narrowing exactly. */
   def land(ids: DataFrame, idCol: String, batchId: Long,
       root: String): Unit = {
-    val src = col(idCol)
-    val narrowed = src.try_cast("long")
-    import org.apache.spark.sql.types._
-    val lossless = ids.schema(idCol).dataType match {
-      case DoubleType | FloatType | _: DecimalType =>
-        narrowed.cast(ids.schema(idCol).dataType) === src
-      case _ => lit(true)
-    }
-    val guarded = when(
-      src.isNull.or(narrowed.isNull).or(!lossless),
-      raise_error(concat(
-        lit(s"retraction id ('$idCol') must cast losslessly to a " +
-          "non-null LONG, got: "),
-        coalesce(src.cast("string"), lit("NULL")))))
-      .otherwise(narrowed)
-    val pinned = ids.select(guarded.as("id")).distinct()
+    val pinned = ids.select(losslessLongId(ids, idCol).as("id")).distinct()
       .localCheckpoint(true)
     try {
       pinned.withColumn("__batch", lit(batchId))
@@ -102,6 +87,39 @@ object Retractions {
       pinned.unpersist()
       ()
     }
+  }
+
+  /** The GUARDED id projection — the ONE narrowing every delete path
+    * goes through ([[land]] itself, and the composed callers that
+    * pre-pin their id set: `IngestStream.retractDocs`,
+    * `CuratedCorpus.standingContentHashes` — a plain upstream
+    * `cast("long")` would truncate BEFORE the guard could see it). A
+    * null, non-numeric, or LOSSY value fails the verb loudly instead
+    * of deleting the wrong document: fractional numerics must
+    * round-trip the narrowing exactly (`7.9` truncating to `7` is a
+    * wrong-target delete), and string ids must be integral by FORM
+    * (`"7.9"` truncates under non-ANSI string→long, so the shape is
+    * checked, not the cast — the guard stays ANSI-mode-independent).
+    * Type resolution goes through `select` so the session's own
+    * case-sensitivity rules apply (a bare schema lookup is
+    * case-sensitive where column resolution is not). */
+  def losslessLongId(ids: DataFrame, idCol: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    val src = col(idCol)
+    val narrowed = src.try_cast("long")
+    val idType = ids.select(src).schema.head.dataType
+    val lossless = idType match {
+      case DoubleType | FloatType | _: DecimalType =>
+        narrowed.cast(idType) === src
+      case StringType => src.rlike("^\\s*-?\\d+\\s*$")
+      case _ => lit(true)
+    }
+    when(src.isNull.or(narrowed.isNull).or(!lossless),
+      raise_error(concat(
+        lit(s"retraction id ('$idCol') must cast losslessly to a " +
+          "non-null LONG, got: "),
+        coalesce(src.cast("string"), lit("NULL")))))
+      .otherwise(narrowed)
   }
 
   /** Standing tombstone partitions (listing only; empty = none — the

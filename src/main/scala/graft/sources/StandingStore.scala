@@ -182,9 +182,14 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
     * Forward-only: a REPLAYED old batch folding empty (its rows
     * already collapsed into the base) recreates nothing, so the
     * replay-after-compaction contract ("the empty overwrite touches
-    * nothing") holds exactly as before. Empty partition dirs read
-    * fine here: every open supplies the spec's explicit schema, and a
-    * replay that DOES carry rows overwrites into the same partition. */
+    * nothing") holds exactly as before. The forward test is
+    * PER-TABLE (this table's own listing ∨ the persisted marker, the
+    * two places a collapsed batch's id survives) — the root-wide
+    * watermark would let the FIRST table's empty dir hide its
+    * siblings', leaving the batch looking like a torn fold. Empty
+    * partition dirs read fine here: every open supplies the spec's
+    * explicit schema, and a replay that DOES carry rows overwrites
+    * into the same partition. */
   def landFold(df: DataFrame, table: String, batchId: Long): Unit = {
     val t = spec(table)
     require(batchId != BaseBatch && batchId >= 0,
@@ -195,9 +200,12 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
       .partitionBy("__batch").parquet(dir(table))
     val part = new Path(s"${dir(table)}/__batch=$batchId")
     val fs = fsOf(df.sparkSession)
-    if (!fs.exists(part) && batchId > batchWatermark(df.sparkSession)) {
-      fs.mkdirs(part)
-      ()
+    if (!fs.exists(part)) {
+      val spark = df.sparkSession
+      val seen = math.max(
+        BatchPartitions.ids(spark, dir(table)).foldLeft(BaseBatch)(math.max),
+        StandingStore.readWatermarkMarker(spark, root)._1)
+      if (batchId > seen) { fs.mkdirs(part); () }
     }
   }
 

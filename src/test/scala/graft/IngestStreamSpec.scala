@@ -704,6 +704,18 @@ class IngestStreamSpec extends SparkSpec {
         "the redelivered re-add must not duplicate")
       assert(idsOf(SignatureIndex.open(spark, sigs)) == want2 &&
         idsOf(ClusterIndex.open(spark, clusters)) == want2)
+      // the composed delete path narrows through the SAME lossless
+      // guard as the tombstone write: a fractional id fails the verb
+      // loudly instead of truncating into the wrong document
+      import spark.implicits._
+      val e = intercept[Exception] {
+        IngestStream.retractDocs(spark, Seq(7.9d).toDF("doc_id"),
+          "doc_id", 3L, cc, sigs, clusters)
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(e).exists(t => t.getMessage != null &&
+        t.getMessage.contains("retraction id")), s"wrong failure: $e")
     } finally {
       CuratedCorpus.delete(spark, cc)
       SignatureIndex.delete(spark, sigs)

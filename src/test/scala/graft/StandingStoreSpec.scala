@@ -170,11 +170,17 @@ class StandingStoreSpec extends SparkSpec {
     loud { s.retract(Seq("7", "abc").toDF("k"), "k", 5L) }
     loud { s.retract(Seq(Some(7L), None).toDF("k"), "k", 5L) }
     // fractional ids must be LOSSLESS, not truncated: 7.9 silently
-    // becoming 7 would delete the wrong document
+    // becoming 7 would delete the wrong document — whether it arrives
+    // as a DOUBLE or as a STRING (non-ANSI string→long truncates a
+    // decimal suffix, so the string's FORM is checked)
     loud { s.retract(Seq(7.9d).toDF("k"), "k", 5L) }
+    loud { s.retract(Seq("7.9").toDF("k"), "k", 5L) }
     s.retract(Seq(21.0d).toDF("k"), "k", 5L) // integral doubles land
     s.retract(Seq("7", "14").toDF("k"), "k", 5L) // numeric strings land
-    assert(s.open(spark, "a").where(col("k").isin(7L, 14L, 21L))
+    // column resolution honors the session's case rules (a bare
+    // schema lookup would throw where col() resolves)
+    s.retract(Seq(28L).toDF("k"), "K", 5L)
+    assert(s.open(spark, "a").where(col("k").isin(7L, 14L, 21L, 28L))
       .count() == 0L)
     s.delete(spark)
   }
@@ -249,5 +255,23 @@ class StandingStoreSpec extends SparkSpec {
       "a replayed compacted batch folding empty must recreate nothing")
     assert(s.batchWatermark(spark) == 1L)
     s.delete(spark)
+
+    // the forward test is PER-TABLE: a batch that lands rows in one
+    // table and nothing in a sibling must leave BOTH partition dirs
+    // standing, or the healthy batch reads as a torn fold
+    val s2 = new StandingStore(root + "_2", Seq(
+      TableSpec("x", "k LONG, v LONG, __batch LONG", Seq("k")),
+      TableSpec("y", "k LONG, v LONG, __batch LONG", Seq("k"))))
+    s2.landBase(rows(0, 5), "x")
+    s2.landBase(rows(0, 5), "y")
+    s2.landFold(rows(10, 15), "x", 0L) // rows advance the root clock...
+    s2.landFold(rows(0, 0), "y", 0L) // ...the sibling's empty fold still lands
+    val fs2 = new org.apache.hadoop.fs.Path(root + "_2")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs2.exists(new org.apache.hadoop.fs.Path(
+      s"${root}_2/y/__batch=0")),
+      "the sibling's empty fold must land its partition dir")
+    assert(s2.batchWatermark(spark) == 0L)
+    s2.delete(spark)
   }
 }
