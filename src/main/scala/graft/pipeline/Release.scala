@@ -101,10 +101,25 @@ object Release {
     * at init/fold time, so this is a budget fill over pre-counted
     * narrow rows plus the budget-bounded text layout join. Pinned
     * equal to [[build]] over the equivalent full corpus
-    * (ReleaseSpec). */
+    * (ReleaseSpec).
+    *
+    * `atBatch` cuts the version AS OF a fold watermark
+    * ([[CuratedCorpus.openAt]]: base + folds ≤ the bound, a partition
+    * filter) instead of the live table — the
+    * [[IngestStream.lockstepView]] consumer: a cut pinned to the
+    * loop's shared watermark matches the sibling indexes' answer AND
+    * is immune to an in-flight fold's half-written partition files
+    * (the excluded partition is never listed). The bound clamps to
+    * the current watermark, must be ≥ the corpus's collapse floor
+    * (openAt refuses below it), and is what the lineage records — the
+    * cadence's advance math sees the state actually cut, not the
+    * folds that happened to be in flight. Retractions apply in full,
+    * as everywhere ([[graft.sources.StandingStore.openAt]]). */
   def buildFromCorpus(spark: SparkSession, corpusPath: String,
       root: String, version: Int, seed: Long, budget: Long,
-      shards: Int): Unit = graft.sources.Lease.withLease(spark, root) {
+      shards: Int,
+      atBatch: Option[Long] = None): Unit =
+    graft.sources.Lease.withLease(spark, root) {
     // lineage SIDECAR: which standing table and which fold watermark
     // this version was cut from — the provenance an auditor walks
     // from a mounted release back to the corpus state. Deliberately
@@ -128,10 +143,15 @@ object Release {
       CuratedCorpus.recoverSwap(spark, corpusPath)
     }
     val wm = CuratedCorpus.batchWatermark(spark, corpusPath)
+    val effective = atBatch.fold(wm)(b => math.min(b, wm))
+    val rows = atBatch match {
+      case Some(_) => CuratedCorpus.openAt(spark, corpusPath, effective)
+      case None => CuratedCorpus.open(spark, corpusPath)
+    }
     val escaped = corpusPath.replace("\\", "\\\\").replace("\"", "\\\"")
-    commitVersion(CuratedCorpus.open(spark, corpusPath),
-      root, version, seed, budget, shards,
-      lineage = Some(s"""{"corpus_path":"$escaped","corpus_batch":$wm}"""))
+    commitVersion(rows, root, version, seed, budget, shards,
+      lineage =
+        Some(s"""{"corpus_path":"$escaped","corpus_batch":$effective}"""))
   }
 
   /**
@@ -155,11 +175,17 @@ object Release {
    * `HeldElsewhereException` (same guard as
    * [[graft.ann.IvfIndex.ensure]] and every compact here).
    *
+   * `atBatch` pins the cut to a caller-supplied watermark (a
+   * lockstep view's — [[buildFromCorpus]]'s as-of contract); the
+   * due-math then advances on the PINNED clock, so a bound that has
+   * not moved never re-cuts.
+   *
    * @return the version cut, when one was
    */
   def maintainFromCorpus(spark: SparkSession, corpusPath: String,
       root: String, seed: Long, budget: Long, shards: Int,
-      everyBatches: Long, keep: Int = 2): Option[Int] =
+      everyBatches: Long, keep: Int = 2,
+      atBatch: Option[Long] = None): Option[Int] =
     graft.sources.Lease.withLease(spark, root) {
     require(everyBatches >= 1, s"everyBatches must be >= 1, got $everyBatches")
     // corpus-root lease for the corpus-mutating recovery — see
@@ -167,7 +193,8 @@ object Release {
     graft.sources.Lease.withLease(spark, corpusPath) {
       CuratedCorpus.recoverSwap(spark, corpusPath)
     }
-    val wm = CuratedCorpus.batchWatermark(spark, corpusPath)
+    val liveWm = CuratedCorpus.batchWatermark(spark, corpusPath)
+    val wm = atBatch.fold(liveWm)(b => math.min(b, liveWm))
     val latest = latestVersion(spark, root)
     val lastWm = latest.flatMap(v => lineageJson(spark, root, v))
       .flatMap(j => "\"corpus_batch\":(-?\\d+)".r.findFirstMatchIn(j))
@@ -175,7 +202,8 @@ object Release {
     val due = lastWm.forall(w => wm - w >= everyBatches)
     if (due) {
       val v = latest.getOrElse(0) + 1
-      buildFromCorpus(spark, corpusPath, root, v, seed, budget, shards)
+      buildFromCorpus(spark, corpusPath, root, v, seed, budget, shards,
+        atBatch)
       prune(spark, root, keep)
       Some(v)
     } else None

@@ -64,6 +64,60 @@ class ReleaseSpec extends SparkSpec {
     }
   }
 
+  test("buildFromCorpus atBatch: an as-of cut equals the cut from a corpus frozen there") {
+    import graft.pipeline.CuratedCorpus
+    val cc = Files.createTempDirectory("graft-corpus").toString + "/cc"
+    val ccFrozen = Files.createTempDirectory("graft-corpus").toString + "/cc"
+    val root = Files.createTempDirectory("graft-release").toString + "/rel"
+    val rootF = Files.createTempDirectory("graft-release").toString + "/rel"
+    try {
+      val mx = docs.agg(max("doc_id")).head().getLong(0)
+      val (t1, t2) = (mx * 8 / 10, mx * 9 / 10)
+      CuratedCorpus.init(docs.where(col("doc_id") < t1), cc)
+      CuratedCorpus.foldBatch(cc,
+        docs.where(col("doc_id") >= t1 && col("doc_id") < t2), 0L)
+      CuratedCorpus.foldBatch(cc, docs.where(col("doc_id") >= t2), 1L)
+      // the as-of cut at batch 0 (the lockstep-view consumer: a cut
+      // pinned to the loop's shared watermark, immune to whatever
+      // batch 1 was doing mid-flight)
+      Release.buildFromCorpus(spark, cc, root, 1, Release.Seed,
+        Release.Budget, Release.Shards, atBatch = Some(0L))
+      // ≡ a corpus that simply never folded batch 1 (bit-identical
+      // manifest — the as-of bound is a partition filter, not a
+      // different pipeline)
+      CuratedCorpus.init(docs.where(col("doc_id") < t1), ccFrozen)
+      CuratedCorpus.foldBatch(ccFrozen,
+        docs.where(col("doc_id") >= t1 && col("doc_id") < t2), 0L)
+      Release.buildFromCorpus(spark, ccFrozen, rootF, 1, Release.Seed,
+        Release.Budget, Release.Shards)
+      assert(Release.manifestJson(spark, root) ==
+        Release.manifestJson(spark, rootF),
+        "the as-of cut must be bit-identical to the frozen-corpus cut")
+      // the lineage records the bound actually cut — the cadence's
+      // advance math sees the pinned clock, so an unmoved bound never
+      // re-cuts, and the live clock resumes when the pin is dropped
+      assert(Release.lineageJson(spark, root, 1)
+        .exists(_.contains("\"corpus_batch\":0")))
+      assert(Release.maintainFromCorpus(spark, cc, root, Release.Seed,
+        Release.Budget, Release.Shards, everyBatches = 1,
+        atBatch = Some(0L)).isEmpty,
+        "a pinned, unmoved watermark must not re-cut")
+      assert(Release.maintainFromCorpus(spark, cc, root, Release.Seed,
+        Release.Budget, Release.Shards, everyBatches = 1).contains(2),
+        "dropping the pin resumes the live clock")
+      // a bound past the live watermark clamps (records what was cut)
+      Release.buildFromCorpus(spark, cc, root, 3, Release.Seed,
+        Release.Budget, Release.Shards, atBatch = Some(99L))
+      assert(Release.lineageJson(spark, root, 3)
+        .exists(_.contains("\"corpus_batch\":1")))
+    } finally {
+      CuratedCorpus.delete(spark, cc)
+      CuratedCorpus.delete(spark, ccFrozen)
+      Release.delete(spark, root)
+      Release.delete(spark, rootF)
+    }
+  }
+
   test("null-source docs reach the manifest as JSON null, never a crash") {
     val root = Files.createTempDirectory("graft-release").toString + "/rel"
     try {
