@@ -202,8 +202,13 @@ object Release {
     val due = lastWm.forall(w => wm - w >= everyBatches)
     if (due) {
       val v = latest.getOrElse(0) + 1
+      // forward the CLAMPED bound, not the raw one: the build re-reads
+      // the live watermark, and a fold landing between the due-check
+      // and the cut would otherwise move a pinned cut onto a clock the
+      // due-math never saw (only the pinned path — an unpinned cadence
+      // keeps the live-table read it always had)
       buildFromCorpus(spark, corpusPath, root, v, seed, budget, shards,
-        atBatch)
+        atBatch.map(_ => wm))
       prune(spark, root, keep)
       Some(v)
     } else None

@@ -163,9 +163,18 @@ object DirSwap {
       tables: Seq[String]): Unit =
     if (!Lease.heldByThisThread(root) && Lease.heldByLiveOwner(spark, root)) {
       val fs = fsOf(spark, root)
-      val pending = fs.exists(swapMarker(root)) || tables.exists(t =>
-        !fs.exists(new Path(s"$root/$t")) ||
-          fs.exists(new Path(s"${stagingDir(root, t)}/_SUCCESS")))
+      // a missing live dir counts only WITH swap evidence (a retired
+      // `.old_` copy or a staging dir): a never-created table on a
+      // fresh root is not a mid-rename window, and refusing it would
+      // wedge the root's first write for as long as any foreign
+      // thread holds the lease
+      val pending = fs.exists(swapMarker(root)) || tables.exists { t =>
+        val missingLive = !fs.exists(new Path(s"$root/$t"))
+        val swapEvidence = fs.exists(new Path(s"$root/.old_$t")) ||
+          fs.exists(new Path(stagingDir(root, t)))
+        fs.exists(new Path(s"${stagingDir(root, t)}/_SUCCESS")) ||
+          (missingLive && swapEvidence)
+      }
       if (pending) throw new IllegalStateException(
         s"$root has a swap pending (committed, staged, or mid-rename) " +
           "under a live foreign lease — refusing to land writes the " +

@@ -111,7 +111,9 @@ object Retractions {
     val lossless = idType match {
       case DoubleType | FloatType | _: DecimalType =>
         narrowed.cast(idType) === src
-      case StringType => src.rlike("^\\s*-?\\d+\\s*$")
+      // the form the narrowing cast itself accepts losslessly —
+      // optional sign (+ included: try_cast("+7") = 7), digits only
+      case StringType => src.rlike("^\\s*[+-]?\\d+\\s*$")
       case _ => lit(true)
     }
     when(src.isNull.or(narrowed.isNull).or(!lossless),

@@ -304,7 +304,16 @@ class LeaseToleranceSpec extends SparkSpec {
       "the write form must repair once no live owner holds the root")
     val release3 = holdElsewhere(root)
     s.recoverSwapForWrite(spark) // no marker, no staging: no refusal
-    release3()
+    // a FRESH root (table dir never created) under a foreign lease is
+    // not a mid-rename window — the first write must not be refused,
+    // or the root wedges for as long as the lease stands
+    val sFresh = new StandingStore(root + "_fresh", Seq(
+      TableSpec("a", "k LONG, __batch LONG", Seq("k"))))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root + "_fresh"))
+    val release4 = holdElsewhere(root + "_fresh")
+    sFresh.recoverSwapForWrite(spark)
+    release4(); release3()
+    sFresh.delete(spark)
     s.delete(spark)
   }
 }

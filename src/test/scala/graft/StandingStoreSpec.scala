@@ -177,6 +177,7 @@ class StandingStoreSpec extends SparkSpec {
     loud { s.retract(Seq("7.9").toDF("k"), "k", 5L) }
     s.retract(Seq(21.0d).toDF("k"), "k", 5L) // integral doubles land
     s.retract(Seq("7", "14").toDF("k"), "k", 5L) // numeric strings land
+    s.retract(Seq("+35").toDF("k"), "k", 5L) // signed integral form lands
     // column resolution honors the session's case rules (a bare
     // schema lookup would throw where col() resolves)
     s.retract(Seq(28L).toDF("k"), "K", 5L)
