@@ -56,6 +56,13 @@ object Bench {
     val totalMed = results.map(_._3).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""total_median":$totalMed,"queries_median":$med,"sf":"$sfDir"}""")
+    // Trailing compact totals: the driver's artifact capture keeps
+    // only the TAIL of stdout, and the big line above fronts its
+    // totals — without this line a truncated capture loses the
+    // headline numbers (VERDICT r14 "What's wrong" #2).
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""total_median":$totalMed,"n_queries":${results.size},""" +
+      s""""n_failed":${results.count(_._2 < 0)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -81,7 +81,9 @@ object AnnQueries {
     ivfIndexCache.getOrElseUpdate((s, dir), {
       val emb = Tables(s, dir, "embeddings")
       val cents = Similarity.trainCentroidsDistributed(
-        emb, "vec_id", "embedding", CentroidK, refineIters = TrainRefineIters)
+        emb, "vec_id", "embedding", CentroidK,
+        sampleSize = TrainSampleSize, sampleIters = TrainSampleIters,
+        refineIters = TrainRefineIters)
       val path = IvfIndex.scratchPath(dir)
       // scratch indexes are session-lived: retire on JVM exit so
       // repeated harness runs never accumulate /tmp state (the
@@ -192,10 +194,12 @@ object AnnQueries {
     }),
 
     // IVF-flat with SAMPLED-K-MEANS centroids (the production path —
-    // first-K centroids degrade recall on clustered corpora). Lloyd
-    // isn't SQL-expressible, so this entry has no DuckDB oracle: the
-    // driver records the weaker rows-only check, while AnnRecallSpec
-    // pins the golden output hash and the recall win over first-K.
+    // first-K centroids degrade recall on clustered corpora). The
+    // DuckDB oracle restates the whole trainer — xxhash64 sample
+    // order, ordered-double-fold sampled Lloyd, decimal distributed
+    // refine ([[trainedCentSql]]) — so this row is hash-checked like
+    // every other; AnnRecallSpec's golden hash and recall floor stay
+    // as regression armor.
     // Production split: TRAIN + at-rest layout happen ONCE per corpus
     // snapshot (cachedIvfIndexPath — sampled seed + distributed Lloyd
     // refinement, then IvfIndex.write); every run of the query is the
@@ -379,11 +383,10 @@ object AnnQueries {
     // the AT-REST cell-partitioned corpus, so the semantic partition
     // is the index layout itself: zero assignment recompute, the pair
     // join's one exchange hashes the stored cell key, and the files
-    // are read cell-local. Lloyd isn't SQL-expressible, so like
-    // q_ann_ivf_trained this entry is oracle-less (driver rows-only
-    // check); the correctness gates are the SemanticDedupSpec at-rest
-    // equality case (verdicts ≡ in-query rule on the same centroids)
-    // and the golden output hash pinned there.
+    // are read cell-local. Oracle-backed like q_ann_ivf_trained (the
+    // shared [[trainedCentSql]] chain feeding [[semanticOracleSql]]);
+    // the SemanticDedupSpec at-rest equality case and its golden hash
+    // stay as regression armor.
     "q_dedup_semantic_trained" -> ((s, dir) => {
       val (path, _, _) = cachedIvfIndex(s, dir)
       IvfIndex.semanticDedup(s, path, "vec_id", "embedding",
@@ -453,6 +456,236 @@ object AnnQueries {
         i => s"CAST(($v)[$i] AS DOUBLE) * ${weightSql(band * planesPerBand + p, i)}")
       s"(CASE WHEN $proj >= 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  // ------------------------------------------------------------------
+  // Trained-centroid oracle: Similarity.trainCentroidsDistributed
+  // restated in DuckDB SQL, giving the trained pair the same
+  // hash-level check as every other query. The sampled Lloyd phase is
+  // order-DEPENDENT double arithmetic (the driver folds the sample in
+  // xxhash64 order), so the SQL reproduces (a) Spark's xxhash64 of one
+  // long — XXH64 restated in HUGEINT arithmetic mod 2^64 — for the
+  // sample order, and (b) the per-cell left folds via ordered list
+  // aggregation (list(x ORDER BY rn) then list_reduce ≡ the driver's
+  // sequential `sums += v(d)` in hash order). The refine phase is the
+  // order-INDEPENDENT decimal(28,10) fold, restated as a plain decimal
+  // SUM. MATERIALIZED CTEs are load-bearing: each Lloyd iteration
+  // references its predecessor twice, and without materialization the
+  // 12-stage chain re-evaluates exponentially.
+  // ------------------------------------------------------------------
+
+  private val XxP1 = BigInt("9E3779B185EBCA87", 16)
+  private val XxP2 = BigInt("C2B2AE3D27D4EB4F", 16)
+  private val XxP3 = BigInt("165667B19E3779F9", 16)
+  private val XxP4 = BigInt("85EBCA77C2B2AE63", 16)
+  private val XxP5 = BigInt("27D4EB2F165667C5", 16)
+  private val Mod64 = BigInt(1) << 64
+  private def rotlB(x: BigInt, r: Int): BigInt =
+    ((x << r) | (x >> (64 - r))) & (Mod64 - 1)
+
+  /** XXH64 of one 8-byte value (Spark's XxHash64 per-LongType-field
+    * step; the algorithm is public — Cyan4973/xxHash). Verified
+    * against Spark's `xxhash64` output in AnnRecallSpec. */
+  private[graft] def xxh64Long(input: BigInt, seed: BigInt): BigInt = {
+    var h = (seed + XxP5 + 8) % Mod64
+    h ^= rotlB(input * XxP2 % Mod64, 31) * XxP1 % Mod64
+    h = (rotlB(h, 27) * XxP1 + XxP4) % Mod64
+    h ^= h >> 33
+    h = h * XxP2 % Mod64
+    h ^= h >> 29
+    h = h * XxP3 % Mod64
+    h ^= h >> 32
+    h
+  }
+
+  /** Per-row running-hash INIT constant: `xxhash64(lit(seed), id)`
+    * chains hashLong over the fields, so the leading literal folds to
+    * `hashLong(42, 42)` and the first variable step starts from
+    * `inner + P5 + 8` — precomputed here so the SQL does one
+    * hashLong, not two. */
+  private[graft] val XxRowInit: BigInt =
+    (xxh64Long(BigInt(42), BigInt(42)) + XxP5 + 8) % Mod64
+
+  // 64-bit wraparound arithmetic over HUGEINT-typed SQL expressions.
+  // Every value is kept in [0, 2^64); the 32-bit-half decomposition
+  // keeps each partial product < 2^65, far inside HUGEINT range.
+  private def mul64(a: String, b: String): String =
+    s"(((($a) % 4294967296) * (($b) % 4294967296) + " +
+      s"(((($a) % 4294967296) * (($b) // 4294967296) + " +
+      s"(($a) // 4294967296) * (($b) % 4294967296)) % 4294967296) * " +
+      s"4294967296) % $Mod64)"
+  private def rotl64(x: String, r: Int): String = {
+    val lo = BigInt(1) << (64 - r)
+    s"((($x) % $lo) * ${BigInt(1) << r} + ($x) // $lo)"
+  }
+  private def xor64(a: String, b: String): String =
+    s"CAST(xor(CAST($a AS UBIGINT), CAST($b AS UBIGINT)) AS HUGEINT)"
+  private def shr64(x: String, r: Int): String =
+    s"(($x) // ${BigInt(1) << r})"
+
+  /** CTE stages computing `hord(vec_id, embedding, hkey)` where hkey
+    * is the SIGNED `xxhash64(lit(42L), vec_id)` — the sample sort key
+    * of [[Similarity.trainCentroids]]. Chained one-step-per-CTE so the
+    * 64-bit emulation stays readable and each subexpression is
+    * computed once. */
+  private def xxhashStagesSql: String = s"""
+  hx0 AS (SELECT *, CAST(CASE WHEN vec_id < 0 THEN CAST(vec_id AS HUGEINT) + $Mod64
+                         ELSE CAST(vec_id AS HUGEINT) END AS HUGEINT) AS z
+          FROM emb_nn),
+  hx1 AS (SELECT *, ${mul64(rotl64(mul64("z", XxP2.toString), 31), XxP1.toString)} AS k1 FROM hx0),
+  hx2 AS (SELECT *, ${xor64(XxRowInit.toString, "k1")} AS h1 FROM hx1),
+  hx3 AS (SELECT *, (${mul64(rotl64("h1", 27), XxP1.toString)} + $XxP4) % $Mod64 AS h2 FROM hx2),
+  hx4 AS (SELECT *, ${mul64(xor64("h2", shr64("h2", 33)), XxP2.toString)} AS h3 FROM hx3),
+  hx5 AS (SELECT *, ${mul64(xor64("h3", shr64("h3", 29)), XxP3.toString)} AS h4 FROM hx4),
+  hx6 AS (SELECT *, ${xor64("h4", shr64("h4", 32))} AS h5 FROM hx5),
+  hord AS (SELECT vec_id, embedding,
+                  CASE WHEN h5 >= ${BigInt(1) << 63} THEN h5 - $Mod64 ELSE h5 END AS hkey
+           FROM hx6)"""
+
+  /** One sampled-Lloyd iteration: assign (argmax of the shared IVF
+    * score, first-wins ties), per-(cell, dim) ORDERED left-fold mean
+    * (the driver's sequential double sums in hash order), spherical
+    * normalize; an emptied cell keeps its previous centroid (the
+    * LEFT JOIN's NULL arm). */
+  private def centIterSql(t: Int): String = {
+    val prev = s"c${t - 1}"
+    val normFold = foldSum(Dims, i => s"(m)[$i] * (m)[$i]")
+    s"""
+  a$t AS MATERIALIZED (SELECT rn, v, cell,
+             row_number() OVER (PARTITION BY rn ORDER BY sc DESC, cell) AS arn
+           FROM (SELECT s.rn, s.v, c.cell, ${ivfScoreSql("s.v", "c.v")} AS sc
+                 FROM smp s CROSS JOIN $prev c)),
+  m$t AS MATERIALIZED (SELECT cell, d,
+             list_reduce(list_concat([CAST(0 AS DOUBLE)], list(v[d] ORDER BY rn)),
+                         (a, b) -> a + b) / count(*) AS m
+           FROM (SELECT rn, v, cell FROM a$t WHERE arn = 1)
+                CROSS JOIN range(1, ${Dims + 1}) r(d)
+           GROUP BY cell, d),
+  n$t AS MATERIALIZED (SELECT cell, m, sqrt($normFold) AS nr
+           FROM (SELECT cell, list(m ORDER BY d) AS m FROM m$t GROUP BY cell)),
+  c$t AS MATERIALIZED (SELECT p.cell,
+             CASE WHEN q.m IS NULL THEN p.v
+                  WHEN q.nr > 0 THEN list_transform(q.m, x -> x / q.nr)
+                  ELSE q.m END AS v
+           FROM $prev p LEFT JOIN n$t q ON p.cell = q.cell)"""
+  }
+
+  /** One distributed-refine iteration ([[Similarity.refineCentroids]]):
+    * same assignment rule over the FULL corpus, per-(cell, dim)
+    * DECIMAL(28,10) sums (order-independent — the exact shape Spark
+    * folds in), decimal→double then divide, spherical normalize. */
+  private def refineIterSql(t: Int, prev: String): String = {
+    val normFold = foldSum(Dims, i => s"(m)[$i] * (m)[$i]")
+    s"""
+  ra$t AS MATERIALIZED (SELECT v, cell,
+              row_number() OVER (PARTITION BY rid ORDER BY sc DESC, cell) AS arn
+            FROM (SELECT s.rid, s.v, c.cell, ${ivfScoreSql("s.v", "c.v")} AS sc
+                  FROM corpus_d s CROSS JOIN $prev c)),
+  rm$t AS MATERIALIZED (SELECT cell, d,
+              CAST(sum(CAST(v[d] AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS m
+            FROM (SELECT v, cell FROM ra$t WHERE arn = 1)
+                 CROSS JOIN range(1, ${Dims + 1}) r(d)
+            GROUP BY cell, d),
+  rn$t AS MATERIALIZED (SELECT cell, m, sqrt($normFold) AS nr
+            FROM (SELECT cell, list(m ORDER BY d) AS m FROM rm$t GROUP BY cell)),
+  rc$t AS MATERIALIZED (SELECT p.cell,
+              CASE WHEN q.m IS NULL THEN p.v
+                   WHEN q.nr > 0 THEN list_transform(q.m, x -> x / q.nr)
+                   ELSE q.m END AS v
+            FROM $prev p LEFT JOIN rn$t q ON p.cell = q.cell)"""
+  }
+
+  /** Sampled-seed + distributed-refine constants — shared between
+    * [[cachedIvfIndex]]'s trainer call and the SQL restatement. */
+  val TrainSampleSize = 4096
+  val TrainSampleIters = 10
+
+  /** The full trained-centroid WITH-fragment, ending in
+    * `cent(cid, cv)` — plug-compatible with [[firstKCentSql]], so the
+    * probe/semantic oracle bodies are shared verbatim between the
+    * first-K and trained variants. */
+  private def trainedCentSql: String = {
+    val sampled = (1 to TrainSampleIters).map("," + centIterSql(_)).mkString
+    val refined = (1 to TrainRefineIters).map(t =>
+      "," + refineIterSql(t, if (t == 1) s"c$TrainSampleIters" else s"rc${t - 1}"))
+      .mkString
+    s"""
+  emb_nn AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+  ${xxhashStagesSql.trim},
+  smp AS MATERIALIZED (SELECT row_number() OVER (ORDER BY hkey, vec_id) AS rn,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM hord
+          QUALIFY rn <= $TrainSampleSize),
+  c0 AS MATERIALIZED (SELECT rn - 1 AS cell, v FROM smp WHERE rn <= $CentroidK),
+  corpus_d AS MATERIALIZED (SELECT vec_id AS rid,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM emb_nn)$sampled$refined,
+  cent AS (SELECT cell AS cid, v AS cv FROM rc$TrainRefineIters)"""
+  }
+
+  /** First-K centroids as the same `cent(cid, cv)` contract. */
+  private def firstKCentSql: String = s"""
+      cent AS (
+        SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        WHERE vec_id < $CentroidK)"""
+
+  /** IVF probe restated relationally over a `cent(cid, cv)` CTE —
+    * assignment is the rank-1 centroid per vector (score DESC, cid
+    * ASC — identical tie-break to the Spark when-chain / driver
+    * sort), probes are the rank ≤ NProbe centroids of each query,
+    * rerank is exact cosine. Shared by q_ann_ivf (first-K) and
+    * q_ann_ivf_trained (trained chain). */
+  private def ivfProbeOracleSql(centCtes: String): String = s"""
+      WITH $centCtes,
+      asg AS (
+        SELECT e.vec_id, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${ivfScoreSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c),
+      cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
+      probes AS (
+        SELECT vec_id AS query_id, cid AS probe FROM asg
+        WHERE vec_id < $NumQueryVecs AND rn <= $NProbe),
+      q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            WHERE vec_id < $NumQueryVecs),
+      cand AS (
+        SELECT p.query_id, cl.vec_id AS neighbor_id,
+          ${cosineSql("q.qv", "a.embedding")} AS cos
+        FROM probes p
+        JOIN cells cl ON cl.cell = p.probe AND cl.vec_id <> p.query_id
+        JOIN embeddings a ON a.vec_id = cl.vec_id
+        JOIN q ON q.query_id = p.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id, cos,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, neighbor_id) AS rank
+        FROM cand)
+      SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
+      FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank"""
+
+  /** SemDeDup restated over a `cent(cid, cv)` CTE — shared by
+    * q_dedup_semantic (first-K) and q_dedup_semantic_trained. */
+  private def semanticOracleSql(centCtes: String): String = s"""
+      WITH $centCtes,
+      asg AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${ivfScoreSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.embedding IS NOT NULL),
+      cells AS (
+        SELECT vec_id, embedding AS v, cid AS cell FROM asg WHERE rn = 1),
+      sh AS (
+        SELECT y.vec_id, min(x.vec_id) AS shadow_id,
+          round(max(${cosineSql("x.v", "y.v")}), 6) AS max_sim
+        FROM cells x JOIN cells y
+          ON x.cell = y.cell AND x.vec_id < y.vec_id
+        WHERE ${cosineSql("x.v", "y.v")} >= $SemanticThreshold
+        GROUP BY y.vec_id)
+      SELECT c.vec_id, c.cell,
+        (sh.shadow_id IS NOT NULL) AS dropped,
+        sh.shadow_id, sh.max_sim
+      FROM cells c LEFT JOIN sh ON c.vec_id = sh.vec_id
+      ORDER BY c.vec_id"""
 
   def oracleSql: Map[String, String] = Map(
 
@@ -549,39 +782,14 @@ object AnnQueries {
       FROM asg WHERE rn = 1
       ORDER BY vec_id""",
 
-    // Oracle = the IVF spec in relational form: assignment is the
-    // rank-1 centroid per vector (cos DESC, cid ASC — identical
-    // tie-break to the Spark when-chain / driver sort), probes are the
-    // rank ≤ NProbe centroids of each query, rerank is exact cosine.
-    "q_ann_ivf" -> s"""
-      WITH cent AS (
-        SELECT vec_id AS cid, embedding AS cv FROM embeddings
-        WHERE vec_id < $CentroidK),
-      asg AS (
-        SELECT e.vec_id, c.cid,
-          row_number() OVER (PARTITION BY e.vec_id
-            ORDER BY ${ivfScoreSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
-        FROM embeddings e CROSS JOIN cent c),
-      cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
-      probes AS (
-        SELECT vec_id AS query_id, cid AS probe FROM asg
-        WHERE vec_id < $NumQueryVecs AND rn <= $NProbe),
-      q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-            WHERE vec_id < $NumQueryVecs),
-      cand AS (
-        SELECT p.query_id, cl.vec_id AS neighbor_id,
-          ${cosineSql("q.qv", "a.embedding")} AS cos
-        FROM probes p
-        JOIN cells cl ON cl.cell = p.probe AND cl.vec_id <> p.query_id
-        JOIN embeddings a ON a.vec_id = cl.vec_id
-        JOIN q ON q.query_id = p.query_id),
-      ranked AS (
-        SELECT query_id, neighbor_id, cos,
-          row_number() OVER (PARTITION BY query_id
-            ORDER BY cos DESC, neighbor_id) AS rank
-        FROM cand)
-      SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos
-      FROM ranked WHERE rank <= $TopK ORDER BY query_id, rank""",
+    // Oracle = the IVF spec in relational form ([[ivfProbeOracleSql]])
+    // over first-K centroids.
+    "q_ann_ivf" -> ivfProbeOracleSql(firstKCentSql),
+
+    // The trained variant: the SAME probe body over the Lloyd-trained
+    // centroid chain — sampled seed + distributed refine, restated in
+    // SQL ([[trainedCentSql]]), closing the round-14 oracle gap.
+    "q_ann_ivf_trained" -> ivfProbeOracleSql(trainedCentSql),
 
     "q_dedup_embed_cos_banded" -> {
       val bandJoins = (0 until NearDupBands).map(b =>
@@ -683,28 +891,8 @@ object AnnQueries {
     // Assignment CTE identical to q_ann_assign's; the dedup rule is
     // the upper-triangular within-cell pair filter restated
     // relationally.
-    "q_dedup_semantic" -> s"""
-      WITH cent AS (
-        SELECT vec_id AS cid, embedding AS cv FROM embeddings
-        WHERE vec_id < $CentroidK),
-      asg AS (
-        SELECT e.vec_id, e.embedding, c.cid,
-          row_number() OVER (PARTITION BY e.vec_id
-            ORDER BY ${ivfScoreSql("e.embedding", "c.cv")} DESC, c.cid) AS rn
-        FROM embeddings e CROSS JOIN cent c
-        WHERE e.embedding IS NOT NULL),
-      cells AS (
-        SELECT vec_id, embedding AS v, cid AS cell FROM asg WHERE rn = 1),
-      sh AS (
-        SELECT y.vec_id, min(x.vec_id) AS shadow_id,
-          round(max(${cosineSql("x.v", "y.v")}), 6) AS max_sim
-        FROM cells x JOIN cells y
-          ON x.cell = y.cell AND x.vec_id < y.vec_id
-        WHERE ${cosineSql("x.v", "y.v")} >= $SemanticThreshold
-        GROUP BY y.vec_id)
-      SELECT c.vec_id, c.cell,
-        (sh.shadow_id IS NOT NULL) AS dropped,
-        sh.shadow_id, sh.max_sim
-      FROM cells c LEFT JOIN sh ON c.vec_id = sh.vec_id
-      ORDER BY c.vec_id""")
+    "q_dedup_semantic" -> semanticOracleSql(firstKCentSql),
+
+    // SemDeDup over the trained chain — same body, trained centroids.
+    "q_dedup_semantic_trained" -> semanticOracleSql(trainedCentSql))
 }

@@ -432,7 +432,14 @@ object IngestStream {
     val flag = coalesce(col(deleteCol), lit(false))
     val adds = batch.where(!flag).drop(deleteCol)
     val dels = batch.where(flag).select("doc_id")
-    val hasDels = !dels.isEmpty
+    // both halves' emptiness in ONE driver-blocking job (not an
+    // isEmpty per half — two extra batch scans before the fold even
+    // starts, in a path that runs per micro-batch)
+    val halves = batch.agg(
+      count(when(flag, lit(1))).as("dels"),
+      count(when(!flag, lit(1))).as("adds")).head()
+    val hasDels = halves.getLong(0) > 0L
+    val hasAdds = halves.getLong(1) > 0L
     // CDC-UPSERT carve-out: the adds fold FIRST (the causal clock),
     // so a batch that deletes a doc and re-adds byte-identical
     // content would have the doomed copy's retained hash suppress the
@@ -441,11 +448,19 @@ object IngestStream {
     // hashes from the fold's suppression probe; the exclusion
     // re-derives identically on a redelivery (raw read —
     // [[CuratedCorpus.standingContentHashes]] argues the replay
-    // windows).
-    val excl = if (hasDels)
+    // windows). Heal a crashed corpus-compaction swap FIRST
+    // (reader-first [[CuratedCorpus.recoverSwap]], defers to a live
+    // leased owner): the exclusion frame reads $corpusPath/docs
+    // eagerly here, BEFORE the fold's own recovery preamble runs, so
+    // a restart that replays a delete-carrying batch into the swap's
+    // crashed mid-rename window (live dir missing) would otherwise
+    // throw on every redelivery — the same wedge [[acceptIndexed]]
+    // heals for the signature root.
+    val excl = if (hasDels) {
+      CuratedCorpus.recoverSwap(spark, corpusPath)
       Some(CuratedCorpus.standingContentHashes(spark, corpusPath,
         dels, "doc_id"))
-    else None
+    } else None
     // a pure-delete batch (a GDPR erasure sweep) skips the whole
     // index-fold job chain — an empty fold overwrites nothing, so
     // skipping it is replay-identical. MAINTENANCE runs strictly
@@ -456,7 +471,7 @@ object IngestStream {
     // already-collapsed copy — the fold must stay replayable until
     // the whole batch applied. A delete-leg failure therefore also
     // defers the tick to the redelivery, which is the point.
-    if (!adds.isEmpty)
+    if (hasAdds)
       acceptIndexed(adds, report, corpusPath,
         sigPath, clusterPath, threshold, None,
         onMaintenanceSkipped, embed, excl)

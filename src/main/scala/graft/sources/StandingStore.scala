@@ -304,18 +304,40 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
     * collapse of the partitions that carried them. Idempotent
     * overwrite; a crash between this write and the swap merely
     * re-records the same watermark (and a conservatively-high floor,
-    * which only ever REFUSES an `openAt`, never mis-serves one). */
+    * which only ever REFUSES an `openAt`, never mis-serves one).
+    * Written to a temp name and RENAMED into place: the marker is
+    * read leaselessly ([[lockstepView]]'s clock, fsck, the release
+    * cadence), and after a full collapse it alone carries the clock —
+    * a reader racing an in-place truncate-then-write could see an
+    * empty file and read `(BaseBatch, BaseBatch)`, transiently
+    * tripping `lockstepView`'s floor guard and skipping a release
+    * tick. A same-filesystem rename is atomic on HDFS and POSIX, so
+    * readers always see either the old complete marker or the new
+    * one. */
   def persistFoldWatermark(spark: SparkSession,
       collapseThrough: Long): Unit = {
     val wm = batchWatermark(spark)
     val floor = math.max(math.min(collapseThrough, wm),
       readWatermarkMarker(spark)._2)
+    val fs = fsOf(spark)
     val p = new Path(s"$root/${StandingStore.WatermarkFile}")
-    val out = fsOf(spark).create(p, true)
+    val tmp = new Path(s"$root/.${StandingStore.WatermarkFile}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(
       (s"""{"batch_watermark":$wm,""" +
         s""""compacted_through":$floor}""").getBytes("UTF-8"))
     finally out.close()
+    // rename first (POSIX rename(2) replaces the destination
+    // atomically — zero-gap on local fs); only a filesystem that
+    // refuses rename-over-existing (HDFS) takes the delete-then-retry
+    // arm, whose gap is a MISSING marker — read as the same
+    // (BaseBatch, BaseBatch) default, vanishingly narrow, never TORN
+    if (!fs.rename(tmp, p)) {
+      if (fs.exists(p)) fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(
+          s"watermark marker rename failed: $tmp -> $p")
+    }
   }
 
   private def readWatermarkMarker(spark: SparkSession): (Long, Long) =

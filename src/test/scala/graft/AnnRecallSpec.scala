@@ -99,9 +99,35 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
-  test("q_ann_ivf_trained golden hash at sf0.01 (the one oracle-less query)") {
-    // Lloyd isn't SQL-expressible, so the driver's DuckDB harness only
-    // row-counts this query; this pinned hash is its correctness gate.
+  test("oracle xxh64Long matches Spark's xxhash64 (the sample-order key)") {
+    // The trained-pair oracle restates the trainer's xxhash64 sample
+    // order in SQL; its Scala-side constant derivation (XxRowInit)
+    // chains through the same hashLong — pin that chain against the
+    // engine's own expression over a spread of magnitudes, including
+    // negative ids (the oracle's wraparound arm).
+    val ids = Seq(0L, 1L, 2L, 499L, 123456789L, Long.MaxValue, -1L,
+      Long.MinValue, -987654321L)
+    val expect = ids.toDF("id")
+      .select(col("id"), xxhash64(lit(42L), col("id")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mod = BigInt(1) << 64
+    val inner = graft.ann.AnnQueries.xxh64Long(BigInt(42), BigInt(42))
+    ids.foreach { id =>
+      val u = if (id < 0) BigInt(id) + mod else BigInt(id)
+      val h = graft.ann.AnnQueries.xxh64Long(u, inner)
+      val signed = if (h >= (BigInt(1) << 63)) h - mod else h
+      assert(signed.toLong == expect(id), s"xxh64 mismatch for id=$id")
+    }
+    // and the folded-constant form the SQL actually uses: INIT is the
+    // running hash after the leading lit(42L) field
+    assert(graft.ann.AnnQueries.XxRowInit ==
+      (inner + BigInt("27D4EB2F165667C5", 16) + 8) % mod)
+  }
+
+  test("q_ann_ivf_trained golden hash at sf0.01 (regression armor)") {
+    // The trained pair is oracle-backed since round 15 (the seeded
+    // Lloyd chain restated in DuckDB SQL); this pinned hash stays as
+    // belt-and-braces regression armor on the Spark side alone.
     // Any change to sampling, seeding, assignment, or refinement that
     // alters the output must consciously re-pin.
     val out = SparkEntry.queries("q_ann_ivf_trained")(spark, "/root/testdata/sf0.01")
