@@ -127,7 +127,12 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
   def clearForRewrite(spark: SparkSession): Unit = {
     val fs = fsOf(spark)
     (Seq(s"$root/.compact", tombsDir,
-      s"$root/${StandingStore.WatermarkFile}") ++
+      s"$root/${StandingStore.WatermarkFile}",
+      // the persist staging name too: a tmp stranded by a crash
+      // mid-persist must not outlive a full rewrite of the root —
+      // the marker-absent fallback below would read it as the
+      // PRE-rewrite clock
+      s"$root/.${StandingStore.WatermarkFile}.tmp") ++
       tables.flatMap(t => Seq(s"$root/${t.name}", s"$root/.old_${t.name}")))
       .foreach(d => fs.delete(new Path(d), true))
   }
@@ -330,8 +335,10 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
     // rename first (POSIX rename(2) replaces the destination
     // atomically — zero-gap on local fs); only a filesystem that
     // refuses rename-over-existing (HDFS) takes the delete-then-retry
-    // arm, whose gap is a MISSING marker — read as the same
-    // (BaseBatch, BaseBatch) default, vanishingly narrow, never TORN
+    // arm. A crash INSIDE that gap (after delete, before rename)
+    // leaves the marker durably absent — but the tmp then holds the
+    // COMPLETE new content, and [[readWatermarkMarker]] falls back to
+    // it, so the clock is never lost, transiently or durably.
     if (!fs.rename(tmp, p)) {
       if (fs.exists(p)) fs.delete(p, false)
       if (!fs.rename(tmp, p))
@@ -552,19 +559,44 @@ object StandingStore {
     * floor key reads the floor AS the watermark (conservative:
     * refuses bounds the marker cannot vouch for). Shared at the
     * object so report-only tooling ([[graft.pipeline.Fsck]]) reads
-    * the clock without constructing the store. */
+    * the clock without constructing the store.
+    *
+    * When the live marker is ABSENT but the persist staging name
+    * (`.<marker>.tmp`) holds a COMPLETE record (both keys parse), the
+    * tmp is read instead: on a filesystem that refuses
+    * rename-over-existing (HDFS), [[StandingStore.persistFoldWatermark]]'s
+    * fallback arm is delete(live) then rename(tmp, live), and a crash
+    * between the two would otherwise collapse the clock durably to
+    * `(BaseBatch, BaseBatch)` — a floor of [[BaseBatch]] is the
+    * guard-WEAKENING direction (an `openAt` of an already-collapsed
+    * batch would no longer be refused). At that crash point the tmp
+    * is always complete (it was just the rename source); a tmp
+    * stranded by a crash mid-WRITE never shadows anything because the
+    * live marker still exists on that path — and a partial tmp on a
+    * first-ever persist fails the both-keys parse and falls through
+    * to the default. */
   def readWatermarkMarker(spark: SparkSession, root: String): (Long, Long) = {
-    val p = new Path(s"$root/$WatermarkFile")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) (BaseBatch, BaseBatch)
-    else {
-      val in = fs.open(p)
-      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      def num(k: String) = ("\"" + k + "\":(-?\\d+)").r
-        .findFirstMatchIn(s).map(_.group(1).toLong)
-      val wm = num("batch_watermark").getOrElse(BaseBatch)
-      (wm, num("compacted_through").getOrElse(wm))
+    val live = new Path(s"$root/$WatermarkFile")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // bothKeys: the tmp fallback trusts only a COMPLETE record — the
+    // crash-in-gap source always is; anything less is a torn write
+    def parse(p: Path, bothKeys: Boolean): Option[(Long, Long)] = {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        def num(k: String) = ("\"" + k + "\":(-?\\d+)").r
+          .findFirstMatchIn(s).map(_.group(1).toLong)
+        (num("batch_watermark"), num("compacted_through")) match {
+          case (Some(wm), Some(fl))      => Some((wm, fl))
+          case (Some(wm), None) if !bothKeys => Some((wm, wm))
+          case _                         => None
+        }
+      }
     }
+    parse(live, bothKeys = false)
+      .orElse(parse(new Path(s"$root/.$WatermarkFile.tmp"), bothKeys = true))
+      .getOrElse((BaseBatch, BaseBatch))
   }
 }

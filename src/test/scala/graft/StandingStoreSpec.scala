@@ -275,4 +275,68 @@ class StandingStoreSpec extends SparkSpec {
     assert(s2.batchWatermark(spark) == 0L)
     s2.delete(spark)
   }
+
+  test("watermark marker survives a crash in the delete-then-rename gap (tmp fallback)") {
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-store-wmgap").toString + "/t"
+    val s = new StandingStore(root, Seq(
+      TableSpec("a", "k LONG, v LONG, __batch LONG", Seq("k"))))
+    def rows(lo: Long, hi: Long) =
+      spark.range(lo, hi).select(col("id").as("k"), (col("id") * 2).as("v"))
+    s.landBase(rows(0, 10), "a")
+    s.landFold(rows(10, 20), "a", 0L)
+    s.landFold(rows(20, 30), "a", 1L)
+    s.compactThrough(spark, 1L)
+    assert(s.batchWatermark(spark) == 1L && s.compactedThrough(spark) == 1L)
+
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(s"$root/${StandingStore.WatermarkFile}")
+    val tmp = new Path(s"$root/.${StandingStore.WatermarkFile}.tmp")
+
+    // Simulate persistFoldWatermark's HDFS fallback arm crashing
+    // between delete(live) and rename(tmp, live): the tmp holds the
+    // complete new record, the live marker is durably absent. The
+    // clock must NOT collapse to (BaseBatch, BaseBatch) — that floor
+    // is the guard-weakening direction.
+    val content = {
+      val in = fs.open(live)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    fs.delete(live, false)
+    assert(s.batchWatermark(spark) == 1L && s.compactedThrough(spark) == 1L,
+      "a complete tmp must carry the clock when the live marker is absent")
+    // the floor still refuses collapsed bounds through the fallback
+    intercept[IllegalArgumentException] { s.openAt(spark, "a", 0L) }
+
+    // a TORN tmp (truncated mid-write, missing the floor key) is
+    // never trusted — only the crash-in-gap source, which is always
+    // complete, may stand in for the live marker
+    val torn = fs.create(tmp, true)
+    try torn.write("""{"batch_watermark":1""".getBytes("UTF-8"))
+    finally torn.close()
+    assert(s.batchWatermark(spark) == StandingStore.BaseBatch &&
+      s.compactedThrough(spark) == StandingStore.BaseBatch,
+      "a torn tmp must read as the absent-marker default")
+
+    // the next persist heals the gap (rename-over or delete+rename)
+    s.landFold(rows(30, 40), "a", 2L)
+    s.compactThrough(spark, 2L)
+    assert(s.batchWatermark(spark) == 2L && s.compactedThrough(spark) == 2L)
+    assert(fs.exists(live) && !fs.exists(tmp),
+      "a successful persist leaves a live marker and no staging tmp")
+
+    // clearForRewrite clears the staging name too: a stranded tmp
+    // must not shadow a fresh root's absent marker (ADVICE r15)
+    val stray = fs.create(tmp, true)
+    try stray.write(content.getBytes("UTF-8")) finally stray.close()
+    s.withLease(spark) { s.clearForRewrite(spark) }
+    assert(!fs.exists(tmp) && !fs.exists(live),
+      "clearForRewrite must delete the marker AND its staging tmp")
+    assert(s.batchWatermark(spark) == StandingStore.BaseBatch)
+    s.delete(spark)
+  }
 }
