@@ -74,7 +74,22 @@ object JdbcApply {
       /** `connection.user` / `connection.password` (IidrCdcSinkConfig
         * .java:22-27); None ⇒ credentials ride the URL. */
       user: Option[String] = None,
-      password: Option[String] = None)
+      password: Option[String] = None,
+      /** `max.retries` / `retry.backoff.ms` (IidrCdcSinkConfig.java:77-83,
+        * defaults 10 / 3000). The reference DECLARES both and never reads
+        * them (JdbcWriter.java) — here they are WIRED: a partition write
+        * or DLQ write that fails with a TRANSIENT error (connection loss,
+        * deadlock/serialization rollback — [[isTransient]]) is retried up
+        * to `maxRetries` times with `retryBackoffMs` between attempts,
+        * each attempt a fresh connection + transaction (the failed one
+        * was rolled back, so replay re-binds every row — safe, the whole
+        * apply is idempotent upsert/delete/coordinate-keyed DLQ).
+        * Non-transient errors rethrow immediately; the DLQ/tolerance
+        * semantics are untouched (tolerance decides what happens AFTER
+        * retries are exhausted, exactly as it decides a first failure).
+        * 0 disables retry (and the row buffering that replay needs). */
+      maxRetries: Int = 10,
+      retryBackoffMs: Long = 3000)
 
   /** Apply one normalized micro-batch (CdcNormalize output shape).
     * Returns the batch's skip statistics (corrupt rows never silently
@@ -295,11 +310,13 @@ object JdbcApply {
 
     val (url, batchSize, user, password) =
       (cfg.url, cfg.batchSize, cfg.user, cfg.password)
+    val (maxRetries, retryBackoffMs) = (cfg.maxRetries, cfg.retryBackoffMs)
     val valueCols = jdbcSchema.fieldNames.toSeq
     out.repartition(pks.map(p => col(s"__pk_$p")): _*)
       .foreachPartition { (it: Iterator[Row]) =>
         if (it.hasNext)
-          writePartition(it, url, user, password, table, valueCols, jdbcPks, batchSize)
+          writePartition(it, url, user, password, table, valueCols, jdbcPks,
+            batchSize, maxRetries, retryBackoffMs)
       }
     nUnroutable
   }
@@ -307,8 +324,28 @@ object JdbcApply {
   private def keyField(keySchema: StructType, name: String) =
     if (keySchema.fieldNames.contains(name)) Some(col(s"__k.$name")) else None
 
-  /** Executor-side partition writer: one txn, PS reuse, batched ops. */
+  /** Executor-side partition writer with W17 transient retry. When
+    * retries are enabled the partition's rows materialize ONCE so a
+    * retry can re-bind them after the failed attempt's rollback —
+    * bounded memory: an apply partition is micro-batch-sized (e.g.
+    * `maxOffsetsPerTrigger`/shuffle-partitions rows), and the target
+    * database already buffers the same rows as one open transaction. */
   private def writePartition(it: Iterator[Row], url: String,
+      user: Option[String], password: Option[String], table: String,
+      valueCols: Seq[String], pks: Seq[String], batchSize: Int,
+      maxRetries: Int, retryBackoffMs: Long): Unit =
+    if (maxRetries <= 0)
+      writePartitionAttempt(it, url, user, password, table, valueCols, pks, batchSize)
+    else {
+      val rows = it.toVector
+      withTransientRetry(s"partition write to $table", maxRetries, retryBackoffMs) {
+        writePartitionAttempt(rows.iterator, url, user, password, table,
+          valueCols, pks, batchSize)
+      }
+    }
+
+  /** One attempt: one connection, one txn, PS reuse, batched ops. */
+  private def writePartitionAttempt(it: Iterator[Row], url: String,
       user: Option[String], password: Option[String], table: String,
       valueCols: Seq[String], pks: Seq[String], batchSize: Int): Unit = {
     val conn = connect(url, user, password)
@@ -449,9 +486,15 @@ object JdbcApply {
     }
     val (url, table, batchSize, user, password) =
       (cfg.url, cfg.corruptTable, cfg.batchSize, cfg.user, cfg.password)
+    val (maxRetries, retryBackoffMs) = (cfg.maxRetries, cfg.retryBackoffMs)
     val fields = Cdc.corruptEventSchema.fieldNames.toSeq
     corrupt.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
+        // W17 retry, same shape as writePartition: materialize once
+        // for replay (DLQ partitions are small by construction), fresh
+        // connection + txn per attempt; delete-then-insert by Kafka
+        // coordinates makes the replayed attempt idempotent.
+        def attemptOnce(rows: Iterator[Row]): Unit = {
         val conn = connect(url, user, password)
         try {
           val dialect = Dialects.forConnection(conn)
@@ -475,7 +518,7 @@ object JdbcApply {
           try {
             val ins = conn.prepareStatement(sql)
             val del = conn.prepareStatement(delSql)
-            it.grouped(batchSize).foreach { chunk =>
+            rows.grouped(batchSize).foreach { chunk =>
               chunk.foreach { row =>
                 (0 until 3).foreach(i => del.setObject(i + 1, jdbcValue(row.get(i))))
                 del.addBatch()
@@ -491,6 +534,14 @@ object JdbcApply {
             conn.commit()
           } catch { case e: Throwable => conn.rollback(); throw e }
         } finally conn.close()
+        }
+        if (maxRetries <= 0) attemptOnce(it)
+        else {
+          val rows = it.toVector
+          withTransientRetry(s"DLQ write to $table", maxRetries, retryBackoffMs) {
+            attemptOnce(rows.iterator)
+          }
+        }
       }
     }
     n
@@ -535,6 +586,56 @@ object JdbcApply {
     * insert path — as would the whole class-23 family or the typed
     * subclass (FK 23503, NOT NULL 23502, CHECK 23514). Anything else
     * rethrows. */
+  /** TRANSIENT-error classification for W17 retry: the JDBC4 marker
+    * types (`SQLTransientException` — incl. deadlock-victim
+    * `SQLTransactionRollbackException` and timeouts —
+    * `SQLRecoverableException`), or SQLState class 08 (connection
+    * exception) / 40 (transaction rollback: deadlock 40001, PG
+    * 40P01) for pre-JDBC4 drivers, walked through `getNextException`
+    * chains (BatchUpdateException buries the real state there) and
+    * causes. Integrity violations (class 23) and syntax/DDL errors
+    * are NOT transient: retrying them re-fails identically and would
+    * delay the loud failure the tolerance contract promises. */
+  private[graft] def isTransient(e: Throwable, depth: Int = 0): Boolean =
+    depth < 10 && (e match {
+      case s: java.sql.SQLException =>
+        s.isInstanceOf[java.sql.SQLTransientException] ||
+          s.isInstanceOf[java.sql.SQLRecoverableException] ||
+          Option(s.getSQLState).exists(st =>
+            st.startsWith("08") || st.startsWith("40")) ||
+          (s.getNextException != null && (s.getNextException ne s) &&
+            isTransient(s.getNextException, depth + 1)) ||
+          (s.getCause != null && (s.getCause ne s) &&
+            isTransient(s.getCause, depth + 1))
+      case _ =>
+        e.getCause != null && (e.getCause ne e) &&
+          isTransient(e.getCause, depth + 1)
+    })
+
+  /** Run `body`, retrying up to `maxRetries` times on [[isTransient]]
+    * failures with `backoffMs` sleep between attempts (the reference's
+    * declared-but-unwired max.retries/retry.backoff.ms semantics,
+    * IidrCdcSinkConfig.java:77-83). Every retry is observable: one
+    * WARN per attempt, so an operator sees a flapping database before
+    * it becomes an exhausted-retries failure. Non-transient errors —
+    * and the attempt after the last retry — propagate unchanged, so
+    * the caller's tolerance/rollback contract is untouched. */
+  private def withTransientRetry[A](what: String, maxRetries: Int,
+      backoffMs: Long)(body: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: Throwable if attempt < maxRetries && isTransient(e) =>
+          attempt += 1
+          log.warn(s"transient JDBC failure on $what (retry $attempt of " +
+            s"$maxRetries, backing off ${backoffMs}ms): ${e.getMessage}")
+          if (backoffMs > 0) Thread.sleep(backoffMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   private[graft] def isDuplicateKey(e: java.sql.SQLException): Boolean =
     Option(e.getSQLState).contains("23505") ||
       Set(1062, 1, 2601, 2627)(e.getErrorCode) &&

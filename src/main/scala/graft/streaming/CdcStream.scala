@@ -40,15 +40,28 @@ object CdcStream {
 
   /**
    * Wire any kafka-shaped streaming DataFrame (live broker or
-   * MemoryStream in tests) into the normalize → JDBC-apply pipeline.
+   * MemoryStream/file source in tests) into the normalize →
+   * JDBC-apply pipeline.
+   *
+   * `onBatch` is the per-micro-batch observability seam: it receives
+   * the epoch id and the apply's [[JdbcApply.ApplyStats]] strictly
+   * AFTER the JDBC writes of that epoch committed (the reference
+   * surfaces the same counters through Connect's task metrics). A
+   * callback that throws fails the epoch after its writes — exactly
+   * the crash window Structured Streaming's replay story covers:
+   * offsets are logged before the batch runs, the commit log lands
+   * after, so a restart re-runs the epoch and the idempotent
+   * upsert/delete/DLQ apply converges to the same terminal state
+   * (pinned by the kill/restart case in `JdbcStreamSpec`).
    */
-  def writer(wire: DataFrame, cdcCfg: CdcConfig, sinkCfg: JdbcApply.Config):
+  def writer(wire: DataFrame, cdcCfg: CdcConfig, sinkCfg: JdbcApply.Config,
+      onBatch: (Long, JdbcApply.ApplyStats) => Unit = (_, _) => ()):
       DataStreamWriter[Row] = {
     val normalized = CdcNormalize(wire, cdcCfg)
     normalized.writeStream
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        JdbcApply.applyBatch(batch, sinkCfg); ()
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        onBatch(epochId, JdbcApply.applyBatch(batch, sinkCfg)); ()
       }
   }
 
@@ -92,8 +105,23 @@ object CdcStream {
   def start(spark: SparkSession, bootstrap: String, topics: String,
       cdcCfg: CdcConfig, sinkCfg: JdbcApply.Config,
       checkpoint: String, triggerMs: Long = 1000): StreamingQuery =
-    writer(kafkaSource(spark, bootstrap, topics), cdcCfg, sinkCfg)
+    start(kafkaSource(spark, bootstrap, topics), cdcCfg, sinkCfg,
+      checkpoint, triggerMs)
+
+  /** Start the pipeline over ANY kafka-wire-shaped streaming frame —
+    * the broker `start` minus the source, so an offline harness (file
+    * source, MemoryStream) drives the exact production writer chain,
+    * checkpointing included. */
+  def start(wire: DataFrame, cdcCfg: CdcConfig,
+      sinkCfg: JdbcApply.Config, checkpoint: String, triggerMs: Long,
+      onBatch: (Long, JdbcApply.ApplyStats) => Unit): StreamingQuery =
+    writer(wire, cdcCfg, sinkCfg, onBatch)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.ProcessingTime(triggerMs))
       .start()
+
+  def start(wire: DataFrame, cdcCfg: CdcConfig,
+      sinkCfg: JdbcApply.Config, checkpoint: String,
+      triggerMs: Long): StreamingQuery =
+    start(wire, cdcCfg, sinkCfg, checkpoint, triggerMs, (_, _) => ())
 }

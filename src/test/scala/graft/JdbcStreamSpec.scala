@@ -497,4 +497,246 @@ class JdbcStreamSpec extends SparkSpec {
     } finally query.stop()
     assertTerminal(s"jdbc:derby:memory:$db")
   }
+
+  // ------------------------------------------------- checkpoint restart
+
+  /** One wire event per parquet file ⇒ one micro-batch per file under
+    * maxFilesPerTrigger=1. Zero-padded names + strictly increasing
+    * modification times pin the file source's processing order to the
+    * fixture's offset order (FileStreamSource batches oldest-first). */
+  private def writeWireFiles(dir: String, rows: Seq[Row]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val stage = Files.createTempDirectory("graft-wire-one").toString
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(r), 1), Cdc.kafkaWireSchema)
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file under $stage"))
+      val dst = Paths.get(dir, f"wire-$i%05d.parquet")
+      Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+    }
+  }
+
+  private def fileWire(dir: String) = spark.readStream
+    .schema(Cdc.kafkaWireSchema)
+    .option("maxFilesPerTrigger", 1)
+    .parquet(dir)
+
+  test("checkpoint kill/restart: the replayed epoch converges to the single-run terminal state") {
+    import java.nio.file.Files
+    // ---- reference run: same files, same pipeline, never killed
+    val srcA = Files.createTempDirectory("graft-wire-ref").toString
+    writeWireFiles(srcA, fixture)
+    val qA = CdcStream.start(fileWire(srcA), CdcConfig(),
+      sinkCfg("ckptrefdb"),
+      Files.createTempDirectory("graft-ckpt-ref").toString, 50L)
+    try qA.processAllAvailable() finally qA.stop()
+    assertTerminal("jdbc:derby:memory:ckptrefdb")
+    val refRows = queryAll("jdbc:derby:memory:ckptrefdb")
+
+    // ---- kill run: crash AFTER epoch 2's JDBC writes committed but
+    // BEFORE Structured Streaming writes epoch 2's commit-log entry —
+    // the exact at-least-once window the effectively-once claim
+    // (SURVEY §3.1, reference IidrCdcSinkTask.java:143-154 replay
+    // story) has to survive
+    val db = "ckptkilldb"
+    val srcB = Files.createTempDirectory("graft-wire-kill").toString
+    writeWireFiles(srcB, fixture)
+    val ckpt = Files.createTempDirectory("graft-ckpt-kill").toString
+    val applied = scala.collection.concurrent.TrieMap.empty[Long, Int]
+    @volatile var killArmed = true
+    val onBatch: (Long, JdbcApply.ApplyStats) => Unit = (epoch, _) => {
+      applied.updateWith(epoch)(c => Some(c.getOrElse(0) + 1))
+      if (killArmed && epoch == 2L) {
+        killArmed = false
+        throw new RuntimeException("injected-crash-after-apply")
+      }
+    }
+    val q1 = CdcStream.start(fileWire(srcB), CdcConfig(), sinkCfg(db),
+      ckpt, 50L, onBatch)
+    // both waits rethrow the streaming failure — that IS the kill
+    try { q1.processAllAvailable(); q1.awaitTermination(120000L) }
+    catch { case _: Throwable => () }
+    val failure = q1.exception
+    assert(failure.isDefined, "the injected crash must terminate the query")
+    assert(Iterator.iterate(failure.get: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .exists(t => Option(t.getMessage)
+        .exists(_.contains("injected-crash-after-apply"))),
+      s"query must die on the INJECTED fault, got: ${failure.get.getMessage}")
+    assert(applied.toMap == Map(0L -> 1, 1L -> 1, 2L -> 1),
+      s"the kill run applies epochs 0..2 exactly once, got $applied")
+
+    // ---- restart from the SAME checkpoint: epoch 2's offsets are
+    // logged but uncommitted, so it REPLAYS; the idempotent
+    // upsert/delete + coordinate-keyed DLQ absorb the duplicate apply
+    val q2 = CdcStream.start(fileWire(srcB), CdcConfig(), sinkCfg(db),
+      ckpt, 50L, onBatch)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(applied.getOrElse(2L, 0) == 2,
+      s"epoch 2 must be applied AGAIN after the restart, got $applied")
+    assert(applied.getOrElse(0L, 0) == 1 && applied.getOrElse(1L, 0) == 1,
+      s"committed epochs must NOT replay, got $applied")
+    assert((3L to 5L).forall(e => applied.getOrElse(e, 0) == 1),
+      s"post-crash epochs apply exactly once, got $applied")
+    assertTerminal(s"jdbc:derby:memory:$db")
+    assert(queryAll(s"jdbc:derby:memory:$db") == refRows,
+      "kill+restart terminal state must equal the single-run state")
+  }
+
+  // ------------------------------------------------------ W17 retry
+
+  test("W17: transient JDBC failure retries with backoff and converges (exceeds the reference, which declares max.retries and never reads it)") {
+    FlakyJdbc.register()
+    FlakyJdbc.reset(failCommits = 2, transientFlavor = true)
+    val wire = spark.createDataFrame(
+      spark.sparkContext.parallelize(fixture.take(1)), Cdc.kafkaWireSchema)
+    val cfg = sinkCfg("w17okdb").copy(
+      url = s"${FlakyJdbc.Prefix}memory:w17okdb;create=true",
+      maxRetries = 3, retryBackoffMs = 200L)
+    JdbcApply.applyBatch(CdcNormalize(wire, CdcConfig()), cfg)
+    assert(FlakyJdbc.commitAttempts.get() == 3,
+      s"2 injected failures + 1 success = 3 attempts, got ${FlakyJdbc.commitAttempts.get()}")
+    // backoff observed between consecutive attempts
+    val ts = FlakyJdbc.attemptNanos.toArray(Array.empty[java.lang.Long]).map(_.longValue)
+    ts.sliding(2).foreach { case Array(a, b) =>
+      assert(b - a >= 180L * 1000000L,
+        s"attempts must be spaced by ~retryBackoffMs, got ${(b - a) / 1e6}ms")
+    }
+    // replay safety: the two rolled-back attempts left nothing behind
+    assert(queryAll("jdbc:derby:memory:w17okdb") ==
+      Seq((1L, "Order-001", 100.50, "NEW")))
+  }
+
+  test("W17: non-transient failure never retries and fails loudly") {
+    FlakyJdbc.register()
+    FlakyJdbc.reset(failCommits = 1, transientFlavor = false)
+    val wire = spark.createDataFrame(
+      spark.sparkContext.parallelize(fixture.take(1)), Cdc.kafkaWireSchema)
+    val cfg = sinkCfg("w17permdb").copy(
+      url = s"${FlakyJdbc.Prefix}memory:w17permdb;create=true",
+      maxRetries = 3, retryBackoffMs = 50L)
+    val e = intercept[Exception] {
+      JdbcApply.applyBatch(CdcNormalize(wire, CdcConfig()), cfg)
+    }
+    assert(FlakyJdbc.commitAttempts.get() == 1,
+      s"a non-transient error must not retry, got ${FlakyJdbc.commitAttempts.get()} attempts")
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(10).exists(t => Option(t.getMessage)
+        .exists(_.contains("injected permanent failure"))),
+      s"the permanent failure must propagate, got: ${e.getMessage}")
+  }
+
+  test("W17: exhausted retries propagate the transient failure") {
+    FlakyJdbc.register()
+    FlakyJdbc.reset(failCommits = 99, transientFlavor = true)
+    val wire = spark.createDataFrame(
+      spark.sparkContext.parallelize(fixture.take(1)), Cdc.kafkaWireSchema)
+    val cfg = sinkCfg("w17exhdb").copy(
+      url = s"${FlakyJdbc.Prefix}memory:w17exhdb;create=true",
+      maxRetries = 2, retryBackoffMs = 10L)
+    val e = intercept[Exception] {
+      JdbcApply.applyBatch(CdcNormalize(wire, CdcConfig()), cfg)
+    }
+    assert(FlakyJdbc.commitAttempts.get() == 3,
+      s"1 initial + 2 retries = 3 attempts, got ${FlakyJdbc.commitAttempts.get()}")
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(10).exists(t => Option(t.getMessage)
+        .exists(_.contains("injected transient commit failure"))),
+      s"the exhausted transient failure must propagate, got: ${e.getMessage}")
+  }
+
+  test("W17: transient classification is rollback/connection-specific, not any SQLException") {
+    import java.sql._
+    assert(JdbcApply.isTransient(
+      new SQLTransientConnectionException("conn lost", "08006")))
+    assert(JdbcApply.isTransient(
+      new SQLTransactionRollbackException("deadlock victim", "40001")))
+    assert(JdbcApply.isTransient(new SQLRecoverableException("io", "99999")))
+    assert(JdbcApply.isTransient(new SQLException("pre-JDBC4 driver", "08S01")))
+    // BatchUpdateException buries the state in getNextException
+    val bue = new BatchUpdateException("batch failed", "HY000", 0, scala.Array(1))
+    bue.setNextException(new SQLException("deadlock", "40001"))
+    assert(JdbcApply.isTransient(bue))
+    assert(!JdbcApply.isTransient(
+      new SQLIntegrityConstraintViolationException("dup", "23505")))
+    assert(!JdbcApply.isTransient(new SQLSyntaxErrorException("bad", "42X01")))
+    assert(!JdbcApply.isTransient(new RuntimeException("not sql at all")))
+  }
+}
+
+/** Fault-injecting JDBC driver: delegates to embedded Derby, failing
+  * the first N `commit()` calls with a transient (08006) or permanent
+  * (42X01) error — the wrapper-connection harness the W17 retry spec
+  * drives attempts/backoff through. Same-JVM statics are visible to
+  * executor threads under local[*]. */
+object FlakyJdbc {
+  val Prefix = "jdbc:graftflaky:"
+  val commitAttempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  val attemptNanos = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+  @volatile private var failCommitsLeft = 0
+  @volatile private var transientMode = true
+  @volatile private var registered = false
+
+  def reset(failCommits: Int, transientFlavor: Boolean): Unit = synchronized {
+    commitAttempts.set(0); attemptNanos.clear()
+    failCommitsLeft = failCommits; transientMode = transientFlavor
+  }
+
+  def register(): Unit = synchronized {
+    if (!registered) {
+      java.sql.DriverManager.registerDriver(new FlakyJdbcDriver)
+      registered = true
+    }
+  }
+
+  private[graft] def onCommit(): Unit = {
+    val n = commitAttempts.incrementAndGet()
+    attemptNanos.add(java.lang.Long.valueOf(System.nanoTime()))
+    val shouldFail = synchronized {
+      if (failCommitsLeft > 0) { failCommitsLeft -= 1; true } else false
+    }
+    if (shouldFail) {
+      if (transientMode)
+        throw new java.sql.SQLTransientConnectionException(
+          s"injected transient commit failure #$n", "08006")
+      else
+        throw new java.sql.SQLSyntaxErrorException(
+          s"injected permanent failure #$n", "42X01")
+    }
+  }
+}
+
+class FlakyJdbcDriver extends java.sql.Driver {
+  import java.sql.{Connection, DriverManager}
+  override def acceptsURL(url: String): Boolean =
+    url != null && url.startsWith(FlakyJdbc.Prefix)
+  override def connect(url: String, info: java.util.Properties): Connection = {
+    if (!acceptsURL(url)) return null
+    val real = DriverManager.getConnection(
+      "jdbc:derby:" + url.stripPrefix(FlakyJdbc.Prefix), info)
+    java.lang.reflect.Proxy.newProxyInstance(
+      getClass.getClassLoader, Array(classOf[Connection]),
+      (_, method, args) => {
+        if (method.getName == "commit") FlakyJdbc.onCommit()
+        try {
+          if (args == null) method.invoke(real)
+          else method.invoke(real, args: _*)
+        } catch {
+          case e: java.lang.reflect.InvocationTargetException =>
+            throw e.getCause
+        }
+      }).asInstanceOf[Connection]
+  }
+  override def getMajorVersion: Int = 1
+  override def getMinorVersion: Int = 0
+  override def getParentLogger =
+    throw new java.sql.SQLFeatureNotSupportedException()
+  override def getPropertyInfo(url: String, info: java.util.Properties) =
+    Array.empty[java.sql.DriverPropertyInfo]
+  override def jdbcCompliant(): Boolean = false
 }
