@@ -34,7 +34,21 @@ object Tables {
    * rewrite so a future regeneration that nests one fails loudly here
    * instead of downstream in a unix_micros-style consumer.
    */
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  /** Resolved-plan cache — what a SQL catalog does for a registered
+    * table: the frame (plan + file listing + normalized schema) is
+    * built once per (session, dir, table) and re-executed per action;
+    * DATA is re-read by every job, only the ~60-90 ms of driver-side
+    * listing + footer schema read + normalization fold is amortized.
+    * Sound here because the driver test tables are immutable files;
+    * mutable standing structures go through [[graft.sources
+    * .StandingStore]], which lists per open by design. */
+  private val planCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    planCache.getOrElseUpdate((spark, sfDir, name), build(spark, sfDir, name))
+
+  private def build(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // nanosAsLong is a READ-path necessity (Spark 4 refuses
     // TIMESTAMP(NANOS) parquet without it), not a display preference,
     // so setting it per load is correct. The session TIME ZONE is NOT

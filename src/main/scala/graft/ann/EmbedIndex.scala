@@ -226,10 +226,32 @@ object EmbedIndex {
    * same content (EmbedIndexSpec pins it): (batch_id, corpus_id, cos),
    * one row per matching pair, cosine ≥ `threshold`, rounded to 6.
    *
-   * Driver cost per call: the batch's distinct bucket keys
-   * (≤ |batch|·bands) plus the candidate pairs, both capped at `cap`;
-   * above either cap the call falls back to [[probeAtRest]] — same
-   * rows, the cap only picks which side pays.
+   * Latency shape (VERDICT r14 #7 / r15 #4): exactly THREE serial
+   * single-stage point-read collects and nothing else — (1) the
+   * batch's exploded band rows, which decide the cutover AND carry
+   * everything downstream needs (the bkey set, the bkey → batch-id
+   * map, the batch vectors — no second pass over the batch lineage,
+   * no distributed distinct, no broadcast join); (2) the matching
+   * bucket pages' rows; (3) the candidate ids' vectors. Pair
+   * expansion, the exact-cosine verify ([[Similarity.cosineLocal]] —
+   * the same IEEE ops in the same order as the [[Similarity.cosine]]
+   * expression, with Spark's own `round(_, 6)` BigDecimal HALF_UP
+   * semantics), and the pair dedup all run on the driver over
+   * cap-bounded arrays, so the returned frame is a LOCAL relation: a
+   * micro-batch probe costs three tiny jobs, not a multi-stage
+   * shuffle plan — the fixed per-stage scheduling latency was the
+   * whole cost at micro-batch sizes. The at-rest paths and the in-RAM
+   * probe are pinned row-identical in EmbedIndexSpec, which is what
+   * keeps the local arithmetic honest against the expression path.
+   *
+   * Driver cost per call: ≤ `cap` collected rows per leg (band rows
+   * carry the vector payload — ≤ cap·dims floats; so can the vecs
+   * leg). Above ANY leg's cap — each a conservative, earlier trigger
+   * than the pair cap alone — the call falls back to [[probeAtRest]]:
+   * same rows, the cap only picks which side pays. (The first trigger
+   * bounds exploded rows |batch|·bands rather than distinct bkeys, so
+   * mid-size batches cut over to the scan a little sooner than
+   * before — by design: the collect itself must stay cap-bounded.)
    */
   def probe(batch: DataFrame, path: String, idCol: String,
       vecCol: String, threshold: Double,
@@ -237,42 +259,72 @@ object EmbedIndex {
     val spark = batch.sparkSession
     val p = readParams(spark, path)
     val b = bucketRows(batch, idCol, vecCol, "batch_id", p)
-    PointReads.distinctKeys(b.select("bkey"), "bkey", cap) match {
-      case None => probeAtRest(batch, path, idCol, vecCol, threshold)
-      case Some(keys) =>
-        val cand = openBuckets(spark, path)
-          .filter(PointReads.keyedFilter(col("bkey"), keys))
-          .join(broadcast(b.select(col("bkey"), col("batch_id"))), "bkey")
-          .select(col("batch_id"), col("doc_id").as("corpus_id"))
-          .distinct()
-          .limit(cap + 1)
-          .collect()
-          .map(r => (r.getLong(0), r.getLong(1)))
-        if (cand.length > cap)
-          probeAtRest(batch, path, idCol, vecCol, threshold)
-        else if (cand.isEmpty)
-          batch.select(col(idCol).as("batch_id"),
-            col(idCol).as("corpus_id"), lit(0.0).as("cos")).limit(0)
+    def emptyResult = batch.select(col(idCol).as("batch_id"),
+      col(idCol).as("corpus_id"), lit(0.0).as("cos")).limit(0)
+    val bandRows = b.select(col("batch_id"), col("bkey"), col("v"))
+      .limit(cap + 1).collect()
+    if (bandRows.length > cap)
+      return probeAtRest(batch, path, idCol, vecCol, threshold)
+    if (bandRows.isEmpty) return emptyResult
+    val bkeyToBatch: Map[Long, Array[Long]] = bandRows
+      .groupBy(_.getLong(1))
+      .map { case (k, rs) => k -> rs.map(_.getLong(0)).distinct }
+    // ALL distinct vectors per batch id: a duplicate batch id with
+    // conflicting vectors verifies every vector, like the join-shaped
+    // plan did
+    val batchVecs: Map[Long, Array[Seq[Float]]] = bandRows
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getSeq[Float](2)).distinct }
+    val keys: Seq[Any] = bkeyToBatch.keys.toArray.sorted.toSeq
+
+    val hit = openBuckets(spark, path)
+      .filter(PointReads.keyedFilter(col("bkey"), keys))
+      .select(col("bkey"), col("doc_id"))
+      .limit(cap + 1).collect()
+    if (hit.length > cap)
+      return probeAtRest(batch, path, idCol, vecCol, threshold)
+    val cand: Array[(Long, Long)] = hit.iterator
+      .flatMap(r => bkeyToBatch(r.getLong(0)).iterator
+        .map(bid => (bid, r.getLong(1))))
+      .toArray.distinct
+    if (cand.length > cap)
+      probeAtRest(batch, path, idCol, vecCol, threshold)
+    else if (cand.isEmpty) emptyResult
+    else {
+      val ids: Seq[Any] = cand.map(_._2).distinct.toSeq
+      val vecRows = open(spark, path)
+        .filter(PointReads.keyedFilter(col("doc_id"), ids))
+        .select(col("doc_id"), col("v"))
+        .limit(cap + 1).collect()
+      if (vecRows.length > cap)
+        probeAtRest(batch, path, idCol, vecCol, threshold)
+      else {
+        // distinct vectors per corpus id: identical re-added rows
+        // collapse exactly like the join plan's trailing distinct;
+        // a genuinely re-embedded doc verifies every version
+        val corpusVecs: Map[Long, Array[Seq[Float]]] = vecRows
+          .groupBy(_.getLong(0))
+          .map { case (id, rs) => id -> rs.map(_.getSeq[Float](1)).distinct }
+        val out = (for {
+          (bid, cid) <- cand.iterator
+          vb <- batchVecs(bid).iterator
+          vc <- corpusVecs.getOrElse(cid, Array.empty[Seq[Float]]).iterator
+          c = Similarity.cosineLocal(vb.iterator.map(_.toDouble).toArray,
+            vc.iterator.map(_.toDouble).toArray)
+          if c >= threshold
+          // Spark's round(double, 6): scala BigDecimal.decimal
+          // (Double.toString canonical form), HALF_UP — RoundBase's
+          // DoubleType arm, replicated so the local path is
+          // bit-identical to the expression path
+        } yield (bid, cid, BigDecimal(c)
+          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)).toSeq.distinct
+        if (out.isEmpty) emptyResult
         else {
           import spark.implicits._
-          val ids = cand.map(_._2).distinct.toSeq
-          val vecs = open(spark, path)
-            .filter(PointReads.keyedFilter(col("doc_id"), ids))
-            .select(col("doc_id").as("corpus_id"), col("v").as("__vc"))
-          broadcast(cand.toSeq.toDF("batch_id", "corpus_id"))
-            .join(batch.filter(col(vecCol).isNotNull)
-              .select(col(idCol).as("batch_id"),
-                col(vecCol).cast("array<float>").as("__vb")), "batch_id")
-            .join(vecs, "corpus_id")
-            .withColumn("cos", Similarity.cosine(col("__vb"), col("__vc")))
-            .filter(col("cos") >= threshold)
-            .select(col("batch_id"), col("corpus_id"),
-              round(col("cos"), 6).as("cos"))
-            // one row per pair even when the batch carries duplicate
-            // ids — the in-RAM probe's trailing distinct, which the
-            // Output-≡ contract obliges both paths to share
-            .distinct()
+          out.toDF("batch_id", "corpus_id", "cos")
         }
+      }
     }
   }
 
