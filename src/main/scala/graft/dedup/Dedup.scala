@@ -537,18 +537,35 @@ object Dedup {
     }
   }
 
-  /** Exploded (id, fp, band, key) rows — fp rides along (8·words
-    * bytes) so the verify needs no join-backs. */
-  private def simhashBandRows(docs: DataFrame, idCol: String,
-      textCol: String, idName: String, maxHamming: Int, bands: Int,
-      words: Int): DataFrame = {
-    val fpFrame = docs.select(col(idCol).as(idName),
+  /** The fingerprint pass ALONE — (idName, fp) with fp a
+    * `words`-word array — so one md5-per-token pass over the corpus
+    * can be persisted and shared across the whole simhash family
+    * (pairs, wide pairs, probes). Word `w` reads hex nibbles
+    * [15w, 15w+15) of the SAME per-token md5 regardless of `words`
+    * (TextNative.simHashWide), so a words=2 frame serves a words=1
+    * consumer exactly via `slice(fp, 1, 1)` — pinned in
+    * OperatorsSpec. */
+  def simhashFingerprints(docs: DataFrame, idCol: String,
+      textCol: String, idName: String, words: Int): DataFrame =
+    docs.select(col(idCol).as(idName),
       toCol(graft.functions.SimHashWide(toExpr(col(textCol)), words)).as("fp"))
+
+  /** Exploded (id, fp, band, key) rows from a PRECOMPUTED
+    * [[simhashFingerprints]] frame — fp rides along (8·words bytes)
+    * so the verify needs no join-backs. */
+  private def simhashBandRowsFromFp(fpFrame: DataFrame, idName: String,
+      maxHamming: Int, bands: Int, words: Int): DataFrame =
     fpFrame.select(col(idName), col("fp"),
       posexplode(array(
         simhashBandKeys(col("fp"), maxHamming, bands, words): _*))
         .as(Seq("band", "key")))
-  }
+
+  private def simhashBandRows(docs: DataFrame, idCol: String,
+      textCol: String, idName: String, maxHamming: Int, bands: Int,
+      words: Int): DataFrame =
+    simhashBandRowsFromFp(
+      simhashFingerprints(docs, idCol, textCol, idName, words),
+      idName, maxHamming, bands, words)
 
   /** Full-fingerprint Hamming distance between the two sides of a
     * banded self-join/probe (x.fp, y.fp as word arrays). */
@@ -559,8 +576,18 @@ object Dedup {
       .cast("long")
 
   def simhashNearDupPairsWide(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, bands: Int, words: Int): DataFrame =
+    simhashNearDupPairsFromFp(
+      simhashFingerprints(docs, idCol, textCol, "doc_id", words),
+      maxHamming, bands, words)
+
+  /** [[simhashNearDupPairsWide]] over a PRECOMPUTED (doc_id, fp)
+    * frame — the shared-fingerprint entry: a persisted words=2 frame
+    * (optionally `slice`d down) serves every family member without
+    * re-tokenizing the corpus per query. */
+  def simhashNearDupPairsFromFp(fpFrame: DataFrame,
       maxHamming: Int, bands: Int, words: Int): DataFrame = {
-    val banded = simhashBandRows(docs, idCol, textCol, "doc_id",
+    val banded = simhashBandRowsFromFp(fpFrame, "doc_id",
       maxHamming, bands, words)
     banded.as("x").join(banded.as("y"), Seq("band", "key"))
       .filter(col("x.doc_id") < col("y.doc_id"))

@@ -95,6 +95,19 @@ object DedupQueries {
     batchSigCache.getOrElseUpdate((s, dir),
       Dedup.batchSignatures(splitDocs(s, dir)._2, "doc_id", "text")._1)
 
+  /** ONE whole-corpus fingerprint pass (words=2) shared by the whole
+    * self-join simhash family (VERDICT r14 #5 / r15 brief #5):
+    * q_dedup_simhash_pairs slices word 0 out (word w is independent
+    * of `words` — Dedup.simhashFingerprints doc), the wide query uses
+    * both words, so the md5-per-token tokenization runs once per
+    * (session, sf-dir) instead of once per query. */
+  private val simhashFpCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def cachedSimhashFp(s: SparkSession, dir: String): DataFrame =
+    simhashFpCache.getOrElseUpdate((s, dir),
+      Dedup.simhashFingerprints(Tables(s, dir, "documents"),
+        "doc_id", "text", "doc_id", words = 2).persist())
+
   private val simhashIdxCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def cachedSimhashIndex(s: SparkSession, dir: String): DataFrame =
@@ -496,9 +509,14 @@ object DedupQueries {
     // oracle states the naive quadratic formulation as the spec (with
     // an explicit text IS NOT NULL matching the null-intolerant
     // fingerprint: null-text docs pair with nothing on both engines).
+    // word 0 sliced from the SHARED words=2 fingerprint pass
+    // (cachedSimhashFp) — identical to SimHashWide(text, 1) by the
+    // word-independence contract, one tokenization for the family.
     "q_dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashNearDupPairs(Tables(s, dir, "documents"),
-        "doc_id", "text", SimHashMaxHamming, SimHashBands)
+      Dedup.simhashNearDupPairsFromFp(
+        cachedSimhashFp(s, dir).select(col("doc_id"),
+          slice(col("fp"), 1, 1).as("fp")),
+        SimHashMaxHamming, SimHashBands, words = 1)
         .orderBy("doc_a", "doc_b")),
 
     // WIDE (120-bit) SimHash pairs — the past-10M-docs dial as a
@@ -507,8 +525,8 @@ object DedupQueries {
     // words. Exact by the same pigeonhole argument, so the oracle is
     // the naive quadratic join over the full 120-bit distance.
     "q_dedup_simhash_pairs_wide" -> ((s, dir) =>
-      Dedup.simhashNearDupPairsWide(Tables(s, dir, "documents"),
-        "doc_id", "text", SimHashMaxHamming, SimHashBands, words = 2)
+      Dedup.simhashNearDupPairsFromFp(cachedSimhashFp(s, dir),
+        SimHashMaxHamming, SimHashBands, words = 2)
         .orderBy("doc_a", "doc_b")),
 
     // Incremental SimHash: the val/test batch probes the train

@@ -494,6 +494,18 @@ class TrainingDataSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.simhashNearDupPairsWide(docs, "doc_id", "text", 5, 15, words = 2)
     }
+
+    // the SHARED-fingerprint contract the query layer relies on
+    // (DedupQueries.cachedSimhashFp): word 0 sliced from one words=2
+    // pass fed through simhashNearDupPairsFromFp ≡ the words=1
+    // operator over the raw docs
+    val sharedFp = Dedup.simhashFingerprints(docs, "doc_id", "text",
+      "doc_id", words = 2)
+    assert(pairs(Dedup.simhashNearDupPairsFromFp(
+        sharedFp.select(col("doc_id"), slice(col("fp"), 1, 1).as("fp")),
+        5, 6, words = 1)) ==
+      pairs(Dedup.simhashNearDupPairs(docs, "doc_id", "text", 5, 6)),
+      "sliced shared fingerprint must reproduce the words=1 pairs exactly")
   }
 
   test("cosine: identity 1, orthogonal 0, opposite -1") {
