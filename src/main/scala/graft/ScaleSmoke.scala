@@ -832,10 +832,35 @@ object ScaleSmoke {
       "purge must preserve the retracted end state")
     require(graft.pipeline.Fsck.check(spark, cc, sigs, clusters,
       Some(emb)).isEmpty, "fsck must be clean after the purge")
+    // AS-OF release cut AT the lockstep watermark (VERDICT r14 #4 /
+    // r15 #3): the view's clock is the cut's clock — the composed
+    // consumer lockstepView exists for. Cut strictly after the purge,
+    // so the version also proves openAt exactly at the collapse floor
+    // (the fully-compacted corpus reads through the marker alone).
+    val lv2 = IngestStream.lockstepView(spark, cc, sigs, clusters, Some(emb))
+    require(lv2.watermark == lv.watermark,
+      s"purge must not move the lockstep clock: ${lv2.watermark} vs ${lv.watermark}")
+    val vNext = Release.latestVersion(spark, root).getOrElse(0) + 1
+    Release.buildFromCorpus(spark, cc, root, vNext, Release.Seed,
+      Release.Budget, shards = 16, atBatch = Some(lv2.watermark))
+    val cutIds = idsOf(Release.openVersion(spark, root, vNext))
+    require(cutIds.nonEmpty && cutIds.subsetOf(idsOf(lv2.docs)),
+      "as-of cut ids must be a subset of the view's corpus leg")
+    val lin = Release.lineageJson(spark, root, vNext)
+    require(lin.exists(_.contains(s""""corpus_batch":${lv2.watermark}""")),
+      s"lineage must record the pinned watermark ${lv2.watermark}, got $lin")
+    // the release root gets the same post-loop fsck-clean bar as the
+    // four standing stores: in-loop cadence cuts + prunes + the as-of
+    // epilogue cut must leave no partial builds, no orphaned
+    // manifests, and monotone lineage clocks
+    val relFindings = graft.pipeline.Fsck.checkRelease(spark, root)
+    require(relFindings.isEmpty,
+      s"release fsck must be clean after the loop: $relFindings")
     println(f"[scale] loop composed retract    ${retractSec}%8.2f s " +
       f"purge ${purgeSec}%6.2f s  ids=${retractIds.size} " +
       s"tombKB=${tombBytes.map(_ / 1024).mkString(",")} " +
-      "(zero data bytes written; 4-way lockstep; physical purge; fsck clean)")
+      "(zero data bytes written; 4-way lockstep; physical purge; fsck " +
+      s"clean; as-of cut v$vNext at w=${lv2.watermark})")
   }
 
   /**

@@ -185,4 +185,68 @@ class FsckSpec extends SparkSpec {
       ()
     }
   }
+
+  test("fsck covers release roots: clean, partial-build, manifest-orphan, lineage-watermark-skew") {
+    import graft.pipeline.{CuratedCorpus, Fsck, Release}
+    import org.apache.hadoop.fs.Path
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-fsck-rel").toString
+    val (cc, root) = (s"$base/cc", s"$base/release")
+    val fs = new Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    try {
+      // a missing root and a fresh root are both clean
+      assert(Fsck.checkRelease(spark, root).isEmpty)
+      CuratedCorpus.init(docs.where(col("doc_id") < mx / 2), cc)
+      CuratedCorpus.foldBatch(cc,
+        docs.where(col("doc_id") >= mx / 2 && col("doc_id") < mx * 3 / 4), 0L)
+      CuratedCorpus.foldBatch(cc, docs.where(col("doc_id") >= mx * 3 / 4), 1L)
+      Release.buildFromCorpus(spark, cc, root, 1, Release.Seed,
+        Release.Budget, shards = 4, atBatch = Some(0L))
+      Release.buildFromCorpus(spark, cc, root, 2, Release.Seed,
+        Release.Budget, shards = 4, atBatch = Some(1L))
+      assert(Fsck.checkRelease(spark, root).isEmpty,
+        "two monotone corpus-cut versions are healthy")
+
+      // PARTIAL BUILD: a version dir without its manifest —
+      // informational, invisible to latestVersion
+      fs.mkdirs(new Path(s"$root/v3/shards"))
+      assert(Fsck.checkRelease(spark, root).map(_.kind) ==
+        Seq("partial-build"))
+      assert(Release.latestVersion(spark, root).contains(2),
+        "a partial build must stay invisible to latestVersion")
+      fs.delete(new Path(s"$root/v3"), true)
+
+      // MANIFEST ORPHAN: a committed version whose shards dir is gone
+      fs.rename(new Path(s"$root/v2/shards"), new Path(s"$base/stash"))
+      assert(Fsck.checkRelease(spark, root).map(_.kind) ==
+        Seq("manifest-orphan"))
+      fs.rename(new Path(s"$base/stash"), new Path(s"$root/v2/shards"))
+      assert(Fsck.checkRelease(spark, root).isEmpty)
+
+      // LINEAGE SKEW, version order: v3 cut AS OF an older corpus
+      // state than v2 (a rewound pinned clock)
+      Release.buildFromCorpus(spark, cc, root, 3, Release.Seed,
+        Release.Budget, shards = 4, atBatch = Some(0L))
+      val skew = Fsck.checkRelease(spark, root)
+      assert(skew.map(_.kind) == Seq("lineage-watermark-skew") &&
+        skew.head.detail.contains("v3") && skew.head.detail.contains("v2"),
+        s"a rewound cut must be named: $skew")
+      fs.delete(new Path(s"$root/v3"), true)
+
+      // LINEAGE SKEW, corpus clock: the corpus restored to an OLDER
+      // state than a committed version records
+      CuratedCorpus.delete(spark, cc)
+      CuratedCorpus.init(docs.where(col("doc_id") < mx / 2), cc)
+      val ahead = Fsck.checkRelease(spark, root)
+      assert(ahead.map(_.kind).distinct == Seq("lineage-watermark-skew") &&
+        ahead.exists(_.detail.contains("moved backwards")),
+        s"a rewound corpus must be named: $ahead")
+    } finally {
+      fs.delete(new Path(base), true)
+      ()
+    }
+  }
 }

@@ -593,6 +593,63 @@ class IngestStreamSpec extends SparkSpec {
     }
   }
 
+  test("as-of release cut: a fold landing between view and cut never moves the pinned clock") {
+    import graft.dedup.{ClusterIndex, DedupQueries, SignatureIndex}
+    import graft.pipeline.{CuratedCorpus, Release}
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    val (t1, t2) = (mx * 8 / 10, mx * 9 / 10)
+    val T = DedupQueries.IncrementalFuzzyThreshold
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-asof-cut").toString
+    val (cc, sigs, clusters, rel) =
+      (s"$root/cc", s"$root/sigs", s"$root/clusters", s"$root/release")
+    def idsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    def accept(b: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      IngestStream.acceptIntoCorpusIndexed(b,
+        IngestStream.BatchReport(id, b.count(), Nil, 0.0, 0L),
+        cc, sigs, clusters, T)
+      ()
+    }
+    try {
+      CuratedCorpus.init(docs.where(col("doc_id") < t1), cc)
+      IngestStream.bootstrapIndexes(spark, cc, sigs, clusters, T)
+      accept(docs.where(col("doc_id") >= t1 && col("doc_id") < t2), 0L)
+      val lv = IngestStream.lockstepView(spark, cc, sigs, clusters)
+      assert(lv.watermark == 0L)
+      val viewIds = idsOf(lv.docs)
+      // a fold lands BETWEEN the view and the cut — the race the
+      // pinned bound exists for: the cut must read the state the
+      // view's consumer decided on, not whatever landed since
+      accept(docs.where(col("doc_id") >= t2), 1L)
+      assert(CuratedCorpus.batchWatermark(spark, cc) == 1L,
+        "fixture: the live clock IS ahead of the view")
+      Release.buildFromCorpus(spark, cc, rel, 1, Release.Seed,
+        Release.Budget, shards = 4, atBatch = Some(lv.watermark))
+      val relIds = idsOf(Release.openVersion(spark, rel, 1))
+      assert(relIds.nonEmpty && relIds.subsetOf(viewIds),
+        "the cut must contain only ids the view's corpus leg answered")
+      val late = idsOf(CuratedCorpus.open(spark, cc)) -- viewIds
+      assert(late.nonEmpty && relIds.intersect(late).isEmpty,
+        "docs folded after the view must not reach the pinned cut")
+      val lin = Release.lineageJson(spark, rel, 1)
+      assert(lin.exists(_.contains("\"corpus_batch\":0")),
+        s"lineage must record the PINNED clock (0), not the live one: $lin")
+      // the cadence on the same pinned bound must not re-cut — the
+      // pinned clock has not moved, whatever the live table did
+      assert(Release.maintainFromCorpus(spark, cc, rel, Release.Seed,
+        Release.Budget, shards = 4, everyBatches = 1,
+        atBatch = Some(lv.watermark)).isEmpty,
+        "an unmoved pinned bound must never be due")
+    } finally {
+      CuratedCorpus.delete(spark, cc)
+      SignatureIndex.delete(spark, sigs)
+      ClusterIndex.delete(spark, clusters)
+      Release.delete(spark, rel)
+    }
+  }
+
   test("CDC upsert: same-batch delete + byte-identical re-add lands the replacement") {
     import graft.dedup.{ClusterIndex, DedupQueries, SignatureIndex}
     import graft.pipeline.CuratedCorpus
