@@ -67,6 +67,7 @@ object ScaleSmoke {
       spark.stop(); return
     }
     if (args.contains("loop")) { composedLoopSmoke(spark); spark.stop(); return }
+    if (args.contains("cdc")) { cdcSmoke(spark, src); spark.stop(); return }
 
     val queries = Seq(
       "q_dedup_embed_cos", "q_dedup_lsh_pairs", "q_dedup_clusters",
@@ -208,6 +209,61 @@ object ScaleSmoke {
       println(f"[scale] apply-enrich join       plain ${plainSec}%6.2f s  " +
         f"salted($salts) ${saltedSec}%6.2f s  rows=$plainN")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+
+    // ---- 90%-one-key LWW: per-reduce-task arrival stays FLAT --------
+    // The window's skew protection is the partial WindowGroupLimit
+    // (AQE skew-split fires only on join stages; a window exchange
+    // cannot split a key's partition without breaking per-key
+    // totality): each map partition emits at most one row per
+    // (table, key) before the shuffle, so the reduce task holding the
+    // hot key receives ~#mapPartitions extra rows, not 90% of the
+    // batch. Metric is per-task shuffle-read ROW COUNTS — load-immune
+    // (a busy box changes seconds, never row counts).
+    {
+      import graft.operators.CdcOps
+      val n = 2000000L
+      val skewed = spark.range(n).select(
+        lit("T").as("tbl"),
+        when(col("id") % 10 < 9, lit(7L)).otherwise(col("id")).as("k"),
+        col("id").as("offset"))
+      val reads = new java.util.concurrent.ConcurrentHashMap[
+        Int, java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]]()
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null && m.shuffleReadMetrics.recordsRead > 0) {
+            reads.computeIfAbsent(t.stageId,
+              _ => new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]())
+              .add(java.lang.Long.valueOf(m.shuffleReadMetrics.recordsRead))
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val collapsed =
+          CdcOps.lastWriteWins(skewed, "tbl", Seq("k"), "offset").count()
+        require(collapsed == n / 10 + 1, s"lww keys: $collapsed")
+        Thread.sleep(2000) // listener bus drains asynchronously
+        import scala.jdk.CollectionConverters._
+        // the window stage = the one with the largest shuffle arrival
+        val windowStage = reads.asScala.values
+          .map(_.asScala.map(_.longValue).toSeq)
+          .maxBy(_.sum)
+        val total = windowStage.sum
+        val sorted = windowStage.sorted
+        val (mxT, medT) = (sorted.last, sorted(sorted.length / 2))
+        val ratio = mxT.toDouble / math.max(1L, medT)
+        // bounds, not seconds: total ≈ uniqueKeys + mapParts·1 hot row
+        require(total <= n / 10 + 3000,
+          s"partial limit must collapse the hot key map-side: $total")
+        require(ratio <= 3.0,
+          f"hot reduce task must stay ~median-sized: max=$mxT med=$medT")
+        println(f"[scale] lww 90%%-one-key         shuffleRows=$total " +
+          f"(input=$n) maxTask=$mxT medTask=$medT ratio=$ratio%.2f " +
+          "(partial WindowGroupLimit collapse; flat reduce arrival)")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
 
     sketchAndLayoutSmoke(spark)
   }

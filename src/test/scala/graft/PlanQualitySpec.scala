@@ -84,6 +84,61 @@ class PlanQualitySpec extends SparkSpec {
       s"expected partial+final WindowGroupLimit, got ${limits.length}:\n$p")
   }
 
+  test("lastWriteWins on a 90%-one-key batch: partial limit collapses the hot key BEFORE the shuffle") {
+    // The skew case behind the q_cdc_lww pin, driven with actual skew
+    // (VERDICT r15 #6). AQE's skew mitigation cannot help a window:
+    // OptimizeSkewedJoin splits only JOIN stages, and a window
+    // exchange's partitions cannot be split without breaking per-key
+    // totality — so the (table, key) exchange's skew protection IS
+    // the partial WindowGroupLimit, which emits at most one row per
+    // (key, map partition) before the shuffle. Asserted two ways:
+    // the plan carries partial+final, AND the exchange's RUNTIME
+    // write metric stays at ~(#uniqueKeys + #mapPartitions) rows —
+    // input-shape-immune — instead of the 90%-hot input row count.
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val n = 200000L
+    val skewed = spark.range(n).select(
+      lit("T").as("tbl"),
+      when(col("id") % 10 < 9, lit(7L)).otherwise(col("id")).as("k"),
+      col("id").as("offset"))
+    val collapsed = graft.operators.CdcOps.lastWriteWins(
+      skewed, "tbl", Seq("k"), "offset")
+    val p = plan(collapsed)
+    val limits = collectAll(p) {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(limits.length == 2,
+      s"expected partial+final WindowGroupLimit on the skewed batch:\n$p")
+    // drive the SAME QueryExecution, then read the executed exchange
+    val rows = collapsed.collect()
+    val uniques = n / 10 // ids with id % 10 == 9
+    assert(rows.length == uniques + 1,
+      s"fixture: ${rows.length} keys, expected ${uniques + 1}")
+    val executed = collapsed.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case q => q
+    }
+    // under AQE the executed tree nests inside QueryStageExec leaves
+    // (ResultQueryStageExec wrapping the whole result stage,
+    // ShuffleQueryStageExec wrapping each materialized exchange) —
+    // flatten through their `plan` to reach the exchanges
+    def flatten(q: SparkPlan): Seq[SparkPlan] =
+      (q +: q.children.flatMap(flatten)) ++ (q match {
+        case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          flatten(st.plan)
+        case _ => Seq.empty
+      })
+    val written = flatten(executed).collect {
+      case e: ShuffleExchangeLike =>
+        e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+    }.max
+    val mapParts = skewed.rdd.getNumPartitions
+    assert(written <= uniques + 2L * mapParts && written > 0,
+      s"the hot key must collapse map-side: $written records shuffled " +
+        s"for ${uniques + 1} keys over $mapParts map partitions " +
+        s"(a dropped partial limit would shuffle ~$n)")
+  }
+
   test("q_text_topk_per_group: rank filter plans a WindowGroupLimit below the exchange") {
     val p = plan(SparkEntry.queries("q_text_topk_per_group")(spark, Sf))
     val limits = collectAll(p) {
