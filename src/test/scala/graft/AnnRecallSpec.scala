@@ -140,6 +140,43 @@ class AnnRecallSpec extends SparkSpec {
     assert(hash == "33deb5d510c9f9ea5db0d9ffe6fcad46", s"golden hash drifted: $hash")
   }
 
+  test("trained-oracle drift tripwire: DuckDB evaluates the full trained SQL chain at sf0.001 (VERDICT r15 #8)") {
+    // CentroidK/Dims/TrainRefineIters are interpolated into ~12
+    // materialized CTE stages of the DuckDB restatement; a constant
+    // bump that breaks the ORACLE side (HUGEINT overflow in mul64,
+    // CTE-chain blowup) would otherwise surface only as a red driver
+    // row. This runs the driver-replica compare (tools/check.py, the
+    // same canon/diff the driver applies) over exactly the trained
+    // pair, in-process, so `sbt test` trips before the driver does.
+    import scala.sys.process._
+    val probe = Process(Seq("python3", "-c", "import duckdb, pandas")).!(
+      ProcessLogger(_ => ()))
+    assume(probe == 0, "python3+duckdb not available on this box")
+    val script = Seq("tools/check.py", "/root/repo/tools/check.py")
+      .map(new java.io.File(_)).find(_.exists)
+      .getOrElse(fail("tools/check.py not found")).getAbsolutePath
+    val sfDir = "/root/testdata/sf0.001"
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-oracle-trip").toString
+    val names = Seq("q_ann_ivf_trained", "q_dedup_semantic_trained")
+    names.foreach { n =>
+      SparkEntry.queries(n)(spark, sfDir)
+        .write.mode("overwrite").parquet(s"$out/$n")
+    }
+    def jsonStr(s: String) = "\"" + s.replace("\\", "\\\\")
+      .replace("\"", "\\\"").replace("\n", "\\n")
+      .replace("\r", "\\r").replace("\t", "\\t") + "\""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out/oracle_sql.json"),
+      names.map(n => s"${jsonStr(n)}: ${jsonStr(SparkEntry.oracleSql(n))}")
+        .mkString("{", ",", "}").getBytes("UTF-8"))
+    val buf = new StringBuilder
+    val exit = Process(Seq("python3", script, sfDir, out, "--subset"))
+      .!(ProcessLogger(l => { buf.append(l).append('\n'); () }))
+    assert(exit == 0 && buf.toString.contains("2/2 ok"),
+      s"trained-oracle DuckDB evaluation failed:\n$buf")
+  }
+
   test("sf0.001 recall floors: IVF top-k and LSH/banded near-dup pairs") {
     import graft.ann.AnnQueries.{NearDupThreshold, NearDupBands, NearDupBandPlanes}
     val emb = Tables(spark, Sf, "embeddings")

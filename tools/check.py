@@ -37,6 +37,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 def main():
+    # --subset: compare only the queries present in oracle_sql.json and
+    # skip the README count audit — the in-process spec tripwire
+    # (AnnRecallSpec) feeds a 2-query subset through the same compare.
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
@@ -74,7 +77,8 @@ def main():
         print(f"OK   {name} ({len(o)} rows)")
         n_ok += 1
     print(f"{n_ok}/{len(oracles)} ok")
-    check_readme_counts(out_dir, len(oracles))
+    if "--subset" not in sys.argv:
+        check_readme_counts(out_dir, len(oracles))
     # a failed oracle comparison must fail the run at least as loudly
     # as a README count drift does
     if n_ok < len(oracles):
