@@ -206,15 +206,22 @@ class TrainingDataSpec extends SparkSpec {
   }
 
   test("blockedJaccardPairsManaged release() unpersists both intermediates") {
+    // Assertions track the IDS this call adds, never the global count:
+    // earlier tests legitimately leave persisted intermediates behind
+    // (the unmanaged faces), and Spark's ContextCleaner unpersists
+    // unreferenced ones on GC timing — a count-based assert flakes
+    // whenever a cleanup lands mid-test.
     val docs = Seq(("en", 1L, "a b c d"), ("en", 2L, "a b c e"))
       .toDF("lang", "doc_id", "text")
-    val before = spark.sparkContext.getPersistentRDDs.size
+    def ids = spark.sparkContext.getPersistentRDDs.keySet
+    val before = ids
     val (pairs, release) = Dedup.blockedJaccardPairsManaged(
       docs, Seq("lang"), "doc_id", "text", 2, 0.3)
     pairs.collect()
-    assert(spark.sparkContext.getPersistentRDDs.size == before + 2)
+    val added = ids -- before
+    assert(added.size == 2, s"expected 2 new cached intermediates, got $added")
     release()
-    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    assert((ids & added).isEmpty, "release() must unpersist both")
   }
 
   test("managed LSH funnels release their signature caches; results unchanged") {
@@ -222,39 +229,48 @@ class TrainingDataSpec extends SparkSpec {
     val docs = Seq((1L, mk("w")), (2L, mk("w") + " tail"), (3L, mk("z")))
       .toDF("doc_id", "text")
     val corpus = Seq((10L, mk("w")), (11L, mk("q"))).toDF("doc_id", "text")
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // id-set tracking, not global counts — see the release() test above
+    def ids = spark.sparkContext.getPersistentRDDs.keySet
 
+    val before1 = ids
     val (pairs, relPairs) = Dedup.nearDupPairsManaged(docs, "doc_id", "text", 0.5)
     val gotPairs = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(gotPairs == Seq((1L, 2L)))
-    assert(spark.sparkContext.getPersistentRDDs.size == before + 1)
+    val addedPairs = ids -- before1
+    assert(addedPairs.size == 1, s"expected 1 new cache, got $addedPairs")
     relPairs()
-    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    assert((ids & addedPairs).isEmpty)
 
+    val before2 = ids
     val (est, relEst) = Dedup.minhashEstimatePairsManaged(docs, "doc_id", "text")
     assert(est.collect().nonEmpty)
     relEst()
-    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    val lingerEst = ids -- before2
+    assert(lingerEst.isEmpty, s"minhash estimate cache must release: $lingerEst")
 
+    val before3 = ids
     val (inc, relInc) = Dedup.incrementalNearDupManaged(
       docs, corpus, "doc_id", "text", 0.5)
     val gotInc = inc.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gotInc == Set((1L, 10L), (2L, 10L)))
-    assert(spark.sparkContext.getPersistentRDDs.size == before + 2)
+    val addedInc = ids -- before3
+    assert(addedInc.size == 2, s"expected 2 new caches, got $addedInc")
     relInc()
-    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    assert((ids & addedInc).isEmpty)
 
     // split build/probe: releasing a probe batch keeps the standing
     // corpus index cached for the next probe
+    val before4 = ids
     val (idx, relIdx) = Dedup.corpusNearDupIndex(corpus, "doc_id", "text")
     val (probe, relProbe) = Dedup.probeNearDupIndex(
       docs, idx, "doc_id", "text", 0.5)
     assert(probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == gotInc)
+    val addedIdx = ids -- before4
     relProbe()
-    assert(spark.sparkContext.getPersistentRDDs.size == before + 1,
+    assert((ids & addedIdx).size == 1,
       "corpus index must survive a probe release")
     relIdx()
-    assert(spark.sparkContext.getPersistentRDDs.size == before)
+    assert((ids & addedIdx).isEmpty)
   }
 
   test("incremental cluster maintenance ≡ from-scratch resolve") {
