@@ -562,7 +562,8 @@ object StandingStore {
     * the clock without constructing the store.
     *
     * When the live marker is ABSENT but the persist staging name
-    * (`.<marker>.tmp`) holds a COMPLETE record (both keys parse), the
+    * (`.<marker>.tmp`) holds a COMPLETE record (both keys parse AND
+    * the closing brace — the final byte written — is present), the
     * tmp is read instead: on a filesystem that refuses
     * rename-over-existing (HDFS), [[StandingStore.persistFoldWatermark]]'s
     * fallback arm is delete(live) then rename(tmp, live), and a crash
@@ -573,14 +574,21 @@ object StandingStore {
     * is always complete (it was just the rename source); a tmp
     * stranded by a crash mid-WRITE never shadows anything because the
     * live marker still exists on that path — and a partial tmp on a
-    * first-ever persist fails the both-keys parse and falls through
-    * to the default. */
+    * first-ever persist fails the completeness check (a truncation
+    * can land INSIDE a multi-digit value and still satisfy a
+    * keys-only parse — with a too-low floor; the brace requirement
+    * closes that) and falls through to the default. */
   def readWatermarkMarker(spark: SparkSession, root: String): (Long, Long) = {
     val live = new Path(s"$root/$WatermarkFile")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // bothKeys: the tmp fallback trusts only a COMPLETE record — the
-    // crash-in-gap source always is; anything less is a torn write
-    def parse(p: Path, bothKeys: Boolean): Option[(Long, Long)] = {
+    // complete=true (the tmp fallback) trusts only a COMPLETE record:
+    // both keys AND the closing brace — the crash-in-gap source always
+    // is complete (it was just a rename source); a tmp torn mid-WRITE
+    // can truncate INSIDE a multi-digit value ("…through\":12}" cut to
+    // "…through\":1") and still satisfy a keys-only regex parse with a
+    // too-LOW floor, the guard-weakening direction. The brace is
+    // written last and nowhere else, so no strict prefix carries it.
+    def parse(p: Path, complete: Boolean): Option[(Long, Long)] = {
       if (!fs.exists(p)) None
       else {
         val in = fs.open(p)
@@ -589,14 +597,15 @@ object StandingStore {
         def num(k: String) = ("\"" + k + "\":(-?\\d+)").r
           .findFirstMatchIn(s).map(_.group(1).toLong)
         (num("batch_watermark"), num("compacted_through")) match {
-          case (Some(wm), Some(fl))      => Some((wm, fl))
-          case (Some(wm), None) if !bothKeys => Some((wm, wm))
-          case _                         => None
+          case (Some(wm), Some(fl)) if !complete || s.trim.endsWith("}") =>
+            Some((wm, fl))
+          case (Some(wm), None) if !complete => Some((wm, wm))
+          case _                             => None
         }
       }
     }
-    parse(live, bothKeys = false)
-      .orElse(parse(new Path(s"$root/.$WatermarkFile.tmp"), bothKeys = true))
+    parse(live, complete = false)
+      .orElse(parse(new Path(s"$root/.$WatermarkFile.tmp"), complete = true))
       .getOrElse((BaseBatch, BaseBatch))
   }
 }

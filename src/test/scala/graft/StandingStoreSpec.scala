@@ -322,6 +322,20 @@ class StandingStoreSpec extends SparkSpec {
       s.compactedThrough(spark) == StandingStore.BaseBatch,
       "a torn tmp must read as the absent-marker default")
 
+    // the nastier tear: truncation INSIDE a multi-digit value — both
+    // keys still parse ("…compacted_through":12} cut to "…:1"), but
+    // the floor would read LOW, the guard-weakening direction. Only
+    // the missing closing brace betrays it; the completeness check
+    // must refuse.
+    val tornDigit = fs.create(tmp, true)
+    try tornDigit.write(
+      """{"batch_watermark":12,"compacted_through":1""".getBytes("UTF-8"))
+    finally tornDigit.close()
+    assert(s.batchWatermark(spark) == StandingStore.BaseBatch &&
+      s.compactedThrough(spark) == StandingStore.BaseBatch,
+      "a tmp truncated inside a digit must read as the default, " +
+        "never as a too-low floor")
+
     // the next persist heals the gap (rename-over or delete+rename)
     s.landFold(rows(30, 40), "a", 2L)
     s.compactThrough(spark, 2L)
