@@ -233,7 +233,7 @@ object EmbedIndex {
    * map, the batch vectors — no second pass over the batch lineage,
    * no distributed distinct, no broadcast join); (2) the matching
    * bucket pages' rows; (3) the candidate ids' vectors. Pair
-   * expansion, the exact-cosine verify ([[Similarity.cosineLocal]] —
+   * expansion, the exact-cosine verify ([[cosineLocalMin]] —
    * the same IEEE ops in the same order as the [[Similarity.cosine]]
    * expression, with Spark's own `round(_, 6)` BigDecimal HALF_UP
    * semantics), and the pair dedup all run on the driver over
@@ -272,9 +272,11 @@ object EmbedIndex {
     // ALL distinct vectors per batch id: a duplicate batch id with
     // conflicting vectors verifies every vector, like the join-shaped
     // plan did
-    val batchVecs: Map[Long, Array[Seq[Float]]] = bandRows
+    val batchVecs: Map[Long, Array[Array[Double]]] = bandRows
       .groupBy(_.getLong(0))
-      .map { case (id, rs) => id -> rs.map(_.getSeq[Float](2)).distinct }
+      .map { case (id, rs) =>
+        id -> rs.map(r => vecDoubles(r.getSeq[Any](2))).distinct
+          .map(_.toArray) }
     val keys: Seq[Any] = bkeyToBatch.keys.toArray.sorted.toSeq
 
     val hit = openBuckets(spark, path)
@@ -302,15 +304,16 @@ object EmbedIndex {
         // distinct vectors per corpus id: identical re-added rows
         // collapse exactly like the join plan's trailing distinct;
         // a genuinely re-embedded doc verifies every version
-        val corpusVecs: Map[Long, Array[Seq[Float]]] = vecRows
+        val corpusVecs: Map[Long, Array[Array[Double]]] = vecRows
           .groupBy(_.getLong(0))
-          .map { case (id, rs) => id -> rs.map(_.getSeq[Float](1)).distinct }
+          .map { case (id, rs) =>
+            id -> rs.map(r => vecDoubles(r.getSeq[Any](1))).distinct
+              .map(_.toArray) }
         val out = (for {
           (bid, cid) <- cand.iterator
           vb <- batchVecs(bid).iterator
-          vc <- corpusVecs.getOrElse(cid, Array.empty[Seq[Float]]).iterator
-          c = Similarity.cosineLocal(vb.iterator.map(_.toDouble).toArray,
-            vc.iterator.map(_.toDouble).toArray)
+          vc <- corpusVecs.getOrElse(cid, Array.empty[Array[Double]]).iterator
+          c = cosineLocalMin(vb, vc)
           if c >= threshold
           // Spark's round(double, 6): scala BigDecimal.decimal
           // (Double.toString canonical form), HALF_UP — RoundBase's
@@ -326,6 +329,37 @@ object EmbedIndex {
         }
       }
     }
+  }
+
+  /** Collected `array<float>` → doubles with the EXPRESSION path's
+    * degenerate-input semantics: a null ELEMENT reads as 0.0, exactly
+    * as `ArrayData.getFloat` on a null slot does in
+    * [[graft.functions.VectorOps.dotFF]] (UnsafeArrayData zeroes the
+    * value region; Scala unboxing zeroes the generic case) — so the
+    * cap cutover between [[probe]]'s local verify and [[probeAtRest]]
+    * can never change a pair's fate on a degenerate vector. */
+  private def vecDoubles(s: Seq[Any]): IndexedSeq[Double] =
+    s.iterator.map {
+      case null                => 0.0
+      case f: java.lang.Float  => f.toDouble
+      case d: java.lang.Double => d.doubleValue
+      case other               => other.toString.toDouble
+    }.toVector
+
+  /** [[Similarity.cosineLocal]] with [[graft.functions.VectorOps]]'s
+    * length handling: each dot runs over the MIN of its two operands'
+    * lengths (the norm terms see one array each, so they are full
+    * length either way) — a length-mismatched pair scores what the
+    * `vector_dot` expression scores instead of throwing. */
+  private def cosineLocalMin(a: Array[Double], b: Array[Double]): Double = {
+    val nn = math.sqrt(Similarity.dotLocal(a, a)) *
+      math.sqrt(Similarity.dotLocal(b, b))
+    if (nn > 0) {
+      val n = math.min(a.length, b.length)
+      var s = 0.0; var i = 0
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s / nn
+    } else 0.0
   }
 
   /** The scan-shaped probe — [[probe]]'s above-cap fallback and the
