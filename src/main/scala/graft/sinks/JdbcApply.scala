@@ -324,12 +324,24 @@ object JdbcApply {
   private def keyField(keySchema: StructType, name: String) =
     if (keySchema.fieldNames.contains(name)) Some(col(s"__k.$name")) else None
 
+  /** Retry-replay buffer bound, in rows per partition: a retry must
+    * re-bind the partition's rows after the failed attempt's rollback,
+    * which means holding them on the executor heap — fine for the
+    * micro-batch-sized partitions the streaming apply produces (the
+    * target database buffers the same rows as one open transaction),
+    * NOT fine for a multi-million-row backfill partition that used to
+    * stream from the shuffle with O(batchSize) residency. Past this
+    * bound the partition streams exactly as before and W17 retry
+    * stands down for it (one WARN says so): the outer Structured
+    * Streaming restart remains the retry of record, as it was before
+    * retry was wired. */
+  private[graft] val RetryBufferRows = 1 << 20
+
   /** Executor-side partition writer with W17 transient retry. When
-    * retries are enabled the partition's rows materialize ONCE so a
-    * retry can re-bind them after the failed attempt's rollback —
-    * bounded memory: an apply partition is micro-batch-sized (e.g.
-    * `maxOffsetsPerTrigger`/shuffle-partitions rows), and the target
-    * database already buffers the same rows as one open transaction. */
+    * retries are enabled the partition's rows materialize ONCE (up to
+    * [[RetryBufferRows]]) so a retry can re-bind them after the failed
+    * attempt's rollback; an oversized partition falls back to the
+    * streaming no-retry write rather than risk the heap. */
   private def writePartition(it: Iterator[Row], url: String,
       user: Option[String], password: Option[String], table: String,
       valueCols: Seq[String], pks: Seq[String], batchSize: Int,
@@ -337,11 +349,18 @@ object JdbcApply {
     if (maxRetries <= 0)
       writePartitionAttempt(it, url, user, password, table, valueCols, pks, batchSize)
     else {
-      val rows = it.toVector
-      withTransientRetry(s"partition write to $table", maxRetries, retryBackoffMs) {
-        writePartitionAttempt(rows.iterator, url, user, password, table,
-          valueCols, pks, batchSize)
-      }
+      val head = it.take(RetryBufferRows + 1).toVector
+      if (head.length > RetryBufferRows) {
+        log.warn(s"partition write to $table exceeds $RetryBufferRows " +
+          "rows; W17 retry stands down for this partition (streaming " +
+          "write, restart-level replay only)")
+        writePartitionAttempt(head.iterator ++ it, url, user, password,
+          table, valueCols, pks, batchSize)
+      } else
+        withTransientRetry(s"partition write to $table", maxRetries, retryBackoffMs) {
+          writePartitionAttempt(head.iterator, url, user, password, table,
+            valueCols, pks, batchSize)
+        }
     }
 
   /** One attempt: one connection, one txn, PS reuse, batched ops. */
@@ -655,10 +674,19 @@ object JdbcApply {
       DriverManager.getConnection(url, p)
     }
 
-  private def withConnection[A](cfg: Config)(f: Connection => A): A = {
-    val conn = connect(cfg.url, cfg.user, cfg.password)
-    try f(conn) finally conn.close()
-  }
+  /** Driver-side connection scope with the same W17 transient retry
+    * as the partition writers: the connect itself is the failure mode
+    * a flapping database shows FIRST (SQLState 08xxx before any write
+    * runs), and without retry here an epoch dies in `ensureTable`
+    * while its partition writes would have retried. Both bodies are
+    * idempotent from scratch (existence-guarded CREATE/ALTER), so the
+    * whole scope retries with a fresh connection per attempt. */
+  private def withConnection[A](cfg: Config)(f: Connection => A): A =
+    withTransientRetry(s"driver connection/DDL to ${cfg.url}",
+      cfg.maxRetries, cfg.retryBackoffMs) {
+      val conn = connect(cfg.url, cfg.user, cfg.password)
+      try f(conn) finally conn.close()
+    }
 
   /** Escape JDBC metadata search-pattern wildcards ('_' and '%') so
     * table names like streaming_corrupt_events match literally. */

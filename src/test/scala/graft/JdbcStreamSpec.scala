@@ -612,6 +612,27 @@ class JdbcStreamSpec extends SparkSpec {
       Seq((1L, "Order-001", 100.50, "NEW")))
   }
 
+  test("W17: transient CONNECT failures retry the driver DDL leg too") {
+    // A flapping database fails at connect (SQLState 08001) BEFORE any
+    // write runs — the first connection an epoch opens is applyBatch's
+    // driver-side DDL scope (ensureTable), so without retry there the
+    // epoch dies while its partition writes would have retried.
+    FlakyJdbc.register()
+    FlakyJdbc.reset(failCommits = 0, transientFlavor = true, failConnects = 2)
+    val wire = spark.createDataFrame(
+      spark.sparkContext.parallelize(fixture.take(1)), Cdc.kafkaWireSchema)
+    val cfg = sinkCfg("w17conndb").copy(
+      url = s"${FlakyJdbc.Prefix}memory:w17conndb;create=true",
+      maxRetries = 3, retryBackoffMs = 10L)
+    JdbcApply.applyBatch(CdcNormalize(wire, CdcConfig()), cfg)
+    assert(FlakyJdbc.connectAttempts.get() >= 3,
+      "the DDL scope must reconnect past 2 injected connect failures, " +
+        s"got ${FlakyJdbc.connectAttempts.get()} attempts")
+    assert(queryAll("jdbc:derby:memory:w17conndb") ==
+      Seq((1L, "Order-001", 100.50, "NEW")),
+      "the batch must land after the connect flap")
+  }
+
   test("W17: non-transient failure never retries and fails loudly") {
     FlakyJdbc.register()
     FlakyJdbc.reset(failCommits = 1, transientFlavor = false)
@@ -677,14 +698,18 @@ class JdbcStreamSpec extends SparkSpec {
 object FlakyJdbc {
   val Prefix = "jdbc:graftflaky:"
   val commitAttempts = new java.util.concurrent.atomic.AtomicInteger(0)
+  val connectAttempts = new java.util.concurrent.atomic.AtomicInteger(0)
   val attemptNanos = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
   @volatile private var failCommitsLeft = 0
+  @volatile private var failConnectsLeft = 0
   @volatile private var transientMode = true
   @volatile private var registered = false
 
-  def reset(failCommits: Int, transientFlavor: Boolean): Unit = synchronized {
-    commitAttempts.set(0); attemptNanos.clear()
-    failCommitsLeft = failCommits; transientMode = transientFlavor
+  def reset(failCommits: Int, transientFlavor: Boolean,
+      failConnects: Int = 0): Unit = synchronized {
+    commitAttempts.set(0); connectAttempts.set(0); attemptNanos.clear()
+    failCommitsLeft = failCommits; failConnectsLeft = failConnects
+    transientMode = transientFlavor
   }
 
   def register(): Unit = synchronized {
@@ -692,6 +717,16 @@ object FlakyJdbc {
       java.sql.DriverManager.registerDriver(new FlakyJdbcDriver)
       registered = true
     }
+  }
+
+  private[graft] def onConnect(): Unit = {
+    val n = connectAttempts.incrementAndGet()
+    val shouldFail = synchronized {
+      if (failConnectsLeft > 0) { failConnectsLeft -= 1; true } else false
+    }
+    if (shouldFail)
+      throw new java.sql.SQLTransientConnectionException(
+        s"injected transient connect failure #$n", "08001")
   }
 
   private[graft] def onCommit(): Unit = {
@@ -717,6 +752,7 @@ class FlakyJdbcDriver extends java.sql.Driver {
     url != null && url.startsWith(FlakyJdbc.Prefix)
   override def connect(url: String, info: java.util.Properties): Connection = {
     if (!acceptsURL(url)) return null
+    FlakyJdbc.onConnect()
     val real = DriverManager.getConnection(
       "jdbc:derby:" + url.stripPrefix(FlakyJdbc.Prefix), info)
     java.lang.reflect.Proxy.newProxyInstance(
