@@ -58,6 +58,9 @@ object ScaleSmoke {
     }.reduce(_ unionByName _)
     docsX.write.mode(SaveMode.Overwrite).parquet(s"$OutDir/documents.parquet")
     embX.write.mode(SaveMode.Overwrite).parquet(s"$OutDir/embeddings.parquet")
+    // the smoke rewrites OutDir tables in-session; cached plans from
+    // a prior read would serve the pre-rewrite file listing
+    graft.Tables.invalidate(OutDir)
     println(s"[scale] synthesized ${nDocs * Copies} docs / ${nVecs * Copies} vecs at $OutDir")
 
     // fast lanes for iterating on one smoke:
@@ -116,6 +119,7 @@ object ScaleSmoke {
     evX.write.mode(SaveMode.Overwrite).parquet(s"$OutDir/events.parquet")
     Tables(spark, src, "orders").write.mode(SaveMode.Overwrite)
       .parquet(s"$OutDir/orders.parquet")
+    graft.Tables.invalidate(OutDir) // rewrites tables a prior block may have read
     println(s"[scale] synthesized 10x CDC feed (${Copies - 1} uniform copies " +
       "+ 1 hot-key copy)")
 
@@ -244,8 +248,20 @@ object ScaleSmoke {
         val collapsed =
           CdcOps.lastWriteWins(skewed, "tbl", Seq("k"), "offset").count()
         require(collapsed == n / 10 + 1, s"lww keys: $collapsed")
-        Thread.sleep(2000) // listener bus drains asynchronously
         import scala.jdk.CollectionConverters._
+        // the listener bus drains asynchronously — a fixed sleep
+        // under-waits exactly on the loaded box this block claims
+        // immunity to (empty map → maxBy throws; partial rows → false
+        // require). Poll until the recorded total is nonzero and
+        // stable across a beat, bounded by a 30 s deadline.
+        def recordedSum = reads.asScala.values
+          .map(_.asScala.map(_.longValue).sum).sum
+        val deadline = System.nanoTime() + 30L * 1000L * 1000L * 1000L
+        var prev = -1L; var cur = recordedSum
+        while ((cur == 0L || cur != prev) && System.nanoTime() < deadline) {
+          Thread.sleep(200); prev = cur; cur = recordedSum
+        }
+        require(cur > 0L, "listener bus never delivered task metrics")
         // the window stage = the one with the largest shuffle arrival
         val windowStage = reads.asScala.values
           .map(_.asScala.map(_.longValue).toSeq)

@@ -45,8 +45,45 @@ object Tables {
   private val planCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  /** Registry of every session-keyed cache in the query layer (this
+    * one plus the family objects' memoized frames/roots). An entry
+    * keyed by a STOPPED session pins its plans, file listings, and
+    * SparkContext on the heap forever in a JVM that cycles sessions
+    * (notebook/server use) — so every [[apply]] sweeps the registered
+    * caches of stopped-session entries. Registration returns the map,
+    * keeping the declarations one-liners. */
+  private val sessionCacheSweeps =
+    new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
+
+  private[graft] def registerSessionCache[V](
+      m: scala.collection.concurrent.TrieMap[(SparkSession, String), V])
+      : scala.collection.concurrent.TrieMap[(SparkSession, String), V] = {
+    sessionCacheSweeps.add(() =>
+      m.keys.filter(_._1.sparkContext.isStopped).foreach(m.remove))
+    m
+  }
+
+  private[graft] def sweepStoppedSessions(): Unit = {
+    val it = sessionCacheSweeps.iterator()
+    while (it.hasNext) it.next().apply()
+  }
+
+  /** Drop cached plans under `dir` — the cache freezes a dir's file
+    * listing at first read, so a harness that REWRITES a dir
+    * in-session (ScaleSmoke's synthesized 10× tables) must invalidate
+    * or later reads serve the pre-rewrite listing (stale rows at
+    * best, deleted-file read failures at worst). The driver contract
+    * dirs (`/root/testdata/sf*`) are immutable and never need this. */
+  private[graft] def invalidate(dir: String): Unit =
+    planCache.keys.filter(_._2 == dir).foreach(planCache.remove)
+
+  sessionCacheSweeps.add(() =>
+    planCache.keys.filter(_._1.sparkContext.isStopped).foreach(planCache.remove))
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    sweepStoppedSessions()
     planCache.getOrElseUpdate((spark, sfDir, name), build(spark, sfDir, name))
+  }
 
   private def build(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // nanosAsLong is a READ-path necessity (Spark 4 refuses

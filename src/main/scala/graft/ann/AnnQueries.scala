@@ -73,9 +73,9 @@ object AnnQueries {
   private def registerScratchCleanup(path: String): Unit =
     graft.Scratch.registerCleanup(path)
 
-  private val ivfIndexCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String),
-      (String, Seq[Array[Double]], Seq[(Long, Array[Double])])]
+  private val ivfIndexCache = graft.Tables.registerSessionCache(
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      (String, Seq[Array[Double]], Seq[(Long, Array[Double])])])
   private def cachedIvfIndex(s: SparkSession, dir: String)
       : (String, Seq[Array[Double]], Seq[(Long, Array[Double])]) =
     ivfIndexCache.getOrElseUpdate((s, dir), {
@@ -100,7 +100,8 @@ object AnnQueries {
     })
 
   private val embedIdxCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.Tables.registerSessionCache(
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
   private def cachedEmbedIndex(s: SparkSession, dir: String): DataFrame =
     embedIdxCache.getOrElseUpdate((s, dir),
       Similarity.corpusEmbedIndex(
@@ -156,7 +157,8 @@ object AnnQueries {
     * session-RAM index and must produce the identical pairs (same
     * oracle as q_dedup_incremental_embed). */
   private val embedAtRestCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    graft.Tables.registerSessionCache(
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String])
   private def cachedEmbedAtRest(s: SparkSession, dir: String): String =
     embedAtRestCache.getOrElseUpdate((s, dir), {
       val path = EmbedIndex.scratchPath(dir)

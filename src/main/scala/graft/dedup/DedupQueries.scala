@@ -40,7 +40,8 @@ object DedupQueries {
     * cache, each funnel re-persists the identical signature plan and
     * the CacheManager logs duplicate-cache warnings. */
   private val docSigCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.Tables.registerSessionCache(
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
   private def cachedDocSignatures(s: SparkSession, dir: String): DataFrame =
     docSigCache.getOrElseUpdate((s, dir),
       Dedup.withSignatures(Tables(s, dir, "documents"), "doc_id", "text",
@@ -50,12 +51,14 @@ object DedupQueries {
     * dir) with the funnel's own two caches released immediately after
     * (the managed-handle discipline, applied at the query layer). */
   private val blockedPairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.Tables.registerSessionCache(
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
 
   /** The LSH funnel output, shared by the pairs and clusters queries
     * (same persist-once pattern as SparkEntry's normalized feed). */
   private val pairsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.Tables.registerSessionCache(
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
   private def cachedPairs(s: SparkSession, dir: String): DataFrame =
     pairsCache.getOrElseUpdate((s, dir),
       Dedup.pairsFromSignatures(cachedDocSignatures(s, dir), "doc_id", "sh",
@@ -84,13 +87,15 @@ object DedupQueries {
     * stops (the streaming faces in EventTimeOps/IngestStream carry
     * per-snapshot release handles for long-lived processes). */
   private val corpusIdxCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.Tables.registerSessionCache(
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
   private def cachedCorpusIndex(s: SparkSession, dir: String): DataFrame =
     corpusIdxCache.getOrElseUpdate((s, dir),
       Dedup.corpusNearDupIndex(splitDocs(s, dir)._1, "doc_id", "text")._1)
 
   private val batchSigCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.Tables.registerSessionCache(
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
   private def cachedBatchSignatures(s: SparkSession, dir: String): DataFrame =
     batchSigCache.getOrElseUpdate((s, dir),
       Dedup.batchSignatures(splitDocs(s, dir)._2, "doc_id", "text")._1)
@@ -102,14 +107,16 @@ object DedupQueries {
     * both words, so the md5-per-token tokenization runs once per
     * (session, sf-dir) instead of once per query. */
   private val simhashFpCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.Tables.registerSessionCache(
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
   private def cachedSimhashFp(s: SparkSession, dir: String): DataFrame =
     simhashFpCache.getOrElseUpdate((s, dir),
       Dedup.simhashFingerprints(Tables(s, dir, "documents"),
         "doc_id", "text", "doc_id", words = 2).persist())
 
   private val simhashIdxCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.Tables.registerSessionCache(
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
   private def cachedSimhashIndex(s: SparkSession, dir: String): DataFrame =
     simhashIdxCache.getOrElseUpdate((s, dir),
       Dedup.corpusSimhashIndex(splitDocs(s, dir)._1, "doc_id", "text",
@@ -122,7 +129,8 @@ object DedupQueries {
     * exists to avoid. Deterministic (min-id labels), so caching cannot
     * change the answer. */
   private val assignCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.Tables.registerSessionCache(
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
   private def cachedCorpusAssignments(s: SparkSession, dir: String): DataFrame =
     assignCache.getOrElseUpdate((s, dir), {
       val (corpus, _) = splitDocs(s, dir)
@@ -140,7 +148,8 @@ object DedupQueries {
     * pays only its own probe/aggregation — the same
     * standing-structure unification as the signature caches. */
   private val fullAssignCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    graft.Tables.registerSessionCache(
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
   private def cachedFullAssignments(s: SparkSession, dir: String): DataFrame =
     fullAssignCache.getOrElseUpdate((s, dir), {
       val a = Clusters.resolve(Tables(s, dir, "documents"), "doc_id",
@@ -157,7 +166,8 @@ object DedupQueries {
     * (JVM-exit retirement via [[graft.Scratch]]); production keys the
     * path by corpus-snapshot id and keeps it. */
   private val clusterIdxCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    graft.Tables.registerSessionCache(
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String])
   private def cachedClusterIndexPath(s: SparkSession, dir: String): String =
     clusterIdxCache.getOrElseUpdate((s, dir), {
       val (_, batch) = splitDocs(s, dir)

@@ -198,7 +198,8 @@ object PipelineQueries {
     * retired) — epoch reads are the recurring cost, the build is the
     * per-snapshot cost. */
   private val releaseCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    graft.Tables.registerSessionCache(
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String])
   private def cachedReleasePath(s: SparkSession, dir: String): String =
     releaseCache.getOrElseUpdate((s, dir), {
       val root = graft.Scratch.path("graft_release", dir)
@@ -212,7 +213,8 @@ object PipelineQueries {
     * the base slice, fold the two batch slices, reuse across
     * bench/verify iterations (scratch-pathed, JVM-exit retired). */
   private val corpusCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    graft.Tables.registerSessionCache(
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String])
   private def cachedCuratedCorpusPath(s: SparkSession, dir: String): String =
     corpusCache.getOrElseUpdate((s, dir), {
       val docs = Tables(s, dir, "documents")
@@ -238,7 +240,8 @@ object PipelineQueries {
     * tombstones are GONE and suppression alone carries the
     * contract — and fold both resurrection attempts. */
   private val retractCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    graft.Tables.registerSessionCache(
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String])
   private def cachedRetractedCorpusPath(s: SparkSession, dir: String): String =
     retractCache.getOrElseUpdate((s, dir), {
       val docs = Tables(s, dir, "documents")
@@ -279,8 +282,9 @@ object PipelineQueries {
     * mid-router window), and a retraction landed on the corpus only
     * (the corpus-first delete order's window). Left torn on purpose:
     * the query reads THROUGH the tears. */
-  private val lockstepCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (String, String, String)]
+  private val lockstepCache = graft.Tables.registerSessionCache(
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), (String, String, String)])
   private def cachedLockstepRoots(s: SparkSession,
       dir: String): (String, String, String) =
     lockstepCache.getOrElseUpdate((s, dir), {
@@ -318,7 +322,8 @@ object PipelineQueries {
     * the newer stamp), and a same-batch same-doc two-reason tie
     * (deterministic reason tie-break). */
   private val quarCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+    graft.Tables.registerSessionCache(
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String])
   private def cachedQuarantinePath(s: SparkSession, dir: String): String =
     quarCache.getOrElseUpdate((s, dir), {
       val docs = Tables(s, dir, "documents")
