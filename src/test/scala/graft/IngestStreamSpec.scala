@@ -437,6 +437,138 @@ class IngestStreamSpec extends SparkSpec {
     }
   }
 
+  test("checkpoint kill/restart: the ingest accept loop converges to the single-run corpus (effectively-once folds)") {
+    // The training-pipeline twin of JdbcStreamSpec's kill/restart
+    // case: Structured Streaming logs an epoch's offsets BEFORE the
+    // foreachBatch body runs and its commit entry AFTER, so a crash
+    // between accept and commit replays the epoch on restart — and
+    // the accept router's replay-idempotent folds (dynamic partition
+    // overwrite keyed by the epoch's batchId, standing reads that
+    // exclude the batch's own partitions) must converge to the state
+    // a never-killed run reaches. Here the replay is driven by the
+    // REAL checkpoint machinery, not a manual second accept call.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import graft.dedup.{ClusterIndex, DedupQueries, SignatureIndex}
+    import graft.pipeline.{CuratedCorpus, Fsck, IngestStream}
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    val mid = mx / 2
+    val T = DedupQueries.IncrementalFuzzyThreshold
+    val slices = (0 until 4).map(i =>
+      docs.where(col("doc_id") >= mid && col("doc_id") % 4 === i))
+    // one parquet file per slice, zero-padded names + increasing
+    // mtimes so FileStreamSource (oldest-first) pins epoch i = slice i
+    def writeSliceFiles(dir: String): Unit =
+      slices.zipWithIndex.foreach { case (s, i) =>
+        val stage = Files.createTempDirectory("graft-ingest-one").toString
+        s.coalesce(1).write.mode("overwrite").parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(f => f.getName.startsWith("part-") &&
+            f.getName.endsWith(".parquet"))
+          .getOrElse(fail(s"no part file under $stage"))
+        val dst = Paths.get(dir, f"docs-$i%05d.parquet")
+        Files.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+        assert(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+      }
+    def fileDocs(dir: String) = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ingest-ckpt").toString
+    def roots(tag: String) =
+      (s"$base/$tag/cc", s"$base/$tag/sigs", s"$base/$tag/clusters")
+    def bootstrap(tag: String): (String, String, String) = {
+      val (cc, sigs, clusters) = roots(tag)
+      CuratedCorpus.init(docs.where(col("doc_id") < mid), cc)
+      IngestStream.bootstrapIndexes(spark, cc, sigs, clusters, T)
+      (cc, sigs, clusters)
+    }
+    def start(src: String, ckpt: String, rs: (String, String, String),
+        onEpoch: Long => Unit) =
+      fileDocs(src).writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, epoch: Long) =>
+          IngestStream.acceptIntoCorpusIndexed(b,
+            IngestStream.BatchReport(epoch, b.count(), Nil, 0.0, 0L),
+            rs._1, rs._2, rs._3, T)
+          onEpoch(epoch)
+          ()
+        }
+        .start()
+    def corpusRows(cc: String) = CuratedCorpus.open(spark, cc)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    def sigIds(sigs: String) = SignatureIndex.open(spark, sigs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def clusterMap(cl: String) = ClusterIndex.open(spark, cl).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    try {
+      // ---- reference run: same files, same router, never killed
+      val refRoots = bootstrap("ref")
+      val srcA = Files.createTempDirectory("graft-ingest-src-ref").toString
+      writeSliceFiles(srcA)
+      val qA = start(srcA,
+        Files.createTempDirectory("graft-ingest-ck-ref").toString,
+        refRoots, _ => ())
+      try qA.processAllAvailable() finally qA.stop()
+      val (refCorpus, refSigs, refClusters) =
+        (corpusRows(refRoots._1), sigIds(refRoots._2), clusterMap(refRoots._3))
+      assert(refCorpus.nonEmpty && refSigs.nonEmpty)
+
+      // ---- kill run: crash AFTER epoch 2's folds landed, BEFORE its
+      // commit-log entry — the at-least-once window
+      val killRoots = bootstrap("kill")
+      val srcB = Files.createTempDirectory("graft-ingest-src-kill").toString
+      writeSliceFiles(srcB)
+      val ckpt = Files.createTempDirectory("graft-ingest-ck-kill").toString
+      val accepted = scala.collection.concurrent.TrieMap.empty[Long, Int]
+      @volatile var killArmed = true
+      val onEpoch: Long => Unit = epoch => {
+        accepted.updateWith(epoch)(c => Some(c.getOrElse(0) + 1))
+        if (killArmed && epoch == 2L) {
+          killArmed = false
+          throw new RuntimeException("injected-crash-after-fold")
+        }
+      }
+      val q1 = start(srcB, ckpt, killRoots, onEpoch)
+      try { q1.processAllAvailable(); q1.awaitTermination(120000L) }
+      catch { case _: Throwable => () }
+      assert(q1.exception.isDefined, "the injected crash must kill the query")
+      assert(accepted.toMap == Map(0L -> 1, 1L -> 1, 2L -> 1),
+        s"the kill run folds epochs 0..2 once each, got $accepted")
+      // the torn moment is visible to fsck as standing state, not rot:
+      // epoch 2's folds stand, no swap/staging debris
+      assert(Fsck.check(spark, killRoots._1, killRoots._2, killRoots._3,
+        None).isEmpty, "a post-fold crash must leave no fsck findings")
+
+      // ---- restart from the SAME checkpoint: epoch 2 replays; the
+      // keyed folds absorb the duplicate; 3 completes the stream
+      val q2 = start(srcB, ckpt, killRoots, onEpoch)
+      try q2.processAllAvailable() finally q2.stop()
+      assert(accepted.getOrElse(2L, 0) == 2,
+        s"epoch 2 must REPLAY after the restart, got $accepted")
+      assert(accepted.getOrElse(0L, 0) == 1 && accepted.getOrElse(1L, 0) == 1,
+        s"committed epochs must not replay, got $accepted")
+      assert(accepted.getOrElse(3L, 0) == 1, s"tail epoch runs once: $accepted")
+      assert(corpusRows(killRoots._1) == refCorpus,
+        "kill+restart corpus must equal the single-run corpus")
+      assert(sigIds(killRoots._2) == refSigs,
+        "signature index must be in lockstep with the converged corpus")
+      assert(clusterMap(killRoots._3) == clusterMap(refRoots._3),
+        "cluster labels must equal the single-run labels")
+      val lv = IngestStream.lockstepView(
+        spark, killRoots._1, killRoots._2, killRoots._3)
+      assert(lv.watermark == 3L,
+        s"the lockstep clock must read the tail epoch, got ${lv.watermark}")
+    } finally {
+      Seq("ref", "kill").foreach { tag =>
+        val (cc, sigs, clusters) = roots(tag)
+        CuratedCorpus.delete(spark, cc)
+        SignatureIndex.delete(spark, sigs)
+        ClusterIndex.delete(spark, clusters)
+      }
+    }
+  }
+
   test("delete-tagged feed: a mixed batch folds its adds and retracts its deletes on one clock") {
     import graft.dedup.{ClusterIndex, DedupQueries, SignatureIndex}
     import graft.pipeline.{CuratedCorpus, Fsck, PipelineQueries}
