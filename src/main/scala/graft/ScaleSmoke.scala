@@ -253,15 +253,19 @@ object ScaleSmoke {
         // under-waits exactly on the loaded box this block claims
         // immunity to (empty map → maxBy throws; partial rows → false
         // require). Poll until the recorded total is nonzero and
-        // stable across a beat, bounded by a 30 s deadline.
+        // stable across THREE consecutive beats (one beat can land
+        // inside a mid-drain GC stall), bounded by a 30 s deadline.
         def recordedSum = reads.asScala.values
           .map(_.asScala.map(_.longValue).sum).sum
         val deadline = System.nanoTime() + 30L * 1000L * 1000L * 1000L
-        var prev = -1L; var cur = recordedSum
-        while ((cur == 0L || cur != prev) && System.nanoTime() < deadline) {
-          Thread.sleep(200); prev = cur; cur = recordedSum
+        var prev = -1L; var stable = 0
+        while (stable < 3 && System.nanoTime() < deadline) {
+          Thread.sleep(200)
+          val cur = recordedSum
+          stable = if (cur > 0L && cur == prev) stable + 1 else 0
+          prev = cur
         }
-        require(cur > 0L, "listener bus never delivered task metrics")
+        require(prev > 0L, "listener bus never delivered task metrics")
         // the window stage = the one with the largest shuffle arrival
         val windowStage = reads.asScala.values
           .map(_.asScala.map(_.longValue).toSeq)

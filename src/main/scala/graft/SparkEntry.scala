@@ -41,8 +41,8 @@ object SparkEntry {
    * JdbcApply.applyBatch persists its micro-batch before splitting
    * valid/corrupt branches.
    */
-  private val normCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val normCache = Tables.registerSessionCache(
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame])
   private def normalized(spark: SparkSession, dir: String): DataFrame =
     normCache.getOrElseUpdate((spark, dir),
       // Raw wire columns (binary key/value, headers array) are fully

@@ -54,12 +54,23 @@ object Tables {
     * keeping the declarations one-liners. */
   private val sessionCacheSweeps =
     new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
+  private val dirInvalidations =
+    new java.util.concurrent.CopyOnWriteArrayList[String => Unit]()
 
   private[graft] def registerSessionCache[V](
       m: scala.collection.concurrent.TrieMap[(SparkSession, String), V])
       : scala.collection.concurrent.TrieMap[(SparkSession, String), V] = {
     sessionCacheSweeps.add(() =>
       m.keys.filter(_._1.sparkContext.isStopped).foreach(m.remove))
+    // every registered cache's String key is the source dir, so
+    // [[invalidate]] can drop derived frames built from a rewritten
+    // dir's files, not just the raw plans; persisted frames unpersist
+    // so the executor cache doesn't keep serving pre-rewrite blocks
+    dirInvalidations.add(dir =>
+      m.keys.filter(_._2 == dir).foreach(k => m.remove(k).foreach {
+        case df: DataFrame => df.unpersist(); ()
+        case _             => ()
+      }))
     m
   }
 
@@ -68,14 +79,19 @@ object Tables {
     while (it.hasNext) it.next().apply()
   }
 
-  /** Drop cached plans under `dir` — the cache freezes a dir's file
-    * listing at first read, so a harness that REWRITES a dir
-    * in-session (ScaleSmoke's synthesized 10× tables) must invalidate
-    * or later reads serve the pre-rewrite listing (stale rows at
-    * best, deleted-file read failures at worst). The driver contract
-    * dirs (`/root/testdata/sf*`) are immutable and never need this. */
-  private[graft] def invalidate(dir: String): Unit =
+  /** Drop cached state under `dir` — the plan cache freezes a dir's
+    * file listing at first read, and the registered family caches
+    * memoize persisted frames and scratch roots DERIVED from those
+    * files, so a harness that REWRITES a dir in-session (ScaleSmoke's
+    * synthesized 10× tables) must invalidate or later reads serve the
+    * pre-rewrite listing (stale rows at best, deleted-file read
+    * failures at worst). The driver contract dirs
+    * (`/root/testdata/sf*`) are immutable and never need this. */
+  private[graft] def invalidate(dir: String): Unit = {
     planCache.keys.filter(_._2 == dir).foreach(planCache.remove)
+    val it = dirInvalidations.iterator()
+    while (it.hasNext) it.next().apply(dir)
+  }
 
   sessionCacheSweeps.add(() =>
     planCache.keys.filter(_._1.sparkContext.isStopped).foreach(planCache.remove))

@@ -337,6 +337,20 @@ object JdbcApply {
     * retry was wired. */
   private[graft] val RetryBufferRows = 1 << 20
 
+  /** Drain up to `cap` + 1 rows by hand: `Iterator.take`'s contract
+    * says to DISCARD the source afterwards (an override may consume
+    * or return the receiver), so `take(n).toVector` followed by
+    * `++ it` risks silently dropping the tail on exactly the
+    * oversized partitions the cap exists for. A manual next() loop
+    * leaves `it` positioned at the first un-buffered row by
+    * definition. */
+  private def bufferHead(it: Iterator[Row], cap: Int): Vector[Row] = {
+    val b = Vector.newBuilder[Row]
+    var n = 0
+    while (n <= cap && it.hasNext) { b += it.next(); n += 1 }
+    b.result()
+  }
+
   /** Executor-side partition writer with W17 transient retry. When
     * retries are enabled the partition's rows materialize ONCE (up to
     * [[RetryBufferRows]]) so a retry can re-bind them after the failed
@@ -349,7 +363,7 @@ object JdbcApply {
     if (maxRetries <= 0)
       writePartitionAttempt(it, url, user, password, table, valueCols, pks, batchSize)
     else {
-      val head = it.take(RetryBufferRows + 1).toVector
+      val head = bufferHead(it, RetryBufferRows)
       if (head.length > RetryBufferRows) {
         log.warn(s"partition write to $table exceeds $RetryBufferRows " +
           "rows; W17 retry stands down for this partition (streaming " +
@@ -510,9 +524,9 @@ object JdbcApply {
     corrupt.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         // W17 retry, same shape as writePartition: materialize once
-        // for replay (DLQ partitions are small by construction), fresh
-        // connection + txn per attempt; delete-then-insert by Kafka
-        // coordinates makes the replayed attempt idempotent.
+        // (up to RetryBufferRows) for replay, fresh connection + txn
+        // per attempt; delete-then-insert by Kafka coordinates makes
+        // the replayed attempt idempotent.
         def attemptOnce(rows: Iterator[Row]): Unit = {
         val conn = connect(url, user, password)
         try {
@@ -556,10 +570,20 @@ object JdbcApply {
         }
         if (maxRetries <= 0) attemptOnce(it)
         else {
-          val rows = it.toVector
-          withTransientRetry(s"DLQ write to $table", maxRetries, retryBackoffMs) {
-            attemptOnce(rows.iterator)
-          }
+          // same buffer bound as writePartition: "DLQ partitions are
+          // small by construction" does not survive a poisoned feed
+          // under errors.tolerance=log, where millions of rows can be
+          // corrupt — past the cap the DLQ write streams and retry
+          // stands down, instead of buffering the partition unbounded
+          val head = bufferHead(it, RetryBufferRows)
+          if (head.length > RetryBufferRows) {
+            log.warn(s"DLQ write to $table exceeds $RetryBufferRows " +
+              "rows; W17 retry stands down for this partition")
+            attemptOnce(head.iterator ++ it)
+          } else
+            withTransientRetry(s"DLQ write to $table", maxRetries, retryBackoffMs) {
+              attemptOnce(head.iterator)
+            }
         }
       }
     }

@@ -30,4 +30,27 @@ class TablesSpec extends SparkSpec {
     assert(!(b eq a), "invalidate must drop the dir's cached plans")
     assert(b.count() == 12, "the re-read must serve the rewritten files")
   }
+
+  test("invalidate reaches registered family caches and unpersists their frames") {
+    // the family objects memoize persisted frames DERIVED from a
+    // dir's files (signatures, fingerprints, normalized wire);
+    // invalidate(dir) must drop those too or a rewritten dir keeps
+    // serving pre-rewrite derivations — and must unpersist, or the
+    // executor block cache keeps the stale bytes alive
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tables-derived").toString
+    val m = Tables.registerSessionCache(scala.collection.concurrent
+      .TrieMap.empty[(org.apache.spark.sql.SparkSession, String),
+        org.apache.spark.sql.DataFrame])
+    val df = spark.range(3).toDF("k").persist()
+    df.count()
+    m.put((spark, dir), df)
+    m.put((spark, s"$dir-other"), df)
+    Tables.invalidate(dir)
+    assert(m.keySet == Set((spark, s"$dir-other")),
+      "only the invalidated dir's entries may drop")
+    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "the dropped entry's frame must unpersist")
+    m.remove((spark, s"$dir-other"))
+  }
 }
