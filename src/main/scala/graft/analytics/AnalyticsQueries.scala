@@ -37,12 +37,36 @@ object AnalyticsQueries {
   /** Rank cutoff of the grouped top-k query (q_text_topk_per_group). */
   val TopKPerGroup = 5
 
+  /** ONE explode + token-groupBy corpus pass — (token, n_corpus,
+    * n_batch) split on the standing incremental boundary — shared by
+    * the whole vocab family (build, drift, capped calibration): the
+    * corpus-sized explode is each query's entire cost, and the three
+    * run back-to-back in the driver harness. q_text_vocab's total is
+    * exactly n_corpus + n_batch (the split covers every row), so
+    * sharing the split pass changes no value anywhere. Same pattern
+    * as DedupQueries.cachedSimhashFp. */
+  private val tokenCountsCache = graft.Tables.registerSessionCache(
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame])
+  private def cachedTokenCounts(s: SparkSession, dir: String): DataFrame =
+    tokenCountsCache.getOrElseUpdate((s, dir), {
+      val boundary = graft.dedup.DedupQueries.IncrementalSplitBoundary
+      val bucket = TextAnalysis.charFingerprint(col("text")) % 100
+      Tables(s, dir, "documents")
+        .select((bucket >= boundary).as("is_batch"),
+          explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(
+          count(when(!col("is_batch"), lit(1))).as("n_corpus"),
+          count(when(col("is_batch"), lit(1))).as("n_batch"))
+        .persist()
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "q_text_vocab" -> ((s, dir) =>
-      Tables(s, dir, "documents")
-        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      cachedTokenCounts(s, dir)
+        .select(col("token"),
+          (col("n_corpus") + col("n_batch")).as("cnt"))
         .filter(col("cnt") >= 5)
         .orderBy(col("cnt").desc, col("token"))),
 
@@ -60,19 +84,12 @@ object AnalyticsQueries {
     // would plan the BroadcastNestedLoopJoin the degenerate-join guard
     // bans); the top-K is a global TakeOrdered over the vocabulary.
     "q_text_vocab_drift" -> ((s, dir) => {
-      val boundary = graft.dedup.DedupQueries.IncrementalSplitBoundary
-      val bucket = TextAnalysis.charFingerprint(col("text")) % 100
-      val toks = Tables(s, dir, "documents")
-        .select((bucket >= boundary).as("is_batch"),
-          explode(TextAnalysis.tokens(col("text"))).as("token"))
       val w = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
       val pc = col("n_corpus").cast("double") /
         greatest(sum("n_corpus").over(w), lit(1L)).cast("double")
       val pb = col("n_batch").cast("double") /
         greatest(sum("n_batch").over(w), lit(1L)).cast("double")
-      toks.groupBy("token").agg(
-          count(when(!col("is_batch"), lit(1))).as("n_corpus"),
-          count(when(col("is_batch"), lit(1))).as("n_batch"))
+      cachedTokenCounts(s, dir)
         .select(col("token"), col("n_corpus"), col("n_batch"),
           round(pc, 9).as("p_corpus"), round(pb, 9).as("p_batch"),
           round(abs(pc - pb), 9).as("abs_diff"))
@@ -91,15 +108,9 @@ object AnalyticsQueries {
     // aggregate in the same groupBy, so no cross join of two one-row
     // frames (which would plan a nested loop).
     "q_text_vocab_drift_capped" -> ((s, dir) => {
-      val boundary = graft.dedup.DedupQueries.IncrementalSplitBoundary
-      val bucket = TextAnalysis.charFingerprint(col("text")) % 100
       val other = graft.pipeline.DriftGate.OtherToken
-      val toks = Tables(s, dir, "documents")
-        .select((bucket >= boundary).as("is_batch"),
-          explode(TextAnalysis.tokens(col("text"))).as("token"))
-      val c = toks.groupBy("token").agg(
-        count(when(!col("is_batch"), lit(1))).as("nc"),
-        count(when(col("is_batch"), lit(1))).as("nb"))
+      val c = cachedTokenCounts(s, dir).select(col("token"),
+        col("n_corpus").as("nc"), col("n_batch").as("nb"))
       val wTot = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
       val wRank = Window.orderBy(col("nc").desc, col("token"))
       // fold key: top-K CORPUS tokens keep identity (nc > 0 — a

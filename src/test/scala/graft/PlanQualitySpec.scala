@@ -578,14 +578,47 @@ class PlanQualitySpec extends SparkSpec {
     }.nonEmpty, "band probe must plan an equi-join")
   }
 
-  test("q_text_vocab_drift_capped: one documents scan reading only text") {
-    val p = plan(SparkEntry.queries("q_text_vocab_drift_capped")(spark, Sf))
-    val scans = collectAll(p) {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+  test("vocab family shares ONE cached text-only token pass; no query re-scans the corpus") {
+    // The explode+groupBy corpus pass IS each vocab query's cost, so
+    // the family reads through one persisted (token, n_corpus,
+    // n_batch) frame (AnalyticsQueries.cachedTokenCounts). Pin both
+    // halves: every family member's plan hits the in-memory pass and
+    // plans ZERO parquet scans of its own, and the shared pass itself
+    // was built from a single text-only pruned scan.
+    for (q <- Seq("q_text_vocab", "q_text_vocab_drift",
+        "q_text_vocab_drift_capped")) {
+      val p = plan(SparkEntry.queries(q)(spark, Sf))
+      val scans = collectAll(p) {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.isEmpty,
+        s"$q must read the shared token pass, not re-scan: ${scans.length}")
+      val inMem = collectAll(p) {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => m
+      }
+      assert(inMem.nonEmpty, s"$q must hit the cached token pass")
+      // the cached pass itself: one pruned scan reading only text
+      // (the cached plan nests under AdaptiveSparkPlanExec, whose
+      // children is Nil — unwrap it and any query stages by hand)
+      def deepScans(sp: SparkPlan): Seq[
+          org.apache.spark.sql.execution.FileSourceScanExec] = {
+        val kids = sp match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(st.plan)
+          case o => o.children
+        }
+        (sp match {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+          case _ => Seq.empty
+        }) ++ kids.flatMap(deepScans)
+      }
+      val cachedScans = inMem.flatMap(m => deepScans(m.relation.cachedPlan))
+      assert(cachedScans.length == 1 &&
+        cachedScans.head.requiredSchema.fieldNames.toSet == Set("text"),
+        s"the shared pass must be one text-only scan: " +
+          cachedScans.map(_.requiredSchema.fieldNames.toSeq))
     }
-    assert(scans.length == 1, s"capped calibration plans ${scans.length} scans")
-    val cols = scans.head.requiredSchema.fieldNames.toSet
-    assert(cols == Set("text"), s"capped calibration reads $cols")
   }
 
   test("profile and dq gate plan exactly one scan of their table") {
