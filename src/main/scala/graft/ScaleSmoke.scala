@@ -265,7 +265,11 @@ object ScaleSmoke {
           stable = if (cur > 0L && cur == prev) stable + 1 else 0
           prev = cur
         }
-        require(prev > 0L, "listener bus never delivered task metrics")
+        // fail on STABILITY, not liveness: a deadline exit with some
+        // rows recorded means a partially-drained bus, and computing
+        // the ratio over a subset would blame the wrong invariant
+        require(stable >= 3,
+          s"listener bus never finished draining (recorded $prev rows)")
         // the window stage = the one with the largest shuffle arrival
         val windowStage = reads.asScala.values
           .map(_.asScala.map(_.longValue).toSeq)

@@ -49,34 +49,43 @@ object Tables {
     * one plus the family objects' memoized frames/roots). An entry
     * keyed by a STOPPED session pins its plans, file listings, and
     * SparkContext on the heap forever in a JVM that cycles sessions
-    * (notebook/server use) — so every [[apply]] sweeps the registered
-    * caches of stopped-session entries. Registration returns the map,
-    * keeping the declarations one-liners. */
-  private val sessionCacheSweeps =
-    new java.util.concurrent.CopyOnWriteArrayList[() => Unit]()
-  private val dirInvalidations =
-    new java.util.concurrent.CopyOnWriteArrayList[String => Unit]()
+    * (notebook/server use) — so every plan-cache MISS sweeps the
+    * registered caches of stopped-session entries. Registration
+    * returns the map, keeping the declarations one-liners; entries
+    * carry the cache's identity so a non-singleton registrant (a
+    * spec's throwaway map) can deregister instead of appending
+    * closures to a global list forever. */
+  private val registeredCaches = new java.util.concurrent
+    .CopyOnWriteArrayList[(AnyRef, () => Unit, String => Unit)]()
 
   private[graft] def registerSessionCache[V](
       m: scala.collection.concurrent.TrieMap[(SparkSession, String), V])
       : scala.collection.concurrent.TrieMap[(SparkSession, String), V] = {
-    sessionCacheSweeps.add(() =>
-      m.keys.filter(_._1.sparkContext.isStopped).foreach(m.remove))
     // every registered cache's String key is the source dir, so
     // [[invalidate]] can drop derived frames built from a rewritten
     // dir's files, not just the raw plans; persisted frames unpersist
     // so the executor cache doesn't keep serving pre-rewrite blocks
-    dirInvalidations.add(dir =>
-      m.keys.filter(_._2 == dir).foreach(k => m.remove(k).foreach {
+    registeredCaches.add((m,
+      () => m.keys.filter(_._1.sparkContext.isStopped).foreach(m.remove),
+      dir => m.keys.filter(_._2 == dir).foreach(k => m.remove(k).foreach {
         case df: DataFrame => df.unpersist(); ()
         case _             => ()
-      }))
+      })))
     m
   }
 
+  private[graft] def deregisterSessionCache(m: AnyRef): Unit = {
+    val it = registeredCaches.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e._1 eq m) { registeredCaches.remove(e); () }
+    }
+  }
+
   private[graft] def sweepStoppedSessions(): Unit = {
-    val it = sessionCacheSweeps.iterator()
-    while (it.hasNext) it.next().apply()
+    planCache.keys.filter(_._1.sparkContext.isStopped).foreach(planCache.remove)
+    val it = registeredCaches.iterator()
+    while (it.hasNext) it.next()._2.apply()
   }
 
   /** Drop cached state under `dir` — the plan cache freezes a dir's
@@ -89,17 +98,20 @@ object Tables {
     * (`/root/testdata/sf*`) are immutable and never need this. */
   private[graft] def invalidate(dir: String): Unit = {
     planCache.keys.filter(_._2 == dir).foreach(planCache.remove)
-    val it = dirInvalidations.iterator()
-    while (it.hasNext) it.next().apply(dir)
+    val it = registeredCaches.iterator()
+    while (it.hasNext) it.next()._3.apply(dir)
   }
 
-  sessionCacheSweeps.add(() =>
-    planCache.keys.filter(_._1.sparkContext.isStopped).foreach(planCache.remove))
-
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    sweepStoppedSessions()
-    planCache.getOrElseUpdate((spark, sfDir, name), build(spark, sfDir, name))
-  }
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    // sweep only on the MISS path: eviction is needed at most once per
+    // stopped session, and a per-read walk of every registered cache
+    // would tax the hot query-build path for an event that is rare by
+    // construction — and a cycled session's first reads all MISS, so
+    // the sweep still runs promptly after any session cycle
+    planCache.getOrElseUpdate((spark, sfDir, name), {
+      sweepStoppedSessions()
+      build(spark, sfDir, name)
+    })
 
   private def build(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // nanosAsLong is a READ-path necessity (Spark 4 refuses

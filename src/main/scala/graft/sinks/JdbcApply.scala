@@ -324,57 +324,84 @@ object JdbcApply {
   private def keyField(keySchema: StructType, name: String) =
     if (keySchema.fieldNames.contains(name)) Some(col(s"__k.$name")) else None
 
-  /** Retry-replay buffer bound, in rows per partition: a retry must
-    * re-bind the partition's rows after the failed attempt's rollback,
-    * which means holding them on the executor heap — fine for the
-    * micro-batch-sized partitions the streaming apply produces (the
-    * target database buffers the same rows as one open transaction),
-    * NOT fine for a multi-million-row backfill partition that used to
-    * stream from the shuffle with O(batchSize) residency. Past this
+  /** Retry-replay buffer bounds, rows AND (estimated) bytes per
+    * partition: a retry must re-bind the partition's rows after the
+    * failed attempt's rollback, which means holding them on the
+    * executor heap — fine for the micro-batch-sized partitions the
+    * streaming apply produces (the target database buffers the same
+    * rows as one open transaction), NOT fine for a multi-million-row
+    * backfill partition that used to stream from the shuffle with
+    * O(batchSize) residency, and a ROW bound alone is no bound at all
+    * for wide rows (1M × 5 KB DLQ payloads ≈ 5 GB). The byte budget
+    * is calibrated from a SizeEstimator pass over the first rows
+    * (estimation is reflective and too slow per-row). Past either
     * bound the partition streams exactly as before and W17 retry
     * stands down for it (one WARN says so): the outer Structured
     * Streaming restart remains the retry of record, as it was before
     * retry was wired. */
   private[graft] val RetryBufferRows = 1 << 20
+  private[graft] val RetryBufferBytes = 256L << 20
 
-  /** Drain up to `cap` + 1 rows by hand: `Iterator.take`'s contract
-    * says to DISCARD the source afterwards (an override may consume
-    * or return the receiver), so `take(n).toVector` followed by
-    * `++ it` risks silently dropping the tail on exactly the
-    * oversized partitions the cap exists for. A manual next() loop
-    * leaves `it` positioned at the first un-buffered row by
-    * definition. */
-  private def bufferHead(it: Iterator[Row], cap: Int): Vector[Row] = {
-    val b = Vector.newBuilder[Row]
-    var n = 0
-    while (n <= cap && it.hasNext) { b += it.next(); n += 1 }
-    b.result()
+  /** Drain the head by hand: `Iterator.take`'s contract says to
+    * DISCARD the source afterwards (an override may consume or return
+    * the receiver), so `take(n).toVector` followed by `++ it` risks
+    * silently dropping the tail on exactly the oversized partitions
+    * the cap exists for. A manual next() loop leaves `it` positioned
+    * at the first un-buffered row by definition — so after this
+    * returns, `it.hasNext` IS the overflow signal (a partition that
+    * fits entirely, even at exactly the bound, keeps its retry: the
+    * memory is already paid for). */
+  private def bufferHead(it: Iterator[Row]): IndexedSeq[Row] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var capRows = RetryBufferRows.toLong
+    while (buf.length <= capRows && it.hasNext) {
+      buf += it.next()
+      if (buf.length == 128) {
+        // one calibration: average estimated row size over the first
+        // 128 rows converts the byte budget into an effective row cap
+        val avg = math.max(1L,
+          org.apache.spark.util.SizeEstimator.estimate(buf) / buf.length)
+        capRows = math.min(capRows, math.max(1L, RetryBufferBytes / avg))
+      }
+    }
+    buf.toIndexedSeq
   }
+
+  /** W17 retry scaffold shared by the partition and DLQ writers:
+    * buffer the head for replay; if the partition overflows either
+    * retry-buffer bound, stream it exactly as before retry was wired
+    * (one WARN; restart-level replay only); otherwise run the attempt
+    * under transient retry. */
+  private def retryOrStream(it: Iterator[Row], what: String,
+      maxRetries: Int, backoffMs: Long)(attempt: Iterator[Row] => Unit): Unit =
+    if (maxRetries <= 0) attempt(it)
+    else {
+      val head = bufferHead(it)
+      if (it.hasNext) {
+        log.warn(s"$what exceeds the retry-replay buffer " +
+          s"(${head.length} rows buffered); W17 retry stands down for " +
+          "this partition (streaming write, restart-level replay only)")
+        attempt(head.iterator ++ it)
+      } else
+        withTransientRetry(what, maxRetries, backoffMs) {
+          attempt(head.iterator)
+        }
+    }
 
   /** Executor-side partition writer with W17 transient retry. When
     * retries are enabled the partition's rows materialize ONCE (up to
-    * [[RetryBufferRows]]) so a retry can re-bind them after the failed
-    * attempt's rollback; an oversized partition falls back to the
-    * streaming no-retry write rather than risk the heap. */
+    * [[RetryBufferRows]]/[[RetryBufferBytes]]) so a retry can re-bind
+    * them after the failed attempt's rollback; an oversized partition
+    * falls back to the streaming no-retry write rather than risk the
+    * heap. */
   private def writePartition(it: Iterator[Row], url: String,
       user: Option[String], password: Option[String], table: String,
       valueCols: Seq[String], pks: Seq[String], batchSize: Int,
       maxRetries: Int, retryBackoffMs: Long): Unit =
-    if (maxRetries <= 0)
-      writePartitionAttempt(it, url, user, password, table, valueCols, pks, batchSize)
-    else {
-      val head = bufferHead(it, RetryBufferRows)
-      if (head.length > RetryBufferRows) {
-        log.warn(s"partition write to $table exceeds $RetryBufferRows " +
-          "rows; W17 retry stands down for this partition (streaming " +
-          "write, restart-level replay only)")
-        writePartitionAttempt(head.iterator ++ it, url, user, password,
-          table, valueCols, pks, batchSize)
-      } else
-        withTransientRetry(s"partition write to $table", maxRetries, retryBackoffMs) {
-          writePartitionAttempt(head.iterator, url, user, password, table,
-            valueCols, pks, batchSize)
-        }
+    retryOrStream(it, s"partition write to $table", maxRetries,
+      retryBackoffMs) { rows =>
+      writePartitionAttempt(rows, url, user, password, table, valueCols,
+        pks, batchSize)
     }
 
   /** One attempt: one connection, one txn, PS reuse, batched ops. */
@@ -568,23 +595,12 @@ object JdbcApply {
           } catch { case e: Throwable => conn.rollback(); throw e }
         } finally conn.close()
         }
-        if (maxRetries <= 0) attemptOnce(it)
-        else {
-          // same buffer bound as writePartition: "DLQ partitions are
-          // small by construction" does not survive a poisoned feed
-          // under errors.tolerance=log, where millions of rows can be
-          // corrupt — past the cap the DLQ write streams and retry
-          // stands down, instead of buffering the partition unbounded
-          val head = bufferHead(it, RetryBufferRows)
-          if (head.length > RetryBufferRows) {
-            log.warn(s"DLQ write to $table exceeds $RetryBufferRows " +
-              "rows; W17 retry stands down for this partition")
-            attemptOnce(head.iterator ++ it)
-          } else
-            withTransientRetry(s"DLQ write to $table", maxRetries, retryBackoffMs) {
-              attemptOnce(head.iterator)
-            }
-        }
+        // same retryOrStream scaffold as writePartition: "DLQ
+        // partitions are small by construction" does not survive a
+        // poisoned feed under errors.tolerance=log, where millions of
+        // wide corrupt rows can land in one partition
+        retryOrStream(it, s"DLQ write to $table", maxRetries,
+          retryBackoffMs)(attemptOnce)
       }
     }
     n
@@ -702,14 +718,27 @@ object JdbcApply {
     * as the partition writers: the connect itself is the failure mode
     * a flapping database shows FIRST (SQLState 08xxx before any write
     * runs), and without retry here an epoch dies in `ensureTable`
-    * while its partition writes would have retried. Both bodies are
-    * idempotent from scratch (existence-guarded CREATE/ALTER), so the
-    * whole scope retries with a fresh connection per attempt. */
+    * while its partition writes would have retried. Both current
+    * bodies are idempotent from scratch (existence-guarded
+    * CREATE/ALTER) — a future caller must keep that property, because
+    * a transient failure re-runs `f` on a fresh connection. A close()
+    * failure AFTER `f` completed never re-runs the body: the work is
+    * done, so it logs and returns (the leak is one flapping-database
+    * connection, not a duplicated DDL execution). */
   private def withConnection[A](cfg: Config)(f: Connection => A): A =
     withTransientRetry(s"driver connection/DDL to ${cfg.url}",
       cfg.maxRetries, cfg.retryBackoffMs) {
       val conn = connect(cfg.url, cfg.user, cfg.password)
-      try f(conn) finally conn.close()
+      val out = try f(conn) catch {
+        case e: Throwable =>
+          try conn.close() catch { case s: Exception =>
+            log.warn(s"connection close failed after error: ${s.getMessage}") }
+          throw e
+      }
+      try conn.close() catch { case s: Exception =>
+        log.warn(s"connection close failed after success (not retried): " +
+          s.getMessage) }
+      out
     }
 
   /** Escape JDBC metadata search-pattern wildcards ('_' and '%') so

@@ -458,9 +458,14 @@ class IngestStreamSpec extends SparkSpec {
       docs.where(col("doc_id") >= mid && col("doc_id") % 4 === i))
     // one parquet file per slice, zero-padded names + increasing
     // mtimes so FileStreamSource (oldest-first) pins epoch i = slice i
+    def tmpDir(prefix: String): String = {
+      val d = Files.createTempDirectory(prefix).toString
+      tempDirs += d
+      d
+    }
     def writeSliceFiles(dir: String): Unit =
       slices.zipWithIndex.foreach { case (s, i) =>
-        val stage = Files.createTempDirectory("graft-ingest-one").toString
+        val stage = tmpDir("graft-ingest-one")
         s.coalesce(1).write.mode("overwrite").parquet(stage)
         val part = new java.io.File(stage).listFiles()
           .find(f => f.getName.startsWith("part-") &&
@@ -504,10 +509,10 @@ class IngestStreamSpec extends SparkSpec {
     try {
       // ---- reference run: same files, same router, never killed
       val refRoots = bootstrap("ref")
-      val srcA = Files.createTempDirectory("graft-ingest-src-ref").toString
+      val srcA = tmpDir("graft-ingest-src-ref")
       writeSliceFiles(srcA)
       val qA = start(srcA,
-        Files.createTempDirectory("graft-ingest-ck-ref").toString,
+        tmpDir("graft-ingest-ck-ref"),
         refRoots, _ => ())
       try qA.processAllAvailable() finally qA.stop()
       val (refCorpus, refSigs, refClusters) =
@@ -517,9 +522,9 @@ class IngestStreamSpec extends SparkSpec {
       // ---- kill run: crash AFTER epoch 2's folds landed, BEFORE its
       // commit-log entry — the at-least-once window
       val killRoots = bootstrap("kill")
-      val srcB = Files.createTempDirectory("graft-ingest-src-kill").toString
+      val srcB = tmpDir("graft-ingest-src-kill")
       writeSliceFiles(srcB)
-      val ckpt = Files.createTempDirectory("graft-ingest-ck-kill").toString
+      val ckpt = tmpDir("graft-ingest-ck-kill")
       val accepted = scala.collection.concurrent.TrieMap.empty[Long, Int]
       @volatile var killArmed = true
       val onEpoch: Long => Unit = epoch => {
@@ -566,8 +571,20 @@ class IngestStreamSpec extends SparkSpec {
         SignatureIndex.delete(spark, sigs)
         ClusterIndex.delete(spark, clusters)
       }
+      // the base skeleton plus checkpoint/source temp trees (the roots
+      // above live under base, but ckpt/src dirs were created flat)
+      val hconf = spark.sparkContext.hadoopConfiguration
+      (tempDirs.toSeq :+ base).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(hconf).delete(p, true); ()
+      }
     }
   }
+
+  /** Temp trees the kill/restart test creates outside its roots —
+    * collected so the finally can delete them (repeated runs on a
+    * long-lived box would otherwise accumulate /tmp debris). */
+  private val tempDirs = scala.collection.mutable.ArrayBuffer.empty[String]
 
   test("delete-tagged feed: a mixed batch folds its adds and retracts its deletes on one clock") {
     import graft.dedup.{ClusterIndex, DedupQueries, SignatureIndex}

@@ -42,15 +42,21 @@ class TablesSpec extends SparkSpec {
     val m = Tables.registerSessionCache(scala.collection.concurrent
       .TrieMap.empty[(org.apache.spark.sql.SparkSession, String),
         org.apache.spark.sql.DataFrame])
-    val df = spark.range(3).toDF("k").persist()
-    df.count()
-    m.put((spark, dir), df)
-    m.put((spark, s"$dir-other"), df)
-    Tables.invalidate(dir)
-    assert(m.keySet == Set((spark, s"$dir-other")),
-      "only the invalidated dir's entries may drop")
-    assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
-      "the dropped entry's frame must unpersist")
-    m.remove((spark, s"$dir-other"))
+    try {
+      val df = spark.range(3).toDF("k").persist()
+      df.count()
+      m.put((spark, dir), df)
+      m.put((spark, s"$dir-other"), df)
+      Tables.invalidate(dir)
+      assert(m.keySet == Set((spark, s"$dir-other")),
+        "only the invalidated dir's entries may drop")
+      assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        "the dropped entry's frame must unpersist")
+      m.remove((spark, s"$dir-other"))
+      ()
+    } finally
+      // a throwaway registrant must deregister, or its sweep closures
+      // (holding the map) outlive the test in the global registry
+      Tables.deregisterSessionCache(m)
   }
 }
