@@ -254,10 +254,13 @@ object ScaleSmoke {
         // immunity to (empty map → maxBy throws; partial rows → false
         // require). Poll until the recorded total is nonzero and
         // stable across THREE consecutive beats (one beat can land
-        // inside a mid-drain GC stall), bounded by a 30 s deadline.
+        // inside a mid-drain GC stall). The deadline is generous
+        // (120 s) because it guards only the pathological dead-bus
+        // case: a drain that completes late should still get its
+        // three stable beats rather than abort with partial data.
         def recordedSum = reads.asScala.values
           .map(_.asScala.map(_.longValue).sum).sum
-        val deadline = System.nanoTime() + 30L * 1000L * 1000L * 1000L
+        val deadline = System.nanoTime() + 120L * 1000L * 1000L * 1000L
         var prev = -1L; var stable = 0
         while (stable < 3 && System.nanoTime() < deadline) {
           Thread.sleep(200)

@@ -102,16 +102,27 @@ object Tables {
     while (it.hasNext) it.next()._3.apply(dir)
   }
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    // sweep only on the MISS path: eviction is needed at most once per
-    // stopped session, and a per-read walk of every registered cache
-    // would tax the hot query-build path for an event that is rare by
-    // construction — and a cycled session's first reads all MISS, so
-    // the sweep still runs promptly after any session cycle
+  /** Sweep pacing: a per-read walk of every registered cache would
+    * tax the hot query-build path for an event (a session stopping)
+    * that is rare by construction, but sweeping ONLY on plan-cache
+    * misses would pin a stopped session forever in a JVM whose
+    * surviving sessions run fully warm (no further misses). So: every
+    * miss sweeps (a cycled session's first reads all miss, prompt by
+    * construction), and hits sweep at most once a minute. */
+  private val lastSweepNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val SweepIntervalNanos = 60L * 1000L * 1000L * 1000L
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val now = System.nanoTime()
+    val last = lastSweepNanos.get
+    if (now - last > SweepIntervalNanos &&
+        lastSweepNanos.compareAndSet(last, now))
+      sweepStoppedSessions()
     planCache.getOrElseUpdate((spark, sfDir, name), {
       sweepStoppedSessions()
       build(spark, sfDir, name)
     })
+  }
 
   private def build(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // nanosAsLong is a READ-path necessity (Spark 4 refuses

@@ -333,14 +333,36 @@ object JdbcApply {
     * backfill partition that used to stream from the shuffle with
     * O(batchSize) residency, and a ROW bound alone is no bound at all
     * for wide rows (1M × 5 KB DLQ payloads ≈ 5 GB). The byte budget
-    * is calibrated from a SizeEstimator pass over the first rows
-    * (estimation is reflective and too slow per-row). Past either
-    * bound the partition streams exactly as before and W17 retry
-    * stands down for it (one WARN says so): the outer Structured
-    * Streaming restart remains the retry of record, as it was before
-    * retry was wired. */
+    * accumulates per row from a cheap width approximation
+    * ([[approxRowBytes]] — string/binary payloads dominate a wide
+    * row, and the same values get fully bound to JDBC later, so an
+    * O(width) pass per row costs a fraction of work already owed;
+    * a one-shot calibration over the first rows would be defeated by
+    * a partition whose early rows are unrepresentatively narrow).
+    * Past either bound the partition streams exactly as before and
+    * W17 retry stands down for it (one WARN says so): the outer
+    * Structured Streaming restart remains the retry of record, as it
+    * was before retry was wired. */
   private[graft] val RetryBufferRows = 1 << 20
   private[graft] val RetryBufferBytes = 256L << 20
+
+  /** Heap-weight approximation of one row: exact enough to bound a
+    * buffer (payload bytes dominate), cheap enough to run per row. */
+  private def approxRowBytes(r: Row): Long = {
+    var s = 32L; var i = 0
+    while (i < r.length) {
+      s += (r.get(i) match {
+        case null              => 8L
+        case x: String         => 40L + 2L * x.length
+        case x: Array[Byte]    => 24L + x.length
+        case x: Array[_]       => 24L + 16L * x.length
+        case x: scala.collection.Seq[_] => 24L + 16L * x.length
+        case _                 => 16L
+      })
+      i += 1
+    }
+    s
+  }
 
   /** Drain the head by hand: `Iterator.take`'s contract says to
     * DISCARD the source afterwards (an override may consume or return
@@ -353,16 +375,12 @@ object JdbcApply {
     * memory is already paid for). */
   private def bufferHead(it: Iterator[Row]): IndexedSeq[Row] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-    var capRows = RetryBufferRows.toLong
-    while (buf.length <= capRows && it.hasNext) {
-      buf += it.next()
-      if (buf.length == 128) {
-        // one calibration: average estimated row size over the first
-        // 128 rows converts the byte budget into an effective row cap
-        val avg = math.max(1L,
-          org.apache.spark.util.SizeEstimator.estimate(buf) / buf.length)
-        capRows = math.min(capRows, math.max(1L, RetryBufferBytes / avg))
-      }
+    var bytes = 0L
+    while (buf.length <= RetryBufferRows && bytes <= RetryBufferBytes &&
+        it.hasNext) {
+      val r = it.next()
+      buf += r
+      bytes += approxRowBytes(r)
     }
     buf.toIndexedSeq
   }
@@ -551,9 +569,10 @@ object JdbcApply {
     corrupt.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         // W17 retry, same shape as writePartition: materialize once
-        // (up to RetryBufferRows) for replay, fresh connection + txn
-        // per attempt; delete-then-insert by Kafka coordinates makes
-        // the replayed attempt idempotent.
+        // (up to the RetryBufferRows/RetryBufferBytes bounds) for
+        // replay, fresh connection + txn per attempt;
+        // delete-then-insert by Kafka coordinates makes the replayed
+        // attempt idempotent.
         def attemptOnce(rows: Iterator[Row]): Unit = {
         val conn = connect(url, user, password)
         try {

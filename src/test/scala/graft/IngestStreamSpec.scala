@@ -565,18 +565,18 @@ class IngestStreamSpec extends SparkSpec {
       assert(lv.watermark == 3L,
         s"the lockstep clock must read the tail epoch, got ${lv.watermark}")
     } finally {
-      Seq("ref", "kill").foreach { tag =>
-        val (cc, sigs, clusters) = roots(tag)
-        CuratedCorpus.delete(spark, cc)
-        SignatureIndex.delete(spark, sigs)
-        ClusterIndex.delete(spark, clusters)
-      }
-      // the base skeleton plus checkpoint/source temp trees (the roots
-      // above live under base, but ckpt/src dirs were created flat)
+      // pure FS deletion, one guarded try per tree: the store roots
+      // all live under base, and a cleanup IOException must never
+      // replace the test's real failure (an exception thrown in a
+      // finally discards the original) nor skip the remaining trees
       val hconf = spark.sparkContext.hadoopConfiguration
       (tempDirs.toSeq :+ base).foreach { d =>
-        val p = new org.apache.hadoop.fs.Path(d)
-        p.getFileSystem(hconf).delete(p, true); ()
+        try {
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(hconf).delete(p, true); ()
+        } catch { case e: Exception =>
+          info(s"cleanup of $d failed (non-fatal): ${e.getMessage}")
+        }
       }
     }
   }
