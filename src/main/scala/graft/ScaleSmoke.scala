@@ -913,8 +913,12 @@ object ScaleSmoke {
       idsOf(ClusterIndex.open(spark, clusters)) == expected &&
       idsOf(EmbedIndex.open(spark, emb)) == expected,
       "purge must preserve the retracted end state")
-    require(graft.pipeline.Fsck.check(spark, cc, sigs, clusters,
-      Some(emb)).isEmpty, "fsck must be clean after the purge")
+    // the operator verb: ONE walk of the whole root layout (corpus
+    // trio + the release root the in-loop cadence cuts committed)
+    val layout = graft.pipeline.Fsck.Layout(cc, sigs, clusters,
+      Some(emb), releases = Seq(root))
+    require(graft.pipeline.Fsck.checkAll(spark, layout).isEmpty,
+      "fsck must be clean after the purge")
     // AS-OF release cut AT the lockstep watermark (VERDICT r14 #4 /
     // r15 #3): the view's clock is the cut's clock — the composed
     // consumer lockstepView exists for. Cut strictly after the purge,
@@ -932,13 +936,12 @@ object ScaleSmoke {
     val lin = Release.lineageJson(spark, root, vNext)
     require(lin.exists(_.contains(s""""corpus_batch":${lv2.watermark}""")),
       s"lineage must record the pinned watermark ${lv2.watermark}, got $lin")
-    // the release root gets the same post-loop fsck-clean bar as the
-    // four standing stores: in-loop cadence cuts + prunes + the as-of
+    // the same one-verb layout walk again after the as-of cut: the
     // epilogue cut must leave no partial builds, no orphaned
-    // manifests, and monotone lineage clocks
-    val relFindings = graft.pipeline.Fsck.checkRelease(spark, root)
+    // manifests, and monotone lineage clocks across ALL five roots
+    val relFindings = graft.pipeline.Fsck.checkAll(spark, layout)
     require(relFindings.isEmpty,
-      s"release fsck must be clean after the loop: $relFindings")
+      s"fsck must be clean after the as-of cut: $relFindings")
     println(f"[scale] loop composed retract    ${retractSec}%8.2f s " +
       f"purge ${purgeSec}%6.2f s  ids=${retractIds.size} " +
       s"tombKB=${tombBytes.map(_ / 1024).mkString(",")} " +

@@ -108,8 +108,12 @@ object Tables {
     * misses would pin a stopped session forever in a JVM whose
     * surviving sessions run fully warm (no further misses). So: every
     * miss sweeps (a cycled session's first reads all miss, prompt by
-    * construction), and hits sweep at most once a minute. */
-  private val lastSweepNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    * construction), and hits sweep at most once a minute. Seeded from
+    * nanoTime at class load: the nanoTime origin is arbitrary (may be
+    * negative), so a 0 seed would make the FIRST paced sweep's timing
+    * arbitrary — possibly immediate, possibly minutes late. */
+  private val lastSweepNanos =
+    new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
   private val SweepIntervalNanos = 60L * 1000L * 1000L * 1000L
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {

@@ -73,6 +73,39 @@ object Fsck {
   /** One observation; `kind` is the stable machine key. */
   final case class Finding(root: String, kind: String, detail: String)
 
+  /** The root layout of one composed pipeline deployment — exactly
+    * what an operator would hand to [[checkAll]]. The corpus trio is
+    * named (the id cross-check spans those roots, so they cannot be
+    * sniffed from a flat list); the served-index and release roots
+    * are each checked independently. Absent roots are simply empty
+    * lists — a layout with no IVF or releases checks the trio alone. */
+  final case class Layout(
+      corpus: String,
+      signatures: String,
+      clusters: String,
+      embed: Option[String] = None,
+      /** Served IVF roots ([[checkIvf]] each). */
+      ivf: Seq[String] = Nil,
+      /** Keep-N IVF snapshot bases ([[checkIvfBase]] each). */
+      ivfBases: Seq[String] = Nil,
+      /** Versioned release roots ([[checkRelease]] each). */
+      releases: Seq[String] = Nil)
+
+  /** THE operator entry point: walk one deployment's whole root
+    * layout — the corpus + sibling-index trio (with its cross-root id
+    * check), every served IVF root, every keep-N snapshot base, every
+    * release root — and concatenate the findings. Empty means the
+    * deployment is healthy by every invariant this module checks; the
+    * composed 10× loop smoke runs exactly this after its final purge
+    * and again after its as-of cut (ScaleSmoke.composedLoopSmoke),
+    * so the callable form and the loop's own bar cannot drift. */
+  def checkAll(spark: SparkSession, roots: Layout): Seq[Finding] =
+    check(spark, roots.corpus, roots.signatures, roots.clusters,
+      roots.embed) ++
+      roots.ivf.flatMap(checkIvf(spark, _)) ++
+      roots.ivfBases.flatMap(checkIvfBase(spark, _)) ++
+      roots.releases.flatMap(checkRelease(spark, _))
+
   /** Crash-state scan of ONE standing root holding `tables` —
     * listing-only, generic over every store here. */
   def scanRoot(spark: SparkSession, root: String,
@@ -208,9 +241,13 @@ object Fsck {
           j <- Release.lineageJson(spark, root, v)
           w <- "\"corpus_batch\":(-?\\d+)".r.findFirstMatchIn(j)
             .map(_.group(1).toLong)
+          // decode with the WRITER's own inverse (one left-to-right
+          // pass, Release.unescapeJsonString) — a re-derived chained
+          // replace here once risked probing a wrong corpus path and
+          // silently skipping the live-clock check below
           c <- "\"corpus_path\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
             .findFirstMatchIn(j)
-            .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+            .map(m => Release.unescapeJsonString(m.group(1)))
         } cut += ((v, c, w))
       }
     }

@@ -148,10 +148,31 @@ object Release {
       case Some(_) => CuratedCorpus.openAt(spark, corpusPath, effective)
       case None => CuratedCorpus.open(spark, corpusPath)
     }
-    val escaped = corpusPath.replace("\\", "\\\\").replace("\"", "\\\"")
+    val escaped = escapeJsonString(corpusPath)
     commitVersion(rows, root, version, seed, budget, shards,
       lineage =
         Some(s"""{"corpus_path":"$escaped","corpus_batch":$effective}"""))
+  }
+
+  /** JSON-string escape for the tiny sidecars this module writes
+    * (manifest source names, lineage corpus paths) — and its exact
+    * inverse. The inverse is ONE left-to-right pass: each backslash
+    * consumes exactly the next char, so it is the inverse of
+    * [[escapeJsonString]] by construction, with no well-formedness
+    * argument to maintain (chained replaces need one — the reader
+    * and writer must share these, never re-derive them). */
+  private[graft] def escapeJsonString(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private[graft] def unescapeJsonString(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) { b.append(s.charAt(i + 1)); i += 2 }
+      else { b.append(c); i += 1 }
+    }
+    b.toString
   }
 
   /**
@@ -288,8 +309,7 @@ object Release {
       .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
       .sortBy { case (s, _, _) => (s.isEmpty, s.getOrElse("")) }
       .map { case (s, d, t) =>
-        val key = s.map(v => "\"" +
-          v.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        val key = s.map(v => "\"" + escapeJsonString(v) + "\"")
           .getOrElse("null")
         s"""{"source":$key,"docs":$d,"tokens":$t}"""
       }

@@ -89,7 +89,17 @@ object JdbcApply {
         * retries are exhausted, exactly as it decides a first failure).
         * 0 disables retry (and the row buffering that replay needs). */
       maxRetries: Int = 10,
-      retryBackoffMs: Long = 3000)
+      retryBackoffMs: Long = 3000,
+      /** Per-partition retry-replay buffer bounds (rows / estimated
+        * heap bytes, [[approxRowBytes]]). SIZE THESE PER TASK SLOT:
+        * every concurrently-running write task holds its own buffer,
+        * so worst-case executor heap ≈ cores × retryBufferBytes (an
+        * 8-core executor at the 64 MB default ≈ 512 MB). A partition
+        * that exceeds either bound streams without retry (WARN;
+        * restart-level replay only), so shrinking these trades retry
+        * coverage for heap, never correctness. */
+      retryBufferRows: Int = RetryBufferRows,
+      retryBufferBytes: Long = RetryBufferBytes)
 
   /** Apply one normalized micro-batch (CdcNormalize output shape).
     * Returns the batch's skip statistics (corrupt rows never silently
@@ -311,12 +321,13 @@ object JdbcApply {
     val (url, batchSize, user, password) =
       (cfg.url, cfg.batchSize, cfg.user, cfg.password)
     val (maxRetries, retryBackoffMs) = (cfg.maxRetries, cfg.retryBackoffMs)
+    val (bufRows, bufBytes) = (cfg.retryBufferRows, cfg.retryBufferBytes)
     val valueCols = jdbcSchema.fieldNames.toSeq
     out.repartition(pks.map(p => col(s"__pk_$p")): _*)
       .foreachPartition { (it: Iterator[Row]) =>
         if (it.hasNext)
           writePartition(it, url, user, password, table, valueCols, jdbcPks,
-            batchSize, maxRetries, retryBackoffMs)
+            batchSize, maxRetries, retryBackoffMs, bufRows, bufBytes)
       }
     nUnroutable
   }
@@ -342,26 +353,53 @@ object JdbcApply {
     * Past either bound the partition streams exactly as before and
     * W17 retry stands down for it (one WARN says so): the outer
     * Structured Streaming restart remains the retry of record, as it
-    * was before retry was wired. */
+    * was before retry was wired. Both bounds are per TASK, and tasks
+    * run concurrently — see [[Config.retryBufferBytes]] for the
+    * per-executor multiplication; these are only the defaults. */
   private[graft] val RetryBufferRows = 1 << 20
-  private[graft] val RetryBufferBytes = 256L << 20
+  private[graft] val RetryBufferBytes = 64L << 20
 
-  /** Heap-weight approximation of one row: exact enough to bound a
-    * buffer (payload bytes dominate), cheap enough to run per row. */
-  private def approxRowBytes(r: Row): Long = {
+  /** Heap-weight approximation of one buffered row, counting what the
+    * JVM actually holds: the GenericRow + its backing Object[] (32 B
+    * of headers + one 8 B reference per field) and per-field payload
+    * INCLUDING object headers — a boxed primitive is a 24 B object,
+    * not its primitive width; a String is header + coder/hash fields
+    * + a byte[] of up to 2 B/char (UTF-16 worst case; compact latin-1
+    * strings cost half, so the estimate leans high there, never low);
+    * boxed-element arrays/seqs pay a 24 B box plus the 8 B slot per
+    * element. [[JdbcRetryBufferSpec]] pins this against
+    * `SizeEstimator.estimate` within a documented factor on wide rows
+    * (binary / decimal / long string / array shapes). Cheap enough to
+    * run per row; exact enough that retryBufferBytes is a real heap
+    * bound, not a payload-only undercount. */
+  private[graft] def approxRowBytes(r: Row): Long = {
     var s = 32L; var i = 0
     while (i < r.length) {
-      s += (r.get(i) match {
-        case null              => 8L
-        case x: String         => 40L + 2L * x.length
-        case x: Array[Byte]    => 24L + x.length
-        case x: Array[_]       => 24L + 16L * x.length
-        case x: scala.collection.Seq[_] => 24L + 16L * x.length
-        case _                 => 16L
-      })
+      s += 8L + approxValueBytes(r.get(i))
       i += 1
     }
     s
+  }
+
+  /** Ref-element arrays/seqs recurse per element (their payload — a
+    * DLQ row's header array of string/binary pairs — is exactly what
+    * a count-only estimate would miss); the work is O(what the row
+    * actually holds) and only paid when such fields exist. */
+  private def approxValueBytes(v: Any): Long = v match {
+    case null              => 0L
+    case x: String         => 48L + 2L * x.length
+    case x: Array[Byte]    => 24L + x.length
+    case x: Array[Long]    => 24L + 8L * x.length
+    case x: Array[Double]  => 24L + 8L * x.length
+    case x: Array[Int]     => 24L + 4L * x.length
+    case x: Array[Float]   => 24L + 4L * x.length
+    case x: Array[_]       =>
+      24L + x.foldLeft(0L)((a, e) => a + 8L + approxValueBytes(e))
+    case x: scala.collection.Seq[_] =>
+      24L + x.foldLeft(0L)((a, e) => a + 16L + approxValueBytes(e))
+    case x: java.math.BigDecimal => 96L
+    case x: Row            => approxRowBytes(x)
+    case _                 => 24L
   }
 
   /** Drain the head by hand: `Iterator.take`'s contract says to
@@ -371,13 +409,17 @@ object JdbcApply {
     * the cap exists for. A manual next() loop leaves `it` positioned
     * at the first un-buffered row by definition — so after this
     * returns, `it.hasNext` IS the overflow signal (a partition that
-    * fits entirely, even at exactly the bound, keeps its retry: the
-    * memory is already paid for). */
-  private def bufferHead(it: Iterator[Row]): IndexedSeq[Row] = {
+    * fits entirely, even at exactly the row bound, keeps its retry:
+    * the memory is already paid for). The buffer never holds more
+    * than `maxRows` rows; the byte bound is checked BEFORE each
+    * admit, so the final row may overshoot `maxBytes` by its own
+    * width (a row's size is unknowable before reading it) and the
+    * buffer's estimated total stays < maxBytes + one row. */
+  private[graft] def bufferHead(it: Iterator[Row], maxRows: Int,
+      maxBytes: Long): IndexedSeq[Row] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
     var bytes = 0L
-    while (buf.length <= RetryBufferRows && bytes <= RetryBufferBytes &&
-        it.hasNext) {
+    while (buf.length < maxRows && bytes < maxBytes && it.hasNext) {
       val r = it.next()
       buf += r
       bytes += approxRowBytes(r)
@@ -391,10 +433,11 @@ object JdbcApply {
     * (one WARN; restart-level replay only); otherwise run the attempt
     * under transient retry. */
   private def retryOrStream(it: Iterator[Row], what: String,
-      maxRetries: Int, backoffMs: Long)(attempt: Iterator[Row] => Unit): Unit =
+      maxRetries: Int, backoffMs: Long, maxRows: Int,
+      maxBytes: Long)(attempt: Iterator[Row] => Unit): Unit =
     if (maxRetries <= 0) attempt(it)
     else {
-      val head = bufferHead(it)
+      val head = bufferHead(it, maxRows, maxBytes)
       if (it.hasNext) {
         log.warn(s"$what exceeds the retry-replay buffer " +
           s"(${head.length} rows buffered); W17 retry stands down for " +
@@ -415,9 +458,10 @@ object JdbcApply {
   private def writePartition(it: Iterator[Row], url: String,
       user: Option[String], password: Option[String], table: String,
       valueCols: Seq[String], pks: Seq[String], batchSize: Int,
-      maxRetries: Int, retryBackoffMs: Long): Unit =
+      maxRetries: Int, retryBackoffMs: Long, bufRows: Int,
+      bufBytes: Long): Unit =
     retryOrStream(it, s"partition write to $table", maxRetries,
-      retryBackoffMs) { rows =>
+      retryBackoffMs, bufRows, bufBytes) { rows =>
       writePartitionAttempt(rows, url, user, password, table, valueCols,
         pks, batchSize)
     }
@@ -530,9 +574,26 @@ object JdbcApply {
       }
       conn.commit()
     } catch {
-      case e: Throwable => conn.rollback(); throw e
-    } finally conn.close()
+      case e: Throwable => rollbackQuietly(conn); throw e
+    } finally closeQuietly(conn)
   }
+
+  /** Failed-attempt cleanup must never REPLACE the original
+    * exception: rollback()/close() on a dead connection routinely
+    * throw (connection loss is exactly the case retry exists for),
+    * and if the replacement isn't 08/40-classified, [[isTransient]]
+    * would skip the retry the W17 wiring promises. Log and move on —
+    * an un-rolled-back transaction dies with its connection, and the
+    * retry's fresh connection re-binds every row anyway. */
+  private def rollbackQuietly(conn: Connection): Unit =
+    try conn.rollback() catch {
+      case e: Exception => log.warn(s"rollback after failed attempt: $e")
+    }
+
+  private def closeQuietly(conn: Connection): Unit =
+    try conn.close() catch {
+      case e: Exception => log.warn(s"close after attempt: $e")
+    }
 
   /** Auto-create / auto-evolve (JdbcWriter.java:326-372). */
   private def ensureTable(conn: Connection, dialect: Dialect, table: String,
@@ -565,6 +626,7 @@ object JdbcApply {
     val (url, table, batchSize, user, password) =
       (cfg.url, cfg.corruptTable, cfg.batchSize, cfg.user, cfg.password)
     val (maxRetries, retryBackoffMs) = (cfg.maxRetries, cfg.retryBackoffMs)
+    val (bufRows, bufBytes) = (cfg.retryBufferRows, cfg.retryBufferBytes)
     val fields = Cdc.corruptEventSchema.fieldNames.toSeq
     corrupt.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
@@ -611,15 +673,15 @@ object JdbcApply {
               ins.executeBatch()
             }
             conn.commit()
-          } catch { case e: Throwable => conn.rollback(); throw e }
-        } finally conn.close()
+          } catch { case e: Throwable => rollbackQuietly(conn); throw e }
+        } finally closeQuietly(conn)
         }
         // same retryOrStream scaffold as writePartition: "DLQ
         // partitions are small by construction" does not survive a
         // poisoned feed under errors.tolerance=log, where millions of
         // wide corrupt rows can land in one partition
         retryOrStream(it, s"DLQ write to $table", maxRetries,
-          retryBackoffMs)(attemptOnce)
+          retryBackoffMs, bufRows, bufBytes)(attemptOnce)
       }
     }
     n
@@ -668,19 +730,23 @@ object JdbcApply {
     * types (`SQLTransientException` — incl. deadlock-victim
     * `SQLTransactionRollbackException` and timeouts —
     * `SQLRecoverableException`), or SQLState class 08 (connection
-    * exception) / 40 (transaction rollback: deadlock 40001, PG
-    * 40P01) for pre-JDBC4 drivers, walked through `getNextException`
-    * chains (BatchUpdateException buries the real state there) and
-    * causes. Integrity violations (class 23) and syntax/DDL errors
-    * are NOT transient: retrying them re-fails identically and would
-    * delay the loud failure the tolerance contract promises. */
+    * exception) or the retryable rollback states 40001 (deadlock /
+    * serialization failure) and 40P01 (PostgreSQL's deadlock spelling)
+    * for pre-JDBC4 drivers, walked through `getNextException` chains
+    * (BatchUpdateException buries the real state there) and causes.
+    * NOT the whole class 40: 40002 is a rollback caused by an
+    * integrity-constraint violation, which re-fails identically on
+    * replay — retrying it would both delay the loud failure the
+    * tolerance contract promises and bypass the dedicated
+    * [[isDuplicateKey]] handling. Integrity violations (class 23) and
+    * syntax/DDL errors are NOT transient for the same reason. */
   private[graft] def isTransient(e: Throwable, depth: Int = 0): Boolean =
     depth < 10 && (e match {
       case s: java.sql.SQLException =>
         s.isInstanceOf[java.sql.SQLTransientException] ||
           s.isInstanceOf[java.sql.SQLRecoverableException] ||
           Option(s.getSQLState).exists(st =>
-            st.startsWith("08") || st.startsWith("40")) ||
+            st.startsWith("08") || st == "40001" || st == "40P01") ||
           (s.getNextException != null && (s.getNextException ne s) &&
             isTransient(s.getNextException, depth + 1)) ||
           (s.getCause != null && (s.getCause ne s) &&

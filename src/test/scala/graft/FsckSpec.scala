@@ -186,6 +186,73 @@ class FsckSpec extends SparkSpec {
     }
   }
 
+  test("checkAll walks one layout: trio + ivf + release, findings concatenated") {
+    import graft.ann.{IvfIndex, Similarity}
+    import graft.pipeline.Release
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val T = DedupQueries.IncrementalFuzzyThreshold
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-fsck-all").toString
+    val (cc, sigs, clusters) =
+      (s"$base/cc", s"$base/sigs", s"$base/clusters")
+    val (ivfBase, rel) = (s"$base/ivf", s"$base/release")
+    val snap = IvfIndex.snapshotPath(ivfBase, "s1")
+    val fs = new Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val layout = Fsck.Layout(cc, sigs, clusters,
+      ivf = Seq(snap), ivfBases = Seq(ivfBase), releases = Seq(rel))
+    try {
+      CuratedCorpus.init(docs, cc)
+      IngestStream.bootstrapIndexes(spark, cc, sigs, clusters, T)
+      IvfIndex.write(emb, "vec_id", "embedding",
+        Similarity.trainCentroids(emb, "vec_id", "embedding", 4), snap)
+      Release.buildFromCorpus(spark, cc, rel, 1, Release.Seed,
+        Release.Budget, shards = 4)
+      assert(Fsck.checkAll(spark, layout).isEmpty,
+        "a healthy full layout reports clean")
+
+      // one injected finding PER FACE: the single verb must surface
+      // all of them in one walk (the hand-wired per-face calls the
+      // loop smoke used to make are exactly what drifts)
+      fs.mkdirs(new Path(s"$cc/.old_docs"))                   // trio
+      fs.delete(new Path(s"$snap/corpus/_SUCCESS"), false)    // ivf
+      fs.mkdirs(new Path(s"$rel/v2/shards"))                  // release
+      val found = Fsck.checkAll(spark, layout).map(f => (f.kind, f.root))
+      assert(found.contains(("orphan-old", cc)), s"$found")
+      // the served root AND the base scan both surface the torn pair
+      // (the base scan reports the fs-qualified form of the same root)
+      assert(found.count { case (k, r) =>
+        k == "incomplete-build" && r.endsWith(snap) } == 2, s"$found")
+      assert(found.contains(("partial-build", rel)), s"$found")
+      assert(found.size == 4, s"exactly the injected findings: $found")
+    } finally {
+      fs.delete(new Path(base), true)
+      ()
+    }
+  }
+
+  test("lineage json escape/unescape are exact inverses (single left-to-right pass)") {
+    import graft.pipeline.Release
+    // backslash-and-quote-dense paths: the adversarial shapes where a
+    // re-derived chained decode needs a well-formedness argument —
+    // the shared single-pass inverse needs none
+    val cases = Seq(
+      """C:\data\corpus""", """a\\b""", """say "hi"""", """\"""",
+      """\\\"tail\""", "plain", "", """trailing\""", """"q\\"""")
+    cases.foreach { s =>
+      val e = Release.escapeJsonString(s)
+      assert(Release.unescapeJsonString(e) == s,
+        s"round trip broke for <$s> via <$e>")
+      // and through the exact regex checkRelease extracts with
+      val j = s"""{"corpus_path":"$e","corpus_batch":7}"""
+      val m = "\"corpus_path\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+        .findFirstMatchIn(j)
+      assert(m.isDefined && Release.unescapeJsonString(m.get.group(1)) == s,
+        s"regex+decode broke for <$s> in <$j>")
+    }
+  }
+
   test("fsck covers release roots: clean, partial-build, manifest-orphan, lineage-watermark-skew") {
     import graft.pipeline.{CuratedCorpus, Fsck, Release}
     import org.apache.hadoop.fs.Path

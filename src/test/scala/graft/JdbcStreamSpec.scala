@@ -671,6 +671,42 @@ class JdbcStreamSpec extends SparkSpec {
       s"the exhausted transient failure must propagate, got: ${e.getMessage}")
   }
 
+  test("W17: a partition past the retry-buffer bound stands down — streams, no retry") {
+    // retryBufferRows=0 makes EVERY nonempty partition oversized: the
+    // deterministic way to drive the stand-down arm (a million-row
+    // fixture would test the same branch slower). The write must
+    // stream the full partition (terminal DB state intact on the
+    // no-failure path) and a transient failure must NOT retry —
+    // restart-level replay is the retry of record for oversized
+    // partitions, exactly the pre-W17 behavior.
+    FlakyJdbc.register()
+    FlakyJdbc.reset(failCommits = 0, transientFlavor = true)
+    val wire = spark.createDataFrame(
+      spark.sparkContext.parallelize(fixture), Cdc.kafkaWireSchema)
+    val cfg = sinkCfg("w17stdndb").copy(
+      url = s"${FlakyJdbc.Prefix}memory:w17stdndb;create=true",
+      maxRetries = 3, retryBackoffMs = 10L, retryBufferRows = 0)
+    JdbcApply.applyBatch(CdcNormalize(wire, CdcConfig()), cfg)
+    assertTerminal("jdbc:derby:memory:w17stdndb")
+
+    // now with an injected transient commit failure: stood-down means
+    // ONE attempt, loud failure, no backoff loop
+    FlakyJdbc.reset(failCommits = 99, transientFlavor = true)
+    val cfg2 = sinkCfg("w17stdn2db").copy(
+      url = s"${FlakyJdbc.Prefix}memory:w17stdn2db;create=true",
+      maxRetries = 3, retryBackoffMs = 10L, retryBufferRows = 0)
+    val e = intercept[Exception] {
+      JdbcApply.applyBatch(CdcNormalize(wire, CdcConfig()), cfg2)
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(10).exists(t => Option(t.getMessage)
+        .exists(_.contains("injected transient commit failure"))),
+      s"the stood-down failure must propagate, got: ${e.getMessage}")
+    assert(FlakyJdbc.commitAttempts.get() <= 2,
+      "an oversized partition must not enter the retry loop " +
+        s"(got ${FlakyJdbc.commitAttempts.get()} commit attempts)")
+  }
+
   test("W17: transient classification is rollback/connection-specific, not any SQLException") {
     import java.sql._
     assert(JdbcApply.isTransient(
@@ -683,6 +719,13 @@ class JdbcStreamSpec extends SparkSpec {
     val bue = new BatchUpdateException("batch failed", "HY000", 0, scala.Array(1))
     bue.setNextException(new SQLException("deadlock", "40001"))
     assert(JdbcApply.isTransient(bue))
+    // PostgreSQL spells deadlock 40P01 (pre-JDBC4 path: bare state)
+    assert(JdbcApply.isTransient(new SQLException("pg deadlock", "40P01")))
+    // NOT the whole class 40: 40002 is an integrity-constraint
+    // rollback — replay re-fails identically, so retrying it only
+    // delays the loud failure and bypasses isDuplicateKey.
+    assert(!JdbcApply.isTransient(
+      new SQLException("constraint rollback", "40002")))
     assert(!JdbcApply.isTransient(
       new SQLIntegrityConstraintViolationException("dup", "23505")))
     assert(!JdbcApply.isTransient(new SQLSyntaxErrorException("bad", "42X01")))
