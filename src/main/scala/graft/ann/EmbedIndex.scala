@@ -17,23 +17,42 @@ import graft.sources.{PointReads, StandingStore, TableSpec}
  * settled-only staged-swap compaction), and honoring the
  * [[graft.dedup.SignatureIndex]] probe-read contract by construction:
  *
- * Layout under `path`:
+ * Layout under `path` (layout 2 — recorded in the sidecar):
  * {{{
- *   _params.json        (bands, planesPerBand, dims) — the LSH family
- *                       is part of the table's identity; a probe with
- *                       different planes would hash into garbage, so
+ *   _params.json        (bands, planesPerBand, dims, layout) — the LSH
+ *                       family is part of the table's identity; a probe
+ *                       with different planes would hash into garbage, so
  *                       consumers READ the family instead of repeating it
  *   vecs/__batch=<b>/   (doc_id, v), doc_id-sorted inside files — the
- *                       verify side (candidate vectors point-read here)
- *   buckets/__batch=<b>/ (bkey, doc_id), bkey-sorted, small pages —
- *                       bkey packs (band, bucket) into one LONG
+ *                       whole-corpus face ([[open]]: fsck id drift,
+ *                       lockstep views, downstream vector consumers)
+ *   buckets/__batch=<b>/ (bkey, doc_id, v), bkey-sorted, small pages —
+ *                       bkey packs (band, bucket) into one LONG; each
+ *                       row CARRIES the vector that hashed to it
  * }}}
  *
+ * Bucket rows carry their vectors — the posting-list layout every
+ * production ANN index uses (Faiss IVF stores the vectors IN the
+ * inverted lists): the candidate and its verify payload arrive in ONE
+ * point read, so [[probe]] is exactly TWO serial single-stage collects
+ * instead of three (bucket pages no longer chain into a second
+ * candidate-vector read). The storage cost is the banding trade made
+ * explicit: each vector is stored once per band (`bands ×` vector
+ * bytes), which is also exactly the row count the bucket table always
+ * had — only the row width changed. This is ALSO what makes the
+ * at-rest table the true persisted twin of
+ * [[Similarity.corpusEmbedIndex]] (whose in-RAM index rows are
+ * `(corpus_id, v, band, bucket)`): both probes verify the COLLIDING
+ * version's vector, so a re-embedded doc (same id folded again with a
+ * new vector) scores each version through its own bucket collisions —
+ * the previous layout verified every at-rest version of a candidate
+ * id regardless of which collided, a divergence from the in-RAM
+ * contract that EmbedIndexSpec now pins closed.
+ *
  * [[probe]] reads the PROBED BUCKETS' pages, never the corpus:
- * candidates come from point reads of the matching bucket pages
- * ([[graft.sources.PointReads.keyedFilter]] over the batch's ≤
- * |batch|·bands bucket keys), and the exact-cosine verify point-reads
- * only the candidate ids' vectors — so the per-call read is
+ * candidates AND their vectors come from point reads of the matching
+ * bucket pages ([[graft.sources.PointReads.keyedFilter]] over the
+ * batch's ≤ |batch|·bands bucket keys) — so the per-call read is
  * `O(|batch| · bucket occupancy)`. Bucket occupancy is the LSH
  * dials' job ([[Similarity.adaptivePlanes]]): the shared LCG plane
  * family saturates near ~2^10 effective buckets (its weights are an
@@ -69,11 +88,15 @@ object EmbedIndex {
     TableSpec("vecs", "doc_id LONG, v ARRAY<FLOAT>, __batch LONG",
       Seq("doc_id"), pageRowLimit = Some(PointReads.PageRowLimit),
       retractCol = Some("doc_id")),
-    // bucket rows are ≈ vecs rows × bands but narrow (two LONGs):
-    // size their files off the sibling vecs dir at a smaller target
-    TableSpec("buckets", "bkey LONG, doc_id LONG, __batch LONG",
+    // bucket rows are vecs rows × bands AND carry the vector (the
+    // posting-list layout — see the class doc), so bucket bytes ≈
+    // bands × vecs bytes; file counts still size off the sibling vecs
+    // dir (the only dir standing when the base lands), at a target
+    // small enough that the fat actual files stay reasonable:
+    // 16 MB of vecs bytes per file ⇒ ~bands·16 MB actual file size.
+    TableSpec("buckets", "bkey LONG, doc_id LONG, v ARRAY<FLOAT>, __batch LONG",
       Seq("bkey"), pageRowLimit = Some(PointReads.PageRowLimit),
-      targetFileBytes = 64L << 20, sizeFrom = Some("vecs"),
+      targetFileBytes = 16L << 20, sizeFrom = Some("vecs"),
       retractCol = Some("doc_id"))))
 
   /** Collision-free scratch location for the harness. */
@@ -92,11 +115,24 @@ object EmbedIndex {
     val out = fs.create(f, true)
     try out.write(
       (s"""{"bands":${p.bands},"planes_per_band":${p.planesPerBand},""" +
-        s""""dims":${p.dims}}""").getBytes("UTF-8"))
+        s""""dims":${p.dims},"layout":$Layout}""").getBytes("UTF-8"))
     finally out.close()
   }
 
-  /** The LSH family the table at `path` was built with. */
+  /** On-disk layout version the code reads and writes. 2 = bucket
+    * rows carry their vectors (the posting-list layout); 1 = the
+    * retired narrow `(bkey, doc_id)` layout. A layout-1 table read
+    * through the layout-2 schema would silently yield NULL vectors
+    * (parquet reads absent columns as null) and score every candidate
+    * 0.0 — so [[readParams]] refuses it loudly instead: the probe,
+    * fold, and compaction verbs all pass through it before touching
+    * data. */
+  val Layout: Int = 2
+
+  /** The LSH family the table at `path` was built with. Refuses a
+    * pre-[[Layout]] table (rebuild it with [[write]] — folds replay
+    * from the stream's checkpoint, so a rebuild is a re-`write` of
+    * the current corpus snapshot, not data loss). */
   def readParams(spark: SparkSession, path: String): Params = {
     val f = paramsFile(path)
     val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -104,11 +140,16 @@ object EmbedIndex {
     val in = fs.open(f)
     try in.readFully(0, buf) finally in.close()
     val json = new String(buf, "UTF-8")
+    def numOpt(k: String): Option[Int] =
+      s""""$k":\\s*(\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
     def num(k: String): Int =
-      s""""$k":\\s*(\\d+)""".r.findFirstMatchIn(json)
-        .map(_.group(1).toInt)
-        .getOrElse(throw new IllegalStateException(
-          s"$f holds no '$k' — not an EmbedIndex root?"))
+      numOpt(k).getOrElse(throw new IllegalStateException(
+        s"$f holds no '$k' — not an EmbedIndex root?"))
+    val layout = numOpt("layout").getOrElse(1)
+    require(layout == Layout,
+      s"embed index at $path has layout $layout; this build reads layout " +
+        s"$Layout (bucket rows carry their vectors) — rebuild the table " +
+        "with EmbedIndex.write from the current corpus snapshot")
     Params(num("bands"), num("planes_per_band"), num("dims"))
   }
 
@@ -154,10 +195,11 @@ object EmbedIndex {
           col(vecCol).cast("array<float>").as("v")), "vecs")
       // bucket rows derive from the JUST-WRITTEN vectors — each
       // embedding is hashed exactly once; range-partition so the base
-      // is globally bkey-sorted from birth
+      // is globally bkey-sorted from birth; rows keep the vector that
+      // hashed (the posting-list layout, see the class doc)
       s.landBase(
         bucketRows(s.open(spark, "vecs"), "doc_id", "v", "doc_id", params)
-          .select(col("bkey"), col("doc_id")),
+          .select(col("bkey"), col("doc_id"), col("v")),
         "buckets", rangeFiles = Some(s.fileCount(spark, "buckets")))
     }
   }
@@ -176,7 +218,7 @@ object EmbedIndex {
         col(vecCol).cast("array<float>").as("v"))
     s.landFold(vecs, "vecs", batchId)
     s.landFold(bucketRows(vecs, "doc_id", "v", "doc_id", p)
-      .select(col("bkey"), col("doc_id")), "buckets", batchId)
+      .select(col("bkey"), col("doc_id"), col("v")), "buckets", batchId)
   }
 
   /** Finish a crashed [[compactThrough]] swap — the reader-first
@@ -211,8 +253,9 @@ object EmbedIndex {
   def batchWatermark(spark: SparkSession, path: String): Long =
     store(path).batchWatermark(spark)
 
-  /** The composed (bkey, doc_id) bucket table — [[probe]]'s candidate
-    * source; exposed for the fsck/diagnostic face. */
+  /** The composed (bkey, doc_id, v) bucket table — [[probe]]'s
+    * candidate-and-verify source (the posting-list layout, see the
+    * class doc); exposed for the fsck/diagnostic face. */
   def openBuckets(spark: SparkSession, path: String): DataFrame =
     store(path).open(spark, "buckets")
 
@@ -220,38 +263,43 @@ object EmbedIndex {
 
   /**
    * The PRODUCTION probe — one batch of embeddings against the
-   * at-rest table: candidates point-read from the bkey-sorted bucket
-   * pages, the exact-cosine verify point-reads only the candidate
-   * ids' vectors. Output ≡ [[Similarity.probeEmbedIndex]] against the
-   * same content (EmbedIndexSpec pins it): (batch_id, corpus_id, cos),
-   * one row per matching pair, cosine ≥ `threshold`, rounded to 6.
+   * at-rest table: candidates AND their colliding vectors point-read
+   * from the bkey-sorted bucket pages in one leg, the exact-cosine
+   * verify runs locally over them. Output ≡
+   * [[Similarity.probeEmbedIndex]] against the same content
+   * (EmbedIndexSpec pins it, including the re-embedded multi-version
+   * case): (batch_id, corpus_id, cos), one row per matching pair,
+   * cosine ≥ `threshold`, rounded to 6.
    *
-   * Latency shape (VERDICT r14 #7 / r15 #4): exactly THREE serial
-   * single-stage point-read collects and nothing else — (1) the
-   * batch's exploded band rows, which decide the cutover AND carry
-   * everything downstream needs (the bkey set, the bkey → batch-id
-   * map, the batch vectors — no second pass over the batch lineage,
-   * no distributed distinct, no broadcast join); (2) the matching
-   * bucket pages' rows; (3) the candidate ids' vectors. Pair
-   * expansion, the exact-cosine verify ([[cosineLocalMin]] —
-   * the same IEEE ops in the same order as the [[Similarity.cosine]]
-   * expression, with Spark's own `round(_, 6)` BigDecimal HALF_UP
-   * semantics), and the pair dedup all run on the driver over
-   * cap-bounded arrays, so the returned frame is a LOCAL relation: a
-   * micro-batch probe costs three tiny jobs, not a multi-stage
-   * shuffle plan — the fixed per-stage scheduling latency was the
-   * whole cost at micro-batch sizes. The at-rest paths and the in-RAM
-   * probe are pinned row-identical in EmbedIndexSpec, which is what
-   * keeps the local arithmetic honest against the expression path.
+   * Latency shape (VERDICT r14 #7 / r15 #4 / r16 #2): exactly TWO
+   * serial single-stage point-read collects and nothing else — (1)
+   * the batch's exploded band rows, which decide the cutover AND
+   * carry everything downstream needs (the bkey set, the bkey →
+   * batch-id map, the batch vectors — no second pass over the batch
+   * lineage, no distributed distinct, no broadcast join); (2) the
+   * matching bucket pages' rows, which carry the colliding corpus
+   * vectors themselves (the posting-list layout — the former third
+   * leg, a candidate-vector point read chained on leg 2's result, is
+   * gone because its payload now rides leg 2). Pair expansion, the
+   * exact-cosine verify ([[cosineLocalMin]] — the same IEEE ops in
+   * the same order as the [[Similarity.cosine]] expression, with
+   * Spark's own `round(_, 6)` BigDecimal HALF_UP semantics), and the
+   * pair dedup all run on the driver over cap-bounded arrays, so the
+   * returned frame is a LOCAL relation: a micro-batch probe costs two
+   * tiny jobs, not a multi-stage shuffle plan — the fixed per-stage
+   * scheduling latency was the whole cost at micro-batch sizes. The
+   * at-rest paths and the in-RAM probe are pinned row-identical in
+   * EmbedIndexSpec, which is what keeps the local arithmetic honest
+   * against the expression path.
    *
-   * Driver cost per call: ≤ `cap` collected rows per leg (band rows
-   * carry the vector payload — ≤ cap·dims floats; so can the vecs
-   * leg). Above ANY leg's cap — each a conservative, earlier trigger
-   * than the pair cap alone — the call falls back to [[probeAtRest]]:
-   * same rows, the cap only picks which side pays. (The first trigger
-   * bounds exploded rows |batch|·bands rather than distinct bkeys, so
-   * mid-size batches cut over to the scan a little sooner than
-   * before — by design: the collect itself must stay cap-bounded.)
+   * Driver cost per call: ≤ `cap` collected rows per leg, each row at
+   * most dims floats plus two longs. Above ANY leg's cap — including
+   * the expanded candidate-pair count, a conservative, earlier
+   * trigger — the call falls back to [[probeAtRest]]: same rows, the
+   * cap only picks which side pays. (The first trigger bounds
+   * exploded rows |batch|·bands rather than distinct bkeys, so
+   * mid-size batches cut over to the scan a little sooner — by
+   * design: the collect itself must stay cap-bounded.)
    */
   def probe(batch: DataFrame, path: String, idCol: String,
       vecCol: String, threshold: Double,
@@ -281,52 +329,43 @@ object EmbedIndex {
 
     val hit = openBuckets(spark, path)
       .filter(PointReads.keyedFilter(col("bkey"), keys))
-      .select(col("bkey"), col("doc_id"))
+      .select(col("bkey"), col("doc_id"), col("v"))
       .limit(cap + 1).collect()
     if (hit.length > cap)
       return probeAtRest(batch, path, idCol, vecCol, threshold)
-    val cand: Array[(Long, Long)] = hit.iterator
-      .flatMap(r => bkeyToBatch(r.getLong(0)).iterator
-        .map(bid => (bid, r.getLong(1))))
-      .toArray.distinct
-    if (cand.length > cap)
+    // the candidate-pair cap keeps the driver verify loop bounded the
+    // way the retired third leg's collect was (≤ cap pairs verified)
+    val nPairs = hit.iterator
+      .map(r => bkeyToBatch(r.getLong(0)).length.toLong).sum
+    if (nPairs > cap)
       probeAtRest(batch, path, idCol, vecCol, threshold)
-    else if (cand.isEmpty) emptyResult
+    else if (hit.isEmpty) emptyResult
     else {
-      val ids: Seq[Any] = cand.map(_._2).distinct.toSeq
-      val vecRows = open(spark, path)
-        .filter(PointReads.keyedFilter(col("doc_id"), ids))
-        .select(col("doc_id"), col("v"))
-        .limit(cap + 1).collect()
-      if (vecRows.length > cap)
-        probeAtRest(batch, path, idCol, vecCol, threshold)
+      // verify the COLLIDING version: each hit row carries the vector
+      // that hashed to its bucket, so a re-embedded doc scores each
+      // version through its own collisions — exactly the in-RAM
+      // probeEmbedIndex join, whose index rows carry v the same way;
+      // identical multi-band collisions collapse in the trailing
+      // distinct like the join plan's
+      val out = (for {
+        h <- hit.iterator
+        vc = vecDoubles(h.getSeq[Any](2)).toArray
+        cid = h.getLong(1)
+        bid <- bkeyToBatch(h.getLong(0)).iterator
+        vb <- batchVecs(bid).iterator
+        c = cosineLocalMin(vb, vc)
+        if c >= threshold
+        // Spark's round(double, 6): scala BigDecimal.decimal
+        // (Double.toString canonical form), HALF_UP — RoundBase's
+        // DoubleType arm, replicated so the local path is
+        // bit-identical to the expression path
+      } yield (bid, cid, BigDecimal(c)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)).toSeq.distinct
+      if (out.isEmpty) emptyResult
       else {
-        // distinct vectors per corpus id: identical re-added rows
-        // collapse exactly like the join plan's trailing distinct;
-        // a genuinely re-embedded doc verifies every version
-        val corpusVecs: Map[Long, Array[Array[Double]]] = vecRows
-          .groupBy(_.getLong(0))
-          .map { case (id, rs) =>
-            id -> rs.map(r => vecDoubles(r.getSeq[Any](1))).distinct
-              .map(_.toArray) }
-        val out = (for {
-          (bid, cid) <- cand.iterator
-          vb <- batchVecs(bid).iterator
-          vc <- corpusVecs.getOrElse(cid, Array.empty[Array[Double]]).iterator
-          c = cosineLocalMin(vb, vc)
-          if c >= threshold
-          // Spark's round(double, 6): scala BigDecimal.decimal
-          // (Double.toString canonical form), HALF_UP — RoundBase's
-          // DoubleType arm, replicated so the local path is
-          // bit-identical to the expression path
-        } yield (bid, cid, BigDecimal(c)
-          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
-          .toDouble)).toSeq.distinct
-        if (out.isEmpty) emptyResult
-        else {
-          import spark.implicits._
-          out.toDF("batch_id", "corpus_id", "cos")
-        }
+        import spark.implicits._
+        out.toDF("batch_id", "corpus_id", "cos")
       }
     }
   }
@@ -363,29 +402,23 @@ object EmbedIndex {
   }
 
   /** The scan-shaped probe — [[probe]]'s above-cap fallback and the
-    * oracle-friendly plan: batch bucket rows equi-join the WHOLE
-    * bucket table, vectors join back, exact cosine verifies. Same
-    * output as [[probe]]; reads O(|corpus|) per call. */
+    * oracle-friendly plan: batch band rows equi-join the WHOLE bucket
+    * table on the packed key and the exact cosine verifies the JOINED
+    * rows' vectors directly — structurally
+    * [[Similarity.probeEmbedIndex]] with the at-rest posting list as
+    * the index side (no candidate→vector join: the bucket rows carry
+    * their vectors, saving a whole shuffle on the fallback path too).
+    * Same output as [[probe]]; reads O(|corpus|) per call. */
   def probeAtRest(batch: DataFrame, path: String, idCol: String,
       vecCol: String, threshold: Double): DataFrame = {
     val spark = batch.sparkSession
     val p = readParams(spark, path)
     val b = bucketRows(batch, idCol, vecCol, "batch_id", p)
-    val cand = openBuckets(spark, path)
-      .join(b.select(col("bkey"), col("batch_id")), "bkey")
-      .select(col("batch_id"), col("doc_id").as("corpus_id"))
-      .distinct()
-    cand
-      .join(batch.filter(col(vecCol).isNotNull)
-        .select(col(idCol).as("batch_id"),
-          col(vecCol).cast("array<float>").as("__vb")),
-        "batch_id")
-      .join(open(spark, path)
-        .select(col("doc_id").as("corpus_id"), col("v").as("__vc")),
-        "corpus_id")
-      .withColumn("cos", Similarity.cosine(col("__vb"), col("__vc")))
+    b.as("x")
+      .join(openBuckets(spark, path).as("y"), "bkey")
+      .withColumn("cos", Similarity.cosine(col("x.v"), col("y.v")))
       .filter(col("cos") >= threshold)
-      .select(col("batch_id"), col("corpus_id"),
+      .select(col("batch_id"), col("doc_id").as("corpus_id"),
         round(col("cos"), 6).as("cos"))
       .distinct()
   }
@@ -396,9 +429,13 @@ object EmbedIndex {
     * the store's default compaction (embedding rows are plain facts);
     * from `foreachBatch(N)` call with `throughBatch = N - 1`. */
   def compactThrough(spark: SparkSession, path: String,
-      throughBatch: Long, targetFileBytes: Long = 128L << 20): Unit =
+      throughBatch: Long, targetFileBytes: Long = 128L << 20): Unit = {
+    // layout guard ([[readParams]]): compacting a pre-layout-2 table
+    // through the layout-2 schema would bake NULL bucket vectors in
+    readParams(spark, path)
     store(path).compactThrough(spark, throughBatch,
       Map("vecs" -> targetFileBytes))
+  }
 
   /** Compact everything — run only once the fold stream settled. */
   def compact(spark: SparkSession, path: String): Unit =

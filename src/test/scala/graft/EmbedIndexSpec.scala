@@ -157,6 +157,50 @@ class EmbedIndexSpec extends SparkSpec {
     } finally EmbedIndex.delete(spark, root)
   }
 
+  test("re-embedded doc: probe, probeAtRest, and the in-RAM probe verify the COLLIDING version identically") {
+    import spark.implicits._
+    // doc 1 is embedded twice — v1 in the base snapshot, v2 in a later
+    // fold — the multi-version edge where the retired layout diverged
+    // from the in-RAM contract (it verified every at-rest version of a
+    // candidate id; probeEmbedIndex verifies the version that collided,
+    // because its index rows carry the vector that hashed)
+    val p = EmbedIndex.Params(bands = 2, planesPerBand = 4, dims = 4)
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val refold = Seq((1L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val root = fixtureRoot()
+    val path = s"$root/emb"
+    try {
+      EmbedIndex.write(corpus, "vec_id", "embedding", path, p)
+      EmbedIndex.foldBatch(path, refold, "vec_id", "embedding", 0L)
+      // the at-rest content (both versions of doc 1) drives the in-RAM
+      // index, so all three probes see the same corpus
+      val composed = EmbedIndex.open(spark, path)
+        .select(col("doc_id").as("vec_id"), col("v").as("embedding"))
+      assert(composed.filter(col("vec_id") === 1L).count() == 2,
+        "fixture needs both versions of doc 1 standing")
+      val (idx, release) = Similarity.corpusEmbedIndex(composed,
+        "vec_id", "embedding", p.bands, p.planesPerBand, p.dims)
+      try {
+        for (batch <- Seq(
+            // a scaled copy of v2 (the folded re-embedding)…
+            Seq((100L, Seq(0f, 2f, 0f, 0f))).toDF("vec_id", "embedding"),
+            // …and of v1 (the original version)
+            Seq((200L, Seq(3f, 0f, 0f, 0f))).toDF("vec_id", "embedding"))) {
+          val inRam = pairs(Similarity.probeEmbedIndex(batch, idx,
+            "vec_id", "embedding", p.bands, p.planesPerBand, p.dims, 0.9))
+          assert(inRam.exists(x => x._2 == 1L && x._3 == 1.0),
+            s"each version must self-match through its own collisions: $inRam")
+          assert(pairs(EmbedIndex.probe(batch, path, "vec_id",
+            "embedding", 0.9)) == inRam)
+          assert(pairs(EmbedIndex.probeAtRest(batch, path, "vec_id",
+            "embedding", 0.9)) == inRam)
+        }
+      } finally release()
+    } finally EmbedIndex.delete(spark, root)
+  }
+
   test("indexed accept router folds survivors' vectors into the embed lane in lockstep") {
     import graft.dedup.{DedupQueries, SignatureIndex, ClusterIndex}
     import graft.pipeline.{CuratedCorpus, IngestStream}
