@@ -22,7 +22,10 @@ import graft.sources.Bucketed
  *    (10× rows, well under 100× the pair work);
  *  - packing/pipeline stay scan-bound.
  *
- * Run: `sbt "runMain graft.ScaleSmoke"`. Emits one line per query.
+ * Run: `sbt "runMain graft.ScaleSmoke"` (full), or
+ * `SCALE_SMOKE_ONLY=<ladder>[,<ladder>...]` / the same names as args
+ * for one ladder (queries cdc sketch ingest ivf clusters deal release
+ * loop probe). Emits one line per check.
  * /tmp only — testdata is never written.
  */
 object ScaleSmoke {
@@ -63,15 +66,39 @@ object ScaleSmoke {
     graft.Tables.invalidate(OutDir)
     println(s"[scale] synthesized ${nDocs * Copies} docs / ${nVecs * Copies} vecs at $OutDir")
 
-    // fast lanes for iterating on one smoke:
-    // `runMain graft.ScaleSmoke probe` / `... loop`
-    if (args.contains("probe")) {
-      probeReadSmoke(spark); embedProbeReadSmoke(spark)
-      spark.stop(); return
+    // Ladder registry — the FULL run is every ladder in this order
+    // (identical to the pre-registry daisy chain). The fast lane
+    // (VERDICT r16 #8): `SCALE_SMOKE_ONLY=<name>[,<name>...]` (or the
+    // same names as program args) runs exactly those ladders, so a
+    // round iterating on one ladder pays minutes, not the hour.
+    val ladders: Seq[(String, () => Unit)] = Seq(
+      "queries" -> (() => queriesSmoke(spark)),
+      "cdc" -> (() => cdcSmoke(spark, src)),
+      "sketch" -> (() => sketchAndLayoutSmoke(spark)),
+      "ingest" -> (() => streamingIngestSmoke(spark)),
+      "ivf" -> (() => ivfAppendSmoke(spark)),
+      "clusters" -> (() => clusterIndexSmoke(spark)),
+      "deal" -> (() => shardedDealSmoke(spark)),
+      "release" -> (() => releaseSmoke(spark)),
+      "loop" -> (() => composedLoopSmoke(spark)),
+      "probe" -> (() => { probeReadSmoke(spark); embedProbeReadSmoke(spark) }))
+    val selected = (sys.env.get("SCALE_SMOKE_ONLY").toSeq
+      .flatMap(_.split(',')) ++ args).map(_.trim).filter(_.nonEmpty)
+    val unknown = selected.toSet -- ladders.map(_._1).toSet
+    require(unknown.isEmpty,
+      s"unknown ladder(s) ${unknown.mkString(", ")} — " +
+        s"have ${ladders.map(_._1).mkString(", ")}")
+    val run = if (selected.isEmpty) ladders
+      else ladders.filter(l => selected.contains(l._1))
+    run.foreach { case (name, body) =>
+      println(s"[scale] === ladder: $name ===")
+      body()
     }
-    if (args.contains("loop")) { composedLoopSmoke(spark); spark.stop(); return }
-    if (args.contains("cdc")) { cdcSmoke(spark, src); spark.stop(); return }
+    spark.stop()
+  }
 
+  /** The adaptive-knob query sweep against the 10× corpus. */
+  def queriesSmoke(spark: SparkSession): Unit = {
     val queries = Seq(
       "q_dedup_embed_cos", "q_dedup_lsh_pairs", "q_dedup_clusters",
       "q_dedup_ngram_jaccard", "q_ann_knn_graph", "q_text_pack",
@@ -89,9 +116,6 @@ object ScaleSmoke {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"[scale] $name%-24s ${sec}%8.2f s  rows=$n")
     }
-
-    cdcSmoke(spark, src)
-    spark.stop()
   }
 
   /**
@@ -291,8 +315,6 @@ object ScaleSmoke {
           "(partial WindowGroupLimit collapse; flat reduce arrival)")
       } finally spark.sparkContext.removeSparkListener(listener)
     }
-
-    sketchAndLayoutSmoke(spark)
   }
 
   /**
@@ -339,8 +361,6 @@ object ScaleSmoke {
       f"${100.0 * zByValue / total}%.1f%%)")
     require(zByUser <= total * 6 / 10 && zByValue <= total * 6 / 10,
       s"z-order pruning regressed at 10x: $zByUser / $zByValue of $total")
-
-    streamingIngestSmoke(spark)
   }
 
   /**
@@ -384,14 +404,6 @@ object ScaleSmoke {
     }
     require(alarm(exact) == alarm(sketch),
       s"drift alarms diverged: exact=${exact.map(_._2)} sketch=${sketch.map(_._2)}")
-
-    ivfAppendSmoke(spark)
-    clusterIndexSmoke(spark)
-    shardedDealSmoke(spark)
-    releaseSmoke(spark)
-    composedLoopSmoke(spark)
-    probeReadSmoke(spark)
-    embedProbeReadSmoke(spark)
   }
 
   /**
