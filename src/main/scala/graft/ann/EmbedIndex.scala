@@ -129,23 +129,42 @@ object EmbedIndex {
     * data. */
   val Layout: Int = 2
 
+  private def sidecarJson(spark: SparkSession, path: String): Option[String] = {
+    val f = paramsFile(path)
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(f)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
+      val in = fs.open(f)
+      try in.readFully(0, buf) finally in.close()
+      Some(new String(buf, "UTF-8"))
+    }
+  }
+
+  private def sidecarNum(json: String, k: String): Option[Int] =
+    s""""$k":\\s*(\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
+
+  /** Layout version of the table at `path`: `Some(1)` for a
+    * pre-vector-carrying bucket layout (no `layout` key), `None` when
+    * no params sidecar stands at all (not an EmbedIndex root, or a
+    * build torn before [[write]]'s sidecar landed). Never throws —
+    * the report-only face ([[graft.pipeline.Fsck]]) surfaces a stale
+    * layout as a finding instead of dying on it. */
+  def layoutVersion(spark: SparkSession, path: String): Option[Int] =
+    sidecarJson(spark, path).map(j => sidecarNum(j, "layout").getOrElse(1))
+
   /** The LSH family the table at `path` was built with. Refuses a
     * pre-[[Layout]] table (rebuild it with [[write]] — folds replay
     * from the stream's checkpoint, so a rebuild is a re-`write` of
     * the current corpus snapshot, not data loss). */
   def readParams(spark: SparkSession, path: String): Params = {
-    val f = paramsFile(path)
-    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val buf = new Array[Byte](fs.getFileStatus(f).getLen.toInt)
-    val in = fs.open(f)
-    try in.readFully(0, buf) finally in.close()
-    val json = new String(buf, "UTF-8")
-    def numOpt(k: String): Option[Int] =
-      s""""$k":\\s*(\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt)
+    val json = sidecarJson(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"${paramsFile(path)} does not exist — not an EmbedIndex root?"))
     def num(k: String): Int =
-      numOpt(k).getOrElse(throw new IllegalStateException(
-        s"$f holds no '$k' — not an EmbedIndex root?"))
-    val layout = numOpt("layout").getOrElse(1)
+      sidecarNum(json, k).getOrElse(throw new IllegalStateException(
+        s"${paramsFile(path)} holds no '$k' — not an EmbedIndex root?"))
+    val layout = sidecarNum(json, "layout").getOrElse(1)
     require(layout == Layout,
       s"embed index at $path has layout $layout; this build reads layout " +
         s"$Layout (bucket rows carry their vectors) — rebuild the table " +
@@ -255,9 +274,14 @@ object EmbedIndex {
 
   /** The composed (bkey, doc_id, v) bucket table — [[probe]]'s
     * candidate-and-verify source (the posting-list layout, see the
-    * class doc); exposed for the fsck/diagnostic face. */
-  def openBuckets(spark: SparkSession, path: String): DataFrame =
+    * class doc); exposed for the fsck/diagnostic face. Layout-guarded
+    * like every bucket-reading verb: a pre-layout-2 table would read
+    * its absent vector column as all-NULL here ([[readParams]]
+    * refuses it instead). */
+  def openBuckets(spark: SparkSession, path: String): DataFrame = {
+    readParams(spark, path)
     store(path).open(spark, "buckets")
+  }
 
   // --------------------------------------------------------------- probe
 

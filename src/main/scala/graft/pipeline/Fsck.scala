@@ -41,6 +41,10 @@ import graft.sources.{BatchPartitions, DirSwap, Lease}
  *    not-yet-tombstoned roots over-answering until the redelivery
  *    lands the remaining tombstones — `tombs-standing` on a strict
  *    subset of the roots is the tell;
+ *  - `embed-layout`: the embed lane's on-disk layout predates the one
+ *    this build reads (or its params sidecar is missing) — probes and
+ *    folds refuse it loudly ([[graft.ann.EmbedIndex.readParams]]);
+ *    rebuild with `EmbedIndex.write` from the current corpus snapshot;
  *  - `tombs-standing`: unpurged retraction partitions under a root —
  *    informational (reads filter them; the root's next compaction
  *    purges and clears);
@@ -301,6 +305,22 @@ object Fsck {
     // the unreadable root — the crash findings ARE the report
     if (crash.exists(_.kind == "missing-live")) return crash
 
+    // embed-lane layout: a pre-vector-carrying bucket table (or a
+    // missing params sidecar) makes every probe/fold refuse — report
+    // it here so an operator sees WHY before a stream does
+    val layoutFindings = embedPath.toSeq.flatMap { p =>
+      graft.ann.EmbedIndex.layoutVersion(spark, p) match {
+        case Some(graft.ann.EmbedIndex.Layout) => Seq.empty
+        case Some(l) => Seq(Finding(p, "embed-layout",
+          s"on-disk layout $l predates ${graft.ann.EmbedIndex.Layout} " +
+            "(bucket rows carry vectors); probes/folds refuse — rebuild " +
+            "with EmbedIndex.write from the current corpus snapshot"))
+        case None => Seq(Finding(p, "embed-layout",
+          "params sidecar missing — not an EmbedIndex root, or a build " +
+            "torn before the sidecar landed; rebuild with EmbedIndex.write"))
+      }
+    }
+
     // settled-discipline indexes share one cadence dial: their fold
     // partitions should match (a lease-skipped cadence shows benign
     // skew until its next tick — see the class doc)
@@ -389,7 +409,7 @@ object Fsck {
             s"${r.getLong(1)} ids present in ${in.mkString("+")} " +
               s"but missing from ${outOf.mkString("+")}")
         }.toSeq
-      crash ++ skew ++ wmSkew ++ floorBreach ++ dups ++ drift
+      crash ++ layoutFindings ++ skew ++ wmSkew ++ floorBreach ++ dups ++ drift
     } finally {
       perTable.unpersist()
       ()

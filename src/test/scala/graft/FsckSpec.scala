@@ -79,6 +79,28 @@ class FsckSpec extends SparkSpec {
       val t2 = new Thread(() => held.get().release())
       t2.start(); t2.join()
 
+      // a pre-vector-carrying embed layout (the retired narrow bucket
+      // rows, or a sidecar torn away entirely): probes/folds refuse it
+      // loudly, and fsck must say WHY before a stream hits it
+      def sidecar(json: Option[String]): Unit = {
+        val p = new Path(s"$emb/_params.json")
+        json match {
+          case Some(j) =>
+            val out = fs.create(p, true)
+            try out.write(j.getBytes("UTF-8")) finally out.close()
+          case None => fs.delete(p, false); ()
+        }
+      }
+      sidecar(Some("""{"bands":2,"planes_per_band":6,"dims":8}"""))
+      assert(kinds() == Seq(("embed-layout", emb)),
+        s"a layout-1 sidecar must surface as embed-layout: ${kinds()}")
+      sidecar(None)
+      assert(kinds() == Seq(("embed-layout", emb)),
+        s"a missing sidecar must surface as embed-layout: ${kinds()}")
+      sidecar(Some(
+        s"""{"bands":2,"planes_per_band":6,"dims":8,"layout":${EmbedIndex.Layout}}"""))
+      assert(kinds().isEmpty, "report must be clean after the sidecar heals")
+
       // an index folding content the corpus never landed: id drift,
       // and (one dial, one fold set) the settled-fold skew rides along
       import spark.implicits._
