@@ -1113,6 +1113,25 @@ object ScaleSmoke {
     // a previous smoke run would inflate the count check
     val quarDir = java.nio.file.Files
       .createTempDirectory("graft-scale-quar").toString + "/q"
+    // Executor CPU per batch — the LOAD-IMMUNE amortization metric:
+    // wall clock on a shared box measures the box (a co-tenant spike
+    // once read a clean batch at 2× batch 0 and failed the old
+    // seconds-based gate), while CPU nanoseconds measure the work.
+    // Serial batches + a bus drain at each boundary attribute tasks
+    // to their batch.
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val cpuListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) { cpuNs.addAndGet(m.executorCpuTime); () }
+      }
+    }
+    val cpuPerBatch = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def drainBus(): Unit =
+      org.apache.spark.sql.graftshim.GraftShims
+        .waitListenerBusEmpty(spark.sparkContext)
+    spark.sparkContext.addSparkListener(cpuListener)
     val q = writer.start()
     try {
       (0 until nBatches).foreach { b =>
@@ -1128,17 +1147,25 @@ object ScaleSmoke {
           else slice.zipWithIndex.map { case (r, _) =>
             Row(r.getLong(0) + (b + 1) * 10000000L, r.getString(1), r.get(2))
           }
+        drainBus()
+        val c0 = cpuNs.get
         t0 = System.nanoTime()
         mem.addData(rows.toIndexedSeq: _*)
         q.processAllAvailable()
+        drainBus()
+        cpuPerBatch += (cpuNs.get - c0) / 1e9
       }
-    } finally { q.stop(); release() }
+    } finally {
+      q.stop(); release()
+      spark.sparkContext.removeSparkListener(cpuListener)
+    }
 
     val tag = if (sketchHead) "ingest/sketch" else "ingest/exact "
     reports.zipWithIndex.foreach { case ((r, sec), i) =>
       val gates = r.gateSeconds
         .map { case (g, s) => f"$g=$s%.2fs" }.mkString(" ")
-      println(f"[scale] $tag batch $i    ${sec}%8.2f s  rows=${r.rows} " +
+      println(f"[scale] $tag batch $i    ${sec}%8.2f s  " +
+        f"cpu=${cpuPerBatch(i)}%6.2f s  rows=${r.rows} " +
         f"dq=${r.dqPass} drift=${r.drift}%.3f dups=${r.nearDupMatches} " +
         s"embdups=${r.embedDupMatches}  [$gates]")
     }
@@ -1155,13 +1182,23 @@ object ScaleSmoke {
     require(reports.zipWithIndex.forall { case ((r, _), i) =>
       i == nBatches - 2 || r.embedDupMatches > 0 },
       "clean batches must match the standing embedding index")
-    // standing-index amortization: batch 1 pays the corpus index
-    // build; later CLEAN batches must not (flat per-batch cost)
-    val first = reports.head._2
-    val laterClean = reports.drop(1).zipWithIndex
-      .collect { case ((_, s), i) if i != nBatches - 3 => s }
-    require(laterClean.max <= math.max(first * 1.5, first + 2.0),
-      f"per-batch cost not flat: first=$first%.2f later=${laterClean.max}%.2f")
+    // standing-index amortization: batch 0 pays the corpus index
+    // materialization (tokenize + band the whole 10× corpus); later
+    // CLEAN batches pay only batch-sized probes against the cached
+    // index. Gated on executor CPU — the work — not wall clock (which
+    // gated here until r17 and tripped on co-tenant load spikes): a
+    // re-materializing regression makes every later batch pay
+    // batch-0's build AGAIN, i.e. laterCpu ≥ firstCpu, so any bound
+    // strictly under 1.0 catches it. Measured here: 0.63×first with a
+    // cold JIT (lane-only run), 0.72-0.74× warm (full-chain run) —
+    // 0.9 separates both from the ≥1.0 regression signature.
+    val firstCpu = cpuPerBatch.head
+    val laterCleanCpu = cpuPerBatch.drop(1).zipWithIndex
+      .collect { case (s, i) if i != nBatches - 3 => s }
+    require(laterCleanCpu.max <= math.max(firstCpu * 0.9, 2.0),
+      f"per-batch work not flat: firstCpu=$firstCpu%.2f " +
+        f"laterCpu=${laterCleanCpu.max}%.2f — a later clean batch " +
+        "re-paid the standing-index build")
     // quarantine: the poisoned batch lands stamped and re-readable
     batches.get(poisoned.batchId).foreach { b =>
       IngestStream.quarantine(b, poisoned, "dq:text_nonempty", quarDir)

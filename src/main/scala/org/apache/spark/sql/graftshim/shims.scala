@@ -38,4 +38,11 @@ object GraftShims {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
+
+  /** Drain the listener bus (`private[spark]`): a harness snapshotting
+    * listener-accumulated task metrics at a batch boundary must see
+    * every already-finished task's event delivered first, or the tail
+    * of one batch's work is misattributed to the next. */
+  def waitListenerBusEmpty(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
 }
