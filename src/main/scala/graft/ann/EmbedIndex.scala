@@ -153,23 +153,70 @@ object EmbedIndex {
   def layoutVersion(spark: SparkSession, path: String): Option[Int] =
     sidecarJson(spark, path).map(j => sidecarNum(j, "layout").getOrElse(1))
 
+  private def paramsOf(path: String, json: String): Params = {
+    def num(k: String): Int =
+      sidecarNum(json, k).getOrElse(throw new IllegalStateException(
+        s"${paramsFile(path)} holds no '$k' — not an EmbedIndex root?"))
+    Params(num("bands"), num("planes_per_band"), num("dims"))
+  }
+
   /** The LSH family the table at `path` was built with. Refuses a
-    * pre-[[Layout]] table (rebuild it with [[write]] — folds replay
-    * from the stream's checkpoint, so a rebuild is a re-`write` of
-    * the current corpus snapshot, not data loss). */
+    * pre-[[Layout]] table — migrate it in place with
+    * [[migrateLayout]] (one pass over the vecs table, the corpus is
+    * never read), or rebuild with [[write]]. */
   def readParams(spark: SparkSession, path: String): Params = {
     val json = sidecarJson(spark, path).getOrElse(
       throw new IllegalStateException(
         s"${paramsFile(path)} does not exist — not an EmbedIndex root?"))
-    def num(k: String): Int =
-      sidecarNum(json, k).getOrElse(throw new IllegalStateException(
-        s"${paramsFile(path)} holds no '$k' — not an EmbedIndex root?"))
     val layout = sidecarNum(json, "layout").getOrElse(1)
     require(layout == Layout,
       s"embed index at $path has layout $layout; this build reads layout " +
-        s"$Layout (bucket rows carry their vectors) — rebuild the table " +
-        "with EmbedIndex.write from the current corpus snapshot")
-    Params(num("bands"), num("planes_per_band"), num("dims"))
+        s"$Layout (bucket rows carry their vectors) — migrate in place " +
+        "with EmbedIndex.migrateLayout, or rebuild with EmbedIndex.write")
+    paramsOf(path, json)
+  }
+
+  /**
+   * IN-PLACE layout migration (1 → [[Layout]]): re-derive the bucket
+   * table from the standing VECS table (whose layout never changed)
+   * and the persisted LSH family — per `__batch` partition, so the
+   * base stays the base, every fold stays its own replay-idempotent
+   * partition, and tombstones/watermarks are untouched. One pass over
+   * vecs; the corpus is never read — at 100 TB that is the difference
+   * between a migration and a rebuild. Returns false (no-op) when the
+   * table already reads [[Layout]].
+   *
+   * Crash-safe in the staged-swap discipline: the rebuilt buckets
+   * stage fully under `.compact/`, swap in ([[graft.sources.DirSwap]]
+   * handles a single-table swap), and the sidecar bumps strictly
+   * AFTER the swap commits — a crash anywhere leaves either the old
+   * (still-refusing) table or an inert staging the re-run overwrites;
+   * no reader ever sees layout-2 declared over layout-1 rows. Runs
+   * under the root's lease like every build verb.
+   */
+  def migrateLayout(spark: SparkSession, path: String): Boolean = {
+    val json = sidecarJson(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"${paramsFile(path)} does not exist — not an EmbedIndex root?"))
+    if (sidecarNum(json, "layout").getOrElse(1) == Layout) return false
+    val p = paramsOf(path, json)
+    val s = store(path)
+    s.withLease(spark) {
+      s.recoverSwap(spark)
+      val vecs = s.openRaw(spark, "vecs") // (doc_id, v, __batch), raw
+      val rebuilt = vecs.filter(col("v").isNotNull)
+        .select(col("doc_id"), col("v"), col("__batch"),
+          posexplode(array((0 until p.bands).map(b =>
+            Similarity.lshBucket(col("v"), p.planesPerBand, p.dims,
+              b * p.planesPerBand)): _*))
+            .as(Seq("band", "bucket")))
+        .select(packedKey(col("band"), col("bucket")).as("bkey"),
+          col("doc_id"), col("v"), col("__batch"))
+      s.landStaging(rebuilt, "buckets", s.fileCount(spark, "buckets"))
+      graft.sources.DirSwap.swapStaged(spark, path, Seq("buckets"))
+      writeParams(spark, path, p)
+    }
+    true
   }
 
   // ------------------------------------------------------- bucket rows

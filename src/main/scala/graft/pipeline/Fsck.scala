@@ -44,7 +44,8 @@ import graft.sources.{BatchPartitions, DirSwap, Lease}
  *  - `embed-layout`: the embed lane's on-disk layout predates the one
  *    this build reads (or its params sidecar is missing) — probes and
  *    folds refuse it loudly ([[graft.ann.EmbedIndex.readParams]]);
- *    rebuild with `EmbedIndex.write` from the current corpus snapshot;
+ *    migrate in place with `EmbedIndex.migrateLayout` (one pass over
+ *    the vecs table), or rebuild with `EmbedIndex.write`;
  *  - `tombs-standing`: unpurged retraction partitions under a root —
  *    informational (reads filter them; the root's next compaction
  *    purges and clears);
@@ -313,8 +314,8 @@ object Fsck {
         case Some(graft.ann.EmbedIndex.Layout) => Seq.empty
         case Some(l) => Seq(Finding(p, "embed-layout",
           s"on-disk layout $l predates ${graft.ann.EmbedIndex.Layout} " +
-            "(bucket rows carry vectors); probes/folds refuse — rebuild " +
-            "with EmbedIndex.write from the current corpus snapshot"))
+            "(bucket rows carry vectors); probes/folds refuse — migrate " +
+            "in place with EmbedIndex.migrateLayout (one pass over vecs)"))
         case None => Seq(Finding(p, "embed-layout",
           "params sidecar missing — not an EmbedIndex root, or a build " +
             "torn before the sidecar landed; rebuild with EmbedIndex.write"))

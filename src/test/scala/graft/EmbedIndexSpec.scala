@@ -201,6 +201,66 @@ class EmbedIndexSpec extends SparkSpec {
     } finally EmbedIndex.delete(spark, root)
   }
 
+  test("layout migration: a layout-1 table refuses probes, migrates in place from vecs, probes identically") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val p = EmbedIndex.Params(bands = 2, planesPerBand = 4, dims = 4)
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val fold = Seq((10L, Seq(0f, 0f, 1f, 1f))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (100L, Seq(2f, 0f, 0f, 0f)),
+      (101L, Seq(0f, 0f, 3f, 3f))).toDF("vec_id", "embedding")
+    val root = fixtureRoot()
+    val path = s"$root/emb"
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    try {
+      EmbedIndex.write(corpus, "vec_id", "embedding", path, p)
+      EmbedIndex.foldBatch(path, fold, "vec_id", "embedding", 0L)
+      val want = pairs(EmbedIndex.probe(batch, path, "vec_id",
+        "embedding", 0.9))
+      assert(want.map(x => (x._1, x._2)) == Set((100L, 1L), (101L, 10L)),
+        s"fixture must match base AND fold content: $want")
+
+      // devolve to a GENUINE layout-1 table: thin (bkey, doc_id)
+      // bucket rows — vectors gone — and a sidecar without the layout
+      // key, exactly what a pre-r17 build left on disk
+      val thin = spark.read.parquet(s"$path/buckets")
+        .select("bkey", "doc_id", "__batch")
+      val tmp = s"$root/thin"
+      thin.write.partitionBy("__batch").parquet(tmp)
+      fs.delete(new Path(s"$path/buckets"), true)
+      assert(fs.rename(new Path(tmp), new Path(s"$path/buckets")))
+      val out = fs.create(new Path(s"$path/_params.json"), true)
+      try out.write(
+        """{"bands":2,"planes_per_band":4,"dims":4}""".getBytes("UTF-8"))
+      finally out.close()
+      graft.Tables.invalidate(path)
+
+      // every bucket-reading verb refuses loudly, naming the migration
+      val e = intercept[IllegalArgumentException] {
+        EmbedIndex.probe(batch, path, "vec_id", "embedding", 0.9)
+      }
+      assert(e.getMessage.contains("migrateLayout"), e.getMessage)
+
+      // migrate: one pass over vecs, per-partition — then the probe
+      // answers exactly as before the devolution, fold included
+      assert(EmbedIndex.migrateLayout(spark, path))
+      graft.Tables.invalidate(path)
+      assert(EmbedIndex.readParams(spark, path) == p)
+      assert(EmbedIndex.foldCount(spark, path) == 1,
+        "migration must preserve the fold partition structure")
+      assert(pairs(EmbedIndex.probe(batch, path, "vec_id", "embedding",
+        0.9)) == want)
+      assert(pairs(EmbedIndex.probeAtRest(batch, path, "vec_id",
+        "embedding", 0.9)) == want)
+      // idempotent: a second call is a no-op
+      assert(!EmbedIndex.migrateLayout(spark, path))
+    } finally EmbedIndex.delete(spark, root)
+  }
+
   test("indexed accept router folds survivors' vectors into the embed lane in lockstep") {
     import graft.dedup.{DedupQueries, SignatureIndex, ClusterIndex}
     import graft.pipeline.{CuratedCorpus, IngestStream}
