@@ -201,6 +201,47 @@ class EmbedIndexSpec extends SparkSpec {
     } finally EmbedIndex.delete(spark, root)
   }
 
+  test("point probe submits exactly TWO Spark jobs — the latency shape, pinned structurally") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import spark.implicits._
+    // the r15→r17 latency arc (3 serial collects → 2: bucket pages
+    // carry their vectors) as a load-immune invariant: wall clock on a
+    // shared box measures the box, the JOB COUNT measures the shape
+    val p = EmbedIndex.Params(bands = 2, planesPerBand = 4, dims = 4)
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val batch = Seq((100L, Seq(2f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val root = fixtureRoot()
+    val path = s"$root/emb"
+    try {
+      EmbedIndex.write(corpus, "vec_id", "embedding", path, p)
+      // warm once: first-touch one-time work (file listing thresholds,
+      // codegen) must not count against the steady-state shape
+      pairs(EmbedIndex.probe(batch, path, "vec_id", "embedding", 0.9))
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new SparkListener {
+        override def onJobStart(j: SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      org.apache.spark.sql.graftshim.GraftShims
+        .waitListenerBusEmpty(spark.sparkContext)
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val got = pairs(EmbedIndex.probe(batch, path, "vec_id",
+          "embedding", 0.9))
+        org.apache.spark.sql.graftshim.GraftShims
+          .waitListenerBusEmpty(spark.sparkContext)
+        assert(got.map(x => (x._1, x._2)) == Set((100L, 1L)))
+        assert(jobs.get == 2,
+          s"point probe submitted ${jobs.get} jobs; the shape is TWO " +
+            "serial single-stage collects (batch band rows, then bucket " +
+            "pages carrying their vectors)")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally EmbedIndex.delete(spark, root)
+  }
+
   test("layout migration: a layout-1 table refuses probes, migrates in place from vecs, probes identically") {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
