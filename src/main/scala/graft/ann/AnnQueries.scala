@@ -341,9 +341,10 @@ object AnnQueries {
 
     // The same probe against the AT-REST embedding index
     // (graft.ann.EmbedIndex): candidates point-read from the packed
-    // bucket table, the cosine verify point-reads the candidates'
-    // vectors — the restartable production form of the incremental
-    // embed gate. Identical pairs, identical oracle.
+    // bucket table WITH their vectors riding the same pages (the
+    // posting-list layout), cosine-verified in place — the
+    // restartable production form of the incremental embed gate.
+    // Identical pairs, identical oracle.
     "q_dedup_embed_atrest" -> ((s, dir) =>
       EmbedIndex.probe(
         Tables(s, dir, "embeddings")
@@ -356,9 +357,10 @@ object AnnQueries {
     // ids, well under the point-read key cap at every sf), so the
     // bench carries the scale path's latency, not just the documented
     // oversized-batch scan fallback the query above exercises:
-    // candidates point-read from the packed bucket table, the verify
-    // point-reads the candidates' vectors, and the per-key driver
-    // codegen cost (PointReads' measured ~1.5 ms/key cutover) stays
+    // exactly TWO single-stage collects (batch band rows, then bucket
+    // pages carrying the colliding vectors — pinned by job count in
+    // EmbedIndexSpec), and the per-key driver codegen cost
+    // (PointReads' measured ~1.5 ms/key cutover) stays
     // micro-batch-sized.
     "q_dedup_embed_atrest_point" -> ((s, dir) =>
       EmbedIndex.probe(
