@@ -417,7 +417,13 @@ object EmbedIndex {
       // version through its own collisions — exactly the in-RAM
       // probeEmbedIndex join, whose index rows carry v the same way;
       // identical multi-band collisions collapse in the trailing
-      // distinct like the join plan's
+      // distinct like the join plan's. The threshold filter uses
+      // SPARK's double ordering ([[sqlCompareDoubles]]), NOT Java's
+      // primitive >=: a NaN cosine (an Inf-normed or NaN-poisoned
+      // vector) passes `cos >= t` in Spark SQL and DuckDB alike (NaN
+      // orders greatest), and the Java comparison silently dropped
+      // those pairs — the one way the local path ever diverged from
+      // the expression path (caught by EmbedProbePropertySpec).
       val out = (for {
         h <- hit.iterator
         vc = vecDoubles(h.getSeq[Any](2)).toArray
@@ -425,14 +431,15 @@ object EmbedIndex {
         bid <- bkeyToBatch(h.getLong(0)).iterator
         vb <- batchVecs(bid).iterator
         c = cosineLocalMin(vb, vc)
-        if c >= threshold
-        // Spark's round(double, 6): scala BigDecimal.decimal
-        // (Double.toString canonical form), HALF_UP — RoundBase's
-        // DoubleType arm, replicated so the local path is
-        // bit-identical to the expression path
-      } yield (bid, cid, BigDecimal(c)
-        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
-        .toDouble)).toSeq.distinct
+        if sqlCompareDoubles(c, threshold) >= 0
+      } yield (bid, cid, round6(c))).toSeq
+        // Spark's distinct groups NaN cosines together
+        // (NormalizeFloatingNumbers); tuple == on a primitive NaN is
+        // never-equal, so a plain .distinct would leak one duplicate
+        // pair per extra NaN collision — dedup on canonical bits
+        // (doubleToLongBits collapses every NaN to one bit pattern)
+        .distinctBy { case (b2, c2, c) =>
+          (b2, c2, java.lang.Double.doubleToLongBits(c)) }
       if (out.isEmpty) emptyResult
       else {
         import spark.implicits._
@@ -456,15 +463,43 @@ object EmbedIndex {
       case other               => other.toString.toDouble
     }.toVector
 
+  /** Spark SQL's double ordering (SQLOrderingUtil.compareDoubles,
+    * replicated — the original is private[sql]): IEEE comparison where
+    * comparable, ±0.0 EQUAL, NaN GREATER than everything. This — not
+    * Java's primitive comparison — is what the expression path's
+    * `cos >= threshold` and `nn > 0` actually evaluate, and DuckDB
+    * orders NaN the same way, so the local verify must match it. */
+  private[graft] def sqlCompareDoubles(x: Double, y: Double): Int =
+    if (x < y) -1
+    else if (x > y) 1
+    else if (x == y) 0 // covers -0.0 vs 0.0, which Spark treats equal
+    else if (x.isNaN) { if (y.isNaN) 0 else 1 }
+    else -1
+
+  /** Spark's round(double, 6) — RoundBase's DoubleType arm: NaN and
+    * ±Infinity pass through UNCHANGED (BigDecimal cannot represent
+    * them); finite values round via scala BigDecimal.decimal
+    * (Double.toString canonical form), HALF_UP — bit-identical to the
+    * expression path. */
+  private def round6(c: Double): Double =
+    if (c.isNaN || c.isInfinite) c
+    else BigDecimal(c)
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+
   /** [[Similarity.cosineLocal]] with [[graft.functions.VectorOps]]'s
     * length handling: each dot runs over the MIN of its two operands'
     * lengths (the norm terms see one array each, so they are full
     * length either way) — a length-mismatched pair scores what the
-    * `vector_dot` expression scores instead of throwing. */
+    * `vector_dot` expression scores instead of throwing. The norm
+    * guard uses Spark's ordering ([[sqlCompareDoubles]]): a NaN norm
+    * product passes `nn > 0` in the expression path (NaN orders
+    * greatest) and yields a NaN cosine there — so it must here too,
+    * not the 0.0 the Java comparison produced. */
   private def cosineLocalMin(a: Array[Double], b: Array[Double]): Double = {
     val nn = math.sqrt(Similarity.dotLocal(a, a)) *
       math.sqrt(Similarity.dotLocal(b, b))
-    if (nn > 0) {
+    if (sqlCompareDoubles(nn, 0.0) > 0) {
       val n = math.min(a.length, b.length)
       var s = 0.0; var i = 0
       while (i < n) { s += a(i) * b(i); i += 1 }
