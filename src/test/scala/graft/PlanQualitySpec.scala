@@ -649,4 +649,40 @@ class PlanQualitySpec extends SparkSpec {
       !readCols.contains("n_chars"),
       s"documents scan reads unprojected columns: $readCols")
   }
+
+  test("q_dedup_embed_atrest_point: a micro-batch probe plans a LOCAL relation — no distributed join") {
+    // the point probe runs its two single-stage collects at BUILD time
+    // and returns a local relation: the per-micro-batch latency story
+    // as a plan shape (the job count is pinned in EmbedIndexSpec)
+    val p = plan(SparkEntry.queries("q_dedup_embed_atrest_point")(spark, Sf))
+    assert(collectAll(p) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, s"point probe must not plan a join:\n$p")
+    assert(collectAll(p) { case e: ShuffleExchangeLike => e }.length <= 1,
+      s"point probe should shuffle at most for the presentation sort:\n$p")
+  }
+
+  test("embed probeAtRest: ONE bkey join — bucket rows carry the verify payload, no vector join-back") {
+    import org.apache.spark.sql.functions.col
+    import graft.ann.EmbedIndex
+    val emb = Tables(spark, Sf, "embeddings")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-planq-emb").toString
+    val path = s"$root/emb"
+    try {
+      EmbedIndex.write(emb.filter(col("vec_id") % 10 < 8),
+        "vec_id", "embedding", path, EmbedIndex.Params(2, 6, 64))
+      val df = EmbedIndex.probeAtRest(emb.filter(col("vec_id") % 10 >= 8),
+        path, "vec_id", "embedding", 0.9)
+      val joins = collectAll(plan(df)) {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+      }
+      // before the posting-list layout this planned TWO joins (bucket
+      // candidates, then candidates back onto the vecs table); the fat
+      // bucket rows collapse the verify into the candidate join itself
+      assert(joins.length == 1,
+        s"probeAtRest must plan exactly the bkey join, got ${joins.length}:\n" +
+          plan(df))
+    } finally EmbedIndex.delete(spark, root)
+  }
 }
