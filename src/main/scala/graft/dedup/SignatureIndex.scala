@@ -48,6 +48,13 @@ import graft.sources.{PointReads, StandingStore, TableSpec}
  *    collected (capped), and the ids push the same point filter
  *    into the corpus text scan, whose doc_id-sorted layout
  *    (CuratedCorpus's write discipline) prunes its row groups.
+ *    (Deliberate asymmetry with the embedding twin: [[graft.ann
+ *    .EmbedIndex]] carries its verify payload IN the bucket rows —
+ *    a vector is dims·4 bytes, so the posting-list layout costs
+ *    bands× that and saves a whole read leg — but THIS lane's
+ *    verify payload is the document's shingle set, corpus-text-
+ *    sized, so band rows stay narrow and the verify point-reads
+ *    the text instead.)
  * Above the driver cap the probe falls back to the scan-shaped
  * [[Dedup.probeAtRestSignatures]] plan — same output, the cap only
  * picks which side pays. Probe ≡ in-RAM equality, the composed
