@@ -203,15 +203,12 @@ object EmbedIndex {
     val s = store(path)
     s.withLease(spark) {
       s.recoverSwap(spark)
-      val vecs = s.openRaw(spark, "vecs") // (doc_id, v, __batch), raw
-      val rebuilt = vecs.filter(col("v").isNotNull)
-        .select(col("doc_id"), col("v"), col("__batch"),
-          posexplode(array((0 until p.bands).map(b =>
-            Similarity.lshBucket(col("v"), p.planesPerBand, p.dims,
-              b * p.planesPerBand)): _*))
-            .as(Seq("band", "bucket")))
-        .select(packedKey(col("band"), col("bucket")).as("bkey"),
-          col("doc_id"), col("v"), col("__batch"))
+      // the SHARED derivation (bucketRows) with __batch threaded
+      // through, so a migrated table's bucket rows can never disagree
+      // with fold-time bucket rows
+      val rebuilt = bucketRows(s.openRaw(spark, "vecs"), "doc_id", "v",
+        "doc_id", p, extra = Seq("__batch"))
+        .select(col("bkey"), col("doc_id"), col("v"), col("__batch"))
       s.landStaging(rebuilt, "buckets", s.fileCount(spark, "buckets"))
       graft.sources.DirSwap.swapStaged(spark, path, Seq("buckets"))
       writeParams(spark, path, p)
@@ -225,22 +222,26 @@ object EmbedIndex {
   private def packedKey(band: Column, bucket: Column): Column =
     band.cast("long") * lit(1L << 40) + bucket
 
-  /** (idName, v, bkey) rows of the banded LSH assignment — the same
-    * family as [[Similarity.corpusEmbedIndex]] (band b's planes are
-    * globally indexed [b·r, (b+1)·r) in the shared LCG). Null vectors
-    * are dropped up front — every one would land in bucket 0 of every
-    * band, the degenerate mega-bucket. */
+  /** (idName, v, bkey[, extra…]) rows of the banded LSH assignment —
+    * the same family as [[Similarity.corpusEmbedIndex]] (band b's
+    * planes are globally indexed [b·r, (b+1)·r) in the shared LCG).
+    * Null vectors are dropped up front — every one would land in
+    * bucket 0 of every band, the degenerate mega-bucket. `extra`
+    * columns pass through untouched ([[migrateLayout]] threads
+    * `__batch` so every bucket derivation — write, fold, migrate —
+    * runs through THIS one body and can never drift). */
   private def bucketRows(df: DataFrame, idCol: String, vecCol: String,
-      idName: String, p: Params): DataFrame =
+      idName: String, p: Params, extra: Seq[String] = Nil): DataFrame =
     df.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as(idName),
-        col(vecCol).cast("array<float>").as("v"),
+      .select(Seq(col(idCol).as(idName),
+        col(vecCol).cast("array<float>").as("v")) ++ extra.map(col) :+
         posexplode(array((0 until p.bands).map(b =>
           Similarity.lshBucket(col(vecCol), p.planesPerBand, p.dims,
             b * p.planesPerBand)): _*))
-          .as(Seq("band", "bucket")))
-      .select(col(idName), col("v"),
-        packedKey(col("band"), col("bucket")).as("bkey"))
+          .as(Seq("band", "bucket")): _*)
+      .select(Seq(col(idName), col("v"),
+        packedKey(col("band"), col("bucket")).as("bkey")) ++
+        extra.map(col): _*)
 
   // ---------------------------------------------------------- lifecycle
 
@@ -327,8 +328,16 @@ object EmbedIndex {
     * refuses it instead). */
   def openBuckets(spark: SparkSession, path: String): DataFrame = {
     readParams(spark, path)
-    store(path).open(spark, "buckets")
+    bucketsTable(spark, path)
   }
+
+  /** [[openBuckets]] minus the sidecar read — for the probe paths,
+    * which have ALREADY paid readParams this call: the micro-batch
+    * probe must not read the sidecar twice per probe (two extra
+    * serial filesystem round-trips on exactly the latency path the
+    * two-collect shape exists for). */
+  private def bucketsTable(spark: SparkSession, path: String): DataFrame =
+    store(path).open(spark, "buckets")
 
   // --------------------------------------------------------------- probe
 
@@ -385,20 +394,22 @@ object EmbedIndex {
     if (bandRows.length > cap)
       return probeAtRest(batch, path, idCol, vecCol, threshold)
     if (bandRows.isEmpty) return emptyResult
-    val bkeyToBatch: Map[Long, Array[Long]] = bandRows
+    // bkey → the (batch_id, vector) pairs whose OWN band row hashed
+    // there: each probe-side version meets exactly the buckets IT
+    // collided with — the join paths' semantics (their band rows carry
+    // their own v), so a duplicate batch id re-embedded within one
+    // batch scores each version through its own collisions. (A map
+    // keyed by batch id alone would pair every version with every
+    // bucket ANY version hit — diverging from probeAtRest exactly at
+    // the cap cutover; EmbedProbePropertySpec's duplicate-id batch
+    // rows pin this shape.)
+    val bkeyToProbe: Map[Long, Array[(Long, Array[Double])]] = bandRows
       .groupBy(_.getLong(1))
-      .map { case (k, rs) => k -> rs.map(_.getLong(0)).distinct }
-    // ALL distinct vectors per batch id: a duplicate batch id with
-    // conflicting vectors verifies every vector, like the join-shaped
-    // plan did
-    val batchVecs: Map[Long, Array[Array[Double]]] = bandRows
-      .groupBy(_.getLong(0))
-      .map { case (id, rs) =>
-        id -> rs.map(r => vecDoubles(r.getSeq[Any](2))).distinct
-          .map(_.toArray) }
-    val keys: Seq[Any] = bkeyToBatch.keys.toArray.sorted.toSeq
+      .map { case (k, rs) =>
+        k -> rs.map(r => (r.getLong(0), vecDoubles(r.getSeq[Any](2)).toArray)) }
+    val keys: Seq[Any] = bkeyToProbe.keys.toArray.sorted.toSeq
 
-    val hit = openBuckets(spark, path)
+    val hit = bucketsTable(spark, path)
       .filter(PointReads.keyedFilter(col("bkey"), keys))
       .select(col("bkey"), col("doc_id"), col("v"))
       .limit(cap + 1).collect()
@@ -407,7 +418,7 @@ object EmbedIndex {
     // the candidate-pair cap keeps the driver verify loop bounded the
     // way the retired third leg's collect was (≤ cap pairs verified)
     val nPairs = hit.iterator
-      .map(r => bkeyToBatch(r.getLong(0)).length.toLong).sum
+      .map(r => bkeyToProbe(r.getLong(0)).length.toLong).sum
     if (nPairs > cap)
       probeAtRest(batch, path, idCol, vecCol, threshold)
     else if (hit.isEmpty) emptyResult
@@ -428,8 +439,7 @@ object EmbedIndex {
         h <- hit.iterator
         vc = vecDoubles(h.getSeq[Any](2)).toArray
         cid = h.getLong(1)
-        bid <- bkeyToBatch(h.getLong(0)).iterator
-        vb <- batchVecs(bid).iterator
+        (bid, vb) <- bkeyToProbe(h.getLong(0)).iterator
         c = cosineLocalMin(vb, vc)
         if sqlCompareDoubles(c, threshold) >= 0
       } yield (bid, cid, round6(c))).toSeq
@@ -521,7 +531,7 @@ object EmbedIndex {
     val p = readParams(spark, path)
     val b = bucketRows(batch, idCol, vecCol, "batch_id", p)
     b.as("x")
-      .join(openBuckets(spark, path).as("y"), "bkey")
+      .join(bucketsTable(spark, path).as("y"), "bkey")
       .withColumn("cos", Similarity.cosine(col("x.v"), col("y.v")))
       .filter(col("cos") >= threshold)
       .select(col("batch_id"), col("doc_id").as("corpus_id"),
@@ -555,7 +565,11 @@ object EmbedIndex {
     * Returns true iff it compacted. */
   def maintainThrough(spark: SparkSession, path: String, maxFolds: Int,
       throughBatch: Long): Boolean =
-    store(path).maintainThrough(spark, maxFolds, throughBatch)()
+    // the GUARDED compactThrough as the cadence thunk — the store's
+    // default would compact a pre-layout-2 table through the layout-2
+    // schema and bake NULL bucket vectors in
+    store(path).maintainThrough(spark, maxFolds, throughBatch)(
+      compactThrough(spark, path, _))
 
   /** Retire the table. */
   def delete(spark: SparkSession, path: String): Unit =

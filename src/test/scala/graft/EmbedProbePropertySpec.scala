@@ -65,7 +65,14 @@ class EmbedProbePropertySpec extends SparkSpec {
           case null => null
           case f: Float => (f * 2f).asInstanceOf[Any]
         })
-      } ++ (0 until 5).map(j => Row(2000L + j, vec()))
+      } ++ (0 until 5).map(j => Row(2000L + j, vec())) ++
+        // DUPLICATE batch ids with independent vectors (a same-batch
+        // re-embedding): each version must meet exactly the buckets IT
+        // hashed to — the point probe once paired every version with
+        // every bucket ANY version hit, diverging from the join paths
+        // precisely here
+        (0 until 4).flatMap(j =>
+          Seq(Row(3000L + j, vec()), Row(3000L + j, vec())))
       val corpus = df(corpusRows)
       val batch = df(batchRows)
       val root = java.nio.file.Files
