@@ -194,7 +194,19 @@ object EmbedIndex {
    * no reader ever sees layout-2 declared over layout-1 rows. Runs
    * under the root's lease like every build verb.
    */
-  def migrateLayout(spark: SparkSession, path: String): Boolean = {
+  def migrateLayout(spark: SparkSession, path: String): Boolean =
+    migrateLayoutHooked(spark, path)(_ => ())
+
+  /** [[migrateLayout]] with a step hook — the crash-injection seam the
+    * crash-matrix spec drives (the [[graft.sources.DirSwap
+    * .commitSwaps]] pattern). The hook fires after the named step
+    * completes — "staged" (rebuilt buckets fully landed under
+    * `.compact/`, swap not yet committed) and "swapped" (live buckets
+    * replaced, sidecar not yet bumped) — so a THROWING hook models a
+    * crash at exactly that boundary. Production code calls
+    * [[migrateLayout]]; the default hook is a no-op. */
+  private[graft] def migrateLayoutHooked(spark: SparkSession,
+      path: String)(onStep: String => Unit): Boolean = {
     val json = sidecarJson(spark, path).getOrElse(
       throw new IllegalStateException(
         s"${paramsFile(path)} does not exist — not an EmbedIndex root?"))
@@ -210,7 +222,25 @@ object EmbedIndex {
         "doc_id", p, extra = Seq("__batch"))
         .select(col("bkey"), col("doc_id"), col("v"), col("__batch"))
       s.landStaging(rebuilt, "buckets", s.fileCount(spark, "buckets"))
+      onStep("staged")
       graft.sources.DirSwap.swapStaged(spark, path, Seq("buckets"))
+      // the rebuild derives bucket rows from vecs ROWS, so a fold that
+      // landed ZERO bucket rows (an all-null-vector batch — landFold's
+      // explicit empty-dir mkdirs) would vanish from buckets' partition
+      // listing: recreate those empty dirs so "folds land in lockstep
+      // across a root's tables" survives the migration (the listing
+      // invariant fsck's fold-skew check and foldCount read)
+      val fs = paramsFile(path).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val standing = graft.sources.BatchPartitions
+        .ids(spark, s"$path/buckets").toSet
+      graft.sources.BatchPartitions.ids(spark, s"$path/vecs")
+        .filterNot(standing).foreach { b =>
+          fs.mkdirs(
+            new org.apache.hadoop.fs.Path(s"$path/buckets/__batch=$b"))
+          ()
+        }
+      onStep("swapped")
       writeParams(spark, path, p)
     }
     true
@@ -294,10 +324,13 @@ object EmbedIndex {
     store(path).recoverSwap(spark)
 
   /** Retract documents by id — O(ids) tombstone write; [[open]] /
-    * [[openBuckets]] filter immediately (the verify leg joins [[open]],
-    * so [[probe]] stops matching the ids at once), the next compaction
-    * purges vec and bucket rows physically
-    * ([[graft.sources.StandingStore.retract]]'s contract). */
+    * [[openBuckets]] filter immediately (both probe paths read the
+    * bucket table through the store's open, whose `retractCol` filter
+    * drops the ids' rows — candidate AND verify payload ride those
+    * rows in the posting-list layout, so [[probe]] stops matching the
+    * ids at once), the next compaction purges vec and bucket rows
+    * physically ([[graft.sources.StandingStore.retract]]'s
+    * contract). */
   def retract(spark: SparkSession, path: String, ids: DataFrame,
       idCol: String, batchId: Long): Unit = {
     store(path).retract(ids, idCol, batchId)

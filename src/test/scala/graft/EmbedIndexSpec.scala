@@ -242,8 +242,28 @@ class EmbedIndexSpec extends SparkSpec {
     } finally EmbedIndex.delete(spark, root)
   }
 
-  test("layout migration: a layout-1 table refuses probes, migrates in place from vecs, probes identically") {
+  /** Devolve the layout-2 table at `path` to a GENUINE layout-1
+    * table: thin (bkey, doc_id) bucket rows — vectors gone — and a
+    * sidecar without the layout key, exactly what a pre-r17 build
+    * left on disk. */
+  private def devolveToLayout1(root: String, path: String): Unit = {
     import org.apache.hadoop.fs.Path
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val thin = spark.read.parquet(s"$path/buckets")
+      .select("bkey", "doc_id", "__batch")
+    val tmp = s"$path.thin"
+    thin.write.partitionBy("__batch").parquet(tmp)
+    fs.delete(new Path(s"$path/buckets"), true)
+    assert(fs.rename(new Path(tmp), new Path(s"$path/buckets")))
+    val out = fs.create(new Path(s"$path/_params.json"), true)
+    try out.write(
+      """{"bands":2,"planes_per_band":4,"dims":4}""".getBytes("UTF-8"))
+    finally out.close()
+    graft.Tables.invalidate(path)
+  }
+
+  test("layout migration: a layout-1 table refuses probes, migrates in place from vecs, probes identically") {
     import spark.implicits._
     val p = EmbedIndex.Params(bands = 2, planesPerBand = 4, dims = 4)
     val corpus = Seq(
@@ -255,8 +275,6 @@ class EmbedIndexSpec extends SparkSpec {
       (101L, Seq(0f, 0f, 3f, 3f))).toDF("vec_id", "embedding")
     val root = fixtureRoot()
     val path = s"$root/emb"
-    val fs = new Path(root).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
     try {
       EmbedIndex.write(corpus, "vec_id", "embedding", path, p)
       EmbedIndex.foldBatch(path, fold, "vec_id", "embedding", 0L)
@@ -265,20 +283,7 @@ class EmbedIndexSpec extends SparkSpec {
       assert(want.map(x => (x._1, x._2)) == Set((100L, 1L), (101L, 10L)),
         s"fixture must match base AND fold content: $want")
 
-      // devolve to a GENUINE layout-1 table: thin (bkey, doc_id)
-      // bucket rows — vectors gone — and a sidecar without the layout
-      // key, exactly what a pre-r17 build left on disk
-      val thin = spark.read.parquet(s"$path/buckets")
-        .select("bkey", "doc_id", "__batch")
-      val tmp = s"$root/thin"
-      thin.write.partitionBy("__batch").parquet(tmp)
-      fs.delete(new Path(s"$path/buckets"), true)
-      assert(fs.rename(new Path(tmp), new Path(s"$path/buckets")))
-      val out = fs.create(new Path(s"$path/_params.json"), true)
-      try out.write(
-        """{"bands":2,"planes_per_band":4,"dims":4}""".getBytes("UTF-8"))
-      finally out.close()
-      graft.Tables.invalidate(path)
+      devolveToLayout1(root, path)
 
       // every bucket-reading verb refuses loudly, naming the migration
       val e = intercept[IllegalArgumentException] {
@@ -299,6 +304,133 @@ class EmbedIndexSpec extends SparkSpec {
         "embedding", 0.9)) == want)
       // idempotent: a second call is a no-op
       assert(!EmbedIndex.migrateLayout(spark, path))
+    } finally EmbedIndex.delete(spark, root)
+  }
+
+  test("migrateLayout crash matrix: every torn state still refuses probes; re-migration converges to the clean result") {
+    import graft.pipeline.Fsck
+    import graft.sources.DirSwap
+    import spark.implicits._
+    val p = EmbedIndex.Params(bands = 2, planesPerBand = 4, dims = 4)
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val fold = Seq((10L, Seq(0f, 0f, 1f, 1f))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (100L, Seq(2f, 0f, 0f, 0f)),
+      (101L, Seq(0f, 0f, 3f, 3f))).toDF("vec_id", "embedding")
+    val root = fixtureRoot()
+
+    def buildDevolved(path: String): Unit = {
+      EmbedIndex.write(corpus, "vec_id", "embedding", path, p)
+      EmbedIndex.foldBatch(path, fold, "vec_id", "embedding", 0L)
+      devolveToLayout1(root, path)
+    }
+
+    try {
+      // the CLEAN twin: same fixture, never-crashed migration — the
+      // ground truth every post-crash re-migration must converge to
+      val clean = s"$root/clean"
+      buildDevolved(clean)
+      assert(EmbedIndex.migrateLayout(spark, clean))
+      val want = pairs(EmbedIndex.probe(batch, clean, "vec_id",
+        "embedding", 0.9))
+      assert(want.map(x => (x._1, x._2)) == Set((100L, 1L), (101L, 10L)),
+        s"clean-migration fixture drifted: $want")
+
+      // each crash point gets a FRESH devolved root; after the injected
+      // crash: (1) probes still refuse loudly naming the migration, (2)
+      // fsck names the crash state, (3) a re-run migrateLayout
+      // converges, and its probes equal the never-crashed twin's
+      val cases: Seq[(String, String, String => Unit, Set[String])] = Seq(
+        // (a) staging fully landed, swap never committed: live buckets
+        // are still layout-1, the staging is inert
+        ("post-staging", s"$root/a",
+          s => if (s == "staged")
+            throw new RuntimeException("injected-crash-post-staging"),
+          Set("staging-inert")),
+        // (a') swap COMMITTED (marker down) but no rename ran: recover
+        // rolls the staged layout-2 buckets forward on the next verb —
+        // the sidecar still reads layout 1 throughout, so no reader
+        // ever sees layout-2 declared over layout-1 rows (or vice versa)
+        ("mid-swap", s"$root/m",
+          s => if (s == "staged") {
+            DirSwap.commitSwaps(spark, s"$root/m", Seq("buckets"), 0)
+            throw new RuntimeException("injected-crash-mid-swap")
+          },
+          Set("swap-committed")),
+        // (b) swap finished, sidecar never bumped: layout-2 rows stand
+        // under a layout-1 sidecar — still refusing, re-run rebuilds
+        // idempotently
+        ("post-swap", s"$root/b",
+          s => if (s == "swapped")
+            throw new RuntimeException("injected-crash-post-swap"),
+          Set.empty))
+      cases.foreach { case (tag, path, hook, wantFindings) =>
+        buildDevolved(path)
+        val e = intercept[RuntimeException] {
+          EmbedIndex.migrateLayoutHooked(spark, path)(hook)
+        }
+        assert(e.getMessage.startsWith("injected-crash"), s"$tag: $e")
+        // torn: the sidecar still reads layout 1, so every
+        // bucket-reading verb refuses loudly, naming the migration
+        assert(EmbedIndex.layoutVersion(spark, path).contains(1),
+          s"$tag: torn state must still read layout 1")
+        val refused = intercept[IllegalArgumentException] {
+          EmbedIndex.probe(batch, path, "vec_id", "embedding", 0.9)
+        }
+        assert(refused.getMessage.contains("migrateLayout"),
+          s"$tag: ${refused.getMessage}")
+        // fsck names the torn state (plus the layout finding itself)
+        val found = Fsck.scanRoot(spark, path, Seq("vecs", "buckets"))
+          .map(_.kind).toSet
+        assert(wantFindings.subsetOf(found),
+          s"$tag: fsck found $found, wanted at least $wantFindings")
+        // re-run converges: identical probes to the never-crashed twin,
+        // fold structure intact, second re-run a no-op
+        assert(EmbedIndex.migrateLayout(spark, path),
+          s"$tag: re-migration must run")
+        graft.Tables.invalidate(path)
+        assert(EmbedIndex.readParams(spark, path) == p)
+        assert(EmbedIndex.foldCount(spark, path) == 1,
+          s"$tag: re-migration must preserve the fold partitions")
+        assert(pairs(EmbedIndex.probe(batch, path, "vec_id", "embedding",
+          0.9)) == want, s"$tag: point probe diverged from the clean twin")
+        assert(pairs(EmbedIndex.probeAtRest(batch, path, "vec_id",
+          "embedding", 0.9)) == want,
+          s"$tag: scan probe diverged from the clean twin")
+        assert(!EmbedIndex.migrateLayout(spark, path), s"$tag: not idempotent")
+      }
+    } finally EmbedIndex.delete(spark, root)
+  }
+
+  test("migrateLayout preserves an all-null-vector fold's empty partition dir (fold lockstep listing)") {
+    import spark.implicits._
+    val p = EmbedIndex.Params(bands = 2, planesPerBand = 4, dims = 4)
+    val corpus = Seq((1L, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val nulls = Seq((10L, null: Seq[Float])).toDF("vec_id", "embedding")
+    val root = fixtureRoot()
+    val path = s"$root/emb"
+    try {
+      EmbedIndex.write(corpus, "vec_id", "embedding", path, p)
+      // batch 0 carries only null vectors: landFold writes zero rows
+      // and mkdirs the empty __batch=0 dir under BOTH tables (the
+      // fold clock advances regardless of content)
+      EmbedIndex.foldBatch(path, nulls, "vec_id", "embedding", 0L)
+      assert(EmbedIndex.foldCount(spark, path) == 1)
+      assert(EmbedIndex.batchWatermark(spark, path) == 0L)
+      devolveToLayout1(root, path)
+      // the rebuild derives buckets from vecs ROWS — without the
+      // explicit restore, batch 0's empty dir would vanish from the
+      // buckets listing and the two tables' fold listings would skew
+      assert(EmbedIndex.migrateLayout(spark, path))
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(
+        new org.apache.hadoop.fs.Path(s"$path/buckets/__batch=0")),
+        "migration dropped the empty fold dir from buckets")
+      assert(EmbedIndex.foldCount(spark, path) == 1)
+      assert(EmbedIndex.batchWatermark(spark, path) == 0L)
     } finally EmbedIndex.delete(spark, root)
   }
 
