@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.Fsck
+
+/**
+ * Operator-runnable face of [[graft.pipeline.Fsck.checkAll]] — the
+ * at-rest consistency walk of one composed deployment, callable
+ * without writing Scala (VERDICT r17 #4):
+ *
+ * {{{
+ * sbt "runMain graft.FsckMain <corpus> <sigs> <clusters> \
+ *      [--embed path] [--ivf path]... [--ivf-base path]... \
+ *      [--release path]..."
+ * }}}
+ *
+ * Prints one line per finding (`[fsck] <kind>  <root>  <detail>`) and
+ * exits 0 iff the deployment is CLEAN — no findings at all, including
+ * the informational kinds (`lease-held`, `tombs-standing`): an
+ * operator running fsck from a cron wants "anything to look at?" as
+ * the exit code and the kind column to triage severity, not a
+ * second severity taxonomy baked into the exit status. Reporting
+ * only, never healing — exactly [[Fsck]]'s contract.
+ */
+object FsckMain {
+
+  private val Usage =
+    """usage: graft.FsckMain <corpus> <sigs> <clusters>
+      |         [--embed path] [--ivf path]... [--ivf-base path]...
+      |         [--release path]...
+      |  <corpus> <sigs> <clusters>  the standing trio (id cross-check
+      |                              spans these roots)
+      |  --embed     the at-rest EmbedIndex root joining the trio's
+      |              lockstep checks (at most once)
+      |  --ivf       a served IvfIndex root (repeatable)
+      |  --ivf-base  a keep-N IVF snapshot base (repeatable)
+      |  --release   a versioned release root (repeatable)""".stripMargin
+
+  /** Parse the CLI shape into the [[Fsck.Layout]] the check walks —
+    * split out so the spec can drive it without a JVM exit. */
+  private[graft] def parse(args: Seq[String]): Fsck.Layout = {
+    require(args.length >= 3 && !args.take(3).exists(_.startsWith("--")),
+      s"three positional roots come first\n$Usage")
+    var layout = Fsck.Layout(args(0), args(1), args(2))
+    var rest = args.drop(3).toList
+    while (rest.nonEmpty) rest = rest match {
+      case "--embed" :: p :: t =>
+        require(layout.embed.isEmpty, s"--embed given twice\n$Usage")
+        layout = layout.copy(embed = Some(p)); t
+      case "--ivf" :: p :: t =>
+        layout = layout.copy(ivf = layout.ivf :+ p); t
+      case "--ivf-base" :: p :: t =>
+        layout = layout.copy(ivfBases = layout.ivfBases :+ p); t
+      case "--release" :: p :: t =>
+        layout = layout.copy(releases = layout.releases :+ p); t
+      case other :: _ =>
+        throw new IllegalArgumentException(
+          s"unknown or value-less argument '$other'\n$Usage")
+      case Nil => Nil
+    }
+    layout
+  }
+
+  /** The whole verb minus session lifecycle and exit code — the
+    * testable body ([[main]] is the thin shell around it). */
+  private[graft] def run(spark: SparkSession,
+      args: Seq[String]): Seq[Fsck.Finding] =
+    Fsck.checkAll(spark, parse(args))
+
+  def main(args: Array[String]): Unit = {
+    val layout =
+      try parse(args.toIndexedSeq)
+      catch {
+        case e: Exception =>
+          System.err.println(e.getMessage)
+          sys.exit(2)
+      }
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val findings =
+      try Fsck.checkAll(spark, layout)
+      finally spark.stop()
+    if (findings.isEmpty) println("[fsck] clean — no findings")
+    else findings.foreach(f =>
+      println(s"[fsck] ${f.kind}  ${f.root}  ${f.detail}"))
+    if (findings.nonEmpty) sys.exit(1)
+  }
+}

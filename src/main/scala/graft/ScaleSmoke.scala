@@ -25,7 +25,7 @@ import graft.sources.Bucketed
  * Run: `sbt "runMain graft.ScaleSmoke"` (full), or
  * `SCALE_SMOKE_ONLY=<ladder>[,<ladder>...]` / the same names as args
  * for one ladder (queries cdc sketch ingest ivf clusters deal release
- * loop probe). Emits one line per check.
+ * loop probe fsck). Emits one line per check.
  * /tmp only — testdata is never written.
  */
 object ScaleSmoke {
@@ -81,7 +81,8 @@ object ScaleSmoke {
       "deal" -> (() => shardedDealSmoke(spark)),
       "release" -> (() => releaseSmoke(spark)),
       "loop" -> (() => composedLoopSmoke(spark)),
-      "probe" -> (() => { probeReadSmoke(spark); embedProbeReadSmoke(spark) }))
+      "probe" -> (() => { probeReadSmoke(spark); embedProbeReadSmoke(spark) }),
+      "fsck" -> (() => fsckSmoke(spark)))
     val selected = (sys.env.get("SCALE_SMOKE_ONLY").toSeq
       .flatMap(_.split(',')) ++ args).map(_.trim).filter(_.nonEmpty)
     val unknown = selected.toSet -- ladders.map(_._1).toSet
@@ -597,6 +598,39 @@ object ScaleSmoke {
       s"vector read $v10 of $r10 rows is not a point read")
     println(s"[scale] embed probe reads flat under 10x off-bucket growth " +
       s"(buckets $b1->$b10, vecs $v1->$v10, matches $m1)")
+
+    // the posting-list storage trade, MEASURED (VERDICT r17 #2):
+    // bucket rows carry their vectors, so bucket-table bytes ≈
+    // bands × vecs bytes by design — the dial an operator asks about
+    // first when sizing an embed root (probes got one fewer serial
+    // read; storage and compaction pay bands×). Asserted within
+    // parquet-encoding slop so the amplification is a tracked bound,
+    // not a doc sentence.
+    val root10 = s"$OutDir/eprobe_10x"
+    val vecsBytes = dirBytes(s"$root10/vecs")
+    val bucketBytes = dirBytes(s"$root10/buckets")
+    val ratio = bucketBytes.toDouble / vecsBytes
+    println(f"[scale] embed posting-list store  buckets=${bucketBytes / 1024}%d KB" +
+      f"  vecs=${vecsBytes / 1024}%d KB  ratio=$ratio%.2f (bands=${p.bands})")
+    require(ratio >= p.bands * 0.5 && ratio <= p.bands * 2.0,
+      f"bucket/vecs byte ratio $ratio%.2f left the bands× band " +
+        f"[${p.bands * 0.5}%.1f, ${p.bands * 2.0}%.1f] — the posting-list " +
+        "amplification drifted from its design rule of thumb")
+    // compaction moves the fat layout too: one settled fold collapses
+    // by rewriting BOTH tables, so bytes moved ≈ (1 + bands) × vecs
+    // bytes — bounded against the same rule (wall clock print-only)
+    EmbedIndex.foldBatch(root10, batch, "vec_id", "embedding", 0L)
+    val t0 = System.nanoTime()
+    EmbedIndex.compactThrough(spark, root10, 0L)
+    val compactSec = (System.nanoTime() - t0) / 1e9
+    val movedVecs = dirBytes(s"$root10/vecs")
+    val movedBuckets = dirBytes(s"$root10/buckets")
+    println(f"[scale] embed compact moves      ${compactSec}%8.2f s  " +
+      f"vecs=${movedVecs / 1024}%d KB  buckets=${movedBuckets / 1024}%d KB" +
+      f"  (${(movedVecs + movedBuckets).toDouble / vecsBytes}%.2fx vecs bytes)")
+    require(movedBuckets <= movedVecs * p.bands * 2,
+      s"compaction moved $movedBuckets bucket bytes vs $movedVecs vecs " +
+        s"bytes — past the bands× (=${p.bands}) posting-list rule of thumb")
   }
 
   /**
@@ -1191,14 +1225,19 @@ object ScaleSmoke {
     // batch-0's build AGAIN, i.e. laterCpu ≥ firstCpu, so any bound
     // strictly under 1.0 catches it. Measured here: 0.63×first with a
     // cold JIT (lane-only run), 0.72-0.74× warm (full-chain run) —
-    // 0.9 separates both from the ≥1.0 regression signature.
+    // 0.9 separates both from the ≥1.0 regression signature. Gated on
+    // the MEAN of the later clean batches, not the max: the regression
+    // makes every later batch re-pay the build (the mean catches it
+    // just as hard), while a one-batch JIT/GC-attribution wobble on a
+    // metric this fine-grained should not flake the smoke.
     val firstCpu = cpuPerBatch.head
     val laterCleanCpu = cpuPerBatch.drop(1).zipWithIndex
       .collect { case (s, i) if i != nBatches - 3 => s }
-    require(laterCleanCpu.max <= math.max(firstCpu * 0.9, 2.0),
-      f"per-batch work not flat: firstCpu=$firstCpu%.2f " +
-        f"laterCpu=${laterCleanCpu.max}%.2f — a later clean batch " +
-        "re-paid the standing-index build")
+    val laterMean = laterCleanCpu.sum / laterCleanCpu.length
+    require(laterMean <= math.max(firstCpu * 0.9, 2.0),
+      f"per-batch work not flat: firstCpu=$firstCpu%.2f mean " +
+        f"laterCpu=$laterMean%.2f (max ${laterCleanCpu.max}%.2f) — " +
+        "later clean batches re-paid the standing-index build")
     // quarantine: the poisoned batch lands stamped and re-readable
     batches.get(poisoned.batchId).foreach { b =>
       IngestStream.quarantine(b, poisoned, "dq:text_nonempty", quarDir)
@@ -1249,35 +1288,58 @@ object ScaleSmoke {
    * steady-state cost any LATER session pays (ClusterIndex.open —
    * one assignment scan + the composed relabel broadcast). The
    * session-RAM assignment cache re-pays the left column every
-   * session; the at-rest table makes it once-per-snapshot. Both
-   * measured on the same box in sequence, and the resolve includes
-   * shingling + banding + a multi-round component loop while the
-   * open is a single scan-and-count — the ordering is structural,
-   * not a load artifact.
+   * session; the at-rest table makes it once-per-snapshot. The
+   * enforced claim is the JOB-COUNT asymmetry — the open is a
+   * handful of jobs (scan + relabel broadcast) while the resolve is
+   * the whole multi-job dedup pipeline (shingle, band, bucket join,
+   * verify, component rounds, persist) — because job counts measure
+   * the plan shape, not the box (the former `openSec < resolveSec`
+   * gate could flake on a co-tenant spike during the short open leg;
+   * wall clock is printed as information only).
    */
   def clusterIndexSmoke(spark: SparkSession): Unit = {
     import graft.dedup.{ClusterIndex, Clusters, Dedup}
     val docs = Tables(spark, OutDir, "documents")
     val nDocs = docs.count()
-    val t0 = System.nanoTime()
-    val (pairs, release) = Dedup.nearDupPairsManaged(
-      docs, "doc_id", "text", graft.dedup.DedupQueries.LshPairsThreshold)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    def drain(): Unit = org.apache.spark.sql.graftshim.GraftShims
+      .waitListenerBusEmpty(spark.sparkContext)
+    drain()
+    spark.sparkContext.addSparkListener(listener)
     val path = ClusterIndex.scratchPath(OutDir)
-    ClusterIndex.write(
-      Clusters.resolve(docs, "doc_id", pairs, "doc_a", "doc_b")
-        .select("doc_id", "cluster"),
-      path)
-    release()
-    val resolveSec = (System.nanoTime() - t0) / 1e9
-    val t1 = System.nanoTime()
-    val n = ClusterIndex.open(spark, path).count()
-    val openSec = (System.nanoTime() - t1) / 1e9
-    println(f"[scale] cluster index at rest    resolve+write ${resolveSec}%6.2f s" +
-      f"  open+probe ${openSec}%6.2f s  rows=$n")
-    require(n == nDocs, s"at-rest assignment table lost rows: $n of $nDocs")
-    require(openSec < resolveSec,
-      f"open ($openSec%.2f s) did not beat re-resolve ($resolveSec%.2f s)")
-    ClusterIndex.delete(spark, path)
+    try {
+      val t0 = System.nanoTime()
+      val (pairs, release) = Dedup.nearDupPairsManaged(
+        docs, "doc_id", "text", graft.dedup.DedupQueries.LshPairsThreshold)
+      ClusterIndex.write(
+        Clusters.resolve(docs, "doc_id", pairs, "doc_a", "doc_b")
+          .select("doc_id", "cluster"),
+        path)
+      release()
+      drain()
+      val resolveSec = (System.nanoTime() - t0) / 1e9
+      val resolveJobs = jobs.get
+      val t1 = System.nanoTime()
+      val n = ClusterIndex.open(spark, path).count()
+      drain()
+      val openSec = (System.nanoTime() - t1) / 1e9
+      val openJobs = jobs.get - resolveJobs
+      println(f"[scale] cluster index at rest    resolve+write ${resolveSec}%6.2f s" +
+        f" ($resolveJobs%d jobs)  open+probe ${openSec}%6.2f s ($openJobs%d jobs)  rows=$n")
+      require(n == nDocs, s"at-rest assignment table lost rows: $n of $nDocs")
+      require(openJobs * 2 <= resolveJobs,
+        s"open submitted $openJobs jobs vs the resolve's $resolveJobs — " +
+          "the at-rest table no longer skips the resolve pipeline")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      ClusterIndex.delete(spark, path)
+    }
   }
 
   /**
@@ -1345,6 +1407,43 @@ object ScaleSmoke {
     // retire both smoke indexes (the lifecycle's last verb)
     IvfIndex.delete(spark, appendPath)
     IvfIndex.delete(spark, rewritePath)
+  }
+
+  /**
+   * The operator fsck verb ([[graft.FsckMain]]) against a standing
+   * deployment: one layout walk — crash-state listings plus ONE
+   * distributed id aggregation over the trio — reporting clean on a
+   * healthy deployment and naming an injected crash state. The gate
+   * is the report itself (the load-immune signal); the walk's seconds
+   * are informational. Sliced to sf0.1-sized docs: the walk's data
+   * cost is the id aggregation, already priced at 10× by the composed
+   * loop smoke's own checkAll calls.
+   */
+  def fsckSmoke(spark: SparkSession): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.pipeline.{CuratedCorpus, IngestStream}
+    val docs = Tables(spark, OutDir, "documents")
+      .where(col("doc_id") % 10 === 0)
+    val root = s"$OutDir/fsck_dep"
+    val fs = new Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root), true)
+    val (cc, sigs, clusters) = (s"$root/cc", s"$root/sigs", s"$root/clusters")
+    CuratedCorpus.init(docs, cc)
+    IngestStream.bootstrapIndexes(spark, cc, sigs, clusters,
+      graft.dedup.DedupQueries.IncrementalFuzzyThreshold)
+    val t0 = System.nanoTime()
+    val clean = FsckMain.run(spark, Seq(cc, sigs, clusters))
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[scale] fsck layout walk        ${sec}%8.2f s  " +
+      f"findings=${clean.size}  rows=${docs.count()}")
+    require(clean.isEmpty, s"healthy deployment must fsck clean: $clean")
+    fs.mkdirs(new Path(s"$cc/.old_docs"))
+    val torn = FsckMain.run(spark, Seq(cc, sigs, clusters)).map(_.kind)
+    require(torn == Seq("orphan-old"),
+      s"injected crash state must surface through the CLI face: $torn")
+    fs.delete(new Path(root), true)
+    ()
   }
 
   private def dirBytes(dir: String): Long = {

@@ -404,6 +404,61 @@ class EmbedIndexSpec extends SparkSpec {
     } finally EmbedIndex.delete(spark, root)
   }
 
+  test("probe cap cutover boundary: nPairs == cap stays local, one less falls back — identical rows either side") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LocalRelation}
+    import spark.implicits._
+    // a fixture whose three cutover triggers are all KNOWN numbers:
+    // 3 corpus vectors and 2 batch vectors all share one direction, so
+    // every vector lands in the same bucket per band (bands = 2) —
+    //   leg 1 (batch band rows)    = 2 vecs × 2 bands   = 4
+    //   leg 2 (bucket-page hits)   = 3 vecs × 2 bkeys   = 6
+    //   pair trigger (nPairs)      = 6 hits × 2 probes  = 12
+    // walking the cap across {12, 11, 5, 3} crosses each trigger at
+    // its exact boundary; the r17 layout change reshaped the triggers
+    // (the pair-count trigger replaced the third leg's collect cap),
+    // so the boundary itself is what this pins
+    val p = EmbedIndex.Params(bands = 2, planesPerBand = 4, dims = 4)
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(2f, 0f, 0f, 0f)),
+      (3L, Seq(3f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (100L, Seq(4f, 0f, 0f, 0f)),
+      (101L, Seq(5f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val root = fixtureRoot()
+    val path = s"$root/emb"
+    try {
+      EmbedIndex.write(corpus, "vec_id", "embedding", path, p)
+      val want = (for (b <- Seq(100L, 101L); c <- Seq(1L, 2L, 3L))
+        yield (b, c, 1.0)).toSet
+      assert(pairs(EmbedIndex.probeAtRest(batch, path, "vec_id",
+        "embedding", 0.9)) == want, "scan-path fixture drifted")
+      def isLocal(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.isInstanceOf[LocalRelation]
+      def hasJoin(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case j: Join => j }.nonEmpty
+      // AT the pair cap: everything stays on the driver (local relation)
+      val atCap = EmbedIndex.probe(batch, path, "vec_id", "embedding",
+        0.9, cap = 12)
+      assert(isLocal(atCap),
+        s"nPairs == cap must stay local:\n${atCap.queryExecution.optimizedPlan}")
+      assert(pairs(atCap) == want)
+      // ONE UNDER each trigger: the call becomes the scan-shaped plan
+      // (a join), and the rows are identical — the cap only picks
+      // which side pays, at the pair trigger (11), the bucket-page
+      // collect (5), and the band-row collect (3)
+      Seq(11, 5, 3).foreach { cap =>
+        val df = EmbedIndex.probe(batch, path, "vec_id", "embedding",
+          0.9, cap = cap)
+        assert(hasJoin(df) && !isLocal(df),
+          s"cap=$cap must cut over to the scan-shaped probe:\n" +
+            s"${df.queryExecution.optimizedPlan}")
+        assert(pairs(df) == want, s"cap=$cap diverged at the cutover")
+      }
+    } finally EmbedIndex.delete(spark, root)
+  }
+
   test("migrateLayout preserves an all-null-vector fold's empty partition dir (fold lockstep listing)") {
     import spark.implicits._
     val p = EmbedIndex.Params(bands = 2, planesPerBand = 4, dims = 4)

@@ -254,6 +254,50 @@ class FsckSpec extends SparkSpec {
     }
   }
 
+  test("FsckMain: CLI shape parses into the layout; run reports through the same walk") {
+    // parse: three positional roots, then repeatable flags
+    assert(FsckMain.parse(Seq("c", "s", "k",
+      "--embed", "e", "--ivf", "i1", "--ivf", "i2",
+      "--ivf-base", "b", "--release", "r1", "--release", "r2")) ==
+      Fsck.Layout("c", "s", "k", Some("e"), Seq("i1", "i2"), Seq("b"),
+        Seq("r1", "r2")))
+    assert(FsckMain.parse(Seq("c", "s", "k")) == Fsck.Layout("c", "s", "k"))
+    // malformed shapes fail with the usage, not an opaque match error
+    intercept[IllegalArgumentException] { FsckMain.parse(Seq("c", "s")) }
+    intercept[IllegalArgumentException] {
+      FsckMain.parse(Seq("c", "s", "k", "--embed")) // value-less flag
+    }
+    intercept[IllegalArgumentException] {
+      FsckMain.parse(Seq("c", "s", "k", "--embed", "a", "--embed", "b"))
+    }
+    intercept[IllegalArgumentException] {
+      FsckMain.parse(Seq("c", "s", "k", "--bogus", "x"))
+    }
+
+    // run: the parsed layout drives exactly Fsck.checkAll — a healthy
+    // trio is clean, an injected crash state surfaces by kind
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val T = DedupQueries.IncrementalFuzzyThreshold
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-fsck-main").toString
+    val (cc, sigs, clusters) = (s"$base/cc", s"$base/sigs", s"$base/clusters")
+    val fs = new Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    try {
+      CuratedCorpus.init(docs, cc)
+      IngestStream.bootstrapIndexes(spark, cc, sigs, clusters, T)
+      assert(FsckMain.run(spark, Seq(cc, sigs, clusters)).isEmpty,
+        "a healthy trio must run clean through the CLI face")
+      fs.mkdirs(new Path(s"$cc/.old_docs"))
+      assert(FsckMain.run(spark, Seq(cc, sigs, clusters)).map(_.kind) ==
+        Seq("orphan-old"),
+        "the CLI face must surface the injected crash state")
+    } finally {
+      fs.delete(new Path(base), true)
+      ()
+    }
+  }
+
   test("lineage json escape/unescape are exact inverses (single left-to-right pass)") {
     import graft.pipeline.Release
     // backslash-and-quote-dense paths: the adversarial shapes where a

@@ -707,6 +707,62 @@ class JdbcStreamSpec extends SparkSpec {
         s"(got ${FlakyJdbc.commitAttempts.get()} commit attempts)")
   }
 
+  test("W17: a non-default retryBufferBytes drives stand-down end to end through applyBatch") {
+    // the BYTE bound's config plumbing, driven executor-side (the row
+    // bound has its own e2e case above; the byte bound was spec'd only
+    // via bufferHead at defaults until now). Two distinct PKs chosen to
+    // hash into ONE write partition (repartition(__pk_ID) is
+    // HashPartitioning = pmod(murmur3(ID), shufflePartitions), so the
+    // choice replicates it exactly): under default bounds the 2-row
+    // partition buffers fully and a transient flap retries to success;
+    // under a 1-byte budget the first admit overshoots, the second row
+    // stays on the iterator, and the SAME partition stands down — one
+    // attempt, loud failure.
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    FlakyJdbc.register()
+    val np = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val byPart = spark.range(1, 51).toDF("ID")
+      .select(col("ID"), pmod(hash(col("ID")), lit(np)).as("p"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._2).values.maxBy(_.length).map(_._1)
+    val coIds = byPart.take(2).toSeq
+    assert(coIds.length == 2, s"need two co-partitioned PKs, got $coIds")
+    val rows = coIds.zipWithIndex.map { case (id, i) =>
+      wireRow(i.toLong, "PT", s"""{"ID":$id}""",
+        s"""{"ID":$id,"ORDER_NAME":"Order-$id","AMOUNT":1.5,"STATUS":"NEW"}""")
+    }
+    val wire = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Cdc.kafkaWireSchema)
+
+    // CONTROL at default bounds: both rows buffer, retry converges
+    FlakyJdbc.reset(failCommits = 2, transientFlavor = true)
+    val okCfg = sinkCfg("w17bokdb").copy(
+      url = s"${FlakyJdbc.Prefix}memory:w17bokdb;create=true",
+      maxRetries = 3, retryBackoffMs = 10L)
+    JdbcApply.applyBatch(CdcNormalize(wire, CdcConfig()), okCfg)
+    assert(FlakyJdbc.commitAttempts.get() == 3,
+      "default bounds must retry the co-partitioned rows: 2 failures + " +
+        s"1 success = 3 attempts, got ${FlakyJdbc.commitAttempts.get()}")
+    assert(queryAll("jdbc:derby:memory:w17bokdb").map(_._1).sorted ==
+      coIds.sorted, "the retried partition must land both rows")
+
+    // NON-DEFAULT byte budget: same rows, stand-down — no retry loop
+    FlakyJdbc.reset(failCommits = 99, transientFlavor = true)
+    val tiny = sinkCfg("w17btinydb").copy(
+      url = s"${FlakyJdbc.Prefix}memory:w17btinydb;create=true",
+      maxRetries = 3, retryBackoffMs = 10L, retryBufferBytes = 1L)
+    val e = intercept[Exception] {
+      JdbcApply.applyBatch(CdcNormalize(wire, CdcConfig()), tiny)
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .take(10).exists(t => Option(t.getMessage)
+        .exists(_.contains("injected transient commit failure"))),
+      s"the stood-down failure must propagate, got: ${e.getMessage}")
+    assert(FlakyJdbc.commitAttempts.get() == 1,
+      "a byte-overflowed partition must not enter the retry loop " +
+        s"(got ${FlakyJdbc.commitAttempts.get()} commit attempts)")
+  }
+
   test("W17: transient classification is rollback/connection-specific, not any SQLException") {
     import java.sql._
     assert(JdbcApply.isTransient(
