@@ -617,20 +617,40 @@ object ScaleSmoke {
         f"[${p.bands * 0.5}%.1f, ${p.bands * 2.0}%.1f] — the posting-list " +
         "amplification drifted from its design rule of thumb")
     // compaction moves the fat layout too: one settled fold collapses
-    // by rewriting BOTH tables, so bytes moved ≈ (1 + bands) × vecs
-    // bytes — bounded against the same rule (wall clock print-only)
+    // by staging a full rewrite of BOTH tables, so bytes WRITTEN ≈
+    // (1 + bands) × vecs bytes. Measured as actual task output bytes
+    // (not post-compaction directory sizes, which a double-rewrite
+    // regression would leave unchanged) and bounded against the same
+    // rule of thumb; wall clock print-only.
     EmbedIndex.foldBatch(root10, batch, "vec_id", "embedding", 0L)
-    val t0 = System.nanoTime()
-    EmbedIndex.compactThrough(spark, root10, 0L)
-    val compactSec = (System.nanoTime() - t0) / 1e9
-    val movedVecs = dirBytes(s"$root10/vecs")
-    val movedBuckets = dirBytes(s"$root10/buckets")
-    println(f"[scale] embed compact moves      ${compactSec}%8.2f s  " +
-      f"vecs=${movedVecs / 1024}%d KB  buckets=${movedBuckets / 1024}%d KB" +
-      f"  (${(movedVecs + movedBuckets).toDouble / vecsBytes}%.2fx vecs bytes)")
-    require(movedBuckets <= movedVecs * p.bands * 2,
-      s"compaction moved $movedBuckets bucket bytes vs $movedVecs vecs " +
-        s"bytes — past the bands× (=${p.bands}) posting-list rule of thumb")
+    val written = new java.util.concurrent.atomic.AtomicLong(0L)
+    val wListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) { written.addAndGet(m.outputMetrics.bytesWritten); () }
+      }
+    }
+    def drain(): Unit = org.apache.spark.sql.graftshim.GraftShims
+      .waitListenerBusEmpty(spark.sparkContext)
+    drain()
+    spark.sparkContext.addSparkListener(wListener)
+    val compactSec =
+      try {
+        val t0 = System.nanoTime()
+        EmbedIndex.compactThrough(spark, root10, 0L)
+        drain()
+        (System.nanoTime() - t0) / 1e9
+      } finally spark.sparkContext.removeSparkListener(wListener)
+    val moved = written.get
+    println(f"[scale] embed compact writes     ${compactSec}%8.2f s  " +
+      f"${moved / 1024}%d KB  (${moved.toDouble / vecsBytes}%.2fx vecs bytes)")
+    require(moved >= vecsBytes,
+      s"compaction wrote $moved bytes — less than one vecs copy; the " +
+        "output-bytes measurement lost its signal")
+    require(moved <= (1L + p.bands) * 2L * vecsBytes,
+      s"compaction wrote $moved bytes vs vecs $vecsBytes — past the " +
+        s"(1+bands)× (=${1 + p.bands}) posting-list rewrite rule of thumb")
   }
 
   /**
@@ -1225,16 +1245,20 @@ object ScaleSmoke {
     // batch-0's build AGAIN, i.e. laterCpu ≥ firstCpu, so any bound
     // strictly under 1.0 catches it. Measured here: 0.63×first with a
     // cold JIT (lane-only run), 0.72-0.74× warm (full-chain run) —
-    // 0.9 separates both from the ≥1.0 regression signature. Gated on
-    // the MEAN of the later clean batches, not the max: the regression
-    // makes every later batch re-pay the build (the mean catches it
-    // just as hard), while a one-batch JIT/GC-attribution wobble on a
-    // metric this fine-grained should not flake the smoke.
+    // 0.9 separates both from the ≥1.0 regression signature. Two
+    // bounds: the MEAN of the later clean batches at 0.9 (the full
+    // re-materialization regression re-pays the build on EVERY later
+    // batch, so the mean catches it with the original margin) and the
+    // MAX at 0.95 (an intermittent regression — one batch re-paying ≥
+    // 1.0×first — must not hide behind a fast sibling's average; the
+    // wider max bound keeps ~0.2×first of headroom over the 0.72-0.74×
+    // warm wobble so attribution noise alone cannot flake it).
     val firstCpu = cpuPerBatch.head
     val laterCleanCpu = cpuPerBatch.drop(1).zipWithIndex
       .collect { case (s, i) if i != nBatches - 3 => s }
     val laterMean = laterCleanCpu.sum / laterCleanCpu.length
-    require(laterMean <= math.max(firstCpu * 0.9, 2.0),
+    require(laterMean <= math.max(firstCpu * 0.9, 2.0) &&
+      laterCleanCpu.max <= math.max(firstCpu * 0.95, 2.0),
       f"per-batch work not flat: firstCpu=$firstCpu%.2f mean " +
         f"laterCpu=$laterMean%.2f (max ${laterCleanCpu.max}%.2f) — " +
         "later clean batches re-paid the standing-index build")

@@ -224,6 +224,14 @@ object EmbedIndex {
       s.landStaging(rebuilt, "buckets", s.fileCount(spark, "buckets"))
       onStep("staged")
       graft.sources.DirSwap.swapStaged(spark, path, Seq("buckets"))
+      // the crash boundary the matrix drives sits HERE — before the
+      // empty-dir restore below, so the injected "swapped" crash also
+      // models dying between the swap and the restore; benign for the
+      // same reason as the un-bumped sidecar (still refusing, and the
+      // re-run re-stages, re-swaps, and re-restores), but only because
+      // the restore runs BEFORE writeParams — moving it after would
+      // make a missing empty fold dir permanent and untested
+      onStep("swapped")
       // the rebuild derives bucket rows from vecs ROWS, so a fold that
       // landed ZERO bucket rows (an all-null-vector batch — landFold's
       // explicit empty-dir mkdirs) would vanish from buckets' partition
@@ -240,7 +248,6 @@ object EmbedIndex {
             new org.apache.hadoop.fs.Path(s"$path/buckets/__batch=$b"))
           ()
         }
-      onStep("swapped")
       writeParams(spark, path, p)
     }
     true

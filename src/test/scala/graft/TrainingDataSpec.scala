@@ -554,6 +554,48 @@ class TrainingDataSpec extends SparkSpec {
     assert(b1.forall(b => b >= 0 && b < 256))
   }
 
+  test("LCG plane family saturates near 2^10 effective buckets — the documented resolution bound, pinned") {
+    // the shared plane family's weights are an arithmetic progression
+    // (one LCG striding the flattened (plane, dim) index), so high
+    // planes are nearly linearly dependent and the EFFECTIVE bucket
+    // count plateaus near ~2^10 regardless of the nominal 2^planes —
+    // the reason EmbedIndex's class doc tells operators to shard a
+    // corpus past ~targetBucket·2^10 rows across band sets or roots
+    // instead of dialing planes up. Until now that bound was a doc
+    // sentence; this pins the plateau so a family change that shifts
+    // the resolution (either way) shows up as a failing number, and
+    // the doc's advice stays calibrated to the code.
+    val dims = 16
+    val vecs = spark.range(50000).select(
+      transform(sequence(lit(0), lit(dims - 1)), j =>
+        (pmod(hash(col("id"), j), lit(1000)).cast("double") / 500.0 - 1.0)
+          .cast("float")).as("embedding"))
+      .persist()
+    try {
+      def effective(planes: Int): Long =
+        vecs.select(Similarity.lshBucket(col("embedding"), planes, dims)
+          .as("b")).agg(countDistinct(col("b"))).head().getLong(0)
+      val e8 = effective(8)
+      val e16 = effective(16)
+      // at 8 planes the family still genuinely splits (most of the 256
+      // nominal buckets are populated at 50k rows)
+      assert(e8 >= 100 && e8 <= 256,
+        s"8-plane family resolution drifted: $e8 effective buckets")
+      // doubling to 16 planes buys single-digit multiples, NOT the
+      // 256× an independent family would: the plateau sits well under
+      // 2^12, i.e. near the documented ~2^10
+      assert(e16 <= 4096,
+        s"16-plane effective buckets $e16 left the documented ~2^10 " +
+          "plateau — the family (or its saturation story) changed")
+      assert(e16 < e8 * 16L,
+        s"8→16 planes multiplied buckets $e8→$e16 — the family no " +
+          "longer saturates; update the sharding guidance it anchors")
+    } finally {
+      vecs.unpersist()
+      ()
+    }
+  }
+
   test("IVF-flat finds an exact twin through its probed cell") {
     val dims = 8
     def vec(seed: Int): Array[Float] =
