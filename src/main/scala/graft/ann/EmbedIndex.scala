@@ -583,7 +583,18 @@ object EmbedIndex {
 
   /** Fold every SETTLED batch (id ≤ `throughBatch`) into the base —
     * the store's default compaction (embedding rows are plain facts);
-    * from `foreachBatch(N)` call with `throughBatch = N - 1`. */
+    * from `foreachBatch(N)` call with `throughBatch = N - 1`.
+    *
+    * Swap-order prefix ([[graft.sources.DirSwap]]'s table-order
+    * contract, DRIVEN in EmbedIndexSpec's mixed-prefix case): a crash
+    * between the two table swaps leaves compacted vecs beside
+    * pre-compaction buckets. Benign for every reader — [[open]] reads
+    * vecs alone (complete on either side of its own swap), and BOTH
+    * probe paths read only the bucket table, whose pre-swap content
+    * composes to the same rows (compaction relabels fold partitions
+    * into the base and purges retracted rows physically, but standing
+    * tombstones keep filtering the un-purged side until the clear,
+    * which runs strictly AFTER every swap landed). */
   def compactThrough(spark: SparkSession, path: String,
       throughBatch: Long, targetFileBytes: Long = 128L << 20): Unit = {
     // layout guard ([[readParams]]): compacting a pre-layout-2 table
@@ -591,6 +602,18 @@ object EmbedIndex {
     readParams(spark, path)
     store(path).compactThrough(spark, throughBatch,
       Map("vecs" -> targetFileBytes))
+  }
+
+  /** The staging prefix of [[compactThrough]] — the crash-injection
+    * seam the mixed-prefix spec drives with
+    * [[graft.sources.DirSwap.commitSwaps]]
+    * ([[graft.sources.StandingStore.stageCompactThrough]]).
+    * Layout-guarded like the real verb. */
+  private[graft] def stageCompactThrough(spark: SparkSession,
+      path: String, throughBatch: Long): Unit = {
+    readParams(spark, path)
+    val s = store(path)
+    s.withLease(spark) { s.stageCompactThrough(spark, throughBatch); () }
   }
 
   /** Compact everything — run only once the fold stream settled. */

@@ -260,11 +260,23 @@ object SignatureIndex {
     * compaction applies (signature folds are plain rows); both tables
     * stage before either swaps, and either mixed prefix is
     * content-identical anyway — compaction relabels partitions, it
-    * never changes rows. */
+    * never changes rows (DRIVEN in SignatureIndexSpec's mixed-prefix
+    * case: probes answer identically with compacted sigs beside
+    * pre-compaction bands, before any recovery runs). */
   def compactThrough(spark: SparkSession, path: String,
       throughBatch: Long, targetFileBytes: Long = 128L << 20): Unit =
     store(path).compactThrough(spark, throughBatch,
       Map("sigs" -> targetFileBytes))
+
+  /** The staging prefix of [[compactThrough]] — the crash-injection
+    * seam the mixed-prefix spec drives with
+    * [[graft.sources.DirSwap.commitSwaps]]
+    * ([[graft.sources.StandingStore.stageCompactThrough]]). */
+  private[graft] def stageCompactThrough(spark: SparkSession,
+      path: String, throughBatch: Long): Unit = {
+    val s = store(path)
+    s.withLease(spark) { s.stageCompactThrough(spark, throughBatch); () }
+  }
 
   /** Compact everything — run only once the fold stream settled. */
   def compact(spark: SparkSession, path: String): Unit =

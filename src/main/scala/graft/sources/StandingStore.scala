@@ -473,46 +473,63 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
   def compactThrough(spark: SparkSession, throughBatch: Long,
       sizeOverrides: Map[String, Long] = Map.empty): Unit =
     withLease(spark) {
-      recoverSwap(spark)
-      // persist the fold clock BEFORE the partitions carrying it
-      // collapse (and the openAt floor with it)
-      persistFoldWatermark(spark, throughBatch)
-      val settled = col("__batch") <= throughBatch // BaseBatch ≤ any
-      // size every table BEFORE staging: a sizeFrom sibling's live dir
-      // must still be the pre-compaction one
-      val files = tables.map { t =>
-        val overridden = sizeOverrides.get(t.name)
-          .fold(t)(n => t.copy(targetFileBytes = n))
-        t.name -> fileCountVia(spark, overridden)
-      }.toMap
-      // ONE tombstone listing + ONE materialized id frame for every
-      // table's purge and for the clear below (listings dominate
-      // maintenance cost on object stores, and [[retract]]'s lease
-      // makes this snapshot authoritative for the whole compaction)
-      val tombBatches = retractionBatchIds(spark)
-      val tombs =
-        if (tombBatches.isEmpty) None
-        else Some(openRetractions(spark).localCheckpoint(true))
-      try {
-        tables.foreach { t =>
-          val purged = (t.retractCol, tombs) match {
-            case (Some(c), Some(tf)) =>
-              Retractions.antiJoin(openRaw(spark, t.name), c, tf)
-            case _ => openRaw(spark, t.name)
-          }
-          landStaging(
-            purged.withColumn("__batch",
-              when(settled, lit(BaseBatch)).otherwise(col("__batch"))),
-            t.name, files(t.name))
-        }
-        DirSwap.swapStaged(spark, root, tables.map(_.name))
-        Retractions.clearThrough(spark, root, throughBatch,
-          standing = Some(tombBatches))
-      } finally {
-        tombs.foreach(_.unpersist())
-        ()
-      }
+      val tombBatches = stageCompactThrough(spark, throughBatch,
+        sizeOverrides)
+      DirSwap.swapStaged(spark, root, tables.map(_.name))
+      Retractions.clearThrough(spark, root, throughBatch,
+        standing = Some(tombBatches))
     }
+
+  /** The recover → watermark-persist → stage prefix of
+    * [[compactThrough]], stopping BEFORE the swap — the
+    * crash-injection seam the standing tables' mixed-prefix specs
+    * drive with [[DirSwap.commitSwaps]] (each caller's compact
+    * scaladoc argues its own prefix states per [[DirSwap]]'s
+    * table-order contract; the specs make the argument driven).
+    * Returns the retraction-batch snapshot the commit's clear
+    * consumes. Production code calls [[compactThrough]]; callers here
+    * must hold the lease. */
+  private[graft] def stageCompactThrough(spark: SparkSession,
+      throughBatch: Long,
+      sizeOverrides: Map[String, Long] = Map.empty): Seq[Long] = {
+    recoverSwap(spark)
+    // persist the fold clock BEFORE the partitions carrying it
+    // collapse (and the openAt floor with it)
+    persistFoldWatermark(spark, throughBatch)
+    val settled = col("__batch") <= throughBatch // BaseBatch ≤ any
+    // size every table BEFORE staging: a sizeFrom sibling's live dir
+    // must still be the pre-compaction one
+    val files = tables.map { t =>
+      val overridden = sizeOverrides.get(t.name)
+        .fold(t)(n => t.copy(targetFileBytes = n))
+      t.name -> fileCountVia(spark, overridden)
+    }.toMap
+    // ONE tombstone listing + ONE materialized id frame for every
+    // table's purge and for the commit's clear (listings dominate
+    // maintenance cost on object stores, and [[retract]]'s lease
+    // makes this snapshot authoritative for the whole compaction)
+    val tombBatches = retractionBatchIds(spark)
+    val tombs =
+      if (tombBatches.isEmpty) None
+      else Some(openRetractions(spark).localCheckpoint(true))
+    try {
+      tables.foreach { t =>
+        val purged = (t.retractCol, tombs) match {
+          case (Some(c), Some(tf)) =>
+            Retractions.antiJoin(openRaw(spark, t.name), c, tf)
+          case _ => openRaw(spark, t.name)
+        }
+        landStaging(
+          purged.withColumn("__batch",
+            when(settled, lit(BaseBatch)).otherwise(col("__batch"))),
+          t.name, files(t.name))
+      }
+    } finally {
+      tombs.foreach(_.unpersist())
+      ()
+    }
+    tombBatches
+  }
 
   private def fileCountVia(spark: SparkSession, t: TableSpec): Int = {
     val d = new Path(s"$root/${t.sizeFrom.getOrElse(t.name)}")

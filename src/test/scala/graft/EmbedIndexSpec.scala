@@ -404,6 +404,65 @@ class EmbedIndexSpec extends SparkSpec {
     } finally EmbedIndex.delete(spark, root)
   }
 
+  test("compaction crash between the two table swaps: every reader answers identically, recovery completes") {
+    import graft.pipeline.Fsck
+    import graft.sources.DirSwap
+    import spark.implicits._
+    val p = EmbedIndex.Params(bands = 2, planesPerBand = 4, dims = 4)
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val fold = Seq((10L, Seq(0f, 0f, 1f, 1f))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (100L, Seq(2f, 0f, 0f, 0f)),
+      (101L, Seq(0f, 0f, 3f, 3f))).toDF("vec_id", "embedding")
+    val root = fixtureRoot()
+    val path = s"$root/emb"
+    try {
+      EmbedIndex.write(corpus, "vec_id", "embedding", path, p)
+      EmbedIndex.foldBatch(path, fold, "vec_id", "embedding", 0L)
+      val want = pairs(EmbedIndex.probe(batch, path, "vec_id",
+        "embedding", 0.9))
+      assert(want.map(x => (x._1, x._2)) == Set((100L, 1L), (101L, 10L)),
+        s"fixture must match base AND fold content: $want")
+      val rows = EmbedIndex.open(spark, path).count()
+      // stage the compaction fully, then crash after the FIRST table's
+      // swap: compacted vecs now stand beside pre-compaction buckets —
+      // the one mixed state compactThrough's table order can expose
+      EmbedIndex.stageCompactThrough(spark, path, 0L)
+      DirSwap.commitSwaps(spark, path, Seq("vecs", "buckets"), upTo = 1)
+      def batchDirs(t: String): Set[String] =
+        new java.io.File(s"$path/$t").listFiles()
+          .filter(_.isDirectory).filterNot(_.getName.startsWith("."))
+          .map(_.getName).toSet
+      assert(batchDirs("vecs") == Set("__batch=-1"), "mixed state fixture")
+      assert(batchDirs("buckets") == Set("__batch=-1", "__batch=0"))
+      assert(Fsck.scanRoot(spark, path, Seq("vecs", "buckets"))
+        .map(_.kind).contains("swap-committed"))
+      // the ORDER argument, before any recovery runs: open reads the
+      // compacted vecs (complete), both probe paths read only the
+      // pre-compaction buckets (same composed rows under fold labels)
+      assert(pairs(EmbedIndex.probe(batch, path, "vec_id", "embedding",
+        0.9)) == want, "point probe diverged in the mixed state")
+      assert(pairs(EmbedIndex.probeAtRest(batch, path, "vec_id",
+        "embedding", 0.9)) == want, "scan probe diverged in the mixed state")
+      assert(EmbedIndex.open(spark, path).count() == rows)
+      // the reader preamble rolls the committed swap forward; nothing
+      // visible changes
+      EmbedIndex.recoverSwap(spark, path)
+      assert(batchDirs("buckets") == Set("__batch=-1"),
+        "recovery must finish the committed buckets swap")
+      assert(EmbedIndex.foldCount(spark, path) == 0)
+      assert(pairs(EmbedIndex.probe(batch, path, "vec_id", "embedding",
+        0.9)) == want)
+      // a re-run compaction converges on the identical visible table
+      EmbedIndex.compactThrough(spark, path, 0L)
+      assert(pairs(EmbedIndex.probeAtRest(batch, path, "vec_id",
+        "embedding", 0.9)) == want)
+      assert(EmbedIndex.open(spark, path).count() == rows)
+    } finally EmbedIndex.delete(spark, root)
+  }
+
   test("probe cap cutover boundary: nPairs == cap stays local, one less falls back — identical rows either side") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join, LocalRelation}
     import spark.implicits._

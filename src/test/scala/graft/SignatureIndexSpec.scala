@@ -76,6 +76,62 @@ class SignatureIndexSpec extends SparkSpec {
     }
   }
 
+  test("compaction crash between the two table swaps: probes answer identically, recovery completes") {
+    import graft.sources.DirSwap
+    val docs = Tables(spark, Src, "documents")
+    val bucket = graft.text.TextAnalysis.charFingerprint(col("text")) % 100
+    val corpus = docs.filter(bucket < 80)
+    val batch = docs.filter(bucket >= 80)
+    val (batchSig, relSig) = Dedup.batchSignatures(batch, "doc_id", "text")
+    val root = fixtureRoot()
+    val path = s"$root/sigs"
+    try {
+      SignatureIndex.write(corpus, "doc_id", "text", path)
+      val half = batch.filter(col("doc_id") % 2 === 0)
+      SignatureIndex.foldBatch(path, half, "doc_id", "text", 0L)
+      val all = corpus.unionByName(half)
+      val want = pairs(SignatureIndex.probe(batchSig, path, all,
+        "doc_id", "text", T))
+      assert(want.nonEmpty, "fixture needs probe matches")
+      val rows = SignatureIndex.open(spark, path).count()
+      // stage the compaction fully, then crash after the FIRST table's
+      // swap: compacted sigs beside pre-compaction bands — the class
+      // doc's "either mixed prefix is content-identical", driven
+      SignatureIndex.stageCompactThrough(spark, path, 0L)
+      DirSwap.commitSwaps(spark, path, Seq("sigs", "bands"), upTo = 1)
+      def batchDirs(t: String): Set[String] =
+        new java.io.File(s"$path/$t").listFiles()
+          .filter(_.isDirectory).filterNot(_.getName.startsWith("."))
+          .map(_.getName).toSet
+      assert(batchDirs("sigs") == Set("__batch=-1"), "mixed state fixture")
+      assert(batchDirs("bands") == Set("__batch=-1", "__batch=0"))
+      // before any recovery: candidates come from the pre-compaction
+      // band pages, the fallback verifies against the compacted sigs —
+      // both compose to the same rows, so every probe face agrees
+      assert(pairs(SignatureIndex.probe(batchSig, path, all, "doc_id",
+        "text", T)) == want, "point probe diverged in the mixed state")
+      assert(pairs(Dedup.probeAtRestSignatures(batchSig,
+        SignatureIndex.open(spark, path), all, "doc_id", "text", T)) ==
+        want, "scan probe diverged in the mixed state")
+      assert(SignatureIndex.open(spark, path).count() == rows)
+      // the reader preamble rolls the committed swap forward
+      SignatureIndex.recoverSwap(spark, path)
+      assert(batchDirs("bands") == Set("__batch=-1"),
+        "recovery must finish the committed bands swap")
+      assert(SignatureIndex.foldCount(spark, path) == 0)
+      assert(pairs(SignatureIndex.probe(batchSig, path, all, "doc_id",
+        "text", T)) == want)
+      // a re-run compaction converges on the identical visible table
+      SignatureIndex.compactThrough(spark, path, 0L)
+      assert(pairs(SignatureIndex.probe(batchSig, path, all, "doc_id",
+        "text", T)) == want)
+      assert(SignatureIndex.open(spark, path).count() == rows)
+    } finally {
+      relSig()
+      SignatureIndex.delete(spark, root)
+    }
+  }
+
   test("probe reads are batch-bounded: band and text scans prune to point reads") {
     import graft.sources.{Layout, PointReads}
     // 10k unique-text docs — big enough that a 3-doc probe's pages
