@@ -492,6 +492,13 @@ final class StandingStore(val root: String, val tables: Seq[TableSpec]) {
   private[graft] def stageCompactThrough(spark: SparkSession,
       throughBatch: Long,
       sizeOverrides: Map[String, Long] = Map.empty): Seq[Long] = {
+    // the lease is the class doc's MECHANICAL guard, so the
+    // precondition is enforced, not just documented: a lease-less
+    // caller under a live foreign owner would have recoverSwap defer,
+    // stage a possibly mid-swap root, and let a later swap destroy
+    // the owner's writes
+    require(Lease.heldByThisThread(root),
+      s"stageCompactThrough requires the $root lease (call under withLease)")
     recoverSwap(spark)
     // persist the fold clock BEFORE the partitions carrying it
     // collapse (and the openAt floor with it)
