@@ -242,26 +242,10 @@ class EmbedIndexSpec extends SparkSpec {
     } finally EmbedIndex.delete(spark, root)
   }
 
-  /** Devolve the layout-2 table at `path` to a GENUINE layout-1
-    * table: thin (bkey, doc_id) bucket rows — vectors gone — and a
-    * sidecar without the layout key, exactly what a pre-r17 build
-    * left on disk. */
-  private def devolveToLayout1(root: String, path: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(root).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val thin = spark.read.parquet(s"$path/buckets")
-      .select("bkey", "doc_id", "__batch")
-    val tmp = s"$path.thin"
-    thin.write.partitionBy("__batch").parquet(tmp)
-    fs.delete(new Path(s"$path/buckets"), true)
-    assert(fs.rename(new Path(tmp), new Path(s"$path/buckets")))
-    val out = fs.create(new Path(s"$path/_params.json"), true)
-    try out.write(
-      """{"bands":2,"planes_per_band":4,"dims":4}""".getBytes("UTF-8"))
-    finally out.close()
-    graft.Tables.invalidate(path)
-  }
+  /** [[EmbedFixtures.devolveToLayout1]], shared with the property
+    * spec's migration leg. */
+  private def devolveToLayout1(root: String, path: String): Unit =
+    EmbedFixtures.devolveToLayout1(spark, path)
 
   test("layout migration: a layout-1 table refuses probes, migrates in place from vecs, probes identically") {
     import spark.implicits._

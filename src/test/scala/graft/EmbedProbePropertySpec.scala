@@ -21,6 +21,8 @@ import graft.ann.{EmbedIndex, Similarity}
  * sweeps. Three seeded corpora (dims 4/8/16, ~60 vectors each, planted
  * scaled copies so matches exist) are probed through all three paths;
  * the (batch_id, corpus_id, cos) sets must be equal, cosines included.
+ * Each corpus is then devolved to layout 1 and migrated in place, and
+ * the equality must hold again — the migration leg of the property.
  */
 class EmbedProbePropertySpec extends SparkSpec {
 
@@ -96,6 +98,19 @@ class EmbedProbePropertySpec extends SparkSpec {
             s"only-scan=${scan -- inRam}\nonly-inram=${inRam -- scan}")
         assert(inRam.nonEmpty,
           s"dims=$dims: fixture must produce matches (planted copies)")
+        // the MIGRATION path under the same adversarial data: devolve
+        // to layout 1 and migrate in place — the rebuilt posting list
+        // re-derives from vecs through the shared bucketRows body, so
+        // probes must still equal the in-RAM contract bit-for-bit
+        // (specials, null slots, and short vectors included)
+        EmbedFixtures.devolveToLayout1(spark, path)
+        assert(EmbedIndex.migrateLayout(spark, path))
+        assert(pairs(EmbedIndex.probe(batch, path, "vec_id",
+          "embedding", 0.5)) == inRam,
+          s"dims=$dims: point probe diverged after migration")
+        assert(pairs(EmbedIndex.probeAtRest(batch, path, "vec_id",
+          "embedding", 0.5)) == inRam,
+          s"dims=$dims: scan probe diverged after migration")
       } finally {
         release()
         EmbedIndex.delete(spark, root)

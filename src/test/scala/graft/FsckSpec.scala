@@ -298,6 +298,25 @@ class FsckSpec extends SparkSpec {
     }
   }
 
+  test("FsckMain on absent roots reports findings instead of crashing") {
+    // an operator pointing the CLI at a wrong (or not-yet-built) path
+    // must get a report naming what is missing, never a stack trace —
+    // the crash findings ARE the report, and the data checks that
+    // would throw on unreadable roots are skipped behind them
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-fsck-absent").toString
+    val found = FsckMain.run(spark, Seq(
+      s"$base/cc", s"$base/sigs", s"$base/clusters",
+      "--ivf", s"$base/noivf",
+      "--ivf-base", s"$base/nobase",
+      "--release", s"$base/norel"))
+    assert(found.nonEmpty, "absent roots must surface findings")
+    assert(found.map(_.kind).toSet == Set("missing-live", "incomplete-build"),
+      s"absent roots must read as crash-state findings: $found")
+    // the trio's six table dirs are each named missing
+    assert(found.count(_.kind == "missing-live") == 7, s"$found")
+  }
+
   test("lineage json escape/unescape are exact inverses (single left-to-right pass)") {
     import graft.pipeline.Release
     // backslash-and-quote-dense paths: the adversarial shapes where a
