@@ -616,6 +616,21 @@ object ScaleSmoke {
       f"bucket/vecs byte ratio $ratio%.2f left the bands× band " +
         f"[${p.bands * 0.5}%.1f, ${p.bands * 2.0}%.1f] — the posting-list " +
         "amplification drifted from its design rule of thumb")
+    // two-point calibration: a second family at bands=3 over the 1×
+    // corpus must land near 3× — the rule of thumb is a line through
+    // the origin in bands, not a lucky constant at one dial setting
+    val p3 = EmbedIndex.Params(bands = 3, planesPerBand = 8, dims = dims)
+    val root3 = s"$OutDir/eprobe_b3"
+    EmbedIndex.delete(spark, root3)
+    EmbedIndex.write(corpus1, "vec_id", "embedding", root3, p3)
+    val ratio3 = dirBytes(s"$root3/buckets").toDouble /
+      dirBytes(s"$root3/vecs")
+    println(f"[scale] embed posting-list store  bands=3 ratio=$ratio3%.2f " +
+      "(1x corpus)")
+    require(ratio3 >= 3 * 0.5 && ratio3 <= 3 * 2.0,
+      f"bands=3 bucket/vecs ratio $ratio3%.2f left [1.5, 6.0] — the " +
+        "bands× rule no longer scales with the dial")
+    EmbedIndex.delete(spark, root3)
     // compaction moves the fat layout too: one settled fold collapses
     // by staging a full rewrite of BOTH tables, so bytes WRITTEN ≈
     // (1 + bands) × vecs bytes. Measured as actual task output bytes
