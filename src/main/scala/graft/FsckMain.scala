@@ -63,10 +63,27 @@ object FsckMain {
   }
 
   /** The whole verb minus session lifecycle and exit code — the
-    * testable body ([[main]] is the thin shell around it). */
+    * testable body ([[main]] is the thin shell around it).
+    *
+    * A NAMED root that does not exist at all is reported as
+    * `missing-root` here, at the CLI layer: the library walk reads an
+    * absent release root or IVF snapshot base as legitimately empty
+    * (those appear only at their first build, and [[Fsck]] must not
+    * invent findings for them), but an operator who TYPED the path is
+    * almost always holding a typo — without this, a gone release root
+    * fscks clean. */
   private[graft] def run(spark: SparkSession,
-      args: Seq[String]): Seq[Fsck.Finding] =
-    Fsck.checkAll(spark, parse(args))
+      args: Seq[String]): Seq[Fsck.Finding] = {
+    val layout = parse(args)
+    val named = Seq(layout.corpus, layout.signatures, layout.clusters) ++
+      layout.embed ++ layout.ivf ++ layout.ivfBases ++ layout.releases
+    val absent = named.filterNot { r =>
+      val p = new org.apache.hadoop.fs.Path(r)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }.map(r => Fsck.Finding(r, "missing-root",
+      "path does not exist — wrong path, or nothing was ever built here"))
+    absent ++ Fsck.checkAll(spark, layout)
+  }
 
   def main(args: Array[String]): Unit = {
     val layout =

@@ -618,8 +618,12 @@ object ScaleSmoke {
         "amplification drifted from its design rule of thumb")
     // two-point calibration: a second family at bands=3 over the 1×
     // corpus must land near 3× — the rule of thumb is a line through
-    // the origin in bands, not a lucky constant at one dial setting
-    val p3 = EmbedIndex.Params(bands = 3, planesPerBand = 8, dims = dims)
+    // the origin in bands, not a lucky constant at one dial setting.
+    // planesPerBand is held at the first point's 12 so bands is the
+    // ONLY dial moved (bkey entropy shifts parquet encoding of the
+    // bucket column, and a planes change could masquerade as — or
+    // offset — the bands scaling inside the slop window)
+    val p3 = EmbedIndex.Params(bands = 3, planesPerBand = 12, dims = dims)
     val root3 = s"$OutDir/eprobe_b3"
     EmbedIndex.delete(spark, root3)
     EmbedIndex.write(corpus1, "vec_id", "embedding", root3, p3)

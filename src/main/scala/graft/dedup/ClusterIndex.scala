@@ -417,10 +417,15 @@ object ClusterIndex {
 
   /** [[compactThrough]]'s staged rewrites, up to (not including) the
     * swap — split out so the crash-matrix spec can stop between the
-    * two table swaps. */
+    * two table swaps. Lease-guarded like every staging seam
+    * ([[graft.sources.StandingStore.stageCompactThrough]]'s
+    * rationale): a lease-less caller under a live foreign compactor
+    * would stage a mid-swap root. */
   private[graft] def stageCompact(spark: SparkSession, path: String,
       throughBatch: Long = Long.MaxValue,
       targetFileBytes: Long = 128L << 20): Unit = {
+    require(graft.sources.Lease.heldByThisThread(path),
+      s"stageCompact requires the $path lease (call under withLease)")
     val s = store(path)
     val settled = col("__batch") <= throughBatch // BaseBatch ≤ any
     // byte-targeted file count (FS summary, not a scan) with a range

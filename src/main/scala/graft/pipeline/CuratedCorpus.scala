@@ -312,9 +312,14 @@ object CuratedCorpus {
 
   /** [[compact]]'s watermark persist + staged rewrites, up to (not
     * including) the swap — split out so the crash-matrix spec can
-    * stop between the two table swaps. */
+    * stop between the two table swaps. Lease-guarded like every
+    * staging seam ([[graft.sources.StandingStore
+    * .stageCompactThrough]]'s rationale): a lease-less caller under a
+    * live foreign compactor would stage a mid-swap root. */
   private[graft] def stageCompact(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L << 20): Unit = {
+    require(graft.sources.Lease.heldByThisThread(path),
+      s"stageCompact requires the $path lease (call under withLease)")
     val s = store(path)
     // fold a batch's DOCS into the base only if its HASHES landed: a
     // fold that crashed between its docs write and its hashes write

@@ -271,11 +271,14 @@ class ClusterIndexSpec extends SparkSpec {
     ClusterIndex.foldBatch(path, Seq(70L).toDF("doc_id"),
       "doc_id", Seq((70L, 2L), (70L, 4L)).toDF("a", "b"), "a", "b", 0L)
     val before = asMap(ClusterIndex.open(spark, path))
-    // stage the compact, then crash after the FIRST swap (assignments):
-    // the live table holds terminal labels beside the STALE chain
-    ClusterIndex.stageCompact(spark, path)
-    graft.sources.DirSwap.commitSwaps(spark, path,
-      Seq("assignments", "relabel"), upTo = 1)
+    // stage the compact (under the lease, like the real verb), then
+    // crash after the FIRST swap (assignments): the live table holds
+    // terminal labels beside the STALE chain
+    graft.sources.Lease.withLease(spark, path) {
+      ClusterIndex.stageCompact(spark, path)
+      graft.sources.DirSwap.commitSwaps(spark, path,
+        Seq("assignments", "relabel"), upTo = 1)
+    }
     assert(spark.read
       .schema("old_cluster LONG, new_cluster LONG, __batch LONG")
       .parquet(s"$path/relabel").count() > 0, "mixed-state fixture")

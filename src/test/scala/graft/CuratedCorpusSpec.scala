@@ -387,12 +387,15 @@ class CuratedCorpusSpec extends SparkSpec {
       CuratedCorpus.foldBatch(path, b1, 0L)
       CuratedCorpus.foldBatch(path, b2, 1L)
       val before = tableRows(path)
-      // run compact up to the swap, then crash after the FIRST table's
-      // swap (hashes — the order the r10 verdict flagged): the live
-      // table now holds compacted hashes beside uncompacted docs
-      CuratedCorpus.stageCompact(spark, path)
-      graft.sources.DirSwap.commitSwaps(spark, path,
-        Seq("hashes", "docs"), upTo = 1)
+      // run compact up to the swap (under the lease, like the real
+      // verb), then crash after the FIRST table's swap (hashes — the
+      // order the r10 verdict flagged): the live table now holds
+      // compacted hashes beside uncompacted docs
+      graft.sources.Lease.withLease(spark, path) {
+        CuratedCorpus.stageCompact(spark, path)
+        graft.sources.DirSwap.commitSwaps(spark, path,
+          Seq("hashes", "docs"), upTo = 1)
+      }
       def batchDirs(table: String): Set[String] =
         new java.io.File(s"$path/$table").listFiles()
           .filter(_.isDirectory).filterNot(_.getName.startsWith("."))

@@ -242,11 +242,6 @@ class EmbedIndexSpec extends SparkSpec {
     } finally EmbedIndex.delete(spark, root)
   }
 
-  /** [[EmbedFixtures.devolveToLayout1]], shared with the property
-    * spec's migration leg. */
-  private def devolveToLayout1(root: String, path: String): Unit =
-    EmbedFixtures.devolveToLayout1(spark, path)
-
   test("layout migration: a layout-1 table refuses probes, migrates in place from vecs, probes identically") {
     import spark.implicits._
     val p = EmbedIndex.Params(bands = 2, planesPerBand = 4, dims = 4)
@@ -267,7 +262,7 @@ class EmbedIndexSpec extends SparkSpec {
       assert(want.map(x => (x._1, x._2)) == Set((100L, 1L), (101L, 10L)),
         s"fixture must match base AND fold content: $want")
 
-      devolveToLayout1(root, path)
+      EmbedFixtures.devolveToLayout1(spark, path)
 
       // every bucket-reading verb refuses loudly, naming the migration
       val e = intercept[IllegalArgumentException] {
@@ -308,7 +303,7 @@ class EmbedIndexSpec extends SparkSpec {
     def buildDevolved(path: String): Unit = {
       EmbedIndex.write(corpus, "vec_id", "embedding", path, p)
       EmbedIndex.foldBatch(path, fold, "vec_id", "embedding", 0L)
-      devolveToLayout1(root, path)
+      EmbedFixtures.devolveToLayout1(spark, path)
     }
 
     try {
@@ -517,7 +512,7 @@ class EmbedIndexSpec extends SparkSpec {
       EmbedIndex.foldBatch(path, nulls, "vec_id", "embedding", 0L)
       assert(EmbedIndex.foldCount(spark, path) == 1)
       assert(EmbedIndex.batchWatermark(spark, path) == 0L)
-      devolveToLayout1(root, path)
+      EmbedFixtures.devolveToLayout1(spark, path)
       // the rebuild derives buckets from vecs ROWS — without the
       // explicit restore, batch 0's empty dir would vanish from the
       // buckets listing and the two tables' fold listings would skew

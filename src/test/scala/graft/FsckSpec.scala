@@ -301,8 +301,9 @@ class FsckSpec extends SparkSpec {
   test("FsckMain on absent roots reports findings instead of crashing") {
     // an operator pointing the CLI at a wrong (or not-yet-built) path
     // must get a report naming what is missing, never a stack trace —
-    // the crash findings ARE the report, and the data checks that
-    // would throw on unreadable roots are skipped behind them
+    // and never a clean exit: the library walk reads absent release /
+    // ivf-base roots as legitimately empty (they appear at first
+    // build), so the CLI names every typed-but-absent root itself
     val base = java.nio.file.Files
       .createTempDirectory("graft-fsck-absent").toString
     val found = FsckMain.run(spark, Seq(
@@ -311,9 +312,16 @@ class FsckSpec extends SparkSpec {
       "--ivf-base", s"$base/nobase",
       "--release", s"$base/norel"))
     assert(found.nonEmpty, "absent roots must surface findings")
-    assert(found.map(_.kind).toSet == Set("missing-live", "incomplete-build"),
+    assert(found.map(_.kind).toSet ==
+      Set("missing-root", "missing-live", "incomplete-build"),
       s"absent roots must read as crash-state findings: $found")
-    // the trio's six table dirs are each named missing
+    // every typed root is named missing — INCLUDING the release root
+    // and snapshot base the library walk would silently read as empty
+    assert(found.filter(_.kind == "missing-root").map(_.root).toSet ==
+      Set(s"$base/cc", s"$base/sigs", s"$base/clusters",
+        s"$base/noivf", s"$base/nobase", s"$base/norel"), s"$found")
+    // plus the library's own crash-state findings: the trio's six
+    // table dirs and the ivf root's corpus dir (6 + 1 missing-live)
     assert(found.count(_.kind == "missing-live") == 7, s"$found")
   }
 
