@@ -1481,12 +1481,68 @@ object ScaleSmoke {
     println(f"[scale] fsck layout walk        ${sec}%8.2f s  " +
       f"findings=${clean.size}  rows=${docs.count()}")
     require(clean.isEmpty, s"healthy deployment must fsck clean: $clean")
+    // The SHIPPED process contract (VERDICT r18 #3): fork
+    // `java … graft.FsckMain` exactly as an operator's cron would and
+    // pin the 0/1/2 exit codes plus the `[fsck]` line format on the
+    // three deployment shapes. The in-process checks above drive the
+    // cli() body; these drive main()'s session/exit plumbing too.
+    val (okCode, okOut) = forkFsck(Seq(cc, sigs, clusters))
+    require(okCode == 0 && okOut.contains("[fsck] clean — no findings"),
+      s"healthy deployment: want exit 0 + clean line, got $okCode / " +
+        okOut.filter(_.startsWith("[fsck]")))
+    println(s"[scale] fsck CLI exit contract  healthy: exit 0  clean line ok")
     fs.mkdirs(new Path(s"$cc/.old_docs"))
     val torn = FsckMain.run(spark, Seq(cc, sigs, clusters)).map(_.kind)
     require(torn == Seq("orphan-old"),
       s"injected crash state must surface through the CLI face: $torn")
+    // torn + a TYPO'D release root in one fork: exit 1, and stdout
+    // names BOTH the crash state and the absent root — the exact
+    // shipped-path regression r18 found (main bypassing run()'s
+    // missing-root scan) stays pinned at the process boundary
+    val typo = s"$root/releasez"
+    val (tornCode, tornOut) =
+      forkFsck(Seq(cc, sigs, clusters, "--release", typo))
+    val fsckLines = tornOut.filter(_.startsWith("[fsck]"))
+    require(tornCode == 1 &&
+      fsckLines.exists(l => l.startsWith("[fsck] missing-root") &&
+        l.contains(typo)) &&
+      fsckLines.exists(_.startsWith("[fsck] orphan-old")),
+      s"torn+typo'd deployment: want exit 1 naming missing-root and " +
+        s"orphan-old, got $tornCode / $fsckLines")
+    println(s"[scale] fsck CLI exit contract  torn+typo: exit 1  " +
+      s"kinds=${fsckLines.map(_.split("\\s+")(1)).mkString(",")}")
+    val (usageCode, usageOut) = forkFsck(Seq(cc, sigs)) // 2 positionals
+    require(usageCode == 2 && !usageOut.exists(_.startsWith("[fsck]")),
+      s"usage error: want exit 2 with no findings line, got $usageCode")
+    println(s"[scale] fsck CLI exit contract  usage: exit 2  no session")
     fs.delete(new Path(root), true)
     ()
+  }
+
+  /** Fork the shipped fsck CLI (`java … graft.FsckMain <args>`) with
+    * this JVM's own classpath and module options, returning (exit
+    * code, stdout+stderr lines). A real child process, not an
+    * in-JVM call: sys.exit and session lifecycle are part of the
+    * contract under test. */
+  private def forkFsck(args: Seq[String]): (Int, Seq[String]) = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    val cmd = Seq(javaBin) ++ jvmArgs ++
+      // pin the child's stdout to UTF-8 (JDK 17 defaults to the
+      // platform charset — an operator's C-locale cron would otherwise
+      // read a mangled report line)
+      Seq("-Dfile.encoding=UTF-8", "-Dsun.stdout.encoding=UTF-8",
+        "-Dstdout.encoding=UTF-8",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.FsckMain") ++ args
+    val p = new ProcessBuilder(cmd.asJava).redirectErrorStream(true).start()
+    val out = scala.io.Source.fromInputStream(
+      p.getInputStream)(scala.io.Codec.UTF8)
+      .getLines().toList // drain fully BEFORE waitFor: avoids pipe deadlock
+    (p.waitFor(), out)
   }
 
   private def dirBytes(dir: String): Long = {

@@ -273,6 +273,15 @@ class FsckSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       FsckMain.parse(Seq("c", "s", "k", "--bogus", "x"))
     }
+    // a flag-like token is never a value: `--embed --ivf x` must fail
+    // with the usage, not silently bind "--ivf" as the embed path and
+    // drop the intended --ivf root (ADVICE r18)
+    intercept[IllegalArgumentException] {
+      FsckMain.parse(Seq("c", "s", "k", "--embed", "--ivf", "x"))
+    }
+    intercept[IllegalArgumentException] {
+      FsckMain.parse(Seq("c", "s", "k", "--release", "--release"))
+    }
 
     // run: the parsed layout drives exactly Fsck.checkAll — a healthy
     // trio is clean, an injected crash state surfaces by kind
@@ -323,6 +332,42 @@ class FsckSpec extends SparkSpec {
     // plus the library's own crash-state findings: the trio's six
     // table dirs and the ivf root's corpus dir (6 + 1 missing-live)
     assert(found.count(_.kind == "missing-live") == 7, s"$found")
+  }
+
+  test("FsckMain.cli — the shipped verb body — reports missing-root and maps findings to exit codes") {
+    // VERDICT r18 #1: main() recomputed findings via Fsck.checkAll and
+    // silently skipped run()'s missing-root scan — the spec suite was
+    // green while the shipped CLI fscked a typo'd root clean. cli() is
+    // now the ONLY findings path main has (main adds just the session
+    // and sys.exit), so driving cli() here IS driving the shipped verb.
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val T = DedupQueries.IncrementalFuzzyThreshold
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-fsck-cli").toString
+    val (cc, sigs, clusters) = (s"$base/cc", s"$base/sigs", s"$base/clusters")
+    val fs = new Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    try {
+      CuratedCorpus.init(docs, cc)
+      IngestStream.bootstrapIndexes(spark, cc, sigs, clusters, T)
+      val lines = scala.collection.mutable.Buffer.empty[String]
+      assert(FsckMain.cli(spark, Seq(cc, sigs, clusters), lines += _) == 0,
+        "a healthy trio must exit 0")
+      assert(lines.toSeq == Seq("[fsck] clean — no findings"))
+      // the r18 regression shape: an otherwise-healthy deployment with
+      // one TYPO'D extra root — the shipped CLI must exit 1 and name it
+      lines.clear()
+      val typo = s"$base/releasez" // never built
+      val code = FsckMain.cli(spark,
+        Seq(cc, sigs, clusters, "--release", typo), lines += _)
+      assert(code == 1, "a typo'd --release root must NOT fsck clean")
+      assert(lines.exists(l =>
+        l.startsWith("[fsck] missing-root") && l.contains(typo)),
+        s"the typo'd root must be named in the report: $lines")
+    } finally {
+      fs.delete(new Path(base), true)
+      ()
+    }
   }
 
   test("lineage json escape/unescape are exact inverses (single left-to-right pass)") {
