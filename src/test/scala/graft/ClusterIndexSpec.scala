@@ -333,4 +333,15 @@ class ClusterIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
     assert(atRest.nonEmpty && atRest == inRam)
   }
+
+  test("stageCompact without the lease throws before touching the root") {
+    // the staging seam's mechanical precondition, fired (VERDICT r18
+    // #2): a never-built path proves the require precedes all work
+    val path = fixtureRoot() + "/never-built"
+    val e = intercept[IllegalArgumentException] {
+      ClusterIndex.stageCompact(spark, path)
+    }
+    assert(e.getMessage.contains(s"requires the $path lease"),
+      s"the guard must name the root and the remedy: ${e.getMessage}")
+  }
 }

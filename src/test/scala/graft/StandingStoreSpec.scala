@@ -353,4 +353,21 @@ class StandingStoreSpec extends SparkSpec {
     assert(s.batchWatermark(spark) == StandingStore.BaseBatch)
     s.delete(spark)
   }
+
+  test("stageCompactThrough without the lease throws — the staging guard actually fires") {
+    // The require exists to catch FUTURE misuse (a lease-less caller
+    // under a live foreign owner would stage a mid-swap root); this is
+    // the case that fires it, so deleting the guard goes red
+    // (VERDICT r18 #2 — the crash-matrix specs all run UNDER the
+    // lease and never exercised the negative)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-store-lease").toString
+    val s = new StandingStore(root, Seq(
+      TableSpec("a", "k LONG, __batch LONG", Seq("k"))))
+    val e = intercept[IllegalArgumentException] {
+      s.stageCompactThrough(spark, 0L)
+    }
+    assert(e.getMessage.contains(s"requires the $root lease"),
+      s"the guard must name the root and the remedy: ${e.getMessage}")
+  }
 }
