@@ -33,29 +33,55 @@ object Bench {
     // masquerade as a code regression — VERDICT r2: two loaded-box
     // runs read +53% on unchanged code), while median quantifies how
     // loaded the box was (median >> min ⇒ distrust the totals).
+    // queries_cpu adds the LOAD-IMMUNE signal (VERDICT r18 #5: two
+    // consecutive driver artifacts carried 40-90× phantom wall-clock
+    // regressions on untouched code): executor CPU seconds for the
+    // min-wall rep measure the WORK, so a spiked median over a flat
+    // cpu self-identifies as box load, never a code regression.
     // Failed queries report -1 (never a time): a crash must look like
     // a crash in the bench output, not a fast run.
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) { cpuNs.addAndGet(m.executorCpuTime); () }
+        }
+      })
+    def drainBus(): Unit =
+      org.apache.spark.sql.graftshim.GraftShims
+        .waitListenerBusEmpty(spark.sparkContext)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
+      def once(): (Double, Double) = {
+        drainBus()
+        val c0 = cpuNs.get
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        drainBus()
+        (wall, (cpuNs.get - c0) / 1e9)
       }
-      val (tMin, tMed) = try {
-        val ts = Seq(once(), once(), once()).sorted
-        (ts.head, ts(1))
+      val (tMin, tMed, cMin) = try {
+        val ts = Seq(once(), once(), once()).sortBy(_._1)
+        (ts.head._1, ts(1)._1, ts.head._2)
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); (-1.0, -1.0) }
-      (name, tMin, tMed)
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        (-1.0, -1.0, -1.0) }
+      (name, tMin, tMed, cMin)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val med = results.map { case (k, _, m) => s"\"" + k + "\":" + m }
+    val med = results.map { case (k, _, m, _) => s"\"" + k + "\":" + m }
+      .mkString("{", ",", "}")
+    val cpu = results.map { case (k, _, _, c) => s"\"" + k + "\":" + c }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalMed = results.map(_._3).filter(_ >= 0).sum
+    val totalCpu = results.map(_._4).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""total_median":$totalMed,"queries_median":$med,"sf":"$sfDir"}""")
+      s""""total_median":$totalMed,"queries_median":$med,""" +
+      s""""total_cpu":$totalCpu,"queries_cpu":$cpu,"sf":"$sfDir"}""")
     // Trailing compact totals: the driver's artifact capture keeps
     // only the TAIL of stdout, and the big line above fronts its
     // totals — without this line a truncated capture loses the
@@ -63,7 +89,8 @@ object Bench {
     // metric name: a consumer that aggregates by metric or matches
     // the first "total" line must never double-count (ADVICE r15).
     println(s"""{"metric":"total_tail","value":$total,"unit":"sec",""" +
-      s""""total_median":$totalMed,"n_queries":${results.size},""" +
+      s""""total_median":$totalMed,"total_cpu":$totalCpu,""" +
+      s""""n_queries":${results.size},""" +
       s""""n_failed":${results.count(_._2 < 0)},"sf":"$sfDir"}""")
     spark.stop()
   }
