@@ -36,8 +36,12 @@ object Bench {
     // queries_cpu adds the LOAD-IMMUNE signal (VERDICT r18 #5: two
     // consecutive driver artifacts carried 40-90× phantom wall-clock
     // regressions on untouched code): executor CPU seconds for the
-    // min-wall rep measure the WORK, so a spiked median over a flat
-    // cpu self-identifies as box load, never a code regression.
+    // min-wall rep measure the TASK work, so a spiked median over a
+    // flat cpu usually reads as box load. Caveat: this counts executor
+    // task CPU only — a driver-side regression (plan-compilation
+    // blowup, a driver-local loop) also leaves cpu flat, so a flat-cpu
+    // spike that reproduces on the MIN too still needs an idle re-run
+    // before it's dismissed.
     // Failed queries report -1 (never a time): a crash must look like
     // a crash in the bench output, not a fast run.
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)

@@ -1531,18 +1531,33 @@ object ScaleSmoke {
       .getInputArguments.asScala.toSeq
       .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
     val cmd = Seq(javaBin) ++ jvmArgs ++
-      // pin the child's stdout to UTF-8 (JDK 17 defaults to the
-      // platform charset — an operator's C-locale cron would otherwise
-      // read a mangled report line)
-      Seq("-Dfile.encoding=UTF-8", "-Dsun.stdout.encoding=UTF-8",
-        "-Dstdout.encoding=UTF-8",
+      // pin the child's stdout AND stderr to UTF-8 (JDK 17 defaults to
+      // the platform charset — an operator's C-locale cron would
+      // otherwise read a mangled report line, and stderr is merged
+      // into the stream read below)
+      Seq("-Dfile.encoding=UTF-8",
+        "-Dsun.stdout.encoding=UTF-8", "-Dstdout.encoding=UTF-8",
+        "-Dsun.stderr.encoding=UTF-8", "-Dstderr.encoding=UTF-8",
         "-cp", System.getProperty("java.class.path"),
         "graft.FsckMain") ++ args
     val p = new ProcessBuilder(cmd.asJava).redirectErrorStream(true).start()
-    val out = scala.io.Source.fromInputStream(
-      p.getInputStream)(scala.io.Codec.UTF8)
+    // watchdog: a child wedged in session startup or GC thrash must
+    // turn into a RED gate (killed ⇒ surprising exit code), never a
+    // silent smoke hang on the open stdout pipe
+    val killer = new java.util.Timer("fsck-fork-watchdog", true)
+    killer.schedule(new java.util.TimerTask {
+      def run(): Unit = { p.destroyForcibly(); () }
+    }, 180000L)
+    // lenient decode: a stray non-UTF-8 byte in a merged log line must
+    // never crash the harness in place of the gate's own verdict
+    val codec = scala.io.Codec.UTF8
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    val out = scala.io.Source.fromInputStream(p.getInputStream)(codec)
       .getLines().toList // drain fully BEFORE waitFor: avoids pipe deadlock
-    (p.waitFor(), out)
+    val code = p.waitFor()
+    killer.cancel()
+    (code, out)
   }
 
   private def dirBytes(dir: String): Long = {

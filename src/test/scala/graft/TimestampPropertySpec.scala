@@ -117,13 +117,17 @@ class TimestampPropertySpec extends SparkSpec {
         rnd.nextInt(Timestamps.TimestampPatterns.length))
       val s = t.format(java.time.format.DateTimeFormatter.ofPattern(p))
       // truth re-parsed from the formatted string (patterns without a
-      // fraction drop the nanos on the floor, by design)
+      // fraction drop the nanos on the floor, by design); compared as
+      // a WALL string rendered in the UTC session zone, so the check
+      // never depends on the test JVM's default timezone
       val truth = java.time.LocalDateTime.parse(s.replace(' ', 'T'))
-      (s, java.sql.Timestamp.valueOf(truth))
+      (s, truth.format(Fmt6))
     }
     val got = cases.map(_._1).toDF("s")
-      .select(Timestamps.coerceTimestamp(col("s")).as("ts"))
-      .collect().map(_.getTimestamp(0)).toSeq
+      .select(date_format(
+        Timestamps.coerceTimestamp(col("s")),
+        "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"))
+      .collect().map(_.getString(0)).toSeq
     assert(got == cases.map(_._2),
       s"first mismatch: ${cases.lazyZip(got).collectFirst {
         case ((s, w), g) if g != w => s"$s -> $g (want $w)" }}")
