@@ -119,6 +119,40 @@ class OperatorsSpec extends SparkSpec {
     assert(SchemaInfer.infer(spark, Seq.empty[String].toDF("j"), "j").isEmpty)
   }
 
+  test("schema inference is deterministic across row order when the sample cut matters") {
+    // infer()'s scaladoc claims the bounded sample is DETERMINISTIC (a
+    // bare limit takes whichever partitions answer first, so a field
+    // with mixed JSON types could pin different DDL between restarts);
+    // this fires the claim: MORE rows than the sample, a field whose
+    // type differs on the two sides of the sorted cut, and shuffled /
+    // re-partitioned inputs must all infer the SAME schema. With
+    // payload ordering, the 10-row sample is exactly the "a..." rows
+    // (long x); the "b..." rows (string x) sit past the cut.
+    import graft.operators.SchemaInfer
+    import org.apache.spark.sql.types._
+    val rows =
+      (0 until 10).map(i => s"""{"a":"a$i","x":$i}""") ++
+        (0 until 40).map(i => s"""{"a":"b$i","x":"s$i"}""")
+    val expected = StructType(Seq(
+      StructField("a", StringType), StructField("x", LongType)))
+    val rnd = new scala.util.Random(7L)
+    (1 to 4).foreach { trial =>
+      val df = rnd.shuffle(rows).toDF("j")
+        .repartition(1 + rnd.nextInt(5))
+      val got = SchemaInfer.infer(spark, df, "j", sampleSize = 10)
+      assert(got == expected,
+        s"trial $trial: order/partitioning leaked into the inferred DDL: $got")
+    }
+    // and WITH an offset column the cut keys on the stream position:
+    // the first 10 offsets are the string-x rows, so x pins to string
+    val withOff = rnd.shuffle(rows.reverse.zipWithIndex)
+      .map { case (j, i) => (i.toLong, j) }.toDF("offset", "j")
+      .repartition(3)
+    val got = SchemaInfer.infer(spark, withOff, "j", sampleSize = 10)
+    assert(got("x").dataType == StringType,
+      s"offset-ordered sample must window the EARLIEST stream rows: $got")
+  }
+
   test("schema drift flags added/removed/type-changed through real inference") {
     import graft.operators.SchemaInfer
     import graft.operators.SchemaInfer.Drift
