@@ -96,7 +96,12 @@ def main():
         raise SystemExit(__doc__)
     old, new = load(sys.argv[1]), load(sys.argv[2])
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    floor = 0.05  # ignore sub-50ms jitter on tiny queries
+    floor = 0.05  # ignore sub-50ms wall jitter on tiny queries
+    # CPU needs a higher floor: executor CPU time itself wobbles
+    # ~50-100ms run-to-run on small queries (measured: two idle runs of
+    # unchanged code differ by up to 80ms cpu), so a REGRESSION verdict
+    # requires growth a wobble cannot produce
+    cpu_floor = 0.15
     rows = []
     for q, w_new in sorted(new["queries"].items()):
         w_old = old["queries"].get(q)
@@ -108,7 +113,7 @@ def main():
         c_new = new.get("queries_cpu", {}).get(q)
         if c_old is None or c_new is None or c_old < 0 or c_new < 0:
             verdict = "WALL-ONLY"
-        elif c_new > max(ratio * c_old, c_old + floor):
+        elif c_new > max(ratio * c_old, c_old + cpu_floor):
             verdict = "REGRESSION"
         else:
             verdict = "LOAD?"
