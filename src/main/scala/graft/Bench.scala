@@ -44,27 +44,14 @@ object Bench {
     // before it's dismissed.
     // Failed queries report -1 (never a time): a crash must look like
     // a crash in the bench output, not a fast run.
-    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = te.taskMetrics
-          if (m != null) { cpuNs.addAndGet(m.executorCpuTime); () }
-        }
-      })
-    def drainBus(): Unit =
-      org.apache.spark.sql.graftshim.GraftShims
-        .waitListenerBusEmpty(spark.sparkContext)
+    val meter = CpuMeter.attach(spark.sparkContext)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Double) = {
-        drainBus()
-        val c0 = cpuNs.get
+        val c0 = meter.snapshotNs()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
-        drainBus()
-        (wall, (cpuNs.get - c0) / 1e9)
+        (wall, (meter.snapshotNs() - c0) / 1e9)
       }
       val (tMin, tMed, cMin) = try {
         val ts = Seq(once(), once(), once()).sortBy(_._1)
@@ -93,11 +80,17 @@ object Bench {
     // signature that cost r17 AND r18 a judge re-adjudication), with
     // min/median/cpu inline, in one line small enough to always
     // survive the tail cut.
+    // Double.toString after explicit rounding, NOT %f: the
+    // f-interpolator formats with the default locale, and a
+    // comma-decimal locale would make this JSON line unparseable —
+    // losing the one line designed to survive the tail cut.
+    def r3(x: Double): Double = math.round(x * 1000) / 1000.0
     val suspects = results.filter(_._2 > 0)
       .map { case (k, mn, md, cp) => (k, md / math.max(mn, 1e-9), mn, md, cp) }
       .sortBy(-_._2).take(8)
       .map { case (k, r, mn, md, cp) =>
-        f""""$k":{"medOverMin":$r%.1f,"min":$mn%.3f,"med":$md%.3f,"cpu":$cp%.3f}""" }
+        s""""$k":{"medOverMin":${math.round(r * 10) / 10.0},""" +
+          s""""min":${r3(mn)},"med":${r3(md)},"cpu":${r3(cp)}}""" }
     println(s"""{"metric":"load_suspects","note":"median>>min with flat cpu = box load at those reps","top":{${suspects.mkString(",")}},"sf":"$sfDir"}""")
     // Trailing compact totals: without this line a truncated capture
     // loses the headline numbers (VERDICT r14 "What's wrong" #2).

@@ -21,28 +21,15 @@ object RunOne {
     // same triage signal as Bench's queries_cpu: executor task CPU per
     // rep, so a wall spike on a loaded box is tellable apart from a
     // work regression right in the A/B output
-    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = te.taskMetrics
-          if (m != null) { cpuNs.addAndGet(m.executorCpuTime); () }
-        }
-      })
-    def drainBus(): Unit =
-      org.apache.spark.sql.graftshim.GraftShims
-        .waitListenerBusEmpty(spark.sparkContext)
+    val meter = CpuMeter.attach(spark.sparkContext)
     args(0).split(",").foreach { name =>
       (1 to reps).foreach { i =>
-        drainBus()
-        val c0 = cpuNs.get
+        val c0 = meter.snapshotNs()
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(name)(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
-        drainBus()
         println(f"[runone] $name%-28s rep$i $wall%6.2f s  " +
-          f"cpu ${(cpuNs.get - c0) / 1e9}%6.2f s  rows=$n")
+          f"cpu ${(meter.snapshotNs() - c0) / 1e9}%6.2f s  rows=$n")
       }
     }
     spark.stop()

@@ -1190,21 +1190,10 @@ object ScaleSmoke {
     // wall clock on a shared box measures the box (a co-tenant spike
     // once read a clean batch at 2× batch 0 and failed the old
     // seconds-based gate), while CPU nanoseconds measure the work.
-    // Serial batches + a bus drain at each boundary attribute tasks
-    // to their batch.
-    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
-    val cpuListener = new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(
-          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val m = te.taskMetrics
-        if (m != null) { cpuNs.addAndGet(m.executorCpuTime); () }
-      }
-    }
+    // Serial batches + the meter's bus drain at each boundary
+    // attribute tasks to their batch.
+    val meter = CpuMeter.attach(spark.sparkContext)
     val cpuPerBatch = scala.collection.mutable.ArrayBuffer.empty[Double]
-    def drainBus(): Unit =
-      org.apache.spark.sql.graftshim.GraftShims
-        .waitListenerBusEmpty(spark.sparkContext)
-    spark.sparkContext.addSparkListener(cpuListener)
     val q = writer.start()
     try {
       (0 until nBatches).foreach { b =>
@@ -1220,17 +1209,15 @@ object ScaleSmoke {
           else slice.zipWithIndex.map { case (r, _) =>
             Row(r.getLong(0) + (b + 1) * 10000000L, r.getString(1), r.get(2))
           }
-        drainBus()
-        val c0 = cpuNs.get
+        val c0 = meter.snapshotNs()
         t0 = System.nanoTime()
         mem.addData(rows.toIndexedSeq: _*)
         q.processAllAvailable()
-        drainBus()
-        cpuPerBatch += (cpuNs.get - c0) / 1e9
+        cpuPerBatch += (meter.snapshotNs() - c0) / 1e9
       }
     } finally {
       q.stop(); release()
-      spark.sparkContext.removeSparkListener(cpuListener)
+      meter.remove()
     }
 
     val tag = if (sketchHead) "ingest/sketch" else "ingest/exact "
