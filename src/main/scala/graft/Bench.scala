@@ -85,10 +85,19 @@ object Bench {
     // comma-decimal locale would make this JSON line unparseable —
     // losing the one line designed to survive the tail cut.
     def r3(x: Double): Double = math.round(x * 1000) / 1000.0
-    val suspects = results.filter(_._2 > 0)
-      .map { case (k, mn, md, cp) => (k, md / math.max(mn, 1e-9), mn, md, cp) }
+    // Wall floor + seconds ranking (VERDICT r19 nit 2): a sub-0.2s
+    // query's med/min ratio is scheduler noise, and ranking by RATIO
+    // let such a query displace a genuinely loaded heavyweight from
+    // the 8 truncation-surviving slots — so rank by med-min SECONDS
+    // (the wall actually lost to the spike) over queries whose min
+    // clears the floor. Failed queries (min<0) stay excluded here;
+    // their count survives the cut via total_tail's n_failed, which
+    // bench_triage reads in suspects-only mode.
+    val suspectMinWall = 0.2
+    val suspects = results.filter(_._2 >= suspectMinWall)
+      .map { case (k, mn, md, cp) => (k, md - mn, md / math.max(mn, 1e-9), mn, md, cp) }
       .sortBy(-_._2).take(8)
-      .map { case (k, r, mn, md, cp) =>
+      .map { case (k, _, r, mn, md, cp) =>
         s""""$k":{"medOverMin":${math.round(r * 10) / 10.0},""" +
           s""""min":${r3(mn)},"med":${r3(md)},"cpu":${r3(cp)}}""" }
     println(s"""{"metric":"load_suspects","note":"median>>min with flat cpu = box load at those reps","top":{${suspects.mkString(",")}},"sf":"$sfDir"}""")

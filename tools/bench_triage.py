@@ -1,33 +1,61 @@
 #!/usr/bin/env python3
 """Triage two Bench JSON artifacts: real regression vs box load.
 
-Usage: python3 tools/bench_triage.py <old.json|log> <new.json|log> [threshold]
+Usage:
+  python3 tools/bench_triage.py <old.json|log> <new.json|log> [threshold]
+  python3 tools/bench_triage.py <new.json|log>          # vs the idle anchor
+  python3 tools/bench_triage.py --calibrate <a> <b>     # derive the floors
+
+With a single artifact, the OLD side defaults to BENCH_idle_anchor.json
+next to this script's repo root — a full idle-box run committed so a new
+driver artifact classifies against known-good numbers with zero manual
+re-runs.
 
 For each query, compare the min-wall seconds (the headline) and — when
 both artifacts carry it (round 19+) — the executor-CPU seconds for the
 min-wall rep (`queries_cpu`). Classification per query whose wall grew
 past the threshold (default 1.5x + 50 ms):
 
-  REGRESSION  wall up AND cpu up (>=150 ms) -> the work itself grew
-  LOAD?       wall up, cpu flat             -> box load (or a driver-side
+  REGRESSION  wall up AND cpu up (>= 150 ms AND >= 1.2x)
+                                            -> the work itself grew
+  LOAD?       wall up, cpu within wobble    -> box load (or a driver-side
                                                regression: re-run idle
                                                before dismissing)
   WALL-ONLY   wall up, no cpu in an         -> older artifact; judge by
               artifact                         an idle re-run
 
+The CPU criterion is deliberately looser than the wall ratio: executor
+CPU is the load-immune signal, so ANY growth past measured wobble is
+suspicious — it does not need the 1.5x a wall spike needs.
+
 A query that FAILED in the new artifact (sentinel -1) is reported as
 FAILED and counts as a regression — a crash must never read as a clean
-pass here any more than in the bench output itself.
+pass here any more than in the bench output itself. When truncation
+hides per-query identity, the surviving `total_tail` line's `n_failed`
+is checked instead, so a suspects-only artifact of a crashed run still
+exits 1.
 
-Inputs: bench stdout (raw or sbt-prefixed "[info] {...}" lines), or a
-driver artifact {"tail": "<truncated stdout>"}. A truncated tail cannot
-carry the full 112-entry maps; when only the compact `load_suspects`
-line survives, the tool triages THOSE queries against the other (full)
-artifact and says the coverage is partial.
+Inputs: bench stdout (raw or sbt-prefixed "[info] {...}" lines), a
+driver artifact {"tail": "<truncated stdout>"}, or a raw truncated log.
+Salvage order per artifact: the full "total" line; intact labeled maps;
+the intact SUFFIX of a torn map (the driver's ~2k tail usually starts
+mid-map — the first broken entry is dropped and the rest recovered,
+with the map identified by what follows its closing brace); finally the
+compact `load_suspects` line. Torn/suspects coverage is reported as
+PARTIAL.
+
+Floor calibration recipe (re-derive when the box changes): run the same
+code twice on an idle box (`sbt -batch "runMain graft.Bench" | tee
+runN.json`), then `--calibrate run1.json run2.json` prints the max
+per-query wall and cpu deltas; set the floors to ~2x those. Current
+floors: wall 50 ms, cpu 150 ms (two idle runs on this box differed by
+up to ~80 ms cpu per query — commit ca0ed38).
 
 Exit codes: 0 clean / 1 regression or new failure / 2 unusable input.
 """
 import json
+import os
+import re
 import sys
 
 
@@ -44,72 +72,177 @@ def _lines(txt):
             continue
 
 
+def _torn_suffix(txt, has_total_cpu):
+    """Recover the intact suffix of a torn flat map.
+
+    A truncated capture usually begins mid-way through one of the big
+    line's three flat {"q_x":1.23,...} maps, its label lost to the cut.
+    Drop everything up to the first comma (the torn entry), parse the
+    rest up to the map's closing brace, and identify WHICH map from
+    what follows that brace:
+      ,"total_median" -> queries (min)   ,"total_cpu" -> queries_median
+      ,"sf" -> the line's last map: queries_cpu when the artifact's
+               total_tail carries total_cpu (round 19+), else
+               queries_median.
+    Returns (name, dict) or None.
+    """
+    first = txt.splitlines()[0] if txt else ""
+    cut = first.find(",")
+    end = first.find("}")
+    if cut < 0 or end <= cut:
+        return None
+    try:
+        m = json.loads("{" + first[cut + 1:end + 1])
+    except json.JSONDecodeError:
+        return None
+    if not m or not all(isinstance(v, (int, float)) for v in m.values()):
+        return None
+    after = first[end + 1:]
+    if after.startswith(',"total_median"'):
+        return "queries", m
+    if after.startswith(',"total_cpu"'):
+        return "queries_median", m
+    if after.startswith(',"sf"'):
+        return ("queries_cpu" if has_total_cpu else "queries_median"), m
+    return None
+
+
+def _salvage(txt, path):
+    """Best-effort result from truncated bench stdout (raw or a tail)."""
+    suspects, tail_totals = None, None
+    for e in _lines(txt):
+        if e.get("metric") == "total" and "queries" in e:
+            e.setdefault("partial", False)
+            return e
+        if e.get("metric") == "load_suspects":
+            suspects = e.get("top", {})
+        if e.get("metric") == "total_tail":
+            tail_totals = e
+    maps = {}
+    # intact labeled maps (sub-~3k tails cut them all; bigger captures
+    # may keep the later ones)
+    for key in ("queries", "queries_median", "queries_cpu"):
+        i = txt.find(f'"{key}":{{')
+        j = txt.find("}", i) if i >= 0 else -1
+        if j >= 0:
+            try:
+                maps[key] = json.loads(txt[i + len(key) + 3 : j + 1])
+            except json.JSONDecodeError:
+                pass  # the map itself was cut at the end
+    torn = _torn_suffix(txt,
+                        bool(tail_totals and "total_cpu" in tail_totals))
+    partial_wall = False
+    if torn and torn[0] not in maps:
+        name, m = torn
+        print(f"note: {path}: recovered the intact suffix of a torn "
+              f"{name} map ({len(m)} entries)", file=sys.stderr)
+        maps[name] = m
+        partial_wall = name != "queries_cpu"
+    wall = maps.get("queries") or maps.get("queries_median")
+    n_failed = tail_totals.get("n_failed") if tail_totals else None
+    if wall:
+        if "queries" not in maps:
+            print(f"note: {path}: no intact min map; using the MEDIAN "
+                  "as wall", file=sys.stderr)
+        cpu = dict(maps.get("queries_cpu", {}))
+        for q, v in (suspects or {}).items():
+            cpu.setdefault(q, v["cpu"])
+        n_q = tail_totals.get("n_queries") if tail_totals else None
+        return {"queries": wall, "queries_cpu": cpu,
+                "partial": partial_wall or (n_q is not None
+                                            and len(wall) < n_q),
+                "n_failed": n_failed}
+    if suspects:
+        print(f"note: {path}: only the load_suspects line survives — "
+              f"triaging those {len(suspects)} queries only",
+              file=sys.stderr)
+        return {"queries": {q: v["min"] for q, v in suspects.items()},
+                "queries_cpu": {q: v["cpu"] for q, v in suspects.items()},
+                "partial": True, "n_failed": n_failed}
+    return None
+
+
 def load(path):
-    """Return {"queries": {...}, "queries_cpu": {...}, "partial": bool}."""
+    """Return {"queries": {...}, "queries_cpu": {...}, "partial": bool,
+    "n_failed": int|None}."""
     with open(path) as f:
         txt = f.read()
-    for d in _lines(txt):
-        if d.get("metric") == "total" and "queries" in d:
-            d["partial"] = False
-            return d
-    # driver artifact shape: {"tail": "<truncated bench stdout>"}
-    try:
-        d = json.loads(txt)
-    except json.JSONDecodeError:
-        d = None
-    if d is not None and isinstance(d.get("tail"), str):
-        t = d["tail"]
-        suspects = None
-        for e in _lines(t):
-            if e.get("metric") == "total" and "queries" in e:
-                e["partial"] = False
-                return e
-            if e.get("metric") == "load_suspects":
-                suspects = e.get("top", {})
-        # salvage any labeled map that survived whole (sub-~3k tails cut
-        # them all; bigger captures may keep the later ones)
-        maps = {}
-        for key in ("queries", "queries_median", "queries_cpu"):
-            i = t.find(f'"{key}":{{')
-            j = t.find("}", i) if i >= 0 else -1
-            if j >= 0:
-                try:
-                    maps[key] = json.loads(t[i + len(key) + 3 : j + 1])
-                except json.JSONDecodeError:
-                    pass  # the map itself was cut
-        wall = maps.get("queries") or maps.get("queries_median")
-        if wall:
-            if "queries" not in maps:
-                print(f"note: {path}: no intact min map; using the "
-                      "MEDIAN as wall", file=sys.stderr)
-            return {"queries": wall,
-                    "queries_cpu": maps.get("queries_cpu", {}),
-                    "partial": False}
-        if suspects:
-            print(f"note: {path}: tail keeps only the load_suspects "
-                  f"line — triaging those {len(suspects)} queries only",
-                  file=sys.stderr)
-            return {"queries": {q: v["min"] for q, v in suspects.items()},
-                    "queries_cpu":
-                        {q: v["cpu"] for q, v in suspects.items()},
-                    "partial": True}
-    print(f"{path}: no bench 'total' line, intact map, or load_suspects "
-          "line", file=sys.stderr)
-    sys.exit(2)
+    d = _salvage(txt, path)
+    if d is None:
+        # driver artifact shape: {"tail": "<truncated bench stdout>"}
+        try:
+            wrapper = json.loads(txt)
+        except json.JSONDecodeError:
+            wrapper = None
+        if wrapper is not None and isinstance(wrapper.get("tail"), str):
+            d = _salvage(wrapper["tail"], path)
+    if d is None:
+        print(f"{path}: no bench 'total' line, intact or torn map, or "
+              "load_suspects line", file=sys.stderr)
+        sys.exit(2)
+    d.setdefault("n_failed", None)
+    return d
+
+
+def calibrate(a_path, b_path):
+    """Two idle same-code runs -> the wobble the floors must absorb."""
+    a, b = load(a_path), load(b_path)
+    deltas = []
+    for q, w in b["queries"].items():
+        wo = a["queries"].get(q)
+        if wo is None or wo < 0 or w < 0:
+            continue
+        co = a.get("queries_cpu", {}).get(q)
+        cn = b.get("queries_cpu", {}).get(q)
+        dc = abs(cn - co) if co is not None and cn is not None \
+            and co >= 0 and cn >= 0 else None
+        deltas.append((abs(w - wo), dc, q))
+    if not deltas:
+        print("no overlapping queries", file=sys.stderr)
+        return 2
+    mw = max(deltas)
+    print(f"{len(deltas)} queries; max wall delta {mw[0]*1000:.0f} ms "
+          f"({mw[2]})")
+    cpus = [(dc, q) for _, dc, q in deltas if dc is not None]
+    if cpus:
+        mc = max(cpus)
+        print(f"max cpu delta {mc[0]*1000:.0f} ms ({mc[1]}); suggested "
+              f"cpu_floor ~{max(0.05, 2 * mc[0]):.2f} s (2x wobble)")
+    else:
+        print("no cpu data in one of the runs")
+    return 0
 
 
 def main():
-    if len(sys.argv) < 3:
+    argv = sys.argv[1:]
+    if argv and argv[0] == "--calibrate":
+        if len(argv) != 3:
+            print(__doc__, file=sys.stderr)
+            return 2
+        return calibrate(argv[1], argv[2])
+    if not argv:
         print(__doc__, file=sys.stderr)
         return 2
-    old, new = load(sys.argv[1]), load(sys.argv[2])
-    ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    if len(argv) == 1:
+        anchor = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "..", "BENCH_idle_anchor.json")
+        if not os.path.exists(anchor):
+            print(f"single-artifact mode needs {anchor}", file=sys.stderr)
+            return 2
+        print(f"note: comparing against the idle anchor {anchor}",
+              file=sys.stderr)
+        argv = [anchor] + argv
+    old, new = load(argv[0]), load(argv[1])
+    ratio = float(argv[2]) if len(argv) > 2 else 1.5
     floor = 0.05  # ignore sub-50ms wall jitter on tiny queries
-    # CPU needs a higher floor: executor CPU time itself wobbles
-    # ~50-100ms run-to-run on small queries (measured: two idle runs of
-    # unchanged code differ by up to 80ms cpu), so a REGRESSION verdict
-    # requires growth a wobble cannot produce
-    cpu_floor = 0.15
+    # CPU floors: executor CPU time itself wobbles ~50-100ms run-to-run
+    # on small queries (measured: two idle runs of unchanged code differ
+    # by up to 80ms cpu — recipe in the header), so a REGRESSION verdict
+    # requires growth a wobble cannot produce: >= 150 ms AND >= 1.2x.
+    # The 1.2x is deliberately below the wall ratio — cpu is the
+    # load-immune signal, so moderate real growth must not hide behind
+    # the wall spike's own 1.5x bar (ADVICE r19).
+    cpu_floor, cpu_ratio = 0.15, 1.2
     partial = old.get("partial") or new.get("partial")
     rows, failed_new = [], []
     for q, w_new in sorted(new["queries"].items()):
@@ -129,7 +262,7 @@ def main():
         c_new = new.get("queries_cpu", {}).get(q)
         if c_old is None or c_new is None or c_old < 0 or c_new < 0:
             verdict = "WALL-ONLY"
-        elif c_new > max(ratio * c_old, c_old + cpu_floor):
+        elif c_new > max(cpu_ratio * c_old, c_old + cpu_floor):
             verdict = "REGRESSION"
         else:
             verdict = "LOAD?"
@@ -138,9 +271,19 @@ def main():
     rows.sort(reverse=True)
     n_both = len(set(new["queries"]) & set(old["queries"]))
     scope = (f"{n_both} compared queries"
-             + (" (PARTIAL — suspects-only artifact)" if partial else ""))
+             + (" (PARTIAL — truncated artifact)" if partial else ""))
     for q in failed_new:
         print(f"FAILED in new artifact: {q}")
+    # truncation can hide WHICH query failed but total_tail survives:
+    # a crashed run must never triage clean just because its per-query
+    # rows were cut (ADVICE r19)
+    hidden_failures = 0
+    if new.get("partial") and (new.get("n_failed") or 0) > len(failed_new):
+        hidden_failures = new["n_failed"] - len(failed_new)
+        print(f"FAILED: new artifact's total_tail reports "
+              f"n_failed={new['n_failed']} but the surviving per-query "
+              "rows identify only "
+              f"{len(failed_new)} — a crash is hidden by truncation")
     if rows:
         print(f"{'query':34} {'wall old':>9} {'wall new':>9} "
               f"{'cpu old':>8} {'cpu new':>8}  verdict")
@@ -151,14 +294,24 @@ def main():
                   f"{v}  ({r:.1f}x)")
     n = {v: sum(1 for r in rows if r[-1] == v)
          for v in ("REGRESSION", "LOAD?", "WALL-ONLY")}
-    if not rows and not failed_new:
+    if not rows and not failed_new and not hidden_failures:
         print(f"ok: no query grew past {ratio}x over {scope}")
         return 0
     print(f"\n{len(rows)} grew past {ratio}x over {scope}: "
-          f"{n['REGRESSION']} REGRESSION (cpu grew), {n['LOAD?']} LOAD? "
-          f"(cpu flat), {n['WALL-ONLY']} wall-only (no cpu data); "
-          f"{len(failed_new)} failed in new.")
-    return 1 if n["REGRESSION"] or failed_new else 0
+          f"{n['REGRESSION']} REGRESSION (cpu grew >=150ms & >=1.2x), "
+          f"{n['LOAD?']} LOAD? (cpu within wobble), "
+          f"{n['WALL-ONLY']} wall-only (no cpu data); "
+          f"{len(failed_new) + hidden_failures} failed in new.")
+    if n["REGRESSION"] and n["LOAD?"] >= 2:
+        # heavy box contention inflates executor CPU too (cache thrash:
+        # the r19 driver artifact read 1.76s cpu on a query whose idle
+        # cpu is 0.10s) — when the same artifact also carries multiple
+        # LOAD? rows, its REGRESSION rows deserve an idle confirmation
+        print("caution: the new artifact looks loaded "
+              f"({n['LOAD?']} LOAD? rows) — contention inflates cpu as "
+              "well; confirm each REGRESSION with an idle "
+              "`runMain graft.RunOne <q>,... <sfDir> 3` before acting")
+    return 1 if n["REGRESSION"] or failed_new or hidden_failures else 0
 
 
 if __name__ == "__main__":
