@@ -155,6 +155,63 @@ object ScaleSmoke {
       println(f"[scale] $name%-24s ${sec}%8.2f s  rows=$n")
     }
 
+    // ---- 50%-hot LWW batch: the exchange's WRITE-side gate ----------
+    // VERDICT r19 #5: ONE key receives half a 2M-event batch — the
+    // "millions of updates to one key" shape AQE cannot split (a
+    // window exchange's partitions are per-key total). The skew
+    // protection IS lastWriteWins' partial WindowGroupLimit, which
+    // collapses each key to one row per map partition BEFORE the
+    // (table, key) exchange. Three sibling pins, three angles: the
+    // 90%-one-key block below gates the READ side (per-reduce-task
+    // arrival stays flat), PlanQualitySpec gates plan shape + records
+    // at spec scale; this one gates the exchange's RUNTIME
+    // shuffleRecordsWritten at a SHARP bound — with only 501 keys,
+    // ≤ #keys × (#mapParts + 1) records may shuffle for 2M inputs, so
+    // a partial-limit regression (or a refactor to a non-collapsing
+    // window) overshoots by ~120× and trips loudly. Load-immune:
+    // record counts, never seconds.
+    {
+      import graft.operators.CdcOps
+      val n = 2000000L
+      val batch = spark.range(n).select(
+        lit("T").as("tbl"),
+        // even ids -> the one hot key (50%); odd ids -> id % 1000
+        // (parity-preserving: 500 distinct cold keys)
+        when(col("id") % 2 === 0, lit(-1L))
+          .otherwise(col("id") % 1000L).as("k"),
+        col("id").as("offset"))
+      val collapsed = CdcOps.lastWriteWins(batch, "tbl", Seq("k"), "offset")
+      val t0 = System.nanoTime()
+      // collect (501 rows), NOT count: the metrics below must come from
+      // THIS QueryExecution — count() plans a separate aggregate query
+      val out = collapsed.collect().length
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(out == 501, s"50%-hot LWW fixture: $out keys, expected 501")
+      val executed = collapsed.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      def flatten(q: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] =
+        (q +: q.children.flatMap(flatten)) ++ (q match {
+          case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            flatten(st.plan)
+          case _ => Seq.empty
+        })
+      val written = flatten(executed).collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
+      }.max
+      val mapParts = batch.rdd.getNumPartitions
+      println(f"[scale] lww 50%%-hot batch       ${sec}%8.2f s  rows=$out " +
+        s"shuffled=$written of n=$n ($mapParts map partitions)")
+      require(written > 0 && written <= 501L * (mapParts + 1),
+        s"hot key must collapse map-side: $written records shuffled for " +
+          s"501 keys over $mapParts map partitions (a dropped partial " +
+          s"limit would shuffle ~$n)")
+    }
+
     // ---- bucketed zero-exchange apply at 10x ------------------------
     // the flagship's steady state: snapshot and LWW'd change-set both
     // bucketed by PK, the apply plans no exchange on either side
@@ -1530,11 +1587,18 @@ object ScaleSmoke {
     val p = new ProcessBuilder(cmd.asJava).redirectErrorStream(true).start()
     // watchdog: a child wedged in session startup or GC thrash must
     // turn into a RED gate (killed ⇒ surprising exit code), never a
-    // silent smoke hang on the open stdout pipe
+    // silent smoke hang on the open stdout pipe. Sized to be
+    // unreachable under mere box load (ADVICE r19: two concurrent
+    // local[32] JVMs can stretch a healthy child's startup well past
+    // a tight bound — a wall-time kill must stay a HANG guard, not a
+    // perf gate), and a fired kill is announced so it is never
+    // mistaken for a real exit-code failure.
+    val watchdogMs = 600000L
+    val killed = new java.util.concurrent.atomic.AtomicBoolean(false)
     val killer = new java.util.Timer("fsck-fork-watchdog", true)
     killer.schedule(new java.util.TimerTask {
-      def run(): Unit = { p.destroyForcibly(); () }
-    }, 180000L)
+      def run(): Unit = { killed.set(true); p.destroyForcibly(); () }
+    }, watchdogMs)
     // lenient decode: a stray non-UTF-8 byte in a merged log line must
     // never crash the harness in place of the gate's own verdict
     val codec = scala.io.Codec.UTF8
@@ -1544,6 +1608,9 @@ object ScaleSmoke {
       .getLines().toList // drain fully BEFORE waitFor: avoids pipe deadlock
     val code = p.waitFor()
     killer.cancel()
+    if (killed.get)
+      println(s"[scale] fsck fork WATCHDOG KILLED after ${watchdogMs / 1000}s" +
+        s" — exit code $code is the kill, not the CLI's verdict")
     (code, out)
   }
 
