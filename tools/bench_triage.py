@@ -5,6 +5,7 @@ Usage:
   python3 tools/bench_triage.py <old.json|log> <new.json|log> [threshold]
   python3 tools/bench_triage.py <new.json|log>          # vs the idle anchor
   python3 tools/bench_triage.py --calibrate <a> <b>     # derive the floors
+  python3 tools/bench_triage.py --selftest              # pin the tool itself
 
 With a single artifact, the OLD side defaults to BENCH_idle_anchor.json
 next to this script's repo root — a full idle-box run committed so a new
@@ -200,12 +201,14 @@ def calibrate(a_path, b_path):
     if not deltas:
         print("no overlapping queries", file=sys.stderr)
         return 2
-    mw = max(deltas)
+    # key on the delta alone: a tie must not fall through to comparing
+    # a float cpu-delta against a None from a cpu-less artifact
+    mw = max(deltas, key=lambda t: t[0])
     print(f"{len(deltas)} queries; max wall delta {mw[0]*1000:.0f} ms "
           f"({mw[2]})")
     cpus = [(dc, q) for _, dc, q in deltas if dc is not None]
     if cpus:
-        mc = max(cpus)
+        mc = max(cpus, key=lambda t: t[0])
         print(f"max cpu delta {mc[0]*1000:.0f} ms ({mc[1]}); suggested "
               f"cpu_floor ~{max(0.05, 2 * mc[0]):.2f} s (2x wobble)")
     else:
@@ -213,8 +216,110 @@ def calibrate(a_path, b_path):
     return 0
 
 
+def selftest():
+    """Pin the tool's own behavior over synthetic artifacts: the
+    classification matrix, torn-tail salvage, suspects-only hidden
+    failures, and raw-log salvage. Exit 0 iff every case matches."""
+    import subprocess
+    import tempfile
+    me = os.path.abspath(__file__)
+    tmp = tempfile.mkdtemp(prefix="triage_selftest_")
+
+    def write(name, txt):
+        p = os.path.join(tmp, name)
+        with open(p, "w") as f:
+            f.write(txt)
+        return p
+
+    def bench_line(wall, cpu, n_failed=0):
+        qs, cs = json.dumps(wall), json.dumps(cpu)
+        med = json.dumps({k: (v * 1.1 if v >= 0 else v)
+                          for k, v in wall.items()})
+        return (f'{{"metric":"total","value":1,"unit":"sec",'
+                f'"queries":{qs},"total_median":1,"queries_median":{med},'
+                f'"total_cpu":1,"queries_cpu":{cs},"sf":"x"}}\n'
+                f'{{"metric":"total_tail","value":1,"unit":"sec",'
+                f'"total_median":1,"total_cpu":1,'
+                f'"n_queries":{len(wall)},"n_failed":{n_failed},'
+                f'"sf":"x"}}\n')
+
+    def run(args):
+        r = subprocess.run([sys.executable, me] + args,
+                           capture_output=True, text=True)
+        return r.returncode, r.stdout
+
+    fails = []
+
+    def check(label, cond, detail=""):
+        if not cond:
+            fails.append(f"{label}: {detail}")
+
+    old = write("old.json", bench_line(
+        {"q_a": 1.0, "q_b": 1.0, "q_c": 0.5, "q_d": 1.0},
+        {"q_a": 0.8, "q_b": 0.8, "q_c": 0.4, "q_d": 0.8}))
+    # q_a wall+cpu up -> REGRESSION; q_b cpu flat, q_c cpu under floor
+    # -> LOAD?; q_d crashed -> FAILED
+    new = write("new.json", bench_line(
+        {"q_a": 2.0, "q_b": 2.0, "q_c": 1.0, "q_d": -1.0},
+        {"q_a": 1.6, "q_b": 0.82, "q_c": 0.45, "q_d": -1.0}, n_failed=1))
+    rc, out = run([old, new])
+    check("matrix exit", rc == 1, f"rc={rc}")
+    for want in ("q_a", "REGRESSION", "q_b", "LOAD?",
+                 "FAILED in new artifact: q_d"):
+        check("matrix output", want in out, f"missing {want!r}")
+    check("matrix counts", "1 REGRESSION" in out and "2 LOAD?" in out, out)
+
+    rc, out = run([old, old])
+    check("self-compare clean", rc == 0 and out.startswith("ok:"),
+          f"rc={rc} out={out!r}")
+
+    # torn tail: cut the big line mid-way through the min map, keep the
+    # total_tail line whole — salvage must recover the suffix entries
+    full = bench_line({"q_a": 1.0, "q_b": 2.0, "q_c": 3.0},
+                      {"q_a": 0.1, "q_b": 0.2, "q_c": 0.3})
+    big, tail_line = full.splitlines()
+    cut = big.find('"q_b"') + 8  # mid-entry, label lost
+    torn = write("torn.json",
+                 json.dumps({"tail": big[cut:] + "\n" + tail_line}))
+    rc, out = run([torn, new])
+    check("torn old salvages", rc in (0, 1), f"rc={rc}")
+    rc, out = run([old, torn])
+    check("torn new salvages", rc == 0, f"rc={rc} out={out!r}")
+
+    # suspects-only artifact whose run crashed a query: the surviving
+    # n_failed must force exit 1 even with zero per-query evidence
+    suspects = ('{"metric":"load_suspects","note":"x","top":{'
+                '"q_a":{"medOverMin":1.5,"min":1.0,"med":1.5,"cpu":0.8}'
+                '},"sf":"x"}')
+    tail2 = ('{"metric":"total_tail","value":1,"unit":"sec",'
+             '"total_median":1,"total_cpu":1,"n_queries":3,'
+             '"n_failed":1,"sf":"x"}')
+    crashed = write("crashed.json",
+                    json.dumps({"tail": suspects + "\n" + tail2}))
+    rc, out = run([old, crashed])
+    check("hidden failure", rc == 1 and "hidden by truncation" in out,
+          f"rc={rc} out={out!r}")
+
+    # raw truncated log (no driver wrapper): same salvage must apply
+    raw = write("raw.log", big[cut:] + "\n" + tail_line)
+    rc, out = run([old, raw])
+    check("raw-log salvage", rc == 0, f"rc={rc} out={out!r}")
+
+    rc, out = run(["--calibrate", old, old])
+    check("calibrate", rc == 0 and "max cpu delta 0 ms" in out,
+          f"rc={rc} out={out!r}")
+
+    for f in fails:
+        print(f"SELFTEST FAIL {f}")
+    print(f"selftest: {'FAIL' if fails else 'ok'} "
+          f"({7 - len(fails)}/7 cases)")
+    return 1 if fails else 0
+
+
 def main():
     argv = sys.argv[1:]
+    if argv and argv[0] == "--selftest":
+        return selftest()
     if argv and argv[0] == "--calibrate":
         if len(argv) != 3:
             print(__doc__, file=sys.stderr)
