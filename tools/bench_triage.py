@@ -17,7 +17,7 @@ both artifacts carry it (round 19+) — the executor-CPU seconds for the
 min-wall rep (`queries_cpu`). Classification per query whose wall grew
 past the threshold (default 1.5x + 50 ms):
 
-  REGRESSION  wall up AND cpu up (>= 150 ms AND >= 1.2x)
+  REGRESSION  wall up AND cpu up (>= 250 ms AND >= 1.2x)
                                             -> the work itself grew
   LOAD?       wall up, cpu within wobble    -> box load (or a driver-side
                                                regression: re-run idle
@@ -49,8 +49,9 @@ Floor calibration recipe (re-derive when the box changes): run the same
 code twice on an idle box (`sbt -batch "runMain graft.Bench" | tee
 runN.json`), then `--calibrate run1.json run2.json` prints the max
 per-query wall and cpu deltas; set the floors to ~2x those. Current
-floors: wall 50 ms, cpu 150 ms (two idle runs on this box differed by
-up to ~80 ms cpu per query — commit ca0ed38).
+floors: wall 50 ms, cpu 250 ms (the r20 anchor pair measured up to
++122 ms cpu growth per query between two idle same-code runs, so the
+floor is 2x that; the earlier 150 ms floor came from an 80 ms pair).
 
 Exit codes: 0 clean / 1 regression or new failure / 2 unusable input.
 """
@@ -186,7 +187,15 @@ def load(path):
 
 
 def calibrate(a_path, b_path):
-    """Two idle same-code runs -> the wobble the floors must absorb."""
+    """Two idle same-code runs -> the wobble the floors must absorb.
+
+    The suggestion keys on cpu GROWTH only (b over a): shrinkage is
+    harmless to a floor that exists to keep wobble from reading as a
+    REGRESSION, and min-wall rep selection makes large negative deltas
+    common (the older run's min rep can catch a GC-heavy rep). Both
+    directions are printed; run it both ways if the run order is
+    arbitrary.
+    """
     a, b = load(a_path), load(b_path)
     deltas = []
     for q, w in b["queries"].items():
@@ -195,7 +204,7 @@ def calibrate(a_path, b_path):
             continue
         co = a.get("queries_cpu", {}).get(q)
         cn = b.get("queries_cpu", {}).get(q)
-        dc = abs(cn - co) if co is not None and cn is not None \
+        dc = cn - co if co is not None and cn is not None \
             and co >= 0 and cn >= 0 else None
         deltas.append((abs(w - wo), dc, q))
     if not deltas:
@@ -208,9 +217,13 @@ def calibrate(a_path, b_path):
           f"({mw[2]})")
     cpus = [(dc, q) for _, dc, q in deltas if dc is not None]
     if cpus:
-        mc = max(cpus, key=lambda t: t[0])
-        print(f"max cpu delta {mc[0]*1000:.0f} ms ({mc[1]}); suggested "
-              f"cpu_floor ~{max(0.05, 2 * mc[0]):.2f} s (2x wobble)")
+        mg = max(cpus, key=lambda t: t[0])
+        ms = min(cpus, key=lambda t: t[0])
+        grow = max(0.0, mg[0])
+        print(f"max cpu growth {grow*1000:+.0f} ms ({mg[1]}), max "
+              f"shrink {min(0.0, ms[0])*1000:+.0f} ms ({ms[1]}); "
+              f"suggested cpu_floor ~{max(0.05, 2 * grow):.2f} s "
+              "(2x max growth)")
     else:
         print("no cpu data in one of the runs")
     return 0
@@ -306,7 +319,7 @@ def selftest():
     check("raw-log salvage", rc == 0, f"rc={rc} out={out!r}")
 
     rc, out = run(["--calibrate", old, old])
-    check("calibrate", rc == 0 and "max cpu delta 0 ms" in out,
+    check("calibrate", rc == 0 and "max cpu growth +0 ms" in out,
           f"rc={rc} out={out!r}")
 
     for f in fails:
@@ -343,11 +356,11 @@ def main():
     # CPU floors: executor CPU time itself wobbles ~50-100ms run-to-run
     # on small queries (measured: two idle runs of unchanged code differ
     # by up to 80ms cpu — recipe in the header), so a REGRESSION verdict
-    # requires growth a wobble cannot produce: >= 150 ms AND >= 1.2x.
+    # requires growth a wobble cannot produce: >= 250 ms AND >= 1.2x
     # The 1.2x is deliberately below the wall ratio — cpu is the
     # load-immune signal, so moderate real growth must not hide behind
     # the wall spike's own 1.5x bar (ADVICE r19).
-    cpu_floor, cpu_ratio = 0.15, 1.2
+    cpu_floor, cpu_ratio = 0.25, 1.2
     partial = old.get("partial") or new.get("partial")
     rows, failed_new = [], []
     for q, w_new in sorted(new["queries"].items()):
@@ -403,7 +416,7 @@ def main():
         print(f"ok: no query grew past {ratio}x over {scope}")
         return 0
     print(f"\n{len(rows)} grew past {ratio}x over {scope}: "
-          f"{n['REGRESSION']} REGRESSION (cpu grew >=150ms & >=1.2x), "
+          f"{n['REGRESSION']} REGRESSION (cpu grew >=250ms & >=1.2x), "
           f"{n['LOAD?']} LOAD? (cpu within wobble), "
           f"{n['WALL-ONLY']} wall-only (no cpu data); "
           f"{len(failed_new) + hidden_failures} failed in new.")
