@@ -72,18 +72,8 @@ class BandedSkewSpec extends SparkSpec {
     "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB")
 
   /** Final adaptive plan, flattened through query-stage leaves. */
-  private def finalPlan(df: DataFrame): Seq[SparkPlan] = {
-    val executed = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    def flatten(q: SparkPlan): Seq[SparkPlan] =
-      (q +: q.children.flatMap(flatten)) ++ (q match {
-        case st: QueryStageExec => flatten(st.plan)
-        case _ => Seq.empty
-      })
-    flatten(executed)
-  }
+  private def finalPlan(df: DataFrame): Seq[SparkPlan] =
+    PlanInspect.executedNodes(df)
 
   /** The two skew assertions over an already-collected frame. */
   private def assertSkewSplit(df: DataFrame, what: String): Unit = {

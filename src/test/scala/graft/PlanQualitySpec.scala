@@ -114,24 +114,7 @@ class PlanQualitySpec extends SparkSpec {
     val uniques = n / 10 // ids with id % 10 == 9
     assert(rows.length == uniques + 1,
       s"fixture: ${rows.length} keys, expected ${uniques + 1}")
-    val executed = collapsed.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case q => q
-    }
-    // under AQE the executed tree nests inside QueryStageExec leaves
-    // (ResultQueryStageExec wrapping the whole result stage,
-    // ShuffleQueryStageExec wrapping each materialized exchange) —
-    // flatten through their `plan` to reach the exchanges
-    def flatten(q: SparkPlan): Seq[SparkPlan] =
-      (q +: q.children.flatMap(flatten)) ++ (q match {
-        case st: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          flatten(st.plan)
-        case _ => Seq.empty
-      })
-    val written = flatten(executed).collect {
-      case e: ShuffleExchangeLike =>
-        e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L)
-    }.max
+    val written = PlanInspect.maxShuffleRecordsWritten(collapsed)
     val mapParts = skewed.rdd.getNumPartitions
     assert(written <= uniques + 2L * mapParts && written > 0,
       s"the hot key must collapse map-side: $written records shuffled " +

@@ -74,7 +74,7 @@ def _lines(txt):
             continue
 
 
-def _torn_suffix(txt, has_total_cpu):
+def _torn_suffix(txt, tail_totals):
     """Recover the intact suffix of a torn flat map.
 
     A truncated capture usually begins mid-way through one of the big
@@ -83,9 +83,12 @@ def _torn_suffix(txt, has_total_cpu):
     rest up to the map's closing brace, and identify WHICH map from
     what follows that brace:
       ,"total_median" -> queries (min)   ,"total_cpu" -> queries_median
-      ,"sf" -> the line's last map: queries_cpu when the artifact's
-               total_tail carries total_cpu (round 19+), else
-               queries_median.
+      ,"sf" -> the line's last map, disambiguated by the surviving
+               total_tail line: queries_cpu when it carries total_cpu
+               (round 19+), queries_median when it doesn't (round
+               14-18). With NO total_tail to consult the map is
+               REFUSED — guessing wrong would compare cpu seconds as
+               wall seconds and triage a regressed run clean.
     Returns (name, dict) or None.
     """
     first = txt.splitlines()[0] if txt else ""
@@ -104,8 +107,9 @@ def _torn_suffix(txt, has_total_cpu):
         return "queries", m
     if after.startswith(',"total_cpu"'):
         return "queries_median", m
-    if after.startswith(',"sf"'):
-        return ("queries_cpu" if has_total_cpu else "queries_median"), m
+    if after.startswith(',"sf"') and tail_totals is not None:
+        return ("queries_cpu" if "total_cpu" in tail_totals
+                else "queries_median"), m
     return None
 
 
@@ -131,8 +135,7 @@ def _salvage(txt, path):
                 maps[key] = json.loads(txt[i + len(key) + 3 : j + 1])
             except json.JSONDecodeError:
                 pass  # the map itself was cut at the end
-    torn = _torn_suffix(txt,
-                        bool(tail_totals and "total_cpu" in tail_totals))
+    torn = _torn_suffix(txt, tail_totals)
     partial_wall = False
     if torn and torn[0] not in maps:
         name, m = torn
@@ -262,8 +265,10 @@ def selftest():
         return r.returncode, r.stdout
 
     fails = []
+    n_checks = [0]
 
     def check(label, cond, detail=""):
+        n_checks[0] += 1
         if not cond:
             fails.append(f"{label}: {detail}")
 
@@ -322,10 +327,21 @@ def selftest():
     check("calibrate", rc == 0 and "max cpu growth +0 ms" in out,
           f"rc={rc} out={out!r}")
 
+    # a crash in a query the OLD artifact lacks (new query vs a stale
+    # anchor, or a torn old map) must still exit 1, never skip clean
+    small_old = write("small_old.json",
+                      bench_line({"q_a": 1.0}, {"q_a": 0.8}))
+    crashed_new = write("crashed_new.json", bench_line(
+        {"q_a": 1.0, "q_z": -1.0}, {"q_a": 0.8, "q_z": -1.0}, n_failed=1))
+    rc, out = run([small_old, crashed_new])
+    check("crash absent from old",
+          rc == 1 and "FAILED in new artifact: q_z" in out,
+          f"rc={rc} out={out!r}")
+
     for f in fails:
         print(f"SELFTEST FAIL {f}")
     print(f"selftest: {'FAIL' if fails else 'ok'} "
-          f"({7 - len(fails)}/7 cases)")
+          f"({n_checks[0] - len(fails)}/{n_checks[0]} checks)")
     return 1 if fails else 0
 
 
@@ -341,7 +357,17 @@ def main():
     if not argv:
         print(__doc__, file=sys.stderr)
         return 2
-    if len(argv) == 1:
+
+    def _is_float(s):
+        try:
+            float(s)
+            return True
+        except ValueError:
+            return False
+
+    # single-artifact mode, with or without a trailing [threshold]: a
+    # bare number in position 2 is the threshold habit, not a path
+    if len(argv) == 1 or (len(argv) == 2 and _is_float(argv[1])):
         anchor = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "..", "BENCH_idle_anchor.json")
         if not os.path.exists(anchor):
@@ -353,10 +379,10 @@ def main():
     old, new = load(argv[0]), load(argv[1])
     ratio = float(argv[2]) if len(argv) > 2 else 1.5
     floor = 0.05  # ignore sub-50ms wall jitter on tiny queries
-    # CPU floors: executor CPU time itself wobbles ~50-100ms run-to-run
-    # on small queries (measured: two idle runs of unchanged code differ
-    # by up to 80ms cpu — recipe in the header), so a REGRESSION verdict
-    # requires growth a wobble cannot produce: >= 250 ms AND >= 1.2x
+    # CPU floors: executor CPU itself wobbles run-to-run (the r20 idle
+    # anchor pair measured up to +122 ms growth on one query — recipe
+    # in the header), so a REGRESSION verdict requires growth a wobble
+    # cannot produce: >= 250 ms AND >= 1.2x.
     # The 1.2x is deliberately below the wall ratio — cpu is the
     # load-immune signal, so moderate real growth must not hide behind
     # the wall spike's own 1.5x bar (ADVICE r19).
@@ -365,10 +391,13 @@ def main():
     rows, failed_new = [], []
     for q, w_new in sorted(new["queries"].items()):
         w_old = old["queries"].get(q)
-        if w_old is None:
-            continue
+        # crash check FIRST: a query the old artifact/anchor lacks (new
+        # query, torn old map) must still surface its failure — never a
+        # clean skip
         if w_new < 0:
-            failed_new.append(q)  # crashed in new — never a clean skip
+            failed_new.append(q)
+            continue
+        if w_old is None:
             continue
         if w_old < 0:
             print(f"note: {q} failed in the OLD artifact, runs now",
