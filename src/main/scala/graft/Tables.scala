@@ -137,6 +137,18 @@ object Tables {
     // table read would be a hidden side effect (every entry point —
     // Verify/Bench/Smoke/specs — pins UTC itself for formatting).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Read naive `timestamp[us]` parquet columns directly as session
+    // TimestampType instead of TIMESTAMP_NTZ: the stored int64 micros
+    // ARE the "UTC reading of the naive column" the NTZ fold below
+    // computes (verified value-identical on every driver table), and
+    // skipping the fold keeps the column a plain scan attribute — so
+    // predicates on ts/l_shipdate/o_orderdate reach the parquet
+    // PushedFilters (row-group min/max skipping at scale; the fold
+    // hid them behind a timestamp_micros(timestampdiff(..)) projection
+    // no filter can push through) and every events/lineitem scan drops
+    // a per-row rewrite. The NTZ branch below stays as the safety net
+    // for a caller that flips the conf back.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     df.schema.fields.foldLeft(df) { (acc, f) =>
       f.dataType match {
