@@ -128,6 +128,33 @@ object Tables {
     })
   }
 
+  /** Exact row count of a driver table from parquet FOOTER metadata —
+    * the catalog-statistics read (O(files) driver-side metadata, no
+    * job, no scan) that sizes data-adaptive dials (LSH plane counts).
+    * `df.count()` per probe batch re-scans the corpus for a number the
+    * files already carry; at 100 TB that is a full pass per dial read.
+    * Recomputed from the input files on every call (nothing is keyed
+    * on the data), so a rewritten dir is always read fresh. Exactness:
+    * footer row counts are definitional for plain parquet — Spark's
+    * own count() fast path reads the same metadata. */
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val path = new org.apache.hadoop.fs.Path(s"$sfDir/$name.parquet")
+    val fs = path.getFileSystem(conf)
+    val root = fs.getFileStatus(path)
+    val files =
+      if (root.isDirectory)
+        fs.listStatus(path).filter(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet"))
+      else Array(root)
+    files.map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   private def build(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // nanosAsLong is a READ-path necessity (Spark 4 refuses
     // TIMESTAMP(NANOS) parquet without it), not a display preference,

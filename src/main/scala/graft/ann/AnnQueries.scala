@@ -55,6 +55,24 @@ object AnnQueries {
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       .toSeq
 
+  /** The first-max(NumQueryVecs, CentroidK) head vectors, collected
+    * once per (session, sf-dir) — the RAM-resident query/centroid seed
+    * set, the same resident-state pattern [[cachedIvfIndex]] already
+    * keeps for the trained path: an ANN service holds its centroids
+    * and the harness's query set in memory; only the corpus-side scan
+    * is per-probe work. Replaces four per-call head collects (one
+    * driver job each) across the ivf/assign/cluster-sizes/semantic
+    * queries. Slices by `vec_id < n` reproduce [[collectVecs]] for any
+    * n ≤ the collected bound exactly (ids are filtered, not
+    * positional). */
+  private val headVecsCache = graft.Tables.registerSessionCache(
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), Seq[(Long, Array[Double])]])
+  private def cachedHeadVecs(s: SparkSession, dir: String): Seq[(Long, Array[Double])] =
+    headVecsCache.getOrElseUpdate((s, dir),
+      collectVecs(Tables(s, dir, "embeddings"),
+        math.max(NumQueryVecs, CentroidK)))
+
   /** The STANDING corpus-side embedding index of
     * q_dedup_incremental_embed, built and persisted once per
     * (session, sf-dir) — the same session-scoped standing-structure
@@ -188,7 +206,7 @@ object AnnQueries {
     "q_ann_ivf" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       // one collect serves queries AND centroids (superset of both)
-      val head = collectVecs(emb, math.max(NumQueryVecs, CentroidK))
+      val head = cachedHeadVecs(s, dir)
       Similarity.ivfTopK(emb,
         head.filter(_._1 < NumQueryVecs), "vec_id", "embedding",
         head.filter(_._1 < CentroidK).map(_._2), NProbe, TopK)
@@ -221,7 +239,7 @@ object AnnQueries {
     // cell key — the audit a mixture pipeline runs after k-means.
     "q_ann_cluster_sizes" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      val cents = collectVecs(emb, CentroidK).map(_._2)
+      val cents = cachedHeadVecs(s, dir).filter(_._1 < CentroidK).map(_._2)
       Similarity.clusterSizes(emb, "vec_id", "embedding", cents)
         .orderBy("cell")
     }),
@@ -231,7 +249,7 @@ object AnnQueries {
     // mixture/curriculum pipeline joins on to sample per cell.
     "q_ann_assign" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      val cents = collectVecs(emb, CentroidK).map(_._2)
+      val cents = cachedHeadVecs(s, dir).filter(_._1 < CentroidK).map(_._2)
       Similarity.assignCells(emb, "vec_id", "embedding", cents)
         .orderBy("vec_id")
     }),
@@ -295,7 +313,7 @@ object AnnQueries {
     // q_dedup_embed_cos.
     "q_ann_knn_graph" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      val np = Similarity.adaptivePlanes(emb.count())
+      val np = Similarity.adaptivePlanes(Tables.rowCount(s, dir, "embeddings"))
       Similarity.knnGraph(emb, "vec_id", "embedding", np, Dims, KnnK)
         .orderBy("src", "rank")
     }),
@@ -305,10 +323,12 @@ object AnnQueries {
     // bucket size stays ≤ Similarity.TargetBucketSize, so the in-bucket
     // quadratic step is O(n · bucket) — linear — at any scale factor,
     // instead of O(n²/2^const). The oracle derives the identical plane
-    // count from COUNT(*) with the same integer arithmetic ([[npSql]]).
+    // count from COUNT(*) with the same integer arithmetic ([[npSql]]);
+    // the Spark side reads the same number from the parquet footers
+    // (Tables.rowCount — a metadata read, not a per-run corpus scan).
     "q_dedup_embed_cos" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      val np = Similarity.adaptivePlanes(emb.count())
+      val np = Similarity.adaptivePlanes(Tables.rowCount(s, dir, "embeddings"))
       Similarity.lshNearDupPairs(emb,
         "vec_id", "embedding", np, Dims, NearDupThreshold)
         .orderBy("id_a", "id_b")
@@ -376,7 +396,7 @@ object AnnQueries {
     // cachedIvfIndex's centroids, same rule).
     "q_dedup_semantic" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      val cents = collectVecs(emb, CentroidK).map(_._2)
+      val cents = cachedHeadVecs(s, dir).filter(_._1 < CentroidK).map(_._2)
       Similarity.semanticDedup(emb, "vec_id", "embedding", cents,
         SemanticThreshold)
         .orderBy("vec_id")

@@ -37,13 +37,26 @@ object Clusters {
   def resolve(docs: DataFrame, idCol: String,
       pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20, localThreshold: Long = LocalEdgeThreshold): DataFrame = {
-    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst")).persist()
-    val nEdges = p.count()
-    val out =
-      if (nEdges <= localThreshold) resolveLocal(docs, idCol, p)
-      else resolveDistributed(docs, idCol, p, maxIters)
-    p.unpersist()
-    out
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    // ONE bounded fetch decides the path AND feeds the local one:
+    // limit(threshold+1) returns the COMPLETE edge set whenever the
+    // graph is within the local budget (the limit(cap+1) house
+    // pattern), so the common small-graph case pays a single driver
+    // action instead of the old persist → count → collect triple —
+    // per incremental-maintenance call, that was a full extra
+    // materialization of the candidate-pair funnel. The cap stays
+    // [[LocalEdgeThreshold]]-bounded (~32 MB of edge tuples at the
+    // default), same bound the old collect path carried. A genuinely
+    // large graph falls through and re-derives the edges inside the
+    // star rounds' round-0 checkpoint (one wasted bounded probe —
+    // noise next to the rounds; the old persist bought nothing there
+    // either, since the checkpoint consumes the edges exactly once).
+    val cap = math.min(localThreshold, Int.MaxValue - 1L).toInt
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val probe = p.as[(Long, Long)].limit(cap + 1).collect()
+    if (probe.length <= cap) resolveLocal(docs, idCol, probe)
+    else resolveDistributed(docs, idCol, p, maxIters)
   }
 
   /**
@@ -108,12 +121,14 @@ object Clusters {
       .withColumn("keeper", (col("doc_id") === col("cluster")).cast("int"))
   }
 
-  /** Driver-side union-find over a collected (small) edge list. */
+  /** Driver-side union-find over an already-collected (cap-bounded)
+    * edge list. Union-by-min keeps every tree's root at its
+    * component's minimum id, so the labels are independent of the
+    * edge order the bounded fetch happened to return. */
   private def resolveLocal(docs: DataFrame, idCol: String,
-      pairs: DataFrame): DataFrame = {
+      edges: Array[(Long, Long)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val edges = pairs.as[(Long, Long)].collect()
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
       var r = x

@@ -332,11 +332,16 @@ object DedupQueries {
         lit(ClusterSampleQuota.toDouble) / col("n_c").cast("double"))
       val bucket =
         TextAnalysis.charPolyHash(concat(col("text"), lit("|clus"))) % 1000000
-      docs.select(col("doc_id"), col("text"))
+      // project text down to its 8-byte bucket BEFORE the joins (guide
+      // §2.3/§8): the joins and the keep-rate decision only need
+      // (doc_id, bucket), so document text never crosses an exchange —
+      // at corpus scale the assignment join moves fixed-width ids, not
+      // documents
+      docs.select(col("doc_id"), bucket.as("bucket"))
         .join(clusters, "doc_id")
         .join(sizes, "cluster")
         .select(col("doc_id"), col("cluster"), col("n_c"),
-          bucket.as("bucket"), rate.as("rate"))
+          col("bucket"), rate.as("rate"))
         .where(col("bucket") < floor(col("rate") * 1000000))
         .select(col("doc_id"), col("cluster"), col("n_c"), col("bucket"),
           round(lit(1.0) / col("rate"), 6).as("weight"))
@@ -362,8 +367,15 @@ object DedupQueries {
       // mostly-unique corpus nearly every cluster is a singleton, and
       // the size filter commutes with the per-cluster rank (both key
       // on cluster), so exploding singleton docs' tokens through the
-      // shuffle would be pure waste
-      val multiDocs = docs.join(clusters, "doc_id").join(sizes, "cluster")
+      // shuffle would be pure waste. Join order (guide §3.1/§8): the
+      // assignment table joins the multi-doc sizes FIRST — both are
+      // id-sized, and the survivor membership (docs in multi-doc
+      // clusters) is a small fraction of the corpus — so the one join
+      // that carries text builds against that small membership (stays
+      // broadcastable at corpus scale) instead of against the full
+      // doc-sized assignment table.
+      val membership = clusters.join(sizes, "cluster")
+      val multiDocs = docs.join(membership, "doc_id")
       val tf = multiDocs
         .select(col("cluster"), col("n_docs"),
           explode(TextAnalysis.tokens(col("text"))).as("token"))

@@ -36,14 +36,29 @@ object PipelineQueries {
     * [[curatedTrainDocs]], not here. */
   def curatedKeptDocs(docs: DataFrame): DataFrame = {
     import TextAnalysis._
-    // stage 1: quality rules (same flags as q_text_quality_filter)
-    val base = docs.select(col("doc_id"), col("source"), col("lang"),
-      col("text"), repetitionCounts(col("text")).as("r"))
+    // stage 1: quality rules (same flags as q_text_quality_filter).
+    // The heavy per-row derivations (tokenize, repetition struct,
+    // punct regex) are projected ONCE behind a codegen barrier before
+    // the rule predicates: FilterExec evaluates conjuncts separately
+    // with no cross-conjunct subexpression elimination, and codegen
+    // CSE skips higher-order functions (lambda variables) entirely, so
+    // the inlined form re-ran the split regex ~8× and the repetition
+    // pass 5× per row (observed in the q_pipeline_curate plan). Behind
+    // the barrier each rule compares plain attributes; rows still
+    // stream (no cache, no shuffle — GraftShims.planBarrier, same
+    // pattern as q_cdc_type_overrides).
+    val metrics = docs.select(col("doc_id"), col("source"), col("lang"),
+      col("text"), repetitionCounts(col("text")).as("r"),
+      tokens(col("text")).as("__toks"),
+      punctRatio(col("text")).as("__pr"))
+    val base = org.apache.spark.sql.graftshim.GraftShims.planBarrier(metrics)
     val keep = Seq(
       col("r.n_tokens").between(MinTokens, MaxTokens),
-      meanTokenLen(col("text")).between(MinMeanTokenLen, MaxMeanTokenLen),
-      col("lang") =!= "en" || stopwordRatio(col("text")) >= MinStopwordRatio,
-      punctRatio(col("text")) <= MaxPunctRatio,
+      meanTokenLenOfTokens(col("__toks"))
+        .between(MinMeanTokenLen, MaxMeanTokenLen),
+      col("lang") =!= "en" ||
+        stopwordRatioOfTokens(col("__toks")) >= MinStopwordRatio,
+      col("__pr") <= MaxPunctRatio,
       dupTokenFrac(col("r")) <= MaxDupTokenFrac).reduce(_ && _)
     val kept = base.where(keep)
       .select(col("doc_id"), col("source"), col("text"))
@@ -178,14 +193,31 @@ object PipelineQueries {
     "q_pipeline_lockstep" -> ((s, dir) => {
       val (cc, sigs, clusters) = cachedLockstepRoots(s, dir)
       val v = IngestStream.lockstepView(s, cc, sigs, clusters)
-      v.docs.select(col("doc_id"), col("source"), col("n_tokens"))
-        .join(v.signatures.select(col("doc_id"), lit(1L).as("sig_leg")),
-          Seq("doc_id"), "full")
-        .join(v.clusters.select(col("doc_id"), lit(1L).as("cluster_leg")),
-          Seq("doc_id"), "full")
-        .select(col("doc_id"), col("source"), col("n_tokens"),
-          coalesce(col("sig_leg"), lit(0L)).as("sig_leg"),
-          coalesce(col("cluster_leg"), lit(0L)).as("cluster_leg"))
+      // One exchange instead of three (guide §2.4): each leg is unique
+      // on doc_id (corpus PK; one signature/cluster row per doc — the
+      // oracle pins one output row per id), so the two FullOuter joins
+      // are equivalent to a tagged union + one groupBy(doc_id). The
+      // full-outer plan shuffled every leg AND re-exchanged after each
+      // join (the coalesced join key is a derived column, so the
+      // output partitioning is lost); the union aggregates map-side
+      // and shuffles once. Tear detection is unchanged: an id missing
+      // from a leg still surfaces as a null attribute / zero flag.
+      v.docs.select(col("doc_id"), col("source"), col("n_tokens"),
+          lit(0).as("leg"))
+        .unionByName(v.signatures.select(col("doc_id"),
+          lit(null).cast("string").as("source"),
+          lit(null).cast("long").as("n_tokens"), lit(1).as("leg")))
+        .unionByName(v.clusters.select(col("doc_id"),
+          lit(null).cast("string").as("source"),
+          lit(null).cast("long").as("n_tokens"), lit(2).as("leg")))
+        .groupBy("doc_id")
+        .agg(
+          max(when(col("leg") === 0, col("source"))).as("source"),
+          max(when(col("leg") === 0, col("n_tokens"))).as("n_tokens"),
+          max(when(col("leg") === 1, lit(1L)).otherwise(lit(0L)))
+            .as("sig_leg"),
+          max(when(col("leg") === 2, lit(1L)).otherwise(lit(0L)))
+            .as("cluster_leg"))
         .orderBy("doc_id")
     }))
 

@@ -65,19 +65,30 @@ object TextAnalysis {
   }
 
   /** Fraction of tokens that are stopwords. */
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
+  def stopwordRatio(text: Column): Column = stopwordRatioOfTokens(tokens(text))
+
+  /** [[stopwordRatio]] over an ALREADY-TOKENIZED array column — the
+    * form a caller uses after materializing [[tokens]] once behind a
+    * plan barrier: higher-order functions carry lambda variables, which
+    * codegen subexpression elimination refuses to touch, so every
+    * text-based metric reference re-runs the split regex; computing the
+    * array once and passing the attribute here pays the split exactly
+    * once per row. Same expression tree as the text form, so null/empty
+    * semantics are identical. */
+  def stopwordRatioOfTokens(toks: Column): Column = {
     val stops = size(filter(toks, t => t.isin(Stopwords: _*)))
     round(stops.cast("double") / greatest(size(toks), lit(1)), 6)
   }
 
   /** Mean token length in characters. */
-  def meanTokenLen(text: Column): Column = {
-    val toks = tokens(text)
+  def meanTokenLen(text: Column): Column = meanTokenLenOfTokens(tokens(text))
+
+  /** [[meanTokenLen]] over an already-tokenized array column (see
+    * [[stopwordRatioOfTokens]] for why the split-once form exists). */
+  def meanTokenLenOfTokens(toks: Column): Column =
     round(
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
         greatest(size(toks), lit(1)), 6)
-  }
 
   /**
    * Composite quality score in [0,1] — the usual pretraining-filter
@@ -149,11 +160,22 @@ object TextAnalysis {
       case ("zh", _)     => "zh" -> cjkCount(text)
       case (lang, marks) => lang -> size(filter(toks, t => t.isin(marks: _*)))
     }
-    val best = scored.map(_._2).reduce(greatest(_, _))
-    val first = when(scored.head._2 === best && best > 0, lit(scored.head._1))
-    scored.tail.foldLeft(first) { case (acc, (lang, s)) =>
-      acc.when(s === best && best > 0, lit(lang))
-    }.otherwise(lit("und"))
+    // argmax via ONE scores array instead of a when-chain: the chain
+    // form re-inlined every score into every branch's `=== best` AND
+    // `best > 0` (~55 tokenizations of the text per row, visible in
+    // the q_text_langid_confusion plan), and CASE branches are opaque
+    // to codegen subexpression elimination. Here each score expression
+    // occurs once inside `array(...)`; array_position's first-match
+    // rule IS the sequence-order tie-break the chain encoded, and a
+    // NULL text yields NULL scores → NULL best → "und", exactly as
+    // the null-condition when-chain fell through. Oracle (TextSql
+    // .langId) is untouched — same argmax, same tie-break.
+    val scores = array(scored.map(_._2): _*)
+    val best = array_max(scores)
+    val langs = typedLit(LangMarkers.map(_._1))
+    when(best > 0,
+      element_at(langs, array_position(scores, best).cast("int")))
+      .otherwise(lit("und"))
   }
 
   // ---------------------------------------------------------------- PII

@@ -31,6 +31,17 @@ class TablesSpec extends SparkSpec {
     assert(b.count() == 12, "the re-read must serve the rewritten files")
   }
 
+  test("rowCount reads the exact count from parquet footers") {
+    // the catalog-statistics read that sizes adaptive LSH dials must
+    // equal a full count() for every driver table shape (single-file
+    // tables here; the directory branch lists *.parquet parts)
+    val dir = "/root/testdata/sf0.001"
+    Seq("embeddings", "documents", "events").foreach { t =>
+      assert(Tables.rowCount(spark, dir, t) == Tables(spark, dir, t).count(),
+        s"footer count of $t must equal count()")
+    }
+  }
+
   test("invalidate reaches registered family caches and unpersists their frames") {
     // the family objects memoize persisted frames DERIVED from a
     // dir's files (signatures, fingerprints, normalized wire);

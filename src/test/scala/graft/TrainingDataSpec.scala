@@ -30,10 +30,22 @@ class TrainingDataSpec extends SparkSpec {
       ("der hund und die katze", "de"),
       ("le chat et la maison est grande", "fr"),
       ("你好世界", "zh"),
-      ("xyzzy plugh", "und")).toDF("text", "want")
+      ("xyzzy plugh", "und"),
+      // tie-break: one 'the' (en) vs one 'der' (de) — equal scores,
+      // LangMarkers order wins (the r21 argmax-array rewrite must
+      // preserve the when-chain's first-language-wins rule)
+      ("the der", "en"),
+      // es-vs-fr tie on shared marker 'la' plus one each: es first
+      ("la el le", "es"),
+      ("", "und")).toDF("text", "want")
       .select(col("want"), TextAnalysis.langId(col("text")).as("got"))
     df.collect().foreach(r => assert(r.getString(1) == r.getString(0),
       s"want ${r.getString(0)}"))
+    // NULL text scores NULL everywhere → und (the when-chain's
+    // null-condition fallthrough, preserved by the array form)
+    val nulls = Seq[Option[String]](None).toDF("text")
+      .select(TextAnalysis.langId(col("text")).as("got")).head()
+    assert(nulls.getString(0) == "und")
   }
 
   test("char fingerprint is deterministic and order-sensitive") {
@@ -362,8 +374,11 @@ class TrainingDataSpec extends SparkSpec {
       (1L, 1L, 1), (2L, 1L, 0), (3L, 1L, 0), (4L, 1L, 0), (5L, 1L, 0),
       (6L, 6L, 1), (7L, 6L, 0), (8L, 8L, 1))
     // local union-find path (default threshold) and the distributed
-    // min-propagation path (threshold 0) must agree exactly
-    Seq(Clusters.LocalEdgeThreshold, 0L).foreach { thresh =>
+    // min-propagation path (threshold 0) must agree exactly; 5 and 4
+    // bracket the fixture's exact edge count across the r21 bounded
+    // probe's local/distributed cutover (probe fetches threshold+1
+    // rows — 5 edges ≤ 5 stays local, 5 > 4 falls through)
+    Seq(Clusters.LocalEdgeThreshold, 0L, 5L, 4L).foreach { thresh =>
       val got = Clusters.resolve(docs, "doc_id", pairs, "doc_a", "doc_b",
         localThreshold = thresh)
         .orderBy("doc_id").collect()
