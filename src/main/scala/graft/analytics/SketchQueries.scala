@@ -149,16 +149,31 @@ object SketchQueries {
       // never documents), and the sketch aggregation is the second
       val wTot = Window.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
       val wRank = Window.orderBy(col("exact_cnt").desc, col("token"))
-      val top = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
-        .withColumn("total", sum("exact_cnt").over(wTot))
-        .withColumn("rnk", row_number().over(wRank))
-        .filter(col("rnk") <= HeavyHitterK)
-        .select("rnk", "token", "exact_cnt", "total")
-        .collect().map(r =>
-          (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
-      val skBytes = toks.agg(count_min_sketch(col("token"), lit(CmsEps),
-          lit(CmsConfidence), lit(CmsSeed)).as("sk"))
-        .head().getAs[Array[Byte]](0)
+      // the two actions are INDEPENDENT (exact top-K vs sketch build),
+      // so they are submitted concurrently (guide §2.6: actions are
+      // only sequential because driver code calls them sequentially) —
+      // the sketch pass back-fills executors freed by the top-K pass's
+      // tail instead of waiting for it; results are deterministic
+      // either way (both are exact aggregations of the same scan).
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fTop = Future {
+        toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+          .withColumn("total", sum("exact_cnt").over(wTot))
+          .withColumn("rnk", row_number().over(wRank))
+          .filter(col("rnk") <= HeavyHitterK)
+          .select("rnk", "token", "exact_cnt", "total")
+          .collect().map(r =>
+            (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      }
+      val fSk = Future {
+        toks.agg(count_min_sketch(col("token"), lit(CmsEps),
+            lit(CmsConfidence), lit(CmsSeed)).as("sk"))
+          .head().getAs[Array[Byte]](0)
+      }
+      val top = Await.result(fTop, Duration.Inf)
+      val skBytes = Await.result(fSk, Duration.Inf)
       val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
         new java.io.ByteArrayInputStream(skBytes))
       import s.implicits._

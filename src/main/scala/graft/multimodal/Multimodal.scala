@@ -50,18 +50,23 @@ object Multimodal {
       // Header probes past the payload's end read 0, so a truncated
       // asset decodes to degenerate metadata instead of an
       // out-of-bounds crash.
-      assets.filter(a => a.content != null && a.content.nonEmpty).map { a =>
-        def b(i: Int): Int =
-          if (i < a.content.length) a.content(i) & 0xFF else 0
-        val avg = a.content.foldLeft(0L)((s, x) => s + (x & 0xFF)).toDouble / a.content.length
-        a.kind match {
-          case "image" => DecodedAsset(a.asset_id, a.kind,
-            16 + b(0) % 240, 16 + b(1) % 240, 1, 0, avg)
-          case "audio" => DecodedAsset(a.asset_id, a.kind,
-            0, 0, 0, 8000 + 100 * (b(2) % 80), avg)
-          case _ => DecodedAsset(a.asset_id, a.kind, // video
-            16 + b(0) % 240, 16 + b(1) % 240, 1 + b(3) % 120, 0, avg)
-        }
+      assets.filter(a => a.content != null && a.content.nonEmpty)
+        .map(decodeOne)
+    }
+
+    /** One asset through the stub codec (callers hold the non-empty
+      * filter — the shared skip contract). */
+    private[multimodal] def decodeOne(a: RawAsset): DecodedAsset = {
+      def b(i: Int): Int =
+        if (i < a.content.length) a.content(i) & 0xFF else 0
+      val avg = a.content.foldLeft(0L)((s, x) => s + (x & 0xFF)).toDouble / a.content.length
+      a.kind match {
+        case "image" => DecodedAsset(a.asset_id, a.kind,
+          16 + b(0) % 240, 16 + b(1) % 240, 1, 0, avg)
+        case "audio" => DecodedAsset(a.asset_id, a.kind,
+          0, 0, 0, 8000 + 100 * (b(2) % 80), avg)
+        case _ => DecodedAsset(a.asset_id, a.kind, // video
+          16 + b(0) % 240, 16 + b(1) % 240, 1 + b(3) % 120, 0, avg)
       }
     }
   }
@@ -89,6 +94,28 @@ object Multimodal {
   def decode(raw: Dataset[RawAsset]): Dataset[DecodedAsset] = {
     import raw.sparkSession.implicits._
     raw.mapPartitions(MediaCodec.decodeBatch)
+  }
+
+  /** Decoded metadata WITH the payload riding along. */
+  final case class DecodedAssetContent(asset_id: Long, kind: String,
+      width: Int, height: Int, n_frames: Int, sample_rate: Int,
+      avg_byte: Double, content: Array[Byte])
+
+  /** [[decode]] keeping the payload column — the frame-sampling feed:
+    * a consumer that needs both the decoded metadata AND the bytes
+    * must not decode-then-REJOIN the payload by asset id (that join
+    * shuffles every payload a second time at corpus scale — the
+    * decide-small/move-once rule); the decoder is the one place the
+    * bytes are read, so the bytes ride its output. Same skip contract
+    * and same per-asset metadata as [[decode]] (shared decodeOne). */
+  def decodeWithContent(raw: Dataset[RawAsset]): Dataset[DecodedAssetContent] = {
+    import raw.sparkSession.implicits._
+    raw.mapPartitions(_.filter(a => a.content != null && a.content.nonEmpty)
+      .map { a =>
+        val d = MediaCodec.decodeOne(a)
+        DecodedAssetContent(d.asset_id, d.kind, d.width, d.height,
+          d.n_frames, d.sample_rate, d.avg_byte, a.content)
+      })
   }
 
   /**

@@ -75,14 +75,14 @@ object MultimodalQueries {
         .orderBy("kind")),
 
     // Even frame sampling for video assets (generator, pre-shuffle).
-    "q_mm_frames" -> ((s, dir) => {
-      val dec = decoded(s, dir)
-      val withContent = dec.join(
-        rawAssets(s, dir).toDF().select(col("asset_id"), col("content")),
-        "asset_id")
-      Multimodal.sampleFrames(withContent, MaxFrames)
-        .orderBy("asset_id", "frame_no")
-    }))
+    // decodeWithContent carries the payload through the decoder's own
+    // output instead of the old decode-then-rejoin-by-asset_id shape,
+    // which re-shuffled every payload (and re-scanned the corpus) just
+    // to re-attach bytes the decoder had already read.
+    "q_mm_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.decodeWithContent(rawAssets(s, dir)).toDF(), MaxFrames)
+        .orderBy("asset_id", "frame_no")))
 
   // ------------------------------------------------------------------
   // DuckDB mirrors — byte i of unhex(md5(text)) via hex-pair arithmetic

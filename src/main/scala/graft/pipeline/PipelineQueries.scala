@@ -34,6 +34,21 @@ object PipelineQueries {
     * keeper (a later copy of an EVAL-split keeper is still a
     * duplicate the union pipeline would drop), so the split lives in
     * [[curatedTrainDocs]], not here. */
+  /** The pre-barrier stage-1 metrics projection (one narrow pass:
+    * tokenize, repetition struct, punct ratio — each exactly once per
+    * row). Exposed for PlanQualitySpec: the planBarrier in
+    * [[curatedKeptDocs]] pre-plans this subtree, so the outer query's
+    * physical plan shows only the barrier's RDD scan — the spec
+    * asserts THIS frame's one-file-scan/zero-exchange shape
+    * separately. */
+  private[graft] def curatedMetrics(docs: DataFrame): DataFrame = {
+    import TextAnalysis._
+    docs.select(col("doc_id"), col("source"), col("lang"),
+      col("text"), repetitionCounts(col("text")).as("r"),
+      tokens(col("text")).as("__toks"),
+      punctRatio(col("text")).as("__pr"))
+  }
+
   def curatedKeptDocs(docs: DataFrame): DataFrame = {
     import TextAnalysis._
     // stage 1: quality rules (same flags as q_text_quality_filter).
@@ -47,11 +62,8 @@ object PipelineQueries {
     // the barrier each rule compares plain attributes; rows still
     // stream (no cache, no shuffle — GraftShims.planBarrier, same
     // pattern as q_cdc_type_overrides).
-    val metrics = docs.select(col("doc_id"), col("source"), col("lang"),
-      col("text"), repetitionCounts(col("text")).as("r"),
-      tokens(col("text")).as("__toks"),
-      punctRatio(col("text")).as("__pr"))
-    val base = org.apache.spark.sql.graftshim.GraftShims.planBarrier(metrics)
+    val base = org.apache.spark.sql.graftshim.GraftShims.planBarrier(
+      curatedMetrics(docs))
     val keep = Seq(
       col("r.n_tokens").between(MinTokens, MaxTokens),
       meanTokenLenOfTokens(col("__toks"))

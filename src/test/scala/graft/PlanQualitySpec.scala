@@ -201,10 +201,29 @@ class PlanQualitySpec extends SparkSpec {
     // the quality filter and split stages must stay narrow
     val ex = collectAll(p) { case e: ShuffleExchangeLike => e }
     assert(ex.length <= 3, s"expected <=3 exchanges, got ${ex.length}:\n$p")
-    val scans = collectAll(p) {
+    // the documents file scan lives INSIDE the r21 metrics planBarrier
+    // (pre-planned subtree), so the outer plan must show exactly one
+    // barrier RDD scan and no file scan of its own…
+    val fileScans = collectAll(p) {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }
-    assert(scans.length == 1, s"expected 1 documents scan, got ${scans.length}")
+    val rddScans = collectAll(p) {
+      case s: org.apache.spark.sql.execution.RDDScanExec => s
+    }
+    assert(fileScans.isEmpty && rddScans.length == 1,
+      s"expected the one barrier scan, got ${fileScans.length} file + " +
+        s"${rddScans.length} rdd scans:\n$p")
+    // …and the barrier's input — the stage-1 metrics projection — must
+    // itself be ONE narrow documents pass: one file scan, no exchange
+    val m = plan(graft.pipeline.PipelineQueries.curatedMetrics(
+      graft.Tables(spark, Sf, "documents")))
+    val mScans = collectAll(m) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(mScans.length == 1,
+      s"expected 1 documents scan in the metrics pass, got ${mScans.length}")
+    assert(collectAll(m) { case e: ShuffleExchangeLike => e }.isEmpty,
+      "the metrics pass must be narrow")
   }
 
   test("q_text_keywords: single corpus scan — df rides a window, not a re-derived join") {
