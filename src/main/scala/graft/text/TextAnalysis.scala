@@ -154,28 +154,28 @@ object TextAnalysis {
    * (zh by CJK character count); argmax, first language wins ties; all
    * zero → "und".
    */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langIdOf(tokens(text), cjkCount(text))
+
+  /** [[langId]] over an ALREADY-TOKENIZED array + precomputed CJK
+    * count — the split-once form for consumers that must evaluate the
+    * prediction for every row (q_text_langid_confusion materializes
+    * the token array behind a plan barrier and scores the attribute).
+    * The when-chain formulation is KEPT deliberately: an
+    * array+argmax rewrite (array_max/array_position over a scores
+    * array) measured ~2× MORE cpu at sf0.1 (idle RunOne A/B, 8 reps)
+    * — the chain's repeated score subtrees codegen cheaper than the
+    * array construction + position scan — so the win is taken by
+    * hoisting the tokenization, not by restructuring the argmax. */
+  def langIdOf(toks: Column, cjk: Column): Column = {
     val scored: Seq[(String, Column)] = LangMarkers.map {
-      case ("zh", _)     => "zh" -> cjkCount(text)
+      case ("zh", _)     => "zh" -> cjk
       case (lang, marks) => lang -> size(filter(toks, t => t.isin(marks: _*)))
     }
-    // argmax via ONE scores array instead of a when-chain: the chain
-    // form re-inlined every score into every branch's `=== best` AND
-    // `best > 0` (~55 tokenizations of the text per row, visible in
-    // the q_text_langid_confusion plan), and CASE branches are opaque
-    // to codegen subexpression elimination. Here each score expression
-    // occurs once inside `array(...)`; array_position's first-match
-    // rule IS the sequence-order tie-break the chain encoded, and a
-    // NULL text yields NULL scores → NULL best → "und", exactly as
-    // the null-condition when-chain fell through. Oracle (TextSql
-    // .langId) is untouched — same argmax, same tie-break.
-    val scores = array(scored.map(_._2): _*)
-    val best = array_max(scores)
-    val langs = typedLit(LangMarkers.map(_._1))
-    when(best > 0,
-      element_at(langs, array_position(scores, best).cast("int")))
-      .otherwise(lit("und"))
+    val best = scored.map(_._2).reduce(greatest(_, _))
+    val first = when(scored.head._2 === best && best > 0, lit(scored.head._1))
+    scored.tail.foldLeft(first) { case (acc, (lang, s)) =>
+      acc.when(s === best && best > 0, lit(lang))
+    }.otherwise(lit("und"))
   }
 
   // ---------------------------------------------------------------- PII

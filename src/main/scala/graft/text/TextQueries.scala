@@ -57,12 +57,22 @@ object TextQueries {
 
     // Language-ID confusion matrix vs the table's labels — the eval
     // every classifier-backed filter ships with; one groupBy on a
-    // |langs|²-bounded key.
-    "q_text_langid_confusion" -> ((s, dir) =>
-      Tables(s, dir, "documents").select(
-        col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+    // |langs|²-bounded key. The aggregation forces lang_pred for every
+    // row, so the token array + CJK count are materialized ONCE per
+    // row behind a plan barrier and the marker scores run over the
+    // attribute (the curate pattern — without it every score
+    // re-splits the text; langId's when-chain itself is deliberately
+    // kept, see langIdOf).
+    "q_text_langid_confusion" -> ((s, dir) => {
+      val base = org.apache.spark.sql.graftshim.GraftShims.planBarrier(
+        Tables(s, dir, "documents").select(col("lang"),
+          TextAnalysis.tokens(col("text")).as("__toks"),
+          TextAnalysis.cjkCount(col("text")).as("__cjk")))
+      base.select(col("lang"),
+        TextAnalysis.langIdOf(col("__toks"), col("__cjk")).as("lang_pred"))
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n_docs"))
-        .orderBy("lang", "lang_pred")),
+        .orderBy("lang", "lang_pred")
+    }),
 
     // PII redaction over text with synthesized contact info (the
     // corpus itself is clean, so the query plants one of each type).
