@@ -14,20 +14,32 @@ re-runs.
 
 For each query, compare the min-wall seconds (the headline) and — when
 both artifacts carry it (round 19+) — the executor-CPU seconds for the
-min-wall rep (`queries_cpu`). Classification per query whose wall grew
-past the threshold (default 1.5x + 50 ms):
+min-wall rep (`queries_cpu`). A query is flagged when its wall grew
+past the threshold (default 1.5x + 50 ms) OR its cpu grew past the cpu
+floor (>= 250 ms AND >= 1.2x) — the cpu gate fires INDEPENDENTLY of the
+wall gate (ADVICE r20: a real regression whose wall grows only ~1.3x on
+an idle box must not triage clean just because the wall spike never
+reached 1.5x). Classification per flagged query:
 
-  REGRESSION  wall up AND cpu up (>= 250 ms AND >= 1.2x)
-                                            -> the work itself grew
-  LOAD?       wall up, cpu within wobble    -> box load (or a driver-side
-                                               regression: re-run idle
-                                               before dismissing)
-  WALL-ONLY   wall up, no cpu in an         -> older artifact; judge by
-              artifact                         an idle re-run
+  REGRESSION  cpu up (>= 250 ms AND >= 1.2x) -> the work itself grew,
+                                                whatever the wall did
+  LOAD?       wall up, cpu within wobble     -> box load (or a
+                                                driver-side regression:
+                                                re-run idle before
+                                                dismissing)
+  WALL-ONLY   wall up, no cpu in an          -> older artifact; judge by
+              artifact                          an idle re-run
 
 The CPU criterion is deliberately looser than the wall ratio: executor
 CPU is the load-immune signal, so ANY growth past measured wobble is
-suspicious — it does not need the 1.5x a wall spike needs.
+suspicious — it does not need the 1.5x a wall spike needs (and, per the
+above, does not need a wall spike at all).
+
+Single-artifact (anchor) mode refuses a new artifact whose `sf` differs
+from the anchor's: an sf0.01 run compared against the sf0.1 anchor reads
+as uniformly improved and would triage clean over masked regressions.
+(Two-artifact mode only warns — cross-sf compares can be deliberate.)
+`BENCH_TRIAGE_ANCHOR` overrides the anchor path (selftest hook).
 
 A query that FAILED in the new artifact (sentinel -1) is reported as
 FAILED and counts as a regression — a crash must never read as a clean
@@ -115,13 +127,14 @@ def _torn_suffix(txt, tail_totals):
 
 def _salvage(txt, path):
     """Best-effort result from truncated bench stdout (raw or a tail)."""
-    suspects, tail_totals = None, None
+    suspects, tail_totals, sus_sf = None, None, None
     for e in _lines(txt):
         if e.get("metric") == "total" and "queries" in e:
             e.setdefault("partial", False)
             return e
         if e.get("metric") == "load_suspects":
             suspects = e.get("top", {})
+            sus_sf = e.get("sf")
         if e.get("metric") == "total_tail":
             tail_totals = e
     maps = {}
@@ -145,6 +158,7 @@ def _salvage(txt, path):
         partial_wall = name != "queries_cpu"
     wall = maps.get("queries") or maps.get("queries_median")
     n_failed = tail_totals.get("n_failed") if tail_totals else None
+    sf = tail_totals.get("sf") if tail_totals else sus_sf
     if wall:
         if "queries" not in maps:
             print(f"note: {path}: no intact min map; using the MEDIAN "
@@ -156,14 +170,31 @@ def _salvage(txt, path):
         return {"queries": wall, "queries_cpu": cpu,
                 "partial": partial_wall or (n_q is not None
                                             and len(wall) < n_q),
-                "n_failed": n_failed}
+                "n_failed": n_failed, "sf": sf}
     if suspects:
         print(f"note: {path}: only the load_suspects line survives — "
               f"triaging those {len(suspects)} queries only",
               file=sys.stderr)
+        # a torn queries_cpu map recovered above must not be thrown
+        # away here (ADVICE r20): seed cpu coverage from it and overlay
+        # the suspects' per-query cpu — the cpu-only REGRESSION gate
+        # can then still fire for queries the suspects line dropped
+        cpu = dict(maps.get("queries_cpu", {}))
+        for q, v in suspects.items():
+            cpu[q] = v["cpu"]
         return {"queries": {q: v["min"] for q, v in suspects.items()},
-                "queries_cpu": {q: v["cpu"] for q, v in suspects.items()},
-                "partial": True, "n_failed": n_failed}
+                "queries_cpu": cpu,
+                "partial": True, "n_failed": n_failed, "sf": sf}
+    if tail_totals is not None:
+        # nothing per-query survived (an empty suspects top is possible
+        # under the 0.2 s min-wall floor) but the run's totals did: a
+        # queries-empty partial result keeps the hidden-failure check
+        # alive instead of refusing the artifact outright (ADVICE r20)
+        print(f"note: {path}: only the total_tail line survives — no "
+              "per-query coverage; checking n_failed only",
+              file=sys.stderr)
+        return {"queries": {}, "queries_cpu": {},
+                "partial": True, "n_failed": n_failed, "sf": sf}
     return None
 
 
@@ -186,6 +217,7 @@ def load(path):
               "load_suspects line", file=sys.stderr)
         sys.exit(2)
     d.setdefault("n_failed", None)
+    d.setdefault("sf", None)
     return d
 
 
@@ -247,17 +279,17 @@ def selftest():
             f.write(txt)
         return p
 
-    def bench_line(wall, cpu, n_failed=0):
+    def bench_line(wall, cpu, n_failed=0, sf="x"):
         qs, cs = json.dumps(wall), json.dumps(cpu)
         med = json.dumps({k: (v * 1.1 if v >= 0 else v)
                           for k, v in wall.items()})
         return (f'{{"metric":"total","value":1,"unit":"sec",'
                 f'"queries":{qs},"total_median":1,"queries_median":{med},'
-                f'"total_cpu":1,"queries_cpu":{cs},"sf":"x"}}\n'
+                f'"total_cpu":1,"queries_cpu":{cs},"sf":"{sf}"}}\n'
                 f'{{"metric":"total_tail","value":1,"unit":"sec",'
                 f'"total_median":1,"total_cpu":1,'
                 f'"n_queries":{len(wall)},"n_failed":{n_failed},'
-                f'"sf":"x"}}\n')
+                f'"sf":"{sf}"}}\n')
 
     def run(args):
         r = subprocess.run([sys.executable, me] + args,
@@ -273,19 +305,22 @@ def selftest():
             fails.append(f"{label}: {detail}")
 
     old = write("old.json", bench_line(
-        {"q_a": 1.0, "q_b": 1.0, "q_c": 0.5, "q_d": 1.0},
-        {"q_a": 0.8, "q_b": 0.8, "q_c": 0.4, "q_d": 0.8}))
+        {"q_a": 1.0, "q_b": 1.0, "q_c": 0.5, "q_d": 1.0, "q_e": 1.0},
+        {"q_a": 0.8, "q_b": 0.8, "q_c": 0.4, "q_d": 0.8, "q_e": 0.8}))
     # q_a wall+cpu up -> REGRESSION; q_b cpu flat, q_c cpu under floor
-    # -> LOAD?; q_d crashed -> FAILED
+    # -> LOAD?; q_d crashed -> FAILED; q_e wall up only 1.3x (under the
+    # 1.5x wall gate) with cpu up 1.5x/+0.4s -> REGRESSION via the
+    # wall-gate-independent cpu path (ADVICE r20 medium)
     new = write("new.json", bench_line(
-        {"q_a": 2.0, "q_b": 2.0, "q_c": 1.0, "q_d": -1.0},
-        {"q_a": 1.6, "q_b": 0.82, "q_c": 0.45, "q_d": -1.0}, n_failed=1))
+        {"q_a": 2.0, "q_b": 2.0, "q_c": 1.0, "q_d": -1.0, "q_e": 1.3},
+        {"q_a": 1.6, "q_b": 0.82, "q_c": 0.45, "q_d": -1.0, "q_e": 1.2},
+        n_failed=1))
     rc, out = run([old, new])
     check("matrix exit", rc == 1, f"rc={rc}")
-    for want in ("q_a", "REGRESSION", "q_b", "LOAD?",
+    for want in ("q_a", "REGRESSION", "q_b", "LOAD?", "q_e",
                  "FAILED in new artifact: q_d"):
         check("matrix output", want in out, f"missing {want!r}")
-    check("matrix counts", "1 REGRESSION" in out and "2 LOAD?" in out, out)
+    check("matrix counts", "2 REGRESSION" in out and "2 LOAD?" in out, out)
 
     rc, out = run([old, old])
     check("self-compare clean", rc == 0 and out.startswith("ok:"),
@@ -325,6 +360,56 @@ def selftest():
 
     rc, out = run(["--calibrate", old, old])
     check("calibrate", rc == 0 and "max cpu growth +0 ms" in out,
+          f"rc={rc} out={out!r}")
+
+    # sf mismatch in ANCHOR mode must refuse (exit 2): a smaller-sf run
+    # reads as uniformly improved and masks regressions (ADVICE r20)
+    other_sf = write("other_sf.json", bench_line(
+        {"q_a": 0.1}, {"q_a": 0.1}, sf="y"))
+    env = dict(os.environ, BENCH_TRIAGE_ANCHOR=old)
+    r = subprocess.run([sys.executable, me, other_sf],
+                       capture_output=True, text=True, env=env)
+    check("sf mismatch refused", r.returncode == 2
+          and "sf mismatch" in r.stdout,
+          f"rc={r.returncode} out={r.stdout!r}")
+    # …while two-artifact mode only warns (cross-sf can be deliberate)
+    rc2 = subprocess.run([sys.executable, me, old, other_sf],
+                         capture_output=True, text=True)
+    check("sf mismatch two-artifact warns",
+          rc2.returncode != 2 and "sf mismatch" in rc2.stderr,
+          f"rc={rc2.returncode} err={rc2.stderr!r}")
+
+    # tail-only artifact (empty suspects possible under the 0.2s wall
+    # floor): total_tail's n_failed must still force exit 1, and a
+    # clean tail-only run must triage ok instead of being refused
+    tail_only_bad = write("tail_only_bad.json", json.dumps({"tail":
+        '{"metric":"total_tail","value":1,"unit":"sec","total_median":1,'
+        '"total_cpu":1,"n_queries":3,"n_failed":2,"sf":"x"}'}))
+    rc, out = run([old, tail_only_bad])
+    check("tail-only hidden failure",
+          rc == 1 and "hidden by truncation" in out,
+          f"rc={rc} out={out!r}")
+    tail_only_ok = write("tail_only_ok.json", json.dumps({"tail":
+        '{"metric":"total_tail","value":1,"unit":"sec","total_median":1,'
+        '"total_cpu":1,"n_queries":3,"n_failed":0,"sf":"x"}'}))
+    rc, out = run([old, tail_only_ok])
+    check("tail-only clean", rc == 0, f"rc={rc} out={out!r}")
+
+    # a torn queries_cpu map + surviving suspects line: the recovered
+    # cpu coverage must survive the suspects fallback (ADVICE r20) and
+    # feed the cpu-only REGRESSION gate for a query the suspects
+    # dropped (q_b below: cpu 0.8 -> 2.0, no wall row at all)
+    torn_cpu_tail = (
+        ':0.1,"q_b":2.0},"sf":"x"}\n'  # torn queries_cpu suffix (q_b)
+        '{"metric":"load_suspects","note":"x","top":{'
+        '"q_a":{"medOverMin":1.1,"min":1.0,"med":1.1,"cpu":0.8}},'
+        '"sf":"x"}\n'
+        '{"metric":"total_tail","value":1,"unit":"sec","total_median":1,'
+        '"total_cpu":1,"n_queries":2,"n_failed":0,"sf":"x"}')
+    torn_cpu = write("torn_cpu.json", json.dumps({"tail": torn_cpu_tail}))
+    rc, out = run([old, torn_cpu])
+    check("torn cpu overlay feeds cpu-only gate",
+          rc == 1 and "q_b" in out and "REGRESSION" in out,
           f"rc={rc} out={out!r}")
 
     # a crash in a query the OLD artifact lacks (new query vs a stale
@@ -367,16 +452,27 @@ def main():
 
     # single-artifact mode, with or without a trailing [threshold]: a
     # bare number in position 2 is the threshold habit, not a path
+    anchor_mode = False
     if len(argv) == 1 or (len(argv) == 2 and _is_float(argv[1])):
-        anchor = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "..", "BENCH_idle_anchor.json")
+        anchor = os.environ.get("BENCH_TRIAGE_ANCHOR") or os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "..", "BENCH_idle_anchor.json")
         if not os.path.exists(anchor):
             print(f"single-artifact mode needs {anchor}", file=sys.stderr)
             return 2
         print(f"note: comparing against the idle anchor {anchor}",
               file=sys.stderr)
         argv = [anchor] + argv
+        anchor_mode = True
     old, new = load(argv[0]), load(argv[1])
+    if old.get("sf") and new.get("sf") and old["sf"] != new["sf"]:
+        msg = (f"sf mismatch: old/anchor ran {old['sf']!r}, new ran "
+               f"{new['sf']!r} — a smaller-sf run reads as uniformly "
+               "improved and masks regressions")
+        if anchor_mode:
+            print(f"REFUSED: {msg}")
+            return 2
+        print(f"warning: {msg}", file=sys.stderr)
     ratio = float(argv[2]) if len(argv) > 2 else 1.5
     floor = 0.05  # ignore sub-50ms wall jitter on tiny queries
     # CPU floors: executor CPU itself wobbles run-to-run (the r20 idle
@@ -389,34 +485,45 @@ def main():
     cpu_floor, cpu_ratio = 0.25, 1.2
     partial = old.get("partial") or new.get("partial")
     rows, failed_new = [], []
-    for q, w_new in sorted(new["queries"].items()):
+    # coverage is the UNION of wall and cpu keys: a salvaged artifact
+    # can carry cpu for queries whose wall rows were cut, and the cpu
+    # gate below fires without a wall spike (ADVICE r20 medium)
+    new_cov = sorted(set(new["queries"]) | set(new.get("queries_cpu", {})))
+    for q in new_cov:
+        w_new = new["queries"].get(q)
         w_old = old["queries"].get(q)
         # crash check FIRST: a query the old artifact/anchor lacks (new
         # query, torn old map) must still surface its failure — never a
         # clean skip
-        if w_new < 0:
+        if w_new is not None and w_new < 0:
             failed_new.append(q)
             continue
-        if w_old is None:
-            continue
-        if w_old < 0:
+        if w_old is not None and w_old < 0:
             print(f"note: {q} failed in the OLD artifact, runs now",
                   file=sys.stderr)
             continue
-        if w_new <= max(ratio * w_old, w_old + floor):
-            continue
         c_old = old.get("queries_cpu", {}).get(q)
         c_new = new.get("queries_cpu", {}).get(q)
-        if c_old is None or c_new is None or c_old < 0 or c_new < 0:
-            verdict = "WALL-ONLY"
-        elif c_new > max(cpu_ratio * c_old, c_old + cpu_floor):
+        have_cpu = (c_old is not None and c_new is not None
+                    and c_old >= 0 and c_new >= 0)
+        wall_spiked = (w_old is not None and w_new is not None
+                       and w_new > max(ratio * w_old, w_old + floor))
+        cpu_grew = have_cpu and \
+            c_new > max(cpu_ratio * c_old, c_old + cpu_floor)
+        if not wall_spiked and not cpu_grew:
+            continue
+        if cpu_grew:
             verdict = "REGRESSION"
-        else:
+        elif have_cpu:
             verdict = "LOAD?"
-        rows.append((w_new / max(w_old, 1e-9), q, w_old, w_new,
-                     c_old, c_new, verdict))
+        else:
+            verdict = "WALL-ONLY"
+        sort_ratio = (w_new / max(w_old, 1e-9) if wall_spiked
+                      else c_new / max(c_old, 1e-9))
+        rows.append((sort_ratio, q, w_old, w_new, c_old, c_new, verdict))
     rows.sort(reverse=True)
-    n_both = len(set(new["queries"]) & set(old["queries"]))
+    n_both = len((set(new["queries"]) | set(new.get("queries_cpu", {})))
+                 & (set(old["queries"]) | set(old.get("queries_cpu", {}))))
     scope = (f"{n_both} compared queries"
              + (" (PARTIAL — truncated artifact)" if partial else ""))
     for q in failed_new:
@@ -435,16 +542,19 @@ def main():
         print(f"{'query':34} {'wall old':>9} {'wall new':>9} "
               f"{'cpu old':>8} {'cpu new':>8}  verdict")
         for r, q, wo, wn, co, cn, v in rows:
-            fmt = lambda x: f"{x:8.3f}" if x is not None and x >= 0 \
-                else "     n/a"
-            print(f"{q:34} {wo:9.3f} {wn:9.3f} {fmt(co)} {fmt(cn)}  "
+            fmt = lambda x, w=8: (f"{x:{w}.3f}"
+                                  if x is not None and x >= 0
+                                  else " " * (w - 3) + "n/a")
+            print(f"{q:34} {fmt(wo, 9)} {fmt(wn, 9)} {fmt(co)} {fmt(cn)}  "
                   f"{v}  ({r:.1f}x)")
     n = {v: sum(1 for r in rows if r[-1] == v)
          for v in ("REGRESSION", "LOAD?", "WALL-ONLY")}
     if not rows and not failed_new and not hidden_failures:
-        print(f"ok: no query grew past {ratio}x over {scope}")
+        print(f"ok: no query grew past {ratio}x (wall) or the cpu floor "
+              f"over {scope}")
         return 0
-    print(f"\n{len(rows)} grew past {ratio}x over {scope}: "
+    print(f"\n{len(rows)} flagged (wall >{ratio}x or cpu grown) over "
+          f"{scope}: "
           f"{n['REGRESSION']} REGRESSION (cpu grew >=250ms & >=1.2x), "
           f"{n['LOAD?']} LOAD? (cpu within wobble), "
           f"{n['WALL-ONLY']} wall-only (no cpu data); "
