@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output goes STRAIGHT to stdout instead of through
+// sbt's logger: the bench's machine-readable JSON lines must not depend
+// on a consumer stripping "[info] " prefixes (VERDICT r21 #2), and the
+// prefix itself costs 7 chars of the driver's ~2 KB tail capture per
+// line. Test output is unaffected (ScalaTest reports through its own
+// framework logger either way).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -70,7 +70,14 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalMed = results.map(_._3).filter(_ >= 0).sum
     val totalCpu = results.map(_._4).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    // Full-precision per-query maps (min/median/cpu) under a DISTINCT
+    // metric name: the machine contract line (`"metric":"total"`) is
+    // the compact LAST line below — two lines both named "total" would
+    // double-count in any metric-aggregating consumer (ADVICE r15's
+    // reason the trailing totals line got its own name). This line is
+    // the builder/triage-facing record; bench_triage prefers its
+    // full-precision maps when a complete log is available.
+    println(s"""{"metric":"total_verbose","value":$total,"unit":"sec","queries":$qs,""" +
       s""""total_median":$totalMed,"queries_median":$med,""" +
       s""""total_cpu":$totalCpu,"queries_cpu":$cpu,"sf":"$sfDir"}""")
     // Compact self-triage line: the driver's artifact keeps only a
@@ -108,6 +115,28 @@ object Bench {
     // (ADVICE r15).
     println(s"""{"metric":"total_tail","value":$total,"unit":"sec",""" +
       s""""total_median":$totalMed,"total_cpu":$totalCpu,""" +
+      s""""n_queries":${results.size},""" +
+      s""""n_failed":${results.count(_._2 < 0)},"sf":"$sfDir"}""")
+    // THE machine contract line — `{"metric":"total",...,"queries":...}`
+    // — printed LAST (VERDICT r21 #2: the driver's tail capture parsed
+    // null in r20 AND r21 because the per-query line sat ~3 lines above
+    // the end of stdout), with per-query seconds rounded to 3 decimals.
+    // Layout is deliberately tear-resilient: 112 query names alone are
+    // ~2.4 KB, so even this compacted map (~3 KB) cannot fit whole in a
+    // 2 KB tail window — if the window tears the line's HEAD, the
+    // surviving suffix still carries the alphabetically-later query
+    // entries AND the run totals/n_failed/sf, which trail the map
+    // exactly so they survive any head cut (bench_triage's torn-suffix
+    // salvage identifies the map by the `,"total_median"` that follows
+    // it). A full-stream consumer parses the whole line as the ONE
+    // contract JSON line. Values here duplicate (rounded) the verbose
+    // line's — same run, same numbers, never recomputed.
+    val qs3 = results.map { case (k, v, _, _) =>
+      s"\"" + k + "\":" + (if (v < 0) v else r3(v)) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+      s""""queries":$qs3,""" +
+      s""""total_median":${r3(totalMed)},"total_cpu":${r3(totalCpu)},""" +
       s""""n_queries":${results.size},""" +
       s""""n_failed":${results.count(_._2 < 0)},"sf":"$sfDir"}""")
     spark.stop()

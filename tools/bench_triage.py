@@ -101,7 +101,10 @@ def _torn_suffix(txt, tail_totals):
                14-18). With NO total_tail to consult the map is
                REFUSED — guessing wrong would compare cpu seconds as
                wall seconds and triage a regressed run clean.
-    Returns (name, dict) or None.
+    Returns (name, dict, trailing_totals_or_None) or None; the third
+    element carries the r22+ compact line's trailing run totals
+    (total_median/total_cpu/n_queries/n_failed/sf) when the torn line
+    is that contract line.
     """
     first = txt.splitlines()[0] if txt else ""
     cut = first.find(",")
@@ -115,28 +118,70 @@ def _torn_suffix(txt, tail_totals):
     if not m or not all(isinstance(v, (int, float)) for v in m.values()):
         return None
     after = first[end + 1:]
+    # r22+ compact contract line: the run totals TRAIL the map exactly
+    # so a head-torn capture still yields them — recover them as a
+    # tail_totals substitute (the 3 KB line pushes the real total_tail
+    # line out of a 2 KB window)
+    trailing = None
+    if after.startswith(',"total_median"') and '"n_failed"' in after:
+        try:
+            trailing = json.loads("{" + after[1:])
+        except json.JSONDecodeError:
+            pass
     if after.startswith(',"total_median"'):
-        return "queries", m
+        return "queries", m, trailing
     if after.startswith(',"total_cpu"'):
-        return "queries_median", m
+        return "queries_median", m, None
     if after.startswith(',"sf"') and tail_totals is not None:
         return ("queries_cpu" if "total_cpu" in tail_totals
-                else "queries_median"), m
+                else "queries_median"), m, None
     return None
 
 
 def _salvage(txt, path):
-    """Best-effort result from truncated bench stdout (raw or a tail)."""
+    """Best-effort result from truncated bench stdout (raw or a tail).
+
+    Two bench formats are understood (round 22 moved the machine
+    contract line to the END of stdout so the driver's tail capture can
+    parse it — VERDICT r21 #2):
+      - pre-r22: ONE `"metric":"total"` line carrying full-precision
+        queries/queries_median/queries_cpu maps;
+      - r22+: a `"metric":"total_verbose"` line with those same maps,
+        then suspects/total_tail, then a LAST compact
+        `"metric":"total"` line (3-decimal `queries` map, run totals
+        and n_failed trailing the map so a head-torn capture still
+        yields them).
+    Preference: the full-precision maps (either name) when intact,
+    else the compact line with suspects-cpu overlay.
+    """
     suspects, tail_totals, sus_sf = None, None, None
+    verbose, compact = None, None
     for e in _lines(txt):
-        if e.get("metric") == "total" and "queries" in e:
-            e.setdefault("partial", False)
-            return e
+        if e.get("metric") in ("total", "total_verbose") and "queries" in e:
+            # the full-precision big line carries queries_cpu; the r22
+            # compact contract line does not
+            if "queries_cpu" in e:
+                verbose = e
+            else:
+                compact = e
         if e.get("metric") == "load_suspects":
             suspects = e.get("top", {})
             sus_sf = e.get("sf")
         if e.get("metric") == "total_tail":
             tail_totals = e
+    if verbose is not None:
+        verbose.setdefault("partial", False)
+        return verbose
+    if compact is not None:
+        cpu = {}
+        for q, v in (suspects or {}).items():
+            cpu[q] = v["cpu"]
+        return {"queries": compact["queries"], "queries_cpu": cpu,
+                "partial": False,
+                "n_failed": compact.get(
+                    "n_failed",
+                    tail_totals.get("n_failed") if tail_totals else None),
+                "sf": compact.get("sf")}
     maps = {}
     # intact labeled maps (sub-~3k tails cut them all; bigger captures
     # may keep the later ones)
@@ -151,11 +196,15 @@ def _salvage(txt, path):
     torn = _torn_suffix(txt, tail_totals)
     partial_wall = False
     if torn and torn[0] not in maps:
-        name, m = torn
+        name, m, trailing = torn
         print(f"note: {path}: recovered the intact suffix of a torn "
               f"{name} map ({len(m)} entries)", file=sys.stderr)
         maps[name] = m
         partial_wall = name != "queries_cpu"
+        if tail_totals is None and trailing is not None:
+            print(f"note: {path}: run totals recovered from the torn "
+                  "contract line's trailing keys", file=sys.stderr)
+            tail_totals = trailing
     wall = maps.get("queries") or maps.get("queries_median")
     n_failed = tail_totals.get("n_failed") if tail_totals else None
     sf = tail_totals.get("sf") if tail_totals else sus_sf
@@ -410,6 +459,45 @@ def selftest():
     rc, out = run([old, torn_cpu])
     check("torn cpu overlay feeds cpu-only gate",
           rc == 1 and "q_b" in out and "REGRESSION" in out,
+          f"rc={rc} out={out!r}")
+
+    # ---- r22+ format: verbose line first, compact contract line LAST
+    def bench_r22(wall, cpu, n_failed=0, sf="x"):
+        def r3(v):
+            return round(v, 3)
+        qs3 = json.dumps({k: (r3(v) if v >= 0 else v)
+                          for k, v in wall.items()})
+        verbose = bench_line(wall, cpu, n_failed=n_failed, sf=sf).replace(
+            '{"metric":"total",', '{"metric":"total_verbose",', 1)
+        compact = (f'{{"metric":"total","value":1,"unit":"sec",'
+                   f'"queries":{qs3},"total_median":1,"total_cpu":1,'
+                   f'"n_queries":{len(wall)},"n_failed":{n_failed},'
+                   f'"sf":"{sf}"}}')
+        return verbose + compact + "\n"
+
+    # full r22 log: the full-precision verbose maps must be preferred —
+    # a cpu-only regression (wall flat) is invisible to the compact
+    # line, so detecting q_f proves the verbose cpu map was used
+    r22_old = write("r22_old.json", bench_r22({"q_f": 1.0}, {"q_f": 0.5}))
+    r22_new = write("r22_new.json", bench_r22({"q_f": 1.0}, {"q_f": 1.2}))
+    rc, out = run([r22_old, r22_new])
+    check("r22 verbose cpu preferred",
+          rc == 1 and "q_f" in out and "REGRESSION" in out,
+          f"rc={rc} out={out!r}")
+
+    # torn r22 tail: the ~3 KB compact line alone overflows a 2 KB
+    # window, so the capture holds only its torn suffix — the map
+    # suffix AND the trailing totals (n_failed!) must both be
+    # recovered, with no total_tail line in the window at all
+    r22_full = bench_r22({"q_a": 1.0, "q_b": 2.0, "q_c": -1.0},
+                         {"q_a": 0.1, "q_b": 0.2, "q_c": -1.0}, n_failed=1)
+    compact_line = r22_full.splitlines()[-1]
+    cut2 = compact_line.find('"q_b"') + 7  # mid-entry, label lost
+    torn22 = write("torn22.json",
+                   json.dumps({"tail": compact_line[cut2:]}))
+    rc, out = run([old, torn22])
+    check("r22 torn compact salvages totals",
+          rc == 1 and "FAILED in new artifact: q_c" in out,
           f"rc={rc} out={out!r}")
 
     # a crash in a query the OLD artifact lacks (new query vs a stale
