@@ -142,7 +142,19 @@ object Clusters {
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
     val nodeIds = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // Data-proportional parallelism for the driver-local label table:
+    // LocalTableScanExec fans a local relation out to min(rows,
+    // leafNodeDefaultParallelism) tasks — defaultParallelism-many
+    // micro-tasks for a few hundred labels, and every consumer of a
+    // resolve output (the standing assignment caches feed ~6 queries)
+    // pays that fixed per-task setup on EVERY scan (measured ~0.5 s
+    // executor CPU per action against a 33-partition cached assignment
+    // at sf0.1, vs ~0.02 s of actual data work). One partition per
+    // ~500k labels keeps the local path (≤ 2·LocalEdgeThreshold rows
+    // by construction) at ≤ 4 tasks; coalesce preserves LocalRelation
+    // stats so broadcast decisions downstream are unchanged.
     val labels = nodeIds.map(n => (n, find(n))).toSeq.toDF("doc_id", "cluster")
+      .coalesce(math.max(1, nodeIds.length / 500000))
     val singletons = docs.select(col(idCol).as("doc_id"))
       .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
       .withColumn("cluster", col("doc_id"))

@@ -278,7 +278,6 @@ object DedupQueries {
     // The oracle re-clusters corpus ∪ batch from scratch — equality
     // IS the operator's contract.
     "q_dedup_clusters_incremental" -> ((s, dir) => {
-      val (_, batch) = splitDocs(s, dir)
       // THREE standing structures feed this: the corpus band index and
       // batch signatures (shared with the other incremental queries)
       // plus the corpus ASSIGNMENT table (cachedCorpusAssignments —
@@ -295,7 +294,15 @@ object DedupQueries {
       val crossPairs = Dedup.probeFromSignatures(batchSig, corpusIdx,
           IncrementalFuzzyThreshold)
         .select(col("batch_id").as("doc_a"), col("corpus_id").as("doc_b"))
-      Clusters.incrementalResolve(assignments, batch, "doc_id",
+      // Batch doc ids come off the PERSISTED signature frame, not a
+      // fresh splitDocs text scan: withSignatures is a row-preserving
+      // projection of the batch slice, so batch_id carries the exact
+      // same id set — and the resolve's singleton anti-join plus the
+      // output's batch semi-join then read a KB-sized cache instead of
+      // re-fingerprinting every document's text per call (two full
+      // text scans per maintenance call at corpus scale).
+      Clusters.incrementalResolve(assignments,
+        batchSig.select(col("batch_id").as("doc_id")), "doc_id",
         batchPairs.unionByName(crossPairs), "doc_a", "doc_b")
         .orderBy("doc_id")
     }),
