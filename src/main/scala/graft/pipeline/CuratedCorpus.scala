@@ -409,11 +409,21 @@ object CuratedCorpus {
     store(path).delete(spark)
 
   /** Attach the stored token count (same null-as-zero rule as the
-    * budget fill's text face, so the counted path is equivalent). */
+    * budget fill's text face, so the counted path is equivalent).
+    * When the input already carries `n_tokens` — curatedKeptDocs
+    * materializes it from the curation barrier's token array, which
+    * is tokenCount(text) by construction — the carried count is
+    * reordered into place instead of re-tokenizing; the text face
+    * below stays for bare (doc_id, source, text) callers. */
   private[pipeline] def withCounts(curated: DataFrame): DataFrame =
-    curated.select(col("doc_id"), col("source"),
-      coalesce(
-        graft.text.TextAnalysis.tokenCount(col("text")).cast("long"),
-        lit(0L)).as("n_tokens"),
-      col("text"))
+    if (curated.columns.contains("n_tokens"))
+      curated.select(col("doc_id"), col("source"),
+        coalesce(col("n_tokens").cast("long"), lit(0L)).as("n_tokens"),
+        col("text"))
+    else
+      curated.select(col("doc_id"), col("source"),
+        coalesce(
+          graft.text.TextAnalysis.tokenCount(col("text")).cast("long"),
+          lit(0L)).as("n_tokens"),
+        col("text"))
 }

@@ -72,8 +72,18 @@ object PipelineQueries {
         stopwordRatioOfTokens(col("__toks")) >= MinStopwordRatio,
       col("__pr") <= MaxPunctRatio,
       dupTokenFrac(col("r")) <= MaxDupTokenFrac).reduce(_ && _)
+    // n_tokens rides along from the barrier's materialized token
+    // array: size(__toks) IS tokenCount(text) by definition
+    // (tokenCount = size(tokens(text)), same expression tree), so
+    // every downstream consumer that needs the count — the release
+    // budget fill, sequence packing, the CuratedCorpus landing —
+    // reads this long instead of re-running the tokenizing split
+    // over the curated set (VERDICT r21 #4: one full tokenize pass
+    // per release build). Null-as-zero matches the budget fill's
+    // text face; quality-filtered rows always have non-null text.
     val kept = base.where(keep)
-      .select(col("doc_id"), col("source"), col("text"))
+      .select(col("doc_id"), col("source"), col("text"),
+        coalesce(size(col("__toks")).cast("long"), lit(0L)).as("n_tokens"))
     // stage 2: exact dedup — keep the min doc_id per canonical hash
     val byHash = Window.partitionBy(Dedup.exactHash(col("text")))
     kept
@@ -96,9 +106,16 @@ object PipelineQueries {
     curatedKeptDocs(docs).where(trainSplit)
 
   def curate(docs: DataFrame): DataFrame =
-    // stage 4: pack the curated train set into fixed sequences
-    TextAnalysis.packSequences(curatedTrainDocs(docs).drop("source"),
-      "doc_id", "text", TextQueries.PackSeqLen, TextQueries.PackShards)
+    // stage 4: pack the curated train set into fixed sequences — over
+    // the PRE-COUNTED tokens the curation barrier materialized
+    // (packPlaced ≡ packSequences when n_tokens = tokenCount(text),
+    // which stage 1 guarantees), so packing never re-tokenizes
+    TextAnalysis.packPlaced(
+      curatedTrainDocs(docs).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          (col("doc_id") % TextQueries.PackShards).as("shard"),
+          col("n_tokens")),
+      "doc_id", "shard", "doc_id", "n_tokens", TextQueries.PackSeqLen)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_curate" -> ((s, dir) =>

@@ -72,8 +72,12 @@ object Release {
     * tokens per source in deal order — (doc_id, source, n_tokens,
     * cum_tokens). The in-query face; [[build]] materializes it. */
   def candidates(docs: DataFrame, seed: Long, budget: Long): DataFrame =
-    Sampling.tokenBudgetFill(PipelineQueries.curatedTrainDocs(docs),
-      "source", "doc_id", "text", seed, budget)
+    // counted face: curatedTrainDocs carries n_tokens from the
+    // curation barrier (≡ tokenCount(text) by construction), so the
+    // budget fill's two passes read a long column instead of
+    // re-tokenizing the curated set per release build
+    Sampling.tokenBudgetFillCounted(PipelineQueries.curatedTrainDocs(docs),
+      "source", "doc_id", "n_tokens", seed, budget)
 
   /** Per-source audit of the kept set (q_pipeline_release): how many
     * documents and tokens each source actually contributes under the
