@@ -242,6 +242,50 @@ class EmbedIndexSpec extends SparkSpec {
     } finally EmbedIndex.delete(spark, root)
   }
 
+  test("oversized-batch fallback: one bucket-table scan, vecs never read — the fallback's scan shape, pinned") {
+    import spark.implicits._
+    // the LOAD-IMMUNE gate for q_dedup_embed_atrest's bench-hot path
+    // (VERDICT r21 #7): the documented oversized-batch fallback must
+    // stay ONE pass over the bucket table (whose pages carry their
+    // vectors) and must never touch the corpus vecs table — a refactor
+    // that re-attaches vectors via a vecs join would silently double
+    // the at-rest read at 100 TB. Wall clock is not asserted anywhere
+    // here; the scan census IS the gate.
+    val p = EmbedIndex.Params(bands = 2, planesPerBand = 4, dims = 4)
+    val corpus = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (100L, Seq(2f, 0f, 0f, 0f)),
+      (101L, Seq(0f, 2f, 0f, 0f))).toDF("vec_id", "embedding")
+    val root = fixtureRoot()
+    val path = s"$root/emb"
+    try {
+      EmbedIndex.write(corpus, "vec_id", "embedding", path, p)
+      val want = pairs(EmbedIndex.probe(batch, path, "vec_id",
+        "embedding", 0.9))
+      // cap=1: the batch's band rows (2 docs × 2 bands) overflow it,
+      // so probe returns the probeAtRest plan — the exact cutover the
+      // bench-scale batch (10% of the corpus) takes every call
+      val df = EmbedIndex.probe(batch, path, "vec_id", "embedding",
+        0.9, cap = 1)
+      assert(pairs(df) == want, "fallback pairs must equal the bounded path's")
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.initialPlan
+        case q => q
+      }
+      val scanned = plan.collectWithSubqueries {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.rootPaths.mkString(",")
+      }
+      assert(scanned.count(_.contains("/buckets")) == 1,
+        s"fallback must read the bucket table exactly once, scans: $scanned")
+      assert(!scanned.exists(_.contains("/vecs")),
+        s"fallback must never read the vecs table, scans: $scanned")
+    } finally EmbedIndex.delete(spark, root)
+  }
+
   test("layout migration: a layout-1 table refuses probes, migrates in place from vecs, probes identically") {
     import spark.implicits._
     val p = EmbedIndex.Params(bands = 2, planesPerBand = 4, dims = 4)
