@@ -34,9 +34,16 @@ object ScaleSmoke {
   val OutDir = "/tmp/graft_scale10"
 
   def main(args: Array[String]): Unit = {
+    // SCALE_SMOKE_CPUS parameterizes the core count (default 32, the
+    // mains' house master) so the 10x ladders can be run as a c8/c32
+    // pair — per-query scaling ratios at sf0.1 are overhead-bound and
+    // uninformative; at 10x they measure the operators (VERDICT r21
+    // #8). Shuffle partitions follow the core count exactly like
+    // Bench's contract.
+    val cpus = sys.env.getOrElse("SCALE_SMOKE_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -111,11 +118,19 @@ object ScaleSmoke {
       "q_sample_shuffle", "q_sample_token_budget",
       "q_pipeline_release", "q_pipeline_release_incremental",
       "q_dedup_semantic_trained")
+    // two timed reps with executor CPU (the load-immune ratio input):
+    // rep1 is cold (codegen + standing-cache builds), rep2 is the
+    // steady-state number a c8/c32 pair compares
+    val meter = CpuMeter.attach(spark.sparkContext)
     queries.foreach { name =>
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(name)(spark, OutDir).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[scale] $name%-24s ${sec}%8.2f s  rows=$n")
+      (1 to 2).foreach { rep =>
+        val c0 = meter.snapshotNs()
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, OutDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val cpu = (meter.snapshotNs() - c0) / 1e9
+        println(f"[scale] $name%-24s rep$rep ${sec}%8.2f s  cpu ${cpu}%7.2f s  rows=$n")
+      }
     }
   }
 
