@@ -101,10 +101,15 @@ object Sampling {
     // in the text-fed form, TOKENIZE) the full corpus twice —
     // tokenization dominates, the projection is ~tens of bytes/row
     // (disk-backed executor storage, spread across the cluster; at
-    // 100 TB this is the difference between one text pass and two)
+    // 100 TB this is the difference between one text pass and two).
+    // LAZY checkpoint (eager=false): the prefix collect below is the
+    // first action and its map side computes every base partition (the
+    // groupBy exchange drains the full input), so it materializes the
+    // checkpoint as a side effect — eager=true spent a THIRD driver
+    // action per budget-fill call on a separate materialization pass.
     val base = keyedDocs
       .withColumn("__chunk", expr(s"__key div ${2147483648L / chunks}"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // the driver holds one prefix row per (source, chunk): fine for a
     // mixture-domain srcCol (tens to thousands of sources), unbounded
     // for an arbitrary high-cardinality column (1M per-domain sources
